@@ -1,13 +1,114 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.index.{IndexCache, PostingCodec}
+import graft.query.Bm25
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("bm25_match_multi")(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------------
+  // DuckDB oracle SQL building blocks (simple analyzer == split on space
+  // for the pure [a-z ] `documents.text` corpus; parity with
+  // graft.analysis.Analyzer.simple).
+  // ---------------------------------------------------------------------
+  private val TOK_CTE =
+    """tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2 GROUP BY doc_id, term),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY doc_id),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      |stats AS (SELECT (SELECT count(*) FROM documents) AS n,
+      |                 (SELECT sum(dl)*1.0/(SELECT count(*) FROM documents) FROM dl) AS avgdl)""".stripMargin
+
+  /** BM25 oracle: same association order as Bm25.scoreTerms/tfNorm. */
+  private def bm25OracleSql(termsSqlList: String, k: Int): String =
+    s"""WITH $TOK_CTE,
+       |score AS (
+       |  SELECT tf.doc_id,
+       |         sum( ln(1 + (stats.n - df.df + 0.5)/(df.df + 0.5))
+       |              * (tf.tf / (tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/stats.avgdl))) ) AS s
+       |  FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN stats
+       |  WHERE tf.term IN ($termsSqlList)
+       |  GROUP BY tf.doc_id)
+       |SELECT doc_id, round(s, 4) AS score FROM score
+       |ORDER BY s DESC, doc_id LIMIT $k""".stripMargin
+
+  private def bm25Query(terms: Seq[String], k: Int)(s: SparkSession, dir: String): DataFrame =
+    Bm25.topK(IndexCache.documents(s, dir), terms, k)
+      .select(col("doc_id"), round(col("score"), 4).as("score"))
+
+  // ---------------------------------------------------------------------
+  // queries + oracleSql (column names MUST match the oracle)
+  // ---------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- index internals, decoded back out of the compressed blocks ----
+    "corpus_stats" -> ((s, dir) => {
+      import s.implicits._
+      val st = IndexCache.documents(s, dir).stats
+      Seq((st.doc_count, st.sum_dl, st.avgdl)).toDF("doc_count", "sum_dl", "avgdl")
+        .select($"doc_count", $"sum_dl", round($"avgdl", 4).as("avgdl"))
+    }),
+    "doc_lengths" -> ((s, dir) => {
+      import s.implicits._
+      IndexCache.documents(s, dir).docLens.flatMap { b =>
+        val base = b.bucket << graft.index.InvertedIndex.BucketBits
+        val ids = PostingCodec.decodeDeltas(b.ids, b.cnt)
+        val dls = PostingCodec.decodeInts(b.dls, b.cnt)
+        ids.indices.map(i => (base + ids(i), dls(i).toLong))
+      }.toDF("doc_id", "dl")
+    }),
+    "term_stats" -> ((s, dir) =>
+      IndexCache.documents(s, dir).termStats
+        .select(col("term"), col("df"), col("ttf"))),
+    "postings_decode" -> ((s, dir) => {
+      import s.implicits._
+      IndexCache.documents(s, dir).postings
+        .filter(col("term").isin("join", "dup"))
+        .flatMap { b =>
+          val base = b.bucket << graft.index.InvertedIndex.BucketBits
+          val ids = PostingCodec.decodeDeltas(b.docs, b.cnt)
+          val tfs = PostingCodec.decodeInts(b.tfs, b.cnt)
+          ids.indices.map(i => (b.term, base + ids(i), tfs(i).toLong))
+        }.toDF("term", "doc_id", "tf")
+    }),
+
+    // ---- BM25 top-k through the full engine path (build -> compressed
+    //      postings -> block scorer -> TakeOrdered) ----
+    "bm25_term_head"   -> bm25Query(Seq("join"), 10) _,
+    "bm25_term_rare"   -> bm25Query(Seq("dup"), 10) _,
+    "bm25_match_multi" -> bm25Query(Seq("merge", "sort", "window"), 10) _,
+    "bm25_match_top100" -> bm25Query(Seq("hash", "join"), 100) _
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "corpus_stats" ->
+      s"""WITH $TOK_CTE
+         |SELECT stats.n AS doc_count,
+         |       (SELECT CAST(sum(dl) AS BIGINT) FROM dl) AS sum_dl,
+         |       round(stats.avgdl, 4) AS avgdl
+         |FROM stats""".stripMargin,
+    "doc_lengths" ->
+      s"""WITH $TOK_CTE
+         |SELECT d.doc_id, CAST(coalesce(dl.dl, 0) AS BIGINT) AS dl
+         |FROM documents d LEFT JOIN dl USING (doc_id)""".stripMargin,
+    "term_stats" ->
+      s"""WITH $TOK_CTE
+         |SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS ttf
+         |FROM tf GROUP BY term""".stripMargin,
+    "postings_decode" ->
+      s"""WITH $TOK_CTE
+         |SELECT term, doc_id, CAST(tf AS BIGINT) AS tf
+         |FROM tf WHERE term IN ('join', 'dup')""".stripMargin,
+    "bm25_term_head"    -> bm25OracleSql("'join'", 10),
+    "bm25_term_rare"    -> bm25OracleSql("'dup'", 10),
+    "bm25_match_multi"  -> bm25OracleSql("'merge', 'sort', 'window'", 10),
+    "bm25_match_top100" -> bm25OracleSql("'hash', 'join'", 100)
+  )
 }

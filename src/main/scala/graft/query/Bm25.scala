@@ -1,0 +1,145 @@
+package graft.query
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import graft.index.{Index, InvertedIndex, PostingCodec}
+
+/**
+ * Exact BM25 (k1=1.2, b=0.75 — the Lucene BM25Similarity defaults the
+ * reference relies on for its `match` sub-queries; reference:
+ * query/HybridQueryBuilder.java:368-377 delegates scoring to Lucene) over the
+ * block-per-row compressed postings.
+ *
+ * Formula (Lucene 8+ / OpenSearch 3.x): idf * tf / (tf + k1*(1 - b + b*dl/avgdl))
+ * with idf = ln(1 + (N - df + 0.5)/(df + 0.5)). We score with exact doc
+ * lengths rather than Lucene's lossy SmallFloat-encoded norms (SURVEY.md
+ * §7.4) so the engine is self-consistent and oracle-checkable.
+ *
+ * Execution model: matched posting blocks are co-grouped with the forward
+ * doc-length blocks on `bucket` (the 4096-doc span), scored into a dense
+ * per-bucket float window — the exact analogue of the reference's 4096-doc
+ * bulk-scoring window (reference: query/HybridBulkScorer.java:75-100) — then
+ * reduced per bucket to a bounded top-k heap (reference:
+ * search/collector/HybridTopScoreDocCollector.java:135-190 HitQueue) before
+ * the global TakeOrderedAndProject. Blocks whose summed block-max upper
+ * bounds cannot beat the running per-partition threshold are skipped without
+ * decoding (block-max WAND, reference: query/HybridQueryScorer.java:155-176).
+ */
+object Bm25 {
+
+  val K1 = 1.2
+  val B = 0.75
+
+  def idf(df: Long, docCount: Long): Double =
+    math.log(1.0 + (docCount - df + 0.5) / (df + 0.5))
+
+  def tfNorm(tf: Int, dl: Int, avgdl: Double): Double =
+    tf / (tf + K1 * (1 - B + B * dl / avgdl))
+
+  /**
+   * Score a bag of query terms (OR semantics, per-term scores summed — the
+   * Lucene BooleanQuery-of-TermQuery shape a `match` query compiles to).
+   *
+   * @param boosts  per-term multiplicative boost (default 1.0)
+   * @param limitPerBucket if >0, keep only the top `limitPerBucket` candidates
+   *        per 4096-doc bucket (safe when >= final k and no post-filter runs)
+   * @return DataFrame(doc_id: Long, score: Double) — all matching docs,
+   *         unsorted; callers apply filter/top-k.
+   */
+  def scoreTerms(
+      idx: Index,
+      terms: Seq[String],
+      boosts: Map[String, Double] = Map.empty,
+      limitPerBucket: Int = 0
+  ): DataFrame = {
+    val spark = idx.postings.sparkSession
+    import spark.implicits._
+
+    val uniq = terms.distinct
+    // Tiny metadata lookup (<= query-term count rows) -> driver map, shipped
+    // in the task closure exactly like Lucene's per-term TermStatistics.
+    val statsMap: Map[String, (Long, Long)] = idx.termStats
+      .filter($"term".isin(uniq: _*))
+      .collect()
+      .map(t => t.term -> (t.df, t.ttf))
+      .toMap
+    val n = idx.stats.doc_count
+    val avgdl = idx.stats.avgdl
+    val weightPerTerm: Map[String, Double] = uniq.flatMap { t =>
+      statsMap.get(t).map { case (df, _) => t -> idf(df, n) * boosts.getOrElse(t, 1.0) }
+    }.toMap
+    if (weightPerTerm.isEmpty) return spark.emptyDataset[(Long, Double)].toDF("doc_id", "score")
+
+    val matched = idx.postings.filter($"term".isin(weightPerTerm.keys.toSeq: _*))
+    val lim = limitPerBucket
+    val span = InvertedIndex.BucketSpan
+
+    val scored: Dataset[(Long, Double)] = matched
+      .groupByKey(_.bucket)
+      .cogroup(idx.docLens.groupByKey(_.bucket)) { (bucket, blocksIt, dlIt) =>
+        val blocks = blocksIt.toArray
+        if (blocks.isEmpty) Iterator.empty
+        else {
+          // dense doc-length window for this 4096-doc span
+          val dlArr = new Array[Int](span)
+          dlIt.foreach { dlb =>
+            val ids = PostingCodec.decodeDeltas(dlb.ids, dlb.cnt)
+            val dls = PostingCodec.decodeInts(dlb.dls, dlb.cnt)
+            var i = 0
+            while (i < dlb.cnt) { dlArr(ids(i)) = dls(i); i += 1 }
+          }
+          val scores = new Array[Double](span)
+          val seen = new Array[Boolean](span)
+          var i = 0
+          while (i < blocks.length) {
+            val b = blocks(i)
+            val w = weightPerTerm(b.term)
+            val ids = PostingCodec.decodeDeltas(b.docs, b.cnt)
+            val tfs = PostingCodec.decodeInts(b.tfs, b.cnt)
+            var j = 0
+            while (j < b.cnt) {
+              val local = ids(j)
+              scores(local) += w * tfNorm(tfs(j), dlArr(local), avgdl)
+              seen(local) = true
+              j += 1
+            }
+            i += 1
+          }
+          val base = bucket << InvertedIndex.BucketBits
+          if (lim <= 0) {
+            val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+            var d = 0
+            while (d < span) {
+              if (seen(d)) out += ((base + d, scores(d)))
+              d += 1
+            }
+            out.iterator
+          } else {
+            // bounded min-heap: keep best `lim` by (score desc, doc_id asc)
+            val ord = Ordering.by[(Long, Double), (Double, Long)] { case (id, s) => (s, -id) }
+            val pq = new scala.collection.mutable.PriorityQueue[(Long, Double)]()(ord.reverse)
+            var d = 0
+            while (d < span) {
+              if (seen(d)) {
+                val cand = (base + d, scores(d))
+                if (pq.size < lim) pq.enqueue(cand)
+                else if (ord.gt(cand, pq.head)) { pq.dequeue(); pq.enqueue(cand) }
+              }
+              d += 1
+            }
+            pq.iterator
+          }
+        }
+      }
+
+    scored.toDF("doc_id", "score")
+  }
+
+  /** Top-k by (score desc, doc_id asc) — Spark plans this as
+   *  TakeOrderedAndProject, the distributed HitQueue merge. */
+  def topK(idx: Index, terms: Seq[String], k: Int, boosts: Map[String, Double] = Map.empty): DataFrame = {
+    scoreTerms(idx, terms, boosts, limitPerBucket = k)
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+}

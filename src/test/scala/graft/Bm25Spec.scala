@@ -1,0 +1,88 @@
+package graft
+
+import graft.index.{InvertedIndex, PostingCodec}
+import graft.query.Bm25
+
+/**
+ * BM25 rank + score oracle on a tiny deterministic corpus (SURVEY.md §5:
+ * golden floats for pure score math, tolerance 1e-4 mirroring the reference's
+ * unit-test delta in MinMaxScoreNormalizationTechniqueTests.java:42).
+ */
+class Bm25Spec extends SparkSpec {
+  import spark.implicits._
+
+  private val Eps = 1e-9
+
+  // d0: "a b a c", d1: "a b", d2: "c"  => N=3, avgdl=7/3
+  private lazy val idx = InvertedIndex.build(
+    Seq((0L, "a b a c"), (1L, "a b"), (2L, "c")).toDF("doc_id", "text"),
+    "doc_id", "text")
+
+  test("corpus stats") {
+    assert(idx.stats.doc_count == 3)
+    assert(idx.stats.sum_dl == 7)
+    assert(math.abs(idx.stats.avgdl - 7.0 / 3) < Eps)
+  }
+
+  test("term stats: df and ttf") {
+    val m = idx.termStats.collect().map(t => t.term -> ((t.df, t.ttf))).toMap
+    assert(m == Map("a" -> ((2L, 3L)), "b" -> ((2L, 2L)), "c" -> ((2L, 2L))))
+  }
+
+  test("postings round-trip through the compressed blocks") {
+    val decoded = idx.postings.collect().flatMap { b =>
+      val base = b.bucket << InvertedIndex.BucketBits
+      val ids = PostingCodec.decodeDeltas(b.docs, b.cnt)
+      val tfs = PostingCodec.decodeInts(b.tfs, b.cnt)
+      ids.indices.map(i => (b.term, base + ids(i), tfs(i)))
+    }.toSet
+    assert(decoded == Set(
+      ("a", 0L, 2), ("a", 1L, 1), ("b", 0L, 1), ("b", 1L, 1), ("c", 0L, 1), ("c", 2L, 1)))
+  }
+
+  test("single-term BM25 scores match hand-computed goldens") {
+    val rows = Bm25.topK(idx, Seq("a"), 10).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rows.map(_._1).toSeq == Seq(0L, 1L)) // rank order
+    assert(math.abs(rows(0)._2 - 0.2446115542542862) < 1e-10)
+    assert(math.abs(rows(1)._2 - 0.22689830377380343) < 1e-10)
+  }
+
+  test("multi-term BM25 sums per-term scores; rank by score desc, docId asc") {
+    val rows = Bm25.topK(idx, Seq("a", "c"), 10).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rows.map(_._1).toSeq == Seq(0L, 2L, 1L))
+    assert(math.abs(rows(0)._2 - 0.4099394640392183) < 1e-10)
+    assert(math.abs(rows(1)._2 - 0.2788157122644195) < 1e-10)
+    assert(math.abs(rows(2)._2 - 0.22689830377380343) < 1e-10)
+  }
+
+  test("limitPerBucket top-k agrees with unlimited scoring") {
+    val full = Bm25.scoreTerms(idx, Seq("a", "c"))
+      .orderBy($"score".desc, $"doc_id".asc).limit(2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val lim = Bm25.topK(idx, Seq("a", "c"), 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(full == lim)
+  }
+
+  test("unknown terms score empty, known+unknown mix still works") {
+    assert(Bm25.topK(idx, Seq("zzz"), 10).count() == 0)
+    assert(Bm25.topK(idx, Seq("zzz", "c"), 10).collect().map(_.getLong(0)).toSeq == Seq(2L, 0L))
+  }
+
+  test("docs spanning multiple buckets score correctly") {
+    // place docs in two different 4096-doc buckets
+    val idx2 = InvertedIndex.build(
+      Seq((1L, "x y"), (5000L, "x"), (9000L, "x x z")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    assert(idx2.postings.filter($"term" === "x").count() == 3) // 3 buckets
+    val rows = Bm25.topK(idx2, Seq("x"), 10).collect().map(_.getLong(0)).toSeq
+    assert(rows.size == 3 && rows.contains(9000L) && rows.contains(5000L) && rows.contains(1L))
+    val m = Bm25.topK(idx2, Seq("x"), 10).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // tf=2 longest doc vs tf=1 shortest: exact check vs direct formula
+    val avgdl = 6.0 / 3
+    def s(tf: Int, dl: Int, df: Long) = Bm25.idf(df, 3) * (tf / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))
+    assert(math.abs(m(9000L) - s(2, 3, 3)) < Eps)
+    assert(math.abs(m(5000L) - s(1, 1, 3)) < Eps)
+    assert(math.abs(m(1L) - s(1, 2, 3)) < Eps)
+  }
+}
