@@ -17,7 +17,7 @@ object SparkEntry {
   // for the pure [a-z ] `documents.text` corpus; parity with
   // graft.analysis.Analyzer.simple).
   // ---------------------------------------------------------------------
-  private val TOK_CTE =
+  private[graft] val TOK_CTE =
     """tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
       |tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2 GROUP BY doc_id, term),
@@ -47,7 +47,7 @@ object SparkEntry {
   // queries + oracleSql (column names MUST match the oracle)
   // ---------------------------------------------------------------------
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map[String, (SparkSession, String) => DataFrame](
     // ---- index internals, decoded back out of the compressed blocks ----
     "corpus_stats" -> ((s, dir) => {
       import s.implicits._
@@ -85,7 +85,7 @@ object SparkEntry {
     "bm25_term_rare"   -> bm25Query(Seq("dup"), 10) _,
     "bm25_match_multi" -> bm25Query(Seq("merge", "sort", "window"), 10) _,
     "bm25_match_top100" -> bm25Query(Seq("hash", "join"), 100) _
-  )
+  ) ++ HybridEntries.queries
 
   def oracleSql: Map[String, String] = Map(
     "corpus_stats" ->
@@ -110,5 +110,5 @@ object SparkEntry {
     "bm25_term_rare"    -> bm25OracleSql("'dup'", 10),
     "bm25_match_multi"  -> bm25OracleSql("'merge', 'sort', 'window'", 10),
     "bm25_match_top100" -> bm25OracleSql("'hash', 'join'", 100)
-  )
+  ) ++ HybridEntries.oracles(TOK_CTE)
 }

@@ -1,0 +1,91 @@
+package graft
+
+import graft.functions.Combine
+import graft.hybrid._
+import graft.index.InvertedIndex
+import graft.query.Bm25
+
+/** End-to-end hybrid pipeline on a tiny corpus with independently-derived
+ *  expectations (FIXTURES.md §2 query shapes). */
+class HybridSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val idx = InvertedIndex.build(
+    Seq(
+      (0L, "a b a c"),
+      (1L, "a b"),
+      (2L, "c d"),
+      (3L, "d d e"),
+      (4L, "e a c")
+    ).toDF("doc_id", "text"), "doc_id", "text")
+
+  test("hybrid min_max + arithmetic: best doc tops both sub-queries") {
+    val q = HybridQuery(
+      subQueries = Seq(SubQuery(Seq("a")), SubQuery(Seq("c"))),
+      norm = MinMaxNormTech(), comb = Combination(Combine.Arithmetic), k = 5, depth = 10)
+    val rows = Hybrid.execute(idx, q).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rows.nonEmpty)
+    // doc 0 has max BM25 for 'a' (tf=2) and matches 'c': must rank first
+    assert(rows.head._1 == 0L)
+    // all combined scores in (0, 1]
+    assert(rows.forall { case (_, s) => s > 0 && s <= 1.0 + 1e-9 })
+    // a doc matching only one sub-query gets the missing score as 0.0, so its
+    // combined arithmetic mean is halved: doc 1 (only 'a') scores < doc 0
+    val m = rows.toMap
+    assert(m(1L) < m(0L))
+  }
+
+  test("hybrid rrf: scores are sums of 1/(60+rank)") {
+    val q = HybridQuery(
+      subQueries = Seq(SubQuery(Seq("a")), SubQuery(Seq("c"))),
+      norm = RrfNormTech(60), comb = Combination(Combine.Rrf), k = 5, depth = 10)
+    val rows = Hybrid.execute(idx, q).collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    // 'a' ranks by bm25: tf=2 doc0 first; all rrf scores must be sums of 1/(60+r)
+    val valid = (1 to 4).map(r => BigDecimal(1) / (60 + r)).map(_.toDouble).toSet
+    rows.values.foreach { s =>
+      val ok = valid.exists(v => math.abs(s - v) < 1e-6) ||
+        valid.toSeq.combinations(2).exists(p => math.abs(s - p.sum) < 1e-6)
+      assert(ok, s"unexpected rrf score $s")
+    }
+  }
+
+  test("depth bounds the per-sub-query collection") {
+    val q = HybridQuery(
+      subQueries = Seq(SubQuery(Seq("a"))),
+      norm = MinMaxNormTech(), comb = Combination(Combine.Arithmetic), k = 10, depth = 2)
+    // 'a' matches docs 0,1,4 but depth=2 keeps only top-2
+    assert(Hybrid.execute(idx, q).count() == 2)
+  }
+
+  test("filter restricts every sub-query before top-k") {
+    val filter = Seq(2L, 3L, 4L).toDF("doc_id")
+    val q = HybridQuery(
+      subQueries = Seq(SubQuery(Seq("a")), SubQuery(Seq("d"))),
+      norm = MinMaxNormTech(), comb = Combination(Combine.Arithmetic), k = 10, depth = 10)
+    val ids = Hybrid.execute(idx, q, Some(filter)).collect().map(_.getLong(0)).toSet
+    assert(ids.subsetOf(Set(2L, 3L, 4L)))
+    assert(ids.contains(3L)) // 'd' tf=2
+  }
+
+  test("pagination: from skips leading hits deterministically") {
+    val q0 = HybridQuery(Seq(SubQuery(Seq("a")), SubQuery(Seq("c"))), k = 10, depth = 10)
+    val all = Hybrid.execute(idx, q0).collect().map(_.getLong(0)).toSeq
+    val page = Hybrid.execute(idx, q0.copy(from = 1, k = 2)).collect().map(_.getLong(0)).toSeq
+    assert(page == all.slice(1, 3))
+  }
+
+  test("z_score only pairs with arithmetic_mean") {
+    intercept[IllegalArgumentException] {
+      Hybrid.execute(idx, HybridQuery(Seq(SubQuery(Seq("a"))),
+        norm = ZScoreNormTech, comb = Combination(Combine.Geometric)))
+    }
+  }
+
+  test("weights validation mirrors ScoreCombinationUtil.java:83-139") {
+    intercept[IllegalArgumentException] {
+      Hybrid.execute(idx, HybridQuery(
+        Seq(SubQuery(Seq("a")), SubQuery(Seq("c"))),
+        comb = Combination(Combine.Arithmetic, Seq(0.9, 0.9))))
+    }
+  }
+}
