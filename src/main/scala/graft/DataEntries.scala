@@ -1,0 +1,229 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ops.{Ann, Dedup, Multimodal}
+
+/**
+ * Dedup / similarity-search / multimodal / relational / streaming entries
+ * with DuckDB oracles.
+ */
+object DataEntries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- dedup ----
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exactSummary(docs(s, dir), "doc_id", "text")),
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", k = 3, threshold = 0.2)),
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text", k = 3, numHashes = 12, rowsPerBand = 3)),
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashSignatures(docs(s, dir), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")),
+    "dedup_embed_cosine" -> ((s, dir) =>
+      Ann.cosinePairs(emb(s, dir), "vec_id", "embedding", "label", threshold = 0.35)),
+
+    // ---- similarity search ----
+    "ann_brute_topk" -> ((s, dir) =>
+      Ann.bruteTopK(emb(s, dir), "vec_id", "embedding", queryId = 0L, k = 20)),
+    "ann_ivf_topk" -> ((s, dir) =>
+      Ann.ivfTopK(emb(s, dir), "vec_id", "embedding", queryId = 1L,
+        nCentroids = 16, nProbe = 4, k = 10)),
+
+    // ---- multimodal plumbing (stubbed decode) ----
+    "mm_features" -> ((s, dir) =>
+      Multimodal.features(docs(s, dir), "doc_id", "text")),
+
+    // ---- relational coverage over the star schema ----
+    "q1_agg" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sq"),
+          sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"),
+          avg(col("l_discount")).as("ad"),
+          count(lit(1)).as("n_rows"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          round(col("sq"), 2).as("sum_qty"), round(col("rev"), 2).as("revenue"),
+          round(col("ad"), 4).as("avg_disc"), col("n_rows"))
+    }),
+    "join_nation_revenue" -> ((s, dir) => {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val n = s.read.parquet(s"$dir/nation.parquet")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("o_totalprice")), 2).as("revenue"), count(lit(1)).as("n_orders"))
+    }),
+    "events_hourly" -> ((s, dir) =>
+      s.read.parquet(s"$dir/events.parquet")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))),
+    "events_top_per_user" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("value").desc, col("event_id").asc)
+      s.read.parquet(s"$dir/events.parquet")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+    }),
+    "events_json_extract" -> ((s, dir) =>
+      s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))),
+
+    // ---- structured streaming (batch-equivalent windowed agg) ----
+    "stream_events_hourly" -> (streamEventsHourly _)
+  )
+
+  /** Structured Streaming over the events table (Trigger-free replay via
+   *  processAllAvailable; memory sink), producing the same hourly windowed
+   *  aggregate as the batch `events_hourly` — the SURVEY.md §2.9 incremental
+   *  path. */
+  private def streamEventsHourly(s: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    val schema = s.read.parquet(path).schema
+    val name = "stream_hourly_" + java.lang.Integer.toHexString(path.hashCode).replace('-', '_')
+    // streaming file source wants a directory: glob-filter the one table
+    val q = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .writeStream.outputMode("complete").format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    s.table(name)
+  }
+
+  def oracles(@annotation.unused tokCte: String): Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT count(*) AS n_total, count(DISTINCT md5(text)) AS n_distinct,
+        |       count(*) - count(DISTINCT md5(text)) AS n_dup_rows
+        |FROM documents""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      s"""WITH sh AS (
+         |  SELECT DISTINCT doc_id, array_to_string(toks[CAST(i AS INT):CAST(i+2 AS INT)], ' ') AS shingle
+         |  FROM (SELECT doc_id, toks, unnest(generate_series(1, CAST(len(toks)-2 AS BIGINT))) AS i
+         |        FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+         |              FROM documents)
+         |        WHERE len(toks) >= 3)),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT id_a, id_b, round(j, 4) AS jaccard FROM (
+         |  SELECT id_a, id_b, CAST(i AS DOUBLE)/(sa.sz + sb.sz - i) AS j
+         |  FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b)
+         |WHERE j >= 0.2""".stripMargin,
+    "dedup_minhash_lsh" -> minhashLshOracle,
+    "dedup_simhash" -> simhashOracle,
+    "dedup_embed_cosine" ->
+      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b, round(c, 4) AS cos
+         |FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id,
+         |LATERAL (SELECT ${cosSql("a.embedding", "b.embedding")} AS c)
+         |WHERE c >= 0.35""".stripMargin,
+    "ann_brute_topk" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+         |SELECT vec_id, round(c, 4) AS cos FROM (
+         |  SELECT e.vec_id, ${cosSql("e.embedding", "q.qv")} AS c FROM embeddings e, q)
+         |ORDER BY c DESC, vec_id LIMIT 20""".stripMargin,
+    "ann_ivf_topk" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1),
+         |cents AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings WHERE vec_id < 16),
+         |probed AS (
+         |  SELECT c_id FROM (
+         |    SELECT c_id, row_number() OVER (
+         |      ORDER BY ${cosSql("cv", "q.qv")} DESC, c_id) AS rn
+         |    FROM cents, q) WHERE rn <= 4),
+         |assigned AS (
+         |  SELECT vec_id, c_id FROM (
+         |    SELECT e.vec_id, c.c_id, row_number() OVER (
+         |      PARTITION BY e.vec_id
+         |      ORDER BY ${cosSql("e.embedding", "c.cv")} DESC, c.c_id) AS rn
+         |    FROM embeddings e, cents c) WHERE rn = 1)
+         |SELECT vec_id, round(c, 4) AS cos FROM (
+         |  SELECT e.vec_id, ${cosSql("e.embedding", "q.qv")} AS c
+         |  FROM embeddings e JOIN assigned a USING (vec_id) JOIN probed p USING (c_id), q)
+         |ORDER BY c DESC, vec_id LIMIT 10""".stripMargin,
+    "mm_features" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
+        |       CAST(CASE WHEN length(text) > 0 THEN ascii(substr(text, 1, 1)) ELSE -1 END AS BIGINT) AS first_byte,
+        |       CAST(CASE WHEN length(text) > 0 THEN ascii(substr(text, length(text), 1)) ELSE -1 END AS BIGINT) AS last_byte
+        |FROM documents""".stripMargin,
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  round(avg(l_discount), 4) AS avg_disc,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "join_nation_revenue" ->
+      """SELECT n_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+    "events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        |       count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "events_top_per_user" ->
+      """SELECT user_id, event_id, event_type, value FROM (
+        |  SELECT user_id, event_id, event_type, value,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+        |  FROM events) WHERE rn = 1""".stripMargin,
+    "events_json_extract" ->
+      """SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events""".stripMargin,
+    "stream_events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        |       count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin
+  )
+
+  /** dot/cosine SQL matching Ann.cosine's association exactly. */
+  private def cosSql(a: String, b: String): String = {
+    def d(x: String, y: String) =
+      s"list_dot_product(CAST($x AS DOUBLE[]), CAST($y AS DOUBLE[]))"
+    s"(${d(a, b)} / (sqrt(${d(a, a)}) * sqrt(${d(b, b)})))"
+  }
+
+  private def minhashLshOracle: String = {
+    val sigs = (0 until 12).map(i => s"min(md5('$i:' || shingle)) AS h$i").mkString(", ")
+    val bands = (0 until 4).map { b =>
+      val parts = (0 until 3).map(r => s"h${b * 3 + r}").mkString(", '|', ")
+      s"SELECT doc_id, $b AS band, concat($parts) AS bh FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""WITH sh AS (
+       |  SELECT DISTINCT doc_id, array_to_string(toks[CAST(i AS INT):CAST(i+2 AS INT)], ' ') AS shingle
+       |  FROM (SELECT doc_id, toks, unnest(generate_series(1, CAST(len(toks)-2 AS BIGINT))) AS i
+       |        FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+       |              FROM documents)
+       |        WHERE len(toks) >= 3)),
+       |sig AS (SELECT doc_id, $sigs FROM sh GROUP BY doc_id),
+       |bands AS ($bands)
+       |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id""".stripMargin
+  }
+
+  private def simhashOracle: String = {
+    val bitSums = (0 until 32).map(j =>
+      s"sum(CASE WHEN substr(h, ${j + 1}, 1) >= '8' THEN tf ELSE -tf END) AS b$j").mkString(", ")
+    val bits = (0 until 32).map(j => s"CASE WHEN b$j > 0 THEN '1' ELSE '0' END").mkString(" || ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, t AS token, count(*) AS tf FROM (
+       |    SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+       |    FROM documents) GROUP BY doc_id, t),
+       |hs AS (SELECT doc_id, md5(token) AS h, tf FROM tok),
+       |sums AS (SELECT doc_id, $bitSums FROM hs GROUP BY doc_id)
+       |SELECT doc_id, $bits AS simhash FROM sums""".stripMargin
+  }
+}

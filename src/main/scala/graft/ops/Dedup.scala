@@ -1,0 +1,126 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deduplication operators for training-data pipelines: exact, n-gram
+ * Jaccard, MinHash+LSH, SimHash, and embedding-cosine near-dup.
+ *
+ * Portability-first hashing: every hash is md5-hex based, so a SQL oracle
+ * (DuckDB) computes identical values — no engine-private hash functions.
+ * MinHash uses the lexicographic MIN of salted md5 strings (min over a
+ * random permutation of the shingle universe), bands are concatenations of
+ * adjacent signature slots; SimHash draws each of its 32 bits from the top
+ * bit of one hex digit of the token's md5.
+ *
+ * Scale notes: exact dedup is one hash aggregate; MinHash/LSH is
+ * flatMap-free column algebra + one groupBy(doc) + one self-join on band
+ * values (the classic band-bucket join — skew-bounded because a band bucket
+ * holding B docs yields B^2/2 pairs only within that bucket); n-gram Jaccard
+ * joins on shared shingles and is intended for candidate verification, not
+ * full-corpus sweeps.
+ */
+object Dedup {
+
+  /** Exact dedup summary: (n_total, n_distinct, n_dup_rows) by text hash. */
+  def exactSummary(docs: DataFrame, id: String, text: String): DataFrame =
+    docs.agg(
+      count(lit(1)).as("n_total"),
+      countDistinct(md5(col(text))).as("n_distinct"))
+      .withColumn("n_dup_rows", col("n_total") - col("n_distinct"))
+
+  /** Exact dedup groups: representative id + count per distinct text. */
+  def exactGroups(docs: DataFrame, id: String, text: String): DataFrame =
+    docs.groupBy(md5(col(text)).as("text_hash"))
+      .agg(min(col(id)).as("rep_id"), count(lit(1)).as("cnt"))
+
+  /** Distinct word k-shingles per doc: (id, shingle) with shingle =
+   *  space-joined k consecutive tokens. */
+  def shingles(docs: DataFrame, id: String, text: String, k: Int): DataFrame = {
+    val toks = TextOps.tokensCol(col(text))
+    docs.select(col(id), explode(array_distinct(
+      transform(sequence(lit(0), size(toks) - k),
+        i => array_join(slice(toks, (i + 1).cast("int"), lit(k)), " "))))
+      .as("shingle"))
+      .where(size(toks) >= k)
+      .distinct()
+  }
+
+  /** n-gram Jaccard near-dup pairs: candidate pairs share >= 1 shingle;
+   *  jaccard = |A ∩ B| / |A ∪ B| >= threshold. Returns (id_a, id_b, jaccard),
+   *  id_a < id_b. */
+  def ngramJaccardPairs(docs: DataFrame, id: String, text: String,
+                        k: Int, threshold: Double): DataFrame = {
+    val sh = shingles(docs, id, text, k).toDF("id", "shingle")
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val inter = sh.as("a").join(sh.as("b"), col("a.shingle") === col("b.shingle"))
+      .where(col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** MinHash signature slot h_i(doc) = min over shingles of md5(i ':' shingle)
+   *  (lexicographic min of hex strings == min of a salted hash permutation). */
+  def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
+    val aggs = (0 until numHashes).map(i =>
+      min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"h$i"))
+    sh.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH candidate pairs: equal band (rowsPerBand adjacent slots concatenated)
+   *  in any band -> candidate. Returns distinct (id_a, id_b), id_a < id_b. */
+  def minhashLshPairs(docs: DataFrame, id: String, text: String,
+                      k: Int, numHashes: Int, rowsPerBand: Int): DataFrame = {
+    require(numHashes % rowsPerBand == 0)
+    val sig = minhashSignatures(shingles(docs, id, text, k).toDF("id", "shingle"), numHashes)
+    val nBands = numHashes / rowsPerBand
+    val bands = sig.select(col("id"), posexplode(array(
+      (0 until nBands).map(b =>
+        concat_ws("|", (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*)): _*))
+      .as(Seq("band", "bh")))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** 32-bit SimHash as a '0'/'1' string: bit j is the sign of the tf-weighted
+   *  sum of (top bit of hex digit j of md5(token)) over the doc's tokens. */
+  def simhashSignatures(docs: DataFrame, id: String, text: String): DataFrame = {
+    val tok = docs.select(col(id).as("id"),
+      explode(TextOps.tokensCol(col(text))).as("token"))
+      .groupBy(col("id"), col("token")).agg(count(lit(1)).as("tf"))
+      .withColumn("h", md5(col("token")))
+    val bitSums = (0 until 32).map { j =>
+      sum(when(substring(col("h"), j + 1, 1) >= "8", col("tf")).otherwise(-col("tf")))
+        .as(s"b$j")
+    }
+    tok.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
+      .select(col("id"), concat(
+        (0 until 32).map(j => when(col(s"b$j") > 0, "1").otherwise("0")): _*).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: block on the 16-bit prefix, verify hamming
+   *  distance over the full 32 bits. */
+  def simhashPairs(docs: DataFrame, id: String, text: String, maxHamming: Int): DataFrame = {
+    val sig = simhashSignatures(docs, id, text)
+    val withPrefix = sig.withColumn("pfx", substring(col("simhash"), 1, 16))
+    val hamming: Column = (0 until 32).map(j =>
+      when(substring(col("a.simhash"), j + 1, 1) =!= substring(col("b.simhash"), j + 1, 1), 1)
+        .otherwise(0)).reduce(_ + _)
+    withPrefix.as("a").join(withPrefix.as("b"),
+        col("a.pfx") === col("b.pfx") && col("a.id") < col("b.id"))
+      .withColumn("hamming", hamming.cast("long"))
+      .where(col("hamming") <= maxHamming)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("hamming"))
+  }
+}

@@ -17,6 +17,8 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = df[c].astype("int64")
         elif pd.api.types.is_float_dtype(df[c]):
             df[c] = df[c].astype("float64")
+        elif pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
 def main(sf_dir: str, out_dir: str):
