@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.analysis.Analyzer
+import graft.corpus.Corpus
+import graft.index.{Index, Segments}
+import graft.query.Bm25
+
+/**
+ * North-rule corpus + segmented-build entries: deterministic ingest into the
+ * `(repo, path, commit, lang, content, sha256)` shape, range-segmented index
+ * build with per-segment lineage, and the merge stage verified end-to-end
+ * against the single-shot DuckDB oracle.
+ */
+object CorpusEntries {
+
+  private val NSeg = 4
+
+  /** One segmented build per (sfDir) per session, committed under target/. */
+  private val segCache = scala.collection.concurrent.TrieMap.empty[String, Index]
+
+  private def segmented(s: SparkSession, dir: String): Index =
+    segCache.getOrElseUpdate(dir, {
+      val store = s"target/segstore/${dir.replaceAll("[^a-zA-Z0-9.]", "_")}"
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      Segments.buildResumable(docs, "doc_id", "text", Analyzer.Simple, store, NSeg)
+      val idx = Segments.merge(s, store, NSeg)
+      Index(idx.postings.persist(), idx.docLens.persist(), idx.termStats.persist(),
+        idx.stats, idx.analyzer)
+    })
+
+  private def lineageDf(s: SparkSession, dir: String): DataFrame = {
+    segmented(s, dir) // ensure built
+    val store = s"target/segstore/${dir.replaceAll("[^a-zA-Z0-9.]", "_")}"
+    import s.implicits._
+    Segments.readLineage(s, store, NSeg).values.toSeq.sortBy(_.segment_id).toDS().toDF()
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_ingest" -> ((s, dir) => Corpus.ingest(s, dir)),
+
+    "segments_lineage" -> ((s, dir) => lineageDf(s, dir)),
+
+    "segments_merged_term_stats" -> ((s, dir) =>
+      segmented(s, dir).termStats.toDF().select(col("term"), col("df"), col("ttf"))),
+
+    "segments_merged_bm25" -> ((s, dir) =>
+      Bm25.topK(segmented(s, dir), Seq("filter", "group", "scan"), 10)
+        .select(col("doc_id"), round(col("score"), 4).as("score")))
+  )
+
+  def oracles(tokCte: String): Map[String, String] = Map(
+    "corpus_ingest" ->
+      """SELECT doc_id,
+        |       'repo-' || (doc_id % 50) AS repo,
+        |       'src/pkg' || (doc_id % 97) || '/File' || doc_id || '.' || lang AS path,
+        |       substr(sha256(('repo-' || (doc_id % 50)) || '/' ||
+        |              ('src/pkg' || (doc_id % 97) || '/File' || doc_id || '.' || lang) || '/' ||
+        |              text), 1, 12) AS "commit",
+        |       lang,
+        |       text AS content,
+        |       sha256(text) AS sha256
+        |FROM documents""".stripMargin,
+
+    "segments_lineage" ->
+      s"""WITH $tokCte,
+         |bounds AS (SELECT max(doc_id) AS mx FROM documents),
+         |segspan AS (SELECT (mx + $NSeg) // $NSeg AS sp, mx FROM bounds),
+         |segd AS (
+         |  SELECT CAST(d.doc_id // s.sp AS INT) AS segment_id,
+         |         d.doc_id, sha256(d.text) AS sha, coalesce(dl.dl, 0) AS dl,
+         |         s.sp, s.mx
+         |  FROM documents d CROSS JOIN segspan s LEFT JOIN dl ON d.doc_id = dl.doc_id)
+         |SELECT segment_id,
+         |       CAST(segment_id * sp AS BIGINT) AS row_lo,
+         |       CAST(least(segment_id * sp + sp - 1, mx) AS BIGINT) AS row_hi,
+         |       count(*) AS doc_count,
+         |       CAST(sum(dl) AS BIGINT) AS sum_dl,
+         |       min(sha) AS sha_min,
+         |       max(sha) AS sha_max,
+         |       count(DISTINCT sha) AS sha_distinct
+         |FROM segd GROUP BY segment_id, sp, mx""".stripMargin,
+
+    "segments_merged_term_stats" ->
+      s"""WITH $tokCte
+         |SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS ttf
+         |FROM tf GROUP BY term""".stripMargin,
+
+    "segments_merged_bm25" ->
+      s"""WITH $tokCte,
+         |score AS (
+         |  SELECT tf.doc_id,
+         |         sum( ln(1 + (stats.n - df.df + 0.5)/(df.df + 0.5))
+         |              * (tf.tf / (tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/stats.avgdl))) ) AS s
+         |  FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN stats
+         |  WHERE tf.term IN ('filter', 'group', 'scan')
+         |  GROUP BY tf.doc_id)
+         |SELECT doc_id, round(s, 4) AS score FROM score
+         |ORDER BY s DESC, doc_id LIMIT 10""".stripMargin
+  )
+}

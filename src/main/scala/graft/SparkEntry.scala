@@ -85,7 +85,7 @@ object SparkEntry {
     "bm25_term_rare"   -> bm25Query(Seq("dup"), 10) _,
     "bm25_match_multi" -> bm25Query(Seq("merge", "sort", "window"), 10) _,
     "bm25_match_top100" -> bm25Query(Seq("hash", "join"), 100) _
-  ) ++ HybridEntries.queries ++ PipelineEntries.queries ++ DataEntries.queries
+  ) ++ HybridEntries.queries ++ PipelineEntries.queries ++ DataEntries.queries ++ CorpusEntries.queries
 
   def oracleSql: Map[String, String] = Map(
     "corpus_stats" ->
@@ -110,5 +110,5 @@ object SparkEntry {
     "bm25_term_rare"    -> bm25OracleSql("'dup'", 10),
     "bm25_match_multi"  -> bm25OracleSql("'merge', 'sort', 'window'", 10),
     "bm25_match_top100" -> bm25OracleSql("'hash', 'join'", 100)
-  ) ++ HybridEntries.oracles(TOK_CTE) ++ PipelineEntries.oracles(TOK_CTE) ++ DataEntries.oracles(TOK_CTE)
+  ) ++ HybridEntries.oracles(TOK_CTE) ++ PipelineEntries.oracles(TOK_CTE) ++ DataEntries.oracles(TOK_CTE) ++ CorpusEntries.oracles(TOK_CTE)
 }

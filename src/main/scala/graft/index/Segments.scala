@@ -1,0 +1,191 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.analysis.Analyzer
+
+/**
+ * Per-segment lineage row — the checkpoint unit of the build
+ * (BASELINE.json north rule: "checkpoints per-partition lineage (segment id,
+ * row ranges, content sha256) so a killed spark-submit run resumes without
+ * recomputation").
+ *
+ * `sha_min` / `sha_max` / `sha_distinct` summarize the per-row
+ * `sha256(content)` invariants of the segment's doc range deterministically
+ * and order-independently (a sorted-concat digest would not scale to 10^12
+ * rows; min/max/count-distinct are single-pass partial aggregates).
+ */
+case class SegmentLineage(
+    segment_id: Int,
+    row_lo: Long,
+    row_hi: Long,
+    doc_count: Long,
+    sum_dl: Long,
+    sha_min: String,
+    sha_max: String,
+    sha_distinct: Long
+)
+
+/**
+ * Segmented index build + merge — the Spark re-expression of the reference's
+ * Lucene segment lifecycle: per-segment flush writes term dict + postings
+ * (reference: sparse/codec/SparsePostingsConsumer.java:87-153), a merge stage
+ * unions term sets across segments, remaps doc ids and rewrites one merged
+ * segment (reference: sparse/codec/MergeHelper.java:82-179,
+ * SparsePostingsReader.java:45-139).
+ *
+ * Spark-first differences:
+ *  - a "segment" is a doc-id range slice of the corpus written as its own
+ *    postings/doclens parquet dir — at cluster scale each spark-submit
+ *    increment appends one segment, exactly the reference's flush;
+ *  - doc ids are globally dense, so merge needs NO docId remap (the
+ *    reference's `mergeState.docMaps` exists only because Lucene renumbers);
+ *    merging = union of block Datasets + one (term, bucket) shuffle that
+ *    re-encodes only the boundary buckets two segments share;
+ *  - resume: a segment is committed iff its lineage row exists AND matches
+ *    the recomputed range stats; `buildResumable` skips committed segments,
+ *    so a killed run redoes only the in-flight slice.
+ */
+object Segments {
+
+  /** Doc-id span per segment for an n-way segmentation of [0, maxId]. */
+  def span(maxId: Long, nSegments: Int): Long =
+    (maxId + nSegments) / nSegments // ceil((maxId+1)/n)
+
+  private def segDir(dir: String, id: Int) = s"$dir/seg$id"
+
+  /** Build ONE segment (docs with doc_id in [lo, hi]) and commit it with its
+   *  lineage row. Idempotent: overwrite-mode writes + lineage-last ordering
+   *  make the commit atomic at the segment granularity. */
+  def buildSegment(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      analyzer: String,
+      dir: String,
+      id: Int,
+      lo: Long,
+      hi: Long
+  ): SegmentLineage = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val slice = docs.filter(col(idCol) >= lo && col(idCol) <= hi)
+    val idx = InvertedIndex.build(slice, idCol, textCol, analyzer)
+    idx.postings.sortWithinPartitions("term").write.mode("overwrite").parquet(s"${segDir(dir, id)}/postings")
+    idx.docLens.write.mode("overwrite").parquet(s"${segDir(dir, id)}/doclens")
+
+    val sha = slice
+      .select(sha2(col(textCol), 256).as("sha"))
+      .agg(min($"sha").as("mn"), max($"sha").as("mx"), countDistinct($"sha").as("nd"))
+      .as[(String, String, Long)].head()
+    val lineage = SegmentLineage(id, lo, hi, idx.stats.doc_count, idx.stats.sum_dl,
+      sha._1, sha._2, sha._3)
+    Seq(lineage).toDS().write.mode("overwrite").parquet(s"${segDir(dir, id)}/lineage")
+    lineage
+  }
+
+  /** Lineage rows of all committed segments under `dir` (empty if none). */
+  def readLineage(spark: SparkSession, dir: String, nSegments: Int): Map[Int, SegmentLineage] = {
+    import spark.implicits._
+    (0 until nSegments).flatMap { id =>
+      val p = s"${segDir(dir, id)}/lineage"
+      if (new java.io.File(p).exists())
+        scala.util.Try(spark.read.parquet(p).as[SegmentLineage].head()).toOption
+      else None
+    }.map(l => l.segment_id -> l).toMap
+  }
+
+  /**
+   * Build all n segments, skipping segments whose lineage is already
+   * committed (the resume path). Returns the ids actually built this run —
+   * a killed-and-restarted run reports only the missing tail.
+   */
+  def buildResumable(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      analyzer: String,
+      dir: String,
+      nSegments: Int
+  ): Seq[Int] = {
+    val spark = docs.sparkSession
+    val maxId = docs.agg(max(col(idCol))).head().getLong(0)
+    val sp = span(maxId, nSegments)
+    val done = readLineage(spark, dir, nSegments)
+    val built = (0 until nSegments).filterNot(done.contains).map { id =>
+      val lo = id.toLong * sp
+      val hi = math.min(lo + sp - 1, maxId)
+      buildSegment(docs, idCol, textCol, analyzer, dir, id, lo, hi)
+      id
+    }
+    built
+  }
+
+  /**
+   * Merge committed segments into one global Index. One (term, bucket)
+   * shuffle over block rows — every group is <= nSegments blocks of <= 4096
+   * postings, so merge work per reducer is bounded regardless of corpus
+   * size; term stats re-aggregate from the merged blocks (partial+final).
+   */
+  def merge(spark: SparkSession, dir: String, nSegments: Int, analyzer: String = Analyzer.Simple): Index = {
+    import spark.implicits._
+    val lineage = readLineage(spark, dir, nSegments)
+    require(lineage.size == nSegments, s"merge: only ${lineage.size}/$nSegments segments committed")
+    val ids = (0 until nSegments).toSeq
+
+    def mergeBlocks(grouped: Dataset[PostingBlock]): Dataset[PostingBlock] =
+      grouped.groupByKey(b => (b.term, b.bucket)).mapGroups { (key, it) =>
+        val blocks = it.toArray
+        if (blocks.length == 1) blocks(0)
+        else {
+          val (term, bucket) = key
+          val n = blocks.map(_.cnt).sum
+          val ids = new Array[Int](n)
+          val tfs = new Array[Int](n)
+          var off = 0
+          for (b <- blocks) {
+            val bi = PostingCodec.decodeDeltas(b.docs, b.cnt)
+            val bt = PostingCodec.decodeInts(b.tfs, b.cnt)
+            System.arraycopy(bi, 0, ids, off, b.cnt)
+            System.arraycopy(bt, 0, tfs, off, b.cnt)
+            off += b.cnt
+          }
+          // same bucket from different segments holds disjoint local ids;
+          // a single sort restores the monotone order delta-encoding needs
+          val ord = ids.indices.toArray.sortBy(ids(_))
+          val sIds = ord.map(ids(_))
+          val sTfs = ord.map(tfs(_))
+          PostingBlock(term, bucket, n, sTfs.max, sTfs.map(_.toLong).sum,
+            PostingCodec.encodeDeltas(sIds), PostingCodec.encodeInts(sTfs))
+        }
+      }
+
+    val postings = mergeBlocks(
+      ids.map(id => spark.read.parquet(s"${segDir(dir, id)}/postings").as[PostingBlock])
+        .reduce(_ union _))
+
+    val docLens = ids.map(id => spark.read.parquet(s"${segDir(dir, id)}/doclens").as[DocLenBlock])
+      .reduce(_ union _)
+      .groupByKey(_.bucket).mapGroups { (bucket, it) =>
+        val blocks = it.toArray
+        if (blocks.length == 1) blocks(0)
+        else {
+          val pairs = blocks.flatMap { b =>
+            val ids = PostingCodec.decodeDeltas(b.ids, b.cnt)
+            val dls = PostingCodec.decodeInts(b.dls, b.cnt)
+            ids.zip(dls)
+          }.sortBy(_._1)
+          DocLenBlock(bucket, pairs.length,
+            PostingCodec.encodeDeltas(pairs.map(_._1)), PostingCodec.encodeInts(pairs.map(_._2)))
+        }
+      }
+
+    val termStats = postings.groupBy($"term")
+      .agg(sum($"cnt").as("df"), sum($"sum_tf").as("ttf")).as[TermStat]
+
+    val docCount = lineage.values.map(_.doc_count).sum
+    val sumDl = lineage.values.map(_.sum_dl).sum
+    val stats = CorpusStats(docCount, sumDl, if (docCount == 0) 0.0 else sumDl.toDouble / docCount)
+    Index(postings, docLens, termStats, stats, analyzer)
+  }
+}

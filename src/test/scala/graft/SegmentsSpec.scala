@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.analysis.Analyzer
+import graft.corpus.Corpus
+import graft.index.{InvertedIndex, PostingCodec, Segments}
+import graft.query.Bm25
+
+/** Segmented build + merge + lineage/resume semantics (north rule: merge
+ *  stage unions per-partition segments into global postings; killed runs
+ *  resume from committed lineage without recomputation). */
+class SegmentsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val docs = spark.read.parquet(s"$dir/documents.parquet")
+
+  private def decodedPostings(idx: graft.index.Index): Map[(String, Long, Int), Int] =
+    idx.postings.collect().flatMap { b =>
+      val base = b.bucket << InvertedIndex.BucketBits
+      val ids = PostingCodec.decodeDeltas(b.docs, b.cnt)
+      val tfs = PostingCodec.decodeInts(b.tfs, b.cnt)
+      ids.indices.map(i => ((b.term, b.bucket, (base + ids(i)).toInt), tfs(i)))
+    }.toMap
+
+  private def freshStore(): String = {
+    val d = java.nio.file.Files.createTempDirectory("segspec").toString
+    d
+  }
+
+  test("merge of 3 segments is identical to the single-shot build") {
+    val store = freshStore()
+    val built = Segments.buildResumable(docs, "doc_id", "text", Analyzer.Simple, store, 3)
+    assert(built == Seq(0, 1, 2))
+    val merged = Segments.merge(spark, store, 3)
+    val full = InvertedIndex.build(docs, "doc_id", "text")
+
+    assert(merged.stats == full.stats)
+    assert(decodedPostings(merged) == decodedPostings(full))
+    val mStats = merged.termStats.collect().map(t => t.term -> (t.df, t.ttf)).toMap
+    val fStats = full.termStats.collect().map(t => t.term -> (t.df, t.ttf)).toMap
+    assert(mStats == fStats)
+  }
+
+  test("BM25 top-k over merged segments matches the single-shot index") {
+    val store = freshStore()
+    Segments.buildResumable(docs, "doc_id", "text", Analyzer.Simple, store, 4)
+    val merged = Segments.merge(spark, store, 4)
+    val full = InvertedIndex.build(docs, "doc_id", "text")
+    val qm = Bm25.topK(merged, Seq("merge", "sort"), 10).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val qf = Bm25.topK(full, Seq("merge", "sort"), 10).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(qm.toSeq == qf.toSeq)
+  }
+
+  test("resume rebuilds only missing segments; lineage sha invariants hold") {
+    val store = freshStore()
+    val first = Segments.buildResumable(docs, "doc_id", "text", Analyzer.Simple, store, 4)
+    assert(first == Seq(0, 1, 2, 3))
+
+    // simulate a killed run: segment 2's lineage (the commit marker) is gone
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(new java.io.File(s"$store/seg2/lineage"))
+    val resumed = Segments.buildResumable(docs, "doc_id", "text", Analyzer.Simple, store, 4)
+    assert(resumed == Seq(2), s"resume must rebuild exactly the uncommitted segment, got $resumed")
+
+    // completed run resumes to a no-op
+    val again = Segments.buildResumable(docs, "doc_id", "text", Analyzer.Simple, store, 4)
+    assert(again.isEmpty)
+
+    // lineage row ranges partition [0, maxId] and sha invariants match corpus
+    val lin = Segments.readLineage(spark, store, 4).values.toSeq.sortBy(_.segment_id)
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    assert(lin.head.row_lo == 0 && lin.last.row_hi == maxId)
+    assert(lin.sliding(2).forall { case Seq(a, b) => b.row_lo == a.row_hi + 1; case _ => true })
+    assert(lin.map(_.doc_count).sum == docs.count())
+
+    val corpus = Corpus.ingest(spark, dir)
+    val shaAll = corpus.agg(min(col("sha256")), max(col("sha256"))).head()
+    assert(lin.map(_.sha_min).min == shaAll.getString(0))
+    assert(lin.map(_.sha_max).max == shaAll.getString(1))
+  }
+
+  test("synthetic corpus generator is deterministic and parallelism-invariant") {
+    val a = Corpus.generate(spark, 200).orderBy("doc_id").collect()
+    val b = Corpus.generate(spark, 200).repartition(7).orderBy("doc_id").collect()
+    assert(a.toSeq == b.toSeq)
+    val row = a(5)
+    assert(row.getString(6).length == 64) // sha256 hex
+    assert(row.getString(4).nonEmpty)
+    // head-term skew present: 'import' must dominate a rare symbol
+    val toks = a.flatMap(r => r.getString(5).split(' '))
+    val counts = toks.groupBy(identity).view.mapValues(_.length)
+    assert(counts.getOrElse("import", 0) > 20 * counts.getOrElse("sym17", 1).max(1) / 10)
+  }
+}
