@@ -84,7 +84,15 @@ object SparkEntry {
     "bm25_term_head"   -> bm25Query(Seq("join"), 10) _,
     "bm25_term_rare"   -> bm25Query(Seq("dup"), 10) _,
     "bm25_match_multi" -> bm25Query(Seq("merge", "sort", "window"), 10) _,
-    "bm25_match_top100" -> bm25Query(Seq("hash", "join"), 100) _
+    "bm25_match_top100" -> bm25Query(Seq("hash", "join"), 100) _,
+    // block-max WAND path: same exact results, blocks below the pass-1
+    // threshold never decoded (SURVEY.md §7.4 two-pass scheme)
+    "bm25_wand_top10" -> ((s, dir) =>
+      Bm25.topKWand(IndexCache.documents(s, dir), Seq("spark", "stream", "filter"), 10)
+        .select(col("doc_id"), round(col("score"), 4).as("score"))),
+    "bm25_wand_top100" -> ((s, dir) =>
+      Bm25.topKWand(IndexCache.documents(s, dir), Seq("table", "scan"), 100)
+        .select(col("doc_id"), round(col("score"), 4).as("score")))
   ) ++ HybridEntries.queries ++ PipelineEntries.queries ++ DataEntries.queries ++ CorpusEntries.queries
 
   def oracleSql: Map[String, String] = Map(
@@ -109,6 +117,8 @@ object SparkEntry {
     "bm25_term_head"    -> bm25OracleSql("'join'", 10),
     "bm25_term_rare"    -> bm25OracleSql("'dup'", 10),
     "bm25_match_multi"  -> bm25OracleSql("'merge', 'sort', 'window'", 10),
-    "bm25_match_top100" -> bm25OracleSql("'hash', 'join'", 100)
+    "bm25_match_top100" -> bm25OracleSql("'hash', 'join'", 100),
+    "bm25_wand_top10"   -> bm25OracleSql("'spark', 'stream', 'filter'", 10),
+    "bm25_wand_top100"  -> bm25OracleSql("'table', 'scan'", 100)
   ) ++ HybridEntries.oracles(TOK_CTE) ++ PipelineEntries.oracles(TOK_CTE) ++ DataEntries.oracles(TOK_CTE) ++ CorpusEntries.oracles(TOK_CTE)
 }

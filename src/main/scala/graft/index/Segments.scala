@@ -70,9 +70,7 @@ object Segments {
     val spark = docs.sparkSession
     import spark.implicits._
     val slice = docs.filter(col(idCol) >= lo && col(idCol) <= hi)
-    val idx = InvertedIndex.build(slice, idCol, textCol, analyzer)
-    idx.postings.sortWithinPartitions("term").write.mode("overwrite").parquet(s"${segDir(dir, id)}/postings")
-    idx.docLens.write.mode("overwrite").parquet(s"${segDir(dir, id)}/doclens")
+    val idx = InvertedIndex.buildAndWrite(slice, idCol, textCol, segDir(dir, id), analyzer)
 
     val sha = slice
       .select(sha2(col(textCol), 256).as("sha"))

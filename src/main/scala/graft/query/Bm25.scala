@@ -2,7 +2,7 @@ package graft.query
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import graft.index.{Index, InvertedIndex, PostingCodec}
+import graft.index.{DocLenBlock, Index, InvertedIndex, PostingBlock, PostingCodec}
 
 /**
  * Exact BM25 (k1=1.2, b=0.75 — the Lucene BM25Similarity defaults the
@@ -46,37 +46,57 @@ object Bm25 {
    * @return DataFrame(doc_id: Long, score: Double) — all matching docs,
    *         unsorted; callers apply filter/top-k.
    */
+  /** Per-term BM25 weight map for a query (idf x boost), from the broadcast-
+   *  sized term-stats lookup — the Lucene TermStatistics analogue. */
+  private def termWeights(idx: Index, terms: Seq[String], boosts: Map[String, Double]): Map[String, Double] = {
+    val spark = idx.postings.sparkSession
+    import spark.implicits._
+    val uniq = terms.distinct
+    val statsMap: Map[String, Long] = idx.termStats
+      .filter($"term".isin(uniq: _*))
+      .collect()
+      .map(t => t.term -> t.df)
+      .toMap
+    val n = idx.stats.doc_count
+    uniq.flatMap { t =>
+      statsMap.get(t).map(df => t -> idf(df, n) * boosts.getOrElse(t, 1.0))
+    }.toMap
+  }
+
+  /** Upper bound of tfNorm over any doc length (dl -> 0 maximizes it). */
+  @inline private def tfNormUpper(tf: Int): Double = tf / (tf + K1 * (1 - B))
+
   def scoreTerms(
       idx: Index,
       terms: Seq[String],
       boosts: Map[String, Double] = Map.empty,
-      limitPerBucket: Int = 0
+      limitPerBucket: Int = 0,
+      buckets: Option[DataFrame] = None
   ): DataFrame = {
     val spark = idx.postings.sparkSession
     import spark.implicits._
 
-    val uniq = terms.distinct
-    // Tiny metadata lookup (<= query-term count rows) -> driver map, shipped
-    // in the task closure exactly like Lucene's per-term TermStatistics.
-    val statsMap: Map[String, (Long, Long)] = idx.termStats
-      .filter($"term".isin(uniq: _*))
-      .collect()
-      .map(t => t.term -> (t.df, t.ttf))
-      .toMap
-    val n = idx.stats.doc_count
     val avgdl = idx.stats.avgdl
-    val weightPerTerm: Map[String, Double] = uniq.flatMap { t =>
-      statsMap.get(t).map { case (df, _) => t -> idf(df, n) * boosts.getOrElse(t, 1.0) }
-    }.toMap
+    val weightPerTerm = termWeights(idx, terms, boosts)
     if (weightPerTerm.isEmpty) return spark.emptyDataset[(Long, Double)].toDF("doc_id", "score")
 
-    val matched = idx.postings.filter($"term".isin(weightPerTerm.keys.toSeq: _*))
+    val matchedAll = idx.postings.filter($"term".isin(weightPerTerm.keys.toSeq: _*))
+    val matched = buckets match {
+      case Some(b) => matchedAll.join(b.hint("broadcast"), "bucket").as[PostingBlock]
+      case None    => matchedAll
+    }
+    // Ship only the doc-length blocks of buckets that can match: the semi
+    // join keeps the per-query shuffle proportional to the posting volume of
+    // the query terms, not to corpus size (matched block keys are tiny).
+    val docLens = idx.docLens
+      .join(matched.select($"bucket").distinct().hint("broadcast"), "bucket")
+      .as[DocLenBlock]
     val lim = limitPerBucket
     val span = InvertedIndex.BucketSpan
 
     val scored: Dataset[(Long, Double)] = matched
       .groupByKey(_.bucket)
-      .cogroup(idx.docLens.groupByKey(_.bucket)) { (bucket, blocksIt, dlIt) =>
+      .cogroup(docLens.groupByKey(_.bucket)) { (bucket, blocksIt, dlIt) =>
         val blocks = blocksIt.toArray
         if (blocks.isEmpty) Iterator.empty
         else {
@@ -141,5 +161,64 @@ object Bm25 {
     scoreTerms(idx, terms, boosts, limitPerBucket = k)
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
+  }
+
+  /**
+   * Block-max-WAND top-k: exact results, but most posting blocks are never
+   * decoded. The reference's collector feeds its heap threshold back into the
+   * scorers so blocks whose max impact cannot beat it are skipped
+   * (reference: search/collector/HybridTopScoreDocCollector.java:160-171,
+   * query/HybridQueryScorer.java:155-176 advanceShallow/getMaxScore). Spark
+   * partitions cannot share a live threshold, so we run the two-pass scheme
+   * from SURVEY.md §7.4:
+   *
+   *  1. bucket upper bounds from block METADATA only (sum over terms of
+   *     idf x max_tf/(max_tf + k1(1-b)), the dl->0 bound) — one tiny agg over
+   *     matched block rows, no payload decode;
+   *  2. pass 1 scores the k most-promising buckets exactly -> threshold
+   *     theta = k-th best real score;
+   *  3. pass 2 scores only remaining buckets whose upper bound >= theta
+   *     (>= keeps doc-id tie-breaks exact); everything below theta is
+   *     provably non-competitive and its payload bytes are never read.
+   *
+   * For rare/mid terms pass 2 is empty or near-empty; for head terms it
+   * degenerates to a full scan, same as the reference's WAND on a
+   * constant-impact corpus.
+   */
+  def topKWand(idx: Index, terms: Seq[String], k: Int, boosts: Map[String, Double] = Map.empty): DataFrame = {
+    val spark = idx.postings.sparkSession
+    import spark.implicits._
+
+    val weightPerTerm = termWeights(idx, terms, boosts)
+    if (weightPerTerm.isEmpty)
+      return spark.emptyDataset[(Long, Double)].toDF("doc_id", "score")
+
+    val matched = idx.postings.filter($"term".isin(weightPerTerm.keys.toSeq: _*))
+    val wMap = typedLit(weightPerTerm)
+    val ub = matched
+      .select($"bucket",
+        (element_at(wMap, $"term") * ($"max_tf".cast("double") / ($"max_tf" + lit(K1 * (1 - B))))).as("u"))
+      .groupBy($"bucket").agg(sum($"u").as("ub"))
+
+    // pass 1: the k best buckets by upper bound (each holds >= 1 candidate);
+    // both driver collects are <= k rows, like the reference's per-query heap
+    val topBuckets: Array[Long] = ub.orderBy($"ub".desc, $"bucket".asc)
+      .limit(k).select($"bucket").as[Long].collect()
+    val pass1: Array[(Long, Double)] =
+      scoreTerms(idx, terms, boosts, limitPerBucket = k,
+        buckets = Some(topBuckets.toSeq.toDF("bucket")))
+        .orderBy($"score".desc, $"doc_id".asc).limit(k)
+        .as[(Long, Double)].collect()
+    val theta = if (pass1.length < k) Double.NegativeInfinity else pass1.last._2
+
+    // pass 2: only buckets whose bound can still beat theta
+    // (>= because a theta-tied doc with a smaller doc_id still wins)
+    val survivors = ub
+      .filter(!$"bucket".isin(topBuckets.toSeq: _*) && $"ub" >= theta)
+      .select($"bucket")
+    val pass2 = scoreTerms(idx, terms, boosts, limitPerBucket = k, buckets = Some(survivors))
+
+    pass1.toSeq.toDF("doc_id", "score").union(pass2)
+      .orderBy($"score".desc, $"doc_id".asc).limit(k)
   }
 }
