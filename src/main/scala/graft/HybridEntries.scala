@@ -62,7 +62,23 @@ object HybridEntries {
         langFilter = Some("en")) _,
     "hybrid_paginated" ->
       run(q(Seq(A, B), MinMaxNormTech(), Combination(Combine.Arithmetic), k = 10, from = 5)) _,
-    "collapse_by_source" -> (collapseBySource _)
+    "collapse_by_source" -> (collapseBySource _),
+    // explain mode: per-sub-query normalized scores alongside the combined one
+    "hybrid_explain" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      Hybrid.executeExplain(idx, q(Seq(A, B), MinMaxNormTech(), Combination(Combine.Arithmetic)))
+        .select(col("doc_id"), round(col("norm0"), 4).as("norm0"),
+          round(col("norm1"), 4).as("norm1"), round(col("score"), 4).as("score"))
+    }),
+    // by-field rerank: _score replaced by a stored numeric field, old score kept
+    "rerank_by_field" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      val hits = Bm25.topK(idx, A, 20)
+        .join(s.read.parquet(s"$dir/documents.parquet").select("doc_id", "n_chars"), "doc_id")
+      graft.ops.Rerank.byField(hits, "n_chars", keepPrevious = true)
+        .select(col("doc_id"), col("score"),
+          round(col("previous_score"), 4).as("previous_score"))
+    })
   )
 
   /** Field collapsing: best hit per `source` group (reference:
@@ -198,18 +214,22 @@ object HybridEntries {
 
   def hybridOracle(tokCte: String, sub: Seq[Seq[String]], norm: Normalization,
                    comb: Combination, k: Int = 10, from: Int = 0,
-                   filterSql: String = ""): String = {
+                   filterSql: String = "", explain: Boolean = false): String = {
     val n = sub.size
     val subq = sub.zipWithIndex.map { case (t, i) => subqCtes(i, t, filterSql) }.mkString(",\n")
     val norms = (0 until n).map(i => normCtes(i, norm)).mkString(",\n")
     val cmb = combineSql(n, comb)
     val offset = if (from > 0) s" OFFSET $from" else ""
+    val normOut =
+      if (explain) (0 until n).map(i => s"round(s$i, 4) AS norm$i, ").mkString
+      else ""
+    val normIn = if (explain) (0 until n).map(i => s"s$i, ").mkString else ""
     s"""WITH $tokCte,
        |$subq,
        |$norms,
        |${alignCte(n)}
-       |SELECT doc_id, round(c, 4) AS score
-       |FROM (SELECT doc_id, $cmb AS c FROM al)
+       |SELECT doc_id, ${normOut}round(c, 4) AS score
+       |FROM (SELECT doc_id, $normIn$cmb AS c FROM al)
        |ORDER BY c DESC, doc_id LIMIT $k$offset""".stripMargin
   }
 
@@ -242,6 +262,23 @@ object HybridEntries {
       "hybrid_paginated" ->
         hybridOracle(tokCte, Seq(A, B), MinMaxNormTech(), Combination(Combine.Arithmetic),
           k = 10, from = 5),
+      "hybrid_explain" ->
+        hybridOracle(tokCte, Seq(A, B), MinMaxNormTech(), Combination(Combine.Arithmetic),
+          explain = true),
+      "rerank_by_field" ->
+        s"""WITH $tokCte,
+           |sc AS (
+           |  SELECT tf.doc_id, $Bm25Sum AS s
+           |  FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN stats
+           |  WHERE tf.term IN (${termList(A)})
+           |  GROUP BY tf.doc_id),
+           |topd AS (
+           |  SELECT doc_id, s FROM (
+           |    SELECT doc_id, s, row_number() OVER (ORDER BY s DESC, doc_id) AS rn FROM sc)
+           |  WHERE rn <= 20)
+           |SELECT t.doc_id, CAST(d.n_chars AS DOUBLE) AS score,
+           |       round(t.s, 4) AS previous_score
+           |FROM topd t JOIN documents d USING (doc_id)""".stripMargin,
       "collapse_by_source" ->
         s"""WITH $tokCte,
            |sc AS (

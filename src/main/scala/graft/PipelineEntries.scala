@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.index.IndexCache
-import graft.ops.{Chunkers, Sparse, TextOps}
+import graft.ops.{Chunkers, Seismic, Sparse, TextOps}
 
 /**
  * Training-data-pipeline + sparse-vector query entries with DuckDB oracles.
@@ -41,6 +41,22 @@ object PipelineEntries {
     "sparse_two_phase" -> ((s, dir) =>
       Sparse.twoPhaseTopK(tw(s, dir), SparseQuery, 10, maxRatio = 0.4, expansion = 2.0)
         .select(col("doc_id"), round(col("score"), 4).as("score"))),
+
+    // ---- SEISMIC clustered ANN ----
+    // exact mode: unpruned summaries + heap_factor 1.0 make the cluster-skip
+    // bound exact, so results are rank-identical to brute-force dot scoring
+    "seismic_ann_exact" -> ((s, dir) => {
+      val t = tw(s, dir)
+      val cidx = Seismic.buildClusteredIndex(t, nPostings = 1000000, summaryPruneRatio = 1.0)
+      Seismic.annTopK(cidx, Seismic.forward(t), SparseQuery, 10, queryCut = 10, heapFactor = 1.0)
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+    }),
+    // n_postings prune feeding the clusterer: per-term member count
+    "seismic_pruned_df" -> ((s, dir) => {
+      val cidx = Seismic.buildClusteredIndex(tw(s, dir), nPostings = 160)
+      cidx.toDF().select(col("term"), size(col("doc_ids")).as("sz"))
+        .groupBy(col("term")).agg(sum(col("sz")).as("n_docs"))
+    }),
 
     // ---- text analysis ----
     "text_tokens" -> ((s, dir) => TextOps.tokenCounts(docs(s, dir), "doc_id", "text")),
@@ -103,6 +119,15 @@ object PipelineEntries {
          |SELECT doc_id, round(s, 4) AS score FROM (
          |  SELECT doc_id, sum(w * qw) AS s FROM tw JOIN qv USING (token) GROUP BY doc_id)
          |ORDER BY s DESC, doc_id LIMIT 10""".stripMargin,
+    "seismic_ann_exact" ->
+      s"""WITH $tokCte, $TwCte, $QvCte
+         |SELECT doc_id, round(s, 4) AS score FROM (
+         |  SELECT doc_id, sum(w * qw) AS s FROM tw JOIN qv USING (token) GROUP BY doc_id)
+         |ORDER BY s DESC, doc_id LIMIT 10""".stripMargin,
+    "seismic_pruned_df" ->
+      s"""WITH $tokCte, $TwCte
+         |SELECT token AS term, least(count(*), 160) AS n_docs
+         |FROM tw GROUP BY token""".stripMargin,
     "sparse_two_phase" ->
       s"""WITH $tokCte, $TwCte, $QvCte,
          |p1 AS (

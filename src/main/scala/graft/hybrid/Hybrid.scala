@@ -80,7 +80,21 @@ object Hybrid {
    * DataFrame with a `doc_id` column; only those docs may match any sub-query.
    * @return DataFrame(doc_id, score) — the final page, ordered.
    */
-  def execute(idx: Index, q: HybridQuery, filterDocs: Option[DataFrame] = None): DataFrame = {
+  def execute(idx: Index, q: HybridQuery, filterDocs: Option[DataFrame] = None): DataFrame =
+    full(idx, q, filterDocs).select($"doc_id", $"score")
+
+  /** Explain mode: the final page plus the per-sub-query normalized scores
+   *  that produced each combined score (reference:
+   *  processor/ExplanationResponseProcessor.java — per-doc normalization/
+   *  combination breakdown attached to every hit). Columns:
+   *  doc_id, norm0..norm{n-1}, score. */
+  def executeExplain(idx: Index, q: HybridQuery, filterDocs: Option[DataFrame] = None): DataFrame = {
+    val normCols = q.subQueries.indices.map(i =>
+      element_at($"scores", i + 1).as(s"norm$i"))
+    full(idx, q, filterDocs).select(($"doc_id" +: normCols :+ $"score"): _*)
+  }
+
+  private def full(idx: Index, q: HybridQuery, filterDocs: Option[DataFrame] = None): DataFrame = {
     validate(q)
     val spark = idx.postings.sparkSession
 
@@ -150,7 +164,7 @@ object Hybrid {
         transform(sequence(lit(0), lit(nSub - 1)), i => coalesce(element_at($"m", i), lit(0.0))))
       .withColumn("score",
         ScoreFunctions.combineScores($"scores", q.comb.technique, q.comb.weights, q.useFloat))
-      .select($"doc_id", $"score")
+      .select($"doc_id", $"scores", $"score")
 
     // 5. min_score filter + final page
     val filtered = q.minScore.fold(aligned)(ms => aligned.filter($"score" >= ms))
