@@ -47,7 +47,15 @@ object CorpusEntries {
 
     "segments_merged_bm25" -> ((s, dir) =>
       Bm25.topK(segmented(s, dir), Seq("filter", "group", "scan"), 10)
-        .select(col("doc_id"), round(col("score"), 4).as("score")))
+        .select(col("doc_id"), round(col("score"), 4).as("score"))),
+
+    "segments_metrics" -> ((s, dir) => {
+      segmented(s, dir) // ensure built
+      val store = s"target/segstore/${dir.replaceAll("[^a-zA-Z0-9.]", "_")}"
+      import s.implicits._
+      Segments.readMetrics(s, store, NSeg).toDS().toDF()
+        .select(col("segment_id"), col("stage"), col("rows"))
+    })
   )
 
   def oracles(tokCte: String): Map[String, String] = Map(
@@ -86,6 +94,22 @@ object CorpusEntries {
       s"""WITH $tokCte
          |SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS ttf
          |FROM tf GROUP BY term""".stripMargin,
+
+    "segments_metrics" ->
+      s"""WITH $tokCte,
+         |bounds AS (SELECT max(doc_id) AS mx FROM documents),
+         |segspan AS (SELECT (mx + $NSeg) // $NSeg AS sp FROM bounds),
+         |segd AS (SELECT CAST(d.doc_id // s.sp AS INT) AS segment_id, d.doc_id
+         |         FROM documents d CROSS JOIN segspan s),
+         |p AS (SELECT segd.segment_id, count(DISTINCT tf.term || '#' || CAST(tf.doc_id // 4096 AS VARCHAR)) AS rows
+         |      FROM tf JOIN segd USING (doc_id) GROUP BY segd.segment_id),
+         |d AS (SELECT segment_id, count(DISTINCT doc_id // 4096) AS rows
+         |      FROM segd GROUP BY segment_id),
+         |t AS (SELECT segd.segment_id, count(DISTINCT tf.term) AS rows
+         |      FROM tf JOIN segd USING (doc_id) GROUP BY segd.segment_id)
+         |SELECT segment_id, 'postings' AS stage, rows FROM p
+         |UNION ALL SELECT segment_id, 'doclens', rows FROM d
+         |UNION ALL SELECT segment_id, 'termstats', rows FROM t""".stripMargin,
 
     "segments_merged_bm25" ->
       s"""WITH $tokCte,

@@ -26,8 +26,9 @@ object HybridEntries {
   private val Depth = 50
 
   private def q(sub: Seq[Seq[String]], norm: Normalization, comb: Combination,
-                k: Int = 10, from: Int = 0) =
-    HybridQuery(sub.map(t => SubQuery(t)), norm, comb, k = k, depth = Depth, from = from)
+                k: Int = 10, from: Int = 0, minScore: Option[Double] = None) =
+    HybridQuery(sub.map(t => SubQuery(t)), norm, comb, k = k, depth = Depth, from = from,
+      minScore = minScore)
 
   private def run(query: HybridQuery, langFilter: Option[String] = None)(
       s: SparkSession, dir: String): DataFrame = {
@@ -69,6 +70,33 @@ object HybridEntries {
       Hybrid.executeExplain(idx, q(Seq(A, B), MinMaxNormTech(), Combination(Combine.Arithmetic)))
         .select(col("doc_id"), round(col("norm0"), 4).as("norm0"),
           round(col("norm1"), 4).as("norm1"), round(col("score"), 4).as("score"))
+    }),
+    // min_score filter on the combined score (reference:
+    // processor/combination/ScoreCombiner.java:377-395)
+    "hybrid_min_score" ->
+      run(q(Seq(A, B), MinMaxNormTech(), Combination(Combine.Arithmetic),
+        k = 50, minScore = Some(0.35))) _,
+    // sort-enabled hybrid: hits ordered by a stored field instead of score,
+    // first-wins dedupe across sub-queries (reference:
+    // processor/combination/ScoreCombiner.java:281-311 TopDocs.merge + dedup)
+    "hybrid_sorted" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      val union = Seq(A, B).map(t => Bm25.scoreTerms(idx, t).select("doc_id"))
+        .reduce(_ unionByName _).dropDuplicates("doc_id")
+      union
+        .join(s.read.parquet(s"$dir/documents.parquet").select("doc_id", "n_chars"), "doc_id")
+        .orderBy(col("n_chars").desc, col("doc_id").asc)
+        .limit(10)
+    }),
+    // metric aggregation alongside hybrid (reference: §2.11
+    // HybridAggregationProcessor — aggs run over the matched doc set)
+    "hybrid_agg_lang" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      val matched = Seq(A, B).map(t => Bm25.scoreTerms(idx, t).select("doc_id"))
+        .reduce(_ unionByName _).dropDuplicates("doc_id")
+      matched
+        .join(s.read.parquet(s"$dir/documents.parquet").select("doc_id", "lang"), "doc_id")
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
     }),
     // by-field rerank: _score replaced by a stored numeric field, old score kept
     "rerank_by_field" -> ((s, dir) => {
@@ -214,12 +242,14 @@ object HybridEntries {
 
   def hybridOracle(tokCte: String, sub: Seq[Seq[String]], norm: Normalization,
                    comb: Combination, k: Int = 10, from: Int = 0,
-                   filterSql: String = "", explain: Boolean = false): String = {
+                   filterSql: String = "", explain: Boolean = false,
+                   minScore: Option[Double] = None): String = {
     val n = sub.size
     val subq = sub.zipWithIndex.map { case (t, i) => subqCtes(i, t, filterSql) }.mkString(",\n")
     val norms = (0 until n).map(i => normCtes(i, norm)).mkString(",\n")
     val cmb = combineSql(n, comb)
     val offset = if (from > 0) s" OFFSET $from" else ""
+    val msWhere = minScore.map(ms => s"\nWHERE c >= $ms").getOrElse("")
     val normOut =
       if (explain) (0 until n).map(i => s"round(s$i, 4) AS norm$i, ").mkString
       else ""
@@ -229,7 +259,7 @@ object HybridEntries {
        |$norms,
        |${alignCte(n)}
        |SELECT doc_id, ${normOut}round(c, 4) AS score
-       |FROM (SELECT doc_id, $normIn$cmb AS c FROM al)
+       |FROM (SELECT doc_id, $normIn$cmb AS c FROM al)$msWhere
        |ORDER BY c DESC, doc_id LIMIT $k$offset""".stripMargin
   }
 
@@ -265,6 +295,25 @@ object HybridEntries {
       "hybrid_explain" ->
         hybridOracle(tokCte, Seq(A, B), MinMaxNormTech(), Combination(Combine.Arithmetic),
           explain = true),
+      "hybrid_min_score" ->
+        hybridOracle(tokCte, Seq(A, B), MinMaxNormTech(), Combination(Combine.Arithmetic),
+          k = 50, minScore = Some(0.35)),
+      "hybrid_sorted" ->
+        s"""WITH $tokCte,
+           |m AS (
+           |  SELECT DISTINCT doc_id FROM tf
+           |  WHERE term IN (${termList(A)}) OR term IN (${termList(B)}))
+           |SELECT m.doc_id, d.n_chars
+           |FROM m JOIN documents d USING (doc_id)
+           |ORDER BY d.n_chars DESC, m.doc_id LIMIT 10""".stripMargin,
+      "hybrid_agg_lang" ->
+        s"""WITH $tokCte,
+           |m AS (
+           |  SELECT DISTINCT doc_id FROM tf
+           |  WHERE term IN (${termList(A)}) OR term IN (${termList(B)}))
+           |SELECT d.lang, count(*) AS n_docs
+           |FROM m JOIN documents d USING (doc_id)
+           |GROUP BY d.lang""".stripMargin,
       "rerank_by_field" ->
         s"""WITH $tokCte,
            |sc AS (

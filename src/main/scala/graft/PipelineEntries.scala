@@ -51,6 +51,15 @@ object PipelineEntries {
       Seismic.annTopK(cidx, Seismic.forward(t), SparseQuery, 10, queryCut = 10, heapFactor = 1.0)
         .select(col("doc_id"), round(col("score"), 4).as("score"))
     }),
+    // non-scoring filter intersected with the ANN candidate set
+    "seismic_ann_filtered" -> ((s, dir) => {
+      val t = tw(s, dir)
+      val cidx = Seismic.buildClusteredIndex(t, nPostings = 1000000, summaryPruneRatio = 1.0)
+      val f = docs(s, dir).where(col("lang") === "en").select("doc_id")
+      Seismic.annTopK(cidx, Seismic.forward(t), SparseQuery, 10, heapFactor = 1.0,
+        filterDocs = Some(f))
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+    }),
     // n_postings prune feeding the clusterer: per-term member count
     "seismic_pruned_df" -> ((s, dir) => {
       val cidx = Seismic.buildClusteredIndex(tw(s, dir), nPostings = 160)
@@ -123,6 +132,13 @@ object PipelineEntries {
       s"""WITH $tokCte, $TwCte, $QvCte
          |SELECT doc_id, round(s, 4) AS score FROM (
          |  SELECT doc_id, sum(w * qw) AS s FROM tw JOIN qv USING (token) GROUP BY doc_id)
+         |ORDER BY s DESC, doc_id LIMIT 10""".stripMargin,
+    "seismic_ann_filtered" ->
+      s"""WITH $tokCte, $TwCte, $QvCte
+         |SELECT doc_id, round(s, 4) AS score FROM (
+         |  SELECT tw.doc_id, sum(w * qw) AS s FROM tw JOIN qv USING (token)
+         |  WHERE tw.doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')
+         |  GROUP BY tw.doc_id)
          |ORDER BY s DESC, doc_id LIMIT 10""".stripMargin,
     "seismic_pruned_df" ->
       s"""WITH $tokCte, $TwCte

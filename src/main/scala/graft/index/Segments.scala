@@ -15,6 +15,10 @@ import graft.analysis.Analyzer
  * and order-independently (a sorted-concat digest would not scale to 10^12
  * rows; min/max/count-distinct are single-pass partial aggregates).
  */
+/** Per-stage build metrics committed with each segment (north rule:
+ *  "resumable from checkpoint with per-partition lineage + metrics"). */
+case class SegmentMetric(segment_id: Int, stage: String, rows: Long, wall_ms: Long)
+
 case class SegmentLineage(
     segment_id: Int,
     row_lo: Long,
@@ -70,7 +74,14 @@ object Segments {
     val spark = docs.sparkSession
     import spark.implicits._
     val slice = docs.filter(col(idCol) >= lo && col(idCol) <= hi)
+    val t0 = System.currentTimeMillis()
     val idx = InvertedIndex.buildAndWrite(slice, idCol, textCol, segDir(dir, id), analyzer)
+    val buildMs = System.currentTimeMillis() - t0
+    Seq(
+      SegmentMetric(id, "postings", idx.postings.count(), buildMs),
+      SegmentMetric(id, "doclens", idx.docLens.count(), buildMs),
+      SegmentMetric(id, "termstats", idx.termStats.count(), buildMs)
+    ).toDS().write.mode("overwrite").parquet(s"${segDir(dir, id)}/metrics")
 
     val sha = slice
       .select(sha2(col(textCol), 256).as("sha"))
@@ -80,6 +91,17 @@ object Segments {
       sha._1, sha._2, sha._3)
     Seq(lineage).toDS().write.mode("overwrite").parquet(s"${segDir(dir, id)}/lineage")
     lineage
+  }
+
+  /** Metrics rows of all committed segments under `dir`. */
+  def readMetrics(spark: SparkSession, dir: String, nSegments: Int): Seq[SegmentMetric] = {
+    import spark.implicits._
+    (0 until nSegments).flatMap { id =>
+      val p = s"${segDir(dir, id)}/metrics"
+      if (new java.io.File(p).exists())
+        scala.util.Try(spark.read.parquet(p).as[SegmentMetric].collect().toSeq).getOrElse(Nil)
+      else Nil
+    }
   }
 
   /** Lineage rows of all committed segments under `dir` (empty if none). */

@@ -185,7 +185,8 @@ object Seismic {
       query: Map[String, Double],
       k: Int,
       queryCut: Int = 10,
-      heapFactor: Double = 1.0
+      heapFactor: Double = 1.0,
+      filterDocs: Option[DataFrame] = None
   ): DataFrame = {
     val spark = index.sparkSession
     import spark.implicits._
@@ -200,13 +201,20 @@ object Seismic {
       (cp.term, cp.cluster_id, dotMap(cp.sum_tokens, cp.sum_ws, qB.value), cp.doc_ids)
     }.toDF("term", "cluster_id", "ub", "doc_ids")
 
-    def score(docIds: DataFrame): DataFrame =
-      docIds.distinct()
+    // non-scoring filter intersected with candidates before rescoring
+    // (reference: sparse/query/OrderedPostingWithClustersScorer.java:46-52)
+    def score(docIds: DataFrame): DataFrame = {
+      val filtered = filterDocs match {
+        case Some(f) => docIds.join(broadcast(f.select("doc_id")), Seq("doc_id"), "left_semi")
+        case None    => docIds
+      }
+      filtered.distinct()
         .join(fwd, "doc_id")
         .select(col("doc_id"), col("tokens"), col("ws"))
         .as[(Long, Seq[String], Seq[Double])]
         .map { case (id, toks, ws) => (id, dotMap(toks, ws, qB.value)) }
         .toDF("doc_id", "score")
+    }
 
     // pass 1: k most promising clusters establish the threshold
     val top = ubs.orderBy(col("ub").desc, col("term").asc, col("cluster_id").asc).limit(k)
