@@ -55,8 +55,30 @@ object CorpusEntries {
       import s.implicits._
       Segments.readMetrics(s, store, NSeg).toDS().toDF()
         .select(col("segment_id"), col("stage"), col("rows"))
+    }),
+
+    // incremental build: Structured Streaming micro-batches -> segments ->
+    // merge; stats must equal the batch build's (same oracle as term_stats)
+    "stream_index_term_stats" -> ((s, dir) => {
+      val idx = streamCache.getOrElseUpdate(dir, {
+        val store = s"target/streamstore/${dir.replaceAll("[^a-zA-Z0-9.]", "_")}"
+        // stage the corpus as a DIRECTORY of files: each file is one
+        // micro-batch (the file-arrival pattern of an incremental ingest)
+        val corpusDir = s"$store/corpus"
+        if (!new java.io.File(corpusDir).exists()) {
+          s.read.parquet(s"$dir/documents.parquet")
+            .repartitionByRange(3, col("doc_id"))
+            .write.mode("overwrite").parquet(corpusDir)
+        }
+        val i = graft.streaming.StreamingIndex.buildAvailableNow(
+          s, corpusDir, store, "doc_id", "text")
+        Index(i.postings.persist(), i.docLens.persist(), i.termStats.persist(), i.stats, i.analyzer)
+      })
+      idx.termStats.toDF().select(col("term"), col("df"), col("ttf"))
     })
   )
+
+  private val streamCache = scala.collection.concurrent.TrieMap.empty[String, Index]
 
   def oracles(tokCte: String): Map[String, String] = Map(
     "corpus_ingest" ->
@@ -91,6 +113,11 @@ object CorpusEntries {
          |FROM segd GROUP BY segment_id, sp, mx""".stripMargin,
 
     "segments_merged_term_stats" ->
+      s"""WITH $tokCte
+         |SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS ttf
+         |FROM tf GROUP BY term""".stripMargin,
+
+    "stream_index_term_stats" ->
       s"""WITH $tokCte
          |SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS ttf
          |FROM tf GROUP BY term""".stripMargin,

@@ -374,6 +374,7 @@ object InvertedIndex {
     val fPost = Future(phase("postings")(postingsFromBlocks(blocks)
       .sortWithinPartitions("term").write.mode("overwrite").parquet(s"$dir/postings")))
     val fDl = Future(phase("doclens")(docLensFromBlocks(blocks)
+      .sortWithinPartitions("bucket")
       .write.mode("overwrite").parquet(s"$dir/doclens")))
     val fTs = Future(phase("termstats")(termStatsOf(postingsFromBlocks(blocks))
       .write.mode("overwrite").parquet(s"$dir/termstats")))

@@ -148,10 +148,29 @@ object Segments {
    * size; term stats re-aggregate from the merged blocks (partial+final).
    */
   def merge(spark: SparkSession, dir: String, nSegments: Int, analyzer: String = Analyzer.Simple): Index = {
-    import spark.implicits._
     val lineage = readLineage(spark, dir, nSegments)
     require(lineage.size == nSegments, s"merge: only ${lineage.size}/$nSegments segments committed")
-    val ids = (0 until nSegments).toSeq
+    mergeIds(spark, dir, (0 until nSegments).toSeq, lineage.values.toSeq, analyzer)
+  }
+
+  /** Merge every committed segment found under `dir` (whatever its id) —
+   *  the shape the streaming/incremental path needs, where segment ids are
+   *  micro-batch ids with possible gaps. */
+  def mergeAll(spark: SparkSession, dir: String, analyzer: String = Analyzer.Simple): Index = {
+    import spark.implicits._
+    val segDirs = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.matches("seg\\d+"))
+      .filter(f => new java.io.File(f, "lineage").exists())
+    val ids = segDirs.map(_.getName.drop(3).toInt).sorted.toSeq
+    require(ids.nonEmpty, s"mergeAll: no committed segments under $dir")
+    val lineage = ids.map(id =>
+      spark.read.parquet(s"${segDir(dir, id)}/lineage").as[SegmentLineage].head())
+    mergeIds(spark, dir, ids, lineage, analyzer)
+  }
+
+  private def mergeIds(spark: SparkSession, dir: String, ids: Seq[Int],
+                       lineage: Seq[SegmentLineage], analyzer: String): Index = {
+    import spark.implicits._
 
     def mergeBlocks(grouped: Dataset[PostingBlock]): Dataset[PostingBlock] =
       grouped.groupByKey(b => (b.term, b.bucket)).mapGroups { (key, it) =>
@@ -203,8 +222,8 @@ object Segments {
     val termStats = postings.groupBy($"term")
       .agg(sum($"cnt").as("df"), sum($"sum_tf").as("ttf")).as[TermStat]
 
-    val docCount = lineage.values.map(_.doc_count).sum
-    val sumDl = lineage.values.map(_.sum_dl).sum
+    val docCount = lineage.map(_.doc_count).sum
+    val sumDl = lineage.map(_.sum_dl).sum
     val stats = CorpusStats(docCount, sumDl, if (docCount == 0) 0.0 else sumDl.toDouble / docCount)
     Index(postings, docLens, termStats, stats, analyzer)
   }

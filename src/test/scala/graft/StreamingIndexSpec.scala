@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.index.{InvertedIndex, Segments}
+import graft.streaming.StreamingIndex
+
+/** Incremental (Structured Streaming) build: micro-batches become committed
+ *  segments; merged result must equal the single-shot batch build. */
+class StreamingIndexSpec extends SparkSpec {
+
+  test("streamed segments merge to the same index as the batch build") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val corpusDir = java.nio.file.Files.createTempDirectory("stream-corpus").toString
+    // 3 files -> 3 micro-batches with maxFilesPerTrigger=1
+    docs.repartitionByRange(3, col("doc_id")).write.mode("overwrite").parquet(corpusDir)
+
+    val store = java.nio.file.Files.createTempDirectory("stream-store").toString
+    val merged = StreamingIndex.buildAvailableNow(spark, corpusDir, store, "doc_id", "text")
+    val full = InvertedIndex.build(docs, "doc_id", "text")
+
+    assert(merged.stats == full.stats)
+    val m = merged.termStats.collect().map(t => t.term -> (t.df, t.ttf)).toMap
+    val f = full.termStats.collect().map(t => t.term -> (t.df, t.ttf)).toMap
+    assert(m == f)
+
+    // multiple segments were actually committed, each with lineage
+    val segs = new java.io.File(store).listFiles().filter(_.getName.startsWith("seg"))
+    assert(segs.length >= 2, s"expected multiple micro-batch segments, got ${segs.length}")
+
+    // idempotent restart: checkpoint replays nothing, merge still works
+    val merged2 = StreamingIndex.buildAvailableNow(spark, corpusDir, store, "doc_id", "text")
+    assert(merged2.stats == full.stats)
+  }
+
+  test("mergeAll tolerates gaps in segment ids") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val store = java.nio.file.Files.createTempDirectory("gap-store").toString
+    // commit segments with ids 0 and 2 (range-split by doc_id)
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val mid = maxId / 2
+    Segments.buildSegment(docs, "doc_id", "text", "simple", store, 0, 0, mid)
+    Segments.buildSegment(docs, "doc_id", "text", "simple", store, 2, mid + 1, maxId)
+    val merged = Segments.mergeAll(spark, store)
+    val full = InvertedIndex.build(docs, "doc_id", "text")
+    assert(merged.stats == full.stats)
+  }
+}
