@@ -89,10 +89,10 @@ object Bench {
         Seq("sym42"),                       // rare
         Seq("merge", "segments", "block")   // mixed
       )
-      // warmup once, then 3 reps per query per path
+      // warmup once, then 2 reps per query per path
       queries.foreach(q => Bm25.topKWand(idx, q, 10).count())
-      val wand = for (q <- queries; _ <- 1 to 3) yield time(Bm25.topKWand(idx, q, 100).count())
-      val plain = for (q <- queries; _ <- 1 to 3) yield time(Bm25.topK(idx, q, 100).count())
+      val wand = for (q <- queries; _ <- 1 to 2) yield time(Bm25.topKWand(idx, q, 100).count())
+      val plain = for (q <- queries; _ <- 1 to 2) yield time(Bm25.topK(idx, q, 100).count())
       corpus.unpersist()
       (nDocs / buildSec, p50(wand) * 1000, p50(plain) * 1000)
     } finally s.stop()
@@ -111,6 +111,7 @@ object Bench {
           fn(s32, sfDir).count()
           (System.nanoTime() - t0) / 1e9
         } catch { case _: Throwable => -1.0 }
+        System.err.println(f"[graft-bench] $name ${sec}%.1fs")
         name -> sec
       }
       s32.stop()
@@ -123,11 +124,12 @@ object Bench {
     // vCPU range is SMT/host-capped (a pure-Java burn scales only ~0.76 from
     // 8->32 threads regardless of workload), so it cannot evidence software
     // scaling (see BENCH/BASELINE.md).
-    warmup()
-    val (tput2, wand2, plain2) = scalePoint(2, nDocs)
-    val (tput8, wand8, plain8) = scalePoint(8, nDocs)
-    val (tput32, wand32, plain32) = scalePoint(32, nDocs)
-    val eff = (tput8 / tput2) / 4.0
+    val skipScaling = sys.env.contains("SPARK_GRAFT_BENCH_SKIP_SCALING")
+    if (!skipScaling) warmup()
+    val (tput2, wand2, plain2) = if (skipScaling) (0.0, 0.0, 0.0) else scalePoint(2, nDocs)
+    val (tput8, wand8, plain8) = if (skipScaling) (0.0, 0.0, 0.0) else scalePoint(8, nDocs)
+    val (tput32, wand32, plain32) = if (skipScaling) (0.0, 0.0, 0.0) else scalePoint(32, nDocs)
+    val eff = if (skipScaling) 0.0 else (tput8 / tput2) / 4.0
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
