@@ -76,6 +76,13 @@ object Sparse {
   def quantize(w: Column, ceiling: Double): Column =
     floor(least(greatest(w, lit(0.0)), lit(ceiling)) * 255.0 / ceiling + 0.5).cast("long")
 
+  /** FeatureField weight-in-term-freq trick: a positive float weight is
+   *  stored as its top 16 IEEE bits in the term-frequency slot
+   *  (reference: sparse/common/ValueEncoder.java:21-42). Lossy by design —
+   *  decode(encode(v)) keeps the exponent + 8 mantissa bits. */
+  def freqEncode(v: Float): Int = java.lang.Float.floatToIntBits(v) >>> 15
+  def freqDecode(tf: Int): Float = java.lang.Float.intBitsToFloat(tf << 15)
+
   /** Linear (dot-product) scoring of a token-weight query against encoded
    *  docs; OR semantics over tokens. Broadcast hash join on the tiny query
    *  side (SURVEY.md §2.3: query-token ∩ posting-term is always broadcast). */
