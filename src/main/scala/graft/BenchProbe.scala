@@ -22,7 +22,9 @@ object BenchProbe {
 
   def main(args: Array[String]): Unit = {
     val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "200000").toLong
-    val plan = Seq(8, 8, 2, 8, 2) // warmup first, then alternate
+    val plan = sys.env.get("SPARK_GRAFT_PROBE_PLAN")
+      .map(_.split(",").map(_.trim.toInt).toSeq)
+      .getOrElse(Seq(8, 8, 2, 8, 2)) // warmup first, then alternate
     for ((cpus, i) <- plan.zipWithIndex) {
       val s = session(cpus)
       try {

@@ -42,6 +42,8 @@ object HybridEntries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "hybrid_minmax_arith" ->
       run(q(Seq(A, B), MinMaxNormTech(), Combination(Combine.Arithmetic))) _,
+    "hybrid_k100" ->
+      run(q(Seq(A, B), MinMaxNormTech(), Combination(Combine.Arithmetic), k = 100)) _,
     "hybrid_minmax_weighted" ->
       run(q(Seq(A, B), MinMaxNormTech(), Combination(Combine.Arithmetic, Seq(0.7, 0.3)))) _,
     "hybrid_minmax_bounds" ->
@@ -268,6 +270,9 @@ object HybridEntries {
     Map(
       "hybrid_minmax_arith" ->
         hybridOracle(tokCte, Seq(A, B), MinMaxNormTech(), Combination(Combine.Arithmetic)),
+      "hybrid_k100" ->
+        hybridOracle(tokCte, Seq(A, B), MinMaxNormTech(), Combination(Combine.Arithmetic),
+          k = 100),
       "hybrid_minmax_weighted" ->
         hybridOracle(tokCte, Seq(A, B), MinMaxNormTech(),
           Combination(Combine.Arithmetic, Seq(0.7, 0.3))),

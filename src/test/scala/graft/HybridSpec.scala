@@ -88,4 +88,30 @@ class HybridSpec extends SparkSpec {
         comb = Combination(Combine.Arithmetic, Seq(0.9, 0.9))))
     }
   }
+
+  test("all-unknown terms yield an empty page, not an error") {
+    val r = Hybrid.execute(idx,
+      HybridQuery(Seq(SubQuery(Seq("zzz")), SubQuery(Seq("qqq"))))).collect()
+    assert(r.isEmpty)
+  }
+
+  test("one empty sub-query still normalizes/combines the other") {
+    val r = Hybrid.execute(idx,
+      HybridQuery(Seq(SubQuery(Seq("a")), SubQuery(Seq("zzz"))))).collect()
+    assert(r.nonEmpty)
+    // docs containing 'a' must all appear; missing sub-query contributes 0.0
+    assert(r.map(_.getLong(0)).toSet == Set(0L, 1L, 4L))
+  }
+
+  test("explain mode flattens per-sub-query normalized scores") {
+    val r = Hybrid.executeExplain(idx,
+      HybridQuery(Seq(SubQuery(Seq("a")), SubQuery(Seq("d"))))).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val n0 = row.getDouble(1)
+      val n1 = row.getDouble(2)
+      val combined = row.getDouble(3)
+      assert(math.abs(combined - (n0 + n1) / 2.0) < 1e-9) // arithmetic default
+    }
+  }
 }
