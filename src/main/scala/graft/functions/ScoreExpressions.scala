@@ -3,7 +3,8 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.functions.lit
@@ -30,10 +31,10 @@ import org.apache.spark.sql.functions.lit
  *
  * `useFloat = true` reproduces the reference's float32 arithmetic bit-exactly
  * (for golden-value parity tests); `false` computes in float64 (for
- * DuckDB-oracle parity). All expressions evaluate over the tiny normalized
- * top-k sets (<= depth x numSubQueries rows), so CodegenFallback costs
- * nothing measurable; the heavy path (BM25 block scoring) never goes through
- * these.
+ * DuckDB-oracle parity). Every expression implements `doGenCode`, so the
+ * normalize/combine stage stays inside whole-stage codegen: the generated
+ * Java emits a static call into [[ScoreMath]] (the single implementation
+ * both the interpreted and generated paths share), which HotSpot inlines.
  */
 object BoundMode {
   val Apply = "apply"
@@ -51,7 +52,7 @@ case class MinMaxNorm(
     lower: Option[Bound],
     upper: Option[Bound],
     useFloat: Boolean
-) extends TernaryExpression with CodegenFallback {
+) extends TernaryExpression {
 
   override def first: Expression = score
   override def second: Expression = min
@@ -60,61 +61,40 @@ case class MinMaxNorm(
   override def nullable: Boolean = true
   override def prettyName: String = "minmax_norm"
 
-  private val MinScore = 0.001
-  private val MaxScore = 1.0
-  private val SingleResult = 1.0
+  private def modeId(b: Option[Bound]): Int = b.map(_.mode) match {
+    case Some(BoundMode.Apply) => 1
+    case Some(BoundMode.Clip)  => 2
+    case _                     => 0
+  }
+  private val lbm = modeId(lower)
+  private val lb = lower.map(_.score).getOrElse(0.0)
+  private val ubm = modeId(upper)
+  private val ub = upper.map(_.score).getOrElse(0.0)
 
   override protected def nullSafeEval(s0: Any, mn0: Any, mx0: Any): Any = {
-    if (useFloat) evalF(s0.asInstanceOf[Double].toFloat, mn0.asInstanceOf[Double].toFloat,
-      mx0.asInstanceOf[Double].toFloat).toDouble
-    else evalD(s0.asInstanceOf[Double], mn0.asInstanceOf[Double], mx0.asInstanceOf[Double])
+    if (useFloat)
+      ScoreMath.minmaxF(s0.asInstanceOf[Double].toFloat, mn0.asInstanceOf[Double].toFloat,
+        mx0.asInstanceOf[Double].toFloat, lbm, lb, ubm, ub).toDouble
+    else
+      ScoreMath.minmaxD(s0.asInstanceOf[Double], mn0.asInstanceOf[Double],
+        mx0.asInstanceOf[Double], lbm, lb, ubm, ub)
   }
 
-  private def effectiveLower(s: Double, mn: Double, mx: Double): Double = lower match {
-    case None => mn
-    case Some(Bound(m, b)) => m match {
-      case BoundMode.Apply  => if (mx > b && s > b) b else mn
-      case BoundMode.Clip   => if (mx < b) mn else b
-      case _                => mn
-    }
-  }
-  private def effectiveUpper(s: Double, mn: Double, mx: Double): Double = upper match {
-    case None => mx
-    case Some(Bound(m, b)) => m match {
-      case BoundMode.Apply  => if (mn < b && s < b) b else mx
-      case BoundMode.Clip   => if (mn > b) mx else b
-      case _                => mx
-    }
-  }
-
-  private def evalD(s: Double, mn: Double, mx: Double): Double = {
-    if (mx == mn && mx == s) return SingleResult
-    val effMn = effectiveLower(s, mn, mx)
-    val effMx = effectiveUpper(s, mn, mx)
-    if (lower.exists(_.mode == BoundMode.Clip) && s < effMn) return MinScore
-    if (upper.exists(_.mode == BoundMode.Clip) && s > effMx) return MaxScore
-    if (effMx == effMn) return SingleResult
-    val n = (s - effMn) / (effMx - effMn)
-    if (n == 0.0) MinScore else n
-  }
-
-  private def evalF(s: Float, mn: Float, mx: Float): Float = {
-    if (mx == mn && mx == s) return SingleResult.toFloat
-    val effMn = effectiveLower(s, mn, mx).toFloat
-    val effMx = effectiveUpper(s, mn, mx).toFloat
-    if (lower.exists(_.mode == BoundMode.Clip) && s < effMn) return MinScore.toFloat
-    if (upper.exists(_.mode == BoundMode.Clip) && s > effMx) return MaxScore.toFloat
-    if (effMx == effMn) return SingleResult.toFloat
-    val n = (s - effMn) / (effMx - effMn)
-    if (n == 0.0f) MinScore.toFloat else n
-  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, mn, mx) => {
+      val m = "graft.functions.ScoreMath"
+      if (useFloat)
+        s"${ev.value} = (double) $m.minmaxF((float)$s, (float)$mn, (float)$mx, $lbm, ${lb}D, $ubm, ${ub}D);"
+      else
+        s"${ev.value} = $m.minmaxD($s, $mn, $mx, $lbm, ${lb}D, $ubm, ${ub}D);"
+    })
 
   override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
     copy(score = f, min = s, max = t)
 }
 
 case class L2Normalize(score: Expression, norm: Expression, useFloat: Boolean)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def left: Expression = score
   override def right: Expression = norm
   override def dataType: DataType = DoubleType
@@ -122,16 +102,19 @@ case class L2Normalize(score: Expression, norm: Expression, useFloat: Boolean)
   override def prettyName: String = "l2_normalize"
 
   override protected def nullSafeEval(s: Any, n: Any): Any = {
-    if (useFloat) {
-      val sf = s.asInstanceOf[Double].toFloat
-      val nf = n.asInstanceOf[Double].toFloat
-      (if (nf == 0f) 0.001f else sf / nf).toDouble
-    } else {
-      val sd = s.asInstanceOf[Double]
-      val nd = n.asInstanceOf[Double]
-      if (nd == 0d) 0.001 else sd / nd
-    }
+    if (useFloat)
+      ScoreMath.l2F(s.asInstanceOf[Double].toFloat, n.asInstanceOf[Double].toFloat).toDouble
+    else
+      ScoreMath.l2D(s.asInstanceOf[Double], n.asInstanceOf[Double])
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, n) => {
+      val m = "graft.functions.ScoreMath"
+      if (useFloat) s"${ev.value} = (double) $m.l2F((float)$s, (float)$n);"
+      else s"${ev.value} = $m.l2D($s, $n);"
+    })
+
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(score = l, norm = r)
 }
@@ -139,7 +122,7 @@ case class L2Normalize(score: Expression, norm: Expression, useFloat: Boolean)
 case class ZScoreNorm(
     score: Expression, mean: Expression, sd: Expression, maxS: Expression, minS: Expression,
     useFloat: Boolean
-) extends Expression with CodegenFallback {
+) extends Expression {
   override def children: Seq[Expression] = Seq(score, mean, sd, maxS, minS)
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
@@ -149,37 +132,48 @@ case class ZScoreNorm(
     val vs = children.map(_.eval(input))
     if (vs.contains(null)) return null
     val Seq(s, m, d, mx, mn) = vs.map(_.asInstanceOf[Double])
-    if (useFloat) {
-      val (sf, mf, df, mxf, mnf) = (s.toFloat, m.toFloat, d.toFloat, mx.toFloat, mn.toFloat)
-      val r =
-        if (java.lang.Float.compare(mf, sf) == 0) mxf
-        else if (java.lang.Float.compare(df, 0.0f) == 0) mnf
-        else { val n = (sf - mf) / df; if (n <= 0.0f) 0.001f else n }
-      r.toDouble
-    } else {
-      if (s == m) mx
-      else if (d == 0.0) mn
-      else { val n = (s - m) / d; if (n <= 0.0) 0.001 else n }
-    }
+    if (useFloat)
+      ScoreMath.zF(s.toFloat, m.toFloat, d.toFloat, mx.toFloat, mn.toFloat).toDouble
+    else
+      ScoreMath.zD(s, m, d, mx, mn)
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val evals = children.map(_.genCode(ctx))
+    val mth = "graft.functions.ScoreMath"
+    val args = evals.map(_.value).mkString(", ")
+    val fargs = evals.map(e => s"(float)${e.value}").mkString(", ")
+    val call =
+      if (useFloat) s"(double) $mth.zF($fargs)" else s"$mth.zD($args)"
+    val nullCheck = evals.map(_.isNull).mkString(" || ")
+    ev.copy(code = code"""
+      ${evals.map(_.code).reduce(_ + _)}
+      boolean ${ev.isNull} = $nullCheck;
+      double ${ev.value} = -1.0;
+      if (!${ev.isNull}) {
+        ${ev.value} = $call;
+      }""")
+  }
+
   override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
     copy(score = cs(0), mean = cs(1), sd = cs(2), maxS = cs(3), minS = cs(4))
 }
 
 /** rank is the 1-based global rank within the sub-query. */
 case class RrfScore(rank: Expression, rankConstant: Int, useFloat: Boolean)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def child: Expression = rank
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "rrf_score"
 
-  override protected def nullSafeEval(r: Any): Any = {
-    val rk = r.asInstanceOf[Int]
-    val bd = java.math.BigDecimal.ONE.divide(
-      java.math.BigDecimal.valueOf(rankConstant.toLong + rk), 10, java.math.RoundingMode.HALF_UP)
-    if (useFloat) bd.floatValue().toDouble else bd.doubleValue()
-  }
+  override protected def nullSafeEval(r: Any): Any =
+    ScoreMath.rrf(r.asInstanceOf[Int], rankConstant, useFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, r =>
+      s"${ev.value} = graft.functions.ScoreMath.rrf($r, $rankConstant, $useFloat);")
+
   override protected def withNewChildInternal(c: Expression): Expression = copy(rank = c)
 }
 
@@ -195,93 +189,28 @@ object Combine {
  *  zero-initializes its per-doc float[numSubQueries] —
  *  processor/combination/ScoreCombiner.java:361-375). */
 case class CombineScores(scores: Expression, technique: String, weights: Seq[Double], useFloat: Boolean)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def child: Expression = scores
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "combine_scores"
 
-  private def weightAt(i: Int): Double = if (i < weights.length) weights(i) else 1.0
-
-  override protected def nullSafeEval(a: Any): Any = {
-    val arr = a.asInstanceOf[ArrayData].toDoubleArray()
-    if (useFloat) evalF(arr) else evalD(arr)
-  }
-
-  private def evalD(arr: Array[Double]): Double = technique match {
-    case Combine.Arithmetic =>
-      var cs = 0.0; var ws = 0.0
-      var i = 0
-      while (i < arr.length) {
-        if (arr(i) >= 0.0) { val w = weightAt(i); cs += arr(i) * w; ws += w }
-        i += 1
-      }
-      if (ws == 0.0) 0.0 else cs / ws
-    case Combine.Geometric =>
-      var ls = 0.0; var ws = 0.0
-      var i = 0
-      while (i < arr.length) {
-        if (arr(i) > 0.0) { val w = weightAt(i); ws += w; ls += w * math.log(arr(i)) }
-        i += 1
-      }
-      if (ws == 0.0) 0.0 else math.exp(ls / ws)
-    case Combine.Harmonic =>
-      var ws = 0.0; var hs = 0.0
-      var i = 0
-      while (i < arr.length) {
-        if (arr(i) > 0.0) { val w = weightAt(i); ws += w; hs += w / arr(i) }
-        i += 1
-      }
-      if (hs > 0.0) ws / hs else 0.0
-    case Combine.Rrf =>
-      var cs = 0.0; var ws = 0.0
-      var i = 0
-      while (i < arr.length) {
-        if (arr(i) >= 0.0) { val w = weightAt(i); cs += arr(i) * w; ws += w }
-        i += 1
-      }
-      if (ws == 0.0) 0.0 else cs
+  private val techId: Int = technique match {
+    case Combine.Arithmetic => 0
+    case Combine.Geometric  => 1
+    case Combine.Harmonic   => 2
+    case Combine.Rrf        => 3
     case other => throw new IllegalArgumentException(s"unknown combination technique: $other")
   }
+  private lazy val weightArr: Array[Double] = weights.toArray
 
-  private def evalF(arr: Array[Double]): Double = technique match {
-    case Combine.Arithmetic =>
-      var cs = 0.0f; var ws = 0.0f
-      var i = 0
-      while (i < arr.length) {
-        val s = arr(i).toFloat
-        if (s >= 0.0f) { val w = weightAt(i).toFloat; cs += s * w; ws += w }
-        i += 1
-      }
-      (if (ws == 0.0f) 0.0f else cs / ws).toDouble
-    case Combine.Geometric =>
-      var ls = 0.0f; var ws = 0.0f
-      var i = 0
-      while (i < arr.length) {
-        val s = arr(i).toFloat
-        if (s > 0.0f) { val w = weightAt(i).toFloat; ws += w; ls += w * math.log(s.toDouble).toFloat }
-        i += 1
-      }
-      (if (ws == 0.0f) 0.0f else math.exp((ls / ws).toDouble).toFloat).toDouble
-    case Combine.Harmonic =>
-      var ws = 0.0f; var hs = 0.0f
-      var i = 0
-      while (i < arr.length) {
-        val s = arr(i).toFloat
-        if (s > 0.0f) { val w = weightAt(i).toFloat; ws += w; hs += w / s }
-        i += 1
-      }
-      (if (hs > 0.0f) ws / hs else 0.0f).toDouble
-    case Combine.Rrf =>
-      var cs = 0.0f; var ws = 0.0f
-      var i = 0
-      while (i < arr.length) {
-        val s = arr(i).toFloat
-        if (s >= 0.0f) { val w = weightAt(i).toFloat; cs += s * w; ws += w }
-        i += 1
-      }
-      (if (ws == 0.0f) 0.0f else cs).toDouble
-    case other => throw new IllegalArgumentException(s"unknown combination technique: $other")
+  override protected def nullSafeEval(a: Any): Any =
+    ScoreMath.combine(a.asInstanceOf[ArrayData], techId, weightArr, useFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val wRef = ctx.addReferenceObj("combineWeights", weightArr, "double[]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.ScoreMath.combine($a, $techId, $wRef, $useFloat);")
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(scores = c)

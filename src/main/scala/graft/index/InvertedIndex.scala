@@ -4,9 +4,6 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.analysis.Analyzer
 
-/** One analyzed token occurrence group: (doc, term) with tf, plus doc length. */
-case class Token(doc_id: Long, term: String, tf: Int, dl: Int)
-
 /**
  * One compressed posting block: all postings of `term` whose docIds fall in
  * the 4096-doc span `bucket` (localId = doc_id - bucket*4096), delta-varint
@@ -82,43 +79,6 @@ object InvertedIndex {
   val BucketBits = 12
   val BucketSpan: Int = 1 << BucketBits
 
-  /** Analyze `textCol` into (doc_id, term, tf, dl) rows. Single map-side pass,
-   *  no shuffle: per-doc tf aggregation happens inside the flatMap. */
-  def tokenize(docs: DataFrame, idCol: String, textCol: String, analyzer: String): Dataset[Token] = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val an = analyzer
-    docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)].flatMap {
-      case (docId, text) =>
-        val toks = Analyzer.analyze(an)(text)
-        val dl = toks.length
-        val tfs = new java.util.HashMap[String, Array[Int]]()
-        var i = 0
-        while (i < toks.length) {
-          val cell = tfs.get(toks(i))
-          if (cell == null) tfs.put(toks(i), Array(1)) else cell(0) += 1
-          i += 1
-        }
-        val out = new Array[Token](tfs.size)
-        val it = tfs.entrySet().iterator()
-        var j = 0
-        while (it.hasNext) {
-          val e = it.next()
-          out(j) = Token(docId, e.getKey, e.getValue()(0), dl)
-          j += 1
-        }
-        out
-    }
-  }
-
-  /**
-   * Build the full index from a corpus DataFrame.
-   *
-   * Shuffle profile (scale-first): one hash shuffle keyed (term, bucket) for
-   * postings — every group ≤ 4096 rows by construction — plus one keyed
-   * (bucket) for doc lengths, plus a partial+final agg for term stats that
-   * runs over the already-small block rows, not raw tokens.
-   */
   /** Growable primitive int buffer (no boxing in the build hot loop). */
   private final class IntBuf(initial: Int = 8) {
     var arr = new Array[Int](initial)
@@ -257,52 +217,6 @@ object InvertedIndex {
     import spark.implicits._
     blocks.filter(_.kind == 1.toByte)
       .map(b => DocLenBlock(b.bucket, b.cnt, b.docs, b.tfs))
-  }
-
-  /** Postings blocks from analyzed tokens: one (term, bucket) shuffle, every
-   *  group bounded at 4096 rows by construction. */
-  def postingsOf(tokens: Dataset[Token]): Dataset[PostingBlock] = {
-    val spark = tokens.sparkSession
-    import spark.implicits._
-    tokens
-      .groupByKey(t => (t.term, t.doc_id >> BucketBits))
-      .mapGroups { (key: (String, Long), it: Iterator[Token]) =>
-        val (term, bucket) = key
-        val arr = it.toArray.sortBy(_.doc_id)
-        val base = bucket << BucketBits
-        val ids = new Array[Int](arr.length)
-        val tfs = new Array[Int](arr.length)
-        var maxTf = 0
-        var sumTf = 0L
-        var i = 0
-        while (i < arr.length) {
-          ids(i) = (arr(i).doc_id - base).toInt
-          tfs(i) = arr(i).tf
-          if (arr(i).tf > maxTf) maxTf = arr(i).tf
-          sumTf += arr(i).tf
-          i += 1
-        }
-        PostingBlock(term, bucket, arr.length, maxTf, sumTf,
-          PostingCodec.encodeDeltas(ids), PostingCodec.encodeInts(tfs))
-      }
-  }
-
-  /** Forward doc-length blocks straight from the corpus scan — includes
-   *  zero-length docs, which never reach any posting list. */
-  def docLensOf(docs: DataFrame, idCol: String, textCol: String, analyzer: String): Dataset[DocLenBlock] = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    docs
-      .select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
-      .map { case (docId, text) => (docId, Analyzer.analyze(analyzer)(text).length) }
-      .groupByKey { case (docId, _) => docId >> BucketBits }
-      .mapGroups { (bucket: Long, it: Iterator[(Long, Int)]) =>
-        val arr = it.toArray.sortBy(_._1)
-        val base = bucket << BucketBits
-        val ids = arr.map(x => (x._1 - base).toInt)
-        val dls = arr.map(_._2)
-        DocLenBlock(bucket, arr.length, PostingCodec.encodeDeltas(ids), PostingCodec.encodeInts(dls))
-      }
   }
 
   /** Per-term stats derived from posting blocks — no re-tokenize: partial
