@@ -7,8 +7,9 @@ import graft.analysis.Analyzer
  * Session-lifetime cache of built indexes keyed by (corpus dir, analyzer) —
  * the analogue of the reference's warmed posting cache
  * (reference: transport/NeuralSparseWarmupTransportAction.java; sparse cache pkg),
- * realized as Spark `persist()` on the index Datasets so repeated queries in
- * one Verify/Bench run share a single index build.
+ * realized as Spark `persist()`. The merged block Dataset (the one
+ * analyze+shuffle pass) is persisted FIRST and every index table derives from
+ * it, so warming runs the expensive pass exactly once.
  */
 object IndexCache {
   private val cache = scala.collection.concurrent.TrieMap.empty[(String, String), Index]
@@ -17,7 +18,12 @@ object IndexCache {
   def documents(spark: SparkSession, sfDir: String, analyzer: String = Analyzer.Simple): Index =
     cache.getOrElseUpdate((s"$sfDir/documents.parquet", analyzer), {
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-      val idx = InvertedIndex.build(docs, "doc_id", "text", analyzer)
-      Index(idx.postings.persist(), idx.docLens.persist(), idx.termStats.persist(), idx.stats, analyzer)
+      val blocks = InvertedIndex.mergedBlocksOf(docs, "doc_id", "text", analyzer).persist()
+      blocks.count() // one materialization of the analyze + fragment shuffle
+      val postings = InvertedIndex.postingsFromBlocks(blocks).persist()
+      val docLens = InvertedIndex.docLensFromBlocks(blocks).persist()
+      val termStats = InvertedIndex.termStatsOf(postings).persist()
+      val stats = InvertedIndex.statsOf(docLens)
+      Index(postings, docLens, termStats, stats, analyzer)
     })
 }

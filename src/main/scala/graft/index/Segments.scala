@@ -132,13 +132,26 @@ object Segments {
     val maxId = docs.agg(max(col(idCol))).head().getLong(0)
     val sp = span(maxId, nSegments)
     val done = readLineage(spark, dir, nSegments)
-    val built = (0 until nSegments).filterNot(done.contains).map { id =>
-      val lo = id.toLong * sp
-      val hi = math.min(lo + sp - 1, maxId)
-      buildSegment(docs, idCol, textCol, analyzer, dir, id, lo, hi)
-      id
+    val todo = (0 until nSegments).filterNot(done.contains)
+    // segments are independent slices: build them as concurrent Spark jobs
+    // (the analogue of the reference's parallel per-segment flushes on the
+    // seismic thread pool, plugin/NeuralSearch.java:296-308)
+    if (todo.nonEmpty) {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(4, todo.size))
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      import scala.concurrent.{Await, Future}
+      val fs = todo.map { id =>
+        Future {
+          val lo = id.toLong * sp
+          val hi = math.min(lo + sp - 1, maxId)
+          buildSegment(docs, idCol, textCol, analyzer, dir, id, lo, hi)
+        }
+      }
+      try Await.result(Future.sequence(fs), scala.concurrent.duration.Duration.Inf)
+      finally pool.shutdown()
     }
-    built
+    todo
   }
 
   /**

@@ -185,6 +185,26 @@ object Bm25 {
    * degenerates to a full scan, same as the reference's WAND on a
    * constant-impact corpus.
    */
+  /**
+   * Cost-based scorer choice from one tiny aggregate over the (persisted)
+   * term-stats table: WAND's two extra scheduling rounds only pay off when
+   * the candidate posting volume is large enough that skipping block decodes
+   * wins. Mirrors Lucene's cost-aware scorer selection
+   * (reference: query/HybridQueryScorer.java:222-299 orders two-phase
+   * iterators by matchCost).
+   */
+  def topKAuto(idx: Index, terms: Seq[String], k: Int, boosts: Map[String, Double] = Map.empty,
+               wandThreshold: Long = 1000000L): DataFrame = {
+    val spark = idx.postings.sparkSession
+    import spark.implicits._
+    val row = idx.termStats
+      .filter($"term".isin(terms.distinct: _*))
+      .agg(org.apache.spark.sql.functions.sum($"df")).head()
+    val volume = if (row.isNullAt(0)) 0L else row.getLong(0)
+    if (volume >= wandThreshold) topKWand(idx, terms, k, boosts)
+    else topK(idx, terms, k, boosts)
+  }
+
   def topKWand(idx: Index, terms: Seq[String], k: Int, boosts: Map[String, Double] = Map.empty): DataFrame = {
     val spark = idx.postings.sparkSession
     import spark.implicits._

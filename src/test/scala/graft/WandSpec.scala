@@ -25,6 +25,16 @@ class WandSpec extends SparkSpec {
   test("wand == plain mixed known/unknown") { run(Seq("join", "zzzznotaterm"), 10) }
   test("wand == plain k exceeds matches")   { run(Seq("dup"), 5000) }
 
+  test("topKAuto picks either path and stays exact") {
+    for (threshold <- Seq(1L, Long.MaxValue)) {
+      val auto = Bm25.topKAuto(idx, Seq("join", "merge"), 10, wandThreshold = threshold)
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      val plain = Bm25.topK(idx, Seq("join", "merge"), 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(auto.toSeq == plain.toSeq, s"threshold=$threshold")
+    }
+  }
+
   test("wand == plain across many seeded term sets") {
     val vocab = idx.termStats.collect().map(_.term).sorted
     val rnd = new scala.util.Random(42)
