@@ -124,6 +124,14 @@ object Bench {
     // vCPU range is SMT/host-capped (a pure-Java burn scales only ~0.76 from
     // 8->32 threads regardless of workload), so it cannot evidence software
     // scaling (see BENCH/BASELINE.md).
+    // hedge against an external kill during the (longer) scaling phase: emit
+    // a query-suite-only result line NOW; the final line replaces it (driver
+    // takes the last JSON line on stdout)
+    val qsEarly = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val totalEarly = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$totalEarly,"unit":"sec","queries":$qsEarly,"sf":"$sfDir"}""")
+    System.out.flush()
+
     val skipScaling = sys.env.contains("SPARK_GRAFT_BENCH_SKIP_SCALING")
     if (!skipScaling) warmup()
     val (tput2, wand2, plain2) = if (skipScaling) (0.0, 0.0, 0.0) else scalePoint(2, nDocs)

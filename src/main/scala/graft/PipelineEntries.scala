@@ -92,7 +92,12 @@ object PipelineEntries {
     "chunk_delimiter" -> ((s, dir) =>
       Chunkers.delimiter(docs(s, dir), "doc_id", "text", " data ")),
     "chunk_fixed_tokens" -> ((s, dir) =>
-      Chunkers.fixedTokenLength(docs(s, dir), "doc_id", "text", 20, 0.25))
+      Chunkers.fixedTokenLength(docs(s, dir), "doc_id", "text", 20, 0.25)),
+
+    // ---- semantic-field ingest (chunk -> mock sparse encode) ----
+    "semantic_ingest" -> ((s, dir) =>
+      graft.ops.Semantic.ingestSparse(docs(s, dir), "doc_id", "text", 20)
+        .select(col("doc_id"), col("chunk_idx"), col("token"), round(col("w"), 4).as("w")))
   )
 
   // ------------------------------------------------------------------
@@ -216,6 +221,17 @@ object PipelineEntries {
          |       parts[CAST(i AS INT)] || (CASE WHEN i < len(parts) THEN ' data ' ELSE '' END) AS chunk
          |FROM (SELECT doc_id, parts, unnest(generate_series(1, CAST(len(parts) AS BIGINT))) AS i
          |      FROM (SELECT doc_id, string_split(text, ' data ') AS parts FROM documents))""".stripMargin,
+    "semantic_ingest" ->
+      s"""WITH chunks AS (
+         |  SELECT doc_id, i AS chunk_idx,
+         |         toks[CAST(i*20 + 1 AS INT):CAST(i*20 + 20 AS INT)] AS ctoks
+         |  FROM (SELECT doc_id, toks,
+         |          unnest(generate_series(0, CAST(floor((len(toks)-1)/20) AS BIGINT))) AS i
+         |        FROM (SELECT doc_id, $Toks AS toks FROM documents))),
+         |t AS (SELECT doc_id, chunk_idx, unnest(ctoks) AS token FROM chunks)
+         |SELECT doc_id, chunk_idx, token,
+         |       round(count(*) * (1.0 + (length(token) % 5) * 0.25), 4) AS w
+         |FROM t GROUP BY doc_id, chunk_idx, token""".stripMargin,
     "chunk_fixed_tokens" ->
       s"""SELECT doc_id, i AS chunk_idx,
          |       array_to_string(toks[CAST(i*15 + 1 AS INT):CAST(i*15 + 20 AS INT)], ' ') AS chunk

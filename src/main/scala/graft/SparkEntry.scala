@@ -85,6 +85,10 @@ object SparkEntry {
     "bm25_term_rare"   -> bm25Query(Seq("dup"), 10) _,
     "bm25_match_multi" -> bm25Query(Seq("merge", "sort", "window"), 10) _,
     "bm25_match_top100" -> bm25Query(Seq("hash", "join"), 100) _,
+    "bm25_boosted" -> ((s, dir) =>
+      Bm25.topK(IndexCache.documents(s, dir), Seq("join", "window"), 10,
+        boosts = Map("window" -> 2.0))
+        .select(col("doc_id"), round(col("score"), 4).as("score"))),
     // block-max WAND path: same exact results, blocks below the pass-1
     // threshold never decoded (SURVEY.md §7.4 two-pass scheme)
     "bm25_wand_top10" -> ((s, dir) =>
@@ -118,6 +122,18 @@ object SparkEntry {
     "bm25_term_rare"    -> bm25OracleSql("'dup'", 10),
     "bm25_match_multi"  -> bm25OracleSql("'merge', 'sort', 'window'", 10),
     "bm25_match_top100" -> bm25OracleSql("'hash', 'join'", 100),
+    "bm25_boosted" ->
+      s"""WITH $TOK_CTE,
+         |score AS (
+         |  SELECT tf.doc_id,
+         |         sum( ln(1 + (stats.n - df.df + 0.5)/(df.df + 0.5))
+         |              * (CASE tf.term WHEN 'window' THEN 2.0 ELSE 1.0 END)
+         |              * (tf.tf / (tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/stats.avgdl))) ) AS s
+         |  FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN stats
+         |  WHERE tf.term IN ('join', 'window')
+         |  GROUP BY tf.doc_id)
+         |SELECT doc_id, round(s, 4) AS score FROM score
+         |ORDER BY s DESC, doc_id LIMIT 10""".stripMargin,
     "bm25_wand_top10"   -> bm25OracleSql("'spark', 'stream', 'filter'", 10),
     "bm25_wand_top100"  -> bm25OracleSql("'table', 'scan'", 100)
   ) ++ HybridEntries.oracles(TOK_CTE) ++ PipelineEntries.oracles(TOK_CTE) ++ DataEntries.oracles(TOK_CTE) ++ CorpusEntries.oracles(TOK_CTE)
