@@ -100,6 +100,23 @@ object HybridEntries {
         .join(s.read.parquet(s"$dir/documents.parquet").select("doc_id", "lang"), "doc_id")
         .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
     }),
+    // the JSON DSL parse path end-to-end (fromXContent analogue) — same
+    // shape as hybrid_filtered, arriving as a request document
+    "dsl_hybrid" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      val json =
+        """{ "query": { "hybrid": {
+          |    "queries": [ { "match": { "text": "join hash" } },
+          |                 { "match": { "text": "merge sort window" } } ],
+          |    "filter": { "term": { "lang": "en" } },
+          |    "pagination_depth": 50 } },
+          |  "size": 10,
+          |  "search_pipeline": {
+          |    "normalization": { "technique": "min_max" },
+          |    "combination":   { "technique": "arithmetic_mean" } } }""".stripMargin
+      graft.query.QueryDsl.execute(idx, json, s, s.read.parquet(s"$dir/documents.parquet"))
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+    }),
     // by-field rerank: _score replaced by a stored numeric field, old score kept
     "rerank_by_field" -> ((s, dir) => {
       val idx = IndexCache.documents(s, dir)
@@ -292,6 +309,9 @@ object HybridEntries {
       "hybrid_rrf" ->
         hybridOracle(tokCte, Seq(A, B), RrfNormTech(60), Combination(Combine.Rrf)),
       "hybrid_filtered" ->
+        hybridOracle(tokCte, Seq(A, B), MinMaxNormTech(), Combination(Combine.Arithmetic),
+          filterSql = langF),
+      "dsl_hybrid" ->
         hybridOracle(tokCte, Seq(A, B), MinMaxNormTech(), Combination(Combine.Arithmetic),
           filterSql = langF),
       "hybrid_paginated" ->

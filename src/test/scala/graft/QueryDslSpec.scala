@@ -1,0 +1,57 @@
+package graft
+
+import graft.functions.Combine
+import graft.hybrid._
+import graft.query.QueryDsl
+
+/** JSON DSL parse semantics (reference: HybridQueryBuilder.fromXContent). */
+class QueryDslSpec extends SparkSpec {
+
+  test("full request parses: subqueries, filter, pipeline, paging") {
+    val p = QueryDsl.parse(
+      """{ "query": { "hybrid": {
+        |    "queries": [ { "match": { "text": "mergeSort quick" } },
+        |                 { "term": { "text": "join" } } ],
+        |    "filter": { "term": { "lang": "en" } },
+        |    "pagination_depth": 77 } },
+        |  "size": 25, "from": 5, "min_score": 0.25,
+        |  "search_pipeline": {
+        |    "normalization": { "technique": "rrf", "rank_constant": 42 },
+        |    "combination": { "technique": "rrf", "weights": [0.6, 0.4] } } }""".stripMargin)
+    assert(p.query.subQueries == Seq(
+      SubQuery(Seq("mergesort", "quick")), SubQuery(Seq("join"))))
+    assert(p.filterField.contains(("lang", "en")))
+    assert(p.query.norm == RrfNormTech(42))
+    assert(p.query.comb == Combination(Combine.Rrf, Seq(0.6, 0.4)))
+    assert(p.query.k == 25 && p.query.from == 5 && p.query.depth == 77)
+    assert(p.query.minScore.contains(0.25))
+  }
+
+  test("defaults: min_max + arithmetic, k=10, depth=50") {
+    val p = QueryDsl.parse(
+      """{"query":{"hybrid":{"queries":[{"term":{"text":"a"}}]}}}""")
+    assert(p.query.norm == MinMaxNormTech())
+    assert(p.query.comb.technique == Combine.Arithmetic)
+    assert(p.query.k == 10 && p.query.depth == 50 && p.query.from == 0)
+    assert(p.query.minScore.isEmpty && p.filterField.isEmpty)
+  }
+
+  test("code analyzer splits camelCase in match text") {
+    val p = QueryDsl.parse(
+      """{"query":{"hybrid":{"queries":[{"match":{"content":"parseQueryPlan"}}]}}}""",
+      analyzer = graft.analysis.Analyzer.Code)
+    assert(p.query.subQueries.head.terms == Seq("parsequeryplan", "parse", "query", "plan"))
+  }
+
+  test("malformed requests are rejected") {
+    intercept[IllegalArgumentException](QueryDsl.parse("""{"query":{}}"""))
+    intercept[IllegalArgumentException](
+      QueryDsl.parse("""{"query":{"hybrid":{"queries":[]}}}"""))
+    intercept[IllegalArgumentException](
+      QueryDsl.parse("""{"query":{"hybrid":{"queries":[{"knn":{"v":[1]}}]}}}"""))
+    intercept[IllegalArgumentException](
+      QueryDsl.parse(
+        """{"query":{"hybrid":{"queries":[{"term":{"t":"a"}}]}},
+          |"search_pipeline":{"normalization":{"technique":"bogus"}}}""".stripMargin))
+  }
+}
