@@ -85,6 +85,12 @@ object SparkEntry {
     "bm25_term_rare"   -> bm25Query(Seq("dup"), 10) _,
     "bm25_match_multi" -> bm25Query(Seq("merge", "sort", "window"), 10) _,
     "bm25_match_top100" -> bm25Query(Seq("hash", "join"), 100) _,
+    // fetch phase: ranked hits joined back to stored fields (broadcast)
+    "search_fetch" -> ((s, dir) =>
+      graft.query.Search.bm25(IndexCache.documents(s, dir), Seq("merge", "sort"), 10,
+        s.read.parquet(s"$dir/documents.parquet"), Seq("lang", "source", "n_chars"))
+        .select(col("doc_id"), round(col("score"), 4).as("score"),
+          col("lang"), col("source"), col("n_chars"))),
     "bm25_boosted" -> ((s, dir) =>
       Bm25.topK(IndexCache.documents(s, dir), Seq("join", "window"), 10,
         boosts = Map("window" -> 2.0))
@@ -122,6 +128,19 @@ object SparkEntry {
     "bm25_term_rare"    -> bm25OracleSql("'dup'", 10),
     "bm25_match_multi"  -> bm25OracleSql("'merge', 'sort', 'window'", 10),
     "bm25_match_top100" -> bm25OracleSql("'hash', 'join'", 100),
+    "search_fetch" ->
+      s"""WITH $TOK_CTE,
+         |score AS (
+         |  SELECT tf.doc_id,
+         |         sum( ln(1 + (stats.n - df.df + 0.5)/(df.df + 0.5))
+         |              * (tf.tf / (tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/stats.avgdl))) ) AS s
+         |  FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN stats
+         |  WHERE tf.term IN ('merge', 'sort')
+         |  GROUP BY tf.doc_id),
+         |topd AS (SELECT doc_id, round(s, 4) AS score FROM score
+         |         ORDER BY s DESC, doc_id LIMIT 10)
+         |SELECT t.doc_id, t.score, d.lang, d.source, d.n_chars
+         |FROM topd t JOIN documents d USING (doc_id)""".stripMargin,
     "bm25_boosted" ->
       s"""WITH $TOK_CTE,
          |score AS (
