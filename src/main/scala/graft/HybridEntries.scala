@@ -6,15 +6,23 @@ import org.apache.spark.sql.functions._
 import graft.functions.{Bound, BoundMode, Combine}
 import graft.hybrid._
 import graft.index.IndexCache
+import graft.ops.Sparse
 import graft.query.Bm25
 
 /**
  * Hybrid-query entries for the driver's correctness gate, plus a DuckDB
  * oracle-SQL generator that mirrors the exact pipeline shape
- * (per-sub-query BM25 -> top-depth -> normalize -> zero-filled align ->
- * combine -> page). Keeping the Spark plan and the SQL generator side by
- * side guarantees the oracle tests the same semantics SURVEY.md §3.1 maps
- * from the reference.
+ * (per-sub-query scoring -> optional per-group keep -> top-depth ->
+ * normalize -> zero-filled align -> combine -> optional collapse -> page).
+ * Keeping the Spark plan and the SQL generator side by side guarantees the
+ * oracle tests the same semantics SURVEY.md §3.1 maps from the reference.
+ *
+ * The heterogeneous entries (`hybrid_sparse_lex`, `hybrid_ann_lex`,
+ * `hybrid_tri_modal`) mix lexical BM25, sparse dot-product, and dense cosine
+ * sub-queries — score distributions with genuinely different scales pushed
+ * through one normalization/combination pipeline, the reference's defining
+ * use case (reference: query/HybridQueryBuilder.java:368-377 accepting
+ * match + neural + neural_sparse clauses).
  */
 object HybridEntries {
 
@@ -22,61 +30,106 @@ object HybridEntries {
   private val A = Seq("join", "hash")
   private val B = Seq("merge", "sort", "window")
   private val C = Seq("dup", "key")
+  /** sparse token-weight query (mock-encoder weight scale, unbounded sums) */
+  private val SQ = Seq("merge" -> 2.0, "window" -> 1.5, "dup" -> 0.7, "scan" -> 0.3)
+  /** dense query doc ids (cosine scores in [-1, 1]) */
+  private val DenseQ = 0L
+  private val DenseQ3 = 3L
 
   private val Depth = 50
 
-  private def q(sub: Seq[Seq[String]], norm: Normalization, comb: Combination,
-                k: Int = 10, from: Int = 0, minScore: Option[Double] = None) =
-    HybridQuery(sub.map(t => SubQuery(t)), norm, comb, k = k, depth = Depth, from = from,
-      minScore = minScore)
+  private def lex(ts: Seq[Seq[String]]): Seq[SubQuery] = ts.map(Lexical(_))
+
+  private def q(sub: Seq[SubQuery], norm: Normalization, comb: Combination,
+                k: Int = 10, from: Int = 0, minScore: Option[Double] = None,
+                collapse: Option[Collapse] = None) =
+    HybridQuery(sub, norm, comb, k = k, depth = Depth, from = from,
+      minScore = minScore, collapse = collapse)
+
+  private def sources(s: SparkSession, dir: String, query: HybridQuery): HybridSources = {
+    val idx = IndexCache.documents(s, dir)
+    val needSparse = query.subQueries.exists(_.isInstanceOf[SparseLinear])
+    val needDense = query.subQueries.exists(_.isInstanceOf[DenseCosine])
+    HybridSources(
+      idx,
+      sparse = if (needSparse) Some(Sparse.encode(idx)) else None,
+      emb = if (needDense) Some(s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id").as("doc_id"), col("embedding").as("vec"))) else None,
+      fields = query.collapse.map(_ =>
+        s.read.parquet(s"$dir/documents.parquet"))
+    )
+  }
 
   private def run(query: HybridQuery, langFilter: Option[String] = None)(
       s: SparkSession, dir: String): DataFrame = {
-    val idx = IndexCache.documents(s, dir)
     val filter = langFilter.map(l =>
       s.read.parquet(s"$dir/documents.parquet").where(col("lang") === l).select("doc_id"))
-    Hybrid.execute(idx, query, filter)
+    Hybrid.execute(sources(s, dir, query), query, filter)
       .select(col("doc_id"), round(col("score"), 4).as("score"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "hybrid_minmax_arith" ->
-      run(q(Seq(A, B), MinMaxNormTech(), Combination(Combine.Arithmetic))) _,
+      run(q(lex(Seq(A, B)), MinMaxNormTech(), Combination(Combine.Arithmetic))) _,
     "hybrid_k100" ->
-      run(q(Seq(A, B), MinMaxNormTech(), Combination(Combine.Arithmetic), k = 100)) _,
+      run(q(lex(Seq(A, B)), MinMaxNormTech(), Combination(Combine.Arithmetic), k = 100)) _,
     "hybrid_minmax_weighted" ->
-      run(q(Seq(A, B), MinMaxNormTech(), Combination(Combine.Arithmetic, Seq(0.7, 0.3)))) _,
+      run(q(lex(Seq(A, B)), MinMaxNormTech(), Combination(Combine.Arithmetic, Seq(0.7, 0.3)))) _,
     "hybrid_minmax_bounds" ->
-      run(q(Seq(A, B),
+      run(q(lex(Seq(A, B)),
         MinMaxNormTech(
           lower = Some(Seq(Bound(BoundMode.Apply, 0.05), Bound(BoundMode.Apply, 0.05))),
           upper = Some(Seq(Bound(BoundMode.Clip, 0.2), Bound(BoundMode.Clip, 0.2)))),
         Combination(Combine.Arithmetic))) _,
     "hybrid_l2_geometric" ->
-      run(q(Seq(A, B), L2NormTech, Combination(Combine.Geometric))) _,
+      run(q(lex(Seq(A, B)), L2NormTech, Combination(Combine.Geometric))) _,
     "hybrid_l2_harmonic3" ->
-      run(q(Seq(A, B, C), L2NormTech, Combination(Combine.Harmonic, Seq(0.5, 0.3, 0.2)))) _,
+      run(q(lex(Seq(A, B, C)), L2NormTech, Combination(Combine.Harmonic, Seq(0.5, 0.3, 0.2)))) _,
     "hybrid_zscore_arith" ->
-      run(q(Seq(A, B), ZScoreNormTech, Combination(Combine.Arithmetic))) _,
+      run(q(lex(Seq(A, B)), ZScoreNormTech, Combination(Combine.Arithmetic))) _,
     "hybrid_rrf" ->
-      run(q(Seq(A, B), RrfNormTech(60), Combination(Combine.Rrf))) _,
+      run(q(lex(Seq(A, B)), RrfNormTech(60), Combination(Combine.Rrf))) _,
     "hybrid_filtered" ->
-      run(q(Seq(A, B), MinMaxNormTech(), Combination(Combine.Arithmetic)),
+      run(q(lex(Seq(A, B)), MinMaxNormTech(), Combination(Combine.Arithmetic)),
         langFilter = Some("en")) _,
     "hybrid_paginated" ->
-      run(q(Seq(A, B), MinMaxNormTech(), Combination(Combine.Arithmetic), k = 10, from = 5)) _,
+      run(q(lex(Seq(A, B)), MinMaxNormTech(), Combination(Combine.Arithmetic), k = 10, from = 5)) _,
+
+    // ---- heterogeneous hybrid: the reference's core lifecycle ----
+    // lexical BM25 (scale ~[0, 10)) + sparse dot product (unbounded) through
+    // min_max — the one case normalization exists for
+    "hybrid_sparse_lex" ->
+      run(q(Seq(Lexical(A), SparseLinear(SQ.toMap)),
+        MinMaxNormTech(), Combination(Combine.Arithmetic))) _,
+    // lexical BM25 + dense cosine ([-1, 1], negatives included)
+    "hybrid_ann_lex" ->
+      run(q(Seq(Lexical(A), DenseCosine(DenseQ)),
+        MinMaxNormTech(), Combination(Combine.Arithmetic, Seq(0.6, 0.4)))) _,
+    // all three modalities rank-fused with RRF (rank-based combination is
+    // the scale-free path, reference: RRFNormalizationTechnique)
+    "hybrid_tri_modal" ->
+      run(q(Seq(Lexical(B), SparseLinear(SQ.toMap), DenseCosine(DenseQ3)),
+        RrfNormTech(60), Combination(Combine.Rrf))) _,
+
+    // collapse with docs_per_group_per_subquery > 1 (reference:
+    // HybridCollapsingTopDocsCollector): each sub-query contributes up to 3
+    // docs per source group; final page keeps the best doc per group
+    "collapse_multi" ->
+      run(q(lex(Seq(A, B)), MinMaxNormTech(), Combination(Combine.Arithmetic),
+        k = 10, collapse = Some(Collapse("source", 3)))) _,
+
     "collapse_by_source" -> (collapseBySource _),
     // explain mode: per-sub-query normalized scores alongside the combined one
     "hybrid_explain" -> ((s, dir) => {
       val idx = IndexCache.documents(s, dir)
-      Hybrid.executeExplain(idx, q(Seq(A, B), MinMaxNormTech(), Combination(Combine.Arithmetic)))
+      Hybrid.executeExplain(idx, q(lex(Seq(A, B)), MinMaxNormTech(), Combination(Combine.Arithmetic)))
         .select(col("doc_id"), round(col("norm0"), 4).as("norm0"),
           round(col("norm1"), 4).as("norm1"), round(col("score"), 4).as("score"))
     }),
     // min_score filter on the combined score (reference:
     // processor/combination/ScoreCombiner.java:377-395)
     "hybrid_min_score" ->
-      run(q(Seq(A, B), MinMaxNormTech(), Combination(Combine.Arithmetic),
+      run(q(lex(Seq(A, B)), MinMaxNormTech(), Combination(Combine.Arithmetic),
         k = 50, minScore = Some(0.35))) _,
     // sort-enabled hybrid: hits ordered by a stored field instead of score,
     // first-wins dedupe across sub-queries (reference:
@@ -109,6 +162,26 @@ object HybridEntries {
           |    "queries": [ { "match": { "text": "join hash" } },
           |                 { "match": { "text": "merge sort window" } } ],
           |    "filter": { "term": { "lang": "en" } },
+          |    "pagination_depth": 50 } },
+          |  "size": 10,
+          |  "search_pipeline": {
+          |    "normalization": { "technique": "min_max" },
+          |    "combination":   { "technique": "arithmetic_mean" } } }""".stripMargin
+      graft.query.QueryDsl.execute(idx, json, s, s.read.parquet(s"$dir/documents.parquet"))
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+    }),
+    // DSL with a neural_sparse clause + bool filter: the heterogeneous parse
+    // path (reference: NeuralSparseQueryBuilder.fromXContent query_tokens
+    // form + bool filter pushed into every sub-query)
+    "dsl_neural_sparse" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      val json =
+        """{ "query": { "hybrid": {
+          |    "queries": [ { "match": { "text": "join hash" } },
+          |                 { "neural_sparse": { "sparse_field": {
+          |                     "query_tokens": { "merge": 2.0, "window": 1.5,
+          |                                       "dup": 0.7, "scan": 0.3 } } } } ],
+          |    "filter": { "bool": { "must": [ { "term": { "lang": "en" } } ] } },
           |    "pagination_depth": 50 } },
           |  "size": 10,
           |  "search_pipeline": {
@@ -153,19 +226,70 @@ object HybridEntries {
     """sum( ln(1 + (stats.n - df.df + 0.5)/(df.df + 0.5))
       |              * (tf.tf / (tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/stats.avgdl))) )""".stripMargin
 
-  private def subqCtes(i: Int, terms: Seq[String], filterSql: String): String =
-    s"""sq$i AS (
-       |  SELECT tf.doc_id, $Bm25Sum AS s
-       |  FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN stats
-       |  WHERE tf.term IN (${termList(terms)})$filterSql
-       |  GROUP BY tf.doc_id),
-       |top$i AS (
-       |  SELECT doc_id, s, rnk FROM (
-       |    SELECT doc_id, s, row_number() OVER (ORDER BY s DESC, doc_id) AS rnk FROM sq$i)
-       |  WHERE rnk <= $Depth)""".stripMargin
+  /** mock sparse encoder over the token CTE (parity with Sparse.encode) */
+  private val TwCte =
+    """htw AS (SELECT doc_id, term AS token,
+      |             tf * (1.0 + (length(term) % 5) * 0.25) AS w FROM tf)""".stripMargin
 
-  private def normCtes(i: Int, norm: Normalization): String = norm match {
-    case MinMaxNormTech(None, None) =>
+  /** cosine matching Ann.cosine's association exactly */
+  private def cosSql(a: String, b: String): String = {
+    def d(x: String, y: String) =
+      s"list_dot_product(CAST($x AS DOUBLE[]), CAST($y AS DOUBLE[]))"
+    s"(${d(a, b)} / (sqrt(${d(a, a)}) * sqrt(${d(b, b)})))"
+  }
+
+  /** score CTE for one sub-query clause: sq$i(doc_id, s). `filterPred` is a
+   *  predicate template over the alias's doc-id column. */
+  private def scoreCte(i: Int, sq: SubQuery, filterPred: Option[String]): String = sq match {
+    case Lexical(terms, _) =>
+      val f = filterPred.map(p => s" AND tf.${p}").getOrElse("")
+      s"""sq$i AS (
+         |  SELECT tf.doc_id, $Bm25Sum AS s
+         |  FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN stats
+         |  WHERE tf.term IN (${termList(terms)})$f
+         |  GROUP BY tf.doc_id)""".stripMargin
+    case SparseLinear(query) =>
+      val vals = query.toSeq.sortBy(_._1)
+        .map { case (t, w) => s"('$t', $w)" }.mkString(", ")
+      val f = filterPred.map(p => s" WHERE htw.${p}").getOrElse("")
+      s"""sq$i AS (
+         |  SELECT doc_id, sum(w * qw) AS s
+         |  FROM htw JOIN (SELECT * FROM (VALUES $vals) t(token, qw)) q$i USING (token)$f
+         |  GROUP BY doc_id)""".stripMargin
+    case DenseCosine(qid) =>
+      // only the outer column is the embedding table's id; the subquery's
+      // doc_id stays (the filter table is `documents`)
+      val f = filterPred.map(p => s" WHERE e.${p.replaceFirst("doc_id", "vec_id")}").getOrElse("")
+      s"""sq$i AS (
+         |  SELECT e.vec_id AS doc_id, ${cosSql("e.embedding", "q.qv")} AS s
+         |  FROM embeddings e CROSS JOIN
+         |       (SELECT embedding AS qv FROM embeddings WHERE vec_id = $qid) q$f)""".stripMargin
+  }
+
+  /** collection CTE: optional per-(group, sub-query) keep, then top-depth
+   *  with the collection rank used by RRF. */
+  private def topCte(i: Int, collapse: Option[Collapse]): String = collapse match {
+    case None =>
+      s"""top$i AS (
+         |  SELECT doc_id, s, rnk FROM (
+         |    SELECT doc_id, s, row_number() OVER (ORDER BY s DESC, doc_id) AS rnk FROM sq$i)
+         |  WHERE rnk <= $Depth)""".stripMargin
+    case Some(c) =>
+      s"""grp$i AS (
+         |  SELECT doc_id, s FROM (
+         |    SELECT sq.doc_id, sq.s,
+         |           row_number() OVER (PARTITION BY d.${c.field}
+         |                              ORDER BY sq.s DESC, sq.doc_id) AS grn
+         |    FROM sq$i sq JOIN documents d USING (doc_id))
+         |  WHERE grn <= ${c.docsPerGroupPerSubquery}),
+         |top$i AS (
+         |  SELECT doc_id, s, rnk FROM (
+         |    SELECT doc_id, s, row_number() OVER (ORDER BY s DESC, doc_id) AS rnk FROM grp$i)
+         |  WHERE rnk <= $Depth)""".stripMargin
+  }
+
+  private def normCtes(i: Int, norm: Normalization, lower: Option[Bound], upper: Option[Bound]): String = norm match {
+    case MinMaxNormTech(_, _) if lower.isEmpty && upper.isEmpty =>
       s"""st$i AS (SELECT min(s) AS mn, max(s) AS mx FROM top$i),
          |n$i AS (SELECT doc_id,
          |  CASE WHEN st.mx = st.mn AND st.mx = t.s THEN 1.0
@@ -173,9 +297,9 @@ object HybridEntries {
          |       WHEN (t.s - st.mn)/(st.mx - st.mn) = 0.0 THEN 0.001
          |       ELSE (t.s - st.mn)/(st.mx - st.mn) END AS ns
          |  FROM top$i t, st$i st)""".stripMargin
-    case MinMaxNormTech(lower, upper) =>
-      val lb = lower.map(_(i))
-      val ub = upper.map(_(i))
+    case MinMaxNormTech(_, _) =>
+      val lb = lower
+      val ub = upper
       val emn = lb match {
         case Some(Bound(BoundMode.Apply, b)) =>
           s"CASE WHEN st.mx > $b AND t.s > $b THEN $b ELSE st.mn END"
@@ -259,13 +383,23 @@ object HybridEntries {
     }
   }
 
-  def hybridOracle(tokCte: String, sub: Seq[Seq[String]], norm: Normalization,
+  def hybridOracle(tokCte: String, sub: Seq[SubQuery], norm: Normalization,
                    comb: Combination, k: Int = 10, from: Int = 0,
-                   filterSql: String = "", explain: Boolean = false,
-                   minScore: Option[Double] = None): String = {
+                   filterPred: Option[String] = None, explain: Boolean = false,
+                   minScore: Option[Double] = None,
+                   collapse: Option[Collapse] = None): String = {
     val n = sub.size
-    val subq = sub.zipWithIndex.map { case (t, i) => subqCtes(i, t, filterSql) }.mkString(",\n")
-    val norms = (0 until n).map(i => normCtes(i, norm)).mkString(",\n")
+    val twPart = if (sub.exists(_.isInstanceOf[SparseLinear])) s",\n$TwCte" else ""
+    val subq = sub.zipWithIndex.map { case (t, i) =>
+      scoreCte(i, t, filterPred) + ",\n" + topCte(i, collapse)
+    }.mkString(",\n")
+    val norms = (0 until n).map { i =>
+      val (lb, ub) = norm match {
+        case MinMaxNormTech(lo, up) => (lo.map(_(i)), up.map(_(i)))
+        case _ => (None, None)
+      }
+      normCtes(i, norm, lb, ub)
+    }.mkString(",\n")
     val cmb = combineSql(n, comb)
     val offset = if (from > 0) s" OFFSET $from" else ""
     val msWhere = minScore.map(ms => s"\nWHERE c >= $ms").getOrElse("")
@@ -273,56 +407,86 @@ object HybridEntries {
       if (explain) (0 until n).map(i => s"round(s$i, 4) AS norm$i, ").mkString
       else ""
     val normIn = if (explain) (0 until n).map(i => s"s$i, ").mkString else ""
-    s"""WITH $tokCte,
+    val finalSel = collapse match {
+      case None =>
+        s"""SELECT doc_id, ${normOut}round(c, 4) AS score
+           |FROM (SELECT doc_id, $normIn$cmb AS c FROM al)$msWhere
+           |ORDER BY c DESC, doc_id LIMIT $k$offset""".stripMargin
+      case Some(cl) =>
+        // one doc per group by combined score (best-of-group), then page
+        s"""SELECT doc_id, round(c, 4) AS score FROM (
+           |  SELECT al.doc_id, $cmb AS c,
+           |         row_number() OVER (PARTITION BY d.${cl.field}
+           |                            ORDER BY $cmb DESC, al.doc_id) AS crn
+           |  FROM al JOIN documents d USING (doc_id))
+           |WHERE crn = 1$msWhere
+           |ORDER BY c DESC, doc_id LIMIT $k$offset""".stripMargin
+    }
+    s"""WITH $tokCte$twPart,
        |$subq,
        |$norms,
        |${alignCte(n)}
-       |SELECT doc_id, ${normOut}round(c, 4) AS score
-       |FROM (SELECT doc_id, $normIn$cmb AS c FROM al)$msWhere
-       |ORDER BY c DESC, doc_id LIMIT $k$offset""".stripMargin
+       |$finalSel""".stripMargin
   }
 
   def oracles(tokCte: String): Map[String, String] = {
-    val langF = " AND tf.doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')"
+    val langF = Some("doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')")
     Map(
       "hybrid_minmax_arith" ->
-        hybridOracle(tokCte, Seq(A, B), MinMaxNormTech(), Combination(Combine.Arithmetic)),
+        hybridOracle(tokCte, lex(Seq(A, B)), MinMaxNormTech(), Combination(Combine.Arithmetic)),
       "hybrid_k100" ->
-        hybridOracle(tokCte, Seq(A, B), MinMaxNormTech(), Combination(Combine.Arithmetic),
+        hybridOracle(tokCte, lex(Seq(A, B)), MinMaxNormTech(), Combination(Combine.Arithmetic),
           k = 100),
       "hybrid_minmax_weighted" ->
-        hybridOracle(tokCte, Seq(A, B), MinMaxNormTech(),
+        hybridOracle(tokCte, lex(Seq(A, B)), MinMaxNormTech(),
           Combination(Combine.Arithmetic, Seq(0.7, 0.3))),
       "hybrid_minmax_bounds" ->
-        hybridOracle(tokCte, Seq(A, B),
+        hybridOracle(tokCte, lex(Seq(A, B)),
           MinMaxNormTech(
             lower = Some(Seq(Bound(BoundMode.Apply, 0.05), Bound(BoundMode.Apply, 0.05))),
             upper = Some(Seq(Bound(BoundMode.Clip, 0.2), Bound(BoundMode.Clip, 0.2)))),
           Combination(Combine.Arithmetic)),
       "hybrid_l2_geometric" ->
-        hybridOracle(tokCte, Seq(A, B), L2NormTech, Combination(Combine.Geometric)),
+        hybridOracle(tokCte, lex(Seq(A, B)), L2NormTech, Combination(Combine.Geometric)),
       "hybrid_l2_harmonic3" ->
-        hybridOracle(tokCte, Seq(A, B, C), L2NormTech,
+        hybridOracle(tokCte, lex(Seq(A, B, C)), L2NormTech,
           Combination(Combine.Harmonic, Seq(0.5, 0.3, 0.2))),
       "hybrid_zscore_arith" ->
-        hybridOracle(tokCte, Seq(A, B), ZScoreNormTech, Combination(Combine.Arithmetic)),
+        hybridOracle(tokCte, lex(Seq(A, B)), ZScoreNormTech, Combination(Combine.Arithmetic)),
       "hybrid_rrf" ->
-        hybridOracle(tokCte, Seq(A, B), RrfNormTech(60), Combination(Combine.Rrf)),
+        hybridOracle(tokCte, lex(Seq(A, B)), RrfNormTech(60), Combination(Combine.Rrf)),
       "hybrid_filtered" ->
-        hybridOracle(tokCte, Seq(A, B), MinMaxNormTech(), Combination(Combine.Arithmetic),
-          filterSql = langF),
+        hybridOracle(tokCte, lex(Seq(A, B)), MinMaxNormTech(), Combination(Combine.Arithmetic),
+          filterPred = langF),
       "dsl_hybrid" ->
-        hybridOracle(tokCte, Seq(A, B), MinMaxNormTech(), Combination(Combine.Arithmetic),
-          filterSql = langF),
+        hybridOracle(tokCte, lex(Seq(A, B)), MinMaxNormTech(), Combination(Combine.Arithmetic),
+          filterPred = langF),
       "hybrid_paginated" ->
-        hybridOracle(tokCte, Seq(A, B), MinMaxNormTech(), Combination(Combine.Arithmetic),
+        hybridOracle(tokCte, lex(Seq(A, B)), MinMaxNormTech(), Combination(Combine.Arithmetic),
           k = 10, from = 5),
       "hybrid_explain" ->
-        hybridOracle(tokCte, Seq(A, B), MinMaxNormTech(), Combination(Combine.Arithmetic),
+        hybridOracle(tokCte, lex(Seq(A, B)), MinMaxNormTech(), Combination(Combine.Arithmetic),
           explain = true),
       "hybrid_min_score" ->
-        hybridOracle(tokCte, Seq(A, B), MinMaxNormTech(), Combination(Combine.Arithmetic),
+        hybridOracle(tokCte, lex(Seq(A, B)), MinMaxNormTech(), Combination(Combine.Arithmetic),
           k = 50, minScore = Some(0.35)),
+
+      "hybrid_sparse_lex" ->
+        hybridOracle(tokCte, Seq(Lexical(A), SparseLinear(SQ.toMap)),
+          MinMaxNormTech(), Combination(Combine.Arithmetic)),
+      "hybrid_ann_lex" ->
+        hybridOracle(tokCte, Seq(Lexical(A), DenseCosine(DenseQ)),
+          MinMaxNormTech(), Combination(Combine.Arithmetic, Seq(0.6, 0.4))),
+      "hybrid_tri_modal" ->
+        hybridOracle(tokCte, Seq(Lexical(B), SparseLinear(SQ.toMap), DenseCosine(DenseQ3)),
+          RrfNormTech(60), Combination(Combine.Rrf)),
+      "collapse_multi" ->
+        hybridOracle(tokCte, lex(Seq(A, B)), MinMaxNormTech(), Combination(Combine.Arithmetic),
+          k = 10, collapse = Some(Collapse("source", 3))),
+      "dsl_neural_sparse" ->
+        hybridOracle(tokCte, Seq(Lexical(A), SparseLinear(SQ.toMap)),
+          MinMaxNormTech(), Combination(Combine.Arithmetic), filterPred = langF),
+
       "hybrid_sorted" ->
         s"""WITH $tokCte,
            |m AS (

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{Bound, Combine, ScoreFunctions}
 import graft.index.Index
+import graft.ops.{Ann, Sparse, TopN}
 import graft.query.Bm25
 
 /**
@@ -13,13 +14,31 @@ import graft.query.Bm25
  * page. This is the Spark re-expression of the reference's full
  * `hybrid` search lifecycle (SURVEY.md §3.1):
  *
+ *  - HETEROGENEOUS sub-queries: a hybrid query mixes lexical BM25, sparse
+ *    token-weight (neural_sparse), and dense vector (neural kNN) clauses —
+ *    the reference accepts any QueryBuilder as a sub-query
+ *    (reference: query/HybridQueryBuilder.java:368-377 building match +
+ *    neural + neural_sparse clauses; query/NeuralQueryBuilder.java,
+ *    query/NeuralSparseQueryBuilder.java:568-589) — which is the one case
+ *    the normalization machinery exists for: per-sub-query score
+ *    distributions with genuinely different scales (BM25 in [0, ~idf-sum),
+ *    sparse dot products unbounded, cosine in [-1, 1]);
  *  - sub-query scoring + per-sub-query top-k collection
  *    (reference: search/collector/HybridTopScoreDocCollector.java:135-190)
- *    = BM25 block scorer + a rank window bounded by `depth`
- *    (`pagination_depth`, reference: query/HybridQueryBuilder.java:61-68);
+ *    = each scorer's bounded output fed to a TakeOrdered top-depth
+ *    (`pagination_depth`, reference: query/HybridQueryBuilder.java:61-68) —
+ *    a per-partition heap + single merge of <= depth rows, never a global
+ *    sort partitioned by sub-query index;
  *  - filter pushed into every sub-query as a non-scoring clause
  *    (reference: query/HybridQueryBuilder.java:116-127) = a left-semi join
- *    applied before top-depth selection;
+ *    applied before top-depth selection (no broadcast hint: the filter can
+ *    be half the corpus, so the join strategy is AQE's call);
+ *  - collapse with `docs_per_group_per_subquery`: during collection each
+ *    sub-query keeps the best n docs per group value, and the final page
+ *    keeps one doc per group (reference:
+ *    search/collector/HybridCollapsingTopDocsCollector.java,
+ *    plugin/NeuralSearch.java:367) — the per-group keep is a salted
+ *    two-level rank, never a one-task-per-group sort;
  *  - normalization across the whole collected set per sub-query
  *    (reference: processor/NormalizationProcessorWorkflow.java:66-124) =
  *    a per-subQueryIdx aggregate broadcast-joined back, feeding the Catalyst
@@ -30,10 +49,11 @@ import graft.query.Bm25
  *  - combination + min_score filter + pagination
  *    (reference: ScoreCombiner.java:377-395, NormalizationProcessorWorkflow.java:276-282).
  *
- * Scale notes: everything after sub-query scoring operates on at most
- * depth x numSubQueries rows, so the only scale-bearing stages are the BM25
+ * Scale notes: everything after sub-query collection operates on at most
+ * depth x numSubQueries rows, so the only scale-bearing stages are the
  * scorers themselves; stats aggregates are single-row-per-subquery and
- * broadcast.
+ * broadcast. The collection stage is TakeOrdered (per-partition bounded
+ * heap), so no stage sorts an unbounded row set in <= numSubQueries tasks.
  */
 sealed trait Normalization
 case class MinMaxNormTech(lower: Option[Seq[Bound]] = None, upper: Option[Seq[Bound]] = None) extends Normalization
@@ -43,7 +63,45 @@ case class RrfNormTech(rankConstant: Int = 60) extends Normalization
 
 case class Combination(technique: String, weights: Seq[Double] = Nil)
 
-case class SubQuery(terms: Seq[String], boosts: Map[String, Double] = Map.empty)
+/** One hybrid sub-query clause. The reference builds these from any
+ *  registered QueryBuilder (HybridQueryBuilder.java:368-377). */
+sealed trait SubQuery
+
+/** Lexical BM25 clause — the `match`/`term` sub-query shape. */
+case class Lexical(terms: Seq[String], boosts: Map[String, Double] = Map.empty) extends SubQuery
+
+/** Sparse token-weight clause — `neural_sparse`: linear dot product of the
+ *  query token map against the encoded corpus
+ *  (reference: query/NeuralSparseQueryBuilder.java:568-581). */
+case class SparseLinear(query: Map[String, Double]) extends SubQuery
+
+/** Dense vector clause — `neural` kNN: cosine similarity against the corpus
+ *  embedding column; the query vector is the stored embedding of
+ *  `queryId` (deterministic stand-in for ML inference, zero-egress)
+ *  (reference: query/NeuralKNNQueryBuilder.java). */
+case class DenseCosine(queryId: Long) extends SubQuery
+
+object SubQuery {
+  /** Back-compat constructor: a bare SubQuery(terms) is a lexical clause. */
+  def apply(terms: Seq[String], boosts: Map[String, Double] = Map.empty): Lexical =
+    Lexical(terms, boosts)
+}
+
+/** Field collapsing config (reference: HybridCollapsingTopDocsCollector —
+ *  `docs_per_group_per_subquery` bounds how many docs of one group each
+ *  sub-query may contribute before normalization). */
+case class Collapse(field: String, docsPerGroupPerSubquery: Int = 1)
+
+/** The data sources hybrid sub-queries score against: the inverted index
+ *  (lexical), the encoded token-weight table (sparse: doc_id, token, w), the
+ *  embedding table (dense: doc_id, vec), and the stored-fields table
+ *  (collapse group values). */
+case class HybridSources(
+    idx: Index,
+    sparse: Option[DataFrame] = None,
+    emb: Option[DataFrame] = None,
+    fields: Option[DataFrame] = None
+)
 
 case class HybridQuery(
     subQueries: Seq[SubQuery],
@@ -53,7 +111,8 @@ case class HybridQuery(
     depth: Int = 50,
     from: Int = 0,
     minScore: Option[Double] = None,
-    useFloat: Boolean = false
+    useFloat: Boolean = false,
+    collapse: Option[Collapse] = None
 )
 
 object Hybrid {
@@ -63,7 +122,7 @@ object Hybrid {
 
   /** z_score only combines with arithmetic_mean
    *  (reference: ScoreNormalizationFactory.java:111-132). */
-  private def validate(q: HybridQuery): Unit = {
+  private def validate(src: HybridSources, q: HybridQuery): Unit = {
     require(q.subQueries.nonEmpty && q.subQueries.size <= MaxSubQueries,
       s"hybrid query supports 1..$MaxSubQueries sub-queries")
     require(q.norm != ZScoreNormTech || q.comb.technique == Combine.Arithmetic,
@@ -73,6 +132,15 @@ object Hybrid {
       require(math.abs(q.comb.weights.sum - 1.0) <= 0.01, "weights must sum to 1.0 (+-0.01)")
       require(q.comb.weights.forall(w => w >= 0 && w <= 1), "weights must be in [0,1]")
     }
+    q.subQueries.foreach {
+      case _: SparseLinear => require(src.sparse.nonEmpty,
+        "sparse sub-query requires HybridSources.sparse (doc_id, token, w)")
+      case _: DenseCosine => require(src.emb.nonEmpty,
+        "dense sub-query requires HybridSources.emb (doc_id, vec)")
+      case _ => ()
+    }
+    require(q.collapse.isEmpty || src.fields.nonEmpty,
+      "collapse requires HybridSources.fields with the collapse column")
   }
 
   /**
@@ -81,40 +149,74 @@ object Hybrid {
    * @return DataFrame(doc_id, score) — the final page, ordered.
    */
   def execute(idx: Index, q: HybridQuery, filterDocs: Option[DataFrame] = None): DataFrame =
-    full(idx, q, filterDocs).select($"doc_id", $"score")
+    execute(HybridSources(idx), q, filterDocs)
+
+  def execute(src: HybridSources, q: HybridQuery, filterDocs: Option[DataFrame]): DataFrame =
+    full(src, q, filterDocs).select($"doc_id", $"score")
 
   /** Explain mode: the final page plus the per-sub-query normalized scores
    *  that produced each combined score (reference:
    *  processor/ExplanationResponseProcessor.java — per-doc normalization/
    *  combination breakdown attached to every hit). Columns:
    *  doc_id, norm0..norm{n-1}, score. */
-  def executeExplain(idx: Index, q: HybridQuery, filterDocs: Option[DataFrame] = None): DataFrame = {
+  def executeExplain(idx: Index, q: HybridQuery, filterDocs: Option[DataFrame] = None): DataFrame =
+    executeExplain(HybridSources(idx), q, filterDocs)
+
+  def executeExplain(src: HybridSources, q: HybridQuery, filterDocs: Option[DataFrame]): DataFrame = {
     val normCols = q.subQueries.indices.map(i =>
       element_at($"scores", i + 1).as(s"norm$i"))
-    full(idx, q, filterDocs).select(($"doc_id" +: normCols :+ $"score"): _*)
+    full(src, q, filterDocs).select(($"doc_id" +: normCols :+ $"score"): _*)
   }
 
-  private def full(idx: Index, q: HybridQuery, filterDocs: Option[DataFrame] = None): DataFrame = {
-    validate(q)
-    val spark = idx.postings.sparkSession
+  /** Score one sub-query clause: DataFrame(doc_id, score), unbounded rows. */
+  private def scoreClause(src: HybridSources, sq: SubQuery, boundPerBucket: Int): DataFrame =
+    sq match {
+      case Lexical(terms, boosts) =>
+        Bm25.scoreTerms(src.idx, terms, boosts, limitPerBucket = boundPerBucket)
+      case SparseLinear(qm) =>
+        Sparse.linearScore(src.sparse.get, qm)
+      case DenseCosine(qid) =>
+        // brute cosine against the whole embedding table; the scan feeds a
+        // TakeOrdered top-depth, so no intermediate is larger than the table
+        // itself. An ANN front (Seismic/IVF) slots in as a candidate filter.
+        val e = src.emb.get
+        val qv = e.where($"doc_id" === qid).select($"vec".as("qv"))
+        e.crossJoin(broadcast(qv))
+          .select($"doc_id", Ann.cosine($"vec", $"qv").as("score"))
+    }
 
-    // 1. per-sub-query scoring, filter pushed before top-depth selection
-    val scoredPerSub: Seq[DataFrame] = q.subQueries.zipWithIndex.map { case (sq, i) =>
-      val raw = Bm25.scoreTerms(idx, sq.terms, sq.boosts,
-        limitPerBucket = if (filterDocs.isEmpty) q.depth else 0)
+  private def full(src: HybridSources, q: HybridQuery, filterDocs: Option[DataFrame]): DataFrame = {
+    validate(src, q)
+
+    // 1. per-sub-query scoring; non-scoring filter applied before collection.
+    // The per-bucket bound inside the BM25 scorer is only safe when nothing
+    // after scoring can resurrect a below-bound doc (no filter, no collapse).
+    val boundPerBucket = if (filterDocs.isEmpty && q.collapse.isEmpty) q.depth else 0
+    val collectedPerSub: Seq[DataFrame] = q.subQueries.zipWithIndex.map { case (sq, i) =>
+      val raw = scoreClause(src, sq, boundPerBucket)
       val filtered = filterDocs match {
-        case Some(f) => raw.join(broadcast(f.select("doc_id")), Seq("doc_id"), "left_semi")
+        case Some(f) => raw.join(f.select("doc_id"), Seq("doc_id"), "left_semi")
         case None    => raw
       }
-      filtered.withColumn("subq", lit(i))
+      // collapse collection bound: best n per group per sub-query
+      val grouped = q.collapse match {
+        case Some(c) =>
+          val g = src.fields.get.select(col("doc_id"), col(c.field).as("_grp"))
+          TopN.perGroup(filtered.join(g, "doc_id"), Seq("_grp"), "doc_id",
+            c.docsPerGroupPerSubquery, Seq($"score".desc, $"doc_id".asc))
+            .drop("_grp")
+        case None => filtered
+      }
+      // 2. top-depth per sub-query (the collector's HitQueue bound):
+      // TakeOrdered = bounded per-partition heap + one <=depth-row merge
+      grouped.orderBy($"score".desc, $"doc_id".asc).limit(q.depth)
+        .withColumn("subq", lit(i))
     }
-    val union = scoredPerSub.reduce(_ unionByName _)
+    val union = collectedPerSub.reduce(_ unionByName _)
 
-    // 2. top-depth per sub-query (the collector's HitQueue bound)
+    // rank within each sub-query (feeds RRF); input is <= nSub x depth rows
     val byRank = Window.partitionBy($"subq").orderBy($"score".desc, $"doc_id".asc)
-    val collected = union
-      .withColumn("rank", row_number().over(byRank))
-      .filter($"rank" <= q.depth)
+    val collected = union.withColumn("rank", row_number().over(byRank))
 
     // 3. normalize
     val normalized: DataFrame = q.norm match {
@@ -166,8 +268,18 @@ object Hybrid {
         ScoreFunctions.combineScores($"scores", q.comb.technique, q.comb.weights, q.useFloat))
       .select($"doc_id", $"scores", $"score")
 
-    // 5. min_score filter + final page
-    val filtered = q.minScore.fold(aligned)(ms => aligned.filter($"score" >= ms))
+    // 5. final collapse (one doc per group, best combined score), min_score
+    // filter + final page — all over <= nSub x depth rows
+    val collapsed = q.collapse match {
+      case Some(c) =>
+        val g = src.fields.get.select(col("doc_id"), col(c.field).as("_grp"))
+        val wg = Window.partitionBy($"_grp").orderBy($"score".desc, $"doc_id".asc)
+        aligned.join(g, "doc_id")
+          .withColumn("_rn", row_number().over(wg))
+          .filter($"_rn" === 1).drop("_rn", "_grp")
+      case None => aligned
+    }
+    val filtered = q.minScore.fold(collapsed)(ms => collapsed.filter($"score" >= ms))
     val ordered = filtered.orderBy($"score".desc, $"doc_id".asc)
     val paged = if (q.from > 0) ordered.offset(q.from) else ordered
     paged.limit(q.k)

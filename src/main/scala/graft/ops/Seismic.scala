@@ -98,10 +98,13 @@ object Seismic {
     val spark = tw.sparkSession
     import spark.implicits._
 
-    // n_postings prune per term by weight (desc), deterministic tie-break
-    val byW = Window.partitionBy(col("token")).orderBy(col("w").desc, col("doc_id").asc)
-    val pruned = tw.withColumn("rn", row_number().over(byW))
-      .filter(col("rn") <= nPostings).drop("rn")
+    // n_postings prune per term by weight (desc), deterministic tie-break.
+    // Two-level salted rank: a head token's full posting list would otherwise
+    // land on ONE task (the hot partition the bucketed inverted-index build
+    // avoids by design); stage 1 ranks within (token, salt), stage 2 ranks
+    // the <= 64 x nPostings survivors per token.
+    val pruned = TopN.perGroup(tw, Seq("token"), "doc_id", nPostings,
+      Seq(col("w").desc, col("doc_id").asc))
 
     val fwd = forward(tw)
     val member = pruned.select(col("token").as("term"), col("doc_id"))
@@ -202,10 +205,12 @@ object Seismic {
     }.toDF("term", "cluster_id", "ub", "doc_ids")
 
     // non-scoring filter intersected with candidates before rescoring
-    // (reference: sparse/query/OrderedPostingWithClustersScorer.java:46-52)
+    // (reference: sparse/query/OrderedPostingWithClustersScorer.java:46-52).
+    // No broadcast hint: the filter can be an unbounded share of the corpus
+    // (e.g. lang = 'en'), so the semi-join strategy is AQE's call.
     def score(docIds: DataFrame): DataFrame = {
       val filtered = filterDocs match {
-        case Some(f) => docIds.join(broadcast(f.select("doc_id")), Seq("doc_id"), "left_semi")
+        case Some(f) => docIds.join(f.select("doc_id"), Seq("doc_id"), "left_semi")
         case None    => docIds
       }
       filtered.distinct()

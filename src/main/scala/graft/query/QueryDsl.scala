@@ -7,19 +7,24 @@ import graft.analysis.Analyzer
 import graft.functions.Combine
 import graft.hybrid._
 import graft.index.Index
+import graft.ops.Sparse
 
 /**
  * JSON query DSL — the parse step of the reference's search lifecycle
  * (reference: query/HybridQueryBuilder.java:202-299 fromXContent — <=5
- * sub-queries, optional filter, pagination_depth; plus the search-pipeline
- * normalization/combination config the normalization processor reads,
- * processor/NormalizationProcessor.java). A request like:
+ * sub-queries, optional filter, pagination_depth, boost != 1.0 REJECTED at
+ * the hybrid level per HybridQueryBuilder.java:247-253; plus the
+ * search-pipeline normalization/combination config the normalization
+ * processor reads, processor/NormalizationProcessor.java). A request like:
  *
  * {{{
  * { "query": { "hybrid": {
  *     "queries": [ { "match": { "text": "merge sort" } },
- *                  { "term":  { "text": "join" } } ],
- *     "filter": { "term": { "lang": "en" } },
+ *                  { "neural_sparse": { "sparse_field": {
+ *                      "query_tokens": { "join": 2.0, "hash": 0.5 } } } },
+ *                  { "neural": { "embedding": { "query_id": 7 } } } ],
+ *     "filter": { "bool": { "must": [ { "term": { "lang": "en" } },
+ *                                     { "term": { "source": "s1" } } ] } },
  *     "pagination_depth": 50 } },
  *   "size": 10, "from": 0, "min_score": 0.1,
  *   "search_pipeline": {
@@ -27,14 +32,23 @@ import graft.index.Index
  *     "combination":   { "technique": "arithmetic_mean", "weights": [0.7, 0.3] } } }
  * }}}
  *
- * parses to a [[HybridQuery]] + an optional field filter, and `execute` runs
- * it against an index. Jackson ships with Spark (no extra dependency).
+ * parses to a [[HybridQuery]] + equality filters, and `execute` runs it
+ * against [[HybridSources]]. Sub-query kinds mirror the reference's builders:
+ * `match`/`term` (lexical BM25), `neural_sparse` with explicit `query_tokens`
+ * (reference: NeuralSparseQueryBuilder.java:307-374 — the query_tokens form;
+ * model inference is out of scope under zero egress), `neural` with
+ * `query_id` (a stored-embedding lookup standing in for text-to-vector
+ * inference, reference: NeuralQueryBuilder/NeuralKNNQueryBuilder).
+ * Jackson ships with Spark (no extra dependency).
  */
 object QueryDsl {
 
   private val mapper = new ObjectMapper()
 
-  case class Parsed(query: HybridQuery, filterField: Option[(String, String)])
+  case class Parsed(query: HybridQuery, filters: Seq[(String, String)]) {
+    /** first equality filter, if any (back-compat accessor) */
+    def filterField: Option[(String, String)] = filters.headOption
+  }
 
   def parse(json: String, analyzer: String = Analyzer.Simple): Parsed = {
     val root = mapper.readTree(json)
@@ -42,26 +56,19 @@ object QueryDsl {
       .filterNot(_.isMissingNode)
       .getOrElse(throw new IllegalArgumentException("query.hybrid is required"))
 
+    // the reference rejects any non-default boost on the hybrid query itself
+    // (HybridQueryBuilder.java:247-253)
+    val boostNode = hybrid.path("boost")
+    require(boostNode.isMissingNode || boostNode.asDouble(1.0) == 1.0,
+      "hybrid query does not support [boost]")
+
     val subs = {
       val arr = hybrid.path("queries")
       require(arr.isArray && arr.size() > 0, "hybrid.queries must be a non-empty array")
-      (0 until arr.size()).map { i =>
-        val q = arr.get(i)
-        if (!q.path("match").isMissingNode) {
-          val (_, text) = firstField(q.path("match"))
-          SubQuery(Analyzer.analyze(analyzer)(text.asText()).toSeq)
-        } else if (!q.path("term").isMissingNode) {
-          val (_, v) = firstField(q.path("term"))
-          SubQuery(Seq(v.asText()))
-        } else throw new IllegalArgumentException(s"unsupported sub-query: $q")
-      }
+      (0 until arr.size()).map(i => parseSubQuery(arr.get(i), analyzer))
     }
 
-    val filterField = Option(hybrid.path("filter").path("term"))
-      .filterNot(_.isMissingNode)
-      .filter(_.isObject)
-      .map(firstField)
-      .map { case (name, v) => (name, v.asText()) }
+    val filters = parseFilter(hybrid.path("filter"))
 
     val pipeline = root.path("search_pipeline")
     val normNode = pipeline.path("normalization")
@@ -89,18 +96,65 @@ object QueryDsl {
         from = root.path("from").asInt(0),
         minScore = Option(root.path("min_score")).filter(_.isNumber).map(_.asDouble())
       ),
-      filterField
+      filters
     )
   }
 
-  /** Parse + execute against an index; `docs` supplies filter fields. */
-  def execute(idx: Index, json: String, spark: SparkSession, docs: => DataFrame): DataFrame = {
-    val parsed = parse(json, idx.analyzer)
-    val filterDf = parsed.filterField.map { case (field, value) =>
-      docs.where(col(field) === value).select("doc_id")
+  private def parseSubQuery(q: JsonNode, analyzer: String): SubQuery =
+    if (!q.path("match").isMissingNode) {
+      val (_, text) = firstField(q.path("match"))
+      Lexical(Analyzer.analyze(analyzer)(text.asText()).toSeq)
+    } else if (!q.path("term").isMissingNode) {
+      val (_, v) = firstField(q.path("term"))
+      Lexical(Seq(v.asText()))
+    } else if (!q.path("neural_sparse").isMissingNode) {
+      val (_, body) = firstField(q.path("neural_sparse"))
+      val toks = body.path("query_tokens")
+      require(toks.isObject && toks.size() > 0,
+        "neural_sparse requires a non-empty query_tokens object (model inference is out of scope)")
+      val m = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+      toks.fields().forEachRemaining(e => m += (e.getKey -> e.getValue.asDouble()))
+      SparseLinear(m.toMap)
+    } else if (!q.path("neural").isMissingNode) {
+      val (_, body) = firstField(q.path("neural"))
+      val qid = body.path("query_id")
+      require(qid.isNumber,
+        "neural requires query_id (stored-embedding lookup; text inference is out of scope)")
+      DenseCosine(qid.asLong())
+    } else throw new IllegalArgumentException(s"unsupported sub-query: $q")
+
+  /** `filter` accepts a single `term` clause or a `bool.must` of term
+   *  clauses, like the reference's filter QueryBuilder (pushed into every
+   *  sub-query, HybridQueryBuilder.java:116-127). */
+  private def parseFilter(node: JsonNode): Seq[(String, String)] =
+    if (node.isMissingNode) Nil
+    else if (!node.path("term").isMissingNode && node.path("term").isObject) {
+      val (name, v) = firstField(node.path("term"))
+      Seq((name, v.asText()))
+    } else if (!node.path("bool").isMissingNode) {
+      val must = node.path("bool").path("must")
+      require(must.isArray && must.size() > 0, "filter.bool.must must be a non-empty array")
+      (0 until must.size()).map { i =>
+        val t = must.get(i).path("term")
+        require(!t.isMissingNode && t.isObject, s"filter.bool.must supports term clauses, got ${must.get(i)}")
+        val (name, v) = firstField(t)
+        (name, v.asText())
+      }
+    } else throw new IllegalArgumentException(s"unsupported filter: $node")
+
+  /** Parse + execute against hybrid sources; `docs` supplies filter fields. */
+  def execute(src: HybridSources, json: String, docs: => DataFrame): DataFrame = {
+    val parsed = parse(json, src.idx.analyzer)
+    val filterDf = Option(parsed.filters).filter(_.nonEmpty).map { fs =>
+      fs.foldLeft(docs)((d, f) => d.where(col(f._1) === f._2)).select("doc_id")
     }
-    Hybrid.execute(idx, parsed.query, filterDf)
+    Hybrid.execute(src, parsed.query, filterDf)
   }
+
+  /** Back-compat entry: lexical + sparse clauses only (no embedding source). */
+  def execute(idx: Index, json: String, spark: SparkSession, docs: => DataFrame): DataFrame =
+    execute(HybridSources(idx, sparse = Some(Sparse.encode(idx)), fields = Some(docs)),
+      json, docs)
 
   private def firstField(n: JsonNode): (String, JsonNode) = {
     val it = n.fields()

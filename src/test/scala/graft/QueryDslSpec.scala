@@ -40,7 +40,35 @@ class QueryDslSpec extends SparkSpec {
     val p = QueryDsl.parse(
       """{"query":{"hybrid":{"queries":[{"match":{"content":"parseQueryPlan"}}]}}}""",
       analyzer = graft.analysis.Analyzer.Code)
-    assert(p.query.subQueries.head.terms == Seq("parsequeryplan", "parse", "query", "plan"))
+    assert(p.query.subQueries.head.asInstanceOf[Lexical].terms ==
+      Seq("parsequeryplan", "parse", "query", "plan"))
+  }
+
+  test("neural_sparse and neural sub-queries parse to typed clauses") {
+    val p = QueryDsl.parse(
+      """{"query":{"hybrid":{"queries":[
+        |  {"neural_sparse":{"sf":{"query_tokens":{"join":2.0,"hash":0.5}}}},
+        |  {"neural":{"emb":{"query_id":7}}},
+        |  {"match":{"text":"scan"}}]}}}""".stripMargin)
+    assert(p.query.subQueries(0) == SparseLinear(Map("join" -> 2.0, "hash" -> 0.5)))
+    assert(p.query.subQueries(1) == DenseCosine(7L))
+    assert(p.query.subQueries(2) == Lexical(Seq("scan")))
+  }
+
+  test("bool filter parses to multiple equality filters") {
+    val p = QueryDsl.parse(
+      """{"query":{"hybrid":{
+        |  "queries":[{"term":{"text":"a"}}],
+        |  "filter":{"bool":{"must":[{"term":{"lang":"en"}},{"term":{"source":"s1"}}]}}}}}""".stripMargin)
+    assert(p.filters == Seq(("lang", "en"), ("source", "s1")))
+  }
+
+  test("hybrid-level boost != 1.0 is rejected (HybridQueryBuilder.java:247-253)") {
+    intercept[IllegalArgumentException](QueryDsl.parse(
+      """{"query":{"hybrid":{"boost":2.0,"queries":[{"term":{"text":"a"}}]}}}"""))
+    // boost == 1.0 (the default) is accepted
+    QueryDsl.parse(
+      """{"query":{"hybrid":{"boost":1.0,"queries":[{"term":{"text":"a"}}]}}}""")
   }
 
   test("malformed requests are rejected") {
