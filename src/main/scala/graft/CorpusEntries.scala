@@ -17,24 +17,29 @@ object CorpusEntries {
 
   private val NSeg = 4
 
-  /** One segmented build per (sfDir) per session, committed under target/. */
-  private val segCache = scala.collection.concurrent.TrieMap.empty[String, Index]
+  /** Store layout version — bump when the on-disk block schema changes so a
+   *  stale store from an older build is never merged against new readers. */
+  private def segStore(dir: String) =
+    s"target/segstore/v2/${dir.replaceAll("[^a-zA-Z0-9.]", "_")}"
+
+  /** One segmented build per (session, sfDir), committed under target/.
+   *  Keyed by the SparkContext's applicationId too: a cached Index bound to
+   *  a stopped context would fail at action time (Bench cycles sessions). */
+  private val segCache = scala.collection.concurrent.TrieMap.empty[(String, String), Index]
 
   private def segmented(s: SparkSession, dir: String): Index =
-    segCache.getOrElseUpdate(dir, {
-      val store = s"target/segstore/${dir.replaceAll("[^a-zA-Z0-9.]", "_")}"
+    segCache.getOrElseUpdate((s.sparkContext.applicationId, dir), {
       val docs = s.read.parquet(s"$dir/documents.parquet")
-      Segments.buildResumable(docs, "doc_id", "text", Analyzer.Simple, store, NSeg)
-      val idx = Segments.merge(s, store, NSeg)
+      Segments.buildResumable(docs, "doc_id", "text", Analyzer.Simple, segStore(dir), NSeg)
+      val idx = Segments.merge(s, segStore(dir), NSeg)
       Index(idx.postings.persist(), idx.docLens.persist(), idx.termStats.persist(),
         idx.stats, idx.analyzer)
     })
 
   private def lineageDf(s: SparkSession, dir: String): DataFrame = {
     segmented(s, dir) // ensure built
-    val store = s"target/segstore/${dir.replaceAll("[^a-zA-Z0-9.]", "_")}"
     import s.implicits._
-    Segments.readLineage(s, store, NSeg).values.toSeq.sortBy(_.segment_id).toDS().toDF()
+    Segments.readLineage(s, segStore(dir), NSeg).values.toSeq.sortBy(_.segment_id).toDS().toDF()
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -51,17 +56,16 @@ object CorpusEntries {
 
     "segments_metrics" -> ((s, dir) => {
       segmented(s, dir) // ensure built
-      val store = s"target/segstore/${dir.replaceAll("[^a-zA-Z0-9.]", "_")}"
       import s.implicits._
-      Segments.readMetrics(s, store, NSeg).toDS().toDF()
+      Segments.readMetrics(s, segStore(dir), NSeg).toDS().toDF()
         .select(col("segment_id"), col("stage"), col("rows"))
     }),
 
     // incremental build: Structured Streaming micro-batches -> segments ->
     // merge; stats must equal the batch build's (same oracle as term_stats)
     "stream_index_term_stats" -> ((s, dir) => {
-      val idx = streamCache.getOrElseUpdate(dir, {
-        val store = s"target/streamstore/${dir.replaceAll("[^a-zA-Z0-9.]", "_")}"
+      val idx = streamCache.getOrElseUpdate((s.sparkContext.applicationId, dir), {
+        val store = s"target/streamstore/v2/${dir.replaceAll("[^a-zA-Z0-9.]", "_")}"
         // stage the corpus as a DIRECTORY of files: each file is one
         // micro-batch (the file-arrival pattern of an incremental ingest)
         val corpusDir = s"$store/corpus"
@@ -78,7 +82,7 @@ object CorpusEntries {
     })
   )
 
-  private val streamCache = scala.collection.concurrent.TrieMap.empty[String, Index]
+  private val streamCache = scala.collection.concurrent.TrieMap.empty[(String, String), Index]
 
   def oracles(tokCte: String): Map[String, String] = Map(
     "corpus_ingest" ->

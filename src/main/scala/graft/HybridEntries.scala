@@ -198,6 +198,17 @@ object HybridEntries {
       graft.ops.Rerank.byField(hits, "n_chars", keepPrevious = true)
         .select(col("doc_id"), col("score"),
           round(col("previous_score"), 4).as("previous_score"))
+    }),
+    // MMR diversity rerank over the top window (reference:
+    // processor/mmr/MMRNeuralQueryTransformer.java): greedy
+    // lambda*rel - (1-lambda)*max-sim selection, deterministic embeddings
+    "rerank_mmr" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      val hits = Bm25.topK(idx, A, 20)
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id").as("doc_id"), col("embedding").as("vec"))
+      graft.ops.Rerank.mmr(hits, emb, lambda = 0.7, k = 10)
+        .select(col("doc_id"), col("rank"), round(col("mmr"), 4).as("mmr"))
     })
   )
 
@@ -517,6 +528,34 @@ object HybridEntries {
            |SELECT t.doc_id, CAST(d.n_chars AS DOUBLE) AS score,
            |       round(t.s, 4) AS previous_score
            |FROM topd t JOIN documents d USING (doc_id)""".stripMargin,
+      "rerank_mmr" -> {
+        // greedy MMR as a recursive CTE: each step's single row is the
+        // working table, so the recursion IS the selection loop
+        s"""WITH RECURSIVE $tokCte,
+           |score AS (
+           |  SELECT tf.doc_id, $Bm25Sum AS s
+           |  FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN stats
+           |  WHERE tf.term IN (${termList(A)})
+           |  GROUP BY tf.doc_id),
+           |cand AS (
+           |  SELECT c.doc_id, c.s AS rel, e.embedding AS v
+           |  FROM (SELECT doc_id, s FROM score ORDER BY s DESC, doc_id LIMIT 20) c
+           |  JOIN embeddings e ON e.vec_id = c.doc_id),
+           |r AS (
+           |  (SELECT 1 AS step, doc_id, rel AS mmr, [doc_id] AS picked
+           |   FROM cand ORDER BY rel DESC, doc_id LIMIT 1)
+           |  UNION ALL
+           |  (SELECT r.step + 1, x.doc_id, x.m, list_append(r.picked, x.doc_id)
+           |   FROM r, LATERAL (
+           |     SELECT c.doc_id,
+           |            0.7 * c.rel - 0.3 * (SELECT max(${cosSql("c.v", "p.v")}) FROM cand p
+           |                                 WHERE list_contains(r.picked, p.doc_id)) AS m
+           |     FROM cand c
+           |     WHERE NOT list_contains(r.picked, c.doc_id)
+           |     ORDER BY m DESC, c.doc_id LIMIT 1) x
+           |   WHERE r.step < 10))
+           |SELECT doc_id, step AS rank, round(mmr, 4) AS mmr FROM r ORDER BY step""".stripMargin
+      },
       "collapse_by_source" ->
         s"""WITH $tokCte,
            |sc AS (

@@ -22,9 +22,9 @@ object PipelineEntries {
    *  0.02 keeps the assignment O(n x 0.02n) while still exercising the full
    *  clustering path; exactness never depends on the cluster count. */
   private val seismicCache =
-    scala.collection.concurrent.TrieMap.empty[String, (org.apache.spark.sql.Dataset[graft.ops.ClusteredPosting], DataFrame)]
+    scala.collection.concurrent.TrieMap.empty[(String, String), (org.apache.spark.sql.Dataset[graft.ops.ClusteredPosting], DataFrame)]
   private def seismicExact(s: SparkSession, dir: String) =
-    seismicCache.getOrElseUpdate(dir, {
+    seismicCache.getOrElseUpdate((s.sparkContext.applicationId, dir), {
       val t = tw(s, dir)
       val cidx = Seismic.buildClusteredIndex(t, nPostings = 1000000,
         clusterRatio = 0.02, summaryPruneRatio = 1.0).cache()

@@ -12,11 +12,13 @@ import graft.analysis.Analyzer
  * it, so warming runs the expensive pass exactly once.
  */
 object IndexCache {
-  private val cache = scala.collection.concurrent.TrieMap.empty[(String, String), Index]
+  // keyed by applicationId too: a persisted Index bound to a stopped
+  // SparkContext would fail at action time when sessions cycle in one JVM
+  private val cache = scala.collection.concurrent.TrieMap.empty[(String, String, String), Index]
 
   /** Index over `documents.parquet` in sfDir (doc_id, text). */
   def documents(spark: SparkSession, sfDir: String, analyzer: String = Analyzer.Simple): Index =
-    cache.getOrElseUpdate((s"$sfDir/documents.parquet", analyzer), {
+    cache.getOrElseUpdate((spark.sparkContext.applicationId, s"$sfDir/documents.parquet", analyzer), {
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       val blocks = InvertedIndex.mergedBlocksOf(docs, "doc_id", "text", analyzer).persist()
       blocks.count() // one materialization of the analyze + fragment shuffle

@@ -32,8 +32,10 @@ case class PostingBlock(
 /** Forward doc-length block for one bucket (the BM25 norm source).
  *  Mirrors Lucene's per-doc norms that BM25Similarity reads; the reference
  *  keeps a BinaryDocValues forward index per doc
- *  (reference: sparse/codec/SparseDocValuesConsumer.java). */
-case class DocLenBlock(bucket: Long, cnt: Int, ids: Array[Byte], dls: Array[Byte])
+ *  (reference: sparse/codec/SparseDocValuesConsumer.java). `min_dl` is block
+ *  metadata for WAND: the tightest per-bucket BM25 upper bound uses the
+ *  bucket's shortest doc, not dl -> 0. */
+case class DocLenBlock(bucket: Long, cnt: Int, min_dl: Int, ids: Array[Byte], dls: Array[Byte])
 
 /** Per-term statistics feeding BM25 idf (Lucene TermStatistics analogue;
  *  reference stubs these in sparse/codec/SparseTerms.java:54-66 and delegates
@@ -56,6 +58,7 @@ case class BuildBlock(
     bucket: Long,
     cnt: Int,
     max_tf: Int,
+    min_v: Int,
     sum_tf: Long,
     docs: Array[Byte],
     tfs: Array[Byte]
@@ -165,14 +168,17 @@ object InvertedIndex {
       (ord.map(ids(_)), ord.map(vals(_)))
     }
     var maxV = 0
+    var minV = Int.MaxValue
     var sumV = 0L
     i = 0
     while (i < sVals.length) {
       if (sVals(i) > maxV) maxV = sVals(i)
+      if (sVals(i) < minV) minV = sVals(i)
       sumV += sVals(i)
       i += 1
     }
-    BuildBlock(kind, term, bucket, sIds.length, maxV, sumV,
+    if (sVals.isEmpty) minV = 0
+    BuildBlock(kind, term, bucket, sIds.length, maxV, minV, sumV,
       PostingCodec.encodeDeltas(sIds), PostingCodec.encodeInts(sVals))
   }
 
@@ -216,7 +222,7 @@ object InvertedIndex {
     val spark = blocks.sparkSession
     import spark.implicits._
     blocks.filter(_.kind == 1.toByte)
-      .map(b => DocLenBlock(b.bucket, b.cnt, b.docs, b.tfs))
+      .map(b => DocLenBlock(b.bucket, b.cnt, b.min_v, b.docs, b.tfs))
   }
 
   /** Per-term stats derived from posting blocks — no re-tokenize: partial

@@ -58,6 +58,15 @@ object Segments {
 
   private def segDir(dir: String, id: Int) = s"$dir/seg$id"
 
+  /** Commit discovery goes through the SAME filesystem layer the segment
+   *  writes use (Spark's Hadoop FS), so lineage markers work on HDFS/S3/
+   *  local alike — a java.io.File check silently reports "nothing
+   *  committed" on any non-local store. */
+  private def fsExists(spark: SparkSession, p: String): Boolean = {
+    val path = new org.apache.hadoop.fs.Path(p)
+    path.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(path)
+  }
+
   /** Build ONE segment (docs with doc_id in [lo, hi]) and commit it with its
    *  lineage row. Idempotent: overwrite-mode writes + lineage-last ordering
    *  make the commit atomic at the segment granularity. */
@@ -98,7 +107,7 @@ object Segments {
     import spark.implicits._
     (0 until nSegments).flatMap { id =>
       val p = s"${segDir(dir, id)}/metrics"
-      if (new java.io.File(p).exists())
+      if (fsExists(spark, p))
         scala.util.Try(spark.read.parquet(p).as[SegmentMetric].collect().toSeq).getOrElse(Nil)
       else Nil
     }
@@ -109,7 +118,7 @@ object Segments {
     import spark.implicits._
     (0 until nSegments).flatMap { id =>
       val p = s"${segDir(dir, id)}/lineage"
-      if (new java.io.File(p).exists())
+      if (fsExists(spark, p))
         scala.util.Try(spark.read.parquet(p).as[SegmentLineage].head()).toOption
       else None
     }.map(l => l.segment_id -> l).toMap
@@ -131,7 +140,15 @@ object Segments {
     val spark = docs.sparkSession
     val maxId = docs.agg(max(col(idCol))).head().getLong(0)
     val sp = span(maxId, nSegments)
-    val done = readLineage(spark, dir, nSegments)
+    // a segment is committed iff its lineage exists AND its recorded row
+    // range matches the range THIS run would assign it — a rerun with a
+    // different nSegments (or a grown corpus) changes the span, and reusing
+    // a stale slice would silently double-count or drop docs at merge
+    val done = readLineage(spark, dir, nSegments).filter { case (id, l) =>
+      val lo = id.toLong * sp
+      val hi = math.min(lo + sp - 1, maxId)
+      l.row_lo == lo && l.row_hi == hi
+    }
     val todo = (0 until nSegments).filterNot(done.contains)
     // segments are independent slices: build them as concurrent Spark jobs
     // (the analogue of the reference's parallel per-segment flushes on the
@@ -171,10 +188,13 @@ object Segments {
    *  micro-batch ids with possible gaps. */
   def mergeAll(spark: SparkSession, dir: String, analyzer: String = Analyzer.Simple): Index = {
     import spark.implicits._
-    val segDirs = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.matches("seg\\d+"))
-      .filter(f => new java.io.File(f, "lineage").exists())
-    val ids = segDirs.map(_.getName.drop(3).toInt).sorted.toSeq
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ids =
+      (if (fs.exists(root)) fs.listStatus(root).toSeq else Seq.empty)
+        .filter(st => st.isDirectory && st.getPath.getName.matches("seg\\d+"))
+        .filter(st => fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "lineage")))
+        .map(_.getPath.getName.drop(3).toInt).sorted
     require(ids.nonEmpty, s"mergeAll: no committed segments under $dir")
     val lineage = ids.map(id =>
       spark.read.parquet(s"${segDir(dir, id)}/lineage").as[SegmentLineage].head())
@@ -228,6 +248,7 @@ object Segments {
             ids.zip(dls)
           }.sortBy(_._1)
           DocLenBlock(bucket, pairs.length,
+            if (pairs.isEmpty) 0 else pairs.map(_._2).min,
             PostingCodec.encodeDeltas(pairs.map(_._1)), PostingCodec.encodeInts(pairs.map(_._2)))
         }
       }

@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -43,21 +42,40 @@ object Ann {
 
   /** Deterministic IVF: centroids = the embeddings of ids [0, nCentroids);
    *  every vector is assigned to its max-cosine centroid (ties -> smallest
-   *  centroid id). Returns (id, centroid_id). */
+   *  centroid id). Returns (id, centroid_id). One hash aggregate over the
+   *  N x C cross rows — `max(struct(cos, -c_id))` picks the argmax without
+   *  the per-vector window sort a row_number formulation would pay. */
   def ivfAssign(emb: DataFrame, id: String, vec: String, nCentroids: Int): DataFrame = {
     val cents = emb.where(col(id) < nCentroids)
       .select(col(id).as("c_id"), col(vec).as("cv"))
-    val w = Window.partitionBy(col(id)).orderBy(cosine(col(vec), col("cv")).desc, col("c_id").asc)
     emb.crossJoin(broadcast(cents))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
-      .select(col(id), col("c_id"))
+      .select(col(id),
+        struct(cosine(col(vec), col("cv")).as("c"), (-col("c_id")).as("nc")).as("s"))
+      .groupBy(col(id))
+      .agg(max(col("s")).as("m"))
+      .select(col(id), (-col("m.nc")).as("c_id"))
+  }
+
+  /**
+   * Build-time IVF artifact: compute the assignment once and persist it
+   * partitioned by centroid, so a probe scans only the nProbe partitions it
+   * needs (partition pruning = the cluster-skip of SEISMIC's summaries,
+   * sparse/query/SeismicBaseScorer.java:202-220, in storage-layout form).
+   * Returns the read-back assignment (id, c_id).
+   */
+  def ivfBuild(emb: DataFrame, id: String, vec: String, nCentroids: Int, path: String): DataFrame = {
+    ivfAssign(emb, id, vec, nCentroids)
+      .write.mode("overwrite").partitionBy("c_id").parquet(path)
+    emb.sparkSession.read.parquet(path)
   }
 
   /** IVF search: probe the nProbe centroids nearest to the query embedding,
-   *  brute-force only within their assigned vectors. */
+   *  brute-force only within their assigned vectors. `assigned` is the
+   *  build-time artifact from [[ivfBuild]]; recomputing it per query would
+   *  make every query O(corpus x centroids). */
   def ivfTopK(emb: DataFrame, id: String, vec: String, queryId: Long,
-              nCentroids: Int, nProbe: Int, k: Int): DataFrame = {
+              nCentroids: Int, nProbe: Int, k: Int,
+              assigned: Option[DataFrame] = None): DataFrame = {
     val q = emb.where(col(id) === queryId).select(col(vec).as("qv"))
     val cents = emb.where(col(id) < nCentroids)
       .select(col(id).as("c_id"), col(vec).as("cv"))
@@ -65,8 +83,8 @@ object Ann {
       .orderBy(cosine(col("cv"), col("qv")).desc, col("c_id").asc)
       .limit(nProbe)
       .select("c_id")
-    val assigned = ivfAssign(emb, id, vec, nCentroids)
-    emb.join(assigned, id)
+    val asg = assigned.getOrElse(ivfAssign(emb, id, vec, nCentroids))
+    emb.join(asg, id)
       .join(broadcast(probed), "c_id")
       .crossJoin(broadcast(q))
       .select(col(id), round(cosine(col(vec), col("qv")), 4).as("cos"),

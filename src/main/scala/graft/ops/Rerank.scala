@@ -32,4 +32,64 @@ object Rerank {
     val cleaned = if (removeTarget && targetField != "score") rescored.drop(targetField) else rescored
     cleaned.orderBy(col("score").desc, col("doc_id").asc)
   }
+
+  /**
+   * Maximal Marginal Relevance rerank over a bounded candidate window
+   * (reference: processor/mmr/MMRNeuralQueryTransformer.java:1-195 — MMR
+   * diversity reranking runs on the coordinator over the collected top
+   * candidates, never the corpus).
+   *
+   * Greedy selection: first pick = highest relevance; each next pick
+   * maximizes  lambda * rel(d) - (1 - lambda) * max_{s in selected} cos(d, s),
+   * ties broken by doc_id. The candidate set is the caller's top window
+   * (<= pagination depth), so the driver-side loop is O(k * |window|) over a
+   * bounded collect — the same coordinator-side shape as the reference, not a
+   * distributed scan.
+   *
+   * @param hits candidates: (doc_id, score) — the relevance scores
+   * @param emb  embedding source: (doc_id, vec: array<float>)
+   * @return (doc_id, rank, mmr) in selection order, rank 1..k
+   */
+  def mmr(hits: DataFrame, emb: DataFrame, lambda: Double, k: Int): DataFrame = {
+    val spark = hits.sparkSession
+    import spark.implicits._
+    val cand: Array[(Long, Double, Array[Float])] = hits
+      .join(emb, "doc_id")
+      .select(col("doc_id").cast("long"), col("score").cast("double"), col("vec"))
+      .as[(Long, Double, Array[Float])]
+      .collect()
+      .sortBy(_._1)
+
+    // left-to-right double accumulation, matching Ann.cosine / DuckDB
+    // list_dot_product over CAST(... AS DOUBLE[]) exactly
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0
+      var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    def cos(a: Array[Float], b: Array[Float]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Double)]
+    val remaining = scala.collection.mutable.LinkedHashMap(cand.map(c => c._1 -> c): _*)
+    val maxSim = scala.collection.mutable.HashMap.empty[Long, Double] // max cos to selected
+    while (selected.length < k && remaining.nonEmpty) {
+      val best = remaining.values.maxBy { case (id, rel, _) =>
+        val m = if (selected.isEmpty) 0.0 else maxSim(id)
+        val score = if (selected.isEmpty) rel else lambda * rel - (1 - lambda) * m
+        (score, -id) // ties -> smallest doc_id
+      }
+      val mmrScore =
+        if (selected.isEmpty) best._2
+        else lambda * best._2 - (1 - lambda) * maxSim(best._1)
+      selected += ((best._1, selected.length + 1, mmrScore))
+      remaining.remove(best._1)
+      remaining.values.foreach { case (id, _, v) =>
+        val c = cos(v, best._3)
+        if (!maxSim.contains(id) || c > maxSim(id)) maxSim(id) = c
+      }
+    }
+    selected.toSeq.toDF("doc_id", "rank", "mmr")
+  }
 }

@@ -63,15 +63,13 @@ object Bm25 {
     }.toMap
   }
 
-  /** Upper bound of tfNorm over any doc length (dl -> 0 maximizes it). */
-  @inline private def tfNormUpper(tf: Int): Double = tf / (tf + K1 * (1 - B))
-
   def scoreTerms(
       idx: Index,
       terms: Seq[String],
       boosts: Map[String, Double] = Map.empty,
       limitPerBucket: Int = 0,
-      buckets: Option[DataFrame] = None
+      buckets: Option[DataFrame] = None,
+      bucketList: Option[Array[Long]] = None
   ): DataFrame = {
     val spark = idx.postings.sparkSession
     import spark.implicits._
@@ -81,16 +79,25 @@ object Bm25 {
     if (weightPerTerm.isEmpty) return spark.emptyDataset[(Long, Double)].toDF("doc_id", "score")
 
     val matchedAll = idx.postings.filter($"term".isin(weightPerTerm.keys.toSeq: _*))
-    val matched = buckets match {
-      case Some(b) => matchedAll.join(b.hint("broadcast"), "bucket").as[PostingBlock]
-      case None    => matchedAll
+    // driver-known bucket lists (the WAND passes) become isin predicates
+    // pushed straight into both parquet scans — no extra broadcast exchange
+    val matched = (bucketList, buckets) match {
+      case (Some(bl), _) => matchedAll.filter($"bucket".isin(bl.toSeq: _*))
+      case (_, Some(b))  => matchedAll.join(b.hint("broadcast"), "bucket").as[PostingBlock]
+      case _             => matchedAll
     }
     // Ship only the doc-length blocks of buckets that can match: the semi
     // join keeps the per-query shuffle proportional to the posting volume of
-    // the query terms, not to corpus size (matched block keys are tiny).
-    val docLens = idx.docLens
-      .join(matched.select($"bucket").distinct().hint("broadcast"), "bucket")
-      .as[DocLenBlock]
+    // the query terms, not to corpus size. The derivation re-reads only the
+    // column-pruned (term, bucket) metadata of the postings scan, so the
+    // payload bytes are not scanned twice.
+    val docLens = (bucketList, buckets) match {
+      case (Some(bl), _) => idx.docLens.filter($"bucket".isin(bl.toSeq: _*))
+      case (_, Some(b))  => idx.docLens.join(b.hint("broadcast"), "bucket").as[DocLenBlock]
+      case _ => idx.docLens
+        .join(matched.select($"bucket").distinct().hint("broadcast"), "bucket")
+        .as[DocLenBlock]
+    }
     val lim = limitPerBucket
     val span = InvertedIndex.BucketSpan
 
@@ -205,6 +212,12 @@ object Bm25 {
     else topK(idx, terms, k, boosts)
   }
 
+  /** Bucket-frontier collect cap: 2^17 buckets = ~5*10^8 candidate docs of
+   *  metadata (16 bytes/bucket, ~2 MB on the driver). A query matching more
+   *  buckets than that is in the head-term regime where WAND degenerates to
+   *  a full scan anyway, so it routes to the plain scorer. */
+  private val MaxWandBuckets = 1 << 17
+
   def topKWand(idx: Index, terms: Seq[String], k: Int, boosts: Map[String, Double] = Map.empty): DataFrame = {
     val spark = idx.postings.sparkSession
     import spark.implicits._
@@ -213,32 +226,52 @@ object Bm25 {
     if (weightPerTerm.isEmpty)
       return spark.emptyDataset[(Long, Double)].toDF("doc_id", "score")
 
-    val matched = idx.postings.filter($"term".isin(weightPerTerm.keys.toSeq: _*))
+    // Bucket upper bounds from METADATA only — no payload decode. The bound
+    // uses the bucket's shortest doc (min_dl), not dl -> 0: for any doc in
+    // the bucket, tf <= max_tf and dl >= min_dl, and tfNorm is increasing in
+    // tf / decreasing in dl, so w * tfNorm(max_tf, min_dl) dominates every
+    // real contribution of the block.
+    val avgdl = idx.stats.avgdl
     val wMap = typedLit(weightPerTerm)
-    val ub = matched
+    val matchedMeta = idx.postings
+      .filter($"term".isin(weightPerTerm.keys.toSeq: _*))
+      .select($"bucket", $"term", $"max_tf")
+    val dlMeta = idx.docLens.select($"bucket", $"min_dl")
+    val ub = matchedMeta.join(dlMeta, "bucket")
       .select($"bucket",
-        (element_at(wMap, $"term") * ($"max_tf".cast("double") / ($"max_tf" + lit(K1 * (1 - B))))).as("u"))
+        (element_at(wMap, $"term") * ($"max_tf".cast("double") /
+          ($"max_tf" + lit(K1) * (lit(1 - B) + lit(B) * $"min_dl" / lit(avgdl))))).as("u"))
       .groupBy($"bucket").agg(sum($"u").as("ub"))
 
-    // pass 1: the k best buckets by upper bound (each holds >= 1 candidate);
-    // both driver collects are <= k rows, like the reference's per-query heap
-    val topBuckets: Array[Long] = ub.orderBy($"ub".desc, $"bucket".asc)
-      .limit(k).select($"bucket").as[Long].collect()
+    // one metadata collect gives the whole bucket frontier; every later
+    // decision (pass-1 set, theta survivors) is driver-side arithmetic
+    val ubArr: Array[(Long, Double)] = ub.orderBy($"ub".desc, $"bucket".asc)
+      .limit(MaxWandBuckets + 1).as[(Long, Double)].collect()
+    if (ubArr.length > MaxWandBuckets) return topK(idx, terms, k, boosts)
+
+    // pass 1: the k best buckets by upper bound establish theta exactly
+    val topBuckets = ubArr.take(k).map(_._1)
     val pass1: Array[(Long, Double)] =
-      scoreTerms(idx, terms, boosts, limitPerBucket = k,
-        buckets = Some(topBuckets.toSeq.toDF("bucket")))
+      scoreTerms(idx, terms, boosts, limitPerBucket = k, bucketList = Some(topBuckets))
         .orderBy($"score".desc, $"doc_id".asc).limit(k)
         .as[(Long, Double)].collect()
     val theta = if (pass1.length < k) Double.NegativeInfinity else pass1.last._2
+    val pass1Df = pass1.toSeq.toDF("doc_id", "score")
 
     // pass 2: only buckets whose bound can still beat theta
-    // (>= because a theta-tied doc with a smaller doc_id still wins)
-    val survivors = ub
-      .filter(!$"bucket".isin(topBuckets.toSeq: _*) && $"ub" >= theta)
-      .select($"bucket")
-    val pass2 = scoreTerms(idx, terms, boosts, limitPerBucket = k, buckets = Some(survivors))
+    // (>= because a theta-tied doc with a smaller doc_id still wins);
+    // survivor selection costs no Spark job — the frontier is on the driver
+    val survivors = ubArr.drop(k).filter(_._2 >= theta).map(_._1)
+    if (survivors.isEmpty)
+      return pass1Df.orderBy($"score".desc, $"doc_id".asc).limit(k)
+    val pass2 =
+      if (survivors.length <= 4096)
+        scoreTerms(idx, terms, boosts, limitPerBucket = k, bucketList = Some(survivors))
+      else // too many for an isin predicate: broadcast-join the bucket list
+        scoreTerms(idx, terms, boosts, limitPerBucket = k,
+          buckets = Some(survivors.toSeq.toDF("bucket")))
 
-    pass1.toSeq.toDF("doc_id", "score").union(pass2)
+    pass1Df.union(pass2)
       .orderBy($"score".desc, $"doc_id".asc).limit(k)
   }
 }
