@@ -11,12 +11,19 @@ import graft.query.Bm25
  *   - "queries": wall seconds per SparkEntry query at local[32] over
  *     SPARK_GRAFT_SF_DIR (index build shared via IndexCache, like a warmed
  *     serving deployment);
- *   - "build_docs_per_sec" at local[8] and local[32] over the SAME seeded
- *     synthetic source-code corpus (BASELINE.json north rule: two cluster
- *     sizes N and 4N — evidenced in-sandbox as two parallelism levels);
- *   - "scaling_efficiency" = (tput32 / tput8) / 4;
+ *   - "build_docs_per_sec" at local[2], local[8] and local[32] over the SAME
+ *     seeded synthetic source-code corpus (BASELINE.json north rule: two
+ *     cluster sizes N and 4N — evidenced in-sandbox as two parallelism
+ *     levels), as the MEDIAN of interleaved rounds: each round times the
+ *     identical job at 2 then 8 cores back-to-back, so host-level noise
+ *     (neighbor steal on this VM swings up to ~50% between identical runs)
+ *     hits both sides of every ratio and medians cancel the outliers —
+ *     best-of-2 runs do not survive re-measurement, medians do;
+ *   - "scaling_efficiency" = (median tput8 / median tput2) / 4, plus
+ *     "scaling_efficiency_per_round" (the within-round ratios) and the
+ *     per-round raw throughputs so the spread is part of the artifact;
  *   - "query_p50_ms": BM25 top-k p50 latency (WAND and plain) on the built
- *     corpus index at both parallelism levels.
+ *     corpus index at each parallelism level.
  * Also rewrites BENCH/BASELINE.md with the scaling evidence table.
  */
 object Bench {
@@ -25,15 +32,20 @@ object Bench {
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(s"graft-bench-$cpus")
-      // 4x cores: several reduce waves even out stragglers in the one-wave
-      // regime that a partitions==cores setting would create
-      .config("spark.sql.shuffle.partitions", (cpus * 4).toString)
+      // FIXED across parallelism levels: the scaling experiment varies only
+      // the core count, so the job (input splits, shuffle partitioning, task
+      // granularity) must be byte-identical at N and 4N — exactly how a
+      // cluster scaling test holds the data layout constant while adding
+      // executors. 64 = several reduce waves even at 32 cores.
+      .config("spark.sql.shuffle.partitions", "64")
       // commit task outputs by direct rename (no sequential driver-side
       // per-task rename pass)
       .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
+      // NOTE: driver heap is governed by the forked JVM's -Xmx (build.sbt,
+      // override via SPARK_DRIVER_MEM) — setting spark.driver.memory at
+      // getOrCreate has no effect in local mode once the JVM is up
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
@@ -46,6 +58,11 @@ object Bench {
   }
 
   private def p50(xs: Seq[Double]): Double = xs.sorted.apply(xs.length / 2)
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.length % 2 == 1) s(s.length / 2) else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+  }
 
   /** JIT warmup: the tokenizer/codec hot loops need a couple of full builds
    *  before C2 kicks in; measured points would otherwise charge compilation
@@ -64,11 +81,12 @@ object Bench {
     } finally s.stop()
   }
 
-  /** Build throughput + query p50s on the synthetic corpus at one parallelism.
-   *  The build runs `reps` times and the BEST run counts: this VM's host has
-   *  bursty neighbor steal (measured up to ~50% swings on identical runs), and
-   *  best-of reflects the software's capability rather than the noise. */
-  private def scalePoint(cpus: Int, nDocs: Long, reps: Int = 2): (Double, Double, Double) = {
+  /** One timed full build at one parallelism level (corpus gen off the
+   *  clock), optionally followed by the query p50 probes. Exactly ONE timed
+   *  build per call — robustness comes from the caller's interleaved-median
+   *  protocol, not from best-of-reps. */
+  private def scalePoint(cpus: Int, nDocs: Long,
+                         measureQueries: Boolean): (Double, Double, Double) = {
     val s = session(cpus)
     try {
       val corpus = Corpus.generate(s, nDocs).cache()
@@ -77,30 +95,37 @@ object Bench {
       // full production build: tokenize -> (term,bucket) fragment shuffle ->
       // block merge -> parquet, stats derived from the same block pass
       var idx0: graft.index.Index = null
-      val buildSec = (1 to reps).map { _ =>
+      val buildSec =
         time { idx0 = InvertedIndex.buildAndWrite(corpus, "doc_id", "content", tmp, Analyzer.Code) }
-      }.min
-      val idx = graft.index.Index(idx0.postings.persist(), idx0.docLens.persist(),
-        idx0.termStats.persist(), idx0.stats, idx0.analyzer)
-      idx.postings.count(); idx.docLens.count(); idx.termStats.count()
-      val queries = Seq(
-        Seq("import", "return"),            // head terms
-        Seq("parse", "query", "plan"),      // code subtokens
-        Seq("sym42"),                       // rare
-        Seq("merge", "segments", "block")   // mixed
-      )
-      // warmup once, then 2 reps per query per path
-      queries.foreach(q => Bm25.topKWand(idx, q, 10).count())
-      val wand = for (q <- queries; _ <- 1 to 2) yield time(Bm25.topKWand(idx, q, 100).count())
-      val plain = for (q <- queries; _ <- 1 to 2) yield time(Bm25.topK(idx, q, 100).count())
+      val (wandP50, plainP50) =
+        if (!measureQueries) (0.0, 0.0)
+        else {
+          val idx = graft.index.Index(idx0.postings.persist(), idx0.docLens.persist(),
+            idx0.termStats.persist(), idx0.stats, idx0.analyzer)
+          idx.postings.count(); idx.docLens.count(); idx.termStats.count()
+          val queries = Seq(
+            Seq("import", "return"),            // head terms
+            Seq("parse", "query", "plan"),      // code subtokens
+            Seq("sym42"),                       // rare
+            Seq("merge", "segments", "block")   // mixed
+          )
+          // warmup once, then 3 reps per query per path
+          queries.foreach(q => Bm25.topKWand(idx, q, 10).count())
+          queries.foreach(q => Bm25.topK(idx, q, 10).count())
+          val wand = for (q <- queries; _ <- 1 to 3) yield time(Bm25.topKWand(idx, q, 100).count())
+          val plain = for (q <- queries; _ <- 1 to 3) yield time(Bm25.topK(idx, q, 100).count())
+          (p50(wand) * 1000, p50(plain) * 1000)
+        }
       corpus.unpersist()
-      (nDocs / buildSec, p50(wand) * 1000, p50(plain) * 1000)
+      (nDocs / buildSec, wandP50, plainP50)
     } finally s.stop()
   }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "1500000").toLong
+    // 1M docs balances signal vs wall-clock across 5 interleaved rounds x 2
+    // levels + 3 runs at local[32] (docs/sec normalizes corpus size away)
+    val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "1000000").toLong
 
     // --- phase A: full query suite at local[32] over the sf dir ---
     val results = if (sys.env.contains("SPARK_GRAFT_BENCH_SKIP_QUERIES")) Seq.empty else {
@@ -133,18 +158,50 @@ object Bench {
     System.out.flush()
 
     val skipScaling = sys.env.contains("SPARK_GRAFT_BENCH_SKIP_SCALING")
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "5").toInt
     if (!skipScaling) warmup()
-    val (tput2, wand2, plain2) = if (skipScaling) (0.0, 0.0, 0.0) else scalePoint(2, nDocs)
-    val (tput8, wand8, plain8) = if (skipScaling) (0.0, 0.0, 0.0) else scalePoint(8, nDocs)
-    val (tput32, wand32, plain32) = if (skipScaling) (0.0, 0.0, 0.0) else scalePoint(32, nDocs)
-    val eff = if (skipScaling) 0.0 else (tput8 / tput2) / 4.0
+
+    // interleaved rounds: 2 cores then 8 cores back-to-back inside each
+    // round, so slow host-load drift lands on both sides of every ratio;
+    // query p50s are probed once per level, on the final round
+    var pairs = Seq.empty[(Double, Double)] // (tput2, tput8) per round
+    var wand2 = 0.0; var plain2 = 0.0; var wand8 = 0.0; var plain8 = 0.0
+    if (!skipScaling) {
+      pairs = (1 to rounds).map { r =>
+        val last = r == rounds
+        val (t2, w2, p2) = scalePoint(2, nDocs, measureQueries = last)
+        val (t8, w8, p8) = scalePoint(8, nDocs, measureQueries = last)
+        if (last) { wand2 = w2; plain2 = p2; wand8 = w8; plain8 = p8 }
+        System.err.println(f"[graft-bench] round $r: tput2=$t2%.1f tput8=$t8%.1f eff=${(t8 / t2) / 4}%.3f")
+        (t2, t8)
+      }
+    }
+    val tput2s = pairs.map(_._1)
+    val tput8s = pairs.map(_._2)
+    val effRounds = pairs.map(p => (p._2 / p._1) / 4.0)
+    val tput2 = if (pairs.isEmpty) 0.0 else median(tput2s)
+    val tput8 = if (pairs.isEmpty) 0.0 else median(tput8s)
+    val eff = if (pairs.isEmpty) 0.0 else (tput8 / tput2) / 4.0
+    val effMedRound = if (pairs.isEmpty) 0.0 else median(effRounds)
+
+    // local[32] headline throughput: median of 3 runs, queries on the last
+    val p32 = if (skipScaling) Seq.empty[(Double, Double, Double)]
+      else (1 to 3).map(r => scalePoint(32, nDocs, measureQueries = r == 3))
+    val tput32 = if (p32.isEmpty) 0.0 else median(p32.map(_._1))
+    val wand32 = if (p32.isEmpty) 0.0 else p32.last._2
+    val plain32 = if (p32.isEmpty) 0.0 else p32.last._3
+
+    def arr(xs: Seq[Double]) = xs.map(x => f"$x%.1f").mkString("[", ",", "]")
+    def arr3(xs: Seq[Double]) = xs.map(x => f"$x%.3f").mkString("[", ",", "]")
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
       f""""build_docs_per_sec":{"local2":$tput2%.1f,"local8":$tput8%.1f,"local32":$tput32%.1f},""" +
-      f""""scaling_efficiency":$eff%.3f,""" +
+      f""""scaling_efficiency":$eff%.3f,"scaling_efficiency_median_round":$effMedRound%.3f,""" +
+      s""""rounds":$rounds,"tput2_rounds":${arr(tput2s)},"tput8_rounds":${arr(tput8s)},""" +
+      s""""eff_rounds":${arr3(effRounds)},"tput32_rounds":${arr(p32.map(_._1))},""" +
       f""""query_p50_ms":{"wand2":$wand2%.1f,"wand8":$wand8%.1f,"wand32":$wand32%.1f,""" +
       f""""plain2":$plain2%.1f,"plain8":$plain8%.1f,"plain32":$plain32%.1f},""" +
       s""""bench_docs":$nDocs}"""
@@ -152,6 +209,9 @@ object Bench {
     // scaling evidence for BASELINE.md's protocol section
     try {
       new java.io.File("BENCH").mkdirs()
+      val roundRows = pairs.zipWithIndex.map { case ((t2, t8), i) =>
+        f"| ${i + 1} | ${t2}%.1f | ${t8}%.1f | ${(t8 / t2) / 4}%.3f |"
+      }.mkString("\n")
       val md =
         f"""# BENCH — scaling evidence (north rule: efficiency >= 0.8 from N to 4N)
            |
@@ -159,19 +219,28 @@ object Bench {
            |($nDocs docs, code analyzer), same full index-build job (one analyze
            |pass -> partition-local compressed fragments -> one (term,bucket)
            |fragment shuffle -> block merge -> parquet; term/corpus stats derived
-           |from the same block pass), run at three parallelism levels in one
-           |JVM, best of 2 runs per point (host has bursty neighbor steal; up to
-           |~50%% swings were measured on identical back-to-back runs).
+           |from the same block pass), measured as $rounds INTERLEAVED rounds —
+           |each round times the identical job at local[2] then local[8]
+           |back-to-back — and the MEDIAN per level is the reported number.
+           |This VM's host has bursty neighbor steal (up to ~50%% swings between
+           |identical runs); interleaving puts the noise on both sides of each
+           |ratio and the median discards the outliers, which best-of-N did not
+           |(round-1 lesson: a best-of-2 efficiency of 0.87 re-measured at 0.48).
            |
            |The N -> 4N criterion is evidenced at N=2 vs 4N=8 cores: a pure-Java
            |CPU burn on this VM scales ~0.9 in the lower vCPU range but only
            |~0.76 from 8->32 threads (SMT/host-capped), so 2->8 is the honest
            |software-scaling window; local[32] is reported as the
-           |max-throughput point. Query p50 = BM25 top-100, 4 query shapes x 3 reps.
+           |max-throughput point (median of 3). Query p50 = BM25 top-100,
+           |4 query shapes x 3 reps, final round's sessions.
+           |
+           || round | local[2] docs/s | local[8] docs/s | efficiency (2->8) |
+           ||---|---|---|---|
+           |$roundRows
            |
            || metric | local[2] (N) | local[8] (4N) | local[32] | scaling efficiency (2->8) |
            ||---|---|---|---|---|
-           || index build docs/sec | $tput2%.1f | $tput8%.1f | $tput32%.1f | $eff%.3f |
+           || index build docs/sec (median) | $tput2%.1f | $tput8%.1f | $tput32%.1f | $eff%.3f (median-of-round-ratios $effMedRound%.3f) |
            || BM25 top-100 p50 (WAND) | $wand2%.1f ms | $wand8%.1f ms | $wand32%.1f ms | — |
            || BM25 top-100 p50 (plain) | $plain2%.1f ms | $plain8%.1f ms | $plain32%.1f ms | — |
            |

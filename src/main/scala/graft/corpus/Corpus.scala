@@ -40,15 +40,21 @@ object Corpus {
    * `return` / `def` / `class`) plus camelCase/snake_case identifiers,
    * 20-220 tokens per doc. Generated distributed from `spark.range` — no
    * driver-side data, no unseeded randomness, identical at every parallelism.
+   *
+   * Partition count is FIXED (not defaultParallelism): input granularity in
+   * production comes from files/splits, not from the executor count, and a
+   * corpus whose partitioning tracked the core count would confound every
+   * scaling measurement run on top of it.
    */
-  def generate(spark: SparkSession, nDocs: Long, seed: Long = 42L): DataFrame = {
+  def generate(spark: SparkSession, nDocs: Long, seed: Long = 42L,
+               numPartitions: Int = 64): DataFrame = {
     import spark.implicits._
     val langs = Array("java", "scala", "py", "go", "js")
     val keywords = Array("import", "return", "def", "class", "val", "if", "else", "for", "new", "match")
     val idents = Array("parseQueryPlan", "buildIndexBlock", "mergeSegments", "scoreTopDocs",
       "snake_case_util", "normalizeScores", "combineResults", "tokenStream", "docFreqStats",
       "blockMaxWand", "postingCodec", "shuffleWriter", "bucketSpan", "avgDocLength")
-    spark.range(nDocs).map { i =>
+    spark.range(0, nDocs, 1, numPartitions).map { i =>
       // splitmix64 — deterministic per doc id, independent of partitioning
       var x = i + seed * 0x9e3779b97f4a7c15L
       def next(): Long = {
