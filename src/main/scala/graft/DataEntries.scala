@@ -27,6 +27,15 @@ object DataEntries {
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashSignatures(docs(s, dir), "doc_id", "text")
         .withColumnRenamed("id", "doc_id")),
+    // pigeonhole multi-band blocking: 4 bands over 32 bits find every pair
+    // within hamming <= 3 via bounded equality-join buckets
+    "dedup_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 3)),
+    // stopword-shingle cap: shingles with df > 4 dropped before the
+    // self-join (the scale guard against the shared-shingle pair explosion)
+    "dedup_ngram_jaccard_capped" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", k = 3,
+        threshold = 0.2, maxShingleDf = 4)),
     "dedup_embed_cosine" -> ((s, dir) =>
       Ann.cosinePairs(emb(s, dir), "vec_id", "embedding", "label", threshold = 0.35)),
 
@@ -45,6 +54,12 @@ object DataEntries {
       Ann.ivfTopK(emb(s, dir), "vec_id", "embedding", queryId = 2L,
         nCentroids = 16, nProbe = 4, k = 10, assigned = Some(asg))
     }),
+
+    // ---- impact-ordered doc-id reordering (index-sort analogue) ----
+    "reorder_by_length" -> ((s, dir) =>
+      graft.index.Reorder.denseIds(docs(s, dir).select("doc_id", "n_chars"),
+        Seq(col("n_chars"), col("doc_id")), "new_id")
+        .select(col("doc_id"), col("new_id"))),
 
     // ---- multimodal plumbing (stubbed decode) ----
     "mm_features" -> ((s, dir) =>
@@ -146,6 +161,26 @@ object DataEntries {
          |WHERE j >= 0.2""".stripMargin,
     "dedup_minhash_lsh" -> minhashLshOracle,
     "dedup_simhash" -> simhashOracle,
+    "dedup_simhash_pairs" -> simhashPairsOracle,
+    "dedup_ngram_jaccard_capped" ->
+      s"""WITH sh AS (
+         |  SELECT DISTINCT doc_id, array_to_string(toks[CAST(i AS INT):CAST(i+2 AS INT)], ' ') AS shingle
+         |  FROM (SELECT doc_id, toks, unnest(generate_series(1, CAST(len(toks)-2 AS BIGINT))) AS i
+         |        FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+         |              FROM documents)
+         |        WHERE len(toks) >= 3)),
+         |shc AS (
+         |  SELECT sh.doc_id, sh.shingle FROM sh
+         |  JOIN (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 4) g USING (shingle)),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM shc GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+         |  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT id_a, id_b, round(j, 4) AS jaccard FROM (
+         |  SELECT id_a, id_b, CAST(i AS DOUBLE)/(sa.sz + sb.sz - i) AS j
+         |  FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b)
+         |WHERE j >= 0.2""".stripMargin,
     "dedup_embed_cosine" ->
       s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b, round(c, 4) AS cos
          |FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id,
@@ -192,6 +227,9 @@ object DataEntries {
          |  SELECT e.vec_id, ${cosSql("e.embedding", "q.qv")} AS c
          |  FROM embeddings e JOIN assigned a USING (vec_id) JOIN probed p USING (c_id), q)
          |ORDER BY c DESC, vec_id LIMIT 10""".stripMargin,
+    "reorder_by_length" ->
+      """SELECT doc_id, CAST(row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS BIGINT) AS new_id
+        |FROM documents""".stripMargin,
     "mm_features" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
         |       CAST(CASE WHEN length(text) > 0 THEN ascii(substr(text, 1, 1)) ELSE -1 END AS BIGINT) AS first_byte,
@@ -263,5 +301,38 @@ object DataEntries {
        |hs AS (SELECT doc_id, md5(token) AS h, tf FROM tok),
        |sums AS (SELECT doc_id, $bitSums FROM hs GROUP BY doc_id)
        |SELECT doc_id, $bits AS simhash FROM sums""".stripMargin
+  }
+
+  /** pigeonhole bands (parity with Dedup.simhashPairs, maxHamming = 3):
+   *  4 x 8-bit slices; a pair within hamming 3 shares >= 1 exact band */
+  private def simhashPairsOracle: String = {
+    val maxHamming = 3
+    val nBands = maxHamming + 1
+    val bounds = graft.ops.Dedup.bandBounds(nBands)
+    val bitSums = (0 until 32).map(j =>
+      s"sum(CASE WHEN substr(h, ${j + 1}, 1) >= '8' THEN tf ELSE -tf END) AS b$j").mkString(", ")
+    val bits = (0 until 32).map(j => s"CASE WHEN b$j > 0 THEN '1' ELSE '0' END").mkString(" || ")
+    val bandSel = (0 until nBands).map(b =>
+      s"SELECT doc_id, simhash, $b AS band, substr(simhash, ${bounds(b) + 1}, ${bounds(b + 1) - bounds(b)}) AS bh FROM sig")
+      .mkString(" UNION ALL ")
+    val ham = (0 until 32).map(j =>
+      s"CASE WHEN substr(sa, ${j + 1}, 1) <> substr(sb, ${j + 1}, 1) THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, t AS token, count(*) AS tf FROM (
+       |    SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+       |    FROM documents) GROUP BY doc_id, t),
+       |hs AS (SELECT doc_id, md5(token) AS h, tf FROM tok),
+       |sums AS (SELECT doc_id, $bitSums FROM hs GROUP BY doc_id),
+       |sig AS (SELECT doc_id, $bits AS simhash FROM sums),
+       |bands AS ($bandSel),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |         a.simhash AS sa, b.simhash AS sb
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, CAST(hm AS BIGINT) AS hamming FROM (
+       |  SELECT id_a, id_b, ($ham) AS hm FROM cand)
+       |WHERE hm <= $maxHamming""".stripMargin
   }
 }

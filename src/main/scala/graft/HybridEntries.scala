@@ -126,6 +126,18 @@ object HybridEntries {
         .select(col("doc_id"), round(col("norm0"), 4).as("norm0"),
           round(col("norm1"), 4).as("norm1"), round(col("score"), 4).as("score"))
     }),
+    // explain with per-stage technique descriptions (reference:
+    // processor/ExplanationResponseProcessor.java)
+    "hybrid_explain_detail" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      val query = q(lex(Seq(A, B)), MinMaxNormTech(),
+        Combination(Combine.Arithmetic, Seq(0.7, 0.3)))
+      Hybrid.executeExplain(idx, query)
+        .withColumn("explain_desc", lit(Hybrid.describe(query)))
+        .select(col("doc_id"), round(col("norm0"), 4).as("norm0"),
+          round(col("norm1"), 4).as("norm1"), round(col("score"), 4).as("score"),
+          col("explain_desc"))
+    }),
     // min_score filter on the combined score (reference:
     // processor/combination/ScoreCombiner.java:377-395)
     "hybrid_min_score" ->
@@ -478,6 +490,13 @@ object HybridEntries {
       "hybrid_explain" ->
         hybridOracle(tokCte, lex(Seq(A, B)), MinMaxNormTech(), Combination(Combine.Arithmetic),
           explain = true),
+      "hybrid_explain_detail" -> {
+        val inner = hybridOracle(tokCte, lex(Seq(A, B)), MinMaxNormTech(),
+          Combination(Combine.Arithmetic, Seq(0.7, 0.3)), explain = true)
+        s"""SELECT *,
+           |  'normalization [min_max], combination [arithmetic_mean, weights [0.7, 0.3]]' AS explain_desc
+           |FROM ($inner)""".stripMargin
+      },
       "hybrid_min_score" ->
         hybridOracle(tokCte, lex(Seq(A, B)), MinMaxNormTech(), Combination(Combine.Arithmetic),
           k = 50, minScore = Some(0.35)),

@@ -97,7 +97,20 @@ object PipelineEntries {
     // ---- semantic-field ingest (chunk -> mock sparse encode) ----
     "semantic_ingest" -> ((s, dir) =>
       graft.ops.Semantic.ingestSparse(docs(s, dir), "doc_id", "text", 20)
-        .select(col("doc_id"), col("chunk_idx"), col("token"), round(col("w"), 4).as("w")))
+        .select(col("doc_id"), col("chunk_idx"), col("token"), round(col("w"), 4).as("w"))),
+
+    // dense knn_vector sub-field (semantic mapper's dense path): chunk ->
+    // hashing-trick embedding, exploded (doc, chunk, dim, v) rows
+    "semantic_dense_ingest" -> ((s, dir) =>
+      graft.ops.Semantic.ingestDense(docs(s, dir), "doc_id", "text", 20)
+        .select(col("doc_id"), col("chunk_idx"), col("dim").cast("long").as("dim"),
+          round(col("v"), 4).as("v"))),
+    // nested kNN over chunk vectors, best chunk per doc, global top-k
+    "semantic_dense_knn" -> ((s, dir) => {
+      val dense = graft.ops.Semantic.ingestDense(docs(s, dir), "doc_id", "text", 20)
+      graft.ops.Semantic.denseKnnBestChunk(dense, "doc_id", queryDoc = 7L, queryChunk = 0, k = 10)
+        .select(col("doc_id"), col("chunk_idx"), round(col("c"), 4).as("cos"))
+    })
   )
 
   // ------------------------------------------------------------------
@@ -237,6 +250,43 @@ object PipelineEntries {
          |       array_to_string(toks[CAST(i*15 + 1 AS INT):CAST(i*15 + 20 AS INT)], ' ') AS chunk
          |FROM (SELECT doc_id, toks,
          |        unnest(generate_series(0, CAST(floor((len(toks)-1)/15) AS BIGINT))) AS i
-         |      FROM (SELECT doc_id, $Toks AS toks FROM documents))""".stripMargin
+         |      FROM (SELECT doc_id, $Toks AS toks FROM documents))""".stripMargin,
+
+    "semantic_dense_ingest" ->
+      s"""WITH $DenseCtes
+         |SELECT doc_id, chunk_idx, dim, round(v, 4) AS v FROM dv""".stripMargin,
+    "semantic_dense_knn" ->
+      s"""WITH $DenseCtes,
+         |q AS (SELECT dim, v AS qv FROM dv WHERE doc_id = 7 AND chunk_idx = 0),
+         |qn AS (SELECT sqrt(sum(qv*qv)) AS qn FROM q),
+         |dots AS (SELECT doc_id, chunk_idx, sum(v*qv) AS dot
+         |         FROM dv JOIN q USING (dim) GROUP BY doc_id, chunk_idx),
+         |norms AS (SELECT doc_id, chunk_idx, sqrt(sum(v*v)) AS n
+         |          FROM dv GROUP BY doc_id, chunk_idx),
+         |cosv AS (SELECT doc_id, chunk_idx, dot/(n*qn.qn) AS c
+         |         FROM dots JOIN norms USING (doc_id, chunk_idx), qn),
+         |best AS (SELECT doc_id, chunk_idx, c, row_number() OVER (
+         |           PARTITION BY doc_id ORDER BY c DESC, chunk_idx) AS rn FROM cosv)
+         |SELECT doc_id, chunk_idx, round(c, 4) AS cos FROM best
+         |WHERE rn = 1 ORDER BY c DESC, doc_id LIMIT 10""".stripMargin
   )
+
+  /** dense semantic sub-field CTEs: chunk -> mock sparse weights -> feature-
+   *  hashing projection (parity with Semantic.ingestDense, tokenLimit 20,
+   *  dims 8) */
+  private val DenseCtes =
+    s"""chunks AS (
+       |  SELECT doc_id, i AS chunk_idx,
+       |         toks[CAST(i*20 + 1 AS INT):CAST(i*20 + 20 AS INT)] AS ctoks
+       |  FROM (SELECT doc_id, toks,
+       |          unnest(generate_series(0, CAST(floor((len(toks)-1)/20) AS BIGINT))) AS i
+       |        FROM (SELECT doc_id, $Toks AS toks FROM documents))),
+       |t AS (SELECT doc_id, chunk_idx, unnest(ctoks) AS token FROM chunks),
+       |sem AS (SELECT doc_id, chunk_idx, token,
+       |               count(*) * (1.0 + (length(token) % 5) * 0.25) AS w
+       |        FROM t GROUP BY doc_id, chunk_idx, token),
+       |dv AS (SELECT doc_id, chunk_idx,
+       |              (length(token)*31 + ascii(substr(token,1,1))) % 8 AS dim,
+       |              sum(w) AS v
+       |       FROM sem GROUP BY doc_id, chunk_idx, 3)""".stripMargin
 }

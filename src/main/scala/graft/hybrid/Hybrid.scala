@@ -168,6 +168,24 @@ object Hybrid {
     full(src, q, filterDocs).select(($"doc_id" +: normCols :+ $"score"): _*)
   }
 
+  /** Per-stage technique description attached to explain output — the
+   *  reference emits these strings per processor stage
+   *  (reference: processor/ExplanationResponseProcessor.java:1-161,
+   *  normalization/combination `describe()` of each technique). */
+  def describe(q: HybridQuery): String = {
+    val n = q.norm match {
+      case MinMaxNormTech(lo, up) =>
+        "min_max" + (if (lo.nonEmpty || up.nonEmpty) " (bounded)" else "")
+      case L2NormTech       => "l2"
+      case ZScoreNormTech   => "z_score"
+      case RrfNormTech(rc)  => s"rrf, rank_constant [$rc]"
+    }
+    val w =
+      if (q.comb.weights.nonEmpty) s", weights ${q.comb.weights.mkString("[", ", ", "]")}"
+      else ""
+    s"normalization [$n], combination [${q.comb.technique}$w]"
+  }
+
   /** Score one sub-query clause: DataFrame(doc_id, score), unbounded rows. */
   private def scoreClause(src: HybridSources, sq: SubQuery, boundPerBucket: Int): DataFrame =
     sq match {

@@ -49,10 +49,25 @@ object Dedup {
 
   /** n-gram Jaccard near-dup pairs: candidate pairs share >= 1 shingle;
    *  jaccard = |A ∩ B| / |A ∪ B| >= threshold. Returns (id_a, id_b, jaccard),
-   *  id_a < id_b. */
+   *  id_a < id_b.
+   *
+   *  `maxShingleDf` is the scale guard: a shingle present in more than that
+   *  many docs is dropped BEFORE the self-join (stopword-shingle removal —
+   *  ubiquitous shingles carry no dedup signal but alone would produce
+   *  df^2/2 candidate pairs, the self-join explosion that makes an uncapped
+   *  sweep impossible at corpus scale). Sizes and intersections are both
+   *  computed over the capped shingle space, so the jaccard is exact w.r.t.
+   *  the capped sets. */
   def ngramJaccardPairs(docs: DataFrame, id: String, text: String,
-                        k: Int, threshold: Double): DataFrame = {
-    val sh = shingles(docs, id, text, k).toDF("id", "shingle")
+                        k: Int, threshold: Double,
+                        maxShingleDf: Int = Int.MaxValue): DataFrame = {
+    val shAll = shingles(docs, id, text, k).toDF("id", "shingle")
+    val sh =
+      if (maxShingleDf == Int.MaxValue) shAll
+      else shAll.join(
+        shAll.groupBy(col("shingle")).agg(count(lit(1)).as("sdf"))
+          .where(col("sdf") <= maxShingleDf).select("shingle"),
+        "shingle")
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val inter = sh.as("a").join(sh.as("b"), col("a.shingle") === col("b.shingle"))
       .where(col("a.id") < col("b.id"))
@@ -109,18 +124,37 @@ object Dedup {
         (0 until 32).map(j => when(col(s"b$j") > 0, "1").otherwise("0")): _*).as("simhash"))
   }
 
-  /** SimHash near-dup pairs: block on the 16-bit prefix, verify hamming
-   *  distance over the full 32 bits. */
+  /** Band boundaries splitting 32 bits into n near-equal slices. */
+  def bandBounds(nBands: Int): IndexedSeq[Int] =
+    (0 to nBands).map(b => (32 * b) / nBands)
+
+  /** SimHash near-dup pairs with PIGEONHOLE multi-band blocking: the 32-bit
+   *  signature splits into (maxHamming + 1) bands, and any pair within
+   *  hamming distance maxHamming must agree exactly on at least one band —
+   *  so an equality join per band finds EVERY qualifying pair (complete,
+   *  unlike prefix blocking, which misses pairs differing early) while each
+   *  band-value bucket stays a bounded candidate set (a fixed 16-bit-prefix
+   *  block holds ~N/65536 docs, i.e. ~10^12 candidate pairs per block at
+   *  10^11 docs). Survivors are verified on the full 32 bits. */
   def simhashPairs(docs: DataFrame, id: String, text: String, maxHamming: Int): DataFrame = {
     val sig = simhashSignatures(docs, id, text)
-    val withPrefix = sig.withColumn("pfx", substring(col("simhash"), 1, 16))
+    val nBands = maxHamming + 1
+    val bounds = bandBounds(nBands)
+    val bands = sig.select(col("id"), col("simhash"), posexplode(array(
+      (0 until nBands).map(b =>
+        substring(col("simhash"), bounds(b) + 1, bounds(b + 1) - bounds(b))): _*))
+      .as(Seq("band", "bh")))
     val hamming: Column = (0 until 32).map(j =>
-      when(substring(col("a.simhash"), j + 1, 1) =!= substring(col("b.simhash"), j + 1, 1), 1)
+      when(substring(col("sa"), j + 1, 1) =!= substring(col("sb"), j + 1, 1), 1)
         .otherwise(0)).reduce(_ + _)
-    withPrefix.as("a").join(withPrefix.as("b"),
-        col("a.pfx") === col("b.pfx") && col("a.id") < col("b.id"))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.simhash").as("sa"), col("b.simhash").as("sb"))
+      .distinct() // a pair matching several bands counts once
       .withColumn("hamming", hamming.cast("long"))
       .where(col("hamming") <= maxHamming)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("hamming"))
+      .select(col("id_a"), col("id_b"), col("hamming"))
   }
 }

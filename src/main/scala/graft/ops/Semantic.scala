@@ -30,4 +30,54 @@ object Semantic {
       .withColumn("w", col("tf") * (lit(1.0) + (length(col("token")) % 5) * lit(0.25)))
       .drop("tf")
   }
+
+  /**
+   * Dense-vector semantic sub-field: chunk -> deterministic hashing-trick
+   * embedding — the knn_vector sub-field the reference's semantic mapper
+   * auto-generates for dense models (reference:
+   * mapper/SemanticFieldMapper.java:136-147); ML inference is replaced by a
+   * feature-hashing projection (dim = hash(token) mod D, value += w), the
+   * standard zero-model embedding that keeps the pipeline oracle-checkable.
+   *
+   * @return exploded sparse-dense rows (doc_id, chunk_idx, dim, v) — only
+   *         occupied dimensions materialize, the shape that scales.
+   */
+  def ingestDense(docs: DataFrame, idCol: String, textCol: String, tokenLimit: Int,
+                  dims: Int = 8): DataFrame =
+    ingestSparse(docs, idCol, textCol, tokenLimit)
+      .withColumn("dim",
+        (length(col("token")) * 31 + ascii(substring(col("token"), 1, 1))) % dims)
+      .groupBy(col(idCol), col("chunk_idx"), col("dim"))
+      .agg(sum(col("w")).as("v"))
+
+  /**
+   * Nested kNN over the dense chunk vectors: cosine of every chunk against
+   * the query chunk's vector, best chunk per doc (the reference's semantic
+   * query returns documents via their best-matching chunk), global top-k.
+   * Fully relational: the query vector is <= dims rows (broadcast), dots and
+   * norms are hash aggregates, the per-doc best is a max-struct aggregate —
+   * no per-doc window sort.
+   */
+  def denseKnnBestChunk(dense: DataFrame, idCol: String, queryDoc: Long, queryChunk: Int,
+                        k: Int): DataFrame = {
+    val q = dense
+      .filter(col(idCol) === queryDoc && col("chunk_idx") === queryChunk)
+      .select(col("dim"), col("v").as("qv"))
+    val qNorm = sqrt(sum(col("qv") * col("qv")))
+    val dots = dense.join(broadcast(q), "dim")
+      .groupBy(col(idCol), col("chunk_idx"))
+      .agg(sum(col("v") * col("qv")).as("dot"))
+    val norms = dense
+      .groupBy(col(idCol), col("chunk_idx"))
+      .agg(sqrt(sum(col("v") * col("v"))).as("n"))
+    val cosv = dots.join(norms, Seq(idCol, "chunk_idx"))
+      .crossJoin(broadcast(q.agg(qNorm.as("qn"))))
+      .select(col(idCol), col("chunk_idx"), (col("dot") / (col("n") * col("qn"))).as("c"))
+    cosv
+      .groupBy(col(idCol))
+      .agg(max(struct(col("c"), (-col("chunk_idx")).as("nc"))).as("m"))
+      .select(col(idCol), (-col("m.nc")).as("chunk_idx"), col("m.c").as("c"))
+      .orderBy(col("c").desc, col(idCol).asc)
+      .limit(k)
+  }
 }
