@@ -103,6 +103,48 @@ class HybridSpec extends SparkSpec {
     assert(r.map(_.getLong(0)).toSet == Set(0L, 1L, 4L))
   }
 
+  test("heterogeneous hybrid: sparse and dense clauses need their sources") {
+    intercept[IllegalArgumentException] {
+      Hybrid.execute(HybridSources(idx),
+        HybridQuery(Seq(Lexical(Seq("a")), SparseLinear(Map("a" -> 1.0)))), None)
+    }
+    intercept[IllegalArgumentException] {
+      Hybrid.execute(HybridSources(idx),
+        HybridQuery(Seq(DenseCosine(0L))), None)
+    }
+  }
+
+  test("heterogeneous hybrid: lexical + sparse + dense execute end-to-end") {
+    val sparse = Seq((0L, "a", 3.0), (1L, "a", 1.0), (2L, "c", 2.0))
+      .toDF("doc_id", "token", "w")
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(0.5f, 0.5f)), (4L, Array(1.0f, 0.2f)))
+      .toDF("doc_id", "vec")
+    val src = HybridSources(idx, sparse = Some(sparse), emb = Some(emb))
+    val q = HybridQuery(
+      Seq(Lexical(Seq("a")), SparseLinear(Map("a" -> 2.0)), DenseCosine(0L)),
+      norm = MinMaxNormTech(), comb = Combination(Combine.Arithmetic), k = 5, depth = 10)
+    val rows = Hybrid.execute(src, q, None).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rows.nonEmpty)
+    // doc 0: top BM25 for 'a' (tf=2), top sparse weight (3.0), exact-match
+    // dense vector (cos=1) -> normalized 1.0 on all three, must rank first
+    assert(rows.head._1 == 0L)
+    assert(math.abs(rows.head._2 - 1.0) < 1e-9)
+  }
+
+  test("collapse keeps docs_per_group_per_subquery then best-per-group") {
+    val fields = Seq((0L, "g1"), (1L, "g1"), (2L, "g2"), (3L, "g2"), (4L, "g1"))
+      .toDF("doc_id", "source")
+    val src = HybridSources(idx, fields = Some(fields))
+    val q = HybridQuery(Seq(Lexical(Seq("a")), Lexical(Seq("d"))),
+      k = 5, depth = 10, collapse = Some(Collapse("source", 2)))
+    val rows = Hybrid.execute(src, q, None).collect().map(_.getLong(0))
+    // one doc per group in the final page
+    val grp = fields.as[(Long, String)].collect().toMap
+    assert(rows.map(grp).distinct.length == rows.length)
+  }
+
   test("explain mode flattens per-sub-query normalized scores") {
     val r = Hybrid.executeExplain(idx,
       HybridQuery(Seq(SubQuery(Seq("a")), SubQuery(Seq("d"))))).collect()

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.index.Reorder
+import graft.ops.{Dedup, Rerank, TopN}
+
+/** Unit coverage for the round-2 operators: salted two-level top-N,
+ *  dense-id reordering, pigeonhole SimHash blocking, MMR rerank. */
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sampleScores = (1 to 200).map { i =>
+    (i.toLong, s"g${i % 3}", (i * 37 % 101).toDouble)
+  }.toDF("doc_id", "grp", "score")
+
+  test("TopN.perGroup equals the single-window top-n for every salt count") {
+    val df = sampleScores
+    val w = Window.partitionBy($"grp").orderBy($"score".desc, $"doc_id".asc)
+    val expected = df.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 5).drop("rn")
+      .orderBy($"grp", $"doc_id").collect().toSeq
+    for (salt <- Seq(1, 4, 64)) {
+      val got = TopN.perGroup(df, Seq("grp"), "doc_id", 5,
+        Seq($"score".desc, $"doc_id".asc), saltBuckets = salt)
+        .orderBy($"grp", $"doc_id").collect().toSeq
+      assert(got == expected, s"saltBuckets=$salt")
+    }
+  }
+
+  test("Reorder.denseIds equals row_number() - 1 under the same total order") {
+    val df = (1 to 500).map(i => (i.toLong, (i * 13 % 41).toLong)).toDF("doc_id", "key")
+    val w = Window.orderBy($"key", $"doc_id")
+    val expected = df.withColumn("new_id", row_number().over(w).cast("long") - 1)
+      .orderBy($"doc_id").select("doc_id", "new_id").collect().toSeq
+    val got = Reorder.denseIds(df, Seq($"key", $"doc_id"), "new_id", partitions = 7)
+      .orderBy($"doc_id").select("doc_id", "new_id").collect().toSeq
+    assert(got == expected)
+  }
+
+  test("simhashPairs pigeonhole blocking finds every pair within the radius") {
+    // near-duplicate texts differ in few tokens -> small hamming distances
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (0L, base), (1L, base), (2L, base + " extra"), (3L, base.replace("beta", "mu")),
+      (4L, "totally different words here nothing shared at all xyz")
+    ).toDF("doc_id", "text")
+    val maxH = 3
+    val got = Dedup.simhashPairs(docs, "doc_id", "text", maxH)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // brute force over signatures
+    val sigs = Dedup.simhashSignatures(docs, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    val expected = (for {
+      a <- sigs.keys; b <- sigs.keys if a < b
+      h = sigs(a).zip(sigs(b)).count { case (x, y) => x != y } if h <= maxH
+    } yield (a, b)).toSet
+    assert(got == expected)
+    assert(expected.contains((0L, 1L))) // identical docs must pair
+  }
+
+  test("bandBounds covers all 32 bits without overlap") {
+    for (n <- 1 to 6) {
+      val b = Dedup.bandBounds(n)
+      assert(b.head == 0 && b.last == 32 && b == b.sorted && b.distinct == b)
+    }
+  }
+
+  test("MMR greedy selection balances relevance and diversity") {
+    // two clusters of identical vectors; relevance prefers cluster A, but
+    // after one pick from A, diversity must pull in cluster B
+    val hits = Seq((1L, 10.0), (2L, 9.9), (3L, 5.0)).toDF("doc_id", "score")
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f)), // cluster A (identical)
+      (3L, Array(0.0f, 1.0f))                           // cluster B (orthogonal)
+    ).toDF("doc_id", "vec")
+    val got = Rerank.mmr(hits, emb, lambda = 0.5, k = 3)
+      .orderBy($"rank").select("doc_id").as[Long].collect().toSeq
+    // pick 1 (best rel); then doc 2 scores 0.5*9.9-0.5*1.0=4.45 < doc 3's
+    // 0.5*5.0-0.5*0.0=2.5? no: 4.45 > 2.5 -> doc 2 second, doc 3 third
+    assert(got == Seq(1L, 2L, 3L))
+    val diverse = Rerank.mmr(hits, emb, lambda = 0.3, k = 2)
+      .orderBy($"rank").select("doc_id").as[Long].collect().toSeq
+    // 0.3*9.9-0.7*1.0 = 2.27 < 0.3*5.0-0.7*0.0 = 1.5? no: 2.27 > 1.5 ->
+    // still doc 2; make cluster A's second doc weaker
+    val hits2 = Seq((1L, 10.0), (2L, 6.0), (3L, 5.0)).toDF("doc_id", "score")
+    val got2 = Rerank.mmr(hits2, emb, lambda = 0.3, k = 2)
+      .orderBy($"rank").select("doc_id").as[Long].collect().toSeq
+    // second pick: doc2 = 0.3*6.0-0.7*1.0 = 1.1 < doc3 = 0.3*5.0 = 1.5
+    assert(got2 == Seq(1L, 3L))
+    assert(diverse.head == 1L)
+  }
+}
