@@ -113,9 +113,13 @@ object HybridEntries {
 
     // collapse with docs_per_group_per_subquery > 1 (reference:
     // HybridCollapsingTopDocsCollector): each sub-query contributes up to 3
-    // docs per source group; final page keeps the best doc per group
+    // docs per source group; final page keeps the best doc per group.
+    // Unequal weights break the structural 0.5/0.5 tie between the two
+    // single-sub-query maxima — an exact tie flips on the ±1-ulp jitter of
+    // any parallel aggregation (observed in the DuckDB oracle itself).
     "collapse_multi" ->
-      run(q(lex(Seq(A, B)), MinMaxNormTech(), Combination(Combine.Arithmetic),
+      run(q(lex(Seq(A, B)), MinMaxNormTech(),
+        Combination(Combine.Arithmetic, Seq(0.6, 0.4)),
         k = 10, collapse = Some(Collapse("source", 3)))) _,
 
     "collapse_by_source" -> (collapseBySource _),
@@ -154,6 +158,18 @@ object HybridEntries {
         .join(s.read.parquet(s"$dir/documents.parquet").select("doc_id", "n_chars"), "doc_id")
         .orderBy(col("n_chars").desc, col("doc_id").asc)
         .limit(10)
+    }),
+    // histogram bucket aggregation alongside hybrid (reference §2.11: bucket
+    // aggs run over the matched doc set via HybridAggregationProcessor)
+    "hybrid_agg_chars_hist" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      val matched = Seq(A, B).map(t => Bm25.scoreTerms(idx, t).select("doc_id"))
+        .reduce(_ unionByName _).dropDuplicates("doc_id")
+      matched
+        .join(s.read.parquet(s"$dir/documents.parquet").select("doc_id", "n_chars"), "doc_id")
+        .groupBy((floor(col("n_chars") / 100) * 100).as("bucket"))
+        .agg(count(lit(1)).as("n_docs"), avg(col("n_chars")).as("a"))
+        .select(col("bucket"), col("n_docs"), round(col("a"), 4).as("avg_chars"))
     }),
     // metric aggregation alongside hybrid (reference: §2.11
     // HybridAggregationProcessor — aggs run over the matched doc set)
@@ -511,7 +527,8 @@ object HybridEntries {
         hybridOracle(tokCte, Seq(Lexical(B), SparseLinear(SQ.toMap), DenseCosine(DenseQ3)),
           RrfNormTech(60), Combination(Combine.Rrf)),
       "collapse_multi" ->
-        hybridOracle(tokCte, lex(Seq(A, B)), MinMaxNormTech(), Combination(Combine.Arithmetic),
+        hybridOracle(tokCte, lex(Seq(A, B)), MinMaxNormTech(),
+          Combination(Combine.Arithmetic, Seq(0.6, 0.4)),
           k = 10, collapse = Some(Collapse("source", 3))),
       "dsl_neural_sparse" ->
         hybridOracle(tokCte, Seq(Lexical(A), SparseLinear(SQ.toMap)),
@@ -525,6 +542,15 @@ object HybridEntries {
            |SELECT m.doc_id, d.n_chars
            |FROM m JOIN documents d USING (doc_id)
            |ORDER BY d.n_chars DESC, m.doc_id LIMIT 10""".stripMargin,
+      "hybrid_agg_chars_hist" ->
+        s"""WITH $tokCte,
+           |m AS (
+           |  SELECT DISTINCT doc_id FROM tf
+           |  WHERE term IN (${termList(A)}) OR term IN (${termList(B)}))
+           |SELECT CAST(floor(d.n_chars / 100) * 100 AS BIGINT) AS bucket,
+           |       count(*) AS n_docs, round(avg(d.n_chars), 4) AS avg_chars
+           |FROM m JOIN documents d USING (doc_id)
+           |GROUP BY 1""".stripMargin,
       "hybrid_agg_lang" ->
         s"""WITH $tokCte,
            |m AS (

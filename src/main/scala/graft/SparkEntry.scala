@@ -95,6 +95,11 @@ object SparkEntry {
       Bm25.topK(IndexCache.documents(s, dir), Seq("join", "window"), 10,
         boosts = Map("window" -> 2.0))
         .select(col("doc_id"), round(col("score"), 4).as("score"))),
+    // cost-based scorer routing: term-stats volume decides plain vs WAND;
+    // either path must produce identical exact results
+    "bm25_auto_top10" -> ((s, dir) =>
+      Bm25.topKAuto(IndexCache.documents(s, dir), Seq("merge", "dup"), 10)
+        .select(col("doc_id"), round(col("score"), 4).as("score"))),
     // block-max WAND path: same exact results, blocks below the pass-1
     // threshold never decoded (SURVEY.md §7.4 two-pass scheme)
     "bm25_wand_top10" -> ((s, dir) =>
@@ -153,6 +158,7 @@ object SparkEntry {
          |  GROUP BY tf.doc_id)
          |SELECT doc_id, round(s, 4) AS score FROM score
          |ORDER BY s DESC, doc_id LIMIT 10""".stripMargin,
+    "bm25_auto_top10"   -> bm25OracleSql("'merge', 'dup'", 10),
     "bm25_wand_top10"   -> bm25OracleSql("'spark', 'stream', 'filter'", 10),
     "bm25_wand_top100"  -> bm25OracleSql("'table', 'scan'", 100)
   ) ++ HybridEntries.oracles(TOK_CTE) ++ PipelineEntries.oracles(TOK_CTE) ++ DataEntries.oracles(TOK_CTE) ++ CorpusEntries.oracles(TOK_CTE)

@@ -120,6 +120,10 @@ object Hybrid {
   /** max sub-queries, as the reference enforces (HybridQueryBuilder.java:67). */
   val MaxSubQueries = 5
 
+  /** `index.max_result_window` default — pagination depth is bounded by it
+   *  (reference: HybridQueryBuilder.java:61-68,379-400). */
+  val MaxResultWindow = 10000
+
   /** z_score only combines with arithmetic_mean
    *  (reference: ScoreNormalizationFactory.java:111-132). */
   private def validate(src: HybridSources, q: HybridQuery): Unit = {
@@ -127,6 +131,9 @@ object Hybrid {
       s"hybrid query supports 1..$MaxSubQueries sub-queries")
     require(q.norm != ZScoreNormTech || q.comb.technique == Combine.Arithmetic,
       "z_score normalization supports only arithmetic_mean combination")
+    require(q.depth >= 1 && q.depth <= MaxResultWindow,
+      s"pagination_depth must be in [1, $MaxResultWindow] (index.max_result_window)")
+    require(q.k >= 1 && q.from >= 0, "size must be >= 1 and from >= 0")
     if (q.comb.weights.nonEmpty) {
       require(q.comb.weights.size == q.subQueries.size, "weights count must match sub-queries")
       require(math.abs(q.comb.weights.sum - 1.0) <= 0.01, "weights must sum to 1.0 (+-0.01)")

@@ -104,7 +104,10 @@ object Bm25 {
     val scored: Dataset[(Long, Double)] = matched
       .groupByKey(_.bucket)
       .cogroup(docLens.groupByKey(_.bucket)) { (bucket, blocksIt, dlIt) =>
-        val blocks = blocksIt.toArray
+        // deterministic accumulation order: shuffle arrival order varies run
+        // to run, and a different FP summation order shifts near-tied scores
+        // by an ulp — enough to flip a rank at a page boundary
+        val blocks = blocksIt.toArray.sortBy(b => (b.term, b.bucket))
         if (blocks.isEmpty) Iterator.empty
         else {
           // dense doc-length window for this 4096-doc span
