@@ -218,6 +218,23 @@ object HybridEntries {
       graft.query.QueryDsl.execute(idx, json, s, s.read.parquet(s"$dir/documents.parquet"))
         .select(col("doc_id"), round(col("score"), 4).as("score"))
     }),
+    // DSL request with per-clause boost + request-level collapse (boost is
+    // legal INSIDE a clause; only hybrid-level boost is rejected)
+    "dsl_collapse_boost" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      val json =
+        """{ "query": { "hybrid": {
+          |    "queries": [ { "match": { "text": { "query": "join hash", "boost": 2.0 } } },
+          |                 { "match": { "text": "merge sort window" } } ],
+          |    "pagination_depth": 50 } },
+          |  "size": 10,
+          |  "collapse": { "field": "source", "docs_per_group_per_subquery": 2 },
+          |  "search_pipeline": {
+          |    "normalization": { "technique": "min_max" },
+          |    "combination":   { "technique": "arithmetic_mean", "weights": [0.6, 0.4] } } }""".stripMargin
+      graft.query.QueryDsl.execute(idx, json, s, s.read.parquet(s"$dir/documents.parquet"))
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+    }),
     // by-field rerank: _score replaced by a stored numeric field, old score kept
     "rerank_by_field" -> ((s, dir) => {
       val idx = IndexCache.documents(s, dir)
@@ -280,10 +297,18 @@ object HybridEntries {
   /** score CTE for one sub-query clause: sq$i(doc_id, s). `filterPred` is a
    *  predicate template over the alias's doc-id column. */
   private def scoreCte(i: Int, sq: SubQuery, filterPred: Option[String]): String = sq match {
-    case Lexical(terms, _) =>
+    case Lexical(terms, boosts) =>
       val f = filterPred.map(p => s" AND tf.${p}").getOrElse("")
+      val boostSql =
+        if (boosts.isEmpty) ""
+        else "\n              * (CASE tf.term " +
+          boosts.toSeq.sortBy(_._1).map { case (t, b) => s"WHEN '$t' THEN $b" }.mkString(" ") +
+          " ELSE 1.0 END)"
+      val sum =
+        s"""sum( ln(1 + (stats.n - df.df + 0.5)/(df.df + 0.5))$boostSql
+           |              * (tf.tf / (tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/stats.avgdl))) )""".stripMargin
       s"""sq$i AS (
-         |  SELECT tf.doc_id, $Bm25Sum AS s
+         |  SELECT tf.doc_id, $sum AS s
          |  FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN stats
          |  WHERE tf.term IN (${termList(terms)})$f
          |  GROUP BY tf.doc_id)""".stripMargin
@@ -533,6 +558,11 @@ object HybridEntries {
       "dsl_neural_sparse" ->
         hybridOracle(tokCte, Seq(Lexical(A), SparseLinear(SQ.toMap)),
           MinMaxNormTech(), Combination(Combine.Arithmetic), filterPred = langF),
+      "dsl_collapse_boost" ->
+        hybridOracle(tokCte,
+          Seq(Lexical(A, A.map(_ -> 2.0).toMap), Lexical(B)),
+          MinMaxNormTech(), Combination(Combine.Arithmetic, Seq(0.6, 0.4)),
+          k = 10, collapse = Some(Collapse("source", 2))),
 
       "hybrid_sorted" ->
         s"""WITH $tokCte,

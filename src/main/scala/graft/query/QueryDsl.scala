@@ -86,6 +86,14 @@ object QueryDsl {
       else Seq.empty[Double]
     val comb = Combination(combNode.path("technique").asText(Combine.Arithmetic), weights)
 
+    // request-level collapse (reference: field collapsing with
+    // docs_per_group_per_subquery, plugin/NeuralSearch.java:367)
+    val collapse = Option(root.path("collapse")).filterNot(_.isMissingNode).map { c =>
+      val field = c.path("field").asText("")
+      require(field.nonEmpty, "collapse requires a field")
+      Collapse(field, c.path("docs_per_group_per_subquery").asInt(1))
+    }
+
     Parsed(
       HybridQuery(
         subQueries = subs,
@@ -94,7 +102,8 @@ object QueryDsl {
         k = root.path("size").asInt(10),
         depth = hybrid.path("pagination_depth").asInt(50),
         from = root.path("from").asInt(0),
-        minScore = Option(root.path("min_score")).filter(_.isNumber).map(_.asDouble())
+        minScore = Option(root.path("min_score")).filter(_.isNumber).map(_.asDouble()),
+        collapse = collapse
       ),
       filters
     )
@@ -102,11 +111,22 @@ object QueryDsl {
 
   private def parseSubQuery(q: JsonNode, analyzer: String): SubQuery =
     if (!q.path("match").isMissingNode) {
-      val (_, text) = firstField(q.path("match"))
-      Lexical(Analyzer.analyze(analyzer)(text.asText()).toSeq)
+      // value form: "text": "..." ; object form: "text": {"query": "...",
+      // "boost": 2.0} (per-sub-query boost is legal INSIDE a clause — only
+      // the hybrid-level boost is rejected, HybridQueryBuilder.java:247-253)
+      val (_, body) = firstField(q.path("match"))
+      val (text, boost) =
+        if (body.isObject) (body.path("query").asText(), body.path("boost").asDouble(1.0))
+        else (body.asText(), 1.0)
+      val terms = Analyzer.analyze(analyzer)(text).toSeq
+      Lexical(terms,
+        if (boost == 1.0) Map.empty else terms.map(_ -> boost).toMap)
     } else if (!q.path("term").isMissingNode) {
-      val (_, v) = firstField(q.path("term"))
-      Lexical(Seq(v.asText()))
+      val (_, body) = firstField(q.path("term"))
+      val (v, boost) =
+        if (body.isObject) (body.path("value").asText(), body.path("boost").asDouble(1.0))
+        else (body.asText(), 1.0)
+      Lexical(Seq(v), if (boost == 1.0) Map.empty else Map(v -> boost))
     } else if (!q.path("neural_sparse").isMissingNode) {
       val (_, body) = firstField(q.path("neural_sparse"))
       val toks = body.path("query_tokens")
@@ -142,13 +162,17 @@ object QueryDsl {
       }
     } else throw new IllegalArgumentException(s"unsupported filter: $node")
 
-  /** Parse + execute against hybrid sources; `docs` supplies filter fields. */
+  /** Parse + execute against hybrid sources; `docs` supplies filter and
+   *  collapse fields. */
   def execute(src: HybridSources, json: String, docs: => DataFrame): DataFrame = {
     val parsed = parse(json, src.idx.analyzer)
     val filterDf = Option(parsed.filters).filter(_.nonEmpty).map { fs =>
       fs.foldLeft(docs)((d, f) => d.where(col(f._1) === f._2)).select("doc_id")
     }
-    Hybrid.execute(src, parsed.query, filterDf)
+    val src2 =
+      if (parsed.query.collapse.nonEmpty && src.fields.isEmpty) src.copy(fields = Some(docs))
+      else src
+    Hybrid.execute(src2, parsed.query, filterDf)
   }
 
   /** Back-compat entry: lexical + sparse clauses only (no embedding source). */

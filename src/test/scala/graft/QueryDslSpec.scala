@@ -63,6 +63,17 @@ class QueryDslSpec extends SparkSpec {
     assert(p.filters == Seq(("lang", "en"), ("source", "s1")))
   }
 
+  test("per-clause boost and request-level collapse parse") {
+    val p = QueryDsl.parse(
+      """{"query":{"hybrid":{"queries":[
+        |  {"match":{"text":{"query":"a b","boost":2.0}}},
+        |  {"term":{"text":{"value":"c","boost":3.0}}}]}},
+        |"collapse":{"field":"source","docs_per_group_per_subquery":2}}""".stripMargin)
+    assert(p.query.subQueries(0) == Lexical(Seq("a", "b"), Map("a" -> 2.0, "b" -> 2.0)))
+    assert(p.query.subQueries(1) == Lexical(Seq("c"), Map("c" -> 3.0)))
+    assert(p.query.collapse.contains(Collapse("source", 2)))
+  }
+
   test("hybrid-level boost != 1.0 is rejected (HybridQueryBuilder.java:247-253)") {
     intercept[IllegalArgumentException](QueryDsl.parse(
       """{"query":{"hybrid":{"boost":2.0,"queries":[{"term":{"text":"a"}}]}}}"""))
