@@ -55,6 +55,19 @@ object DataEntries {
         nCentroids = 16, nProbe = 4, k = 10, assigned = Some(asg))
     }),
 
+    // learned centroids: k-means (Lloyd's, deterministic seed + fixed
+    // iterations) replaces the luck-based "ids < nCentroids" seed set; with
+    // nProbe = nCentroids the search is exact, so the oracle (brute-force
+    // top-k) checks that the learned assignment partitions the corpus with
+    // no vector lost or duplicated
+    "ann_ivf_kmeans" -> ((s, dir) => {
+      val path = s"target/ivfkmeans/${dir.replaceAll("[^a-zA-Z0-9.]", "_")}"
+      val (cents, asg) =
+        Ann.ivfBuildLearned(emb(s, dir), "vec_id", "embedding", 16, path, iters = 3)
+      Ann.ivfTopKLearned(emb(s, dir), "vec_id", "embedding", queryId = 3L,
+        cents, asg, nProbe = 16, k = 10)
+    }),
+
     // ---- impact-ordered doc-id reordering (index-sort analogue) ----
     "reorder_by_length" -> ((s, dir) =>
       graft.index.Reorder.denseIds(docs(s, dir).select("doc_id", "n_chars"),
@@ -208,6 +221,13 @@ object DataEntries {
          |SELECT vec_id, round(c, 4) AS cos FROM (
          |  SELECT e.vec_id, ${cosSql("e.embedding", "q.qv")} AS c
          |  FROM embeddings e JOIN assigned a USING (vec_id) JOIN probed p USING (c_id), q)
+         |ORDER BY c DESC, vec_id LIMIT 10""".stripMargin,
+    // exact because all 16 centroids are probed: the learned partition must
+    // cover the corpus exactly once, so the result equals brute-force top-k
+    "ann_ivf_kmeans" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 3)
+         |SELECT vec_id, round(c, 4) AS cos FROM (
+         |  SELECT e.vec_id, ${cosSql("e.embedding", "q.qv")} AS c FROM embeddings e, q)
          |ORDER BY c DESC, vec_id LIMIT 10""".stripMargin,
     "ann_ivf_persisted" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 2),

@@ -235,6 +235,78 @@ object HybridEntries {
       graft.query.QueryDsl.execute(idx, json, s, s.read.parquet(s"$dir/documents.parquet"))
         .select(col("doc_id"), round(col("score"), 4).as("score"))
     }),
+    // neural_query_enricher request processor: the neural_sparse clause
+    // carries query_text with NO model_id — the enricher's default_model_id
+    // fills it, and the (mock) sparse encoding model runs over the analyzed
+    // text (reference: processor/NeuralQueryEnricherProcessor +
+    // NeuralSparseQueryBuilder.java:518-557 query_text inference path)
+    "dsl_enriched_sparse" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      val json =
+        """{ "query": { "hybrid": {
+          |    "queries": [ { "match": { "text": "join hash" } },
+          |                 { "neural_sparse": { "sparse_field": {
+          |                     "query_text": "merge window dup scan merge" } } } ],
+          |    "pagination_depth": 50 } },
+          |  "size": 10,
+          |  "search_pipeline": {
+          |    "request_processors": [ { "neural_query_enricher": {
+          |        "default_model_id": "mock-sparse-encoder-v1" } } ],
+          |    "normalization": { "technique": "min_max" },
+          |    "combination":   { "technique": "arithmetic_mean" } } }""".stripMargin
+      graft.query.QueryDsl.execute(idx, json, s, s.read.parquet(s"$dir/documents.parquet"))
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+    }),
+    // request-level sort through the DSL: per-sub-query TopFieldDocs capped
+    // at pagination_depth, merged first-wins, final page by the sort order
+    // (reference: ScoreCombiner.java:281-311 TopDocs.merge(sort, ...))
+    "dsl_sorted" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      val json =
+        """{ "query": { "hybrid": {
+          |    "queries": [ { "match": { "text": "join hash" } },
+          |                 { "match": { "text": "merge sort window" } } ],
+          |    "pagination_depth": 50 } },
+          |  "size": 10,
+          |  "sort": [ { "n_chars": { "order": "desc" } } ] }""".stripMargin
+      graft.query.QueryDsl.execute(idx, json, s, s.read.parquet(s"$dir/documents.parquet"))
+        .select(col("doc_id"), col("n_chars"))
+    }),
+    // stats metric aggregation over the matched doc set (reference §2.11:
+    // metric aggs run alongside hybrid via HybridAggregationProcessor)
+    "hybrid_agg_stats" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      val matched = Seq(A, B).map(t => Bm25.scoreTerms(idx, t).select("doc_id"))
+        .reduce(_ unionByName _).dropDuplicates("doc_id")
+      matched
+        .join(s.read.parquet(s"$dir/documents.parquet").select("doc_id", "n_chars"), "doc_id")
+        .agg(count(lit(1)).as("n_docs"), min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"),
+          round(avg(col("n_chars")), 4).as("avg_chars"),
+          sum(col("n_chars")).cast("long").as("sum_chars"))
+    }),
+    // terms bucket aggregation: top groups by doc count (the default
+    // terms-agg order: count desc, key asc)
+    "hybrid_agg_source_terms" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      val matched = Seq(A, B).map(t => Bm25.scoreTerms(idx, t).select("doc_id"))
+        .reduce(_ unionByName _).dropDuplicates("doc_id")
+      matched
+        .join(s.read.parquet(s"$dir/documents.parquet").select("doc_id", "source"), "doc_id")
+        .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("n_docs").desc, col("source").asc)
+        .limit(5)
+    }),
+    // lexical highlighting response processor: per-(hit, matched term) first
+    // occurrence + <em>-tagged snippet (the deterministic analogue of the
+    // reference's highlight response stage; semantic model spans are out of
+    // scope under zero egress)
+    "search_highlight" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      val hits = Bm25.topK(idx, B, 10)
+      graft.ops.Highlight.matchedTerms(hits,
+        s.read.parquet(s"$dir/documents.parquet"), "text", B, window = 3)
+    }),
     // by-field rerank: _score replaced by a stored numeric field, old score kept
     "rerank_by_field" -> ((s, dir) => {
       val idx = IndexCache.documents(s, dir)
@@ -564,6 +636,45 @@ object HybridEntries {
           MinMaxNormTech(), Combination(Combine.Arithmetic, Seq(0.6, 0.4)),
           k = 10, collapse = Some(Collapse("source", 2))),
 
+      // weights are the mock encoder's output for the analyzed query text
+      // "merge window dup scan merge", derived BY HAND here (count x
+      // (1 + len%5/4)): merge x2 -> 2*(1+0) = 2.0; window -> 1+1*0.25 = 1.25;
+      // dup -> 1+3*0.25 = 1.75; scan -> 1+4*0.25 = 2.0. If the engine's
+      // query-side encoder drifts from this spec, the oracle catches it.
+      "dsl_enriched_sparse" ->
+        hybridOracle(tokCte,
+          Seq(Lexical(A), SparseLinear(Map(
+            "merge" -> 2.0, "window" -> 1.25, "dup" -> 1.75, "scan" -> 2.0))),
+          MinMaxNormTech(), Combination(Combine.Arithmetic)),
+      "dsl_sorted" ->
+        s"""WITH $tokCte,
+           |m0 AS (SELECT DISTINCT doc_id FROM tf WHERE term IN (${termList(A)})),
+           |t0 AS (SELECT m0.doc_id, d.n_chars FROM m0 JOIN documents d USING (doc_id)
+           |       ORDER BY d.n_chars DESC, m0.doc_id LIMIT $Depth),
+           |m1 AS (SELECT DISTINCT doc_id FROM tf WHERE term IN (${termList(B)})),
+           |t1 AS (SELECT m1.doc_id, d.n_chars FROM m1 JOIN documents d USING (doc_id)
+           |       ORDER BY d.n_chars DESC, m1.doc_id LIMIT $Depth),
+           |u AS (SELECT * FROM t0 UNION SELECT * FROM t1)
+           |SELECT doc_id, n_chars FROM u
+           |ORDER BY n_chars DESC, doc_id LIMIT 10""".stripMargin,
+      "hybrid_agg_stats" ->
+        s"""WITH $tokCte,
+           |m AS (
+           |  SELECT DISTINCT doc_id FROM tf
+           |  WHERE term IN (${termList(A)}) OR term IN (${termList(B)}))
+           |SELECT count(*) AS n_docs, min(d.n_chars) AS min_chars,
+           |       max(d.n_chars) AS max_chars, round(avg(d.n_chars), 4) AS avg_chars,
+           |       CAST(sum(d.n_chars) AS BIGINT) AS sum_chars
+           |FROM m JOIN documents d USING (doc_id)""".stripMargin,
+      "hybrid_agg_source_terms" ->
+        s"""WITH $tokCte,
+           |m AS (
+           |  SELECT DISTINCT doc_id FROM tf
+           |  WHERE term IN (${termList(A)}) OR term IN (${termList(B)}))
+           |SELECT d.source, count(*) AS n_docs
+           |FROM m JOIN documents d USING (doc_id)
+           |GROUP BY d.source
+           |ORDER BY n_docs DESC, d.source LIMIT 5""".stripMargin,
       "hybrid_sorted" ->
         s"""WITH $tokCte,
            |m AS (
@@ -589,6 +700,26 @@ object HybridEntries {
            |SELECT d.lang, count(*) AS n_docs
            |FROM m JOIN documents d USING (doc_id)
            |GROUP BY d.lang""".stripMargin,
+      "search_highlight" ->
+        s"""WITH $tokCte,
+           |score AS (
+           |  SELECT tf.doc_id, $Bm25Sum AS s
+           |  FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN stats
+           |  WHERE tf.term IN (${termList(B)})
+           |  GROUP BY tf.doc_id),
+           |topd AS (SELECT doc_id FROM score ORDER BY s DESC, doc_id LIMIT 10),
+           |tks AS (SELECT d.doc_id, string_split(d.text, ' ') AS toks
+           |        FROM documents d JOIN topd USING (doc_id)),
+           |m AS (
+           |  SELECT doc_id, toks, t.term,
+           |         CAST(coalesce(list_position(toks, t.term), 0) AS BIGINT) AS pos
+           |  FROM tks CROSS JOIN (SELECT unnest(ARRAY[${termList(B)}]) AS term) t)
+           |SELECT doc_id, term, pos,
+           |       array_to_string(
+           |         list_transform(toks[CAST(greatest(pos - 3, 1) AS INT):CAST(pos + 3 AS INT)],
+           |           x -> CASE WHEN x = term THEN '<em>' || x || '</em>' ELSE x END),
+           |         ' ') AS snippet
+           |FROM m WHERE pos > 0""".stripMargin,
       "rerank_by_field" ->
         s"""WITH $tokCte,
            |sc AS (

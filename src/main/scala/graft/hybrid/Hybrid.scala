@@ -193,6 +193,39 @@ object Hybrid {
     s"normalization [$n], combination [${q.comb.technique}$w]"
   }
 
+  /**
+   * Sort-enabled hybrid: hits ordered by stored fields instead of score.
+   * Each sub-query collects its top-depth by the sort order (the collector's
+   * TopFieldDocs), the runs merge with first-wins doc dedupe, and the final
+   * page re-sorts the <= nSub x depth merged rows (reference:
+   * processor/combination/ScoreCombiner.java:281-311 TopDocs.merge(sort, ...)
+   * + LinkedHashSet dedupe). Every per-sub-query collection is a bounded
+   * TakeOrdered, so no stage sorts an unbounded row set.
+   *
+   * @param sort (field, ascending) pairs; doc_id asc is the final tiebreak.
+   * @return DataFrame(doc_id, sortField...): the final page, ordered.
+   */
+  def executeSorted(src: HybridSources, q: HybridQuery, sort: Seq[(String, Boolean)],
+                    filterDocs: Option[DataFrame] = None): DataFrame = {
+    validate(src, q)
+    require(sort.nonEmpty, "executeSorted requires at least one sort field")
+    require(src.fields.nonEmpty, "sort requires HybridSources.fields with the sort columns")
+    val sortCols = sort.map { case (f, asc) =>
+      if (asc) col(f).asc else col(f).desc
+    } :+ col("doc_id").asc
+    val fieldCols = src.fields.get.select((col("doc_id") +: sort.map(s => col(s._1))): _*)
+    val perSub = q.subQueries.map { sq =>
+      val matched = scoreClause(src, sq, 0).select("doc_id")
+      val filtered = filterDocs.fold(matched)(f =>
+        matched.join(f.select("doc_id"), Seq("doc_id"), "left_semi"))
+      filtered.join(fieldCols, "doc_id").orderBy(sortCols: _*).limit(q.depth)
+    }
+    val merged = perSub.reduce(_ unionByName _).dropDuplicates("doc_id")
+    val ordered = merged.orderBy(sortCols: _*)
+    val paged = if (q.from > 0) ordered.offset(q.from) else ordered
+    paged.limit(q.k)
+  }
+
   /** Score one sub-query clause: DataFrame(doc_id, score), unbounded rows. */
   private def scoreClause(src: HybridSources, sq: SubQuery, boundPerBucket: Int): DataFrame =
     sq match {

@@ -69,6 +69,87 @@ object Ann {
     emb.sparkSession.read.parquet(path)
   }
 
+  /** Assignment of every vector to its max-cosine centroid from an explicit
+   *  centroid table (c_id, cv). Same max-struct argmax as [[ivfAssign]]. */
+  def assignTo(emb: DataFrame, id: String, vec: String, centroids: DataFrame): DataFrame =
+    emb.crossJoin(broadcast(centroids))
+      .select(col(id),
+        struct(cosine(col(vec), col("cv")).as("c"), (-col("c_id")).as("nc")).as("s"))
+      .groupBy(col(id))
+      .agg(max(col("s")).as("m"))
+      .select(col(id), (-col("m.nc")).as("c_id"))
+
+  /**
+   * Learned IVF centroids: Lloyd's k-means over the embedding table, the
+   * scale path that replaces the fixed "embeddings of ids < nCentroids" seed
+   * set (whose partition balance is luck). Deterministic: init = those same
+   * seed embeddings, a fixed iteration count, cosine assignment with
+   * smallest-centroid-id tie-break. Each iteration is one broadcast-join
+   * argmax assignment plus one (c_id, dim) mean aggregate — no windows and
+   * no driver-side loop over data rows (only over `iters`, a constant).
+   * A centroid that loses every member keeps its previous position.
+   * Cosine is scale-invariant, so the plain element-wise mean serves as the
+   * spherical-k-means update without renormalization.
+   *
+   * @return centroid table (c_id, cv) — bounded by nCentroids rows.
+   */
+  def kmeansCentroids(emb: DataFrame, id: String, vec: String, nCentroids: Int,
+                      iters: Int = 5): DataFrame = {
+    val init = emb.where(col(id) < nCentroids)
+      .select(col(id).cast("long").as("c_id"), col(vec).as("cv"))
+    (0 until iters).foldLeft(init) { (cents, _) =>
+      val asg = assignTo(emb, id, vec, cents)
+      val means = emb.join(asg, id)
+        .select(col("c_id"), posexplode(col(vec)))
+        .groupBy(col("c_id"), col("pos"))
+        .agg(avg(col("col").cast("double")).as("av"))
+        .groupBy(col("c_id"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("av")))),
+          e => e.getField("av")).as("cv_new"))
+      // persist the small (<= nCentroids rows) result so the next iteration's
+      // lineage doesn't recompute every prior assignment pass
+      val next = cents.join(means, Seq("c_id"), "left")
+        .select(col("c_id"), coalesce(col("cv_new"), col("cv")).as("cv"))
+        .localCheckpoint(true)
+      next
+    }
+  }
+
+  /** Learned-IVF build artifact: k-means centroids + the final assignment,
+   *  both persisted; the assignment is partitioned by centroid for probe-time
+   *  partition pruning. Returns (centroids, assignment) read back. */
+  def ivfBuildLearned(emb: DataFrame, id: String, vec: String, nCentroids: Int,
+                      path: String, iters: Int = 5): (DataFrame, DataFrame) = {
+    val spark = emb.sparkSession
+    val cents = kmeansCentroids(emb, id, vec, nCentroids, iters)
+    cents.write.mode("overwrite").parquet(s"$path/centroids")
+    val centsBack = spark.read.parquet(s"$path/centroids")
+    assignTo(emb, id, vec, centsBack)
+      .write.mode("overwrite").partitionBy("c_id").parquet(s"$path/assign")
+    (centsBack, spark.read.parquet(s"$path/assign"))
+  }
+
+  /** IVF search against an explicit (learned) centroid table: probe the
+   *  nProbe centroids nearest to the query, brute-force only their assigned
+   *  vectors. With nProbe = nCentroids this is exact. */
+  def ivfTopKLearned(emb: DataFrame, id: String, vec: String, queryId: Long,
+                     centroids: DataFrame, assigned: DataFrame,
+                     nProbe: Int, k: Int): DataFrame = {
+    val q = emb.where(col(id) === queryId).select(col(vec).as("qv"))
+    val probed = centroids.crossJoin(broadcast(q))
+      .orderBy(cosine(col("cv"), col("qv")).desc, col("c_id").asc)
+      .limit(nProbe)
+      .select("c_id")
+    emb.join(assigned, id)
+      .join(broadcast(probed), "c_id")
+      .crossJoin(broadcast(q))
+      .select(col(id), round(cosine(col(vec), col("qv")), 4).as("cos"),
+        cosine(col(vec), col("qv")).as("_c"))
+      .orderBy(col("_c").desc, col(id).asc)
+      .limit(k)
+      .drop("_c")
+  }
+
   /** IVF search: probe the nProbe centroids nearest to the query embedding,
    *  brute-force only within their assigned vectors. `assigned` is the
    *  build-time artifact from [[ivfBuild]]; recomputing it per query would

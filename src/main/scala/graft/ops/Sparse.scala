@@ -83,6 +83,18 @@ object Sparse {
   def freqEncode(v: Float): Int = java.lang.Float.floatToIntBits(v) >>> 15
   def freqDecode(tf: Int): Float = java.lang.Float.intBitsToFloat(tf << 15)
 
+  /** Query-side mock sparse encoding: the same deterministic stand-in as the
+   *  doc-side [[encode]] (w = count x (1 + len%5/4)), applied to an analyzed
+   *  query string. This is what the reference's `neural_sparse` clause does
+   *  with `query_text` + `model_id` — run the sparse encoding model over the
+   *  query text to get `query_tokens` (reference:
+   *  query/NeuralSparseQueryBuilder.java:518-557); every mock "model"
+   *  produces this same deterministic encoding under zero egress. */
+  def encodeQueryTokens(tokens: Seq[String]): Map[String, Double] =
+    tokens.groupBy(identity).map { case (t, occ) =>
+      t -> occ.size * (1.0 + (t.length % 5) * 0.25)
+    }
+
   /** Linear (dot-product) scoring of a token-weight query against encoded
    *  docs; OR semantics over tokens. Broadcast hash join on the tiny query
    *  side (SURVEY.md §2.3: query-token ∩ posting-term is always broadcast). */

@@ -45,7 +45,20 @@ object QueryDsl {
 
   private val mapper = new ObjectMapper()
 
-  case class Parsed(query: HybridQuery, filters: Seq[(String, String)]) {
+  /** `neural_query_enricher` search-request processor config: a default
+   *  model id plus per-field overrides, injected into neural/neural_sparse
+   *  clauses that carry `query_text` without a `model_id` (reference:
+   *  processor/NeuralQueryEnricherProcessor — registered in
+   *  plugin/NeuralSearch.java:385-396; config keys `default_model_id`,
+   *  `neural_field_default_id`). */
+  case class Enricher(defaultModelId: Option[String] = None,
+                      fieldDefaults: Map[String, String] = Map.empty) {
+    def resolve(field: String, clauseModelId: Option[String]): Option[String] =
+      clauseModelId.orElse(fieldDefaults.get(field)).orElse(defaultModelId)
+  }
+
+  case class Parsed(query: HybridQuery, filters: Seq[(String, String)],
+                    sort: Seq[(String, Boolean)] = Nil) {
     /** first equality filter, if any (back-compat accessor) */
     def filterField: Option[(String, String)] = filters.headOption
   }
@@ -62,10 +75,14 @@ object QueryDsl {
     require(boostNode.isMissingNode || boostNode.asDouble(1.0) == 1.0,
       "hybrid query does not support [boost]")
 
+    // request processors run before sub-query construction (reference:
+    // search-request processors transform the SearchRequest itself)
+    val enricher = parseEnricher(root.path("search_pipeline").path("request_processors"))
+
     val subs = {
       val arr = hybrid.path("queries")
       require(arr.isArray && arr.size() > 0, "hybrid.queries must be a non-empty array")
-      (0 until arr.size()).map(i => parseSubQuery(arr.get(i), analyzer))
+      (0 until arr.size()).map(i => parseSubQuery(arr.get(i), analyzer, enricher))
     }
 
     val filters = parseFilter(hybrid.path("filter"))
@@ -94,6 +111,18 @@ object QueryDsl {
       Collapse(field, c.path("docs_per_group_per_subquery").asInt(1))
     }
 
+    // request-level sort (reference: sort-enabled hybrid — per-sub-query
+    // TopFieldDocs merged by field order, ScoreCombiner.java:281-311);
+    // entries are {"field": "desc"} or {"field": {"order": "desc"}}
+    val sort = Option(root.path("sort")).filter(_.isArray).toSeq.flatMap { arr =>
+      (0 until arr.size()).map { i =>
+        val (field, body) = firstField(arr.get(i))
+        val order = if (body.isObject) body.path("order").asText("asc") else body.asText("asc")
+        require(order == "asc" || order == "desc", s"sort order must be asc|desc, got $order")
+        (field, order == "asc")
+      }
+    }
+
     Parsed(
       HybridQuery(
         subQueries = subs,
@@ -105,11 +134,28 @@ object QueryDsl {
         minScore = Option(root.path("min_score")).filter(_.isNumber).map(_.asDouble()),
         collapse = collapse
       ),
-      filters
+      filters,
+      sort
     )
   }
 
-  private def parseSubQuery(q: JsonNode, analyzer: String): SubQuery =
+  private def parseEnricher(node: JsonNode): Enricher =
+    if (!node.isArray) Enricher()
+    else (0 until node.size()).map(node.get).collectFirst {
+      case p if !p.path("neural_query_enricher").isMissingNode =>
+        val c = p.path("neural_query_enricher")
+        val fieldDefaults = {
+          val m = scala.collection.mutable.LinkedHashMap.empty[String, String]
+          val fd = c.path("neural_field_default_id")
+          if (fd.isObject) fd.fields().forEachRemaining(e => m += (e.getKey -> e.getValue.asText()))
+          m.toMap
+        }
+        Enricher(
+          Option(c.path("default_model_id")).filterNot(_.isMissingNode).map(_.asText()),
+          fieldDefaults)
+    }.getOrElse(Enricher())
+
+  private def parseSubQuery(q: JsonNode, analyzer: String, enricher: Enricher): SubQuery =
     if (!q.path("match").isMissingNode) {
       // value form: "text": "..." ; object form: "text": {"query": "...",
       // "boost": 2.0} (per-sub-query boost is legal INSIDE a clause — only
@@ -128,13 +174,30 @@ object QueryDsl {
         else (body.asText(), 1.0)
       Lexical(Seq(v), if (boost == 1.0) Map.empty else Map(v -> boost))
     } else if (!q.path("neural_sparse").isMissingNode) {
-      val (_, body) = firstField(q.path("neural_sparse"))
+      val (field, body) = firstField(q.path("neural_sparse"))
       val toks = body.path("query_tokens")
-      require(toks.isObject && toks.size() > 0,
-        "neural_sparse requires a non-empty query_tokens object (model inference is out of scope)")
-      val m = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-      toks.fields().forEachRemaining(e => m += (e.getKey -> e.getValue.asDouble()))
-      SparseLinear(m.toMap)
+      if (toks.isObject && toks.size() > 0) {
+        // raw-token form: the caller supplies the encoded query directly
+        // (reference: NeuralSparseQueryBuilder.java:307-374 query_tokens)
+        val m = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+        toks.fields().forEachRemaining(e => m += (e.getKey -> e.getValue.asDouble()))
+        SparseLinear(m.toMap)
+      } else {
+        // query_text form: run the (mock) sparse encoding model over the
+        // analyzed text; the model id must come from the clause or a
+        // neural_query_enricher request-processor default (reference:
+        // NeuralSparseQueryBuilder requires model_id for inference;
+        // NeuralQueryEnricherProcessor fills the default)
+        val text = body.path("query_text").asText("")
+        require(text.nonEmpty,
+          "neural_sparse requires query_tokens or query_text")
+        val modelId = enricher.resolve(field,
+          Option(body.path("model_id")).filterNot(_.isMissingNode).map(_.asText()))
+        require(modelId.nonEmpty,
+          "neural_sparse [query_text] requires a model_id — set it on the clause " +
+            "or configure a neural_query_enricher request processor with default_model_id")
+        SparseLinear(Sparse.encodeQueryTokens(Analyzer.analyze(analyzer)(text).toSeq))
+      }
     } else if (!q.path("neural").isMissingNode) {
       val (_, body) = firstField(q.path("neural"))
       val qid = body.path("query_id")
@@ -170,9 +233,11 @@ object QueryDsl {
       fs.foldLeft(docs)((d, f) => d.where(col(f._1) === f._2)).select("doc_id")
     }
     val src2 =
-      if (parsed.query.collapse.nonEmpty && src.fields.isEmpty) src.copy(fields = Some(docs))
+      if ((parsed.query.collapse.nonEmpty || parsed.sort.nonEmpty) && src.fields.isEmpty)
+        src.copy(fields = Some(docs))
       else src
-    Hybrid.execute(src2, parsed.query, filterDf)
+    if (parsed.sort.nonEmpty) Hybrid.executeSorted(src2, parsed.query, parsed.sort, filterDf)
+    else Hybrid.execute(src2, parsed.query, filterDf)
   }
 
   /** Back-compat entry: lexical + sparse clauses only (no embedding source). */

@@ -90,4 +90,51 @@ class OpsSpec extends SparkSpec {
     assert(got2 == Seq(1L, 3L))
     assert(diverse.head == 1L)
   }
+
+  // three well-separated directions + noise; ids chosen so the seed set
+  // (ids < 3) starts with one vector from each direction already mixed up
+  private def kmeansData = {
+    val groups = Seq(Array(10f, 0f, 0f), Array(0f, 10f, 0f), Array(0f, 0f, 10f))
+    (0 until 60).map { i =>
+      val base = groups(i % 3)
+      (i.toLong, base.zipWithIndex.map { case (v, d) => v + ((i * 7 + d) % 5) * 0.1f })
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("kmeans centroids are deterministic and the assignment partitions the corpus") {
+    val emb = kmeansData
+    val c1 = graft.ops.Ann.kmeansCentroids(emb, "vec_id", "embedding", 3, iters = 3)
+      .orderBy($"c_id").collect().toSeq
+    val c2 = graft.ops.Ann.kmeansCentroids(emb, "vec_id", "embedding", 3, iters = 3)
+      .orderBy($"c_id").collect().toSeq
+    assert(c1.map(_.toString) == c2.map(_.toString), "same input must learn the same centroids")
+    val asg = graft.ops.Ann.assignTo(emb, "vec_id", "embedding",
+      graft.ops.Ann.kmeansCentroids(emb, "vec_id", "embedding", 3, iters = 3))
+    assert(asg.count() == 60, "every vector assigned")
+    assert(asg.select("vec_id").distinct().count() == 60, "assigned exactly once")
+    // the three axis-aligned groups must each land in one cluster
+    val byGroup = asg.withColumn("g", $"vec_id" % 3)
+      .groupBy($"g").agg(countDistinct($"c_id").as("nc"))
+      .select("nc").as[Long].collect().toSeq
+    assert(byGroup.forall(_ == 1L), s"each direction maps to a single learned cluster: $byGroup")
+  }
+
+  test("highlight emits first-occurrence pos and a clamped <em> snippet") {
+    val docs = Seq(
+      (1L, "alpha merge beta merge gamma delta epsilon"),
+      (2L, "merge at the very start of this doc"),
+      (3L, "no match here at all")
+    ).toDF("doc_id", "text")
+    val hits = Seq(Tuple1(1L), Tuple1(2L), Tuple1(3L)).toDF("doc_id")
+    val got = graft.ops.Highlight.matchedTerms(hits, docs, "text", Seq("merge"), window = 2)
+      .orderBy($"doc_id").collect()
+    assert(got.length == 2, "unmatched docs produce no rows")
+    val r1 = got(0)
+    assert(r1.getAs[Long]("pos") == 2L)
+    // window 2 around pos 2 -> tokens 1..4, both occurrences inside get tagged
+    assert(r1.getAs[String]("snippet") == "alpha <em>merge</em> beta <em>merge</em>")
+    val r2 = got(1)
+    assert(r2.getAs[Long]("pos") == 1L)
+    assert(r2.getAs[String]("snippet") == "<em>merge</em> at the")
+  }
 }

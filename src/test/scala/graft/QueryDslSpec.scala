@@ -82,6 +82,46 @@ class QueryDslSpec extends SparkSpec {
       """{"query":{"hybrid":{"boost":1.0,"queries":[{"term":{"text":"a"}}]}}}""")
   }
 
+  test("neural_query_enricher fills the missing model_id for query_text clauses") {
+    // count x (1 + len%5/4): merge x2 -> 2.0, window -> 1.25, dup -> 1.75
+    val p = QueryDsl.parse(
+      """{"query":{"hybrid":{"queries":[
+        |  {"neural_sparse":{"sf":{"query_text":"merge window dup merge"}}}]}},
+        |"search_pipeline":{"request_processors":[
+        |  {"neural_query_enricher":{"default_model_id":"m-default"}}]}}""".stripMargin)
+    assert(p.query.subQueries.head ==
+      SparseLinear(Map("merge" -> 2.0, "window" -> 1.25, "dup" -> 1.75)))
+  }
+
+  test("enricher field default beats the global default; clause model_id beats both") {
+    val e = QueryDsl.Enricher(Some("global"), Map("sf" -> "per-field"))
+    assert(e.resolve("sf", None).contains("per-field"))
+    assert(e.resolve("other", None).contains("global"))
+    assert(e.resolve("sf", Some("clause")).contains("clause"))
+    // with an explicit clause model_id, no enricher is needed at all
+    val p = QueryDsl.parse(
+      """{"query":{"hybrid":{"queries":[
+        |  {"neural_sparse":{"sf":{"query_text":"scan","model_id":"m1"}}}]}}}""".stripMargin)
+    assert(p.query.subQueries.head == SparseLinear(Map("scan" -> 2.0)))
+  }
+
+  test("query_text without any model_id source is rejected") {
+    val ex = intercept[IllegalArgumentException](QueryDsl.parse(
+      """{"query":{"hybrid":{"queries":[
+        |  {"neural_sparse":{"sf":{"query_text":"scan"}}}]}}}""".stripMargin))
+    assert(ex.getMessage.contains("model_id"))
+  }
+
+  test("request-level sort parses both forms; bad order rejected") {
+    val p = QueryDsl.parse(
+      """{"query":{"hybrid":{"queries":[{"term":{"t":"a"}}]}},
+        |"sort":[{"n_chars":{"order":"desc"}},{"doc_id":"asc"}]}""".stripMargin)
+    assert(p.sort == Seq(("n_chars", false), ("doc_id", true)))
+    intercept[IllegalArgumentException](QueryDsl.parse(
+      """{"query":{"hybrid":{"queries":[{"term":{"t":"a"}}]}},
+        |"sort":[{"n_chars":"sideways"}]}""".stripMargin))
+  }
+
   test("malformed requests are rejected") {
     intercept[IllegalArgumentException](QueryDsl.parse("""{"query":{}}"""))
     intercept[IllegalArgumentException](
