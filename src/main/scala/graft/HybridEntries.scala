@@ -316,6 +316,50 @@ object HybridEntries {
         .select(col("doc_id"), col("score"),
           round(col("previous_score"), 4).as("previous_score"))
     }),
+    // rescoring rerank: BM25 top-30 window re-scored by dense cosine against
+    // the query embedding (the deterministic stand-in for the cross-encoder
+    // similarity call, reference: processor/rerank/RescoringRerankProcessor /
+    // MLOpenSearchRerankProcessor), re-sorted, top-10
+    "rerank_rescore" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      val hits = Bm25.topK(idx, A, 30)
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id").as("doc_id"), col("embedding").as("vec"))
+      val qv = emb.where(col("doc_id") === 5L).select(col("vec").as("qv"))
+      val newScores = emb.join(broadcast(hits.select("doc_id")), "doc_id")
+        .crossJoin(broadcast(qv))
+        .select(col("doc_id"), graft.ops.Ann.cosine(col("vec"), col("qv")).as("score"))
+      graft.ops.Rerank.rescore(hits, newScores, 10)
+        .select(col("doc_id"), round(col("score"), 4).as("score"),
+          round(col("previous_score"), 4).as("previous_score"))
+    }),
+    // cardinality aggregation over the matched doc set (§2.11)
+    "hybrid_agg_cardinality" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      val matched = Seq(A, B).map(t => Bm25.scoreTerms(idx, t).select("doc_id"))
+        .reduce(_ unionByName _).dropDuplicates("doc_id")
+      matched
+        .join(s.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "source", "lang"), "doc_id")
+        .agg(countDistinct(col("source")).as("n_sources"),
+          countDistinct(col("lang")).as("n_langs"))
+    }),
+    // pipeline aggregation: cumulative doc count over the histogram buckets
+    // (the cumulative_sum pipeline agg chained onto a histogram, §2.11)
+    "hybrid_agg_cum_hist" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      val matched = Seq(A, B).map(t => Bm25.scoreTerms(idx, t).select("doc_id"))
+        .reduce(_ unionByName _).dropDuplicates("doc_id")
+      val hist = matched
+        .join(s.read.parquet(s"$dir/documents.parquet").select("doc_id", "n_chars"), "doc_id")
+        .groupBy((floor(col("n_chars") / 100) * 100).as("bucket"))
+        .agg(count(lit(1)).as("n_docs"))
+      // bucket count is tiny (n_chars range / 100), so the single-partition
+      // ordered window is over a handful of rows, not the corpus
+      hist.withColumn("cum_docs",
+        sum(col("n_docs")).over(Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    }),
     // MMR diversity rerank over the top window (reference:
     // processor/mmr/MMRNeuralQueryTransformer.java): greedy
     // lambda*rel - (1-lambda)*max-sim selection, deterministic embeddings
@@ -734,6 +778,43 @@ object HybridEntries {
            |SELECT t.doc_id, CAST(d.n_chars AS DOUBLE) AS score,
            |       round(t.s, 4) AS previous_score
            |FROM topd t JOIN documents d USING (doc_id)""".stripMargin,
+      "rerank_rescore" ->
+        s"""WITH $tokCte,
+           |sc AS (
+           |  SELECT tf.doc_id, $Bm25Sum AS s
+           |  FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN stats
+           |  WHERE tf.term IN (${termList(A)})
+           |  GROUP BY tf.doc_id),
+           |topd AS (
+           |  SELECT doc_id, s FROM sc ORDER BY s DESC, doc_id LIMIT 30),
+           |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 5),
+           |re AS (
+           |  SELECT t.doc_id, coalesce(${cosSql("e.embedding", "q.qv")}, 0.0) AS c, t.s
+           |  FROM topd t LEFT JOIN embeddings e ON e.vec_id = t.doc_id CROSS JOIN q)
+           |SELECT doc_id, round(c, 4) AS score, round(s, 4) AS previous_score
+           |FROM re ORDER BY c DESC, doc_id LIMIT 10""".stripMargin,
+      "hybrid_agg_cardinality" ->
+        s"""WITH $tokCte,
+           |m AS (
+           |  SELECT DISTINCT doc_id FROM tf
+           |  WHERE term IN (${termList(A)}) OR term IN (${termList(B)}))
+           |SELECT count(DISTINCT d.source) AS n_sources,
+           |       count(DISTINCT d.lang) AS n_langs
+           |FROM m JOIN documents d USING (doc_id)""".stripMargin,
+      "hybrid_agg_cum_hist" ->
+        s"""WITH $tokCte,
+           |m AS (
+           |  SELECT DISTINCT doc_id FROM tf
+           |  WHERE term IN (${termList(A)}) OR term IN (${termList(B)})),
+           |h AS (
+           |  SELECT CAST(floor(d.n_chars / 100) * 100 AS BIGINT) AS bucket,
+           |         count(*) AS n_docs
+           |  FROM m JOIN documents d USING (doc_id)
+           |  GROUP BY 1)
+           |SELECT bucket, n_docs,
+           |       CAST(sum(n_docs) OVER (ORDER BY bucket
+           |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_docs
+           |FROM h""".stripMargin,
       "rerank_mmr" -> {
         // greedy MMR as a recursive CTE: each step's single row is the
         // working table, so the recursion IS the selection loop

@@ -99,6 +99,26 @@ object PipelineEntries {
       graft.ops.Semantic.ingestSparse(docs(s, dir), "doc_id", "text", 20)
         .select(col("doc_id"), col("chunk_idx"), col("token"), round(col("w"), 4).as("w"))),
 
+    // inference-skip incremental ingest (reference: processor/optimization/
+    // TextEmbeddingInferenceFilter — unchanged text copies the existing
+    // embedding, only changed/new docs run the encoder). The previous
+    // snapshot is derived deterministically: every doc_id % 7 == 0 had
+    // different text before, so exactly those re-encode (reused = false).
+    "semantic_ingest_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val prev = d.withColumn("text",
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" zz")))
+          .otherwise(col("text")))
+      def enc(df: DataFrame): DataFrame = df
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .where(col("token") =!= "")
+        .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+        .withColumn("w", col("tf") * (lit(1.0) + (length(col("token")) % 5) * lit(0.25)))
+        .drop("tf")
+      graft.ops.Semantic.incremental(d, prev, enc(prev), "doc_id", "text")(enc)
+        .select(col("doc_id"), col("token"), round(col("w"), 4).as("w"), col("reused"))
+    }),
+
     // dense knn_vector sub-field (semantic mapper's dense path): chunk ->
     // hashing-trick embedding, exploded (doc, chunk, dim, v) rows
     "semantic_dense_ingest" -> ((s, dir) =>
@@ -234,6 +254,15 @@ object PipelineEntries {
          |       parts[CAST(i AS INT)] || (CASE WHEN i < len(parts) THEN ' data ' ELSE '' END) AS chunk
          |FROM (SELECT doc_id, parts, unnest(generate_series(1, CAST(len(parts) AS BIGINT))) AS i
          |      FROM (SELECT doc_id, string_split(text, ' data ') AS parts FROM documents))""".stripMargin,
+    // unchanged docs' reused rows equal the fresh encode (same text, same
+    // deterministic encoder), so the full result is the current-text encode
+    // plus the routing flag: doc_id % 7 == 0 re-encoded, the rest reused
+    "semantic_ingest_incremental" ->
+      s"""WITH $tokCte
+         |SELECT doc_id, term AS token,
+         |       round(tf * (1.0 + (length(term) % 5) * 0.25), 4) AS w,
+         |       (doc_id % 7 <> 0) AS reused
+         |FROM tf""".stripMargin,
     "semantic_ingest" ->
       s"""WITH chunks AS (
          |  SELECT doc_id, i AS chunk_idx,

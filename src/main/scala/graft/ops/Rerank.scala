@@ -34,6 +34,31 @@ object Rerank {
   }
 
   /**
+   * Rescoring rerank: the top window is re-scored by a second scorer and
+   * re-sorted (reference: processor/rerank/RescoringRerankProcessor.java /
+   * MLOpenSearchRerankProcessor — similarity inference over the collected
+   * (query, doc) pairs replaces each hit's score; here the second scorer is
+   * any DataFrame of (doc_id, score), e.g. dense cosine against the query
+   * embedding as the deterministic stand-in for the cross-encoder call).
+   * Only the hits window (<= depth rows) is rescored — the second scorer's
+   * output joins against a broadcast of the tiny hit set, never the corpus.
+   *
+   * @param hits      candidate window: (doc_id, score, ...)
+   * @param newScores second scorer output: (doc_id, score)
+   * @param k         final page size
+   * @return (doc_id, score, previous_score), re-sorted; hits the second
+   *         scorer does not cover keep score 0.0 (sorted to the tail).
+   */
+  def rescore(hits: DataFrame, newScores: DataFrame, k: Int): DataFrame = {
+    val prev = hits.select(col("doc_id"), col("score").as("previous_score"))
+    prev.join(newScores.select(col("doc_id"), col("score")), Seq("doc_id"), "left")
+      .withColumn("score", coalesce(col("score"), lit(0.0)))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+      .select(col("doc_id"), col("score"), col("previous_score"))
+  }
+
+  /**
    * Maximal Marginal Relevance rerank over a bounded candidate window
    * (reference: processor/mmr/MMRNeuralQueryTransformer.java:1-195 — MMR
    * diversity reranking runs on the coordinator over the collected top

@@ -80,4 +80,36 @@ object Semantic {
       .orderBy(col("c").desc, col(idCol).asc)
       .limit(k)
   }
+
+  /**
+   * Inference-skip incremental ingest — the reference's InferenceFilter
+   * optimization (processor/optimization/TextEmbeddingInferenceFilter.java:
+   * if the text is identical between the existing and new document, the
+   * existing embedding is copied and inference is skipped). At 100 TB the
+   * encoder is the expensive stage, so re-running it over the unchanged bulk
+   * of a refreshed corpus is the scale killer this avoids: only changed or
+   * new rows reach `encode`.
+   *
+   * Texts compare by sha256 (the north-rule per-row invariant) through a
+   * plain id join — no broadcast, because the unchanged side is usually MOST
+   * of the corpus; semi/anti joins leave the strategy to AQE.
+   *
+   * @param encode the (expensive) encoder: docs slice -> encoded rows keyed
+   *               by idCol; runs ONLY over changed + new docs.
+   * @return prevEncoded rows for unchanged docs (reused = true) unioned with
+   *         freshly encoded rows (reused = false).
+   */
+  def incremental(newDocs: DataFrame, prevDocs: DataFrame, prevEncoded: DataFrame,
+                  idCol: String, textCol: String)(encode: DataFrame => DataFrame): DataFrame = {
+    val newH = newDocs.select(col(idCol), sha2(col(textCol), 256).as("_sha_new"))
+    val prevH = prevDocs.select(col(idCol), sha2(col(textCol), 256).as("_sha_prev"))
+    val unchangedIds = newH.join(prevH, Seq(idCol))
+      .where(col("_sha_new") === col("_sha_prev"))
+      .select(col(idCol))
+    val reused = prevEncoded.join(unchangedIds, Seq(idCol), "left_semi")
+      .withColumn("reused", lit(true))
+    val encoded = encode(newDocs.join(unchangedIds, Seq(idCol), "left_anti"))
+      .withColumn("reused", lit(false))
+    reused.unionByName(encoded)
+  }
 }

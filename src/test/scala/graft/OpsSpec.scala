@@ -119,6 +119,32 @@ class OpsSpec extends SparkSpec {
     assert(byGroup.forall(_ == 1L), s"each direction maps to a single learned cluster: $byGroup")
   }
 
+  test("incremental ingest encodes only changed/new docs and reuses the rest") {
+    val prev = Seq((1L, "same text"), (2L, "old text"), (3L, "gone doc"))
+      .toDF("doc_id", "text")
+    val next = Seq((1L, "same text"), (2L, "new text"), (4L, "brand new"))
+      .toDF("doc_id", "text")
+    // encoder output marks which snapshot produced it, so a reused row is
+    // distinguishable from a re-encoded one
+    def enc(tag: String)(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_id", lit(tag).as("payload"))
+    val out = graft.ops.Semantic.incremental(next, prev, enc("prev")(prev),
+      "doc_id", "text")(enc("next"))
+      .orderBy($"doc_id").collect()
+    assert(out.map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("payload"),
+      r.getAs[Boolean]("reused"))).toSeq ==
+      Seq((1L, "prev", true), (2L, "next", false), (4L, "next", false)),
+      "doc 1 unchanged -> prev rows reused; doc 2 changed + doc 4 new -> encoded; doc 3 deleted -> absent")
+  }
+
+  test("rescore reorders the window by the second scorer, keeping previous_score") {
+    val hits = Seq((1L, 10.0), (2L, 9.0), (3L, 8.0)).toDF("doc_id", "score")
+    val second = Seq((2L, 0.9), (3L, 0.5)).toDF("doc_id", "score") // doc 1 uncovered -> 0.0
+    val got = graft.ops.Rerank.rescore(hits, second, 3).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score"), r.getAs[Double]("previous_score")))
+    assert(got.toSeq == Seq((2L, 0.9, 9.0), (3L, 0.5, 8.0), (1L, 0.0, 10.0)))
+  }
+
   test("highlight emits first-occurrence pos and a clamped <em> snippet") {
     val docs = Seq(
       (1L, "alpha merge beta merge gamma delta epsilon"),
