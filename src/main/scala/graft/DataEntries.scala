@@ -324,35 +324,49 @@ object DataEntries {
   }
 
   /** pigeonhole bands (parity with Dedup.simhashPairs, maxHamming = 3):
-   *  4 x 8-bit slices; a pair within hamming 3 shares >= 1 exact band */
+   *  64-bit signature, 4 x 16-bit slices; a pair within hamming 3 shares
+   *  >= 1 exact band; verification = integer xor + bit_count on the halves */
   private def simhashPairsOracle: String = {
     val maxHamming = 3
     val nBands = maxHamming + 1
-    val bounds = graft.ops.Dedup.bandBounds(nBands)
-    val bitSums = (0 until 32).map(j =>
-      s"sum(CASE WHEN substr(h, ${j + 1}, 1) >= '8' THEN tf ELSE -tf END) AS b$j").mkString(", ")
-    val bits = (0 until 32).map(j => s"CASE WHEN b$j > 0 THEN '1' ELSE '0' END").mkString(" || ")
+    val bounds = graft.ops.Dedup.bandBounds(nBands, 64)
+    // bit j: hex digit j/4 of md5, mask 8 >> j%4 (parity with
+    // Dedup.simhashSignatures64)
+    val bitSums = (0 until 64).map { j =>
+      val c = j / 4 + 1
+      val mask = 8 >> (j % 4)
+      s"sum(CASE WHEN ((strpos('0123456789abcdef', substr(h, $c, 1)) - 1) & $mask) <> 0 THEN tf ELSE -tf END) AS s$j"
+    }.mkString(", ")
+    val hi = (0 until 32).map(j =>
+      s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+    val lo = (32 until 64).map(j =>
+      s"CASE WHEN s$j > 0 THEN ${1L << (j - 32)} ELSE 0 END").mkString(" + ")
+    def bandExpr(b: Int): String = {
+      val loBit = bounds(b)
+      (loBit until bounds(b + 1)).map { j =>
+        val (src, off) = if (j < 32) ("hi", j) else ("lo", j - 32)
+        s"CASE WHEN ($src & ${1L << off}) <> 0 THEN ${1L << (j - loBit)} ELSE 0 END"
+      }.mkString(" + ")
+    }
     val bandSel = (0 until nBands).map(b =>
-      s"SELECT doc_id, simhash, $b AS band, substr(simhash, ${bounds(b) + 1}, ${bounds(b + 1) - bounds(b)}) AS bh FROM sig")
+      s"SELECT doc_id, hi, lo, $b AS band, (${bandExpr(b)}) AS bh FROM sig")
       .mkString(" UNION ALL ")
-    val ham = (0 until 32).map(j =>
-      s"CASE WHEN substr(sa, ${j + 1}, 1) <> substr(sb, ${j + 1}, 1) THEN 1 ELSE 0 END")
-      .mkString(" + ")
     s"""WITH tok AS (
        |  SELECT doc_id, t AS token, count(*) AS tf FROM (
        |    SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
        |    FROM documents) GROUP BY doc_id, t),
        |hs AS (SELECT doc_id, md5(token) AS h, tf FROM tok),
        |sums AS (SELECT doc_id, $bitSums FROM hs GROUP BY doc_id),
-       |sig AS (SELECT doc_id, $bits AS simhash FROM sums),
+       |sig AS (SELECT doc_id, ($hi) AS hi, ($lo) AS lo FROM sums),
        |bands AS ($bandSel),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-       |         a.simhash AS sa, b.simhash AS sb
+       |         a.hi AS ha, a.lo AS la, b.hi AS hb, b.lo AS lb
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
        |SELECT id_a, id_b, CAST(hm AS BIGINT) AS hamming FROM (
-       |  SELECT id_a, id_b, ($ham) AS hm FROM cand)
+       |  SELECT id_a, id_b,
+       |         bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) AS hm FROM cand)
        |WHERE hm <= $maxHamming""".stripMargin
   }
 }

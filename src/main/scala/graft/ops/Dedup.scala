@@ -124,36 +124,71 @@ object Dedup {
         (0 until 32).map(j => when(col(s"b$j") > 0, "1").otherwise("0")): _*).as("simhash"))
   }
 
-  /** Band boundaries splitting 32 bits into n near-equal slices. */
-  def bandBounds(nBands: Int): IndexedSeq[Int] =
-    (0 to nBands).map(b => (32 * b) / nBands)
+  /** Band boundaries splitting `bits` into n near-equal slices. */
+  def bandBounds(nBands: Int, bits: Int = 32): IndexedSeq[Int] =
+    (0 to nBands).map(b => (bits * b) / nBands)
 
-  /** SimHash near-dup pairs with PIGEONHOLE multi-band blocking: the 32-bit
+  /** 64-bit SimHash signature as two 32-bit halves (id, hi, lo): bit j of
+   *  md5(token) (hex digit j/4, mask 8 >> j%4) votes +tf / -tf; the
+   *  signature bit is 1 when the sum is positive. 64 bits (vs the 32 of
+   *  [[simhashSignatures]]) exist for the BLOCKING math: pigeonhole bands
+   *  must be wide enough that a band-equality bucket stays tiny at corpus
+   *  scale — 16-bit bands give 65536 buckets per band, 256x fewer candidate
+   *  pairs than the 8-bit bands a 32-bit signature would allow. */
+  def simhashSignatures64(docs: DataFrame, id: String, text: String): DataFrame = {
+    val tok = docs.select(col(id).as("id"),
+      explode(TextOps.tokensCol(col(text))).as("token"))
+      .groupBy(col("id"), col("token")).agg(count(lit(1)).as("tf"))
+      .withColumn("h", md5(col("token")))
+    val withVals = tok.select(
+      (col("id") +: col("tf") +: (1 to 16).map(c =>
+        conv(substring(col("h"), c, 1), 16, 10).cast("int").as(s"v$c"))): _*)
+    val bitSums = (0 until 64).map { j =>
+      val c = j / 4 + 1
+      val mask = 8 >> (j % 4)
+      sum(when((col(s"v$c").bitwiseAND(mask)) > 0, col("tf")).otherwise(-col("tf")))
+        .as(s"s$j")
+    }
+    val agg = withVals.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
+    val hi = (0 until 32).map(j =>
+      when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
+    val lo = (32 until 64).map(j =>
+      when(col(s"s$j") > 0, lit(1L << (j - 32))).otherwise(lit(0L))).reduce(_ + _)
+    agg.select(col("id"), hi.as("hi"), lo.as("lo"))
+  }
+
+  /** SimHash near-dup pairs with PIGEONHOLE multi-band blocking: the 64-bit
    *  signature splits into (maxHamming + 1) bands, and any pair within
    *  hamming distance maxHamming must agree exactly on at least one band —
    *  so an equality join per band finds EVERY qualifying pair (complete,
    *  unlike prefix blocking, which misses pairs differing early) while each
-   *  band-value bucket stays a bounded candidate set (a fixed 16-bit-prefix
-   *  block holds ~N/65536 docs, i.e. ~10^12 candidate pairs per block at
-   *  10^11 docs). Survivors are verified on the full 32 bits. */
+   *  band-value bucket stays a bounded candidate set (16-bit bands at
+   *  maxHamming = 3). Survivors verify on the full 64 bits via integer
+   *  xor + bit_count — no per-character string comparison in the pair loop. */
   def simhashPairs(docs: DataFrame, id: String, text: String, maxHamming: Int): DataFrame = {
-    val sig = simhashSignatures(docs, id, text)
+    val sig = simhashSignatures64(docs, id, text)
     val nBands = maxHamming + 1
-    val bounds = bandBounds(nBands)
-    val bands = sig.select(col("id"), col("simhash"), posexplode(array(
-      (0 until nBands).map(b =>
-        substring(col("simhash"), bounds(b) + 1, bounds(b + 1) - bounds(b))): _*))
-      .as(Seq("band", "bh")))
-    val hamming: Column = (0 until 32).map(j =>
-      when(substring(col("sa"), j + 1, 1) =!= substring(col("sb"), j + 1, 1), 1)
-        .otherwise(0)).reduce(_ + _)
+    val bounds = bandBounds(nBands, 64)
+    def bandVal(b: Int): Column = {
+      val loBit = bounds(b)
+      (loBit until bounds(b + 1)).map { j =>
+        val src = if (j < 32) col("hi") else col("lo")
+        val off = if (j < 32) j else j - 32
+        when(src.bitwiseAND(lit(1L << off)) =!= 0, lit(1L << (j - loBit))).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+    val bands = sig.select(col("id"), col("hi"), col("lo"), posexplode(array(
+      (0 until nBands).map(bandVal): _*)).as(Seq("band", "bh")))
     bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.simhash").as("sa"), col("b.simhash").as("sb"))
+        col("a.hi").as("ha"), col("a.lo").as("la"),
+        col("b.hi").as("hb"), col("b.lo").as("lb"))
       .distinct() // a pair matching several bands counts once
-      .withColumn("hamming", hamming.cast("long"))
+      .withColumn("hamming",
+        (bit_count(col("ha").bitwiseXOR(col("hb"))) +
+          bit_count(col("la").bitwiseXOR(col("lb")))).cast("long"))
       .where(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
   }

@@ -67,9 +67,7 @@ object Bm25 {
       idx: Index,
       terms: Seq[String],
       boosts: Map[String, Double] = Map.empty,
-      limitPerBucket: Int = 0,
-      buckets: Option[DataFrame] = None,
-      bucketList: Option[Array[Long]] = None
+      limitPerBucket: Int = 0
   ): DataFrame = {
     val spark = idx.postings.sparkSession
     import spark.implicits._
@@ -78,26 +76,15 @@ object Bm25 {
     val weightPerTerm = termWeights(idx, terms, boosts)
     if (weightPerTerm.isEmpty) return spark.emptyDataset[(Long, Double)].toDF("doc_id", "score")
 
-    val matchedAll = idx.postings.filter($"term".isin(weightPerTerm.keys.toSeq: _*))
-    // driver-known bucket lists (the WAND passes) become isin predicates
-    // pushed straight into both parquet scans — no extra broadcast exchange
-    val matched = (bucketList, buckets) match {
-      case (Some(bl), _) => matchedAll.filter($"bucket".isin(bl.toSeq: _*))
-      case (_, Some(b))  => matchedAll.join(b.hint("broadcast"), "bucket").as[PostingBlock]
-      case _             => matchedAll
-    }
+    val matched = idx.postings.filter($"term".isin(weightPerTerm.keys.toSeq: _*))
     // Ship only the doc-length blocks of buckets that can match: the semi
     // join keeps the per-query shuffle proportional to the posting volume of
     // the query terms, not to corpus size. The derivation re-reads only the
     // column-pruned (term, bucket) metadata of the postings scan, so the
     // payload bytes are not scanned twice.
-    val docLens = (bucketList, buckets) match {
-      case (Some(bl), _) => idx.docLens.filter($"bucket".isin(bl.toSeq: _*))
-      case (_, Some(b))  => idx.docLens.join(b.hint("broadcast"), "bucket").as[DocLenBlock]
-      case _ => idx.docLens
-        .join(matched.select($"bucket").distinct().hint("broadcast"), "bucket")
-        .as[DocLenBlock]
-    }
+    val docLens = idx.docLens
+      .join(matched.select($"bucket").distinct().hint("broadcast"), "bucket")
+      .as[DocLenBlock]
     val lim = limitPerBucket
     val span = InvertedIndex.BucketSpan
 
@@ -174,32 +161,11 @@ object Bm25 {
   }
 
   /**
-   * Block-max-WAND top-k: exact results, but most posting blocks are never
-   * decoded. The reference's collector feeds its heap threshold back into the
-   * scorers so blocks whose max impact cannot beat it are skipped
-   * (reference: search/collector/HybridTopScoreDocCollector.java:160-171,
-   * query/HybridQueryScorer.java:155-176 advanceShallow/getMaxScore). Spark
-   * partitions cannot share a live threshold, so we run the two-pass scheme
-   * from SURVEY.md §7.4:
-   *
-   *  1. bucket upper bounds from block METADATA only (sum over terms of
-   *     idf x max_tf/(max_tf + k1(1-b)), the dl->0 bound) — one tiny agg over
-   *     matched block rows, no payload decode;
-   *  2. pass 1 scores the k most-promising buckets exactly -> threshold
-   *     theta = k-th best real score;
-   *  3. pass 2 scores only remaining buckets whose upper bound >= theta
-   *     (>= keeps doc-id tie-breaks exact); everything below theta is
-   *     provably non-competitive and its payload bytes are never read.
-   *
-   * For rare/mid terms pass 2 is empty or near-empty; for head terms it
-   * degenerates to a full scan, same as the reference's WAND on a
-   * constant-impact corpus.
-   */
-  /**
    * Cost-based scorer choice from one tiny aggregate over the (persisted)
-   * term-stats table: WAND's two extra scheduling rounds only pay off when
-   * the candidate posting volume is large enough that skipping block decodes
-   * wins. Mirrors Lucene's cost-aware scorer selection
+   * term-stats table: the fused WAND's upper-bound bookkeeping and the
+   * per-row dl-block join only pay off when the candidate posting volume is
+   * large enough that skipping block decodes wins; tiny queries route to the
+   * plain scorer. Mirrors Lucene's cost-aware scorer selection
    * (reference: query/HybridQueryScorer.java:222-299 orders two-phase
    * iterators by matchCost).
    */
@@ -215,12 +181,38 @@ object Bm25 {
     else topK(idx, terms, k, boosts)
   }
 
-  /** Bucket-frontier collect cap: 2^17 buckets = ~5*10^8 candidate docs of
-   *  metadata (16 bytes/bucket, ~2 MB on the driver). A query matching more
-   *  buckets than that is in the head-term regime where WAND degenerates to
-   *  a full scan anyway, so it routes to the plain scorer. */
-  private val MaxWandBuckets = 1 << 17
-
+  /**
+   * Block-max-WAND top-k: exact results, but non-competitive posting blocks
+   * are never decoded. The reference's collector feeds its heap threshold
+   * back into the scorers so blocks whose max impact cannot beat it are
+   * skipped (reference: search/collector/HybridTopScoreDocCollector.java:
+   * 160-171, query/HybridQueryScorer.java:155-176 advanceShallow/getMaxScore).
+   *
+   * FUSED single-job design (replacing the earlier two-pass + driver-frontier
+   * scheme, whose 2 extra scheduling rounds cost more than they saved): the
+   * matched blocks join their bucket's doc-length block, land hash-shuffled
+   * by bucket, and each partition streams its buckets with a RUNNING bounded
+   * top-k heap — exactly the reference's collector/threshold loop, one per
+   * partition:
+   *
+   *  - bucket upper bound from block METADATA only: sum over terms of
+   *    w x tfNorm(max_tf, min_dl). For any doc in the bucket tf <= max_tf
+   *    and dl >= min_dl, and tfNorm is increasing in tf / decreasing in dl,
+   *    so the bound dominates every real contribution — no payload decode
+   *    to compute it;
+   *  - once the partition's heap holds k docs, a bucket with ub < theta
+   *    (the k-th best real score so far) is skipped without decoding;
+   *    ub == theta still decodes, because a theta-tied doc with a smaller
+   *    doc_id wins the tie — exactness is per-bucket provable;
+   *  - the per-partition heaps merge through one TakeOrderedAndProject.
+   *
+   * The partition-local theta is <= the global theta, so pruning is only
+   * ever conservative (exact by construction). Skips compound with the
+   * impact-ordered index (Reorder.denseIds): short high-impact docs cluster
+   * in early buckets, the heap saturates high immediately, and the long tail
+   * of low-bound buckets is skipped. One Spark job, no driver-side frontier,
+   * no bucket-count cap — O(one bucket) memory above the stream.
+   */
   def topKWand(idx: Index, terms: Seq[String], k: Int, boosts: Map[String, Double] = Map.empty): DataFrame = {
     val spark = idx.postings.sparkSession
     import spark.implicits._
@@ -229,52 +221,70 @@ object Bm25 {
     if (weightPerTerm.isEmpty)
       return spark.emptyDataset[(Long, Double)].toDF("doc_id", "score")
 
-    // Bucket upper bounds from METADATA only — no payload decode. The bound
-    // uses the bucket's shortest doc (min_dl), not dl -> 0: for any doc in
-    // the bucket, tf <= max_tf and dl >= min_dl, and tfNorm is increasing in
-    // tf / decreasing in dl, so w * tfNorm(max_tf, min_dl) dominates every
-    // real contribution of the block.
     val avgdl = idx.stats.avgdl
-    val wMap = typedLit(weightPerTerm)
-    val matchedMeta = idx.postings
-      .filter($"term".isin(weightPerTerm.keys.toSeq: _*))
-      .select($"bucket", $"term", $"max_tf")
-    val dlMeta = idx.docLens.select($"bucket", $"min_dl")
-    val ub = matchedMeta.join(dlMeta, "bucket")
-      .select($"bucket",
-        (element_at(wMap, $"term") * ($"max_tf".cast("double") /
-          ($"max_tf" + lit(K1) * (lit(1 - B) + lit(B) * $"min_dl" / lit(avgdl))))).as("u"))
-      .groupBy($"bucket").agg(sum($"u").as("ub"))
+    val span = InvertedIndex.BucketSpan
+    val kk = k
 
-    // one metadata collect gives the whole bucket frontier; every later
-    // decision (pass-1 set, theta survivors) is driver-side arithmetic
-    val ubArr: Array[(Long, Double)] = ub.orderBy($"ub".desc, $"bucket".asc)
-      .limit(MaxWandBuckets + 1).as[(Long, Double)].collect()
-    if (ubArr.length > MaxWandBuckets) return topK(idx, terms, k, boosts)
+    val matched = idx.postings.filter($"term".isin(weightPerTerm.keys.toSeq: _*))
+    val joined = matched.joinWith(idx.docLens, matched("bucket") === idx.docLens("bucket"))
+    // ALL of a bucket's term blocks must land in one partition (the cached
+    // postings keep the build's (term, bucket) layout, so a broadcast join
+    // would leave a bucket's blocks scattered and scores partial) — hash
+    // repartition on bucket, then make same-bucket rows adjacent; term-asc
+    // fixes the FP accumulation order (shuffle arrival order must not shift
+    // near-ties)
+    val rows = joined.repartition($"_1.bucket").sortWithinPartitions($"_1.bucket", $"_1.term")
 
-    // pass 1: the k best buckets by upper bound establish theta exactly
-    val topBuckets = ubArr.take(k).map(_._1)
-    val pass1: Array[(Long, Double)] =
-      scoreTerms(idx, terms, boosts, limitPerBucket = k, bucketList = Some(topBuckets))
-        .orderBy($"score".desc, $"doc_id".asc).limit(k)
-        .as[(Long, Double)].collect()
-    val theta = if (pass1.length < k) Double.NegativeInfinity else pass1.last._2
-    val pass1Df = pass1.toSeq.toDF("doc_id", "score")
+    val topped: Dataset[(Long, Double)] = rows.mapPartitions { it =>
+      val buf = it.buffered
+      val ord = Ordering.by[(Long, Double), (Double, Long)] { case (id, s) => (s, -id) }
+      val pq = new scala.collection.mutable.PriorityQueue[(Long, Double)]()(ord.reverse)
+      val group = scala.collection.mutable.ArrayBuffer.empty[(PostingBlock, DocLenBlock)]
+      while (buf.hasNext) {
+        group.clear()
+        val bucket = buf.head._1.bucket
+        while (buf.hasNext && buf.head._1.bucket == bucket) group += buf.next()
+        val dlb = group.head._2
+        var ub = 0.0
+        group.foreach { case (b, _) =>
+          ub += weightPerTerm(b.term) * tfNorm(b.max_tf, dlb.min_dl, avgdl)
+        }
+        val skip = pq.size == kk && ub < pq.head._2
+        if (!skip) {
+          val dlArr = new Array[Int](span)
+          val ids0 = PostingCodec.decodeDeltas(dlb.ids, dlb.cnt)
+          val dls0 = PostingCodec.decodeInts(dlb.dls, dlb.cnt)
+          var i = 0
+          while (i < dlb.cnt) { dlArr(ids0(i)) = dls0(i); i += 1 }
+          val scores = new Array[Double](span)
+          val seen = new Array[Boolean](span)
+          group.foreach { case (b, _) =>
+            val w = weightPerTerm(b.term)
+            val ids = PostingCodec.decodeDeltas(b.docs, b.cnt)
+            val tfs = PostingCodec.decodeInts(b.tfs, b.cnt)
+            var j = 0
+            while (j < b.cnt) {
+              val l = ids(j)
+              scores(l) += w * tfNorm(tfs(j), dlArr(l), avgdl)
+              seen(l) = true
+              j += 1
+            }
+          }
+          val base = bucket << InvertedIndex.BucketBits
+          var d = 0
+          while (d < span) {
+            if (seen(d)) {
+              val cand = (base + d, scores(d))
+              if (pq.size < kk) pq.enqueue(cand)
+              else if (ord.gt(cand, pq.head)) { pq.dequeue(); pq.enqueue(cand) }
+            }
+            d += 1
+          }
+        }
+      }
+      pq.iterator
+    }
 
-    // pass 2: only buckets whose bound can still beat theta
-    // (>= because a theta-tied doc with a smaller doc_id still wins);
-    // survivor selection costs no Spark job — the frontier is on the driver
-    val survivors = ubArr.drop(k).filter(_._2 >= theta).map(_._1)
-    if (survivors.isEmpty)
-      return pass1Df.orderBy($"score".desc, $"doc_id".asc).limit(k)
-    val pass2 =
-      if (survivors.length <= 4096)
-        scoreTerms(idx, terms, boosts, limitPerBucket = k, bucketList = Some(survivors))
-      else // too many for an isin predicate: broadcast-join the bucket list
-        scoreTerms(idx, terms, boosts, limitPerBucket = k,
-          buckets = Some(survivors.toSeq.toDF("bucket")))
-
-    pass1Df.union(pass2)
-      .orderBy($"score".desc, $"doc_id".asc).limit(k)
+    topped.toDF("doc_id", "score").orderBy($"score".desc, $"doc_id".asc).limit(k)
   }
 }

@@ -48,21 +48,23 @@ class OpsSpec extends SparkSpec {
     val maxH = 3
     val got = Dedup.simhashPairs(docs, "doc_id", "text", maxH)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
-    // brute force over signatures
-    val sigs = Dedup.simhashSignatures(docs, "doc_id", "text")
-      .as[(Long, String)].collect().toMap
+    // brute force over the 64-bit signatures (two 32-bit halves)
+    val sigs = Dedup.simhashSignatures64(docs, "doc_id", "text")
+      .select("id", "hi", "lo").as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
     val expected = (for {
       a <- sigs.keys; b <- sigs.keys if a < b
-      h = sigs(a).zip(sigs(b)).count { case (x, y) => x != y } if h <= maxH
+      h = java.lang.Long.bitCount(sigs(a)._1 ^ sigs(b)._1) +
+        java.lang.Long.bitCount(sigs(a)._2 ^ sigs(b)._2) if h <= maxH
     } yield (a, b)).toSet
     assert(got == expected)
     assert(expected.contains((0L, 1L))) // identical docs must pair
   }
 
-  test("bandBounds covers all 32 bits without overlap") {
-    for (n <- 1 to 6) {
-      val b = Dedup.bandBounds(n)
-      assert(b.head == 0 && b.last == 32 && b == b.sorted && b.distinct == b)
+  test("bandBounds covers all bits without overlap (32 and 64)") {
+    for (bits <- Seq(32, 64); n <- 1 to 6) {
+      val b = Dedup.bandBounds(n, bits)
+      assert(b.head == 0 && b.last == bits && b == b.sorted && b.distinct == b)
     }
   }
 
