@@ -35,6 +35,10 @@ object HybridEntries {
   /** dense query doc ids (cosine scores in [-1, 1]) */
   private val DenseQ = 0L
   private val DenseQ3 = 3L
+  /** explicit 64-dim query vector for the raw-vector `knn` clause — a shared
+   *  deterministic input (both the Spark query and the oracle receive it as
+   *  a literal, the way a client-side-embedded vector arrives) */
+  private val KnnVec: Seq[Double] = (0 until 64).map(i => ((i * 37 % 19) - 9) / 10.0)
 
   private val Depth = 50
 
@@ -49,7 +53,8 @@ object HybridEntries {
   private def sources(s: SparkSession, dir: String, query: HybridQuery): HybridSources = {
     val idx = IndexCache.documents(s, dir)
     val needSparse = query.subQueries.exists(_.isInstanceOf[SparseLinear])
-    val needDense = query.subQueries.exists(_.isInstanceOf[DenseCosine])
+    val needDense = query.subQueries.exists(sq =>
+      sq.isInstanceOf[DenseCosine] || sq.isInstanceOf[DenseVector])
     HybridSources(
       idx,
       sparse = if (needSparse) Some(Sparse.encode(idx)) else None,
@@ -110,6 +115,12 @@ object HybridEntries {
     "hybrid_tri_modal" ->
       run(q(Seq(Lexical(B), SparseLinear(SQ.toMap), DenseCosine(DenseQ3)),
         RrfNormTech(60), Combination(Combine.Rrf))) _,
+
+    // raw-vector knn clause: the caller embedded client-side and supplies
+    // the query vector literally (reference: NeuralKNNQueryBuilder.vector)
+    "hybrid_knn_vector" ->
+      run(q(Seq(Lexical(A), DenseVector(KnnVec)),
+        MinMaxNormTech(), Combination(Combine.Arithmetic))) _,
 
     // collapse with docs_per_group_per_subquery > 1 (reference:
     // HybridCollapsingTopDocsCollector): each sub-query contributes up to 3
@@ -444,6 +455,12 @@ object HybridEntries {
          |  SELECT e.vec_id AS doc_id, ${cosSql("e.embedding", "q.qv")} AS s
          |  FROM embeddings e CROSS JOIN
          |       (SELECT embedding AS qv FROM embeddings WHERE vec_id = $qid) q$f)""".stripMargin
+    case DenseVector(v) =>
+      val f = filterPred.map(p => s" WHERE e.${p.replaceFirst("doc_id", "vec_id")}").getOrElse("")
+      val vecSql = v.mkString("[", ", ", "]")
+      s"""sq$i AS (
+         |  SELECT e.vec_id AS doc_id, ${cosSql("e.embedding", vecSql)} AS s
+         |  FROM embeddings e$f)""".stripMargin
   }
 
   /** collection CTE: optional per-(group, sub-query) keep, then top-depth
@@ -667,6 +684,9 @@ object HybridEntries {
       "hybrid_tri_modal" ->
         hybridOracle(tokCte, Seq(Lexical(B), SparseLinear(SQ.toMap), DenseCosine(DenseQ3)),
           RrfNormTech(60), Combination(Combine.Rrf)),
+      "hybrid_knn_vector" ->
+        hybridOracle(tokCte, Seq(Lexical(A), DenseVector(KnnVec)),
+          MinMaxNormTech(), Combination(Combine.Arithmetic)),
       "collapse_multi" ->
         hybridOracle(tokCte, lex(Seq(A, B)), MinMaxNormTech(),
           Combination(Combine.Arithmetic, Seq(0.6, 0.4)),

@@ -81,6 +81,12 @@ case class SparseLinear(query: Map[String, Double]) extends SubQuery
  *  (reference: query/NeuralKNNQueryBuilder.java). */
 case class DenseCosine(queryId: Long) extends SubQuery
 
+/** Dense vector clause with an EXPLICIT query vector — the `knn` shape where
+ *  the caller supplies the vector directly instead of a stored-embedding id
+ *  (reference: NeuralKNNQueryBuilder.vector(float[]) — the raw-vector form
+ *  used when embedding happens client-side). */
+case class DenseVector(vec: Seq[Double]) extends SubQuery
+
 object SubQuery {
   /** Back-compat constructor: a bare SubQuery(terms) is a lexical clause. */
   def apply(terms: Seq[String], boosts: Map[String, Double] = Map.empty): Lexical =
@@ -144,6 +150,9 @@ object Hybrid {
         "sparse sub-query requires HybridSources.sparse (doc_id, token, w)")
       case _: DenseCosine => require(src.emb.nonEmpty,
         "dense sub-query requires HybridSources.emb (doc_id, vec)")
+      case DenseVector(v) =>
+        require(src.emb.nonEmpty, "dense sub-query requires HybridSources.emb (doc_id, vec)")
+        require(v.nonEmpty, "knn sub-query requires a non-empty vector")
       case _ => ()
     }
     require(q.collapse.isEmpty || src.fields.nonEmpty,
@@ -241,6 +250,11 @@ object Hybrid {
         val qv = e.where($"doc_id" === qid).select($"vec".as("qv"))
         e.crossJoin(broadcast(qv))
           .select($"doc_id", Ann.cosine($"vec", $"qv").as("score"))
+      case DenseVector(v) =>
+        // caller-supplied query vector: a literal array column, no lookup
+        val e = src.emb.get
+        val qv = array(v.map(lit): _*)
+        e.select($"doc_id", Ann.cosine($"vec", qv).as("score"))
     }
 
   private def full(src: HybridSources, q: HybridQuery, filterDocs: Option[DataFrame]): DataFrame = {

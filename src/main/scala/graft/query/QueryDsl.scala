@@ -204,6 +204,13 @@ object QueryDsl {
       require(qid.isNumber,
         "neural requires query_id (stored-embedding lookup; text inference is out of scope)")
       DenseCosine(qid.asLong())
+    } else if (!q.path("knn").isMissingNode) {
+      // raw-vector form: the caller embedded client-side and supplies the
+      // vector directly (reference: NeuralKNNQueryBuilder.vector(float[]))
+      val (_, body) = firstField(q.path("knn"))
+      val vec = body.path("vector")
+      require(vec.isArray && vec.size() > 0, "knn requires a non-empty vector array")
+      DenseVector((0 until vec.size()).map(vec.get(_).asDouble()))
     } else throw new IllegalArgumentException(s"unsupported sub-query: $q")
 
   /** `filter` accepts a single `term` clause or a `bool.must` of term

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.analysis.Analyzer
+import graft.hybrid._
+import graft.index.{InvertedIndex, IndexCache}
+import graft.query.Bm25
+
+/**
+ * Physical-plan shape assertions — the scale claims as executable checks:
+ * bounded top-k collection (TakeOrderedAndProject, never a global sort of
+ * scored rows into <= numSubQueries partitions), parquet filter pushdown on
+ * the disk-backed postings term seek, and no forced broadcast on the
+ * non-scoring hybrid filter.
+ */
+class PlanSpec extends SparkSpec {
+
+  private lazy val idx = IndexCache.documents(spark, "/root/testdata/sf0.001")
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("bm25 topK collects through TakeOrderedAndProject, no global Sort+Limit") {
+    val p = plan(Bm25.topK(idx, Seq("join", "merge"), 10))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
+  test("fused WAND is one shuffle stage ending in TakeOrderedAndProject") {
+    val p = plan(Bm25.topKWand(idx, Seq("join", "merge"), 10))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    // the scorer runs inside mapPartitions after one bucket exchange; there
+    // must be no per-bucket Window sort anywhere in the WAND plan
+    assert(!p.contains("Window"), p.take(2000))
+  }
+
+  test("disk-backed postings scan pushes the term filter into parquet") {
+    val tmp = java.nio.file.Files.createTempDirectory("plan-idx-").toString
+    import spark.implicits._
+    val docs = (0L until 200L).map(i => (i, s"alpha beta w$i")).toDF("doc_id", "text")
+    val disk = InvertedIndex.buildAndWrite(docs, "doc_id", "text", tmp, Analyzer.Simple)
+    val p = disk.postings.filter(col("term").isin("alpha", "beta"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") && p.contains("term"), p.take(3000))
+    assert(p.contains("In(term") || p.contains("term IN") || p.contains("in(term"),
+      "term isin must reach the scan: " + p.take(3000))
+  }
+
+  test("hybrid sub-query collection is TakeOrdered per clause, not a subq-partitioned window over scored rows") {
+    val q = HybridQuery(Seq(Lexical(Seq("join")), Lexical(Seq("merge"))),
+      MinMaxNormTech(), Combination(graft.functions.Combine.Arithmetic), k = 5, depth = 20)
+    val p = plan(Hybrid.execute(idx, q))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    // the only Window allowed is the rank over the <= nSub x depth collected
+    // rows (feeds RRF); it must sit ABOVE a TakeOrdered/limit boundary, which
+    // holds iff no Window appears below the union of bounded collections.
+    // Cheap structural proxy: scored-row count entering any Window is bounded
+    // by nSub x depth = 40 here, so the plan's Window input must descend from
+    // a GlobalLimit/TakeOrdered, never directly from the posting cogroup.
+    val windowIdx = p.indexOf("Window")
+    if (windowIdx >= 0) {
+      val below = p.substring(windowIdx)
+      assert(below.contains("TakeOrderedAndProject") || below.contains("GlobalLimit"),
+        "Window must be fed by bounded (limited) collections: " + p.take(3000))
+    }
+  }
+
+  test("hybrid non-scoring filter join carries no broadcast hint from our code") {
+    val filt = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .where(col("lang") === "en").select("doc_id")
+    val q = HybridQuery(Seq(Lexical(Seq("join"))), MinMaxNormTech(),
+      Combination(graft.functions.Combine.Arithmetic), k = 5, depth = 20)
+    val lp = Hybrid.execute(idx, q, Some(filt)).queryExecution.optimizedPlan.toString
+    // the filter semi-join must not be pinned by a ResolvedHint we inserted;
+    // AQE/stats pick the strategy (a 50%-of-corpus filter must not be forced
+    // into a driver broadcast). Catalyst erases hints it applies, so the
+    // optimized plan of OUR query must simply contain the LeftSemi join.
+    assert(lp.contains("LeftSemi"), lp.take(3000))
+  }
+}

@@ -112,6 +112,15 @@ class QueryDslSpec extends SparkSpec {
     assert(ex.getMessage.contains("model_id"))
   }
 
+  test("knn clause parses a raw vector; empty vector rejected") {
+    val p = QueryDsl.parse(
+      """{"query":{"hybrid":{"queries":[
+        |  {"knn":{"emb":{"vector":[0.5,-0.25,1.0],"k":10}}}]}}}""".stripMargin)
+    assert(p.query.subQueries.head == DenseVector(Seq(0.5, -0.25, 1.0)))
+    intercept[IllegalArgumentException](QueryDsl.parse(
+      """{"query":{"hybrid":{"queries":[{"knn":{"emb":{"vector":[]}}}]}}}"""))
+  }
+
   test("request-level sort parses both forms; bad order rejected") {
     val p = QueryDsl.parse(
       """{"query":{"hybrid":{"queries":[{"term":{"t":"a"}}]}},
