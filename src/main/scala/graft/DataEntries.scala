@@ -5,6 +5,13 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.ops.{Ann, Dedup, Multimodal}
 
+/** Typed rows for the sessionization stream (flatMapGroupsWithState). */
+case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, event_id: Long)
+case class SessionState(sid: Long, startUs: Long, endUs: Long, n: Long)
+case class SessionRow(user_id: Long, session_id: Long,
+                      session_start: java.sql.Timestamp,
+                      session_end: java.sql.Timestamp, n_events: Long)
+
 /**
  * Dedup / similarity-search / multimodal / relational / streaming entries
  * with DuckDB oracles.
@@ -118,7 +125,9 @@ object DataEntries {
           get_json_object(col("props"), "$.k").cast("long").as("k"))),
 
     // ---- structured streaming (batch-equivalent windowed agg) ----
-    "stream_events_hourly" -> (streamEventsHourly _)
+    "stream_events_hourly" -> (streamEventsHourly _),
+    // custom streaming state: sessionization via flatMapGroupsWithState
+    "stream_sessions" -> (streamSessions _)
   )
 
   /** IVF assignment as a once-per-dir build artifact (it is a function of
@@ -151,7 +160,78 @@ object DataEntries {
     s.table(name)
   }
 
+  /**
+   * Sessionization with CUSTOM STREAMING STATE: events group by user through
+   * `flatMapGroupsWithState`, whose per-group state carries the open session
+   * across micro-batches; an event more than 30 minutes after the previous
+   * one starts a new session. Update output mode — closed sessions emit
+   * when their gap is observed, and the still-open session emits its
+   * batch-end snapshot (later batches would re-emit it updated, the standard
+   * "session so far" Update semantics; under the gate's single AvailableNow
+   * replay the snapshot is the final session, making the result equal to
+   * the batch gaps-and-islands computation the oracle runs).
+   */
+  private def streamSessions(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import s.implicits._
+    val path = s"$dir/events.parquet"
+    val schema = s.read.parquet(path).schema
+    val name = "stream_sessions_" + java.lang.Integer.toHexString(path.hashCode).replace('-', '_')
+    val gapUs = 30L * 60 * 1000000 // 30 min in microseconds
+    def handle(user: Long, it: Iterator[SessionEvent],
+               state: GroupState[SessionState]): Iterator[SessionRow] = {
+      def micro(us: Long): java.sql.Timestamp = {
+        val t = new java.sql.Timestamp(us / 1000)
+        t.setNanos((us % 1000000).toInt * 1000)
+        t
+      }
+      // sort the batch's events: iterator order is shuffle-arrival order
+      val evs = it.toArray.sortBy(e => (e.ts, e.event_id))
+      var open = state.getOption.orNull
+      val out = scala.collection.mutable.ArrayBuffer.empty[SessionRow]
+      evs.foreach { e =>
+        val us = (e.ts.getTime / 1000) * 1000000 + e.ts.getNanos / 1000
+        if (open == null) open = SessionState(1L, us, us, 1L)
+        else if (us - open.endUs > gapUs) {
+          out += SessionRow(user, open.sid, micro(open.startUs), micro(open.endUs), open.n)
+          open = SessionState(open.sid + 1, us, us, 1L)
+        } else open = open.copy(endUs = math.max(open.endUs, us), n = open.n + 1)
+      }
+      if (open != null) {
+        state.update(open)
+        out += SessionRow(user, open.sid, micro(open.startUs), micro(open.endUs), open.n)
+      }
+      out.iterator
+    }
+    val q = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(handle)
+      .writeStream.outputMode("update").format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    s.table(name)
+  }
+
   def oracles(@annotation.unused tokCte: String): Map[String, String] = Map(
+    "stream_sessions" ->
+      """WITH d AS (
+        |  SELECT user_id, ts,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |               OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |g AS (
+        |  SELECT user_id, ts,
+        |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                        ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM d)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |       min(ts) AS session_start, max(ts) AS session_end,
+        |       count(*) AS n_events
+        |FROM g GROUP BY user_id, session_id""".stripMargin,
     "dedup_exact" ->
       """SELECT count(*) AS n_total, count(DISTINCT md5(text)) AS n_distinct,
         |       count(*) - count(DISTINCT md5(text)) AS n_dup_rows
