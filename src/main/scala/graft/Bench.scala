@@ -60,6 +60,18 @@ object Bench {
 
   private def p50(xs: Seq[Double]): Double = xs.sorted.apply(xs.length / 2)
 
+  /** Each measured build writes a full index to a temp dir; delete it after
+   *  the point is done or repeated runs fill the disk. */
+  private def deleteRecursively(path: String): Unit = {
+    val root = new java.io.File(path)
+    def rm(f: java.io.File): Unit = {
+      val kids = f.listFiles()
+      if (kids != null) kids.foreach(rm)
+      f.delete(): Unit
+    }
+    if (root.exists()) rm(root)
+  }
+
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
     if (s.length % 2 == 1) s(s.length / 2) else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
@@ -93,6 +105,7 @@ object Bench {
         val tmp = java.nio.file.Files.createTempDirectory("graft-warm-").toString
         InvertedIndex.buildAndWrite(c, "doc_id", "content", tmp, Analyzer.Code)
         c.unpersist()
+        deleteRecursively(tmp)
       }
     } finally s.stop()
   }
@@ -157,6 +170,7 @@ object Bench {
           (p50(wand) * 1000, p50(plain) * 1000)
         }
       corpus.unpersist()
+      deleteRecursively(tmp)
       Point(nDocs / buildSec, wandP50, plainP50, cpuSec, util, cpuFrac)
     } finally s.stop()
   }
@@ -190,6 +204,7 @@ object Bench {
       val wand = for (q <- queries; _ <- 1 to 3) yield time(Bm25.topKWand(idx, q, 100).count())
       val plain = for (q <- queries; _ <- 1 to 3) yield time(Bm25.topK(idx, q, 100).count())
       reordered.unpersist()
+      deleteRecursively(tmp)
       (p50(wand) * 1000, p50(plain) * 1000)
     } finally s.stop()
   }

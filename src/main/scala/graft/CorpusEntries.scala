@@ -27,7 +27,8 @@ object CorpusEntries {
    *  a stopped context would fail at action time (Bench cycles sessions). */
   private val segCache = scala.collection.concurrent.TrieMap.empty[(String, String), Index]
 
-  private def segmented(s: SparkSession, dir: String): Index =
+  private def segmented(s: SparkSession, dir: String): Index = {
+    segCache.keySet.filter(_._1 != s.sparkContext.applicationId).foreach(segCache.remove)
     segCache.getOrElseUpdate((s.sparkContext.applicationId, dir), {
       val docs = s.read.parquet(s"$dir/documents.parquet")
       Segments.buildResumable(docs, "doc_id", "text", Analyzer.Simple, segStore(dir), NSeg)
@@ -35,6 +36,7 @@ object CorpusEntries {
       Index(idx.postings.persist(), idx.docLens.persist(), idx.termStats.persist(),
         idx.stats, idx.analyzer)
     })
+  }
 
   private def lineageDf(s: SparkSession, dir: String): DataFrame = {
     segmented(s, dir) // ensure built
@@ -64,6 +66,7 @@ object CorpusEntries {
     // incremental build: Structured Streaming micro-batches -> segments ->
     // merge; stats must equal the batch build's (same oracle as term_stats)
     "stream_index_term_stats" -> ((s, dir) => {
+      streamCache.keySet.filter(_._1 != s.sparkContext.applicationId).foreach(streamCache.remove)
       val idx = streamCache.getOrElseUpdate((s.sparkContext.applicationId, dir), {
         val store = s"target/streamstore/v2/${dir.replaceAll("[^a-zA-Z0-9.]", "_")}"
         // stage the corpus as a DIRECTORY of files: each file is one

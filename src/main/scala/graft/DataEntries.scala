@@ -134,12 +134,14 @@ object DataEntries {
    *  the corpus, not the query — recomputing it per query would be
    *  O(corpus x centroids) per search). */
   private val ivfCache = scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
-  private def ivfAssignment(s: SparkSession, dir: String): DataFrame =
+  private def ivfAssignment(s: SparkSession, dir: String): DataFrame = {
+    ivfCache.keySet.filter(_._1 != s.sparkContext.applicationId).foreach(ivfCache.remove)
     ivfCache.getOrElseUpdate((s.sparkContext.applicationId, dir), {
       val a = Ann.ivfAssign(emb(s, dir), "vec_id", "embedding", 16).cache()
       a.count()
       a
     })
+  }
 
   /** Structured Streaming over the events table (Trigger-free replay via
    *  processAllAvailable; memory sink), producing the same hourly windowed

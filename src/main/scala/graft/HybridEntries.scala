@@ -44,6 +44,14 @@ object HybridEntries {
 
   private def lex(ts: Seq[Seq[String]]): Seq[SubQuery] = ts.map(Lexical(_))
 
+  /** The matched doc set of the standard two-clause hybrid (A OR B) — the
+   *  base every aggregation-with-hybrid entry aggregates over; one
+   *  definition so the entries cannot drift from the oracle's shared `m`
+   *  CTE. */
+  private def matchedAB(idx: graft.index.Index): DataFrame =
+    Seq(A, B).map(t => Bm25.scoreTerms(idx, t).select("doc_id"))
+      .reduce(_ unionByName _).dropDuplicates("doc_id")
+
   private def q(sub: Seq[SubQuery], norm: Normalization, comb: Combination,
                 k: Int = 10, from: Int = 0, minScore: Option[Double] = None,
                 collapse: Option[Collapse] = None) =
@@ -163,9 +171,7 @@ object HybridEntries {
     // processor/combination/ScoreCombiner.java:281-311 TopDocs.merge + dedup)
     "hybrid_sorted" -> ((s, dir) => {
       val idx = IndexCache.documents(s, dir)
-      val union = Seq(A, B).map(t => Bm25.scoreTerms(idx, t).select("doc_id"))
-        .reduce(_ unionByName _).dropDuplicates("doc_id")
-      union
+      matchedAB(idx)
         .join(s.read.parquet(s"$dir/documents.parquet").select("doc_id", "n_chars"), "doc_id")
         .orderBy(col("n_chars").desc, col("doc_id").asc)
         .limit(10)
@@ -174,8 +180,7 @@ object HybridEntries {
     // aggs run over the matched doc set via HybridAggregationProcessor)
     "hybrid_agg_chars_hist" -> ((s, dir) => {
       val idx = IndexCache.documents(s, dir)
-      val matched = Seq(A, B).map(t => Bm25.scoreTerms(idx, t).select("doc_id"))
-        .reduce(_ unionByName _).dropDuplicates("doc_id")
+      val matched = matchedAB(idx)
       matched
         .join(s.read.parquet(s"$dir/documents.parquet").select("doc_id", "n_chars"), "doc_id")
         .groupBy((floor(col("n_chars") / 100) * 100).as("bucket"))
@@ -186,8 +191,7 @@ object HybridEntries {
     // HybridAggregationProcessor — aggs run over the matched doc set)
     "hybrid_agg_lang" -> ((s, dir) => {
       val idx = IndexCache.documents(s, dir)
-      val matched = Seq(A, B).map(t => Bm25.scoreTerms(idx, t).select("doc_id"))
-        .reduce(_ unionByName _).dropDuplicates("doc_id")
+      val matched = matchedAB(idx)
       matched
         .join(s.read.parquet(s"$dir/documents.parquet").select("doc_id", "lang"), "doc_id")
         .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
@@ -287,8 +291,7 @@ object HybridEntries {
     // metric aggs run alongside hybrid via HybridAggregationProcessor)
     "hybrid_agg_stats" -> ((s, dir) => {
       val idx = IndexCache.documents(s, dir)
-      val matched = Seq(A, B).map(t => Bm25.scoreTerms(idx, t).select("doc_id"))
-        .reduce(_ unionByName _).dropDuplicates("doc_id")
+      val matched = matchedAB(idx)
       matched
         .join(s.read.parquet(s"$dir/documents.parquet").select("doc_id", "n_chars"), "doc_id")
         .agg(count(lit(1)).as("n_docs"), min(col("n_chars")).as("min_chars"),
@@ -300,8 +303,7 @@ object HybridEntries {
     // terms-agg order: count desc, key asc)
     "hybrid_agg_source_terms" -> ((s, dir) => {
       val idx = IndexCache.documents(s, dir)
-      val matched = Seq(A, B).map(t => Bm25.scoreTerms(idx, t).select("doc_id"))
-        .reduce(_ unionByName _).dropDuplicates("doc_id")
+      val matched = matchedAB(idx)
       matched
         .join(s.read.parquet(s"$dir/documents.parquet").select("doc_id", "source"), "doc_id")
         .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
@@ -347,8 +349,7 @@ object HybridEntries {
     // cardinality aggregation over the matched doc set (§2.11)
     "hybrid_agg_cardinality" -> ((s, dir) => {
       val idx = IndexCache.documents(s, dir)
-      val matched = Seq(A, B).map(t => Bm25.scoreTerms(idx, t).select("doc_id"))
-        .reduce(_ unionByName _).dropDuplicates("doc_id")
+      val matched = matchedAB(idx)
       matched
         .join(s.read.parquet(s"$dir/documents.parquet")
           .select("doc_id", "source", "lang"), "doc_id")
@@ -359,8 +360,7 @@ object HybridEntries {
     // (the cumulative_sum pipeline agg chained onto a histogram, §2.11)
     "hybrid_agg_cum_hist" -> ((s, dir) => {
       val idx = IndexCache.documents(s, dir)
-      val matched = Seq(A, B).map(t => Bm25.scoreTerms(idx, t).select("doc_id"))
-        .reduce(_ unionByName _).dropDuplicates("doc_id")
+      val matched = matchedAB(idx)
       val hist = matched
         .join(s.read.parquet(s"$dir/documents.parquet").select("doc_id", "n_chars"), "doc_id")
         .groupBy((floor(col("n_chars") / 100) * 100).as("bucket"))

@@ -23,7 +23,8 @@ object PipelineEntries {
    *  clustering path; exactness never depends on the cluster count. */
   private val seismicCache =
     scala.collection.concurrent.TrieMap.empty[(String, String), (org.apache.spark.sql.Dataset[graft.ops.ClusteredPosting], DataFrame)]
-  private def seismicExact(s: SparkSession, dir: String) =
+  private def seismicExact(s: SparkSession, dir: String) = {
+    seismicCache.keySet.filter(_._1 != s.sparkContext.applicationId).foreach(seismicCache.remove)
     seismicCache.getOrElseUpdate((s.sparkContext.applicationId, dir), {
       val t = tw(s, dir)
       val cidx = Seismic.buildClusteredIndex(t, nPostings = 1000000,
@@ -32,6 +33,7 @@ object PipelineEntries {
       cidx.count(); fwd.count()
       (cidx, fwd)
     })
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- sparse token-weight ops ----

@@ -251,10 +251,16 @@ object Hybrid {
         e.crossJoin(broadcast(qv))
           .select($"doc_id", Ann.cosine($"vec", $"qv").as("score"))
       case DenseVector(v) =>
-        // caller-supplied query vector: a literal array column, no lookup
+        // caller-supplied query vector: a literal array column, no lookup.
+        // Dimension-checked per row — zip_with would null-pad a mismatched
+        // vector into silently-null scores otherwise.
         val e = src.emb.get
         val qv = array(v.map(lit): _*)
-        e.select($"doc_id", Ann.cosine($"vec", qv).as("score"))
+        e.select($"doc_id",
+          when(size($"vec") === v.length, Ann.cosine($"vec", qv))
+            .otherwise(raise_error(concat(
+              lit(s"knn vector has ${v.length} dims but embedding has "),
+              size($"vec")))).as("score"))
     }
 
   private def full(src: HybridSources, q: HybridQuery, filterDocs: Option[DataFrame]): DataFrame = {

@@ -16,8 +16,15 @@ object IndexCache {
   // SparkContext would fail at action time when sessions cycle in one JVM
   private val cache = scala.collection.concurrent.TrieMap.empty[(String, String, String), Index]
 
+  /** Drop every cached entry that belongs to another (stopped) application —
+   *  session-cycling JVMs (the bench) would otherwise pin dead plans and
+   *  cached-DataFrame references for the JVM's lifetime. */
+  def evictOthers(appId: String): Unit =
+    cache.keySet.filter(_._1 != appId).foreach(cache.remove)
+
   /** Index over `documents.parquet` in sfDir (doc_id, text). */
-  def documents(spark: SparkSession, sfDir: String, analyzer: String = Analyzer.Simple): Index =
+  def documents(spark: SparkSession, sfDir: String, analyzer: String = Analyzer.Simple): Index = {
+    evictOthers(spark.sparkContext.applicationId)
     cache.getOrElseUpdate((spark.sparkContext.applicationId, s"$sfDir/documents.parquet", analyzer), {
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       val blocks = InvertedIndex.mergedBlocksOf(docs, "doc_id", "text", analyzer).persist()
@@ -28,4 +35,5 @@ object IndexCache {
       val stats = InvertedIndex.statsOf(docLens)
       Index(postings, docLens, termStats, stats, analyzer)
     })
+  }
 }

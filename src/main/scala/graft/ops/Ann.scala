@@ -45,16 +45,9 @@ object Ann {
    *  centroid id). Returns (id, centroid_id). One hash aggregate over the
    *  N x C cross rows — `max(struct(cos, -c_id))` picks the argmax without
    *  the per-vector window sort a row_number formulation would pay. */
-  def ivfAssign(emb: DataFrame, id: String, vec: String, nCentroids: Int): DataFrame = {
-    val cents = emb.where(col(id) < nCentroids)
-      .select(col(id).as("c_id"), col(vec).as("cv"))
-    emb.crossJoin(broadcast(cents))
-      .select(col(id),
-        struct(cosine(col(vec), col("cv")).as("c"), (-col("c_id")).as("nc")).as("s"))
-      .groupBy(col(id))
-      .agg(max(col("s")).as("m"))
-      .select(col(id), (-col("m.nc")).as("c_id"))
-  }
+  def ivfAssign(emb: DataFrame, id: String, vec: String, nCentroids: Int): DataFrame =
+    assignTo(emb, id, vec,
+      emb.where(col(id) < nCentroids).select(col(id).as("c_id"), col(vec).as("cv")))
 
   /**
    * Build-time IVF artifact: compute the assignment once and persist it

@@ -28,6 +28,14 @@ object Highlight {
    * @return (doc_id, term, pos, snippet): one row per (hit, matched term);
    *         pos is the 1-based token position of the first occurrence.
    */
+  /** Analyzer-side normalization of one whitespace token: lowercase, strip
+   *  non-alphanumeric edges — so hits matched through the analyzer
+   *  ("Merge", "window.") still highlight in the raw text. (A token with
+   *  INTERNAL punctuation analyzes to several terms; edge-stripping covers
+   *  the common prose cases without re-running the full analyzer per token.) */
+  private def norm(t: org.apache.spark.sql.Column) =
+    lower(regexp_replace(t, "^[^a-zA-Z0-9]+|[^a-zA-Z0-9]+$", ""))
+
   def matchedTerms(hits: DataFrame, docs: DataFrame, textCol: String,
                    terms: Seq[String], window: Int = 3): DataFrame = {
     val spark = hits.sparkSession
@@ -37,7 +45,7 @@ object Highlight {
       .join(broadcast(hits.select("doc_id")), "doc_id")
     val withTerm = withText
       .crossJoin(broadcast(termDf))
-      .withColumn("pos", array_position(col("toks"), col("term")))
+      .withColumn("pos", array_position(transform(col("toks"), norm(_)), col("term")))
       .where(col("pos") > 0)
     val lo = greatest(col("pos") - window, lit(1))
     val len = col("pos") + window - lo + lit(1)
@@ -45,7 +53,7 @@ object Highlight {
       .withColumn("snippet",
         array_join(
           transform(slice(col("toks"), lo.cast("int"), len.cast("int")),
-            t => when(t === col("term"), concat(lit("<em>"), t, lit("</em>")))
+            t => when(norm(t) === col("term"), concat(lit("<em>"), t, lit("</em>")))
               .otherwise(t)),
           " "))
       .select(col("doc_id"), col("term"), col("pos"), col("snippet"))

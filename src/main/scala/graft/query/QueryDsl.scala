@@ -122,6 +122,13 @@ object QueryDsl {
         (field, order == "asc")
       }
     }
+    // sort-enabled hybrid carries no combined score, so score-dependent
+    // request parts cannot compose with it — reject instead of silently
+    // dropping them
+    require(sort.isEmpty || collapse.isEmpty,
+      "sort does not support [collapse] (sorted hits carry no combined score to pick a group winner)")
+    require(sort.isEmpty || root.path("min_score").isMissingNode,
+      "sort does not support [min_score] (sorted hits carry no combined score)")
 
     Parsed(
       HybridQuery(
@@ -164,6 +171,8 @@ object QueryDsl {
       val (text, boost) =
         if (body.isObject) (body.path("query").asText(), body.path("boost").asDouble(1.0))
         else (body.asText(), 1.0)
+      require(text.nonEmpty,
+        "match requires a non-empty query text (object form: {\"query\": ...})")
       val terms = Analyzer.analyze(analyzer)(text).toSeq
       Lexical(terms,
         if (boost == 1.0) Map.empty else terms.map(_ -> boost).toMap)
@@ -172,6 +181,8 @@ object QueryDsl {
       val (v, boost) =
         if (body.isObject) (body.path("value").asText(), body.path("boost").asDouble(1.0))
         else (body.asText(), 1.0)
+      require(v.nonEmpty,
+        "term requires a non-empty value (object form: {\"value\": ...})")
       Lexical(Seq(v), if (boost == 1.0) Map.empty else Map(v -> boost))
     } else if (!q.path("neural_sparse").isMissingNode) {
       val (field, body) = firstField(q.path("neural_sparse"))

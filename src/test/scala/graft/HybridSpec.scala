@@ -8,6 +8,18 @@ import graft.query.Bm25
 /** End-to-end hybrid pipeline on a tiny corpus with independently-derived
  *  expectations (FIXTURES.md §2 query shapes). */
 class HybridSpec extends SparkSpec {
+
+  test("knn clause with a mismatched vector dimension fails loudly, not with null scores") {
+    import spark.implicits._
+    val idx = graft.index.IndexCache.documents(spark, "/root/testdata/sf0.001")
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id".as("doc_id"), $"embedding".as("vec"))
+    val q = HybridQuery(Seq(DenseVector(Seq(1.0, 2.0, 3.0))), // 3 dims vs 64
+      MinMaxNormTech(), Combination(graft.functions.Combine.Arithmetic), k = 5, depth = 20)
+    val ex = intercept[Exception](
+      Hybrid.execute(HybridSources(idx, emb = Some(emb)), q, None).collect())
+    assert(ex.getMessage != null)
+  }
   import spark.implicits._
 
   private lazy val idx = InvertedIndex.build(

@@ -165,4 +165,17 @@ class OpsSpec extends SparkSpec {
     assert(r2.getAs[Long]("pos") == 1L)
     assert(r2.getAs[String]("snippet") == "<em>merge</em> at the")
   }
+
+  test("highlight matches analyzer-normalized tokens in mixed-case punctuated text") {
+    val docs = Seq((1L, "First Merge, then window.")).toDF("doc_id", "text")
+    val hits = Seq(Tuple1(1L)).toDF("doc_id")
+    val got = graft.ops.Highlight.matchedTerms(hits, docs, "text",
+      Seq("merge", "window"), window = 1)
+      .orderBy($"term").collect()
+    assert(got.length == 2)
+    assert(got(0).getAs[Long]("pos") == 2L) // "Merge," matched as "merge"
+    assert(got(0).getAs[String]("snippet") == "First <em>Merge,</em> then")
+    assert(got(1).getAs[Long]("pos") == 4L) // "window." matched as "window"
+    assert(got(1).getAs[String]("snippet") == "then <em>window.</em>")
+  }
 }

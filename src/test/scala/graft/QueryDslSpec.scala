@@ -131,6 +131,23 @@ class QueryDslSpec extends SparkSpec {
         |"sort":[{"n_chars":"sideways"}]}""".stripMargin))
   }
 
+  test("sort rejects score-dependent request parts instead of dropping them") {
+    intercept[IllegalArgumentException](QueryDsl.parse(
+      """{"query":{"hybrid":{"queries":[{"term":{"t":"a"}}]}},
+        |"sort":[{"n_chars":"desc"}],
+        |"collapse":{"field":"source"}}""".stripMargin))
+    intercept[IllegalArgumentException](QueryDsl.parse(
+      """{"query":{"hybrid":{"queries":[{"term":{"t":"a"}}]}},
+        |"sort":[{"n_chars":"desc"}], "min_score": 0.5}""".stripMargin))
+  }
+
+  test("object-form match/term without the query/value key is rejected") {
+    intercept[IllegalArgumentException](QueryDsl.parse(
+      """{"query":{"hybrid":{"queries":[{"match":{"text":{"querry":"join","boost":2.0}}}]}}}"""))
+    intercept[IllegalArgumentException](QueryDsl.parse(
+      """{"query":{"hybrid":{"queries":[{"term":{"t":{"boost":2.0}}}]}}}"""))
+  }
+
   test("malformed requests are rejected") {
     intercept[IllegalArgumentException](QueryDsl.parse("""{"query":{}}"""))
     intercept[IllegalArgumentException](
