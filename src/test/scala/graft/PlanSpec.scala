@@ -65,6 +65,20 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("IVF probe prunes assignment partitions at the storage layer") {
+    import spark.implicits._
+    val emb = (0L until 200L).map(i =>
+      (i, Array.tabulate(8)(d => ((i * 13 + d) % 7).toFloat - 3f))).toDF("vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("plan-ivf-").toString
+    val asg = graft.ops.Ann.ivfBuild(emb, "vec_id", "embedding", 4, path)
+    // a probe of 2 centroids must reach the scan as a partition filter —
+    // only those c_id= directories are read, the storage-layer analogue of
+    // SEISMIC's cluster skipping
+    val probed = asg.where($"c_id".isin(0, 1))
+    val p = probed.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && p.contains("c_id"), p.take(3000))
+  }
+
   test("hybrid non-scoring filter join carries no broadcast hint from our code") {
     val filt = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .where(col("lang") === "en").select("doc_id")
