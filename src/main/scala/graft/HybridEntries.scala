@@ -287,6 +287,36 @@ object HybridEntries {
       graft.query.QueryDsl.execute(idx, json, s, s.read.parquet(s"$dir/documents.parquet"))
         .select(col("doc_id"), col("n_chars"))
     }),
+    // sort mixing _score with a stored field (reference: SortField.Type.SCORE
+    // inside the hybrid sort criteria, ScoreCombiner.getTopFieldDocs);
+    // min_score applies in exactly this mode (isMinScoreAvailable)
+    "dsl_sorted_score" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      val json =
+        """{ "query": { "hybrid": {
+          |    "queries": [ { "match": { "text": "join hash" } },
+          |                 { "match": { "text": "merge sort window" } } ],
+          |    "pagination_depth": 50 } },
+          |  "size": 10, "min_score": 0.3,
+          |  "sort": [ { "_score": "desc" }, { "n_chars": { "order": "asc" } } ] }""".stripMargin
+      graft.query.QueryDsl.execute(idx, json, s, s.read.parquet(s"$dir/documents.parquet"))
+        .select(col("doc_id"), round(col("score"), 4).as("score"), col("n_chars"))
+    }),
+    // field sort + collapse: the group winner is the first doc under the
+    // SORT order (reference: HybridCollapsingTopDocsCollector takes the sort)
+    "dsl_sorted_collapse" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      val json =
+        """{ "query": { "hybrid": {
+          |    "queries": [ { "match": { "text": "join hash" } },
+          |                 { "match": { "text": "merge sort window" } } ],
+          |    "pagination_depth": 50 } },
+          |  "size": 10,
+          |  "collapse": { "field": "source" },
+          |  "sort": [ { "n_chars": { "order": "desc" } } ] }""".stripMargin
+      graft.query.QueryDsl.execute(idx, json, s, s.read.parquet(s"$dir/documents.parquet"))
+        .select(col("doc_id"), col("n_chars"))
+    }),
     // stats metric aggregation over the matched doc set (reference §2.11:
     // metric aggs run alongside hybrid via HybridAggregationProcessor)
     "hybrid_agg_stats" -> ((s, dir) => {
@@ -584,7 +614,8 @@ object HybridEntries {
                    comb: Combination, k: Int = 10, from: Int = 0,
                    filterPred: Option[String] = None, explain: Boolean = false,
                    minScore: Option[Double] = None,
-                   collapse: Option[Collapse] = None): String = {
+                   collapse: Option[Collapse] = None,
+                   mixedSort: Seq[(String, Boolean)] = Nil): String = {
     val n = sub.size
     val twPart = if (sub.exists(_.isInstanceOf[SparseLinear])) s",\n$TwCte" else ""
     val subq = sub.zipWithIndex.map { case (t, i) =>
@@ -605,6 +636,16 @@ object HybridEntries {
       else ""
     val normIn = if (explain) (0 until n).map(i => s"s$i, ").mkString else ""
     val finalSel = collapse match {
+      case None if mixedSort.nonEmpty =>
+        // sort = [_score desc, field...]: combined score is the primary key,
+        // stored fields are the secondary keys (joined from documents)
+        val cols = mixedSort.map(_._1).distinct
+        val ord = "c DESC, " + mixedSort.map { case (f, asc) =>
+          s"d.$f ${if (asc) "ASC" else "DESC"}"
+        }.mkString(", ") + ", doc_id"
+        s"""SELECT doc_id, round(c, 4) AS score, ${cols.map(c => s"d.$c").mkString(", ")}
+           |FROM (SELECT doc_id, $cmb AS c FROM al) x JOIN documents d USING (doc_id)$msWhere
+           |ORDER BY $ord LIMIT $k$offset""".stripMargin
       case None =>
         s"""SELECT doc_id, ${normOut}round(c, 4) AS score
            |FROM (SELECT doc_id, $normIn$cmb AS c FROM al)$msWhere
@@ -710,6 +751,25 @@ object HybridEntries {
           Seq(Lexical(A), SparseLinear(Map(
             "merge" -> 2.0, "window" -> 1.25, "dup" -> 1.75, "scan" -> 2.0))),
           MinMaxNormTech(), Combination(Combine.Arithmetic)),
+      "dsl_sorted_score" ->
+        hybridOracle(tokCte, lex(Seq(A, B)), MinMaxNormTech(), Combination(Combine.Arithmetic),
+          minScore = Some(0.3), mixedSort = Seq(("n_chars", true))),
+      "dsl_sorted_collapse" ->
+        s"""WITH $tokCte,
+           |m0 AS (SELECT DISTINCT doc_id FROM tf WHERE term IN (${termList(A)})),
+           |t0 AS (SELECT m0.doc_id, d.n_chars FROM m0 JOIN documents d USING (doc_id)
+           |       ORDER BY d.n_chars DESC, m0.doc_id LIMIT $Depth),
+           |m1 AS (SELECT DISTINCT doc_id FROM tf WHERE term IN (${termList(B)})),
+           |t1 AS (SELECT m1.doc_id, d.n_chars FROM m1 JOIN documents d USING (doc_id)
+           |       ORDER BY d.n_chars DESC, m1.doc_id LIMIT $Depth),
+           |u AS (SELECT * FROM t0 UNION SELECT * FROM t1)
+           |SELECT doc_id, n_chars FROM (
+           |  SELECT u.doc_id, u.n_chars,
+           |         row_number() OVER (PARTITION BY d.source
+           |                            ORDER BY u.n_chars DESC, u.doc_id) AS rn
+           |  FROM u JOIN documents d USING (doc_id))
+           |WHERE rn = 1
+           |ORDER BY n_chars DESC, doc_id LIMIT 10""".stripMargin,
       "dsl_sorted" ->
         s"""WITH $tokCte,
            |m0 AS (SELECT DISTINCT doc_id FROM tf WHERE term IN (${termList(A)})),

@@ -216,23 +216,58 @@ object Hybrid {
    */
   def executeSorted(src: HybridSources, q: HybridQuery, sort: Seq[(String, Boolean)],
                     filterDocs: Option[DataFrame] = None): DataFrame = {
-    validate(src, q)
     require(sort.nonEmpty, "executeSorted requires at least one sort field")
-    require(src.fields.nonEmpty, "sort requires HybridSources.fields with the sort columns")
+    val fieldNames = sort.map(_._1).filter(_ != "_score")
+    require(fieldNames.isEmpty || src.fields.nonEmpty,
+      "sort requires HybridSources.fields with the sort columns")
+    val byScore = sort.exists(_._1 == "_score")
     val sortCols = sort.map { case (f, asc) =>
-      if (asc) col(f).asc else col(f).desc
+      val c = if (f == "_score") col("score") else col(f)
+      if (asc) c.asc else c.desc
     } :+ col("doc_id").asc
-    val fieldCols = src.fields.get.select((col("doc_id") +: sort.map(s => col(s._1))): _*)
-    val perSub = q.subQueries.map { sq =>
-      val matched = scoreClause(src, sq, 0).select("doc_id")
-      val filtered = filterDocs.fold(matched)(f =>
-        matched.join(f.select("doc_id"), Seq("doc_id"), "left_semi"))
-      filtered.join(fieldCols, "doc_id").orderBy(sortCols: _*).limit(q.depth)
+    def fieldCols = src.fields.get.select((col("doc_id") +: fieldNames.map(col)): _*)
+
+    val rows =
+      if (byScore) {
+        // sort criteria include _score (reference: SortField.Type.SCORE in
+        // the hybrid sort, ScoreCombiner.getTopFieldDocs): combined scores
+        // come from the full scored pipeline (min_score applies — the
+        // reference honors it exactly when the sort orders by score,
+        // ScoreCombiner.isMinScoreAvailable), then stored fields join for
+        // the secondary keys. The pipeline output is <= nSub x depth rows.
+        validate(src, q)
+        // collapse is applied below under the SORT order, not inside the
+        // score pipeline (collapsing twice with different keys would be
+        // wrong)
+        val scored = fullUnpaged(src, q.copy(collapse = None), filterDocs)
+          .select(col("doc_id"), col("score"))
+        if (fieldNames.isEmpty) scored else scored.join(fieldCols, "doc_id")
+      } else {
+        // pure field sort: per-sub-query TopFieldDocs capped at depth,
+        // first-wins merge (reference: TopDocs.merge(sort, ...) + dedupe);
+        // scores are never computed, so min_score is a no-op here — exactly
+        // the reference's isMinScoreAvailable == false path.
+        validate(src, q.copy(minScore = None))
+        val perSub = q.subQueries.map { sq =>
+          val matched = scoreClause(src, sq, 0).select("doc_id")
+          val filtered = filterDocs.fold(matched)(f =>
+            matched.join(f.select("doc_id"), Seq("doc_id"), "left_semi"))
+          filtered.join(fieldCols, "doc_id").orderBy(sortCols: _*).limit(q.depth)
+        }
+        perSub.reduce(_ unionByName _).dropDuplicates("doc_id")
+      }
+
+    // collapse under sort: the best doc per group is the first under the
+    // SORT order (reference: HybridCollapsingTopDocsCollector accepts the
+    // sort criteria), kept via the salted two-level rank
+    val collapsed = q.collapse match {
+      case Some(c) =>
+        val g = src.fields.get.select(col("doc_id"), col(c.field).as("_grp"))
+        graft.ops.TopN.perGroup(rows.join(g, "doc_id"), Seq("_grp"), "doc_id", 1, sortCols)
+          .drop("_grp")
+      case None => rows
     }
-    val merged = perSub.reduce(_ unionByName _).dropDuplicates("doc_id")
-    val ordered = merged.orderBy(sortCols: _*)
-    val paged = if (q.from > 0) ordered.offset(q.from) else ordered
-    paged.limit(q.k)
+    page(collapsed.orderBy(sortCols: _*), q)
   }
 
   /** Score one sub-query clause: DataFrame(doc_id, score), unbounded rows. */
@@ -263,7 +298,7 @@ object Hybrid {
               size($"vec")))).as("score"))
     }
 
-  private def full(src: HybridSources, q: HybridQuery, filterDocs: Option[DataFrame]): DataFrame = {
+  private def fullUnpaged(src: HybridSources, q: HybridQuery, filterDocs: Option[DataFrame]): DataFrame = {
     validate(src, q)
 
     // 1. per-sub-query scoring; non-scoring filter applied before collection.
@@ -357,8 +392,13 @@ object Hybrid {
           .filter($"_rn" === 1).drop("_rn", "_grp")
       case None => aligned
     }
-    val filtered = q.minScore.fold(collapsed)(ms => collapsed.filter($"score" >= ms))
-    val ordered = filtered.orderBy($"score".desc, $"doc_id".asc)
+    q.minScore.fold(collapsed)(ms => collapsed.filter($"score" >= ms))
+  }
+
+  private def full(src: HybridSources, q: HybridQuery, filterDocs: Option[DataFrame]): DataFrame =
+    page(fullUnpaged(src, q, filterDocs).orderBy($"score".desc, $"doc_id".asc), q)
+
+  private def page(ordered: DataFrame, q: HybridQuery): DataFrame = {
     val paged = if (q.from > 0) ordered.offset(q.from) else ordered
     paged.limit(q.k)
   }

@@ -122,13 +122,11 @@ object QueryDsl {
         (field, order == "asc")
       }
     }
-    // sort-enabled hybrid carries no combined score, so score-dependent
-    // request parts cannot compose with it — reject instead of silently
-    // dropping them
-    require(sort.isEmpty || collapse.isEmpty,
-      "sort does not support [collapse] (sorted hits carry no combined score to pick a group winner)")
-    require(sort.isEmpty || root.path("min_score").isMissingNode,
-      "sort does not support [min_score] (sorted hits carry no combined score)")
+    // reference semantics for sort composition: collapse picks the group
+    // winner under the SORT order (HybridCollapsingTopDocsCollector takes
+    // the sort); min_score applies only when the sort orders by _score
+    // (ScoreCombiner.isMinScoreAvailable) and is otherwise a no-op — both
+    // handled inside Hybrid.executeSorted, nothing to reject here.
 
     Parsed(
       HybridQuery(

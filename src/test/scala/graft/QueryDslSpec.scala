@@ -131,14 +131,14 @@ class QueryDslSpec extends SparkSpec {
         |"sort":[{"n_chars":"sideways"}]}""".stripMargin))
   }
 
-  test("sort rejects score-dependent request parts instead of dropping them") {
-    intercept[IllegalArgumentException](QueryDsl.parse(
+  test("sort composes with collapse and _score (reference semantics)") {
+    val p = QueryDsl.parse(
       """{"query":{"hybrid":{"queries":[{"term":{"t":"a"}}]}},
-        |"sort":[{"n_chars":"desc"}],
-        |"collapse":{"field":"source"}}""".stripMargin))
-    intercept[IllegalArgumentException](QueryDsl.parse(
-      """{"query":{"hybrid":{"queries":[{"term":{"t":"a"}}]}},
-        |"sort":[{"n_chars":"desc"}], "min_score": 0.5}""".stripMargin))
+        |"sort":[{"_score":"desc"},{"n_chars":"asc"}],
+        |"collapse":{"field":"source"}, "min_score": 0.5}""".stripMargin)
+    assert(p.sort == Seq(("_score", false), ("n_chars", true)))
+    assert(p.query.collapse.contains(Collapse("source", 1)))
+    assert(p.query.minScore.contains(0.5))
   }
 
   test("object-form match/term without the query/value key is rejected") {
