@@ -287,6 +287,17 @@ object HybridEntries {
       graft.query.QueryDsl.execute(idx, json, s, s.read.parquet(s"$dir/documents.parquet"))
         .select(col("doc_id"), col("n_chars"))
     }),
+    // total-hits reporting: matched count after the min_score filter plus
+    // the eq/gte relation (reference: ScoreCombiner.java:136-159 fixes
+    // totalHits when min_score drops docs)
+    "hybrid_total_hits" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      Hybrid.executeWithTotal(HybridSources(idx),
+        q(lex(Seq(A, B)), MinMaxNormTech(), Combination(Combine.Arithmetic),
+          k = 10, minScore = Some(0.35)))
+        .select(col("doc_id"), round(col("score"), 4).as("score"),
+          col("total_hits"), col("relation"))
+    }),
     // sort mixing _score with a stored field (reference: SortField.Type.SCORE
     // inside the hybrid sort criteria, ScoreCombiner.getTopFieldDocs);
     // min_score applies in exactly this mode (isMinScoreAvailable)
@@ -615,7 +626,8 @@ object HybridEntries {
                    filterPred: Option[String] = None, explain: Boolean = false,
                    minScore: Option[Double] = None,
                    collapse: Option[Collapse] = None,
-                   mixedSort: Seq[(String, Boolean)] = Nil): String = {
+                   mixedSort: Seq[(String, Boolean)] = Nil,
+                   withTotal: Boolean = false): String = {
     val n = sub.size
     val twPart = if (sub.exists(_.isInstanceOf[SparseLinear])) s",\n$TwCte" else ""
     val subq = sub.zipWithIndex.map { case (t, i) =>
@@ -636,6 +648,16 @@ object HybridEntries {
       else ""
     val normIn = if (explain) (0 until n).map(i => s"s$i, ").mkString else ""
     val finalSel = collapse match {
+      case None if withTotal =>
+        // total-hits = count after the min_score filter; relation gte once
+        // the collected set reached the depth bound
+        val base = s"SELECT * FROM (SELECT doc_id, $cmb AS c FROM al)$msWhere"
+        s"""SELECT b.doc_id, round(b.c, 4) AS score, t.total_hits, t.relation
+           |FROM ($base) b CROSS JOIN (
+           |  SELECT count(*) AS total_hits,
+           |         CASE WHEN count(*) >= $Depth THEN 'gte' ELSE 'eq' END AS relation
+           |  FROM ($base)) t
+           |ORDER BY b.c DESC, b.doc_id LIMIT $k$offset""".stripMargin
       case None if mixedSort.nonEmpty =>
         // sort = [_score desc, field...]: combined score is the primary key,
         // stored fields are the secondary keys (joined from documents)
@@ -751,6 +773,9 @@ object HybridEntries {
           Seq(Lexical(A), SparseLinear(Map(
             "merge" -> 2.0, "window" -> 1.25, "dup" -> 1.75, "scan" -> 2.0))),
           MinMaxNormTech(), Combination(Combine.Arithmetic)),
+      "hybrid_total_hits" ->
+        hybridOracle(tokCte, lex(Seq(A, B)), MinMaxNormTech(), Combination(Combine.Arithmetic),
+          k = 10, minScore = Some(0.35), withTotal = true),
       "dsl_sorted_score" ->
         hybridOracle(tokCte, lex(Seq(A, B)), MinMaxNormTech(), Combination(Combine.Arithmetic),
           minScore = Some(0.3), mixedSort = Seq(("n_chars", true))),

@@ -170,6 +170,24 @@ object Hybrid {
   def execute(src: HybridSources, q: HybridQuery, filterDocs: Option[DataFrame]): DataFrame =
     full(src, q, filterDocs).select($"doc_id", $"score")
 
+  /**
+   * Execute with total-hits reporting: the final page plus a `total_hits`
+   * column carrying the matched-doc count AFTER the min_score filter — the
+   * reference recomputes totalHits when min_score drops docs
+   * (reference: processor/combination/ScoreCombiner.java:136-159,377-395).
+   * The count is over the collected set (<= nSub x depth rows), so its
+   * relation is GTE once any sub-query's collection hit the depth bound —
+   * reported in `relation` exactly like TotalHits.Relation.
+   */
+  def executeWithTotal(src: HybridSources, q: HybridQuery,
+                       filterDocs: Option[DataFrame] = None): DataFrame = {
+    val base = fullUnpaged(src, q, filterDocs).select($"doc_id", $"score")
+    val total = base.agg(
+      count(lit(1)).as("total_hits"),
+      when(count(lit(1)) >= q.depth, "gte").otherwise("eq").as("relation"))
+    page(base.crossJoin(broadcast(total)).orderBy($"score".desc, $"doc_id".asc), q)
+  }
+
   /** Explain mode: the final page plus the per-sub-query normalized scores
    *  that produced each combined score (reference:
    *  processor/ExplanationResponseProcessor.java — per-doc normalization/
