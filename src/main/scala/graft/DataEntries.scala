@@ -81,6 +81,14 @@ object DataEntries {
         Seq(col("n_chars"), col("doc_id")), "new_id")
         .select(col("doc_id"), col("new_id"))),
 
+    // ---- token-budget shard packing (training-data sequence packing) ----
+    "pack_token_budget" -> ((s, dir) =>
+      graft.ops.Pack.byTokenBudget(
+        docs(s, dir).select(col("doc_id"),
+          size(graft.ops.TextOps.tokensCol(col("text"))).as("n_tokens")),
+        Seq(col("doc_id")), col("n_tokens"), budget = 500)
+        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"), col("shard"))),
+
     // ---- multimodal plumbing (stubbed decode) ----
     "mm_features" -> ((s, dir) =>
       Multimodal.features(docs(s, dir), "doc_id", "text")),
@@ -218,6 +226,15 @@ object DataEntries {
   }
 
   def oracles(@annotation.unused tokCte: String): Map[String, String] = Map(
+    "pack_token_budget" ->
+      """SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |       CAST((cum - len(toks)) // 500 AS BIGINT) AS shard FROM (
+        |  SELECT doc_id, toks,
+        |         sum(len(toks)) OVER (ORDER BY doc_id
+        |                              ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |        FROM documents))""".stripMargin,
     "stream_sessions" ->
       """WITH d AS (
         |  SELECT user_id, ts,

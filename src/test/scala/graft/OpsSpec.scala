@@ -166,6 +166,21 @@ class OpsSpec extends SparkSpec {
     assert(r2.getAs[String]("snippet") == "<em>merge</em> at the")
   }
 
+  test("token-budget packing equals the single-window prefix-sum for every partition count") {
+    val df = (1 to 300).map(i => (i.toLong, (i * 17 % 40 + 1).toLong)).toDF("doc_id", "n_tokens")
+    val w = Window.orderBy($"doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expected = df
+      .withColumn("shard", ((sum($"n_tokens").over(w) - $"n_tokens") / 100).cast("long"))
+      .orderBy($"doc_id").collect().map(_.toString).toSeq
+    for (parts <- Seq(1, 7, 64)) {
+      val got = graft.ops.Pack.byTokenBudget(df, Seq($"doc_id"), $"n_tokens", 100,
+        partitions = parts)
+        .select($"doc_id", $"n_tokens", $"shard")
+        .orderBy($"doc_id").collect().map(_.toString).toSeq
+      assert(got == expected, s"partitions=$parts")
+    }
+  }
+
   test("highlight matches analyzer-normalized tokens in mixed-case punctuated text") {
     val docs = Seq((1L, "First Merge, then window.")).toDF("doc_id", "text")
     val hits = Seq(Tuple1(1L)).toDF("doc_id")
