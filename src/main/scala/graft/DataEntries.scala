@@ -92,6 +92,11 @@ object DataEntries {
     // ---- multimodal plumbing (stubbed decode) ----
     "mm_features" -> ((s, dir) =>
       Multimodal.features(docs(s, dir), "doc_id", "text")),
+    // combined text+image embedding (TextImageEmbeddingProcessor analogue):
+    // feature-hashing text dims + payload byte-feature dims in one vector
+    "mm_text_image_embed" -> ((s, dir) =>
+      Multimodal.textImageEmbed(docs(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("dim"), round(col("v"), 4).as("v"))),
 
     // ---- relational coverage over the star schema ----
     "q1_agg" -> ((s, dir) => {
@@ -225,7 +230,29 @@ object DataEntries {
     s.table(name)
   }
 
-  def oracles(@annotation.unused tokCte: String): Map[String, String] = Map(
+  def oracles(tokCte: String): Map[String, String] = Map(
+    // text dims: hashing-trick projection over the shared tf CTE; image
+    // dims: byte stats of the utf-8 payload (the corpus text is ascii, so
+    // octet_length == length and first/last byte == first/last char)
+    "mm_text_image_embed" ->
+      s"""WITH $tokCte,
+         |tp AS (
+         |  SELECT doc_id,
+         |         CAST((length(term) * 31 + ascii(substr(term, 1, 1))) % 8 AS BIGINT) AS dim,
+         |         round(sum(tf * (1.0 + (length(term) % 5) * 0.25)), 4) AS v
+         |  FROM tf GROUP BY doc_id, dim),
+         |ip AS (
+         |  SELECT doc_id, CAST(8 + i AS BIGINT) AS dim,
+         |         round(CASE i
+         |           WHEN 0 THEN CAST(octet_length(encode(text)) AS DOUBLE)
+         |           WHEN 1 THEN CASE WHEN length(text) = 0 THEN -1
+         |                            ELSE ascii(substr(text, 1, 1)) END
+         |           ELSE CASE WHEN length(text) = 0 THEN -1
+         |                     ELSE ascii(substr(text, length(text), 1)) END
+         |         END, 4) AS v
+         |  FROM documents CROSS JOIN (SELECT unnest(ARRAY[0, 1, 2]) AS i))
+         |SELECT doc_id, dim, v FROM tp
+         |UNION ALL SELECT doc_id, dim, v FROM ip""".stripMargin,
     "pack_token_budget" ->
       """SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
         |       CAST((cum - len(toks)) // 500 AS BIGINT) AS shard FROM (

@@ -42,4 +42,32 @@ object Multimodal {
 
   def features(docs: DataFrame, id: String, text: String): DataFrame =
     stubFeaturize(withPayload(docs, id, text))
+
+  /**
+   * Combined text+image embedding — the reference's text_image_embedding
+   * processor fuses a text field and an image field into ONE vector through
+   * multimodal inference (reference: processor/TextImageEmbeddingProcessor
+   * .java); the deterministic stand-in concatenates the feature-hashing text
+   * projection (dims 0..dims-1, the same w = tf x (1 + len%5/4) trick as the
+   * semantic dense sub-field) with the payload's byte-level stub features
+   * (dims dims..dims+2: n_bytes, first_byte, last_byte). Exploded sparse
+   * rows (doc_id, dim, v) — only occupied dimensions materialize.
+   */
+  def textImageEmbed(docs: DataFrame, id: String, text: String, dims: Int = 8): DataFrame = {
+    val textPart = docs
+      .select(col(id).cast("long").as("doc_id"),
+        explode(TextOps.tokensCol(col(text))).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      .withColumn("w", col("tf") * (lit(1.0) + (length(col("token")) % 5) * lit(0.25)))
+      .withColumn("dim",
+        ((length(col("token")) * 31 + ascii(substring(col("token"), 1, 1))) % dims).cast("long"))
+      .groupBy(col("doc_id"), col("dim")).agg(sum(col("w")).as("v"))
+    val imgPart = stubFeaturize(withPayload(docs, id, text))
+      .select(col("doc_id"), posexplode(array(
+        col("n_bytes").cast("double"),
+        col("first_byte").cast("double"),
+        col("last_byte").cast("double"))))
+      .select(col("doc_id"), (col("pos") + dims).cast("long").as("dim"), col("col").as("v"))
+    textPart.unionByName(imgPart)
+  }
 }
