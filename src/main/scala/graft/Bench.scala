@@ -123,6 +123,23 @@ object Bench {
     }
   }
 
+  /** Drain the async listener bus by polling until the CPU counter stops
+   *  advancing (3 consecutive quiet 100ms checks, 10s cap). A fixed sleep
+   *  races on a loaded host — exactly when the interference detectors
+   *  matter — and late task-end events would undercount cpuSec/runSec,
+   *  skewing the round-validity thresholds. */
+  private def drain(l: CpuListener): Unit = {
+    var prev = -1L
+    var quiet = 0
+    var iters = 0
+    while (quiet < 3 && iters < 100) {
+      Thread.sleep(100)
+      val cur = l.cpuNs.get()
+      if (cur == prev) quiet += 1 else { quiet = 0; prev = cur }
+      iters += 1
+    }
+  }
+
   private case class Point(tput: Double, wandP50: Double, plainP50: Double,
                            cpuSec: Double, utilization: Double, cpuFrac: Double)
 
@@ -144,7 +161,7 @@ object Bench {
       var idx0: graft.index.Index = null
       val buildSec =
         time { idx0 = InvertedIndex.buildAndWrite(corpus, "doc_id", "content", tmp, Analyzer.Code) }
-      Thread.sleep(300) // let the async listener bus drain task-end events
+      drain(listener)
       s.sparkContext.removeSparkListener(listener)
       val cpuSec = listener.cpuNs.get() / 1e9
       val runSec = listener.runMs.get() / 1000.0
@@ -246,22 +263,58 @@ object Bench {
     System.out.flush()
 
     val skipScaling = sys.env.contains("SPARK_GRAFT_BENCH_SKIP_SCALING")
-    val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "5").toInt
+    val baseRounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "5").toInt
+    // bounded retry budget: if interference invalidates rounds, run extras
+    // until enough valid rounds exist (or the budget is spent) — the
+    // detectors are pre-registered, so retrying only adds OBSERVATIONS, it
+    // cannot move the criteria
+    val maxExtra = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_EXTRA", "5").toInt
+    val minValid = 4
     if (!skipScaling) warmup()
 
     // interleaved rounds: 2 cores then 8 cores back-to-back inside each
     // round, so slow host-load drift lands on both sides of every ratio;
     // a calibration burn brackets each timed build, making external steal
     // measurable per round; query p50s are probed once per level, on the
-    // final round
+    // last base round
     case class Round(t2: Double, t8: Double, calibs: Seq[Double],
                      cpu2: Double, cpu8: Double, util2: Double, util8: Double,
                      frac2: Double, frac8: Double)
-    var pairs = Seq.empty[Round]
+    var pairs = Vector.empty[Round]
     var wand2 = 0.0; var plain2 = 0.0; var wand8 = 0.0; var plain8 = 0.0
+
+    // Pre-registered validity criteria — the build is DETERMINISTIC (same
+    // seed, same plan, same partitioning every round), so each round should
+    // consume the same thread-CPU per doc and its tasks should spend their
+    // runtime on-CPU. Host interference shows up in exactly three
+    // measurable ways, each with its own NAMED detector (reported per round):
+    //  (a) "calib-steal": a calibration burn bracketing the build runs
+    //      >= 1.5x the run's fastest burn (edge steal);
+    //  (b) "descheduled@N": vCPU descheduling DURING a build — task wall
+    //      inflates while thread-CPU does not: cpuSec/runSec < 0.85x the
+    //      run's median at that level;
+    //  (c) "contention@N": SMT / memory-bandwidth contention DURING a
+    //      build — IPC drops, so thread-CPU per doc inflates > 1.4x the
+    //      run's median at that level (observed: 5x during one burst).
+    // Rounds failing any detector are excluded from the medians; every raw
+    // round AND its fired detectors are reported.
+    def detect2x8(p: Round): Seq[String] = {
+      val cmin = pairs.flatMap(_.calibs).min
+      val d = scala.collection.mutable.ArrayBuffer.empty[String]
+      if (!p.calibs.forall(_ <= 1.5 * cmin)) d += "calib-steal"
+      if (p.cpu2 > 1.4 * median(pairs.map(_.cpu2))) d += "contention@2"
+      if (p.cpu8 > 1.4 * median(pairs.map(_.cpu8))) d += "contention@8"
+      if (p.frac2 < 0.85 * median(pairs.map(_.frac2))) d += "descheduled@2"
+      if (p.frac8 < 0.85 * median(pairs.map(_.frac8))) d += "descheduled@8"
+      d.toSeq
+    }
+    def validCount: Int = pairs.count(p => detect2x8(p).isEmpty)
+
     if (!skipScaling) {
-      pairs = (1 to rounds).map { r =>
-        val last = r == rounds
+      var r = 0
+      while (r < baseRounds || (r < baseRounds + maxExtra && validCount < minValid)) {
+        r += 1
+        val last = r == baseRounds
         val c2a = calibrate()
         val p2r = scalePoint(2, nDocs, measureQueries = last)
         val c2b = calibrate()
@@ -272,38 +325,16 @@ object Bench {
           f"eff=${(p8r.tput / p2r.tput) / 4}%.3f calibs=$c2a%.2f/$c2b%.2f/$c8b%.2f " +
           f"cpu/doc=${p2r.cpuSec * 1e6 / nDocs}%.1f/${p8r.cpuSec * 1e6 / nDocs}%.1fus util=${p2r.utilization}%.2f/${p8r.utilization}%.2f " +
           f"cpufrac=${p2r.cpuFrac}%.2f/${p8r.cpuFrac}%.2f")
-        Round(p2r.tput, p8r.tput, Seq(c2a, c2b, c8b), p2r.cpuSec, p8r.cpuSec,
+        pairs = pairs :+ Round(p2r.tput, p8r.tput, Seq(c2a, c2b, c8b), p2r.cpuSec, p8r.cpuSec,
           p2r.utilization, p8r.utilization, p2r.cpuFrac, p8r.cpuFrac)
       }
     }
+    val rounds = pairs.size
     val tput2s = pairs.map(_.t2)
     val tput8s = pairs.map(_.t8)
     val effRounds = pairs.map(p => (p.t8 / p.t2) / 4.0)
-    // Pre-registered validity criteria — the build is DETERMINISTIC (same
-    // seed, same plan, same partitioning every round), so each round should
-    // consume the same thread-CPU per doc and its tasks should spend their
-    // runtime on-CPU. Host interference shows up in exactly three
-    // measurable ways, each with its own detector:
-    //  (a) steal before/after a build  -> calibration burn >= 1.5x the
-    //      run's fastest (edge detector);
-    //  (b) vCPU descheduling DURING a build -> task wall inflates while
-    //      thread-CPU does not: cpuSec/runSec drops below 0.85x the run's
-    //      median at that level;
-    //  (c) SMT / memory-bandwidth contention DURING a build -> IPC drops,
-    //      so thread-CPU per doc inflates above 1.4x the run's median at
-    //      that level (observed: 5x during one burst).
-    // Rounds failing any detector are excluded from the medians; every raw
-    // round is still reported.
-    val cmin = if (pairs.isEmpty) 0.0 else pairs.flatMap(_.calibs).min
-    val medCpu2 = if (pairs.isEmpty) 0.0 else median(pairs.map(_.cpu2))
-    val medCpu8 = if (pairs.isEmpty) 0.0 else median(pairs.map(_.cpu8))
-    val medFrac2 = if (pairs.isEmpty) 0.0 else median(pairs.map(_.frac2))
-    val medFrac8 = if (pairs.isEmpty) 0.0 else median(pairs.map(_.frac8))
-    def roundValid(p: Round): Boolean =
-      p.calibs.forall(_ <= 1.5 * cmin) &&
-        p.cpu2 <= 1.4 * medCpu2 && p.cpu8 <= 1.4 * medCpu8 &&
-        p.frac2 >= 0.85 * medFrac2 && p.frac8 >= 0.85 * medFrac8
-    val valid = pairs.filter(roundValid)
+    val detectors = pairs.map(detect2x8)
+    val valid = pairs.zip(detectors).collect { case (p, d) if d.isEmpty => p }
     val usable = if (valid.nonEmpty) valid else pairs
     val tput2 = if (pairs.isEmpty) 0.0 else median(usable.map(_.t2))
     val tput8 = if (pairs.isEmpty) 0.0 else median(usable.map(_.t8))
@@ -320,16 +351,52 @@ object Bench {
     val util2m = if (pairs.isEmpty) 0.0 else median(usable.map(_.util2))
     val util8m = if (pairs.isEmpty) 0.0 else median(usable.map(_.util8))
 
-    // local[32] headline throughput: median of 3 runs, queries on the last
-    val p32 = if (skipScaling) Seq.empty[Point]
-      else (1 to 3).map(r => scalePoint(32, nDocs, measureQueries = r == 3))
-    val tput32 = if (p32.isEmpty) 0.0 else median(p32.map(_.tput))
-    val wand32 = if (p32.isEmpty) 0.0 else p32.last.wandP50
-    val plain32 = if (p32.isEmpty) 0.0 else p32.last.plainP50
+    // local[32] headline throughput: SAME interference gating as the 2->8
+    // rounds (round 2's 10x local[32] collapse was plain median-of-3 with no
+    // detector — this closes that evidence gap). Calibration burns bracket
+    // each build; cpu/doc and cpufrac validity use the 32-level medians;
+    // invalid rounds trigger bounded retries.
+    case class Round32(t: Double, calibs: Seq[Double], cpu: Double, frac: Double,
+                       util: Double, wand: Double, plain: Double)
+    var p32 = Vector.empty[Round32]
+    def detect32(p: Round32): Seq[String] = {
+      val cmin = (pairs.flatMap(_.calibs) ++ p32.flatMap(_.calibs)).min
+      val d = scala.collection.mutable.ArrayBuffer.empty[String]
+      if (!p.calibs.forall(_ <= 1.5 * cmin)) d += "calib-steal"
+      if (p.cpu > 1.4 * median(p32.map(_.cpu))) d += "contention@32"
+      if (p.frac < 0.85 * median(p32.map(_.frac))) d += "descheduled@32"
+      d.toSeq
+    }
+    def valid32Count: Int = p32.count(p => detect32(p).isEmpty)
+    val base32 = 3
+    val maxExtra32 = 3
+    if (!skipScaling) {
+      var r = 0
+      while (r < base32 || (r < base32 + maxExtra32 && valid32Count < 2)) {
+        r += 1
+        val cA = calibrate()
+        val p = scalePoint(32, nDocs, measureQueries = r == base32)
+        val cB = calibrate()
+        System.err.println(f"[graft-bench] round32 $r: tput=${p.tput}%.1f calibs=$cA%.2f/$cB%.2f " +
+          f"cpu/doc=${p.cpuSec * 1e6 / nDocs}%.1fus util=${p.utilization}%.2f cpufrac=${p.cpuFrac}%.2f")
+        p32 = p32 :+ Round32(p.tput, Seq(cA, cB), p.cpuSec, p.cpuFrac, p.utilization,
+          p.wandP50, p.plainP50)
+      }
+    }
+    val detectors32 = p32.map(detect32)
+    val valid32 = p32.zip(detectors32).collect { case (p, d) if d.isEmpty => p }
+    val usable32 = if (valid32.nonEmpty) valid32 else p32
+    val tput32 = if (p32.isEmpty) 0.0 else median(usable32.map(_.t))
+    val cpuDoc32 = if (p32.isEmpty) 0.0 else median(usable32.map(_.cpu)) * 1e6 / nDocs
+    val wand32 = if (p32.isEmpty) 0.0 else p32.map(_.wand).filter(_ > 0).lastOption.getOrElse(0.0)
+    val plain32 = if (p32.isEmpty) 0.0 else p32.map(_.plain).filter(_ > 0).lastOption.getOrElse(0.0)
     val (wandRo, plainRo) = if (skipScaling) (0.0, 0.0) else reorderedPoint(32, nDocs)
 
     def arr(xs: Seq[Double]) = xs.map(x => f"$x%.1f").mkString("[", ",", "]")
     def arr3(xs: Seq[Double]) = xs.map(x => f"$x%.3f").mkString("[", ",", "]")
+    def detArr(ds: Seq[Seq[String]]) = ds.map(d =>
+      (if (d.isEmpty) Seq("none") else d).map("\"" + _ + "\"").mkString("[", ",", "]"))
+      .mkString("[", ",", "]")
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
@@ -339,9 +406,12 @@ object Bench {
       f""""scaling_efficiency":$eff%.3f,"scaling_efficiency_median_round":$effMedRound%.3f,""" +
       s""""rounds":$rounds,"valid_rounds":$nValid,"tput2_rounds":${arr(tput2s)},"tput8_rounds":${arr(tput8s)},""" +
       s""""eff_rounds":${arr3(effRounds)},"calib_rounds":${pairs.map(p => arr3(p.calibs)).mkString("[", ",", "]")},""" +
-      f""""cpu_us_per_doc":{"local2":$cpuDoc2%.1f,"local8":$cpuDoc8%.1f},"scaling_efficiency_cpu":$effCpu%.3f,""" +
+      s""""detectors_rounds":${detArr(detectors)},""" +
+      f""""cpu_us_per_doc":{"local2":$cpuDoc2%.1f,"local8":$cpuDoc8%.1f,"local32":$cpuDoc32%.1f},"scaling_efficiency_cpu":$effCpu%.3f,""" +
       f""""utilization":{"local2":$util2m%.2f,"local8":$util8m%.2f},""" +
-      s""""tput32_rounds":${arr(p32.map(_.tput))},""" +
+      s""""tput32_rounds":${arr(p32.map(_.t))},"valid_rounds32":${valid32.size},""" +
+      s""""detectors_rounds32":${detArr(detectors32)},""" +
+      s""""calib_rounds32":${p32.map(p => arr3(p.calibs)).mkString("[", ",", "]")},""" +
       f""""query_p50_ms":{"wand2":$wand2%.1f,"wand8":$wand8%.1f,"wand32":$wand32%.1f,""" +
       f""""plain2":$plain2%.1f,"plain8":$plain8%.1f,"plain32":$plain32%.1f},""" +
       f""""query_p50_ms_reordered":{"wand32":$wandRo%.1f,"plain32":$plainRo%.1f},""" +
@@ -351,7 +421,12 @@ object Bench {
     try {
       new java.io.File("BENCH").mkdirs()
       val roundRows = pairs.zipWithIndex.map { case (p, i) =>
-        f"| ${i + 1} | ${p.t2}%.1f | ${p.t8}%.1f | ${(p.t8 / p.t2) / 4}%.3f | ${p.calibs.map(c => f"$c%.2f").mkString("/")} | ${p.cpu2 * 1e6 / nDocs}%.0f / ${p.cpu8 * 1e6 / nDocs}%.0f | ${p.frac2}%.2f / ${p.frac8}%.2f | ${if (roundValid(p)) "yes" else "NO (interference)"} |"
+        val d = detectors(i)
+        f"| ${i + 1} | ${p.t2}%.1f | ${p.t8}%.1f | ${(p.t8 / p.t2) / 4}%.3f | ${p.calibs.map(c => f"$c%.2f").mkString("/")} | ${p.cpu2 * 1e6 / nDocs}%.0f / ${p.cpu8 * 1e6 / nDocs}%.0f | ${p.frac2}%.2f / ${p.frac8}%.2f | ${if (d.isEmpty) "yes" else "NO: " + d.mkString(", ")} |"
+      }.mkString("\n")
+      val round32Rows = p32.zipWithIndex.map { case (p, i) =>
+        val d = detectors32(i)
+        f"| ${i + 1} | ${p.t}%.1f | ${p.calibs.map(c => f"$c%.2f").mkString("/")} | ${p.cpu * 1e6 / nDocs}%.0f | ${p.frac}%.2f | ${p.util}%.2f | ${if (d.isEmpty) "yes" else "NO: " + d.mkString(", ")} |"
       }.mkString("\n")
       val md =
         f"""# BENCH — scaling evidence (north rule: efficiency >= 0.8 from N to 4N)
@@ -375,8 +450,10 @@ object Bench {
            |(c) SMT/memory-bandwidth contention mid-build -> IPC drops, so
            |thread-CPU per doc inflates > 1.4x the run's median (observed 5x
            |during one burst). Rounds failing any detector are excluded from
-           |the medians ($nValid/$rounds valid this run); every raw round is
-           |reported below. Steal-immune cross-check this run: cpu/doc
+           |the medians ($nValid/$rounds valid this run, after bounded
+           |auto-retries whenever fewer than $minValid rounds were valid);
+           |every raw round and its fired detectors are reported below.
+           |Steal-immune cross-check this run: cpu/doc
            |$cpuDoc2%.0f us -> $cpuDoc8%.0f us (cpu-scaling $effCpu%.3f),
            |utilization $util2m%.2f -> $util8m%.2f.
            |
@@ -384,12 +461,17 @@ object Bench {
            |CPU burn on this VM scales ~0.9 in the lower vCPU range but only
            |~0.76 from 8->32 threads (SMT/host-capped), so 2->8 is the honest
            |software-scaling window; local[32] is reported as the
-           |max-throughput point (median of 3). Query p50 = BM25 top-100,
-           |4 query shapes x 3 reps, final round's sessions.
+           |max-throughput point, now under the SAME per-round interference
+           |gating (median of valid rounds, ${valid32.size}/${p32.size} valid
+           |this run). Query p50 = BM25 top-100, 4 query shapes x 3 reps.
            |
            || round | local[2] docs/s | local[8] docs/s | efficiency (2->8) | calibs (s) | cpu us/doc 2/8 | cpufrac 2/8 | valid |
            ||---|---|---|---|---|---|---|---|
            |$roundRows
+           |
+           || round32 | local[32] docs/s | calibs (s) | cpu us/doc | cpufrac | util | valid |
+           ||---|---|---|---|---|---|---|
+           |$round32Rows
            |
            || metric | local[2] (N) | local[8] (4N) | local[32] | scaling efficiency (2->8) |
            ||---|---|---|---|---|

@@ -313,6 +313,24 @@ object HybridEntries {
       graft.query.QueryDsl.execute(idx, json, s, s.read.parquet(s"$dir/documents.parquet"))
         .select(col("doc_id"), round(col("score"), 4).as("score"), col("n_chars"))
     }),
+    // _score-led sort + collapse + min_score: the group winner is picked
+    // from the UNFILTERED scored set under the sort order, then min_score
+    // drops whole groups whose winner fails it (reference: collapse at
+    // collection time, min_score at combination time —
+    // HybridCollapsingTopDocsCollector + ScoreCombiner.isMinScoreAvailable)
+    "dsl_sorted_score_collapse" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      val json =
+        """{ "query": { "hybrid": {
+          |    "queries": [ { "match": { "text": "join hash" } },
+          |                 { "match": { "text": "merge sort window" } } ],
+          |    "pagination_depth": 50 } },
+          |  "size": 10, "min_score": 0.3,
+          |  "collapse": { "field": "source" },
+          |  "sort": [ { "_score": "desc" }, { "n_chars": { "order": "asc" } } ] }""".stripMargin
+      graft.query.QueryDsl.execute(idx, json, s, s.read.parquet(s"$dir/documents.parquet"))
+        .select(col("doc_id"), round(col("score"), 4).as("score"), col("n_chars"))
+    }),
     // field sort + collapse: the group winner is the first doc under the
     // SORT order (reference: HybridCollapsingTopDocsCollector takes the sort)
     "dsl_sorted_collapse" -> ((s, dir) => {
@@ -649,15 +667,44 @@ object HybridEntries {
     val normIn = if (explain) (0 until n).map(i => s"s$i, ").mkString else ""
     val finalSel = collapse match {
       case None if withTotal =>
-        // total-hits = count after the min_score filter; relation gte once
-        // the collected set reached the depth bound
-        val base = s"SELECT * FROM (SELECT doc_id, $cmb AS c FROM al)$msWhere"
+        // total-hits = count after the min_score filter. The relation derives
+        // INDEPENDENTLY of the engine's expression, from first principles
+        // (reference rule, ScoreCombiner.getTotalHits): min_score dropped
+        // docs (post < pre) -> the recount is exact, 'eq'; else 'gte' iff
+        // some sub-query's COLLECTION was truncated at the depth bound
+        // (count(top_i) == depth — more could have matched), else 'eq'.
+        // A merged count >= depth does NOT imply truncation.
+        val truncSql = (0 until n).map(i =>
+          s"(SELECT count(*) >= $Depth FROM top$i)").mkString(" OR ")
+        val base = s"SELECT doc_id, $cmb AS c FROM al"
         s"""SELECT b.doc_id, round(b.c, 4) AS score, t.total_hits, t.relation
-           |FROM ($base) b CROSS JOIN (
-           |  SELECT count(*) AS total_hits,
-           |         CASE WHEN count(*) >= $Depth THEN 'gte' ELSE 'eq' END AS relation
-           |  FROM ($base)) t
+           |FROM (SELECT * FROM ($base)$msWhere) b CROSS JOIN (
+           |  SELECT post.n AS total_hits,
+           |         CASE WHEN post.n < pre.n THEN 'eq'
+           |              WHEN ($truncSql) THEN 'gte'
+           |              ELSE 'eq' END AS relation
+           |  FROM (SELECT count(*) AS n FROM ($base)) pre,
+           |       (SELECT count(*) AS n FROM (SELECT * FROM ($base)$msWhere)) post) t
            |ORDER BY b.c DESC, b.doc_id LIMIT $k$offset""".stripMargin
+      case Some(cl) if mixedSort.nonEmpty =>
+        // sort by [_score, fields...] + collapse: the group winner is the
+        // FIRST doc under the sort order over the UNFILTERED scored set;
+        // min_score then drops whole groups whose winner fails it
+        val cols = mixedSort.map(_._1).distinct
+        val innerOrd = s"$cmb DESC, " + mixedSort.map { case (f, asc) =>
+          s"d.$f ${if (asc) "ASC" else "DESC"}"
+        }.mkString(", ") + ", al.doc_id"
+        val outerOrd = "c DESC, " + mixedSort.map { case (f, asc) =>
+          s"$f ${if (asc) "ASC" else "DESC"}"
+        }.mkString(", ") + ", doc_id"
+        val msAnd = minScore.map(ms => s" AND c >= $ms").getOrElse("")
+        s"""SELECT doc_id, round(c, 4) AS score, ${cols.mkString(", ")} FROM (
+           |  SELECT al.doc_id, $cmb AS c, ${cols.map(c => s"d.$c").mkString(", ")},
+           |         row_number() OVER (PARTITION BY d.${cl.field}
+           |                            ORDER BY $innerOrd) AS crn
+           |  FROM al JOIN documents d USING (doc_id))
+           |WHERE crn = 1$msAnd
+           |ORDER BY $outerOrd LIMIT $k$offset""".stripMargin
       case None if mixedSort.nonEmpty =>
         // sort = [_score desc, field...]: combined score is the primary key,
         // stored fields are the secondary keys (joined from documents)
@@ -779,6 +826,10 @@ object HybridEntries {
       "dsl_sorted_score" ->
         hybridOracle(tokCte, lex(Seq(A, B)), MinMaxNormTech(), Combination(Combine.Arithmetic),
           minScore = Some(0.3), mixedSort = Seq(("n_chars", true))),
+      "dsl_sorted_score_collapse" ->
+        hybridOracle(tokCte, lex(Seq(A, B)), MinMaxNormTech(), Combination(Combine.Arithmetic),
+          minScore = Some(0.3), mixedSort = Seq(("n_chars", true)),
+          collapse = Some(Collapse("source"))),
       "dsl_sorted_collapse" ->
         s"""WITH $tokCte,
            |m0 AS (SELECT DISTINCT doc_id FROM tf WHERE term IN (${termList(A)})),

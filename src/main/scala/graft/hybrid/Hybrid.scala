@@ -172,20 +172,44 @@ object Hybrid {
 
   /**
    * Execute with total-hits reporting: the final page plus a `total_hits`
-   * column carrying the matched-doc count AFTER the min_score filter — the
-   * reference recomputes totalHits when min_score drops docs
-   * (reference: processor/combination/ScoreCombiner.java:136-159,377-395).
-   * The count is over the collected set (<= nSub x depth rows), so its
-   * relation is GTE once any sub-query's collection hit the depth bound —
-   * reported in `relation` exactly like TotalHits.Relation.
+   * column carrying the matched-doc count AFTER the min_score filter, and the
+   * TotalHits.Relation in `relation` under the reference's rule
+   * (reference: processor/combination/ScoreCombiner.java:136-159,377-395):
+   *
+   *  - min_score dropped docs (post-filter count < pre-filter count) ->
+   *    the combiner RECOUNTED exactly, so relation is `eq`;
+   *  - otherwise the collector's relation survives: `gte` iff some
+   *    sub-query's collection was TRUNCATED at the depth bound (collected
+   *    rows == depth — more could have matched below the bound), else `eq`.
+   *
+   * A merged count >= depth does NOT imply truncation (two sub-queries each
+   * fully collecting 30 docs merge past a depth of 50 while both counts are
+   * exact), so the relation derives from per-sub-query collection counts,
+   * not from the merged size. Everything here operates on the collected set
+   * (<= nSub x depth rows), localCheckpointed once so the count and the page
+   * share one computation of the scorers.
    */
   def executeWithTotal(src: HybridSources, q: HybridQuery,
                        filterDocs: Option[DataFrame] = None): DataFrame = {
-    val base = fullUnpaged(src, q, filterDocs).select($"doc_id", $"score")
-    val total = base.agg(
-      count(lit(1)).as("total_hits"),
-      when(count(lit(1)) >= q.depth, "gte").otherwise("eq").as("relation"))
-    page(base.crossJoin(broadcast(total)).orderBy($"score".desc, $"doc_id".asc), q)
+    validate(src, q)
+    // collected set is <= nSub x depth rows: pin it so the truncation check,
+    // the pre/post counts and the final page run the sub-query scorers once
+    val collected = collectSubQueries(src, q, filterDocs).localCheckpoint(true)
+    val truncated = collected.groupBy($"subq").agg(count(lit(1)).as("n"))
+      .collect().exists(_.getAs[Long]("n") >= q.depth)
+    val combined = combineStage(collected, src, q).select($"doc_id", $"score")
+      .localCheckpoint(true)
+    val pre = combined.count()
+    val filtered = q.minScore.fold(combined)(ms => combined.filter($"score" >= ms))
+    val post = filtered.count()
+    val relation =
+      if (post < pre) "eq" // min_score recount is exact (ScoreCombiner.getTotalHits)
+      else if (truncated) "gte"
+      else "eq"
+    page(filtered
+      .withColumn("total_hits", lit(post))
+      .withColumn("relation", lit(relation))
+      .orderBy($"score".desc, $"doc_id".asc), q)
   }
 
   /** Explain mode: the final page plus the per-sub-query normalized scores
@@ -254,10 +278,17 @@ object Hybrid {
         // ScoreCombiner.isMinScoreAvailable), then stored fields join for
         // the secondary keys. The pipeline output is <= nSub x depth rows.
         validate(src, q)
-        // collapse is applied below under the SORT order, not inside the
-        // score pipeline (collapsing twice with different keys would be
-        // wrong)
-        val scored = fullUnpaged(src, q.copy(collapse = None), filterDocs)
+        // collapse's per-group keep stays in the COLLECTION stage (the
+        // reference's collapsing collector runs at collection time, so the
+        // collected set — and hence the min/max normalization bounds — is
+        // the per-group-kept one), but the FINAL winner-per-group pick is
+        // deferred below, under the SORT order rather than by raw score;
+        // min_score is also deferred past that collapse — the reference
+        // filters at combination time, so the group winner is picked from
+        // the unfiltered scored set and min_score then drops whole groups
+        // whose winner fails it
+        val collected = collectSubQueries(src, q, filterDocs)
+        val scored = combineStage(collected, src, q.copy(collapse = None, minScore = None))
           .select(col("doc_id"), col("score"))
         if (fieldNames.isEmpty) scored else scored.join(fieldCols, "doc_id")
       } else {
@@ -285,7 +316,12 @@ object Hybrid {
           .drop("_grp")
       case None => rows
     }
-    page(collapsed.orderBy(sortCols: _*), q)
+    // min_score applies only when the sort orders by score
+    // (ScoreCombiner.isMinScoreAvailable), to the post-collapse winners
+    val msFiltered =
+      if (byScore) q.minScore.fold(collapsed)(ms => collapsed.filter(col("score") >= ms))
+      else collapsed
+    page(msFiltered.orderBy(sortCols: _*), q)
   }
 
   /** Score one sub-query clause: DataFrame(doc_id, score), unbounded rows. */
@@ -316,9 +352,11 @@ object Hybrid {
               size($"vec")))).as("score"))
     }
 
-  private def fullUnpaged(src: HybridSources, q: HybridQuery, filterDocs: Option[DataFrame]): DataFrame = {
-    validate(src, q)
-
+  /** Stages 1-2 of the pipeline: per-sub-query scoring, filter, per-group
+   *  keep, top-depth collection, collection rank. Output is <= nSub x depth
+   *  rows (doc_id, score, subq, rank). */
+  private def collectSubQueries(src: HybridSources, q: HybridQuery,
+                                filterDocs: Option[DataFrame]): DataFrame = {
     // 1. per-sub-query scoring; non-scoring filter applied before collection.
     // The per-bucket bound inside the BM25 scorer is only safe when nothing
     // after scoring can resurrect a below-bound doc (no filter, no collapse).
@@ -347,8 +385,12 @@ object Hybrid {
 
     // rank within each sub-query (feeds RRF); input is <= nSub x depth rows
     val byRank = Window.partitionBy($"subq").orderBy($"score".desc, $"doc_id".asc)
-    val collected = union.withColumn("rank", row_number().over(byRank))
+    union.withColumn("rank", row_number().over(byRank))
+  }
 
+  /** Stages 3-5 minus min_score: normalize, align, combine, collapse — all
+   *  over the <= nSub x depth collected rows. */
+  private def combineStage(collected: DataFrame, src: HybridSources, q: HybridQuery): DataFrame = {
     // 3. normalize
     val normalized: DataFrame = q.norm match {
       case MinMaxNormTech(lower, upper) =>
@@ -399,9 +441,12 @@ object Hybrid {
         ScoreFunctions.combineScores($"scores", q.comb.technique, q.comb.weights, q.useFloat))
       .select($"doc_id", $"scores", $"score")
 
-    // 5. final collapse (one doc per group, best combined score), min_score
-    // filter + final page — all over <= nSub x depth rows
-    val collapsed = q.collapse match {
+    // 5. final collapse (one doc per group, best combined score) — min_score
+    // applies AFTER collapse, in fullUnpaged (the reference collapses at
+    // collection time and filters at combination time, so a group whose best
+    // member fails min_score drops entirely rather than surviving via a
+    // lower-ranked member)
+    q.collapse match {
       case Some(c) =>
         val g = src.fields.get.select(col("doc_id"), col(c.field).as("_grp"))
         val wg = Window.partitionBy($"_grp").orderBy($"score".desc, $"doc_id".asc)
@@ -410,7 +455,12 @@ object Hybrid {
           .filter($"_rn" === 1).drop("_rn", "_grp")
       case None => aligned
     }
-    q.minScore.fold(collapsed)(ms => collapsed.filter($"score" >= ms))
+  }
+
+  private def fullUnpaged(src: HybridSources, q: HybridQuery, filterDocs: Option[DataFrame]): DataFrame = {
+    validate(src, q)
+    val combined = combineStage(collectSubQueries(src, q, filterDocs), src, q)
+    q.minScore.fold(combined)(ms => combined.filter($"score" >= ms))
   }
 
   private def full(src: HybridSources, q: HybridQuery, filterDocs: Option[DataFrame]): DataFrame =

@@ -37,8 +37,13 @@ object Pack {
       .repartitionByRange(partitions, orderCols: _*)
       .sortWithinPartitions(orderCols: _*)
     val tokIdx = ranged.schema.fieldIndex("_pk_tokens")
+    // ONE RDD instance serves both the offsets job and the output: the two
+    // jobs share its shuffle dependency, so the range-repartition's shuffle
+    // files are written once and the second job's map stages are skipped —
+    // no .cache() (a cached corpus-sized RDD pinned by the result's lineage
+    // would leak for the session's lifetime), and no risk of the two passes
+    // seeing different range boundaries (same shuffle output, byte-identical)
     val rdd0 = ranged.rdd
-    rdd0.cache()
     // per-partition token sums -> driver (bounded by partition count);
     // exclusive scan gives each partition its global starting offset
     val partSums = rdd0

@@ -49,6 +49,11 @@ object Bm25 {
   /** Per-term BM25 weight map for a query (idf x boost), from the broadcast-
    *  sized term-stats lookup — the Lucene TermStatistics analogue. */
   private def termWeights(idx: Index, terms: Seq[String], boosts: Map[String, Double]): Map[String, Double] = {
+    // non-positive boosts are rejected like Lucene rejects negative boosts:
+    // topKWand's bucket upper bound (sum of w x tfNorm(max_tf, min_dl)) only
+    // dominates real scores when every term weight is non-negative — a
+    // negative weight would make pruning silently drop true top-k docs
+    boosts.foreach { case (t, b) => require(b > 0, s"boost for '$t' must be > 0, got $b") }
     val spark = idx.postings.sparkSession
     import spark.implicits._
     val uniq = terms.distinct

@@ -171,6 +171,10 @@ object QueryDsl {
         else (body.asText(), 1.0)
       require(text.nonEmpty,
         "match requires a non-empty query text (object form: {\"query\": ...})")
+      // Lucene rejects non-positive boosts; accepting one here would also
+      // break block-max pruning, whose bucket upper bound only dominates
+      // real scores when every term weight is non-negative
+      require(boost > 0, s"[boost] must be > 0, got $boost")
       val terms = Analyzer.analyze(analyzer)(text).toSeq
       Lexical(terms,
         if (boost == 1.0) Map.empty else terms.map(_ -> boost).toMap)
@@ -181,6 +185,7 @@ object QueryDsl {
         else (body.asText(), 1.0)
       require(v.nonEmpty,
         "term requires a non-empty value (object form: {\"value\": ...})")
+      require(boost > 0, s"[boost] must be > 0, got $boost")
       Lexical(Seq(v), if (boost == 1.0) Map.empty else Map(v -> boost))
     } else if (!q.path("neural_sparse").isMissingNode) {
       val (field, body) = firstField(q.path("neural_sparse"))

@@ -157,6 +157,50 @@ class HybridSpec extends SparkSpec {
     assert(rows.map(grp).distinct.length == rows.length)
   }
 
+  test("total-hits relation: merged count >= depth without truncation stays eq") {
+    // 'a' matches 3 docs, 'd' matches 2: merged 5 unique >= depth 4, but
+    // NEITHER sub-query collected depth rows — both counts are exact, so the
+    // relation must be eq (merged size alone must not flip it to gte)
+    val q = HybridQuery(Seq(SubQuery(Seq("a")), SubQuery(Seq("d"))), k = 10, depth = 4)
+    val rows = Hybrid.executeWithTotal(HybridSources(idx), q).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[String]("relation") == "eq"))
+    assert(rows.head.getAs[Long]("total_hits") == 5L)
+  }
+
+  test("total-hits relation: a truncated sub-query reports gte; min_score recount reports eq") {
+    // depth 2 truncates 'a' (3 matches) -> gte
+    val qT = HybridQuery(Seq(SubQuery(Seq("a"))), k = 10, depth = 2)
+    val rT = Hybrid.executeWithTotal(HybridSources(idx), qT).collect()
+    assert(rT.forall(_.getAs[String]("relation") == "gte"))
+    // min_score drops docs -> the recount is exact -> eq even when truncated
+    val qM = HybridQuery(Seq(SubQuery(Seq("a"))), k = 10, depth = 2, minScore = Some(0.9))
+    val rM = Hybrid.executeWithTotal(HybridSources(idx), qM).collect()
+    assert(rM.forall(_.getAs[String]("relation") == "eq"))
+  }
+
+  test("sorted-by-score collapse picks the group winner BEFORE min_score drops it") {
+    // group g1 = {0,1,4}, g2 = {2,3}; sort by _score desc. With collapse
+    // first, each group's WINNER is its best-scored doc; a min_score that the
+    // winner fails must drop the whole group — no lower-ranked group member
+    // may survive in its place.
+    val fields = Seq((0L, "g1"), (1L, "g1"), (2L, "g2"), (3L, "g2"), (4L, "g1"))
+      .toDF("doc_id", "source")
+    val src = HybridSources(idx, fields = Some(fields))
+    val q = HybridQuery(Seq(SubQuery(Seq("a")), SubQuery(Seq("d"))),
+      k = 10, depth = 10, collapse = Some(Collapse("source")), minScore = Some(2.0))
+    // min_score 2.0 > any combined score in [0,1]: EVERYTHING drops; a
+    // member-survives bug would keep a row per group instead
+    val r = Hybrid.executeSorted(src, q, Seq(("_score", false)))
+    assert(r.collect().isEmpty)
+    // and with a passable min_score, exactly one doc per group survives
+    val q2 = q.copy(minScore = Some(0.1))
+    val rows = Hybrid.executeSorted(src, q2, Seq(("_score", false)))
+      .collect().map(_.getAs[Long]("doc_id"))
+    val grp = fields.as[(Long, String)].collect().toMap
+    assert(rows.map(grp).distinct.length == rows.length)
+  }
+
   test("explain mode flattens per-sub-query normalized scores") {
     val r = Hybrid.executeExplain(idx,
       HybridQuery(Seq(SubQuery(Seq("a")), SubQuery(Seq("d"))))).collect()

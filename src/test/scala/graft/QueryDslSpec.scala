@@ -74,6 +74,15 @@ class QueryDslSpec extends SparkSpec {
     assert(p.query.collapse.contains(Collapse("source", 2)))
   }
 
+  test("zero / negative per-clause boosts are rejected (Lucene rejects them; a negative weight breaks block-max pruning)") {
+    intercept[IllegalArgumentException](QueryDsl.parse(
+      """{"query":{"hybrid":{"queries":[{"match":{"text":{"query":"a","boost":0.0}}}]}}}"""))
+    intercept[IllegalArgumentException](QueryDsl.parse(
+      """{"query":{"hybrid":{"queries":[{"match":{"text":{"query":"a","boost":-2.0}}}]}}}"""))
+    intercept[IllegalArgumentException](QueryDsl.parse(
+      """{"query":{"hybrid":{"queries":[{"term":{"text":{"value":"a","boost":-1.0}}}]}}}"""))
+  }
+
   test("hybrid-level boost != 1.0 is rejected (HybridQueryBuilder.java:247-253)") {
     intercept[IllegalArgumentException](QueryDsl.parse(
       """{"query":{"hybrid":{"boost":2.0,"queries":[{"term":{"text":"a"}}]}}}"""))
