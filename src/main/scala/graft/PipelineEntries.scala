@@ -22,16 +22,15 @@ object PipelineEntries {
    *  0.02 keeps the assignment O(n x 0.02n) while still exercising the full
    *  clustering path; exactness never depends on the cluster count. */
   private val seismicCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), (org.apache.spark.sql.Dataset[graft.ops.ClusteredPosting], DataFrame)]
+    scala.collection.concurrent.TrieMap.empty[(String, String), org.apache.spark.sql.Dataset[graft.ops.ClusteredPosting]]
   private def seismicExact(s: SparkSession, dir: String) = {
     seismicCache.keySet.filter(_._1 != s.sparkContext.applicationId).foreach(seismicCache.remove)
     seismicCache.getOrElseUpdate((s.sparkContext.applicationId, dir), {
-      val t = tw(s, dir)
-      val cidx = Seismic.buildClusteredIndex(t, nPostings = 1000000,
-        clusterRatio = 0.02, summaryPruneRatio = 1.0).cache()
-      val fwd = Seismic.forward(t).cache()
-      cidx.count(); fwd.count()
-      (cidx, fwd)
+      val cidx = Seismic.buildClusteredIndex(tw(s, dir), nPostings = Int.MaxValue,
+        clusterRatio = 0.02, summaryPruneRatio = 1.0, maxClusters = 32,
+        hashAssign = true).cache()
+      cidx.count()
+      cidx
     })
   }
 
@@ -63,15 +62,15 @@ object PipelineEntries {
     // exact mode: unpruned summaries + heap_factor 1.0 make the cluster-skip
     // bound exact, so results are rank-identical to brute-force dot scoring
     "seismic_ann_exact" -> ((s, dir) => {
-      val (cidx, fwd) = seismicExact(s, dir)
-      Seismic.annTopK(cidx, fwd, SparseQuery, 10, queryCut = 10, heapFactor = 1.0)
+      val cidx = seismicExact(s, dir)
+      Seismic.annTopK(cidx, SparseQuery, 10, queryCut = 10, heapFactor = 1.0)
         .select(col("doc_id"), round(col("score"), 4).as("score"))
     }),
     // non-scoring filter intersected with the ANN candidate set
     "seismic_ann_filtered" -> ((s, dir) => {
-      val (cidx, fwd) = seismicExact(s, dir)
+      val cidx = seismicExact(s, dir)
       val f = docs(s, dir).where(col("lang") === "en").select("doc_id")
-      Seismic.annTopK(cidx, fwd, SparseQuery, 10, heapFactor = 1.0,
+      Seismic.annTopK(cidx, SparseQuery, 10, heapFactor = 1.0,
         filterDocs = Some(f))
         .select(col("doc_id"), round(col("score"), 4).as("score"))
     }),

@@ -5,14 +5,18 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** One clustered posting row: the docs of `term`'s (pruned) posting list that
- *  landed in cluster `cluster_id`, plus the cluster's summary vector
- *  (token-wise max over member vectors, mass-pruned). Mirrors the reference's
- *  DocumentCluster (reference: sparse/data/DocumentCluster.java:140-171,
+ *  landed in cluster `cluster_id`, their full sparse vectors (aligned with
+ *  `doc_ids` — the reference's DocumentCluster carries its members' vectors
+ *  so the scorer never needs a forward-index lookup), plus the cluster's
+ *  summary vector (token-wise max over member vectors, mass-pruned).
+ *  Mirrors the reference (reference: sparse/data/DocumentCluster.java:140-171,
  *  PostingsProcessingUtils.java:70-108). */
 case class ClusteredPosting(
     term: String,
     cluster_id: Int,
     doc_ids: Array[Long],
+    doc_tokens: Array[Array[String]],
+    doc_ws: Array[Array[Double]],
     sum_tokens: Array[String],
     sum_ws: Array[Double]
 )
@@ -93,50 +97,78 @@ object Seismic {
       nPostings: Int = 160,
       clusterRatio: Double = 0.1,
       summaryPruneRatio: Double = 0.4,
-      seed: Long = 42L
+      seed: Long = 42L,
+      maxClusters: Int = Int.MaxValue,
+      hashAssign: Boolean = false
   ): Dataset[ClusteredPosting] = {
     val spark = tw.sparkSession
     import spark.implicits._
 
-    // n_postings prune per term by weight (desc), deterministic tie-break.
-    // Two-level salted rank: a head token's full posting list would otherwise
-    // land on ONE task (the hot partition the bucketed inverted-index build
-    // avoids by design); stage 1 ranks within (token, salt), stage 2 ranks
-    // the <= 64 x nPostings survivors per token.
-    val pruned = TopN.perGroup(tw, Seq("token"), "doc_id", nPostings,
-      Seq(col("w").desc, col("doc_id").asc))
-
     val fwd = forward(tw)
-    val member = pruned.select(col("token").as("term"), col("doc_id"))
-      .join(fwd, "doc_id")
+
+    // Member rows (term, doc_id, doc vector). With the n_postings prune: a
+    // two-level salted rank (a head token's full posting list would
+    // otherwise land on ONE task), then a doc_id join to attach vectors.
+    // nPostings == Int.MaxValue disables the prune outright (exact mode) —
+    // there the member rows ARE fwd exploded by its own tokens, generated
+    // map-side with no rank and no join shuffle.
+    val member: DataFrame =
+      if (nPostings == Int.MaxValue)
+        fwd.as[(Long, Seq[String], Seq[Double])].flatMap { case (id, toks, ws) =>
+          toks.iterator.map(t => (t, id, toks, ws))
+        }.toDF("term", "doc_id", "tokens", "ws")
+      else
+        TopN.perGroup(tw, Seq("token"), "doc_id", nPostings,
+          Seq(col("w").desc, col("doc_id").asc))
+          .select(col("token").as("term"), col("doc_id"))
+          .join(fwd, "doc_id")
+          .select(col("term"), col("doc_id"), col("tokens"), col("ws"))
 
     val ratio = clusterRatio
     val spr = summaryPruneRatio
     val sd = seed
-    member.select(col("term"), col("doc_id"), col("tokens"), col("ws"))
+    val maxC = maxClusters
+    val hashA = hashAssign
+    member
       .as[(String, Long, Seq[String], Seq[Double])]
       .groupByKey(_._1)
       .flatMapGroups { (term, it) =>
         val docs = it.toArray.sortBy(_._2)
         val n = docs.length
+        // maxClusters caps the O(n x nClusters) assignment on unpruned head
+        // lists (with the production n_postings cap the ceiling never binds;
+        // correctness of the skip bound holds for ANY clustering)
         val nClusters =
-          if (n < MinClusterSize) 1 else math.max(1, math.ceil(ratio * n).toInt)
-        val rnd = new scala.util.Random(sd ^ term.hashCode.toLong)
-        val centerIdx = rnd.shuffle(docs.indices.toList).take(nClusters).toArray
+          if (n < MinClusterSize) 1
+          else math.min(maxC, math.max(1, math.ceil(ratio * n).toInt))
         val assign = new Array[Int](n)
-        var i = 0
-        while (i < n) {
-          var best = 0
-          var bestDot = Double.NegativeInfinity
-          var c = 0
-          while (c < centerIdx.length) {
-            val ctr = docs(centerIdx(c))
-            val d = dot(docs(i)._3, docs(i)._4, ctr._3, ctr._4)
-            if (d > bestDot) { bestDot = d; best = c }
-            c += 1
+        if (hashA) {
+          // dot-free deterministic assignment: the skip bound is exact for
+          // ANY clustering (summaries dominate their members tokenwise), so
+          // exact-mode builds skip the O(n x nClusters) center dots that
+          // only improve approximate-mode recall
+          var i = 0
+          while (i < n) {
+            assign(i) = ((docs(i)._2 % nClusters) + nClusters).toInt % nClusters
+            i += 1
           }
-          assign(i) = best
-          i += 1
+        } else {
+          val rnd = new scala.util.Random(sd ^ term.hashCode.toLong)
+          val centerIdx = rnd.shuffle(docs.indices.toList).take(nClusters).toArray
+          var i = 0
+          while (i < n) {
+            var best = 0
+            var bestDot = Double.NegativeInfinity
+            var c = 0
+            while (c < centerIdx.length) {
+              val ctr = docs(centerIdx(c))
+              val d = dot(docs(i)._3, docs(i)._4, ctr._3, ctr._4)
+              if (d > bestDot) { bestDot = d; best = c }
+              c += 1
+            }
+            assign(i) = best
+            i += 1
+          }
         }
         (0 until nClusters).iterator.flatMap { c =>
           val members = docs.indices.filter(assign(_) == c)
@@ -168,6 +200,8 @@ object Seismic {
             val keptSorted = kept.sortBy(_._1).toArray
             Iterator.single(ClusteredPosting(term, c,
               members.map(docs(_)._2).toArray,
+              members.map(docs(_)._3.toArray).toArray,
+              members.map(docs(_)._4.toArray).toArray,
               keptSorted.map(_._1), keptSorted.map(_._2)))
           }
         }
@@ -175,16 +209,31 @@ object Seismic {
   }
 
   /**
-   * Cluster-skipping ANN top-k. Two-pass threshold pruning:
-   * pass 1 exactly scores the k highest-upper-bound clusters -> theta;
-   * pass 2 scores only remaining clusters with ub >= theta / heapFactor.
+   * Cluster-skipping ANN top-k, FUSED into one job (the block-max WAND
+   * pattern, `Bm25.topKWand`): all of a term's clusters land in one
+   * partition, streamed in upper-bound-descending order against a running
+   * bounded heap — once the heap holds k docs, a cluster whose summary
+   * bound falls below theta / heapFactor is skipped without computing a
+   * single dot product. This is exactly the reference's threshold loop
+   * (reference: sparse/query/SeismicBaseScorer.java:99-122,202-220) run
+   * once per partition; the per-partition heaps merge through one
+   * TakeOrdered. No driver round-trip between a threshold pass and a
+   * rescore pass, and no forward-index join — the clusters carry their
+   * members' vectors (DocumentCluster does the same).
+   *
+   * Exactness: the partition-local theta is <= the global theta, so the
+   * skip is only ever conservative. A doc appearing in several query
+   * terms' clusters is scored once per partition (per-partition seen-set)
+   * and deduped at the merge — every copy's cluster summary dominates the
+   * doc's true score, so whichever copies get skipped were provably below
+   * theta. With summaryPruneRatio = 1.0 and heapFactor = 1.0 results are
+   * rank-identical to brute-force linear scoring (oracle-checked).
+   *
    * heapFactor > 1 relaxes the skip (more recall work), < 1 prunes
-   * aggressively (reference semantics: heap_factor scales the threshold,
-   * SeismicBaseScorer.java:202-220).
+   * aggressively (reference semantics: heap_factor scales the threshold).
    */
   def annTopK(
       index: Dataset[ClusteredPosting],
-      fwd: DataFrame,
       query: Map[String, Double],
       k: Int,
       queryCut: Int = 10,
@@ -197,46 +246,69 @@ object Seismic {
     val q = query.toSeq.sortBy { case (t, w) => (-w, t) }.take(queryCut).toMap
     val qB = spark.sparkContext.broadcast(q)
 
+    // pushed term filter: only the <= queryCut query terms' clusters are read
     val cand = index.filter(col("term").isin(q.keys.toSeq: _*))
-    // upper bound per cluster: dot(summary, query) — summaries are token-wise
-    // maxima, so this dominates every member's true score when unpruned
-    val ubs = cand.map { cp =>
-      (cp.term, cp.cluster_id, dotMap(cp.sum_tokens, cp.sum_ws, qB.value), cp.doc_ids)
-    }.toDF("term", "cluster_id", "ub", "doc_ids")
 
-    // non-scoring filter intersected with candidates before rescoring
+    // doc-level candidate rows, each carrying its cluster's summary upper
+    // bound: ub = dot(summary, query) dominates every member's true score
+    // (summaries are token-wise maxima over members)
+    val docRows = cand.flatMap { cp =>
+      val ub = dotMap(cp.sum_tokens, cp.sum_ws, qB.value)
+      cp.doc_ids.indices.iterator.map { i =>
+        (cp.term, cp.cluster_id, ub, cp.doc_ids(i), cp.doc_tokens(i), cp.doc_ws(i))
+      }
+    }.toDF("term", "cluster_id", "ub", "doc_id", "tokens", "ws")
+
+    // non-scoring filter intersected with candidates before scoring
     // (reference: sparse/query/OrderedPostingWithClustersScorer.java:46-52).
     // No broadcast hint: the filter can be an unbounded share of the corpus
     // (e.g. lang = 'en'), so the semi-join strategy is AQE's call.
-    def score(docIds: DataFrame): DataFrame = {
-      val filtered = filterDocs match {
-        case Some(f) => docIds.join(f.select("doc_id"), Seq("doc_id"), "left_semi")
-        case None    => docIds
-      }
-      filtered.distinct()
-        .join(fwd, "doc_id")
-        .select(col("doc_id"), col("tokens"), col("ws"))
-        .as[(Long, Seq[String], Seq[Double])]
-        .map { case (id, toks, ws) => (id, dotMap(toks, ws, qB.value)) }
-        .toDF("doc_id", "score")
+    val filtered = filterDocs match {
+      case Some(f) => docRows.join(f.select("doc_id"), Seq("doc_id"), "left_semi")
+      case None    => docRows
     }
 
-    // pass 1: k most promising clusters establish the threshold
-    val top = ubs.orderBy(col("ub").desc, col("term").asc, col("cluster_id").asc).limit(k)
-    val pass1 = score(top.select(explode(col("doc_ids")).as("doc_id")))
-      .orderBy(col("score").desc, col("doc_id").asc).limit(k)
-      .as[(Long, Double)].collect()
-    val theta = if (pass1.length < k) Double.NegativeInfinity else pass1.last._2
+    val kk = k
+    val hf = heapFactor
+    val topped = filtered
+      .select(col("term"), col("cluster_id"), col("ub"), col("doc_id"),
+        col("tokens"), col("ws"))
+      .as[(String, Int, Double, Long, Seq[String], Seq[Double])]
+      // a term's clusters stay whole within one partition; ub-desc order
+      // saturates the heap with the most promising clusters first, so the
+      // low-bound tail is skipped (cluster_id in the sort key keeps
+      // equal-ub clusters contiguous)
+      .repartition(col("term"))
+      .sortWithinPartitions(col("ub").desc, col("term").asc,
+        col("cluster_id").asc, col("doc_id").asc)
+      .mapPartitions { it =>
+        val buf = it.buffered
+        val ord = Ordering.by[(Long, Double), (Double, Long)] { case (id, s) => (s, -id) }
+        val pq = new scala.collection.mutable.PriorityQueue[(Long, Double)]()(ord.reverse)
+        val seen = new java.util.HashSet[Long]()
+        while (buf.hasNext) {
+          val (term, cid, ub, _, _, _) = buf.head
+          // theta-tied bounds still score: a theta-tied doc with a smaller
+          // doc_id wins the tie, so only strictly-below bounds are safe
+          val skip = pq.size == kk && ub < pq.head._2 / hf
+          var more = true
+          while (more) {
+            val (_, _, _, id, toks, ws) = buf.next()
+            if (!skip && seen.add(id)) {
+              val c = (id, dotMap(toks, ws, qB.value))
+              if (pq.size < kk) pq.enqueue(c)
+              else if (ord.gt(c, pq.head)) { pq.dequeue(); pq.enqueue(c) }
+            }
+            more = buf.hasNext && buf.head._1 == term && buf.head._2 == cid
+          }
+        }
+        pq.iterator
+      }
 
-    // pass 2: surviving clusters only (summary bound beats theta/heapFactor)
-    val p1Docs = pass1.map(_._1).toSet
-    val survivors = ubs
-      .filter(col("ub") >= lit(theta / heapFactor))
-      .select(explode(col("doc_ids")).as("doc_id"))
-      .filter(!col("doc_id").isin(p1Docs.toSeq: _*))
-    val pass2 = score(survivors)
-
-    pass1.toSeq.toDF("doc_id", "score").union(pass2)
+    // cross-partition copies of the same doc carry bit-identical scores
+    // (same stored vector, same accumulation order) — dedupe the <= P x k
+    // merged rows, then one bounded top-k
+    topped.toDF("doc_id", "score").dropDuplicates("doc_id")
       .orderBy(col("score").desc, col("doc_id").asc).limit(k)
   }
 }

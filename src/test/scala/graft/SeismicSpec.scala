@@ -15,12 +15,12 @@ class SeismicSpec extends SparkSpec {
     Sparse.linearTopK(tw, q, k).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
 
   test("exact mode (unpruned summary, heap_factor 1) == brute-force dot top-k") {
-    val cidx = Seismic.buildClusteredIndex(tw, nPostings = 1000000, summaryPruneRatio = 1.0).cache()
+    val cidx = Seismic.buildClusteredIndex(tw, nPostings = Int.MaxValue, summaryPruneRatio = 1.0).cache()
     for (q <- Seq(
       Map("join" -> 3.0, "hash" -> 1.0, "scan" -> 0.5),
       Map("window" -> 2.0, "sort" -> 1.0),
       Map("dup" -> 1.0))) {
-      val got = Seismic.annTopK(cidx, fwd, q, 10)
+      val got = Seismic.annTopK(cidx, q, 10)
         .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
       assert(got == exact(q, 10), s"q=$q")
     }
@@ -39,7 +39,7 @@ class SeismicSpec extends SparkSpec {
   }
 
   test("unpruned summary dominates every member vector tokenwise") {
-    val cidx = Seismic.buildClusteredIndex(tw, nPostings = 1000000, summaryPruneRatio = 1.0)
+    val cidx = Seismic.buildClusteredIndex(tw, nPostings = Int.MaxValue, summaryPruneRatio = 1.0)
     val fwdMap = fwd.collect()
       .map(r => r.getLong(0) -> (r.getSeq[String](1), r.getSeq[Double](2))).toMap
     cidx.filter(col("term") === "join").collect().foreach { cp =>
@@ -57,7 +57,7 @@ class SeismicSpec extends SparkSpec {
   test("reference-default approximate mode returns k plausible results") {
     val cidx = Seismic.buildClusteredIndex(tw, nPostings = 160, summaryPruneRatio = 0.4).cache()
     val q = Map("join" -> 3.0, "hash" -> 1.0, "scan" -> 0.5)
-    val got = Seismic.annTopK(cidx, fwd, q, 10, queryCut = 10, heapFactor = 1.5)
+    val got = Seismic.annTopK(cidx, q, 10, queryCut = 10, heapFactor = 1.5)
       .collect().map(r => (r.getLong(0), r.getDouble(1)))
     assert(got.length == 10)
     // every returned score is a true dot product
