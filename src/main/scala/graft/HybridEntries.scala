@@ -61,7 +61,8 @@ object HybridEntries {
   private def sources(s: SparkSession, dir: String, query: HybridQuery): HybridSources = {
     val idx = IndexCache.documents(s, dir)
     val needSparse = query.subQueries.exists(_.isInstanceOf[SparseLinear])
-    val needDense = query.subQueries.exists(sq =>
+    val needIvf = query.subQueries.exists(_.isInstanceOf[DenseIvf])
+    val needDense = needIvf || query.subQueries.exists(sq =>
       sq.isInstanceOf[DenseCosine] || sq.isInstanceOf[DenseVector])
     HybridSources(
       idx,
@@ -69,8 +70,22 @@ object HybridEntries {
       emb = if (needDense) Some(s.read.parquet(s"$dir/embeddings.parquet")
         .select(col("vec_id").as("doc_id"), col("embedding").as("vec"))) else None,
       fields = query.collapse.map(_ =>
-        s.read.parquet(s"$dir/documents.parquet"))
+        s.read.parquet(s"$dir/documents.parquet")),
+      ivf = if (needIvf) Some(ivfSource(s, dir)) else None
     )
+  }
+
+  /** Build-once dense ANN structure for [[DenseIvf]] clauses: fixed
+   *  deterministic centroids (ids < 16, as `ann_ivf_topk` uses) and the
+   *  by-centroid partitioned vector artifact, so the clause's probe is a
+   *  partition-pruned scan instead of a brute corpus pass. */
+  private def ivfSource(s: SparkSession, dir: String): IvfSource = {
+    val path = s"target/ivfhybrid/${dir.replaceAll("[^a-zA-Z0-9.]", "_")}"
+    val e = s.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("doc_id"), col("embedding").as("vec"))
+    val cents = e.where(col("doc_id") < 16)
+      .select(col("doc_id").as("c_id"), col("vec").as("cv"))
+    IvfSource(cents, graft.ops.Ann.ivfBuildVectors(e, "doc_id", "vec", cents, path))
   }
 
   private def run(query: HybridQuery, langFilter: Option[String] = None)(
@@ -117,6 +132,13 @@ object HybridEntries {
     // lexical BM25 + dense cosine ([-1, 1], negatives included)
     "hybrid_ann_lex" ->
       run(q(Seq(Lexical(A), DenseCosine(DenseQ)),
+        MinMaxNormTech(), Combination(Combine.Arithmetic, Seq(0.6, 0.4)))) _,
+    // the same query with the dense clause ANN-fronted by the partitioned
+    // IVF artifact in EXACT mode (nProbe = 16 = centroid count), so the
+    // DuckDB brute-cosine oracle must agree bit-for-bit — the probe changes
+    // the access path (partition-pruned scan), never the result set
+    "hybrid_ivf_lex" ->
+      run(q(Seq(Lexical(A), DenseIvf(DenseQ, nProbe = 16)),
         MinMaxNormTech(), Combination(Combine.Arithmetic, Seq(0.6, 0.4)))) _,
     // all three modalities rank-fused with RRF (rank-based combination is
     // the scale-free path, reference: RRFNormalizationTechnique)
@@ -514,6 +536,14 @@ object HybridEntries {
          |  SELECT e.vec_id AS doc_id, ${cosSql("e.embedding", "q.qv")} AS s
          |  FROM embeddings e CROSS JOIN
          |       (SELECT embedding AS qv FROM embeddings WHERE vec_id = $qid) q$f)""".stripMargin
+    case DenseIvf(qid, _) =>
+      // exact-mode IVF (nProbe = centroid count) is semantically the brute
+      // cosine scan — only the access path differs, which SQL can't see
+      val f = filterPred.map(p => s" WHERE e.${p.replaceFirst("doc_id", "vec_id")}").getOrElse("")
+      s"""sq$i AS (
+         |  SELECT e.vec_id AS doc_id, ${cosSql("e.embedding", "q.qv")} AS s
+         |  FROM embeddings e CROSS JOIN
+         |       (SELECT embedding AS qv FROM embeddings WHERE vec_id = $qid) q$f)""".stripMargin
     case DenseVector(v) =>
       val f = filterPred.map(p => s" WHERE e.${p.replaceFirst("doc_id", "vec_id")}").getOrElse("")
       val vecSql = v.mkString("[", ", ", "]")
@@ -790,6 +820,9 @@ object HybridEntries {
           MinMaxNormTech(), Combination(Combine.Arithmetic)),
       "hybrid_ann_lex" ->
         hybridOracle(tokCte, Seq(Lexical(A), DenseCosine(DenseQ)),
+          MinMaxNormTech(), Combination(Combine.Arithmetic, Seq(0.6, 0.4))),
+      "hybrid_ivf_lex" ->
+        hybridOracle(tokCte, Seq(Lexical(A), DenseIvf(DenseQ, nProbe = 16)),
           MinMaxNormTech(), Combination(Combine.Arithmetic, Seq(0.6, 0.4))),
       "hybrid_tri_modal" ->
         hybridOracle(tokCte, Seq(Lexical(B), SparseLinear(SQ.toMap), DenseCosine(DenseQ3)),

@@ -87,6 +87,15 @@ case class DenseCosine(queryId: Long) extends SubQuery
  *  used when embedding happens client-side). */
 case class DenseVector(vec: Seq[Double]) extends SubQuery
 
+/** ANN-fronted dense clause: the `neural` kNN scored against the
+ *  partition-pruned IVF artifact instead of a brute corpus scan — the
+ *  reference's neural clause is always ANN-backed (a Lucene HNSW graph,
+ *  query/NeuralKNNQueryBuilder.java:1-489); here the ANN structure is
+ *  [[graft.ops.Ann.ivfBuildVectors]]'s by-centroid vector layout, so the
+ *  clause reads only its nProbe probed partitions. Exact (identical to
+ *  [[DenseCosine]]) when nProbe = centroid count. */
+case class DenseIvf(queryId: Long, nProbe: Int) extends SubQuery
+
 object SubQuery {
   /** Back-compat constructor: a bare SubQuery(terms) is a lexical clause. */
   def apply(terms: Seq[String], boosts: Map[String, Double] = Map.empty): Lexical =
@@ -102,11 +111,17 @@ case class Collapse(field: String, docsPerGroupPerSubquery: Int = 1)
  *  (lexical), the encoded token-weight table (sparse: doc_id, token, w), the
  *  embedding table (dense: doc_id, vec), and the stored-fields table
  *  (collapse group values). */
+/** The dense-ANN structure a [[DenseIvf]] clause probes: the centroid table
+ *  (c_id, cv) and [[graft.ops.Ann.ivfBuildVectors]]'s by-centroid
+ *  partitioned vector artifact (doc_id, vec, c_id). */
+case class IvfSource(centroids: DataFrame, vectors: DataFrame)
+
 case class HybridSources(
     idx: Index,
     sparse: Option[DataFrame] = None,
     emb: Option[DataFrame] = None,
-    fields: Option[DataFrame] = None
+    fields: Option[DataFrame] = None,
+    ivf: Option[IvfSource] = None
 )
 
 case class HybridQuery(
@@ -153,6 +168,12 @@ object Hybrid {
       case DenseVector(v) =>
         require(src.emb.nonEmpty, "dense sub-query requires HybridSources.emb (doc_id, vec)")
         require(v.nonEmpty, "knn sub-query requires a non-empty vector")
+      case DenseIvf(_, nProbe) =>
+        require(src.ivf.nonEmpty,
+          "ivf dense sub-query requires HybridSources.ivf (centroids + partitioned vectors)")
+        require(src.emb.nonEmpty,
+          "ivf dense sub-query requires HybridSources.emb for the query-vector lookup")
+        require(nProbe >= 1, "nProbe must be >= 1")
       case _ => ()
     }
     require(q.collapse.isEmpty || src.fields.nonEmpty,
@@ -339,6 +360,16 @@ object Hybrid {
         val qv = e.where($"doc_id" === qid).select($"vec".as("qv"))
         e.crossJoin(broadcast(qv))
           .select($"doc_id", Ann.cosine($"vec", $"qv").as("score"))
+      case DenseIvf(qid, nProbe) =>
+        // ANN-fronted dense scoring: probe the IVF artifact's nProbe
+        // query-closest centroid partitions (storage-layer pruning) instead
+        // of brute-scanning the embedding table — only the probed partitions
+        // are ever read. Docs outside the probed partitions simply don't
+        // match this clause, exactly like candidates outside the reference's
+        // HNSW beam.
+        val iv = src.ivf.get
+        val qvI = src.emb.get.where($"doc_id" === qid).select($"vec".as("qv"))
+        Ann.ivfProbeScore(iv.vectors, iv.centroids, qvI, "doc_id", "vec", nProbe)
       case DenseVector(v) =>
         // caller-supplied query vector: a literal array column, no lookup.
         // Dimension-checked per row — zip_with would null-pad a mismatched

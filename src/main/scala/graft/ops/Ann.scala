@@ -122,6 +122,43 @@ object Ann {
     (centsBack, spark.read.parquet(s"$path/assign"))
   }
 
+  /** Build-time IVF artifact with VECTORS inline, partitioned by centroid:
+   *  a probe reads only its nProbe partitions and never joins the embedding
+   *  table again — the layout a corpus-scale dense index needs (the
+   *  reference's neural clause is always ANN-backed,
+   *  query/NeuralKNNQueryBuilder.java:1-489; this is its Lucene-HNSW role
+   *  re-expressed as storage partitioning). Returns the read-back
+   *  (id, vec, c_id) table. */
+  def ivfBuildVectors(emb: DataFrame, id: String, vec: String,
+                      centroids: DataFrame, path: String): DataFrame = {
+    emb.join(assignTo(emb, id, vec, centroids), id)
+      .write.mode("overwrite").partitionBy("c_id").parquet(path)
+    emb.sparkSession.read.parquet(path)
+  }
+
+  /** Probe-time scoring against [[ivfBuildVectors]]'s artifact: cosine of
+   *  every vector in the nProbe query-closest centroids' partitions against
+   *  the query vector `qv` (a 1-row DataFrame with column `qv`). The probed
+   *  centroid ids are resolved eagerly (a collect bounded by nProbe over the
+   *  centroid table — metadata-sized, <= a few thousand rows even at corpus
+   *  scale, the planner-side partition selection every partition-pruned scan
+   *  does) and applied as a STATIC `c_id IN (...)` predicate, so the
+   *  PartitionFilter reaches the parquet scan and only nProbe directories
+   *  are ever read — no reliance on dynamic pruning firing for a join.
+   *  Exact when nProbe = centroid count. Returns (doc_id, score), unbounded
+   *  rows (callers bound with their own top-k / threshold). */
+  def ivfProbeScore(vectors: DataFrame, centroids: DataFrame, qv: DataFrame,
+                    id: String, vec: String, nProbe: Int): DataFrame = {
+    val probedIds = centroids.crossJoin(broadcast(qv))
+      .orderBy(cosine(col("cv"), col("qv")).desc, col("c_id").asc)
+      .limit(nProbe)
+      .select("c_id")
+      .collect().map(_.get(0)).toSeq
+    vectors.where(col("c_id").isin(probedIds: _*))
+      .crossJoin(broadcast(qv))
+      .select(col(id).as("doc_id"), cosine(col(vec), col("qv")).as("score"))
+  }
+
   /** IVF search against an explicit (learned) centroid table: probe the
    *  nProbe centroids nearest to the query, brute-force only their assigned
    *  vectors. With nProbe = nCentroids this is exact. */

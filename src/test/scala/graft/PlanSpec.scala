@@ -79,6 +79,24 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PartitionFilters") && p.contains("c_id"), p.take(3000))
   }
 
+  test("hybrid DenseIvf clause's probe partition-prunes the vector artifact") {
+    import spark.implicits._
+    val emb = (0L until 200L).map(i =>
+      (i, Array.tabulate(8)(d => ((i * 13 + d) % 7).toFloat - 3f))).toDF("doc_id", "vec")
+    val path = java.nio.file.Files.createTempDirectory("plan-ivf-hyb-").toString
+    val cents = emb.where($"doc_id" < 8).select($"doc_id".as("c_id"), $"vec".as("cv"))
+    val vecs = graft.ops.Ann.ivfBuildVectors(emb, "doc_id", "vec", cents, path)
+    val src = HybridSources(idx, emb = Some(emb), ivf = Some(IvfSource(cents, vecs)))
+    val q = HybridQuery(Seq(Lexical(Seq("join")), DenseIvf(0L, nProbe = 2)),
+      MinMaxNormTech(), Combination(graft.functions.Combine.Arithmetic),
+      k = 5, depth = 20)
+    // the probed c_ids must reach the artifact scan as a STATIC
+    // PartitionFilter (c_id IN (...)) inside the full hybrid plan — only
+    // nProbe of the 8 c_id= directories are read
+    val p = plan(Hybrid.execute(src, q, None))
+    assert(p.contains("PartitionFilters: [c_id"), p.take(3000))
+  }
+
   test("hybrid non-scoring filter join carries no broadcast hint from our code") {
     val filt = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .where(col("lang") === "en").select("doc_id")
