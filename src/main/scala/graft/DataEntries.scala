@@ -49,6 +49,11 @@ object DataEntries {
     // ---- similarity search ----
     "ann_brute_topk" -> ((s, dir) =>
       Ann.bruteTopK(emb(s, dir), "vec_id", "embedding", queryId = 0L, k = 20)),
+    // radial (range) kNN: everything within the similarity radius instead
+    // of top-k (reference: NeuralQueryBuilder min_score/max_distance)
+    "knn_radial" -> ((s, dir) =>
+      Ann.radial(emb(s, dir), "vec_id", "embedding", queryId = 5L,
+        minScore = Some(0.2))),
     "ann_ivf_topk" -> ((s, dir) =>
       Ann.ivfTopK(emb(s, dir), "vec_id", "embedding", queryId = 1L,
         nCentroids = 16, nProbe = 4, k = 10,
@@ -325,6 +330,12 @@ object DataEntries {
          |FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id,
          |LATERAL (SELECT ${cosSql("a.embedding", "b.embedding")} AS c)
          |WHERE c >= 0.35""".stripMargin,
+    "knn_radial" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 5)
+         |SELECT vec_id, round(c, 4) AS cos FROM (
+         |  SELECT e.vec_id, ${cosSql("e.embedding", "q.qv")} AS c FROM embeddings e, q)
+         |WHERE c >= 0.2
+         |ORDER BY c DESC, vec_id""".stripMargin,
     "ann_brute_topk" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
          |SELECT vec_id, round(c, 4) AS cos FROM (

@@ -63,7 +63,8 @@ object HybridEntries {
     val needSparse = query.subQueries.exists(_.isInstanceOf[SparseLinear])
     val needIvf = query.subQueries.exists(_.isInstanceOf[DenseIvf])
     val needDense = needIvf || query.subQueries.exists(sq =>
-      sq.isInstanceOf[DenseCosine] || sq.isInstanceOf[DenseVector])
+      sq.isInstanceOf[DenseCosine] || sq.isInstanceOf[DenseVector] ||
+        sq.isInstanceOf[DenseRadial])
     HybridSources(
       idx,
       sparse = if (needSparse) Some(Sparse.encode(idx)) else None,
@@ -253,6 +254,28 @@ object HybridEntries {
           |    "normalization": { "technique": "min_max" },
           |    "combination":   { "technique": "arithmetic_mean" } } }""".stripMargin
       graft.query.QueryDsl.execute(idx, json, s, s.read.parquet(s"$dir/documents.parquet"))
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+    }),
+    // radial kNN through the DSL: the neural clause carries max_distance
+    // instead of k — a range query over similarity (reference:
+    // NeuralQueryBuilder.java:156-157 radial forms; only one of
+    // k/max_distance/min_score may be set)
+    "dsl_knn_radial" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      val json =
+        """{ "query": { "hybrid": {
+          |    "queries": [ { "match": { "text": "join hash" } },
+          |                 { "neural": { "embedding": {
+          |                     "query_id": 3, "max_distance": 0.8 } } } ],
+          |    "pagination_depth": 50 } },
+          |  "size": 10,
+          |  "search_pipeline": {
+          |    "normalization": { "technique": "min_max" },
+          |    "combination":   { "technique": "arithmetic_mean", "weights": [0.6, 0.4] } } }""".stripMargin
+      val src = HybridSources(idx,
+        emb = Some(s.read.parquet(s"$dir/embeddings.parquet")
+          .select(col("vec_id").as("doc_id"), col("embedding").as("vec"))))
+      graft.query.QueryDsl.execute(src, json, s.read.parquet(s"$dir/documents.parquet"))
         .select(col("doc_id"), round(col("score"), 4).as("score"))
     }),
     // DSL request with per-clause boost + request-level collapse (boost is
@@ -544,12 +567,24 @@ object HybridEntries {
          |  SELECT e.vec_id AS doc_id, ${cosSql("e.embedding", "q.qv")} AS s
          |  FROM embeddings e CROSS JOIN
          |       (SELECT embedding AS qv FROM embeddings WHERE vec_id = $qid) q$f)""".stripMargin
-    case DenseVector(v) =>
+    case DenseVector(v, ms, md) =>
       val f = filterPred.map(p => s" WHERE e.${p.replaceFirst("doc_id", "vec_id")}").getOrElse("")
       val vecSql = v.mkString("[", ", ", "]")
+      val bound = ms.orElse(md.map(1.0 - _))
+      val radial = bound.map(b =>
+        if (f.isEmpty) s"\n  WHERE ${cosSql("e.embedding", vecSql)} >= $b"
+        else s" AND ${cosSql("e.embedding", vecSql)} >= $b").getOrElse("")
       s"""sq$i AS (
          |  SELECT e.vec_id AS doc_id, ${cosSql("e.embedding", vecSql)} AS s
-         |  FROM embeddings e$f)""".stripMargin
+         |  FROM embeddings e$f$radial)""".stripMargin
+    case r @ DenseRadial(qid, _, _) =>
+      // range-over-similarity: the same cosine CTE bounded by the radius
+      val f = filterPred.map(p => s" AND e.${p.replaceFirst("doc_id", "vec_id")}").getOrElse("")
+      s"""sq$i AS (
+         |  SELECT e.vec_id AS doc_id, ${cosSql("e.embedding", "q.qv")} AS s
+         |  FROM embeddings e CROSS JOIN
+         |       (SELECT embedding AS qv FROM embeddings WHERE vec_id = $qid) q
+         |  WHERE ${cosSql("e.embedding", "q.qv")} >= ${r.minCosine}$f)""".stripMargin
   }
 
   /** collection CTE: optional per-(group, sub-query) keep, then top-depth
@@ -823,6 +858,9 @@ object HybridEntries {
           MinMaxNormTech(), Combination(Combine.Arithmetic, Seq(0.6, 0.4))),
       "hybrid_ivf_lex" ->
         hybridOracle(tokCte, Seq(Lexical(A), DenseIvf(DenseQ, nProbe = 16)),
+          MinMaxNormTech(), Combination(Combine.Arithmetic, Seq(0.6, 0.4))),
+      "dsl_knn_radial" ->
+        hybridOracle(tokCte, Seq(Lexical(A), DenseRadial(DenseQ3, None, Some(0.8))),
           MinMaxNormTech(), Combination(Combine.Arithmetic, Seq(0.6, 0.4))),
       "hybrid_tri_modal" ->
         hybridOracle(tokCte, Seq(Lexical(B), SparseLinear(SQ.toMap), DenseCosine(DenseQ3)),

@@ -84,8 +84,13 @@ case class DenseCosine(queryId: Long) extends SubQuery
 /** Dense vector clause with an EXPLICIT query vector — the `knn` shape where
  *  the caller supplies the vector directly instead of a stored-embedding id
  *  (reference: NeuralKNNQueryBuilder.vector(float[]) — the raw-vector form
- *  used when embedding happens client-side). */
-case class DenseVector(vec: Seq[Double]) extends SubQuery
+ *  used when embedding happens client-side). Optional radial bounds
+ *  (`minScore` xor `maxDistance`, reference:
+ *  query/NeuralKNNQueryBuilder.java radial forms) turn the clause into a
+ *  range-over-similarity query; at most one may be set. */
+case class DenseVector(vec: Seq[Double],
+                       minScore: Option[Double] = None,
+                       maxDistance: Option[Double] = None) extends SubQuery
 
 /** ANN-fronted dense clause: the `neural` kNN scored against the
  *  partition-pruned IVF artifact instead of a brute corpus scan — the
@@ -95,6 +100,21 @@ case class DenseVector(vec: Seq[Double]) extends SubQuery
  *  clause reads only its nProbe probed partitions. Exact (identical to
  *  [[DenseCosine]]) when nProbe = centroid count. */
 case class DenseIvf(queryId: Long, nProbe: Int) extends SubQuery
+
+/** Radial (range) kNN clause: every doc within the similarity radius,
+ *  instead of the k nearest — the reference's `min_score` / `max_distance`
+ *  forms of the neural clause (query/NeuralQueryBuilder.java:156-157,
+ *  547-551), which it validates as mutually exclusive with `k` and with
+ *  each other (util/NeuralQueryValidationUtil.java:139-148). Scores are
+ *  cosine similarity; `max_distance` is cosine distance (1 - cosine), so
+ *  both forms reduce to a lower bound on the cosine score. Exactly one of
+ *  the two must be set. */
+case class DenseRadial(queryId: Long,
+                       minScore: Option[Double] = None,
+                       maxDistance: Option[Double] = None) extends SubQuery {
+  /** the equivalent lower bound on cosine similarity */
+  def minCosine: Double = minScore.getOrElse(1.0 - maxDistance.get)
+}
 
 object SubQuery {
   /** Back-compat constructor: a bare SubQuery(terms) is a lexical clause. */
@@ -165,15 +185,25 @@ object Hybrid {
         "sparse sub-query requires HybridSources.sparse (doc_id, token, w)")
       case _: DenseCosine => require(src.emb.nonEmpty,
         "dense sub-query requires HybridSources.emb (doc_id, vec)")
-      case DenseVector(v) =>
+      case DenseVector(v, ms, md) =>
         require(src.emb.nonEmpty, "dense sub-query requires HybridSources.emb (doc_id, vec)")
         require(v.nonEmpty, "knn sub-query requires a non-empty vector")
+        require(!(ms.isDefined && md.isDefined),
+          "only one of [min_score], [max_distance] can be provided")
+        require(md.forall(_ >= 0.0), "max_distance must be >= 0")
       case DenseIvf(_, nProbe) =>
         require(src.ivf.nonEmpty,
           "ivf dense sub-query requires HybridSources.ivf (centroids + partitioned vectors)")
         require(src.emb.nonEmpty,
           "ivf dense sub-query requires HybridSources.emb for the query-vector lookup")
         require(nProbe >= 1, "nProbe must be >= 1")
+      case DenseRadial(_, ms, md) =>
+        require(src.emb.nonEmpty, "radial sub-query requires HybridSources.emb (doc_id, vec)")
+        // the reference rejects any combination of more than one of
+        // k / max_distance / min_score (NeuralQueryValidationUtil.java:139-148)
+        require(ms.isDefined ^ md.isDefined,
+          "radial knn requires exactly one of [min_score], [max_distance]")
+        require(md.forall(_ >= 0.0), "max_distance must be >= 0")
       case _ => ()
     }
     require(q.collapse.isEmpty || src.fields.nonEmpty,
@@ -370,17 +400,34 @@ object Hybrid {
         val iv = src.ivf.get
         val qvI = src.emb.get.where($"doc_id" === qid).select($"vec".as("qv"))
         Ann.ivfProbeScore(iv.vectors, iv.centroids, qvI, "doc_id", "vec", nProbe)
-      case DenseVector(v) =>
+      case r @ DenseRadial(qid, _, _) =>
+        // range-over-similarity: all docs with cosine >= the radius bound.
+        // The threshold is applied at scoring, BEFORE top-depth collection —
+        // a radial clause can legitimately match fewer than depth docs
+        // (reference: the radial KNNQuery returns every doc in the radius
+        // and the collector takes what exists).
+        val e = src.emb.get
+        val qv = e.where($"doc_id" === qid).select($"vec".as("qv"))
+        e.crossJoin(broadcast(qv))
+          .select($"doc_id", Ann.cosine($"vec", $"qv").as("score"))
+          .where($"score" >= r.minCosine)
+      case DenseVector(v, ms, md) =>
         // caller-supplied query vector: a literal array column, no lookup.
         // Dimension-checked per row — zip_with would null-pad a mismatched
         // vector into silently-null scores otherwise.
         val e = src.emb.get
         val qv = array(v.map(lit): _*)
-        e.select($"doc_id",
+        val scored = e.select($"doc_id",
           when(size($"vec") === v.length, Ann.cosine($"vec", qv))
             .otherwise(raise_error(concat(
               lit(s"knn vector has ${v.length} dims but embedding has "),
               size($"vec")))).as("score"))
+        // optional radial bound (min_score on cosine; max_distance = 1-cos)
+        (ms, md) match {
+          case (Some(b), _) => scored.where($"score" >= b)
+          case (_, Some(d)) => scored.where($"score" >= 1.0 - d)
+          case _            => scored
+        }
     }
 
   /** Stages 1-2 of the pipeline: per-sub-query scoring, filter, per-group

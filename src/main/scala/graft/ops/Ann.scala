@@ -205,6 +205,29 @@ object Ann {
       .drop("_c")
   }
 
+  /** Radial (range) kNN: every vector within the similarity radius of the
+   *  query embedding, instead of the k nearest — the reference's
+   *  `min_score` / `max_distance` neural-clause forms
+   *  (query/NeuralQueryBuilder.java:156-157,547-551). `max_distance` is
+   *  cosine distance (1 - cosine), so both forms reduce to a lower bound on
+   *  cosine; exactly one must be given, as the reference validates
+   *  (util/NeuralQueryValidationUtil.java:139-148). Result size is
+   *  data-dependent (radius semantics), ordered best-first. */
+  def radial(emb: DataFrame, id: String, vec: String, queryId: Long,
+             minScore: Option[Double] = None,
+             maxDistance: Option[Double] = None): DataFrame = {
+    require(minScore.isDefined ^ maxDistance.isDefined,
+      "radial knn requires exactly one of [min_score], [max_distance]")
+    require(maxDistance.forall(_ >= 0.0), "max_distance must be >= 0")
+    val bound = minScore.getOrElse(1.0 - maxDistance.get)
+    val q = emb.where(col(id) === queryId).select(col(vec).as("qv"))
+    emb.crossJoin(broadcast(q))
+      .select(col(id), cosine(col(vec), col("qv")).as("_c"))
+      .where(col("_c") >= bound)
+      .orderBy(col("_c").desc, col(id).asc)
+      .select(col(id), round(col("_c"), 4).as("cos"))
+  }
+
   /** Embedding-cosine near-duplicate pairs, blocked by an equality key
    *  (e.g. a cluster/label column) to bound the pair explosion. */
   def cosinePairs(emb: DataFrame, id: String, vec: String, blockCol: String,

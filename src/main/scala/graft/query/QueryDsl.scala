@@ -217,15 +217,34 @@ object QueryDsl {
       val qid = body.path("query_id")
       require(qid.isNumber,
         "neural requires query_id (stored-embedding lookup; text inference is out of scope)")
-      DenseCosine(qid.asLong())
+      val (ms, md) = radialBounds(body)
+      if (ms.isDefined || md.isDefined) DenseRadial(qid.asLong(), ms, md)
+      else DenseCosine(qid.asLong())
     } else if (!q.path("knn").isMissingNode) {
       // raw-vector form: the caller embedded client-side and supplies the
       // vector directly (reference: NeuralKNNQueryBuilder.vector(float[]))
       val (_, body) = firstField(q.path("knn"))
       val vec = body.path("vector")
       require(vec.isArray && vec.size() > 0, "knn requires a non-empty vector array")
-      DenseVector((0 until vec.size()).map(vec.get(_).asDouble()))
+      val (ms, md) = radialBounds(body)
+      DenseVector((0 until vec.size()).map(vec.get(_).asDouble()), ms, md)
     } else throw new IllegalArgumentException(s"unsupported sub-query: $q")
+
+  /** Radial-form bounds of a neural/knn clause, enforcing the reference's
+   *  rule that at most one of `k`, `max_distance`, `min_score` may be set
+   *  (util/NeuralQueryValidationUtil.java:139-148 — "Only one of k,
+   *  max_distance, or min_score can be provided"). `k` itself is not used
+   *  (pagination_depth plays its role inside hybrid) but still counts
+   *  toward the exclusivity rule, exactly as the reference parses it. */
+  private def radialBounds(body: JsonNode): (Option[Double], Option[Double]) = {
+    val k = Option(body.path("k")).filter(_.isNumber)
+    val md = Option(body.path("max_distance")).filter(_.isNumber).map(_.asDouble())
+    val ms = Option(body.path("min_score")).filter(_.isNumber).map(_.asDouble())
+    val n = Seq(k.isDefined, md.isDefined, ms.isDefined).count(identity)
+    require(n <= 1, "Only one of [k], [max_distance], or [min_score] can be provided")
+    require(md.forall(_ >= 0.0), "max_distance must be >= 0")
+    (ms, md)
+  }
 
   /** `filter` accepts a single `term` clause or a `bool.must` of term
    *  clauses, like the reference's filter QueryBuilder (pushed into every

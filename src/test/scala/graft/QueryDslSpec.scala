@@ -130,6 +130,42 @@ class QueryDslSpec extends SparkSpec {
       """{"query":{"hybrid":{"queries":[{"knn":{"emb":{"vector":[]}}}]}}}"""))
   }
 
+  test("radial knn parses min_score/max_distance; k+radial combos rejected") {
+    // neural + min_score -> radial clause
+    val p1 = QueryDsl.parse(
+      """{"query":{"hybrid":{"queries":[
+        |  {"neural":{"emb":{"query_id":3,"min_score":0.2}}}]}}}""".stripMargin)
+    assert(p1.query.subQueries.head == DenseRadial(3L, Some(0.2), None))
+    // neural + max_distance -> radial with the 1-distance cosine bound
+    val p2 = QueryDsl.parse(
+      """{"query":{"hybrid":{"queries":[
+        |  {"neural":{"emb":{"query_id":3,"max_distance":0.8}}}]}}}""".stripMargin)
+    assert(p2.query.subQueries.head == DenseRadial(3L, None, Some(0.8)))
+    // knn raw-vector + min_score -> radial-bounded DenseVector
+    val p3 = QueryDsl.parse(
+      """{"query":{"hybrid":{"queries":[
+        |  {"knn":{"emb":{"vector":[0.5,1.0],"min_score":0.1}}}]}}}""".stripMargin)
+    assert(p3.query.subQueries.head == DenseVector(Seq(0.5, 1.0), Some(0.1), None))
+    // the reference's exclusivity rule: only one of k/max_distance/min_score
+    // (util/NeuralQueryValidationUtil.java:139-148)
+    val ex1 = intercept[IllegalArgumentException](QueryDsl.parse(
+      """{"query":{"hybrid":{"queries":[
+        |  {"neural":{"emb":{"query_id":3,"min_score":0.2,"max_distance":0.5}}}]}}}""".stripMargin))
+    assert(ex1.getMessage.contains("Only one of"))
+    val ex2 = intercept[IllegalArgumentException](QueryDsl.parse(
+      """{"query":{"hybrid":{"queries":[
+        |  {"neural":{"emb":{"query_id":3,"k":10,"min_score":0.2}}}]}}}""".stripMargin))
+    assert(ex2.getMessage.contains("Only one of"))
+    val ex3 = intercept[IllegalArgumentException](QueryDsl.parse(
+      """{"query":{"hybrid":{"queries":[
+        |  {"knn":{"emb":{"vector":[0.5],"k":5,"max_distance":0.4}}}]}}}""".stripMargin))
+    assert(ex3.getMessage.contains("Only one of"))
+    // negative max_distance rejected
+    intercept[IllegalArgumentException](QueryDsl.parse(
+      """{"query":{"hybrid":{"queries":[
+        |  {"neural":{"emb":{"query_id":3,"max_distance":-0.1}}}]}}}""".stripMargin))
+  }
+
   test("request-level sort parses both forms; bad order rejected") {
     val p = QueryDsl.parse(
       """{"query":{"hybrid":{"queries":[{"term":{"t":"a"}}]}},
