@@ -76,6 +76,19 @@ object HybridEntries {
     )
   }
 
+  /** Semantic-field registry for the routed-DSL entries: one sparse-model
+   *  and one dense-model field over the documents corpus, both chunked at
+   *  tokenLimit 20 (the mapper's auto-generated sub-fields). */
+  private def semanticSources(s: SparkSession, dir: String,
+                              idx: graft.index.Index): HybridSources = {
+    val d = s.read.parquet(s"$dir/documents.parquet")
+    HybridSources(idx, semantic = Map(
+      "sem_sparse" -> SemanticSource(SemanticSparseKind,
+        graft.ops.Semantic.ingestSparse(d, "doc_id", "text", 20)),
+      "sem_dense" -> SemanticSource(SemanticDenseKind,
+        graft.ops.Semantic.ingestDense(d, "doc_id", "text", 20), dims = 8)))
+  }
+
   /** Build-once dense ANN structure for [[DenseIvf]] clauses: fixed
    *  deterministic centroids (ids < 16, as `ann_ivf_topk` uses) and the
    *  by-centroid partitioned vector artifact, so the clause's probe is a
@@ -278,6 +291,45 @@ object HybridEntries {
       graft.query.QueryDsl.execute(src, json, s.read.parquet(s"$dir/documents.parquet"))
         .select(col("doc_id"), round(col("score"), 4).as("score"))
     }),
+    // semantic-field query routing: the neural clause names a SEMANTIC
+    // field with query_text — resolved to the field's generated sub-field
+    // (sparse token-weight chunks here) with nested best-chunk scoring
+    // (reference: NeuralQueryBuilder.java:1019-1065 semantic rewrite to
+    // <field>_semantic_info.chunks.embedding)
+    "dsl_semantic_routed" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      val json =
+        """{ "query": { "hybrid": {
+          |    "queries": [ { "match": { "text": "join hash" } },
+          |                 { "neural": { "sem_sparse": {
+          |                     "query_text": "merge window dup scan merge" } } } ],
+          |    "pagination_depth": 50 } },
+          |  "size": 10,
+          |  "search_pipeline": {
+          |    "normalization": { "technique": "min_max" },
+          |    "combination":   { "technique": "arithmetic_mean", "weights": [0.6, 0.4] } } }""".stripMargin
+      graft.query.QueryDsl.execute(semanticSources(s, dir, idx), json,
+        s.read.parquet(s"$dir/documents.parquet"))
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+    }),
+    // same routing against a DENSE-model semantic field: the generated
+    // sub-field is the hashed chunk-vector table, scored best-chunk cosine
+    "dsl_semantic_routed_dense" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      val json =
+        """{ "query": { "hybrid": {
+          |    "queries": [ { "match": { "text": "join hash" } },
+          |                 { "neural": { "sem_dense": {
+          |                     "query_text": "merge window dup scan merge" } } } ],
+          |    "pagination_depth": 50 } },
+          |  "size": 10,
+          |  "search_pipeline": {
+          |    "normalization": { "technique": "min_max" },
+          |    "combination":   { "technique": "arithmetic_mean", "weights": [0.6, 0.4] } } }""".stripMargin
+      graft.query.QueryDsl.execute(semanticSources(s, dir, idx), json,
+        s.read.parquet(s"$dir/documents.parquet"))
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+    }),
     // DSL request with per-clause boost + request-level collapse (boost is
     // legal INSIDE a clause; only hybrid-level boost is rejected)
     "dsl_collapse_boost" -> ((s, dir) => {
@@ -354,6 +406,8 @@ object HybridEntries {
           |                 { "match": { "text": "merge sort window" } } ],
           |    "pagination_depth": 50 } },
           |  "size": 10, "min_score": 0.3,
+          |  "search_pipeline": {
+          |    "combination": { "technique": "arithmetic_mean", "weights": [0.6, 0.4] } },
           |  "sort": [ { "_score": "desc" }, { "n_chars": { "order": "asc" } } ] }""".stripMargin
       graft.query.QueryDsl.execute(idx, json, s, s.read.parquet(s"$dir/documents.parquet"))
         .select(col("doc_id"), round(col("score"), 4).as("score"), col("n_chars"))
@@ -362,7 +416,10 @@ object HybridEntries {
     // from the UNFILTERED scored set under the sort order, then min_score
     // drops whole groups whose winner fails it (reference: collapse at
     // collection time, min_score at combination time —
-    // HybridCollapsingTopDocsCollector + ScoreCombiner.isMinScoreAvailable)
+    // HybridCollapsingTopDocsCollector + ScoreCombiner.isMinScoreAvailable).
+    // Unequal weights: with 0.5/0.5 the two single-clause maxima combine to
+    // EXACTLY 0.5 each and their order flips on cross-engine FP jitter (the
+    // same structural tie collapse_multi documents).
     "dsl_sorted_score_collapse" -> ((s, dir) => {
       val idx = IndexCache.documents(s, dir)
       val json =
@@ -371,6 +428,8 @@ object HybridEntries {
           |                 { "match": { "text": "merge sort window" } } ],
           |    "pagination_depth": 50 } },
           |  "size": 10, "min_score": 0.3,
+          |  "search_pipeline": {
+          |    "combination": { "technique": "arithmetic_mean", "weights": [0.6, 0.4] } },
           |  "collapse": { "field": "source" },
           |  "sort": [ { "_score": "desc" }, { "n_chars": { "order": "asc" } } ] }""".stripMargin
       graft.query.QueryDsl.execute(idx, json, s, s.read.parquet(s"$dir/documents.parquet"))
@@ -518,6 +577,38 @@ object HybridEntries {
     """htw AS (SELECT doc_id, term AS token,
       |             tf * (1.0 + (length(term) % 5) * 0.25) AS w FROM tf)""".stripMargin
 
+  /** oracle-side registry of the semantic fields the entries register —
+   *  field name -> generated sub-field kind (mirrors the HybridSources
+   *  .semantic map built in the dsl_semantic_routed* entries) */
+  private val SemKinds: Map[String, SemanticKind] =
+    Map("sem_sparse" -> SemanticSparseKind, "sem_dense" -> SemanticDenseKind)
+
+  /** chunked sparse sub-field CTE (parity with Semantic.ingestSparse,
+   *  tokenLimit 20): semtw(doc_id, chunk_idx, token, w) */
+  private val SemTwCte = {
+    val toks = "list_filter(string_split(text, ' '), x -> x <> '')"
+    s"""semchunks AS (
+       |  SELECT doc_id, i AS chunk_idx,
+       |         toks[CAST(i*20 + 1 AS INT):CAST(i*20 + 20 AS INT)] AS ctoks
+       |  FROM (SELECT doc_id, toks,
+       |          unnest(generate_series(0, CAST(floor((len(toks)-1)/20) AS BIGINT))) AS i
+       |        FROM (SELECT doc_id, $toks AS toks FROM documents))),
+       |semtw AS (
+       |  SELECT doc_id, chunk_idx, token,
+       |         count(*) * (1.0 + (length(token) % 5) * 0.25) AS w
+       |  FROM (SELECT doc_id, chunk_idx, unnest(ctoks) AS token FROM semchunks)
+       |  GROUP BY doc_id, chunk_idx, token)""".stripMargin
+  }
+
+  /** chunked dense sub-field CTE (parity with Semantic.ingestDense, dims 8),
+   *  built on semtw: semdv(doc_id, chunk_idx, dim, v) */
+  private val SemDvCte =
+    """semdv AS (
+      |  SELECT doc_id, chunk_idx,
+      |         (length(token)*31 + ascii(substr(token,1,1))) % 8 AS dim,
+      |         sum(w) AS v
+      |  FROM semtw GROUP BY doc_id, chunk_idx, 3)""".stripMargin
+
   /** cosine matching Ann.cosine's association exactly */
   private def cosSql(a: String, b: String): String = {
     def d(x: String, y: String) =
@@ -585,6 +676,36 @@ object HybridEntries {
          |  FROM embeddings e CROSS JOIN
          |       (SELECT embedding AS qv FROM embeddings WHERE vec_id = $qid) q
          |  WHERE ${cosSql("e.embedding", "q.qv")} >= ${r.minCosine}$f)""".stripMargin
+    case SemanticText(field, terms) =>
+      // routed semantic query: best chunk per doc over the generated
+      // sub-field, kind per the oracle-side field registry
+      val f = filterPred.map(p => s"\n    WHERE ${p}").getOrElse("")
+      SemKinds(field) match {
+        case SemanticSparseKind =>
+          val vals = Sparse.encodeQueryTokens(terms).toSeq.sortBy(_._1)
+            .map { case (t, w) => s"('$t', $w)" }.mkString(", ")
+          s"""sq$i AS (
+             |  SELECT doc_id, max(cs) AS s FROM (
+             |    SELECT doc_id, chunk_idx, sum(w * qw) AS cs
+             |    FROM semtw JOIN (SELECT * FROM (VALUES $vals) t(token, qw)) q$i USING (token)$f
+             |    GROUP BY doc_id, chunk_idx)
+             |  GROUP BY doc_id)""".stripMargin
+        case SemanticDenseKind =>
+          val qv = graft.ops.Semantic.hashQueryVector(terms, 8)
+          val qn = math.sqrt(qv.values.map(v => v * v).sum)
+          val vals = qv.toSeq.sortBy(_._1)
+            .map { case (d, v) => s"($d, $v)" }.mkString(", ")
+          s"""sq$i AS (
+             |  SELECT doc_id, max(c) AS s FROM (
+             |    SELECT dots.doc_id, dots.chunk_idx, dot/(n * $qn) AS c
+             |    FROM (SELECT doc_id, chunk_idx, sum(v * qv) AS dot
+             |          FROM semdv JOIN (SELECT * FROM (VALUES $vals) t(dim, qv)) q$i USING (dim)$f
+             |          GROUP BY doc_id, chunk_idx) dots
+             |    JOIN (SELECT doc_id, chunk_idx, sqrt(sum(v*v)) AS n
+             |          FROM semdv GROUP BY doc_id, chunk_idx) norms
+             |      USING (doc_id, chunk_idx))
+             |  GROUP BY doc_id)""".stripMargin
+      }
   }
 
   /** collection CTE: optional per-(group, sub-query) keep, then top-depth
@@ -713,6 +834,11 @@ object HybridEntries {
                    withTotal: Boolean = false): String = {
     val n = sub.size
     val twPart = if (sub.exists(_.isInstanceOf[SparseLinear])) s",\n$TwCte" else ""
+    val semKindsUsed = sub.collect { case SemanticText(f, _) => SemKinds(f) }.toSet
+    val semPart =
+      if (semKindsUsed.isEmpty) ""
+      else if (semKindsUsed.contains(SemanticDenseKind)) s",\n$SemTwCte,\n$SemDvCte"
+      else s",\n$SemTwCte"
     val subq = sub.zipWithIndex.map { case (t, i) =>
       scoreCte(i, t, filterPred) + ",\n" + topCte(i, collapse)
     }.mkString(",\n")
@@ -794,7 +920,7 @@ object HybridEntries {
            |WHERE crn = 1$msWhere
            |ORDER BY c DESC, doc_id LIMIT $k$offset""".stripMargin
     }
-    s"""WITH $tokCte$twPart,
+    s"""WITH $tokCte$twPart$semPart,
        |$subq,
        |$norms,
        |${alignCte(n)}
@@ -862,6 +988,16 @@ object HybridEntries {
       "dsl_knn_radial" ->
         hybridOracle(tokCte, Seq(Lexical(A), DenseRadial(DenseQ3, None, Some(0.8))),
           MinMaxNormTech(), Combination(Combine.Arithmetic, Seq(0.6, 0.4))),
+      "dsl_semantic_routed" ->
+        hybridOracle(tokCte,
+          Seq(Lexical(A), SemanticText("sem_sparse",
+            Seq("merge", "window", "dup", "scan", "merge"))),
+          MinMaxNormTech(), Combination(Combine.Arithmetic, Seq(0.6, 0.4))),
+      "dsl_semantic_routed_dense" ->
+        hybridOracle(tokCte,
+          Seq(Lexical(A), SemanticText("sem_dense",
+            Seq("merge", "window", "dup", "scan", "merge"))),
+          MinMaxNormTech(), Combination(Combine.Arithmetic, Seq(0.6, 0.4))),
       "hybrid_tri_modal" ->
         hybridOracle(tokCte, Seq(Lexical(B), SparseLinear(SQ.toMap), DenseCosine(DenseQ3)),
           RrfNormTech(60), Combination(Combine.Rrf)),
@@ -895,10 +1031,12 @@ object HybridEntries {
         hybridOracle(tokCte, lex(Seq(A, B)), MinMaxNormTech(), Combination(Combine.Arithmetic),
           k = 10, minScore = Some(0.35), withTotal = true),
       "dsl_sorted_score" ->
-        hybridOracle(tokCte, lex(Seq(A, B)), MinMaxNormTech(), Combination(Combine.Arithmetic),
+        hybridOracle(tokCte, lex(Seq(A, B)), MinMaxNormTech(),
+          Combination(Combine.Arithmetic, Seq(0.6, 0.4)),
           minScore = Some(0.3), mixedSort = Seq(("n_chars", true))),
       "dsl_sorted_score_collapse" ->
-        hybridOracle(tokCte, lex(Seq(A, B)), MinMaxNormTech(), Combination(Combine.Arithmetic),
+        hybridOracle(tokCte, lex(Seq(A, B)), MinMaxNormTech(),
+          Combination(Combine.Arithmetic, Seq(0.6, 0.4)),
           minScore = Some(0.3), mixedSort = Seq(("n_chars", true)),
           collapse = Some(Collapse("source"))),
       "dsl_sorted_collapse" ->

@@ -131,6 +131,13 @@ object PipelineEntries {
       val dense = graft.ops.Semantic.ingestDense(docs(s, dir), "doc_id", "text", 20)
       graft.ops.Semantic.denseKnnBestChunk(dense, "doc_id", queryDoc = 7L, queryChunk = 0, k = 10)
         .select(col("doc_id"), col("chunk_idx"), round(col("c"), 4).as("cos"))
+    }),
+    // expand_nested: every matching CHUNK is its own hit — no best-chunk
+    // collapse (reference: NeuralKNNQueryBuilder.java:139,425-470)
+    "semantic_dense_knn_expanded" -> ((s, dir) => {
+      val dense = graft.ops.Semantic.ingestDense(docs(s, dir), "doc_id", "text", 20)
+      graft.ops.Semantic.denseKnnExpanded(dense, "doc_id", queryDoc = 7L, queryChunk = 0, k = 15)
+        .select(col("doc_id"), col("chunk_idx"), round(col("c"), 4).as("cos"))
     })
   )
 
@@ -298,7 +305,20 @@ object PipelineEntries {
          |best AS (SELECT doc_id, chunk_idx, c, row_number() OVER (
          |           PARTITION BY doc_id ORDER BY c DESC, chunk_idx) AS rn FROM cosv)
          |SELECT doc_id, chunk_idx, round(c, 4) AS cos FROM best
-         |WHERE rn = 1 ORDER BY c DESC, doc_id LIMIT 10""".stripMargin
+         |WHERE rn = 1 ORDER BY c DESC, doc_id LIMIT 10""".stripMargin,
+    // expand_nested: same cosine CTEs, no per-doc collapse — chunks are hits
+    "semantic_dense_knn_expanded" ->
+      s"""WITH $DenseCtes,
+         |q AS (SELECT dim, v AS qv FROM dv WHERE doc_id = 7 AND chunk_idx = 0),
+         |qn AS (SELECT sqrt(sum(qv*qv)) AS qn FROM q),
+         |dots AS (SELECT doc_id, chunk_idx, sum(v*qv) AS dot
+         |         FROM dv JOIN q USING (dim) GROUP BY doc_id, chunk_idx),
+         |norms AS (SELECT doc_id, chunk_idx, sqrt(sum(v*v)) AS n
+         |          FROM dv GROUP BY doc_id, chunk_idx),
+         |cosv AS (SELECT doc_id, chunk_idx, dot/(n*qn.qn) AS c
+         |         FROM dots JOIN norms USING (doc_id, chunk_idx), qn)
+         |SELECT doc_id, chunk_idx, round(c, 4) AS cos FROM cosv
+         |ORDER BY c DESC, doc_id, chunk_idx LIMIT 15""".stripMargin
   )
 
   /** dense semantic sub-field CTEs: chunk -> mock sparse weights -> feature-

@@ -116,11 +116,35 @@ case class DenseRadial(queryId: Long,
   def minCosine: Double = minScore.getOrElse(1.0 - maxDistance.get)
 }
 
+/** A `neural`/`neural_sparse` clause targeting a SEMANTIC field by name:
+ *  the reference auto-routes such a query to the field's generated embedding
+ *  sub-field — dense or sparse per the field's model — and scores nested
+ *  best-chunk (mapper/SemanticFieldMapper.java:268-276 semantic-type rewrite,
+ *  query/NeuralQueryBuilder.java:1019-1065 rewriteQueryAgainstSemanticField:
+ *  `<field>_semantic_info.chunks.embedding`). Here the routing table is
+ *  [[HybridSources.semantic]]; the clause carries the ANALYZED query terms,
+ *  and the registered field's kind decides sparse-dot vs dense-cosine
+ *  best-chunk scoring. */
+case class SemanticText(field: String, terms: Seq[String]) extends SubQuery
+
 object SubQuery {
   /** Back-compat constructor: a bare SubQuery(terms) is a lexical clause. */
   def apply(terms: Seq[String], boosts: Map[String, Double] = Map.empty): Lexical =
     Lexical(terms, boosts)
 }
+
+/** Kind of the generated sub-field a semantic field routes to (the
+ *  reference's dense knn_vector vs sparse rank_features sub-field). */
+sealed trait SemanticKind
+case object SemanticSparseKind extends SemanticKind
+case object SemanticDenseKind extends SemanticKind
+
+/** A registered semantic field's generated chunk-level sub-field: sparse
+ *  chunks are (doc_id, chunk_idx, token, w) from
+ *  [[graft.ops.Semantic.ingestSparse]]; dense chunks are
+ *  (doc_id, chunk_idx, dim, v) from [[graft.ops.Semantic.ingestDense]] with
+ *  `dims` the hashing dimensionality (needed to encode the query). */
+case class SemanticSource(kind: SemanticKind, chunks: DataFrame, dims: Int = 8)
 
 /** Field collapsing config (reference: HybridCollapsingTopDocsCollector —
  *  `docs_per_group_per_subquery` bounds how many docs of one group each
@@ -141,7 +165,8 @@ case class HybridSources(
     sparse: Option[DataFrame] = None,
     emb: Option[DataFrame] = None,
     fields: Option[DataFrame] = None,
-    ivf: Option[IvfSource] = None
+    ivf: Option[IvfSource] = None,
+    semantic: Map[String, SemanticSource] = Map.empty
 )
 
 case class HybridQuery(
@@ -197,6 +222,12 @@ object Hybrid {
         require(src.emb.nonEmpty,
           "ivf dense sub-query requires HybridSources.emb for the query-vector lookup")
         require(nProbe >= 1, "nProbe must be >= 1")
+      case SemanticText(field, terms) =>
+        require(src.semantic.contains(field),
+          s"[$field] is not a registered semantic field — a neural clause with " +
+            "query_text routes to the field's generated sub-field " +
+            "(HybridSources.semantic)")
+        require(terms.nonEmpty, "semantic query requires non-empty query text")
       case DenseRadial(_, ms, md) =>
         require(src.emb.nonEmpty, "radial sub-query requires HybridSources.emb (doc_id, vec)")
         // the reference rejects any combination of more than one of
@@ -400,6 +431,21 @@ object Hybrid {
         val iv = src.ivf.get
         val qvI = src.emb.get.where($"doc_id" === qid).select($"vec".as("qv"))
         Ann.ivfProbeScore(iv.vectors, iv.centroids, qvI, "doc_id", "vec", nProbe)
+      case SemanticText(field, terms) =>
+        // semantic-field routing: the registered field's KIND picks the
+        // generated sub-field and scorer — sparse token-weight dot or dense
+        // hashed-vector cosine, both nested best-chunk-per-doc (the
+        // reference's semantic rewrite targets
+        // `<field>_semantic_info.chunks.embedding` wrapped nested)
+        val sem = src.semantic(field)
+        sem.kind match {
+          case SemanticSparseKind =>
+            graft.ops.Semantic.sparseBestChunkScore(sem.chunks, "doc_id",
+              Sparse.encodeQueryTokens(terms))
+          case SemanticDenseKind =>
+            graft.ops.Semantic.denseBestChunkScore(sem.chunks, "doc_id",
+              graft.ops.Semantic.hashQueryVector(terms, sem.dims))
+        }
       case r @ DenseRadial(qid, _, _) =>
         // range-over-similarity: all docs with cosine >= the radius bound.
         // The threshold is applied at scoring, BEFORE top-depth collection —

@@ -82,6 +82,83 @@ object Semantic {
   }
 
   /**
+   * Per-chunk hit expansion — the reference's `expand_nested` kNN form
+   * (query/NeuralKNNQueryBuilder.java:139,425-470): every matching CHUNK is
+   * returned as its own hit instead of collapsing to the best chunk per
+   * document. Same cosine math as [[denseKnnBestChunk]], global top-k over
+   * chunks (a bounded TakeOrdered, never a per-doc window).
+   */
+  def denseKnnExpanded(dense: DataFrame, idCol: String, queryDoc: Long, queryChunk: Int,
+                       k: Int): DataFrame = {
+    val q = dense
+      .filter(col(idCol) === queryDoc && col("chunk_idx") === queryChunk)
+      .select(col("dim"), col("v").as("qv"))
+    val dots = dense.join(broadcast(q), "dim")
+      .groupBy(col(idCol), col("chunk_idx"))
+      .agg(sum(col("v") * col("qv")).as("dot"))
+    val norms = dense
+      .groupBy(col(idCol), col("chunk_idx"))
+      .agg(sqrt(sum(col("v") * col("v"))).as("n"))
+    dots.join(norms, Seq(idCol, "chunk_idx"))
+      .crossJoin(broadcast(q.agg(sqrt(sum(col("qv") * col("qv"))).as("qn"))))
+      .select(col(idCol), col("chunk_idx"), (col("dot") / (col("n") * col("qn"))).as("c"))
+      .orderBy(col("c").desc, col(idCol).asc, col("chunk_idx").asc)
+      .limit(k)
+  }
+
+  /** Best-chunk SPARSE score of an encoded token-weight query against the
+   *  chunked sparse sub-field (doc_id, chunk_idx, token, w): dot product per
+   *  chunk, max over chunks per doc — the nested scoring a routed
+   *  `neural`/`neural_sparse` query runs against a sparse-model semantic
+   *  field (reference: NeuralQueryBuilder semantic rewrite +
+   *  SemanticFieldProcessor). Returns (doc_id, score), unbounded rows. */
+  def sparseBestChunkScore(chunks: DataFrame, idCol: String,
+                           query: Map[String, Double]): DataFrame = {
+    val spark = chunks.sparkSession
+    import spark.implicits._
+    val q = query.toSeq.toDF("token", "qw")
+    chunks.join(broadcast(q), "token")
+      .groupBy(col(idCol), col("chunk_idx"))
+      .agg(sum(col("w") * col("qw")).as("cs"))
+      .groupBy(col(idCol))
+      .agg(max(col("cs")).as("score"))
+      .select(col(idCol).as("doc_id"), col("score"))
+  }
+
+  /** Best-chunk DENSE cosine of a hashed query vector against the chunked
+   *  dense sub-field (doc_id, chunk_idx, dim, v): cosine per chunk, max over
+   *  chunks per doc — the nested best-chunk scoring of a routed `neural`
+   *  query on a dense-model semantic field. The query norm is a driver-side
+   *  constant (the query vector has <= dims entries). */
+  def denseBestChunkScore(chunks: DataFrame, idCol: String,
+                          queryVec: Map[Int, Double]): DataFrame = {
+    val spark = chunks.sparkSession
+    import spark.implicits._
+    val q = queryVec.toSeq.toDF("dim", "qv")
+    val qn = math.sqrt(queryVec.values.map(v => v * v).sum)
+    val dots = chunks.join(broadcast(q), "dim")
+      .groupBy(col(idCol), col("chunk_idx"))
+      .agg(sum(col("v") * col("qv")).as("dot"))
+    val norms = chunks
+      .groupBy(col(idCol), col("chunk_idx"))
+      .agg(sqrt(sum(col("v") * col("v"))).as("n"))
+    dots.join(norms, Seq(idCol, "chunk_idx"))
+      .select(col(idCol), (col("dot") / (col("n") * lit(qn))).as("cs"))
+      .groupBy(col(idCol))
+      .agg(max(col("cs")).as("score"))
+      .select(col(idCol).as("doc_id"), col("score"))
+  }
+
+  /** Query-side analogue of [[ingestDense]]'s feature-hashing projection:
+   *  the mock-encoded token weights of the analyzed query text folded into
+   *  the same `(len*31 + ascii(first)) % dims` buckets — what "running the
+   *  search model" produces for a dense semantic field under zero egress. */
+  def hashQueryVector(terms: Seq[String], dims: Int): Map[Int, Double] =
+    graft.ops.Sparse.encodeQueryTokens(terms).toSeq
+      .groupBy { case (t, _) => (t.length * 31 + t.head.toInt) % dims }
+      .map { case (d, tws) => d -> tws.map(_._2).sum }
+
+  /**
    * Inference-skip incremental ingest — the reference's InferenceFilter
    * optimization (processor/optimization/TextEmbeddingInferenceFilter.java:
    * if the text is identical between the existing and new document, the

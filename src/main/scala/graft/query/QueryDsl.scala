@@ -213,13 +213,26 @@ object QueryDsl {
         SparseLinear(Sparse.encodeQueryTokens(Analyzer.analyze(analyzer)(text).toSeq))
       }
     } else if (!q.path("neural").isMissingNode) {
-      val (_, body) = firstField(q.path("neural"))
+      val (field, body) = firstField(q.path("neural"))
       val qid = body.path("query_id")
-      require(qid.isNumber,
-        "neural requires query_id (stored-embedding lookup; text inference is out of scope)")
-      val (ms, md) = radialBounds(body)
-      if (ms.isDefined || md.isDefined) DenseRadial(qid.asLong(), ms, md)
-      else DenseCosine(qid.asLong())
+      val qtext = body.path("query_text").asText("")
+      if (qtext.nonEmpty) {
+        // semantic-field routing: a neural clause with query_text against a
+        // SEMANTIC field resolves at scoring time to the field's generated
+        // chunk sub-field (dense or sparse per its registration) with nested
+        // best-chunk scoring — the reference's semantic rewrite
+        // (query/NeuralQueryBuilder.java:1019-1065,
+        // mapper/SemanticFieldMapper.java:268-276)
+        require(!qid.isNumber,
+          "neural accepts query_text (semantic field) or query_id, not both")
+        SemanticText(field, Analyzer.analyze(analyzer)(qtext).toSeq)
+      } else {
+        require(qid.isNumber,
+          "neural requires query_id (stored-embedding lookup) or query_text (semantic field)")
+        val (ms, md) = radialBounds(body)
+        if (ms.isDefined || md.isDefined) DenseRadial(qid.asLong(), ms, md)
+        else DenseCosine(qid.asLong())
+      }
     } else if (!q.path("knn").isMissingNode) {
       // raw-vector form: the caller embedded client-side and supplies the
       // vector directly (reference: NeuralKNNQueryBuilder.vector(float[]))

@@ -166,6 +166,24 @@ class QueryDslSpec extends SparkSpec {
         |  {"neural":{"emb":{"query_id":3,"max_distance":-0.1}}}]}}}""".stripMargin))
   }
 
+  test("neural with query_text routes to the semantic field; query_id+query_text rejected") {
+    val p = QueryDsl.parse(
+      """{"query":{"hybrid":{"queries":[
+        |  {"neural":{"body":{"query_text":"merge sort merge"}}}]}}}""".stripMargin)
+    assert(p.query.subQueries.head == SemanticText("body", Seq("merge", "sort", "merge")))
+    val ex = intercept[IllegalArgumentException](QueryDsl.parse(
+      """{"query":{"hybrid":{"queries":[
+        |  {"neural":{"body":{"query_text":"merge","query_id":3}}}]}}}""".stripMargin))
+    assert(ex.getMessage.contains("not both"))
+    // an unregistered field fails at validation, not silently
+    val q = HybridQuery(Seq(SemanticText("nope", Seq("a"))), MinMaxNormTech(),
+      Combination(graft.functions.Combine.Arithmetic), k = 5, depth = 20)
+    val idx = graft.index.IndexCache.documents(spark, "/root/testdata/sf0.001")
+    val ex2 = intercept[IllegalArgumentException](
+      Hybrid.execute(HybridSources(idx), q, None))
+    assert(ex2.getMessage.contains("not a registered semantic field"))
+  }
+
   test("request-level sort parses both forms; bad order rejected") {
     val p = QueryDsl.parse(
       """{"query":{"hybrid":{"queries":[{"term":{"t":"a"}}]}},
