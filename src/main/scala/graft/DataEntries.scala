@@ -3,7 +3,10 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.ops.{Ann, Dedup, Multimodal}
+import graft.ops.{Ann, Chunkers, Dedup, Multimodal, Rerank, Semantic, Sparse, Seismic, ClusteredPosting}
+import graft.hybrid._
+import graft.functions.Combine
+import graft.stats.EventStats
 
 /** Typed rows for the sessionization stream (flatMapGroupsWithState). */
 case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, event_id: Long)
@@ -38,6 +41,10 @@ object DataEntries {
     // within hamming <= 3 via bounded equality-join buckets
     "dedup_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 3)),
+    // the 10¹¹-doc width: 128-bit signature (md5's full budget), 32-bit
+    // pigeonhole bands — 4x10⁹ buckets per band
+    "dedup_simhash_pairs_128" -> ((s, dir) =>
+      Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 3, bits = 128)),
     // stopword-shingle cap: shingles with df > 4 dropped before the
     // self-join (the scale guard against the shared-shingle pair explosion)
     "dedup_ngram_jaccard_capped" -> ((s, dir) =>
@@ -71,11 +78,14 @@ object DataEntries {
     // iterations) replaces the luck-based "ids < nCentroids" seed set; with
     // nProbe = nCentroids the search is exact, so the oracle (brute-force
     // top-k) checks that the learned assignment partitions the corpus with
-    // no vector lost or duplicated
+    // no vector lost or duplicated. SAMPLE-trained (id % 4 == 0): the
+    // iterations scan a quarter of the corpus; only the final assignment
+    // pass is full — exactness at nProbe = C is centroid-independent.
     "ann_ivf_kmeans" -> ((s, dir) => {
       val path = s"target/ivfkmeans/${dir.replaceAll("[^a-zA-Z0-9.]", "_")}"
       val (cents, asg) =
-        Ann.ivfBuildLearned(emb(s, dir), "vec_id", "embedding", 16, path, iters = 3)
+        Ann.ivfBuildLearned(emb(s, dir), "vec_id", "embedding", 16, path, iters = 3,
+          trainSampleMod = 4)
       Ann.ivfTopKLearned(emb(s, dir), "vec_id", "embedding", queryId = 3L,
         cents, asg, nProbe = 16, k = 10)
     }),
@@ -145,8 +155,90 @@ object DataEntries {
     // ---- structured streaming (batch-equivalent windowed agg) ----
     "stream_events_hourly" -> (streamEventsHourly _),
     // custom streaming state: sessionization via flatMapGroupsWithState
-    "stream_sessions" -> (streamSessions _)
+    "stream_sessions" -> (streamSessions _),
+
+    // ---- query-side event counters ----
+    "query_stats" -> (queryStats _)
   )
+
+  /**
+   * Query/control-plane event counters (reference:
+   * stats/events/EventStatName.java — per-query-type and per-processor
+   * counters under the reference's stat names): a FIXED scenario of query
+   * and processor constructions runs against a reset registry and the
+   * resulting snapshot is compared to the oracle's hand-written constants,
+   * derived independently from the scenario below (7 hybrid requests, one
+   * of each normalization/combination family, one of each ingest/response
+   * processor, ...). All increments are driver-side at plan construction
+   * (never inside tasks — task-side counts would multiply by partitions and
+   * retries), so this scenario builds plans without running corpus jobs.
+   */
+  private def queryStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    EventStats.reset()
+    val d = docs(s, dir)
+
+    // ingest processors: the three chunkers, both semantic-field encoders
+    // (dense delegates to sparse: its nested counts are part of the spec),
+    // the skip-existing incremental re-encode, and the text+image embedder
+    Chunkers.fixedTokenLength(d, "doc_id", "text", 10)
+    Chunkers.delimiter(d, "doc_id", "text", ".")
+    Chunkers.fixedCharLength(d, "doc_id", "text", 40)
+    val semSparse = Semantic.ingestSparse(d, "doc_id", "text", 20)
+    val semDense = Semantic.ingestDense(d, "doc_id", "text", 20)
+    Semantic.incremental(d, d, d.select(col("doc_id")), "doc_id", "text")(
+      df => df.select(col("doc_id")))
+    Multimodal.textImageEmbed(d, "doc_id", "text")
+
+    // response processors over a literal 2-hit window
+    val hits = Seq((1L, 1.0, 0.3), (2L, 0.5, 0.9)).toDF("doc_id", "score", "rating")
+    Rerank.byField(hits, "rating")
+    Rerank.rescore(hits.select(col("doc_id"), col("score")),
+      hits.select(col("doc_id"), col("rating").as("score")), 2)
+    Rerank.mmr(hits.select(col("doc_id"), col("score")),
+      Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f))).toDF("doc_id", "vec"),
+      0.5, 2)
+
+    // sparse two-phase + SEISMIC over literal micro-indexes
+    Sparse.twoPhaseTopK(Seq((1L, "alpha", 1.0), (2L, "beta", 0.5)).toDF("doc_id", "token", "w"),
+      Map("alpha" -> 1.0, "beta" -> 0.2), 2)
+    Seismic.annTopK(Seq(ClusteredPosting("alpha", 0, Array(1L), Array(Array("alpha")),
+      Array(Array(1.0)), Array("alpha"), Array(1.0))).toDS(), Map("alpha" -> 1.0), 1)
+
+    // request processor: enricher counted at DSL parse (parse only — the
+    // parsed query is not executed, so no hybrid counters fire here)
+    graft.query.QueryDsl.parse(
+      """{ "query": { "hybrid": { "queries": [ { "match": { "text": "join hash" } } ] } },
+        |  "search_pipeline": { "request_processors": [ { "neural_query_enricher": {
+        |      "default_model_id": "mock-sparse-encoder-v1" } } ] } }""".stripMargin)
+
+    // query-type counters: 7 hybrid requests covering every sub-query kind
+    // and every normalization/combination family
+    val idx = graft.index.IndexCache.documents(s, dir)
+    val src = HybridSources(idx,
+      sparse = Some(Sparse.encode(idx)),
+      emb = Some(emb(s, dir).select(col("vec_id").as("doc_id"), col("embedding").as("vec"))),
+      semantic = Map(
+        "sem_sparse" -> SemanticSource(SemanticSparseKind, semSparse),
+        "sem_dense" -> SemanticSource(SemanticDenseKind, semDense, dims = 8)))
+    def run(sub: Seq[SubQuery], n: Normalization, c: Combination,
+            from: Int = 0, filt: Option[DataFrame] = None): Unit = {
+      Hybrid.execute(src, HybridQuery(sub, n, c, from = from), filt); ()
+    }
+    val lexA = Lexical(Seq("join", "hash")); val lexB = Lexical(Seq("merge", "sort"))
+    run(Seq(lexA, SparseLinear(Map("merge" -> 1.0))), MinMaxNormTech(),
+      Combination(Combine.Arithmetic), from = 5, filt = Some(d.select(col("doc_id"))))
+    run(Seq(DenseCosine(3L)), L2NormTech, Combination(Combine.Geometric))
+    run(Seq(lexA, lexB), RrfNormTech(), Combination(Combine.Rrf))
+    run(Seq(lexA, lexB), ZScoreNormTech, Combination(Combine.Arithmetic))
+    run(Seq(lexA, lexB), L2NormTech, Combination(Combine.Harmonic))
+    run(Seq(SemanticText("sem_sparse", Seq("join"))), MinMaxNormTech(),
+      Combination(Combine.Arithmetic))
+    run(Seq(SemanticText("sem_dense", Seq("join"))), MinMaxNormTech(),
+      Combination(Combine.Arithmetic))
+
+    EventStats.snapshot(s)
+  }
 
   /** IVF assignment as a once-per-dir build artifact (it is a function of
    *  the corpus, not the query — recomputing it per query would be
@@ -303,9 +395,55 @@ object DataEntries {
          |  SELECT id_a, id_b, CAST(i AS DOUBLE)/(sa.sz + sb.sz - i) AS j
          |  FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b)
          |WHERE j >= 0.2""".stripMargin,
+    // hand-derived expected counts for the queryStats fixed scenario:
+    // 3 standalone chunker calls + 2 nested in the semantic encoders = 5
+    // text_chunking (3 fixed_token, 1 delimiter, 1 fixed_char); dense
+    // semantic ingest delegates to sparse (2 semantic_field / sparse_
+    // encoding, 1 text_embedding); 7 hybrid requests = 1 sparse + 1 knn +
+    // 2 semantic + 3 lexical-only, with one of each norm/comb family
+    // (minmax 3, l2 2, zscore 1 -> 6 normalization + 1 rank_based rrf;
+    // arithmetic 4, geometric/harmonic/rrf 1 each), one paginated and one
+    // filtered; one of each response/request processor
+    "query_stats" ->
+      s"""SELECT stat_name, CAST(value AS BIGINT) AS value FROM (VALUES
+         |  ('comb_arithmetic_executions', 4),
+         |  ('comb_geometric_executions', 1),
+         |  ('comb_harmonic_executions', 1),
+         |  ('comb_rrf_executions', 1),
+         |  ('hybrid_query_requests', 7),
+         |  ('hybrid_query_with_filter_requests', 1),
+         |  ('hybrid_query_with_pagination_requests', 1),
+         |  ('mmr_neural_query_transformer_executions', 1),
+         |  ('neural_query_against_knn_requests', 1),
+         |  ('neural_query_against_semantic_dense_requests', 1),
+         |  ('neural_query_against_semantic_sparse_requests', 1),
+         |  ('neural_query_enricher_executions', 1),
+         |  ('neural_query_requests', 3),
+         |  ('neural_sparse_query_requests', 1),
+         |  ('neural_sparse_two_phase_executions', 1),
+         |  ('norm_l2_executions', 2),
+         |  ('norm_minmax_executions', 3),
+         |  ('norm_zscore_executions', 1),
+         |  ('normalization_processor_executions', 6),
+         |  ('rank_based_normalization_processor_executions', 1),
+         |  ('rerank_by_field_executions', 1),
+         |  ('rerank_ml_executions', 1),
+         |  ('seismic_query_requests', 1),
+         |  ('semantic_field_chunking_executions', 2),
+         |  ('semantic_field_executions', 2),
+         |  ('skip_existing_executions', 1),
+         |  ('sparse_encoding_executions', 2),
+         |  ('text_chunking_delimiter_executions', 1),
+         |  ('text_chunking_executions', 5),
+         |  ('text_chunking_fixed_char_length_executions', 1),
+         |  ('text_chunking_fixed_token_length_executions', 3),
+         |  ('text_embedding_executions', 1),
+         |  ('text_image_embedding_executions', 1)) AS t(stat_name, value)
+         |ORDER BY stat_name""".stripMargin,
     "dedup_minhash_lsh" -> minhashLshOracle,
     "dedup_simhash" -> simhashOracle,
-    "dedup_simhash_pairs" -> simhashPairsOracle,
+    "dedup_simhash_pairs" -> simhashPairsOracle(64),
+    "dedup_simhash_pairs_128" -> simhashPairsOracle(128),
     "dedup_ngram_jaccard_capped" ->
       s"""WITH sh AS (
          |  SELECT DISTINCT doc_id, array_to_string(toks[CAST(i AS INT):CAST(i+2 AS INT)], ' ') AS shingle
@@ -460,50 +598,53 @@ object DataEntries {
        |SELECT doc_id, $bits AS simhash FROM sums""".stripMargin
   }
 
-  /** pigeonhole bands (parity with Dedup.simhashPairs, maxHamming = 3):
-   *  64-bit signature, 4 x 16-bit slices; a pair within hamming 3 shares
-   *  >= 1 exact band; verification = integer xor + bit_count on the halves */
-  private def simhashPairsOracle: String = {
+  /** pigeonhole bands (parity with Dedup.simhashPairs at any `bits` width,
+   *  maxHamming = 3): the signature splits into 4 slices; a pair within
+   *  hamming 3 shares >= 1 exact band; verification = integer xor +
+   *  bit_count on the 32-bit words */
+  private def simhashPairsOracle(bits: Int): String = {
     val maxHamming = 3
     val nBands = maxHamming + 1
-    val bounds = graft.ops.Dedup.bandBounds(nBands, 64)
+    val nW = bits / 32
+    val bounds = graft.ops.Dedup.bandBounds(nBands, bits)
     // bit j: hex digit j/4 of md5, mask 8 >> j%4 (parity with
-    // Dedup.simhashSignatures64)
-    val bitSums = (0 until 64).map { j =>
+    // Dedup.simhashSignaturesWide)
+    val bitSums = (0 until bits).map { j =>
       val c = j / 4 + 1
       val mask = 8 >> (j % 4)
       s"sum(CASE WHEN ((strpos('0123456789abcdef', substr(h, $c, 1)) - 1) & $mask) <> 0 THEN tf ELSE -tf END) AS s$j"
     }.mkString(", ")
-    val hi = (0 until 32).map(j =>
-      s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
-    val lo = (32 until 64).map(j =>
-      s"CASE WHEN s$j > 0 THEN ${1L << (j - 32)} ELSE 0 END").mkString(" + ")
+    val words = (0 until nW).map { w =>
+      "(" + (w * 32 until w * 32 + 32).map(j =>
+        s"CASE WHEN s$j > 0 THEN ${1L << (j - w * 32)} ELSE 0 END").mkString(" + ") +
+        s") AS w$w"
+    }.mkString(", ")
     def bandExpr(b: Int): String = {
       val loBit = bounds(b)
       (loBit until bounds(b + 1)).map { j =>
-        val (src, off) = if (j < 32) ("hi", j) else ("lo", j - 32)
-        s"CASE WHEN ($src & ${1L << off}) <> 0 THEN ${1L << (j - loBit)} ELSE 0 END"
+        s"CASE WHEN (w${j / 32} & ${1L << (j % 32)}) <> 0 THEN ${1L << (j - loBit)} ELSE 0 END"
       }.mkString(" + ")
     }
+    val wList = (0 until nW).map(w => s"w$w").mkString(", ")
     val bandSel = (0 until nBands).map(b =>
-      s"SELECT doc_id, hi, lo, $b AS band, (${bandExpr(b)}) AS bh FROM sig")
+      s"SELECT doc_id, $wList, $b AS band, (${bandExpr(b)}) AS bh FROM sig")
       .mkString(" UNION ALL ")
+    val abWords = (0 until nW).map(w => s"a.w$w AS aw$w, b.w$w AS bw$w").mkString(", ")
+    val hm = (0 until nW).map(w => s"bit_count(xor(aw$w, bw$w))").mkString(" + ")
     s"""WITH tok AS (
        |  SELECT doc_id, t AS token, count(*) AS tf FROM (
        |    SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
        |    FROM documents) GROUP BY doc_id, t),
        |hs AS (SELECT doc_id, md5(token) AS h, tf FROM tok),
        |sums AS (SELECT doc_id, $bitSums FROM hs GROUP BY doc_id),
-       |sig AS (SELECT doc_id, ($hi) AS hi, ($lo) AS lo FROM sums),
+       |sig AS (SELECT doc_id, $words FROM sums),
        |bands AS ($bandSel),
        |cand AS (
-       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-       |         a.hi AS ha, a.lo AS la, b.hi AS hb, b.lo AS lb
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, $abWords
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
        |SELECT id_a, id_b, CAST(hm AS BIGINT) AS hamming FROM (
-       |  SELECT id_a, id_b,
-       |         bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) AS hm FROM cand)
+       |  SELECT id_a, id_b, $hm AS hm FROM cand)
        |WHERE hm <= $maxHamming""".stripMargin
   }
 }

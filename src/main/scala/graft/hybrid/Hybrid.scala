@@ -273,6 +273,7 @@ object Hybrid {
    */
   def executeWithTotal(src: HybridSources, q: HybridQuery,
                        filterDocs: Option[DataFrame] = None): DataFrame = {
+    record(src, q, filterDocs)
     validate(src, q)
     // collected set is <= nSub x depth rows: pin it so the truncation check,
     // the pre/post counts and the final page run the sub-query scorers once
@@ -340,6 +341,7 @@ object Hybrid {
    */
   def executeSorted(src: HybridSources, q: HybridQuery, sort: Seq[(String, Boolean)],
                     filterDocs: Option[DataFrame] = None): DataFrame = {
+    record(src, q, filterDocs)
     require(sort.nonEmpty, "executeSorted requires at least one sort field")
     val fieldNames = sort.map(_._1).filter(_ != "_score")
     require(fieldNames.isEmpty || src.fields.nonEmpty,
@@ -581,7 +583,53 @@ object Hybrid {
     }
   }
 
+  /** Driver-side event counters for one request, using the reference's stat
+   *  names (stats/events/EventStatName.java). Called exactly once per
+   *  execution path; never inside tasks, so counts are deterministic. */
+  private def record(src: HybridSources, q: HybridQuery,
+                     filterDocs: Option[DataFrame]): Unit = {
+    import graft.stats.EventStats.increment
+    increment("hybrid_query_requests")
+    if (filterDocs.nonEmpty) increment("hybrid_query_with_filter_requests")
+    if (q.from > 0) increment("hybrid_query_with_pagination_requests")
+    q.subQueries.foreach {
+      case _: Lexical => ()
+      case _: SparseLinear => increment("neural_sparse_query_requests")
+      case _: DenseCosine | _: DenseVector | _: DenseIvf | _: DenseRadial =>
+        increment("neural_query_requests")
+        increment("neural_query_against_knn_requests")
+      case SemanticText(f, _) =>
+        increment("neural_query_requests")
+        src.semantic.get(f).map(_.kind) match {
+          case Some(SemanticDenseKind) =>
+            increment("neural_query_against_semantic_dense_requests")
+          case Some(SemanticSparseKind) =>
+            increment("neural_query_against_semantic_sparse_requests")
+          case None => ()
+        }
+    }
+    q.norm match {
+      case _: RrfNormTech => increment("rank_based_normalization_processor_executions")
+      case other =>
+        increment("normalization_processor_executions")
+        other match {
+          case _: MinMaxNormTech => increment("norm_minmax_executions")
+          case L2NormTech        => increment("norm_l2_executions")
+          case ZScoreNormTech    => increment("norm_zscore_executions")
+          case _                 => ()
+        }
+    }
+    q.comb.technique match {
+      case Combine.Arithmetic => increment("comb_arithmetic_executions")
+      case Combine.Geometric  => increment("comb_geometric_executions")
+      case Combine.Harmonic   => increment("comb_harmonic_executions")
+      case Combine.Rrf        => increment("comb_rrf_executions")
+      case _                  => ()
+    }
+  }
+
   private def fullUnpaged(src: HybridSources, q: HybridQuery, filterDocs: Option[DataFrame]): DataFrame = {
+    record(src, q, filterDocs)
     validate(src, q)
     val combined = combineStage(collectSubQueries(src, q, filterDocs), src, q)
     q.minScore.fold(combined)(ms => combined.filter($"score" >= ms))

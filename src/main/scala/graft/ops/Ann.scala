@@ -87,12 +87,22 @@ object Ann {
    * @return centroid table (c_id, cv) — bounded by nCentroids rows.
    */
   def kmeansCentroids(emb: DataFrame, id: String, vec: String, nCentroids: Int,
-                      iters: Int = 5): DataFrame = {
+                      iters: Int = 5, trainSampleMod: Int = 1): DataFrame = {
+    // Sample-trained centroids (the corpus-scale path): Lloyd's iterations
+    // run over the deterministic id-mod sample only — at 10¹¹ vectors you
+    // train on a sample and assign the full corpus ONCE (ivfBuildLearned),
+    // instead of paying `iters` full-corpus assignment scans. Centroid
+    // QUALITY depends on the sample; partition-cover correctness does not
+    // (assignment is exhaustive for any centroid set).
+    require(trainSampleMod >= 1, "trainSampleMod must be >= 1")
+    val train =
+      if (trainSampleMod == 1) emb
+      else emb.where(pmod(col(id), lit(trainSampleMod)) === 0)
     val init = emb.where(col(id) < nCentroids)
       .select(col(id).cast("long").as("c_id"), col(vec).as("cv"))
     (0 until iters).foldLeft(init) { (cents, _) =>
-      val asg = assignTo(emb, id, vec, cents)
-      val means = emb.join(asg, id)
+      val asg = assignTo(train, id, vec, cents)
+      val means = train.join(asg, id)
         .select(col("c_id"), posexplode(col(vec)))
         .groupBy(col("c_id"), col("pos"))
         .agg(avg(col("col").cast("double")).as("av"))
@@ -112,9 +122,10 @@ object Ann {
    *  both persisted; the assignment is partitioned by centroid for probe-time
    *  partition pruning. Returns (centroids, assignment) read back. */
   def ivfBuildLearned(emb: DataFrame, id: String, vec: String, nCentroids: Int,
-                      path: String, iters: Int = 5): (DataFrame, DataFrame) = {
+                      path: String, iters: Int = 5,
+                      trainSampleMod: Int = 1): (DataFrame, DataFrame) = {
     val spark = emb.sparkSession
-    val cents = kmeansCentroids(emb, id, vec, nCentroids, iters)
+    val cents = kmeansCentroids(emb, id, vec, nCentroids, iters, trainSampleMod)
     cents.write.mode("overwrite").parquet(s"$path/centroids")
     val centsBack = spark.read.parquet(s"$path/centroids")
     assignTo(emb, id, vec, centsBack)

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.stats.EventStats
 
 /**
  * Text chunkers, re-expressed as generated-column algebra (sequence +
@@ -21,6 +22,8 @@ object Chunkers {
    *  `limit - floor(limit*overlapRate)` apart. Emits (id, chunk_idx, chunk). */
   def fixedCharLength(docs: DataFrame, id: String, text: String,
                       limit: Int, overlapRate: Double = 0.0): DataFrame = {
+    EventStats.increment("text_chunking_executions")
+    EventStats.increment("text_chunking_fixed_char_length_executions")
     val step = limit - math.floor(limit * overlapRate).toInt
     require(step > 0, "overlap_rate too large")
     docs.select(
@@ -35,6 +38,8 @@ object Chunkers {
   /** delimiter chunking: split on `delim`, delimiter kept with the PRECEDING
    *  chunk (DelimiterChunker.java:66-94). */
   def delimiter(docs: DataFrame, id: String, text: String, delim: String): DataFrame = {
+    EventStats.increment("text_chunking_executions")
+    EventStats.increment("text_chunking_delimiter_executions")
     val parts = split(col(text), java.util.regex.Pattern.quote(delim), -1)
     val n = size(parts)
     docs.select(
@@ -50,6 +55,8 @@ object Chunkers {
    *  apart, chunks re-joined with single spaces. */
   def fixedTokenLength(docs: DataFrame, id: String, text: String,
                        tokenLimit: Int, overlapRate: Double = 0.0): DataFrame = {
+    EventStats.increment("text_chunking_executions")
+    EventStats.increment("text_chunking_fixed_token_length_executions")
     val step = tokenLimit - math.floor(tokenLimit * overlapRate).toInt
     require(step > 0, "overlap_rate too large")
     val toks = TextOps.tokensCol(col(text))

@@ -91,21 +91,49 @@ object Dedup {
   }
 
   /** LSH candidate pairs: equal band (rowsPerBand adjacent slots concatenated)
-   *  in any band -> candidate. Returns distinct (id_a, id_b), id_a < id_b. */
+   *  in any band -> candidate. Returns distinct (id_a, id_b), id_a < id_b.
+   *
+   *  Duplicate-cluster pre-grouping (the extreme-scale guard): docs with an
+   *  IDENTICAL full signature are interchangeable for banding, so they
+   *  collapse to one representative BEFORE the band self-join — a cluster of
+   *  B exact near-duplicates contributes 1 row per band instead of B,
+   *  removing the B²-rows-inside-the-join blowup an exact-duplicate cluster
+   *  would otherwise cause in its band buckets. The full candidate-pair set
+   *  is reconstructed afterwards from cluster membership (cross-cluster
+   *  pairs expand from matched representatives; within-cluster pairs are
+   *  candidates by construction — identical signatures share every band),
+   *  so the result is EXACTLY the naive join's, pair for pair. */
   def minhashLshPairs(docs: DataFrame, id: String, text: String,
                       k: Int, numHashes: Int, rowsPerBand: Int): DataFrame = {
     require(numHashes % rowsPerBand == 0)
     val sig = minhashSignatures(shingles(docs, id, text, k).toDF("id", "shingle"), numHashes)
+    val sigCols = (0 until numHashes).map(i => col(s"h$i"))
+    val clustered = sig.withColumn("ckey", md5(concat_ws("|", sigCols: _*)))
+    val members = clustered.select(col("id"), col("ckey"))
+    val reps = clustered.groupBy(col("ckey"))
+      .agg(min(col("id")).as("rid"),
+        (0 until numHashes).map(i => first(col(s"h$i")).as(s"h$i")): _*)
     val nBands = numHashes / rowsPerBand
-    val bands = sig.select(col("id"), posexplode(array(
+    val bands = reps.select(col("ckey"), col("rid"), posexplode(array(
       (0 until nBands).map(b =>
         concat_ws("|", (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*)): _*))
       .as(Seq("band", "bh")))
-    bands.as("a").join(bands.as("b"),
+    val repPairs = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+          col("a.rid") < col("b.rid"))
+      .select(col("a.ckey").as("cka"), col("b.ckey").as("ckb"))
       .distinct()
+    // cross-cluster expansion: every member of A pairs with every member of B
+    val cross = repPairs
+      .join(members.select(col("id").as("ia"), col("ckey").as("cka")), "cka")
+      .join(members.select(col("id").as("ib"), col("ckey").as("ckb")), "ckb")
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"))
+    // within-cluster pairs (only multi-member clusters produce rows)
+    val intra = members.as("a").join(members.as("b"),
+        col("a.ckey") === col("b.ckey") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    cross.unionByName(intra)
   }
 
   /** 32-bit SimHash as a '0'/'1' string: bit j is the sign of the tf-weighted
@@ -128,67 +156,85 @@ object Dedup {
   def bandBounds(nBands: Int, bits: Int = 32): IndexedSeq[Int] =
     (0 to nBands).map(b => (bits * b) / nBands)
 
-  /** 64-bit SimHash signature as two 32-bit halves (id, hi, lo): bit j of
-   *  md5(token) (hex digit j/4, mask 8 >> j%4) votes +tf / -tf; the
-   *  signature bit is 1 when the sum is positive. 64 bits (vs the 32 of
-   *  [[simhashSignatures]]) exist for the BLOCKING math: pigeonhole bands
-   *  must be wide enough that a band-equality bucket stays tiny at corpus
-   *  scale — 16-bit bands give 65536 buckets per band, 256x fewer candidate
-   *  pairs than the 8-bit bands a 32-bit signature would allow. */
-  def simhashSignatures64(docs: DataFrame, id: String, text: String): DataFrame = {
+  /** `bits`-wide SimHash signature packed into 32-bit words
+   *  (id, w0 .. w{bits/32-1}): bit j of md5(token) (hex digit j/4, mask
+   *  8 >> j%4) votes +tf / -tf; signature bit j is 1 when the sum is
+   *  positive, stored in word j/32 at offset j%32. The width is a BLOCKING
+   *  parameter, not an accuracy one: pigeonhole bands must be wide enough
+   *  that a band-equality bucket stays tiny at corpus scale — 16-bit bands
+   *  (64-bit signature, maxHamming 3) give 65536 buckets per band, fine to
+   *  ~10¹⁰ docs; at 10¹¹ the md5 budget allows 128 bits = 32-bit bands =
+   *  4×10⁹ buckets per band. `bits` must be a positive multiple of 32 and
+   *  <= 128 (one md5). */
+  def simhashSignaturesWide(docs: DataFrame, id: String, text: String,
+                            bits: Int = 64): DataFrame = {
+    require(bits > 0 && bits % 32 == 0 && bits <= 128,
+      s"bits must be a positive multiple of 32 and <= 128 (md5 budget), got $bits")
     val tok = docs.select(col(id).as("id"),
       explode(TextOps.tokensCol(col(text))).as("token"))
       .groupBy(col("id"), col("token")).agg(count(lit(1)).as("tf"))
       .withColumn("h", md5(col("token")))
     val withVals = tok.select(
-      (col("id") +: col("tf") +: (1 to 16).map(c =>
+      (col("id") +: col("tf") +: (1 to bits / 4).map(c =>
         conv(substring(col("h"), c, 1), 16, 10).cast("int").as(s"v$c"))): _*)
-    val bitSums = (0 until 64).map { j =>
+    val bitSums = (0 until bits).map { j =>
       val c = j / 4 + 1
       val mask = 8 >> (j % 4)
       sum(when((col(s"v$c").bitwiseAND(mask)) > 0, col("tf")).otherwise(-col("tf")))
         .as(s"s$j")
     }
     val agg = withVals.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
-    val hi = (0 until 32).map(j =>
-      when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
-    val lo = (32 until 64).map(j =>
-      when(col(s"s$j") > 0, lit(1L << (j - 32))).otherwise(lit(0L))).reduce(_ + _)
-    agg.select(col("id"), hi.as("hi"), lo.as("lo"))
+    val words = (0 until bits / 32).map { w =>
+      (w * 32 until w * 32 + 32).map(j =>
+        when(col(s"s$j") > 0, lit(1L << (j - w * 32))).otherwise(lit(0L)))
+        .reduce(_ + _).as(s"w$w")
+    }
+    agg.select(col("id") +: words: _*)
   }
 
-  /** SimHash near-dup pairs with PIGEONHOLE multi-band blocking: the 64-bit
-   *  signature splits into (maxHamming + 1) bands, and any pair within
-   *  hamming distance maxHamming must agree exactly on at least one band —
-   *  so an equality join per band finds EVERY qualifying pair (complete,
-   *  unlike prefix blocking, which misses pairs differing early) while each
-   *  band-value bucket stays a bounded candidate set (16-bit bands at
-   *  maxHamming = 3). Survivors verify on the full 64 bits via integer
-   *  xor + bit_count — no per-character string comparison in the pair loop. */
-  def simhashPairs(docs: DataFrame, id: String, text: String, maxHamming: Int): DataFrame = {
-    val sig = simhashSignatures64(docs, id, text)
+  /** 64-bit SimHash signature as two 32-bit halves (id, hi, lo) — the
+   *  default width of [[simhashSignaturesWide]] under its historical
+   *  column names. */
+  def simhashSignatures64(docs: DataFrame, id: String, text: String): DataFrame =
+    simhashSignaturesWide(docs, id, text, 64)
+      .select(col("id"), col("w0").as("hi"), col("w1").as("lo"))
+
+  /** SimHash near-dup pairs with PIGEONHOLE multi-band blocking: the
+   *  `bits`-wide signature splits into (maxHamming + 1) bands, and any pair
+   *  within hamming distance maxHamming must agree exactly on at least one
+   *  band — so an equality join per band finds EVERY qualifying pair
+   *  (complete, unlike prefix blocking, which misses pairs differing early)
+   *  while each band-value bucket stays a bounded candidate set. Survivors
+   *  verify on the full signature via integer xor + bit_count — no
+   *  per-character string comparison in the pair loop. Size `bits` to the
+   *  corpus (see [[simhashSignaturesWide]]): bucket count per band is
+   *  2^(bits/(maxHamming+1)). */
+  def simhashPairs(docs: DataFrame, id: String, text: String, maxHamming: Int,
+                   bits: Int = 64): DataFrame = {
+    val sig = simhashSignaturesWide(docs, id, text, bits)
+    val nW = bits / 32
+    val wCols = (0 until nW).map(w => col(s"w$w"))
     val nBands = maxHamming + 1
-    val bounds = bandBounds(nBands, 64)
+    val bounds = bandBounds(nBands, bits)
     def bandVal(b: Int): Column = {
       val loBit = bounds(b)
       (loBit until bounds(b + 1)).map { j =>
-        val src = if (j < 32) col("hi") else col("lo")
-        val off = if (j < 32) j else j - 32
-        when(src.bitwiseAND(lit(1L << off)) =!= 0, lit(1L << (j - loBit))).otherwise(lit(0L))
+        when(col(s"w${j / 32}").bitwiseAND(lit(1L << (j % 32))) =!= 0,
+          lit(1L << (j - loBit))).otherwise(lit(0L))
       }.reduce(_ + _)
     }
-    val bands = sig.select(col("id"), col("hi"), col("lo"), posexplode(array(
-      (0 until nBands).map(bandVal): _*)).as(Seq("band", "bh")))
+    val bands = sig.select(col("id") +: wCols :+ posexplode(array(
+      (0 until nBands).map(bandVal): _*)).as(Seq("band", "bh")): _*)
+    val aCols = (0 until nW).map(w => col(s"a.w$w").as(s"aw$w"))
+    val bCols = (0 until nW).map(w => col(s"b.w$w").as(s"bw$w"))
+    val hamming = (0 until nW).map(w =>
+      bit_count(col(s"aw$w").bitwiseXOR(col(s"bw$w")))).reduce(_ + _).cast("long")
     bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.hi").as("ha"), col("a.lo").as("la"),
-        col("b.hi").as("hb"), col("b.lo").as("lb"))
+      .select(col("a.id").as("id_a") +: col("b.id").as("id_b") +: (aCols ++ bCols): _*)
       .distinct() // a pair matching several bands counts once
-      .withColumn("hamming",
-        (bit_count(col("ha").bitwiseXOR(col("hb"))) +
-          bit_count(col("la").bitwiseXOR(col("lb")))).cast("long"))
+      .withColumn("hamming", hamming)
       .where(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
   }

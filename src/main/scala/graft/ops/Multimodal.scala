@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.stats.EventStats
 
 /**
  * Multimodal-column plumbing: opaque `binary` payload columns with typed
@@ -54,6 +55,7 @@ object Multimodal {
    * rows (doc_id, dim, v) — only occupied dimensions materialize.
    */
   def textImageEmbed(docs: DataFrame, id: String, text: String, dims: Int = 8): DataFrame = {
+    EventStats.increment("text_image_embedding_executions")
     val textPart = docs
       .select(col(id).cast("long").as("doc_id"),
         explode(TextOps.tokensCol(col(text))).as("token"))

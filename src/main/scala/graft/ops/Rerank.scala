@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.stats.EventStats
 
 /**
  * Rerank processors (reference: processor/rerank/).
@@ -25,6 +26,7 @@ object Rerank {
       keepPrevious: Boolean = false,
       removeTarget: Boolean = true
   ): DataFrame = {
+    EventStats.increment("rerank_by_field_executions")
     val withPrev =
       if (keepPrevious) hits.withColumn("previous_score", col("score"))
       else hits
@@ -50,6 +52,7 @@ object Rerank {
    *         scorer does not cover keep score 0.0 (sorted to the tail).
    */
   def rescore(hits: DataFrame, newScores: DataFrame, k: Int): DataFrame = {
+    EventStats.increment("rerank_ml_executions")
     val prev = hits.select(col("doc_id"), col("score").as("previous_score"))
     prev.join(newScores.select(col("doc_id"), col("score")), Seq("doc_id"), "left")
       .withColumn("score", coalesce(col("score"), lit(0.0)))
@@ -76,6 +79,7 @@ object Rerank {
    * @return (doc_id, rank, mmr) in selection order, rank 1..k
    */
   def mmr(hits: DataFrame, emb: DataFrame, lambda: Double, k: Int): DataFrame = {
+    EventStats.increment("mmr_neural_query_transformer_executions")
     val spark = hits.sparkSession
     import spark.implicits._
     val cand: Array[(Long, Double, Array[Float])] = hits

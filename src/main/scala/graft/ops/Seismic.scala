@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.stats.EventStats
 
 /** One clustered posting row: the docs of `term`'s (pruned) posting list that
  *  landed in cluster `cluster_id`, their full sparse vectors (aligned with
@@ -240,6 +241,7 @@ object Seismic {
       heapFactor: Double = 1.0,
       filterDocs: Option[DataFrame] = None
   ): DataFrame = {
+    EventStats.increment("seismic_query_requests")
     val spark = index.sparkSession
     import spark.implicits._
 

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.stats.EventStats
 
 /**
  * Semantic-field ingest: the composed pipeline the reference's `semantic`
@@ -21,6 +22,9 @@ object Semantic {
   /** @return (doc_id, chunk_idx, token, w) — the exploded token-weight
    *  sub-field rows for every chunk. */
   def ingestSparse(docs: DataFrame, idCol: String, textCol: String, tokenLimit: Int): DataFrame = {
+    EventStats.increment("semantic_field_executions")
+    EventStats.increment("semantic_field_chunking_executions")
+    EventStats.increment("sparse_encoding_executions")
     val chunks = Chunkers.fixedTokenLength(docs, idCol, textCol, tokenLimit, 0.0)
     chunks
       .select(col(idCol), col("chunk_idx"),
@@ -43,12 +47,14 @@ object Semantic {
    *         occupied dimensions materialize, the shape that scales.
    */
   def ingestDense(docs: DataFrame, idCol: String, textCol: String, tokenLimit: Int,
-                  dims: Int = 8): DataFrame =
+                  dims: Int = 8): DataFrame = {
+    EventStats.increment("text_embedding_executions")
     ingestSparse(docs, idCol, textCol, tokenLimit)
       .withColumn("dim",
         (length(col("token")) * 31 + ascii(substring(col("token"), 1, 1))) % dims)
       .groupBy(col(idCol), col("chunk_idx"), col("dim"))
       .agg(sum(col("w")).as("v"))
+  }
 
   /**
    * Nested kNN over the dense chunk vectors: cosine of every chunk against
@@ -178,6 +184,7 @@ object Semantic {
    */
   def incremental(newDocs: DataFrame, prevDocs: DataFrame, prevEncoded: DataFrame,
                   idCol: String, textCol: String)(encode: DataFrame => DataFrame): DataFrame = {
+    EventStats.increment("skip_existing_executions")
     val newH = newDocs.select(col(idCol), sha2(col(textCol), 256).as("_sha_new"))
     val prevH = prevDocs.select(col(idCol), sha2(col(textCol), 256).as("_sha_prev"))
     val unchangedIds = newH.join(prevH, Seq(idCol))

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.index.{Index, InvertedIndex}
+import graft.stats.EventStats
 
 /**
  * Sparse (token-weight) vector operators, the Spark re-expression of the
@@ -118,6 +119,7 @@ object Sparse {
    */
   def twoPhaseTopK(tw: DataFrame, query: Map[String, Double], k: Int,
                    maxRatio: Double = 0.4, expansion: Double = 2.0): DataFrame = {
+    EventStats.increment("neural_sparse_two_phase_executions")
     val wmax = query.values.max
     val phase1Query = query.filter { case (_, w) => w >= maxRatio * wmax }
     val window = (expansion * k).toInt

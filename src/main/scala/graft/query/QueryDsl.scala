@@ -148,6 +148,7 @@ object QueryDsl {
     if (!node.isArray) Enricher()
     else (0 until node.size()).map(node.get).collectFirst {
       case p if !p.path("neural_query_enricher").isMissingNode =>
+        graft.stats.EventStats.increment("neural_query_enricher_executions")
         val c = p.path("neural_query_enricher")
         val fieldDefaults = {
           val m = scala.collection.mutable.LinkedHashMap.empty[String, String]

@@ -38,7 +38,7 @@ class OpsSpec extends SparkSpec {
     assert(got == expected)
   }
 
-  test("simhashPairs pigeonhole blocking finds every pair within the radius") {
+  test("simhashPairs pigeonhole blocking finds every pair within the radius (64 and 128 bit)") {
     // near-duplicate texts differ in few tokens -> small hamming distances
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val docs = Seq(
@@ -46,19 +46,43 @@ class OpsSpec extends SparkSpec {
       (4L, "totally different words here nothing shared at all xyz")
     ).toDF("doc_id", "text")
     val maxH = 3
-    val got = Dedup.simhashPairs(docs, "doc_id", "text", maxH)
-      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
-    // brute force over the 64-bit signatures (two 32-bit halves)
-    val sigs = Dedup.simhashSignatures64(docs, "doc_id", "text")
-      .select("id", "hi", "lo").as[(Long, Long, Long)].collect()
-      .map(r => r._1 -> (r._2, r._3)).toMap
-    val expected = (for {
-      a <- sigs.keys; b <- sigs.keys if a < b
-      h = java.lang.Long.bitCount(sigs(a)._1 ^ sigs(b)._1) +
-        java.lang.Long.bitCount(sigs(a)._2 ^ sigs(b)._2) if h <= maxH
-    } yield (a, b)).toSet
-    assert(got == expected)
-    assert(expected.contains((0L, 1L))) // identical docs must pair
+    for (bits <- Seq(64, 128)) {
+      val got = Dedup.simhashPairs(docs, "doc_id", "text", maxH, bits)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      // brute force over the packed word signatures
+      val nW = bits / 32
+      val sigs = Dedup.simhashSignaturesWide(docs, "doc_id", "text", bits)
+        .collect().map(r => r.getLong(0) -> (1 to nW).map(r.getLong)).toMap
+      val expected = (for {
+        a <- sigs.keys; b <- sigs.keys if a < b
+        h = sigs(a).zip(sigs(b)).map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum
+        if h <= maxH
+      } yield (a, b)).toSet
+      assert(got == expected, s"bits=$bits")
+      assert(expected.contains((0L, 1L)), s"bits=$bits") // identical docs must pair
+    }
+  }
+
+  test("minhashLshPairs duplicate-cluster pre-grouping reproduces the naive pair set") {
+    // a 4-doc exact-duplicate cluster plus near/far docs: the rep-level band
+    // join must expand back to every in-cluster and cross-cluster pair the
+    // naive self-join would emit
+    val base = "one two three four five six seven eight nine ten"
+    val docs = Seq(
+      (0L, base), (1L, base), (2L, base), (3L, base),
+      (4L, base + " eleven twelve"),
+      (5L, "unrelated text entirely different tokens everywhere")
+    ).toDF("doc_id", "text")
+    val got = Dedup.minhashLshPairs(docs, "doc_id", "text", k = 2,
+      numHashes = 8, rowsPerBand = 2)
+      .as[(Long, Long)].collect().toSet
+    // all 6 in-cluster pairs of {0,1,2,3} must be present
+    val cluster = for { a <- 0L to 3L; b <- (a + 1) to 3L } yield (a, b)
+    cluster.foreach(p => assert(got.contains(p), p.toString))
+    // the near-dup doc 4 shares most shingles -> banded with the cluster
+    assert(got.exists { case (a, b) => b == 4L || a == 4L })
+    // the unrelated doc must not pair with anything
+    assert(!got.exists { case (a, b) => a == 5L || b == 5L })
   }
 
   test("bandBounds covers all bits without overlap (32 and 64)") {
