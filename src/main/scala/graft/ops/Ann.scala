@@ -63,23 +63,61 @@ object Ann {
   }
 
   /** Assignment of every vector to its max-cosine centroid from an explicit
-   *  centroid table (c_id, cv). Same max-struct argmax as [[ivfAssign]]. */
-  def assignTo(emb: DataFrame, id: String, vec: String, centroids: DataFrame): DataFrame =
-    emb.crossJoin(broadcast(centroids))
-      .select(col(id),
-        struct(cosine(col(vec), col("cv")).as("c"), (-col("c_id")).as("nc")).as("s"))
-      .groupBy(col(id))
-      .agg(max(col("s")).as("m"))
-      .select(col(id), (-col("m.nc")).as("c_id"))
+   *  centroid table (c_id, cv) — MAP-SIDE: the centroid table is
+   *  metadata-sized by construction (<= a few thousand rows even at corpus
+   *  scale), so it is collected once and baked into the plan as a literal
+   *  array, making assignment a shuffle-free map-only projection. The
+   *  previous crossJoin + groupBy-argmax formulation multiplied the corpus
+   *  x C before reducing it back — at 10^11 vectors that intermediate (and
+   *  its hash aggregate) IS the build cost; here no row is ever widened.
+   *  Tie-break parity with the old max(struct(cos, -c_id)): equal cosines
+   *  pick the smallest centroid id. */
+  def assignTo(emb: DataFrame, id: String, vec: String, centroids: DataFrame): DataFrame = {
+    val cents = collectCentroids(centroids)
+    emb.select(col(id).as("_id"), col(vec).as("_v"),
+        sqrt(dot(col(vec), col(vec))).as("_nv"))
+      .select(col("_id"), centroidScores(col("_v"), col("_nv"), cents).as("_sc"))
+      .select(col("_id").as(id), bestOf(cents).as("c_id"))
+  }
+
+  /** (c_id, cv) rows -> driver array, ordered by centroid id. Bounded by the
+   *  centroid count — the same metadata-sized collect every partition-pruned
+   *  probe already does ([[ivfProbeScore]]). */
+  private def collectCentroids(centroids: DataFrame): Array[(Long, Array[Double])] =
+    centroids.select(col("c_id").cast("long"), col("cv").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+
+  /** Per-centroid cosine scores as one array column. Bit-parity with
+   *  [[cosine]]: score_c = dot(v, cv_c) / (nv * normC) where nv is the
+   *  hoisted sqrt(dot(v,v)) (computed once per row instead of once per
+   *  centroid) and normC = sqrt(sum cv_i^2) is folded on the DRIVER in the
+   *  same left-to-right order `aggregate` uses — identical IEEE ops, so the
+   *  values (and any nProbe<C result that depends on them) are unchanged. */
+  private def centroidScores(v: Column, nv: Column,
+                             cents: Array[(Long, Array[Double])]): Column = {
+    require(cents.nonEmpty, "centroid set must be non-empty")
+    array(cents.toIndexedSeq.map { case (_, cv) =>
+      val normC = math.sqrt(cv.foldLeft(0.0)((a, x) => a + x * x))
+      dot(v, typedLit(cv.toSeq)) / (nv * lit(normC))
+    }: _*)
+  }
+
+  /** argmax over the `_sc` scores column: array_position finds the FIRST
+   *  index holding the max, and the array is ordered by centroid id — so
+   *  ties pick the smallest id, the same tie-break as the previous
+   *  max(struct(cos, -c_id)) formulation. */
+  private def bestOf(cents: Array[(Long, Array[Double])]): Column =
+    element_at(typedLit(cents.toIndexedSeq.map(_._1)),
+      array_position(col("_sc"), array_max(col("_sc"))).cast("int"))
 
   /**
    * Learned IVF centroids: Lloyd's k-means over the embedding table, the
    * scale path that replaces the fixed "embeddings of ids < nCentroids" seed
    * set (whose partition balance is luck). Deterministic: init = those same
    * seed embeddings, a fixed iteration count, cosine assignment with
-   * smallest-centroid-id tie-break. Each iteration is one broadcast-join
-   * argmax assignment plus one (c_id, dim) mean aggregate — no windows and
-   * no driver-side loop over data rows (only over `iters`, a constant).
+   * smallest-centroid-id tie-break, sample rows visited in id order.
    * A centroid that loses every member keeps its previous position.
    * Cosine is scale-invariant, so the plain element-wise mean serves as the
    * spherical-k-means update without renormalization.
@@ -94,28 +132,56 @@ object Ann {
     // instead of paying `iters` full-corpus assignment scans. Centroid
     // QUALITY depends on the sample; partition-cover correctness does not
     // (assignment is exhaustive for any centroid set).
+    //
+    // Lloyd's state AND loop are driver-side over the collected sample — the
+    // standard IVF trainer shape (a few hundred vectors per centroid
+    // suffice; pick trainSampleMod so the sample is driver-bounded). One
+    // distributed job total: the sample collect. Iterating distributedly
+    // paid a fixed per-action cost (codegen + scheduling) per iteration for
+    // work that is milliseconds on metadata-sized state; the corpus-scale
+    // pass — the final full assignment — stays distributed and map-side
+    // ([[assignTo]]).
     require(trainSampleMod >= 1, "trainSampleMod must be >= 1")
-    val train =
-      if (trainSampleMod == 1) emb
-      else emb.where(pmod(col(id), lit(trainSampleMod)) === 0)
-    val init = emb.where(col(id) < nCentroids)
-      .select(col(id).cast("long").as("c_id"), col(vec).as("cv"))
-    (0 until iters).foldLeft(init) { (cents, _) =>
-      val asg = assignTo(train, id, vec, cents)
-      val means = train.join(asg, id)
-        .select(col("c_id"), posexplode(col(vec)))
-        .groupBy(col("c_id"), col("pos"))
-        .agg(avg(col("col").cast("double")).as("av"))
-        .groupBy(col("c_id"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("av")))),
-          e => e.getField("av")).as("cv_new"))
-      // persist the small (<= nCentroids rows) result so the next iteration's
-      // lineage doesn't recompute every prior assignment pass
-      val next = cents.join(means, Seq("c_id"), "left")
-        .select(col("c_id"), coalesce(col("cv_new"), col("cv")).as("cv"))
-        .localCheckpoint(true)
-      next
+    val spark = emb.sparkSession
+    // one collect fetches seeds (ids < nCentroids) and the id-mod sample
+    val sampled = emb
+      .where(pmod(col(id), lit(trainSampleMod)) === 0 || col(id) < nCentroids)
+      .select(col(id).cast("long").as("_id"), col(vec).cast("array<double>").as("_v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    var cents: Array[(Long, Array[Double])] =
+      sampled.takeWhile(_._1 < nCentroids).map { case (i, v) => (i, v) }
+    val train = sampled.filter { case (i, _) => i % trainSampleMod == 0 }.map(_._2)
+    // bit-parity with the SQL cosine: dot and norm are left-to-right folds
+    def fDot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
     }
+    for (_ <- 0 until iters) {
+      val norms = cents.map { case (_, cv) => math.sqrt(fDot(cv, cv)) }
+      val sums = Array.fill(cents.length)(Array.fill(cents.head._2.length)(0.0))
+      val counts = Array.fill(cents.length)(0L)
+      train.foreach { v =>
+        val nv = math.sqrt(fDot(v, v))
+        var best = 0; var bestScore = Double.NegativeInfinity; var c = 0
+        while (c < cents.length) { // first max wins: smallest centroid id on ties
+          val s = fDot(v, cents(c)._2) / (nv * norms(c))
+          if (s > bestScore) { bestScore = s; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var d = 0
+        while (d < v.length) { sums(best)(d) += v(d); d += 1 }
+      }
+      // a centroid that loses every member keeps its previous position
+      cents = cents.zipWithIndex.map { case ((cid, old), c) =>
+        if (counts(c) == 0) (cid, old)
+        else (cid, sums(c).map(_ / counts(c)))
+      }
+    }
+    import spark.implicits._
+    cents.toSeq.map { case (cid, cv) => (cid, cv.toSeq) }.toDF("c_id", "cv")
   }
 
   /** Learned-IVF build artifact: k-means centroids + the final assignment,
