@@ -234,8 +234,12 @@ object Bench {
 
     // --- phase A: full query suite at local[32] over the sf dir ---
     val results = if (sys.env.contains("SPARK_GRAFT_BENCH_SKIP_QUERIES")) Seq.empty else {
+      // optional comma-separated name filter for fast iteration on one entry
+      val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
       val s32 = session(32)
-      val r = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val r = SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (name, _) => only.forall(_.contains(name)) }
+        .map { case (name, fn) =>
         val sec = try {
           val t0 = System.nanoTime()
           fn(s32, sfDir).count()

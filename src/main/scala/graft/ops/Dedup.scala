@@ -23,6 +23,21 @@ import org.apache.spark.sql.functions._
  */
 object Dedup {
 
+  /** Materialize a signature/shingle table ONCE for the multi-branch plan
+   *  built on top of it. The pair generators below scan their signature
+   *  table 2-6 times (band self-joins, size joins, duplicate-cluster
+   *  reconstruction); left as lineage, the expensive upstream
+   *  (tokenize/shingle explosion + signature aggregation) would recompute
+   *  per branch. An eager localCheckpoint computes it once, truncates the
+   *  lineage, and lets AQE plan the downstream (small) joins against real
+   *  materialized sizes. At corpus scale this is exactly the shape a real
+   *  pipeline uses: signatures are a persisted artifact, orders of
+   *  magnitude smaller than the corpus. The blocks are NOT a
+   *  session-lifetime pin: once the caller drops the result, the
+   *  ContextCleaner unpersists them with the unreachable RDD. */
+  private def sharedScan(df: DataFrame): DataFrame =
+    df.localCheckpoint(true)
+
   /** Exact dedup summary: (n_total, n_distinct, n_dup_rows) by text hash. */
   def exactSummary(docs: DataFrame, id: String, text: String): DataFrame =
     docs.agg(
@@ -61,13 +76,16 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, id: String, text: String,
                         k: Int, threshold: Double,
                         maxShingleDf: Int = Int.MaxValue): DataFrame = {
-    val shAll = shingles(docs, id, text, k).toDF("id", "shingle")
-    val sh =
+    // shared scans: shAll feeds both sides of the df-cap join, and sh feeds
+    // the size aggregate plus both sides of the intersection self-join —
+    // without sharing, the shingle explosion runs once per branch
+    val shAll = sharedScan(shingles(docs, id, text, k).toDF("id", "shingle"))
+    val sh = sharedScan(
       if (maxShingleDf == Int.MaxValue) shAll
       else shAll.join(
         shAll.groupBy(col("shingle")).agg(count(lit(1)).as("sdf"))
           .where(col("sdf") <= maxShingleDf).select("shingle"),
-        "shingle")
+        "shingle"))
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val inter = sh.as("a").join(sh.as("b"), col("a.shingle") === col("b.shingle"))
       .where(col("a.id") < col("b.id"))
@@ -108,7 +126,10 @@ object Dedup {
     require(numHashes % rowsPerBand == 0)
     val sig = minhashSignatures(shingles(docs, id, text, k).toDF("id", "shingle"), numHashes)
     val sigCols = (0 until numHashes).map(i => col(s"h$i"))
-    val clustered = sig.withColumn("ckey", md5(concat_ws("|", sigCols: _*)))
+    // the signature table feeds members (x4 scans: cross expansion + intra
+    // self-join) and reps -> bands (x2: band self-join); share one scan so
+    // the shingle explosion + minhash aggregation runs once
+    val clustered = sharedScan(sig.withColumn("ckey", md5(concat_ws("|", sigCols: _*))))
     val members = clustered.select(col("id"), col("ckey"))
     val reps = clustered.groupBy(col("ckey"))
       .agg(min(col("id")).as("rid"),
@@ -211,7 +232,8 @@ object Dedup {
    *  2^(bits/(maxHamming+1)). */
   def simhashPairs(docs: DataFrame, id: String, text: String, maxHamming: Int,
                    bits: Int = 64): DataFrame = {
-    val sig = simhashSignaturesWide(docs, id, text, bits)
+    // both sides of the band self-join scan the signature aggregate
+    val sig = sharedScan(simhashSignaturesWide(docs, id, text, bits))
     val nW = bits / 32
     val wCols = (0 until nW).map(w => col(s"w$w"))
     val nBands = maxHamming + 1
