@@ -26,9 +26,25 @@ object SparkEntry {
       |stats AS (SELECT (SELECT count(*) FROM documents) AS n,
       |                 (SELECT sum(dl)*1.0/(SELECT count(*) FROM documents) FROM dl) AS avgdl)""".stripMargin
 
+  /** Lang-tagged tokenization: `en` rows drop the classic English stop set
+   *  at INDEX time (the per-row analyzer dispatch of Analyzer.LangTagged);
+   *  other langs tokenize neutrally. Mirrors Analyzer.enSimple exactly. */
+  private[graft] val TOK_CTE_LANG: String = {
+    val stop = graft.analysis.Analyzer.EnStopwords.toSeq.sorted
+      .map("'" + _ + "'").mkString(", ")
+    s"""tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term FROM documents),
+       |tok2 AS (SELECT doc_id, term FROM tok
+       |         WHERE term <> '' AND NOT (lower(lang) = 'en' AND term IN ($stop))),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2 GROUP BY doc_id, term),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY doc_id),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |stats AS (SELECT (SELECT count(*) FROM documents) AS n,
+       |                 (SELECT sum(dl)*1.0/(SELECT count(*) FROM documents) FROM dl) AS avgdl)""".stripMargin
+  }
+
   /** BM25 oracle: same association order as Bm25.scoreTerms/tfNorm. */
-  private def bm25OracleSql(termsSqlList: String, k: Int): String =
-    s"""WITH $TOK_CTE,
+  private def bm25OracleSql(termsSqlList: String, k: Int, cte: String = TOK_CTE): String =
+    s"""WITH $cte,
        |score AS (
        |  SELECT tf.doc_id,
        |         sum( ln(1 + (stats.n - df.df + 0.5)/(df.df + 0.5))
@@ -100,6 +116,15 @@ object SparkEntry {
     "bm25_auto_top10" -> ((s, dir) =>
       Bm25.topKAuto(IndexCache.documents(s, dir), Seq("merge", "dup"), 10)
         .select(col("doc_id"), round(col("score"), 4).as("score"))),
+    // lang-tagged analyzer dispatch (north_star: "lang-tagged analyzers per
+    // content row"): index-time analysis routes each row by its lang tag —
+    // en rows through the English-stop analyzer, others neutral — so 'the'
+    // is indexed ONLY for non-en docs and scores reflect per-lang dl/df;
+    // the query analyzes neutrally (search_analyzer convention)
+    "bm25_lang_tagged" -> ((s, dir) =>
+      Bm25.topK(IndexCache.documents(s, dir, graft.analysis.Analyzer.LangTagged),
+        Seq("the", "table"), 10)
+        .select(col("doc_id"), round(col("score"), 4).as("score"))),
     // block-max WAND path: same exact results, blocks below the pass-1
     // threshold never decoded (SURVEY.md §7.4 two-pass scheme)
     "bm25_wand_top10" -> ((s, dir) =>
@@ -159,6 +184,7 @@ object SparkEntry {
          |SELECT doc_id, round(s, 4) AS score FROM score
          |ORDER BY s DESC, doc_id LIMIT 10""".stripMargin,
     "bm25_auto_top10"   -> bm25OracleSql("'merge', 'dup'", 10),
+    "bm25_lang_tagged"  -> bm25OracleSql("'the', 'table'", 10, TOK_CTE_LANG),
     "bm25_wand_top10"   -> bm25OracleSql("'spark', 'stream', 'filter'", 10),
     "bm25_wand_top100"  -> bm25OracleSql("'table', 'scan'", 100)
   ) ++ HybridEntries.oracles(TOK_CTE) ++ PipelineEntries.oracles(TOK_CTE) ++ DataEntries.oracles(TOK_CTE) ++ CorpusEntries.oracles(TOK_CTE)

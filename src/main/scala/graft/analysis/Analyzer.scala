@@ -25,6 +25,28 @@ object Analyzer extends Serializable {
 
   final val Simple = "simple"
   final val Code   = "code"
+  /** `simple` plus English stopword removal — the language-analyzer shape
+   *  (tokenizer + per-language stop filter) of OpenSearch's `english`
+   *  analyzer, with the classic public Lucene English stop set. */
+  final val EnSimple = "en_simple"
+  /** Per-ROW analyzer dispatch keyed by the document's `lang` column
+   *  (north_star: "lang-tagged analyzers per content row"): `en` rows
+   *  analyze with [[EnSimple]], everything else with [[Simple]]. On the
+   *  QUERY side (no row, no lang) this name analyzes as [[Simple]] — the
+   *  search_analyzer convention: index-time analysis may be language-aware
+   *  while query analysis stays neutral. */
+  final val LangTagged = "lang_tagged"
+
+  /** Classic Lucene/OpenSearch English stop set (public, 33 words). */
+  final val EnStopwords: Set[String] = Set(
+    "a", "an", "and", "are", "as", "at", "be", "but", "by", "for", "if",
+    "in", "into", "is", "it", "no", "not", "of", "on", "or", "such",
+    "that", "the", "their", "then", "there", "these", "they", "this",
+    "to", "was", "will", "with")
+
+  /** Analyzer name for one document's lang tag. */
+  def forLang(lang: String): String =
+    if (lang != null && lang.equalsIgnoreCase("en")) EnSimple else Simple
 
   /** Split on any run of non-alphanumeric chars, lowercase. Never emits "". */
   def simple(text: String): Array[String] = {
@@ -105,8 +127,13 @@ object Analyzer extends Serializable {
     out.toArray
   }
 
+  /** `simple` minus the English stop set. */
+  def enSimple(text: String): Array[String] =
+    simple(text).filterNot(EnStopwords.contains)
+
   def analyze(name: String)(text: String): Array[String] = name match {
-    case Code => code(text)
-    case _    => simple(text)
+    case Code     => code(text)
+    case EnSimple => enSimple(text)
+    case _        => simple(text) // incl. LangTagged: query-side fallback
   }
 }

@@ -108,12 +108,23 @@ object InvertedIndex {
   def buildBlocksOf(docs: DataFrame, idCol: String, textCol: String, analyzer: String): Dataset[BuildBlock] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val an = analyzer
-    docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)].mapPartitions { rows =>
+    // lang-tagged dispatch: the third column carries each ROW's analyzer
+    // name — resolved from the document's `lang` column when the index is
+    // declared LangTagged, constant otherwise. The single-pass build below
+    // is analyzer-agnostic either way.
+    val rows: Dataset[(Long, String, String)] =
+      if (analyzer == Analyzer.LangTagged)
+        docs.select(col(idCol).cast("long"), col(textCol),
+          when(lower(col("lang")) === "en", Analyzer.EnSimple)
+            .otherwise(Analyzer.Simple)).as[(Long, String, String)]
+      else
+        docs.select(col(idCol).cast("long"), col(textCol), lit(analyzer))
+          .as[(Long, String, String)]
+    rows.mapPartitions { rows =>
       val postings = new java.util.HashMap[(String, Long), (IntBuf, IntBuf)]()
       val doclens = new java.util.HashMap[Long, (IntBuf, IntBuf)]()
       val docTf = new java.util.HashMap[String, Array[Int]]()
-      rows.foreach { case (docId, text) =>
+      rows.foreach { case (docId, text, an) =>
         val toks = Analyzer.analyze(an)(text)
         val bucket = docId >> BucketBits
         val local = (docId - (bucket << BucketBits)).toInt
