@@ -77,33 +77,53 @@ object Bench {
     if (s.length % 2 == 1) s(s.length / 2) else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
   }
 
-  /** /proc/stat's first line, split into (busy, steal) ticks: busy = user +
-   *  nice + system + irq + softirq — CPU the VM actually ran — and steal =
-   *  cycles the hypervisor withheld while a vCPU was runnable. This is the
+  /** Per-CPU (busy, steal) ticks from /proc/stat's cpuN lines: busy = user +
+   *  nice + system + irq + softirq — CPU the vCPU actually ran — and steal =
+   *  cycles the hypervisor withheld while it was runnable. This is the
    *  DIRECT measurement of neighbor interference (no inference from task
-   *  metrics): over a timed phase, dSteal / (dSteal + dBusy) is the fraction
-   *  of wanted CPU the host refused, which inflates the wall time of a
-   *  CPU-bound job by ~1/(1-frac). Bursts of 50-74% steal-of-wanted have
-   *  been measured on this VM. */
-  private def procBusySteal(): (Long, Long) =
+   *  metrics); bursts of 50-74% steal-of-wanted have been measured on this
+   *  VM. */
+  private def procBusyStealPerCpu(): Array[(Long, Long)] =
     try {
       val src = scala.io.Source.fromFile("/proc/stat")
-      val v = try src.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
+      try src.getLines()
+        .filter(l => l.startsWith("cpu") && !l.startsWith("cpu "))
+        .map { l =>
+          val v = l.trim.split("\\s+").drop(1).map(_.toLong)
+          (v(0) + v(1) + v(2) + v(5) + v(6), v(7))
+        }.toArray
       finally src.close()
-      (v(0) + v(1) + v(2) + v(5) + v(6), v(7))
-    } catch { case _: Throwable => (0L, 0L) }
+    } catch { case _: Throwable => Array.empty }
 
-  /** Steal fraction of wanted CPU across `f`'s execution, alongside its
-   *  result: (result, wallSec, stealFrac). */
+  /** BUSY-WEIGHTED steal fraction across `f`'s execution, alongside its
+   *  result: (result, wallSec, stealFrac). Each vCPU contributes its own
+   *  steal/(steal+busy) weighted by its busy share — Σ busy_i/(Σ busy) *
+   *  steal_i/(steal_i+busy_i). The naive whole-host ratio overstates
+   *  interference at low parallelism: during a local[2] build the other ~30
+   *  vCPUs are idle, and their timer-tick wakeups queueing behind a
+   *  congested host accrue steal ticks that say nothing about the 2 busy
+   *  cores doing the measured work. Weighting by busy share reads the steal
+   *  experienced where the work actually ran; full-deschedule windows
+   *  (busy ~ 0, weight ~ 0) are caught independently by the cpufrac
+   *  detector, which compares the tasks' own wall vs thread-CPU time. */
   private def withSteal[A](f: => A): (A, Double, Double) = {
-    val (b0, s0) = procBusySteal()
+    val c0 = procBusyStealPerCpu()
     val t0 = System.nanoTime()
     val r = f
     val wall = (System.nanoTime() - t0) / 1e9
-    val (b1, s1) = procBusySteal()
-    val db = (b1 - b0).toDouble
-    val ds = (s1 - s0).toDouble
-    (r, wall, if (ds + db <= 0) 0.0 else ds / (ds + db))
+    val c1 = procBusyStealPerCpu()
+    val frac =
+      if (c0.isEmpty || c1.length != c0.length) 0.0
+      else {
+        val per = c0.indices.map { i =>
+          val db = (c1(i)._1 - c0(i)._1).toDouble
+          val ds = (c1(i)._2 - c0(i)._2).toDouble
+          (db, if (ds + db <= 0) 0.0 else ds / (ds + db))
+        }
+        val totBusy = per.map(_._1).sum
+        if (totBusy <= 0) 0.0 else per.map { case (b, f) => b * f }.sum / totBusy
+      }
+    (r, wall, frac)
   }
 
   /** Single-threaded fixed CPU burn (~0.5 s unloaded): a host-steal
