@@ -37,6 +37,14 @@ object DataEntries {
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashSignatures(docs(s, dir), "doc_id", "text")
         .withColumnRenamed("id", "doc_id")),
+    // train/test decontamination: the benchmark set (every doc_id % 97 == 0,
+    // standing in for a held-out eval suite) is metadata-sized, so its
+    // distinct 3-gram set broadcasts and the corpus side stays map-side
+    "decontam_overlap" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.ops.Decontam.overlap(d, d.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", k = 3)
+    }),
     // pigeonhole multi-band blocking: 4 bands over 32 bits find every pair
     // within hamming <= 3 via bounded equality-join buckets
     "dedup_simhash_pairs" -> ((s, dir) =>
@@ -395,6 +403,21 @@ object DataEntries {
          |  SELECT id_a, id_b, CAST(i AS DOUBLE)/(sa.sz + sb.sz - i) AS j
          |  FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b)
          |WHERE j >= 0.2""".stripMargin,
+    "decontam_overlap" ->
+      s"""WITH sh AS (
+         |  SELECT DISTINCT doc_id, array_to_string(toks[CAST(i AS INT):CAST(i+2 AS INT)], ' ') AS shingle
+         |  FROM (SELECT doc_id, toks, unnest(generate_series(1, CAST(len(toks)-2 AS BIGINT))) AS i
+         |        FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+         |              FROM documents)
+         |        WHERE len(toks) >= 3)),
+         |b AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0)
+         |SELECT sh.doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_shingles,
+         |  CAST(count(b.shingle) AS BIGINT) AS n_contam,
+         |  round(count(b.shingle) * 1.0 / count(*), 4) AS contam_frac,
+         |  count(b.shingle) > 0 AS contaminated
+         |FROM sh LEFT JOIN b ON sh.shingle = b.shingle
+         |GROUP BY sh.doc_id""".stripMargin,
     // hand-derived expected counts for the queryStats fixed scenario:
     // 3 standalone chunker calls + 2 nested in the semantic encoders = 5
     // text_chunking (3 fixed_token, 1 delimiter, 1 fixed_char); dense

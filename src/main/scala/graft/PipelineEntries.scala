@@ -86,6 +86,9 @@ object PipelineEntries {
     "text_quality" -> ((s, dir) => TextOps.quality(docs(s, dir), "doc_id", "text")),
     "text_langid" -> ((s, dir) => TextOps.langId(docs(s, dir), "doc_id", "text")),
     "text_fingerprint" -> ((s, dir) => TextOps.fingerprint(docs(s, dir), "doc_id", "text")),
+    // Gopher-style repetition quality signals (dup/top n-gram fractions),
+    // computed map-only (sorted-array linear folds, no shuffle)
+    "text_repetition" -> ((s, dir) => TextOps.repetition(docs(s, dir), "doc_id", "text")),
 
     // ---- chunkers ----
     "chunk_fixed_char" -> ((s, dir) =>
@@ -251,6 +254,32 @@ object PipelineEntries {
       s"""SELECT doc_id,
          |  md5(array_to_string(list_sort(list_distinct($Toks)), ' ')) AS fingerprint
          |FROM documents""".stripMargin,
+    "text_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
+         |tok AS (SELECT doc_id, unnest(toks) AS g FROM t),
+         |g2 AS (SELECT doc_id, unnest(list_transform(
+         |         generate_series(1, CAST(len(toks)-1 AS BIGINT)),
+         |         i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i+1 AS INT)])) AS g
+         |       FROM t WHERE len(toks) >= 2),
+         |g3 AS (SELECT doc_id, unnest(list_transform(
+         |         generate_series(1, CAST(len(toks)-2 AS BIGINT)),
+         |         i -> array_to_string(toks[CAST(i AS INT):CAST(i+2 AS INT)], ' '))) AS g
+         |       FROM t WHERE len(toks) >= 3),
+         |a1 AS (SELECT doc_id, sum(c) AS n, sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup, max(c) AS top
+         |       FROM (SELECT doc_id, g, count(*) AS c FROM tok GROUP BY 1, 2) GROUP BY 1),
+         |a2 AS (SELECT doc_id, sum(c) AS n, sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup, max(c) AS top
+         |       FROM (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2) GROUP BY 1),
+         |a3 AS (SELECT doc_id, sum(c) AS n, sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup, max(c) AS top
+         |       FROM (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2) GROUP BY 1)
+         |SELECT t.doc_id,
+         |  CAST(coalesce(a1.n, 0) AS BIGINT) AS n_tokens,
+         |  round(coalesce(a1.dup * 1.0 / a1.n, 0.0), 4) AS dup_token_frac,
+         |  round(coalesce(a2.dup * 1.0 / a2.n, 0.0), 4) AS dup_2gram_frac,
+         |  round(coalesce(a2.top * 1.0 / a2.n, 0.0), 4) AS top_2gram_frac,
+         |  round(coalesce(a3.dup * 1.0 / a3.n, 0.0), 4) AS dup_3gram_frac,
+         |  round(coalesce(a3.top * 1.0 / a3.n, 0.0), 4) AS top_3gram_frac
+         |FROM t LEFT JOIN a1 USING (doc_id) LEFT JOIN a2 USING (doc_id)
+         |       LEFT JOIN a3 USING (doc_id)""".stripMargin,
 
     "chunk_fixed_char" ->
       s"""SELECT doc_id, i AS chunk_idx, substr(text, CAST(i*200 + 1 AS INT), 200) AS chunk

@@ -66,4 +66,59 @@ object TextOps {
     docs.select(
       col(id),
       md5(concat_ws(" ", array_sort(array_distinct(tokensCol(col(text)))))).as("fingerprint"))
+
+  /** Word n-gram array (space-joined), empty when the doc is shorter than n. */
+  private def gramsCol(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, (i + 1).cast("int"), lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+
+  /** Occurrences belonging to a value that appears more than once, counted
+   *  over the SORTED array in one linear pass: element i is part of a
+   *  duplicate run iff it equals a neighbour. */
+  private def dupOccurrences(sorted: Column): Column =
+    when(size(sorted) > 0,
+      size(filter(sequence(lit(1), size(sorted)), i =>
+        (i > 1 && element_at(sorted, i) === element_at(sorted, i - 1)) ||
+          (i < size(sorted) && element_at(sorted, i) === element_at(sorted, i + 1)))))
+      .otherwise(lit(0))
+
+  /** Count of the most frequent value = longest equal run of the sorted
+   *  array, via a linear `aggregate` fold (prev, run, best). */
+  private def topCount(sorted: Column): Column =
+    aggregate(sorted,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+
+  /** Intra-document repetition metrics — the Gopher "repetitious text"
+   *  quality signals (Rae et al. 2021, table A1): fraction of token
+   *  occurrences that are repeats, and for n-grams (n = 2, 3) the fraction
+   *  of occurrences belonging to a duplicated n-gram plus the fraction
+   *  taken by the single most frequent n-gram. Entirely map-side: each
+   *  doc's gram arrays are sorted in place and folded linearly — no
+   *  explode/groupBy shuffle, so the operator is one projection over the
+   *  corpus scan and scales with pure data parallelism at 100 TB. */
+  def repetition(docs: DataFrame, id: String, text: String): DataFrame = {
+    val toks = tokensCol(col(text))
+    def frac(num: Column, den: Column): Column =
+      round(when(den > 0, num.cast("double") / den.cast("double")).otherwise(0.0), 4)
+    def metrics(n: Int): Seq[Column] = {
+      val sorted = array_sort(gramsCol(toks, n))
+      val nG = size(sorted)
+      Seq(frac(dupOccurrences(sorted), nG).as(s"dup_${n}gram_frac"),
+          frac(topCount(sorted), nG).as(s"top_${n}gram_frac"))
+    }
+    val sortedToks = array_sort(toks)
+    docs.select(
+      Seq(col(id), size(toks).cast("long").as("n_tokens"),
+          frac(dupOccurrences(sortedToks), size(toks)).as("dup_token_frac")) ++
+        metrics(2) ++ metrics(3): _*)
+  }
 }

@@ -217,4 +217,33 @@ class OpsSpec extends SparkSpec {
     assert(got(1).getAs[Long]("pos") == 4L) // "window." matched as "window"
     assert(got(1).getAs[String]("snippet") == "then <em>window.</em>")
   }
+
+  test("repetition metrics match hand-computed Gopher fractions") {
+    // "a b a b a c": tokens 6, dup occurrences a(3)+b(2)=5 -> 0.8333
+    // 2-grams: [a b, b a, a b, b a, a c] n=5, dup 4 -> 0.8, top "a b" 2 -> 0.4
+    // 3-grams: [a b a, b a b, a b a, b a c] n=4, dup 2 -> 0.5, top 2 -> 0.5
+    val docs = Seq((1L, "a b a b a c"), (2L, "x y z"), (3L, "q")).toDF("doc_id", "text")
+    val m = graft.ops.TextOps.repetition(docs, "doc_id", "text")
+      .orderBy($"doc_id").collect()
+    assert(m(0).toSeq == Seq(1L, 6L, 0.8333, 0.8, 0.4, 0.5, 0.5))
+    // all-distinct doc: every fraction 0 except top (each gram count 1)
+    assert(m(1).toSeq == Seq(2L, 3L, 0.0, 0.0, 0.5, 0.0, 1.0))
+    // doc shorter than n: gram fractions defined as 0
+    assert(m(2).toSeq == Seq(3L, 1L, 0.0, 0.0, 0.0, 0.0, 0.0))
+  }
+
+  test("decontamination flags exactly the docs sharing a k-gram with the benchmark") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps"),   // shares "quick brown fox" with bench
+      (2L, "wholly unrelated text here"),  // clean
+      (3L, "quick brown fox runs away")    // shares the same 3-gram
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "a quick brown fox appeared")).toDF("doc_id", "text")
+    val got = graft.ops.Decontam.overlap(corpus, bench, "doc_id", "text", k = 3)
+      .orderBy($"doc_id").collect()
+    assert(got.map(r => (r.getLong(0), r.getBoolean(4))).toSeq ==
+      Seq((1L, true), (2L, false), (3L, true)))
+    assert(got(0).getLong(2) == 1L && got(0).getLong(1) == 3L) // 1 of 3 shingles
+    assert(got(1).getLong(2) == 0L && got(1).getDouble(3) == 0.0)
+  }
 }
