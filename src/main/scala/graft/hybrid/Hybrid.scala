@@ -481,8 +481,8 @@ object Hybrid {
   /** Stages 1-2 of the pipeline: per-sub-query scoring, filter, per-group
    *  keep, top-depth collection, collection rank. Output is <= nSub x depth
    *  rows (doc_id, score, subq, rank). */
-  private def collectSubQueries(src: HybridSources, q: HybridQuery,
-                                filterDocs: Option[DataFrame]): DataFrame = {
+  private[graft] def collectSubQueries(src: HybridSources, q: HybridQuery,
+                                       filterDocs: Option[DataFrame]): DataFrame = {
     // 1. per-sub-query scoring; non-scoring filter applied before collection.
     // The per-bucket bound inside the BM25 scorer is only safe when nothing
     // after scoring can resurrect a below-bound doc (no filter, no collapse).
@@ -516,7 +516,17 @@ object Hybrid {
 
   /** Stages 3-5 minus min_score: normalize, align, combine, collapse — all
    *  over the <= nSub x depth collected rows. */
-  private def combineStage(collected: DataFrame, src: HybridSources, q: HybridQuery): DataFrame = {
+  private def combineStage(collected0: DataFrame, src: HybridSources, q: HybridQuery): DataFrame = {
+    // min_max/l2/z_score need per-sub-query stats: that aggregate is a
+    // SECOND branch over the collected set, and left as lineage both
+    // branches would re-run every sub-query scorer (index scans, dense
+    // cosine, ...) inside one job. The collected set is <= nSub x depth
+    // rows — materialize it once (same shape as executeWithTotal and the
+    // dedup signature tables); rrf ranks need no stats branch.
+    val collected = q.norm match {
+      case RrfNormTech(_) => collected0
+      case _              => collected0.localCheckpoint(true)
+    }
     // 3. normalize
     val normalized: DataFrame = q.norm match {
       case MinMaxNormTech(lower, upper) =>

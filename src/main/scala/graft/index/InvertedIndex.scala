@@ -297,16 +297,23 @@ object InvertedIndex {
     phase("materialize")(blocks.count())
     // the four output tables are independent functions of the cached blocks:
     // commit them as concurrent jobs so the write tail is max(), not sum()
-    // (Spark schedules concurrent jobs from separate submitter threads)
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    // (Spark schedules concurrent jobs from separate submitter threads).
+    // Postings and doclens commit as ONE kind-partitioned write of the
+    // unified block table: the payload columns are the bulk of the cache,
+    // and scanning them twice (separate postings + doclens writes) was the
+    // commit tail's dominant cost — the tail that bounds 2->8 scaling,
+    // since the write's fixed I/O does not shrink with cores. Rows are
+    // pre-sorted (kind, term, bucket) inside each task so the dynamic
+    // partitioning needs no extra sort and term row-group stats stay tight
+    // for the read-side seek. termstats/stats prune to metadata/doclens
+    // columns on the columnar cache (no payload reads).
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
     import scala.concurrent.{Await, Future}
-    val fPost = Future(phase("postings")(postingsFromBlocks(blocks)
-      .sortWithinPartitions("term").write.mode("overwrite").parquet(s"$dir/postings")))
-    val fDl = Future(phase("doclens")(docLensFromBlocks(blocks)
-      .sortWithinPartitions("bucket")
-      .write.mode("overwrite").parquet(s"$dir/doclens")))
+    val fBlocks = Future(phase("blocks")(blocks
+      .sortWithinPartitions("kind", "term", "bucket")
+      .write.mode("overwrite").partitionBy("kind").parquet(s"$dir/blocks")))
     val fTs = Future(phase("termstats")(termStatsOf(postingsFromBlocks(blocks))
       .write.mode("overwrite").parquet(s"$dir/termstats")))
     val fStats = Future {
@@ -315,15 +322,46 @@ object InvertedIndex {
       st
     }
     val stats = try {
-      Await.result(Future.sequence(Seq(fPost, fDl, fTs)), scala.concurrent.duration.Duration.Inf)
+      Await.result(Future.sequence(Seq(fBlocks, fTs)), scala.concurrent.duration.Duration.Inf)
       Await.result(fStats, scala.concurrent.duration.Duration.Inf)
     } finally pool.shutdown()
     blocks.unpersist()
     Index(
-      spark.read.parquet(s"$dir/postings").as[PostingBlock],
-      spark.read.parquet(s"$dir/doclens").as[DocLenBlock],
+      postingsFromDir(spark, dir),
+      docLensFromDir(spark, dir),
       spark.read.parquet(s"$dir/termstats").as[TermStat],
       stats, analyzer)
+  }
+
+  /** Does `dir` hold the unified kind-partitioned block table (current
+   *  layout), vs the legacy separate postings/doclens dirs? Hadoop FS check
+   *  so resume works on any FS a committed segment store lives on. */
+  private def hasUnifiedBlocks(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/blocks")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Postings view over an on-disk index dir: the kind=0 partition of the
+   *  unified block table (directory-pruned; term predicates push into
+   *  parquet row-group stats), falling back to a legacy postings dir. */
+  def postingsFromDir(spark: SparkSession, dir: String): Dataset[PostingBlock] = {
+    import spark.implicits._
+    if (hasUnifiedBlocks(spark, dir))
+      spark.read.parquet(s"$dir/blocks").filter(col("kind") === 0)
+        .select(col("term"), col("bucket"), col("cnt"), col("max_tf"),
+          col("sum_tf"), col("docs"), col("tfs")).as[PostingBlock]
+    else spark.read.parquet(s"$dir/postings").as[PostingBlock]
+  }
+
+  /** Doc-length view over an on-disk index dir (kind=1 partition or the
+   *  legacy doclens dir). */
+  def docLensFromDir(spark: SparkSession, dir: String): Dataset[DocLenBlock] = {
+    import spark.implicits._
+    if (hasUnifiedBlocks(spark, dir))
+      spark.read.parquet(s"$dir/blocks").filter(col("kind") === 1)
+        .select(col("bucket"), col("cnt"), col("min_v").as("min_dl"),
+          col("docs").as("ids"), col("tfs").as("dls")).as[DocLenBlock]
+    else spark.read.parquet(s"$dir/doclens").as[DocLenBlock]
   }
 
   /** Persist all index tables (sorted by term so Parquet row-group min/max
@@ -342,8 +380,8 @@ object InvertedIndex {
     import spark.implicits._
     val stats = spark.read.parquet(s"$dir/stats").as[CorpusStats].head()
     Index(
-      spark.read.parquet(s"$dir/postings").as[PostingBlock],
-      spark.read.parquet(s"$dir/doclens").as[DocLenBlock],
+      postingsFromDir(spark, dir),
+      docLensFromDir(spark, dir),
       spark.read.parquet(s"$dir/termstats").as[TermStat],
       stats,
       analyzer

@@ -233,10 +233,10 @@ object Segments {
       }
 
     val postings = mergeBlocks(
-      ids.map(id => spark.read.parquet(s"${segDir(dir, id)}/postings").as[PostingBlock])
+      ids.map(id => InvertedIndex.postingsFromDir(spark, segDir(dir, id)))
         .reduce(_ union _))
 
-    val docLens = ids.map(id => spark.read.parquet(s"${segDir(dir, id)}/doclens").as[DocLenBlock])
+    val docLens = ids.map(id => InvertedIndex.docLensFromDir(spark, segDir(dir, id)))
       .reduce(_ union _)
       .groupByKey(_.bucket).mapGroups { (bucket, it) =>
         val blocks = it.toArray

@@ -91,9 +91,11 @@ class PlanSpec extends SparkSpec {
       MinMaxNormTech(), Combination(graft.functions.Combine.Arithmetic),
       k = 5, depth = 20)
     // the probed c_ids must reach the artifact scan as a STATIC
-    // PartitionFilter (c_id IN (...)) inside the full hybrid plan — only
-    // nProbe of the 8 c_id= directories are read
-    val p = plan(Hybrid.execute(src, q, None))
+    // PartitionFilter (c_id IN (...)) inside the hybrid COLLECTION stage —
+    // only nProbe of the 8 c_id= directories are read. (The combine stage
+    // checkpoints the collected set, so the full execute plan starts from a
+    // Scan ExistingRDD; the collection plan is where the probe scan lives.)
+    val p = plan(Hybrid.collectSubQueries(src, q, None))
     assert(p.contains("PartitionFilters: [c_id"), p.take(3000))
   }
 
@@ -102,11 +104,14 @@ class PlanSpec extends SparkSpec {
       .where(col("lang") === "en").select("doc_id")
     val q = HybridQuery(Seq(Lexical(Seq("join"))), MinMaxNormTech(),
       Combination(graft.functions.Combine.Arithmetic), k = 5, depth = 20)
-    val lp = Hybrid.execute(idx, q, Some(filt)).queryExecution.optimizedPlan.toString
     // the filter semi-join must not be pinned by a ResolvedHint we inserted;
     // AQE/stats pick the strategy (a 50%-of-corpus filter must not be forced
     // into a driver broadcast). Catalyst erases hints it applies, so the
-    // optimized plan of OUR query must simply contain the LeftSemi join.
+    // optimized plan of OUR collection stage (the stage holding the filter
+    // join — the combine stage checkpoints past it) must simply contain the
+    // LeftSemi join.
+    val lp = Hybrid.collectSubQueries(HybridSources(idx), q, Some(filt))
+      .queryExecution.optimizedPlan.toString
     assert(lp.contains("LeftSemi"), lp.take(3000))
   }
 }
