@@ -141,6 +141,73 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Wall time of `n` threads each running the fixed single-thread burn
+   *  concurrently. On perfect hardware this is flat in `n` (every thread
+   *  gets a full core); in practice SMT sharing / memory bandwidth / host
+   *  caps stretch it. */
+  private def burnThreads(n: Int): Double = {
+    val t0 = System.nanoTime()
+    val ts = (1 to n).map { _ =>
+      val t = new Thread(() => { calibrate(); () })
+      t.start(); t
+    }
+    ts.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** The MACHINE's own 2->8-thread scaling ceiling, measured with the same
+   *  pure-CPU burn the steal calibration uses: ceiling = wall(2 threads with
+   *  fixed per-thread work) / wall(8 threads, same per-thread work) — the
+   *  rate-scaling efficiency a PERFECTLY parallel job could achieve on this
+   *  box at these two thread counts. Median of 3 interleaved pairs. */
+  private def hwCeiling2to8(): Double = {
+    val ratios = (1 to 3).map { _ =>
+      val t2 = burnThreads(2)
+      val t8 = burnThreads(8)
+      t2 / t8
+    }
+    median(ratios.map(r => math.min(r, 1.0)))
+  }
+
+  /** Fixed per-thread MEMORY-STREAMING work: random-stride chase + sum over
+   *  a 256 MB private array, the bandwidth/latency profile of hash
+   *  aggregation and shuffle rather than the register-only xorshift burn
+   *  (which measures ~0.96 scaling on this box and so cannot explain a
+   *  memory-heavy job's gap). */
+  private def memBurn(): Double = {
+    val n = 32 * 1024 * 1024 // longs, 256 MB
+    val a = new Array[Long](n)
+    var i = 0
+    while (i < n) { a(i) = i.toLong * 0x9E3779B97F4A7C15L; i += 1 }
+    val t0 = System.nanoTime()
+    var s = 0L
+    var j = 0
+    var idx = 0
+    while (j < n) { s += a(idx); idx = ((idx + 1013904223) & (n - 1)); j += 1 }
+    if (s == 42L) System.err.println("")
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  private def memBurnThreads(nThreads: Int): Double = {
+    val t0 = System.nanoTime()
+    val ts = (1 to nThreads).map { _ =>
+      val t = new Thread(() => { memBurn(); () })
+      t.start(); t
+    }
+    ts.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Memory-bandwidth 2->8-thread scaling ceiling (see memBurn). */
+  private def memCeiling2to8(): Double = {
+    val ratios = (1 to 2).map { _ =>
+      val t2 = memBurnThreads(2)
+      val t8 = memBurnThreads(8)
+      t2 / t8
+    }
+    median(ratios.map(r => math.min(r, 1.0)))
+  }
+
   /** JIT warmup: the tokenizer/codec hot loops need a couple of full builds
    *  before C2 kicks in; measured points would otherwise charge compilation
    *  time to whichever parallelism level runs first. One warmup session,
@@ -377,7 +444,14 @@ object Bench {
     }
     def validCount: Int = pairs.count(p => detect2x8(p).isEmpty)
 
+    // the machine's own 2->8-thread rate-scaling ceiling, bracketing the
+    // rounds; the MAX of the two is kept (contention can only lower a
+    // hardware-property measurement, never raise it)
+    var hwCeil = 0.0
+    var memCeil = 0.0
     if (!skipScaling) {
+      hwCeil = hwCeiling2to8()
+      memCeil = memCeiling2to8()
       var r = 0
       while (r < baseRounds || (r < baseRounds + maxExtra && validCount < minValid)) {
         r += 1
@@ -395,6 +469,9 @@ object Bench {
         pairs = pairs :+ Round(p2r.tput, p8r.tput, Seq(c2a, c2b, c8b), p2r.cpuSec, p8r.cpuSec,
           p2r.utilization, p8r.utilization, p2r.cpuFrac, p8r.cpuFrac, p2r.stealFrac, p8r.stealFrac)
       }
+      hwCeil = math.max(hwCeil, hwCeiling2to8())
+      memCeil = math.max(memCeil, memCeiling2to8())
+      System.err.println(f"[graft-bench] hw ceiling 2->8: cpu-burn $hwCeil%.3f mem-stream $memCeil%.3f")
     }
     val rounds = pairs.size
     val tput2s = pairs.map(_.t2)
@@ -424,6 +501,11 @@ object Bench {
     // over the SAME valid rounds as the headline number.
     val effSteal = if (pairs.isEmpty) 0.0
       else median(usable.map(p => ((p.t8 / (1 - p.steal8).max(0.01)) / (p.t2 / (1 - p.steal2).max(0.01))) / 4.0))
+    // wall efficiency normalized by the machine's own burn-measured ceiling:
+    // what fraction of the HARDWARE-achievable 2->8 scaling the software
+    // realizes (an embarrassingly parallel pure-CPU burn cannot exceed the
+    // ceiling either — SMT pairing / host caps bound both alike)
+    val effVsCeil = if (hwCeil == 0) 0.0 else eff / hwCeil
 
     // local[32] headline throughput: SAME interference gating as the 2->8
     // rounds (round 2's 10x local[32] collapse was plain median-of-3 with no
@@ -479,6 +561,7 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_steal_frac":$qsSteal,"sf":"$sfDir",""" +
       f""""build_docs_per_sec":{"local2":$tput2%.1f,"local8":$tput8%.1f,"local32":$tput32%.1f},""" +
       f""""scaling_efficiency":$eff%.3f,"scaling_efficiency_median_round":$effMedRound%.3f,"scaling_efficiency_steal_corrected":$effSteal%.3f,""" +
+      f""""hw_ceiling_2to8":$hwCeil%.3f,"mem_ceiling_2to8":$memCeil%.3f,"scaling_efficiency_vs_ceiling":$effVsCeil%.3f,""" +
       s""""rounds":$rounds,"valid_rounds":$nValid,"tput2_rounds":${arr(tput2s)},"tput8_rounds":${arr(tput8s)},""" +
       s""""eff_rounds":${arr3(effRounds)},"calib_rounds":${pairs.map(p => arr3(p.calibs)).mkString("[", ",", "]")},""" +
       s""""steal_rounds":${pairs.map(p => arr3(Seq(p.steal2, p.steal8))).mkString("[", ",", "]")},""" +
@@ -544,6 +627,13 @@ object Bench {
            |utilization $util2m%.2f -> $util8m%.2f,
            |steal-corrected wall efficiency $effSteal%.3f (each level's wall
            |divided by the CPU fraction the host actually granted).
+           |Hardware ceilings (fixed work per thread on 2 vs 8 THREADS,
+           |bracketing the rounds, max kept — contention can only lower a
+           |hardware-property measurement): register-only CPU burn scales at
+           |$hwCeil%.3f, 256 MB-per-thread memory STREAMING at $memCeil%.3f.
+           |The build (hash aggregation + shuffle, memory-profile work)
+           |realizes $effVsCeil%.3f of the CPU ceiling; the memory ceiling
+           |is the bound its access pattern actually competes against.
            |
            |The N -> 4N criterion is evidenced at N=2 vs 4N=8 cores: a pure-Java
            |CPU burn on this VM scales ~0.9 in the lower vCPU range but only
@@ -563,7 +653,7 @@ object Bench {
            |
            || metric | local[2] (N) | local[8] (4N) | local[32] | scaling efficiency (2->8) |
            ||---|---|---|---|---|
-           || index build docs/sec (median of valid rounds) | $tput2%.1f | $tput8%.1f | $tput32%.1f | $eff%.3f (median-of-valid-round-ratios $effMedRound%.3f; steal-immune cpu-scaling $effCpu%.3f; steal-corrected wall $effSteal%.3f) |
+           || index build docs/sec (median of valid rounds) | $tput2%.1f | $tput8%.1f | $tput32%.1f | $eff%.3f (median-of-valid-round-ratios $effMedRound%.3f; steal-immune cpu-scaling $effCpu%.3f; steal-corrected wall $effSteal%.3f; vs hw ceiling $hwCeil%.3f -> $effVsCeil%.3f) |
            || BM25 top-100 p50 (WAND) | $wand2%.1f ms | $wand8%.1f ms | $wand32%.1f ms | — |
            || BM25 top-100 p50 (plain) | $plain2%.1f ms | $plain8%.1f ms | $plain32%.1f ms | — |
            |

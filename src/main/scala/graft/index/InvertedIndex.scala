@@ -121,15 +121,38 @@ object InvertedIndex {
         docs.select(col(idCol).cast("long"), col(textCol), lit(analyzer))
           .as[(Long, String, String)]
     rows.mapPartitions { rows =>
-      val postings = new java.util.HashMap[(String, Long), (IntBuf, IntBuf)]()
+      // Postings accumulate in a BUCKET-LOCAL map flushed on bucket change:
+      // doc ids arrive (near-)ordered, so the bucket switches once per 4096
+      // docs and the map is keyed by plain term String — no (String, Long)
+      // tuple allocation + boxing per unique term per doc, and task memory
+      // is bounded by ONE bucket's vocabulary instead of the partition's
+      // vocabulary x bucket span. Unordered arrivals stay correct: a
+      // revisited bucket just emits another fragment for the same
+      // (term, bucket) key and the merge shuffle combines them.
+      val out = scala.collection.mutable.ArrayBuffer.empty[BuildBlock]
+      val cur = new java.util.HashMap[String, (IntBuf, IntBuf)]()
       val doclens = new java.util.HashMap[Long, (IntBuf, IntBuf)]()
       val docTf = new java.util.HashMap[String, Array[Int]]()
+      var curBucket = Long.MinValue
+      var dlCell: (IntBuf, IntBuf) = null
+      def flush(): Unit = if (curBucket != Long.MinValue) {
+        val it = cur.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          out += encodeFragment(0, e.getKey, curBucket, e.getValue._1.toArray, e.getValue._2.toArray)
+        }
+        cur.clear()
+      }
       rows.foreach { case (docId, text, an) =>
         val toks = Analyzer.analyze(an)(text)
         val bucket = docId >> BucketBits
         val local = (docId - (bucket << BucketBits)).toInt
-        var dlCell = doclens.get(bucket)
-        if (dlCell == null) { dlCell = (new IntBuf(64), new IntBuf(64)); doclens.put(bucket, dlCell) }
+        if (bucket != curBucket) {
+          flush()
+          curBucket = bucket
+          dlCell = doclens.get(bucket)
+          if (dlCell == null) { dlCell = (new IntBuf(64), new IntBuf(64)); doclens.put(bucket, dlCell) }
+        }
         dlCell._1.add(local)
         dlCell._2.add(toks.length)
         docTf.clear()
@@ -142,21 +165,13 @@ object InvertedIndex {
         val it = docTf.entrySet().iterator()
         while (it.hasNext) {
           val e = it.next()
-          val key = (e.getKey, bucket)
-          var pCell = postings.get(key)
-          if (pCell == null) { pCell = (new IntBuf(4), new IntBuf(4)); postings.put(key, pCell) }
+          var pCell = cur.get(e.getKey)
+          if (pCell == null) { pCell = (new IntBuf(4), new IntBuf(4)); cur.put(e.getKey, pCell) }
           pCell._1.add(local)
           pCell._2.add(e.getValue()(0))
         }
       }
-      val out = scala.collection.mutable.ArrayBuffer.empty[BuildBlock]
-      out.sizeHint(postings.size + doclens.size)
-      val pit = postings.entrySet().iterator()
-      while (pit.hasNext) {
-        val e = pit.next()
-        val (term, bucket) = e.getKey
-        out += encodeFragment(0, term, bucket, e.getValue._1.toArray, e.getValue._2.toArray)
-      }
+      flush()
       val dit = doclens.entrySet().iterator()
       while (dit.hasNext) {
         val e = dit.next()
