@@ -517,22 +517,25 @@ object Hybrid {
   /** Stages 3-5 minus min_score: normalize, align, combine, collapse — all
    *  over the <= nSub x depth collected rows. */
   private def combineStage(collected0: DataFrame, src: HybridSources, q: HybridQuery): DataFrame = {
-    // min_max/l2/z_score need per-sub-query stats: that aggregate is a
-    // SECOND branch over the collected set, and left as lineage both
-    // branches would re-run every sub-query scorer (index scans, dense
-    // cosine, ...) inside one job. The collected set is <= nSub x depth
-    // rows — materialize it once (same shape as executeWithTotal and the
-    // dedup signature tables); rrf ranks need no stats branch.
-    val collected = q.norm match {
-      case RrfNormTech(_) => collected0
-      case _              => collected0.localCheckpoint(true)
-    }
+    // min_max/l2/z_score need per-sub-query stats over the collected set.
+    // Those stats are WINDOW aggregates partitioned by subq — the collected
+    // set is <= nSub x depth rows, so the window's one tiny shuffle is free —
+    // rather than a groupBy + self-join second branch: a second lineage
+    // branch would re-run every sub-query scorer (index scans, dense cosine,
+    // ...) inside one job unless the collected set were checkpointed, and
+    // checkpointing (even lazily) forces physical planning at plan
+    // CONSTRUCTION, charging real driver/codegen cost to callers that only
+    // build plans (the stats-counter scenario constructs 7 requests without
+    // running them). A single lineage needs no materialization barrier at
+    // all: the scorers run exactly once per action by construction.
+    val collected = collected0
+    val bySubq = Window.partitionBy($"subq")
     // 3. normalize
     val normalized: DataFrame = q.norm match {
       case MinMaxNormTech(lower, upper) =>
-        val stats = collected.groupBy($"subq")
-          .agg(min($"score").as("mn"), max($"score").as("mx"))
-        val joined = collected.join(broadcast(stats), "subq")
+        val joined = collected
+          .withColumn("mn", min($"score").over(bySubq))
+          .withColumn("mx", max($"score").over(bySubq))
         val ns = (lb: Option[Bound], ub: Option[Bound]) =>
           ScoreFunctions.minmaxNorm($"score", $"mn", $"mx", lb, ub, q.useFloat)
         val withBounds =
@@ -546,17 +549,15 @@ object Hybrid {
           }
         withBounds
       case L2NormTech =>
-        val stats = collected.groupBy($"subq")
-          .agg(sqrt(sum($"score" * $"score")).as("l2"))
-        collected.join(broadcast(stats), "subq")
+        collected
+          .withColumn("l2", sqrt(sum($"score" * $"score").over(bySubq)))
           .withColumn("nscore", ScoreFunctions.l2Normalize($"score", $"l2", q.useFloat))
       case ZScoreNormTech =>
-        val stats = collected.groupBy($"subq").agg(
-          avg($"score").as("mean"),
-          coalesce(stddev_samp($"score"), lit(0.0)).as("sd"),
-          max($"score").as("mx"),
-          min($"score").as("mn"))
-        collected.join(broadcast(stats), "subq")
+        collected
+          .withColumn("mean", avg($"score").over(bySubq))
+          .withColumn("sd", coalesce(stddev_samp($"score").over(bySubq), lit(0.0)))
+          .withColumn("mx", max($"score").over(bySubq))
+          .withColumn("mn", min($"score").over(bySubq))
           .withColumn("nscore",
             ScoreFunctions.zscoreNorm($"score", $"mean", $"sd", $"mx", $"mn", q.useFloat))
       case RrfNormTech(rc) =>
