@@ -354,6 +354,17 @@ object Bench {
       // optional comma-separated name filter for fast iteration on one entry
       val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
       val s32 = session(32)
+      // warmup (the reference's Warmup API analogue, §2.1): build the shared
+      // doc index and touch the embedding table BEFORE the timed loop, so
+      // each entry's number measures that query's cost — not the one-time
+      // session/index warmup that otherwise lands on whichever entry sorts
+      // first. The build itself is measured separately (scaling phase +
+      // segments_* entries).
+      val warmup = time {
+        graft.index.IndexCache.documents(s32, sfDir)
+        s32.read.parquet(s"$sfDir/embeddings.parquet").count()
+      }
+      System.err.println(f"[graft-bench] warmup(index+emb) $warmup%.1fs (untimed)")
       val r = SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (name, _) => only.forall(_.contains(name)) }
         .map { case (name, fn) =>
@@ -680,7 +691,11 @@ object Bench {
           .replace("@ROUND_ROWS@", roundRows)
           .replace("@ROUND32_ROWS@", round32Rows)
           .replace("@JSON@", json)
-      java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH/BASELINE.md"), md)
+      // only a FULL run may replace the committed scaling evidence — a
+      // query-filtered or scaling-skipped iteration would overwrite the
+      // artifact with zeroed scaling tables (which once clobbered the doc)
+      if (!skipScaling && !sys.env.contains("SPARK_GRAFT_BENCH_ONLY"))
+        java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH/BASELINE.md"), md)
     } catch { case _: Throwable => () }
 
     println(json)
