@@ -164,6 +164,9 @@ object DataEntries {
     "stream_events_hourly" -> (streamEventsHourly _),
     // custom streaming state: sessionization via flatMapGroupsWithState
     "stream_sessions" -> (streamSessions _),
+    // custom streaming state: first-wins exact dedup, one Long of state per
+    // distinct content hash
+    "stream_dedup" -> (streamDedup _),
 
     // ---- query-side event counters ----
     "query_stats" -> (queryStats _)
@@ -335,7 +338,33 @@ object DataEntries {
     s.table(name)
   }
 
+  /** Streaming exact dedup over the documents table: drain the one-batch
+   *  replay through [[graft.streaming.StreamingDedup.firstWins]]; under the
+   *  single AvailableNow batch the result equals the batch rule "keep
+   *  min(doc_id) per content", which the oracle computes directly. */
+  private def streamDedup(s: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/documents.parquet"
+    val schema = s.read.parquet(path).schema
+    val name = "stream_dedup_" + java.lang.Integer.toHexString(path.hashCode).replace('-', '_')
+    val q = graft.streaming.StreamingDedup.firstWins(
+        s.readStream.schema(schema)
+          .option("pathGlobFilter", "documents.parquet").parquet(dir),
+        "doc_id", "text")
+      .writeStream.outputMode("update").format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    s.table(name)
+  }
+
   def oracles(tokCte: String): Map[String, String] = Map(
+    // same-content grouping is by text value (the engine hashes sha256(text);
+    // equal text <=> equal hash), winner = min(doc_id) per group
+    "stream_dedup" ->
+      """SELECT d.doc_id, m.keep AS kept_doc_id, d.doc_id <> m.keep AS is_dup
+        |FROM documents d
+        |JOIN (SELECT text, min(doc_id) AS keep
+        |      FROM documents GROUP BY text) m
+        |  ON d.text = m.text""".stripMargin,
     // text dims: hashing-trick projection over the shared tf CTE; image
     // dims: byte stats of the utf-8 payload (the corpus text is ascii, so
     // octet_length == length and first/last byte == first/last char)

@@ -91,12 +91,30 @@ class PlanSpec extends SparkSpec {
       MinMaxNormTech(), Combination(graft.functions.Combine.Arithmetic),
       k = 5, depth = 20)
     // the probed c_ids must reach the artifact scan as a STATIC
-    // PartitionFilter (c_id IN (...)) inside the hybrid COLLECTION stage —
-    // only nProbe of the 8 c_id= directories are read. (The combine stage
-    // checkpoints the collected set, so the full execute plan starts from a
-    // Scan ExistingRDD; the collection plan is where the probe scan lives.)
-    val p = plan(Hybrid.collectSubQueries(src, q, None))
+    // PartitionFilter (c_id IN (...)) — only nProbe of the 8 c_id=
+    // directories are read. The combine stage is a single lineage over the
+    // collected set (no checkpoint barrier), so the probe scan is visible
+    // in the FULL execute plan.
+    val p = plan(Hybrid.execute(src, q, None))
     assert(p.contains("PartitionFilters: [c_id"), p.take(3000))
+  }
+
+  test("hybrid combine stage is a single lineage: normalization stats add no second scan of the scorers") {
+    // min_max/l2/z_score per-sub-query stats are window aggregates over the
+    // collected rows, not a groupBy + self-join second branch — so a stats-
+    // bearing plan must scan each clause's sources exactly as many times as
+    // the stats-free rrf plan over the same clauses. A second lineage branch
+    // would double every scorer scan inside one job at corpus scale.
+    def scans(p: String): Int =
+      "InMemoryTableScan|Scan parquet|Scan ExistingRDD".r.findAllIn(p).length
+    val subs = Seq(Lexical(Seq("join")), Lexical(Seq("merge")))
+    val minmax = plan(Hybrid.execute(idx, HybridQuery(subs, MinMaxNormTech(),
+      Combination(graft.functions.Combine.Arithmetic), k = 5, depth = 20)))
+    val rrf = plan(Hybrid.execute(idx, HybridQuery(subs, RrfNormTech(),
+      Combination(graft.functions.Combine.Rrf), k = 5, depth = 20)))
+    assert(scans(minmax) == scans(rrf),
+      s"min_max plan has ${scans(minmax)} scans vs rrf's ${scans(rrf)}:\n" + minmax.take(3000))
+    assert(scans(rrf) > 0, rrf.take(2000))
   }
 
   test("hybrid non-scoring filter join carries no broadcast hint from our code") {
@@ -107,9 +125,8 @@ class PlanSpec extends SparkSpec {
     // the filter semi-join must not be pinned by a ResolvedHint we inserted;
     // AQE/stats pick the strategy (a 50%-of-corpus filter must not be forced
     // into a driver broadcast). Catalyst erases hints it applies, so the
-    // optimized plan of OUR collection stage (the stage holding the filter
-    // join — the combine stage checkpoints past it) must simply contain the
-    // LeftSemi join.
+    // optimized plan of the collection stage (the stage holding the filter
+    // join) must simply contain the LeftSemi join.
     val lp = Hybrid.collectSubQueries(HybridSources(idx), q, Some(filt))
       .queryExecution.optimizedPlan.toString
     assert(lp.contains("LeftSemi"), lp.take(3000))
