@@ -58,6 +58,10 @@ object DataEntries {
     "dedup_ngram_jaccard_capped" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", k = 3,
         threshold = 0.2, maxShingleDf = 4)),
+    // span-level exact dedup (Lee et al. 2022): maximal token spans covered
+    // by any 8-token window that occurs more than once across the corpus
+    "dedup_duplicate_spans" -> ((s, dir) =>
+      Dedup.duplicateSpans(docs(s, dir), "doc_id", "text", k = 8)),
     "dedup_embed_cosine" -> ((s, dir) =>
       Ann.cosinePairs(emb(s, dir), "vec_id", "embedding", "label", threshold = 0.35)),
 
@@ -357,6 +361,36 @@ object DataEntries {
   }
 
   def oracles(tokCte: String): Map[String, String] = Map(
+    // window identity is by token-sequence value (the engine hashes
+    // md5(chr(1)-joined window); equal sequences <=> equal hashes), then the
+    // same df >= 2 filter, coverage-gap islands (> k breaks) and min/max
+    // span fold
+    "dedup_duplicate_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, toks, unnest(range(len(toks) - 8 + 1)) AS i
+        |  FROM toks WHERE len(toks) >= 8),
+        |wins AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |         array_to_string(toks[i+1:i+8], chr(1)) AS w
+        |  FROM pos),
+        |dup AS (
+        |  SELECT doc_id, pos FROM (
+        |    SELECT doc_id, pos, count(*) OVER (PARTITION BY w) AS n FROM wins)
+        |  WHERE n >= 2),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |         sum(CASE WHEN prev IS NULL OR pos - prev > 8 THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY doc_id ORDER BY pos
+        |                 ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM (SELECT doc_id, pos,
+        |          lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        |        FROM dup))
+        |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+        |       CAST(max(pos) - min(pos) + 8 AS BIGINT) AS span_len
+        |FROM isl GROUP BY doc_id, island""".stripMargin,
     // same-content grouping is by text value (the engine hashes sha256(text);
     // equal text <=> equal hash), winner = min(doc_id) per group
     "stream_dedup" ->

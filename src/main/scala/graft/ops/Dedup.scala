@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -49,6 +50,48 @@ object Dedup {
   def exactGroups(docs: DataFrame, id: String, text: String): DataFrame =
     docs.groupBy(md5(col(text)).as("text_hash"))
       .agg(min(col(id)).as("rep_id"), count(lit(1)).as("cnt"))
+
+  /** Duplicate-substring spans — the SPAN-level exact dedup rule
+   *  ("Deduplicating Training Data Makes Language Models Better", Lee et
+   *  al. 2022: a k-token window occurring more than once across the corpus
+   *  marks its tokens as duplicated; overlapping duplicated windows merge
+   *  into maximal spans, which a pipeline then cuts or drops). Output:
+   *  (doc_id, span_start, span_len) in 0-based token positions. Repeats
+   *  WITHIN one doc count as duplication too, as in the paper.
+   *
+   *  Plan shape for 100 TB: window fingerprints are one md5 per token
+   *  position, built inside a single map-side projection (transform over a
+   *  position sequence — the token array is never exploded). ONE shuffle
+   *  partitions (doc, pos, hash) by hash for a window-frame count — no
+   *  collect_list, so a stopword-like window with a huge df streams
+   *  through the count without materializing its occurrence list, and no
+   *  second scan of the corpus (the groupBy-then-semi-join alternative
+   *  rescans the fingerprint stage). Survivors (df >= 2) shuffle once more
+   *  by doc — bounded per doc by its token count — where a coverage-gap
+   *  cumulative sum merges overlapping windows into maximal spans. */
+  def duplicateSpans(docs: DataFrame, id: String, text: String, k: Int): DataFrame = {
+    val toks = docs
+      .select(col(id).as("doc_id"), TextOps.tokensCol(col(text)).as("toks"))
+      .where(size(col("toks")) >= k)
+    val wins = toks.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), size(col("toks")) - k),
+          i => md5(concat_ws("\u0001", slice(col("toks"), (i + 1).cast("int"), lit(k)))))))
+      .toDF("doc_id", "pos", "h")
+    val dup = wins
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .where(col("n") >= 2)
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    dup
+      .withColumn("prev", lag(col("pos"), 1).over(byDoc))
+      .withColumn("brk",
+        when(col("prev").isNull || col("pos") - col("prev") > k, 1).otherwise(0))
+      .withColumn("island", sum(col("brk"))
+        .over(byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) - min(col("pos")) + k).cast("long").as("span_len"))
+      .select(col("doc_id"), col("span_start"), col("span_len"))
+  }
 
   /** Distinct word k-shingles per doc: (id, shingle) with shingle =
    *  space-joined k consecutive tokens. */

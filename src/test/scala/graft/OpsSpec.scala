@@ -232,6 +232,25 @@ class OpsSpec extends SparkSpec {
     assert(m(2).toSeq == Seq(3L, 1L, 0.0, 0.0, 0.0, 0.0, 0.0))
   }
 
+  test("duplicateSpans merges overlapping duplicated windows into maximal spans") {
+    // k=3. doc 1 and doc 2 share the 5-token run "p q r s t": windows
+    // starting at 0,1,2 in doc 1 (and 1,2,3 in doc 2) are duplicated and
+    // overlap -> ONE span covering tokens [0, 5) in doc 1, [1, 6) in doc 2.
+    // doc 3 repeats "u v w" at positions 0 and 5 WITHIN itself (self-dup,
+    // counted per the paper), gap 5 > k -> two separate spans of len 3.
+    // doc 4 shares nothing -> no rows.
+    val docs = Seq(
+      (1L, "p q r s t x0 y0"),
+      (2L, "z1 p q r s t y1"),
+      (3L, "u v w a b u v w"),
+      (4L, "only unique tokens here none repeat")
+    ).toDF("doc_id", "text")
+    val got = graft.ops.Dedup.duplicateSpans(docs, "doc_id", "text", k = 3)
+      .orderBy($"doc_id", $"span_start")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 0L, 5L), (2L, 1L, 5L), (3L, 0L, 3L), (3L, 5L, 3L)))
+  }
+
   test("decontamination flags exactly the docs sharing a k-gram with the benchmark") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps"),   // shares "quick brown fox" with bench
