@@ -49,7 +49,11 @@ object StreamingDedup {
     def handle(sha: String, it: Iterator[DedupDoc],
                state: GroupState[Long]): Iterator[DedupOut] = {
       val docs = it.toArray.sortBy(_.doc_id)
-      val keep = math.min(state.getOption.getOrElse(Long.MaxValue), docs.head.doc_id)
+      // FIRST-wins: an existing winner stays even if a smaller doc_id
+      // arrives later (its verdict already emitted in an earlier batch and
+      // must not be retroactively demoted); only a brand-new content hash
+      // crowns the batch's smallest doc_id.
+      val keep = state.getOption.getOrElse(docs.head.doc_id)
       state.update(keep)
       docs.iterator.map(d => DedupOut(d.doc_id, keep, d.doc_id != keep))
     }

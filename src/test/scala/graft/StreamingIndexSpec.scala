@@ -32,6 +32,31 @@ class StreamingIndexSpec extends SparkSpec {
     assert(merged2.stats == full.stats)
   }
 
+  test("streaming dedup state is first-WINS across micro-batches, not min-id") {
+    // the single-batch oracle (stream_dedup) cannot distinguish first-wins
+    // from batch min(doc_id); two explicit micro-batches can: doc 3 arrives
+    // AFTER doc 5 claimed the same content, so 5 stays the winner even
+    // though 3 < 5.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingDedup
+      .firstWins(in.toDF().toDF("doc_id", "text"), "doc_id", "text")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("sd_batches").start()
+    in.addData((5L, "xx"), (7L, "yy"))
+    q.processAllAvailable()
+    in.addData((3L, "xx"), (8L, "yy"), (9L, "zz"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sd_batches")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(got == Set(
+      (5L, 5L, false), (7L, 7L, false),          // batch 1: both are winners
+      (3L, 5L, true), (8L, 7L, true), (9L, 9L, false))) // batch 2: state wins
+  }
+
   test("mergeAll tolerates gaps in segment ids") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val store = java.nio.file.Files.createTempDirectory("gap-store").toString
