@@ -57,7 +57,13 @@ object Ann {
    * Returns the read-back assignment (id, c_id).
    */
   def ivfBuild(emb: DataFrame, id: String, vec: String, nCentroids: Int, path: String): DataFrame = {
+    // repartition by the partition column before the partitioned write:
+    // without it every write task emits a file into ALL nCentroids
+    // directories (tasks x centroids tiny files + their commit round-trips);
+    // with it each directory gets one file per shuffle partition holding
+    // that c_id, and AQE sizes those partitions
     ivfAssign(emb, id, vec, nCentroids)
+      .repartition(col("c_id"))
       .write.mode("overwrite").partitionBy("c_id").parquet(path)
     emb.sparkSession.read.parquet(path)
   }
@@ -184,9 +190,14 @@ object Ann {
     cents.toSeq.map { case (cid, cv) => (cid, cv.toSeq) }.toDF("c_id", "cv")
   }
 
-  /** Learned-IVF build artifact: k-means centroids + the final assignment,
-   *  both persisted; the assignment is partitioned by centroid for probe-time
-   *  partition pruning. Returns (centroids, assignment) read back. */
+  /** Learned-IVF build artifact: k-means centroids + the corpus vectors
+   *  INLINE, partitioned by centroid ([[ivfBuildVectors]]'s layout) — the
+   *  probe reads only its nProbe partitions and NEVER joins the embedding
+   *  table again. (An assignment-only artifact forces every query through a
+   *  corpus-wide id join to fetch the vectors back — the per-query corpus
+   *  shuffle this layout exists to eliminate; vectors duplicated into the
+   *  index is the standard IVF/HNSW trade.) Returns (centroids, vectors)
+   *  read back. */
   def ivfBuildLearned(emb: DataFrame, id: String, vec: String, nCentroids: Int,
                       path: String, iters: Int = 5,
                       trainSampleMod: Int = 1): (DataFrame, DataFrame) = {
@@ -194,9 +205,7 @@ object Ann {
     val cents = kmeansCentroids(emb, id, vec, nCentroids, iters, trainSampleMod)
     cents.write.mode("overwrite").parquet(s"$path/centroids")
     val centsBack = spark.read.parquet(s"$path/centroids")
-    assignTo(emb, id, vec, centsBack)
-      .write.mode("overwrite").partitionBy("c_id").parquet(s"$path/assign")
-    (centsBack, spark.read.parquet(s"$path/assign"))
+    (centsBack, ivfBuildVectors(emb, id, vec, centsBack, s"$path/vectors"))
   }
 
   /** Build-time IVF artifact with VECTORS inline, partitioned by centroid:
@@ -208,7 +217,11 @@ object Ann {
    *  (id, vec, c_id) table. */
   def ivfBuildVectors(emb: DataFrame, id: String, vec: String,
                       centroids: DataFrame, path: String): DataFrame = {
+    // repartition by c_id before the partitioned write (see [[ivfBuild]]):
+    // one file per directory per holding shuffle partition instead of
+    // tasks x centroids tiny files
     emb.join(assignTo(emb, id, vec, centroids), id)
+      .repartition(col("c_id"))
       .write.mode("overwrite").partitionBy("c_id").parquet(path)
     emb.sparkSession.read.parquet(path)
   }
@@ -236,22 +249,19 @@ object Ann {
       .select(col(id).as("doc_id"), cosine(col(vec), col("qv")).as("score"))
   }
 
-  /** IVF search against an explicit (learned) centroid table: probe the
-   *  nProbe centroids nearest to the query, brute-force only their assigned
-   *  vectors. With nProbe = nCentroids this is exact. */
+  /** IVF search against an explicit (learned) centroid table and
+   *  [[ivfBuildLearned]]'s vectors-inline artifact: probe the nProbe
+   *  centroids nearest to the query, brute-force only their PARTITIONS
+   *  (partition-pruned scan via [[ivfProbeScore]] — no corpus-wide id join
+   *  to fetch vectors back; `emb` serves only the bounded query-vector
+   *  lookup). With nProbe = nCentroids this is exact. */
   def ivfTopKLearned(emb: DataFrame, id: String, vec: String, queryId: Long,
-                     centroids: DataFrame, assigned: DataFrame,
+                     centroids: DataFrame, vectors: DataFrame,
                      nProbe: Int, k: Int): DataFrame = {
     val q = emb.where(col(id) === queryId).select(col(vec).as("qv"))
-    val probed = centroids.crossJoin(broadcast(q))
-      .orderBy(cosine(col("cv"), col("qv")).desc, col("c_id").asc)
-      .limit(nProbe)
-      .select("c_id")
-    emb.join(assigned, id)
-      .join(broadcast(probed), "c_id")
-      .crossJoin(broadcast(q))
-      .select(col(id), round(cosine(col(vec), col("qv")), 4).as("cos"),
-        cosine(col(vec), col("qv")).as("_c"))
+    ivfProbeScore(vectors, centroids, q, id, vec, nProbe)
+      .select(col("doc_id").as(id), round(col("score"), 4).as("cos"),
+        col("score").as("_c"))
       .orderBy(col("_c").desc, col(id).asc)
       .limit(k)
       .drop("_c")
