@@ -89,6 +89,18 @@ object PipelineEntries {
     // Gopher-style repetition quality signals (dup/top n-gram fractions),
     // computed map-only (sorted-array linear folds, no shuffle)
     "text_repetition" -> ((s, dir) => TextOps.repetition(docs(s, dir), "doc_id", "text")),
+    // PII redaction: the synthetic corpus carries no PII, so the entry
+    // appends deterministic doc_id-derived email/IP/phone strings (the
+    // oracle synthesizes identically) — the regexes are exercised for real
+    "text_pii_redact" -> ((s, dir) => {
+      val synth = docs(s, dir).select(col("doc_id"), concat(col("text"),
+        lit(" mail u"), col("doc_id").cast("string"),
+        lit("@ex-"), pmod(col("doc_id"), lit(7)).cast("string"),
+        lit(".org ip 10.1."), pmod(col("doc_id"), lit(200)).cast("string"),
+        lit("."), pmod(col("doc_id"), lit(250)).cast("string"),
+        lit(" tel +4915"), (col("doc_id") + 1000000).cast("string")).as("text"))
+      TextOps.redactPii(synth, "doc_id", "text")
+    }),
 
     // ---- chunkers ----
     "chunk_fixed_char" -> ((s, dir) =>
@@ -280,6 +292,30 @@ object PipelineEntries {
          |  round(coalesce(a3.top * 1.0 / a3.n, 0.0), 4) AS top_3gram_frac
          |FROM t LEFT JOIN a1 USING (doc_id) LEFT JOIN a2 USING (doc_id)
          |       LEFT JOIN a3 USING (doc_id)""".stripMargin,
+    // same doc_id-derived synthesis, same three regexes (Java regex and
+    // RE2 agree on char classes, bounded quantifiers, \b), counts on the
+    // original text, sequential email -> ip -> phone redaction
+    "text_pii_redact" ->
+      """WITH synth AS (
+        |  SELECT doc_id,
+        |         text || ' mail u' || CAST(doc_id AS VARCHAR)
+        |              || '@ex-' || CAST(doc_id % 7 AS VARCHAR)
+        |              || '.org ip 10.1.' || CAST(doc_id % 200 AS VARCHAR)
+        |              || '.' || CAST(doc_id % 250 AS VARCHAR)
+        |              || ' tel +4915' || CAST(doc_id + 1000000 AS VARCHAR) AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b', '<IP>', 'g'),
+        |    '\+[0-9][0-9()\- ]{6,}[0-9]', '<PHONE>', 'g') AS clean,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b')) AS BIGINT) AS n_ip,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\+[0-9][0-9()\- ]{6,}[0-9]')) AS BIGINT) AS n_phone
+        |FROM synth""".stripMargin,
 
     "chunk_fixed_char" ->
       s"""SELECT doc_id, i AS chunk_idx, substr(text, CAST(i*200 + 1 AS INT), 200) AS chunk

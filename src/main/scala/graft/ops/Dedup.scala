@@ -63,12 +63,17 @@ object Dedup {
    *  position, built inside a single map-side projection (transform over a
    *  position sequence — the token array is never exploded). ONE shuffle
    *  partitions (doc, pos, hash) by hash for a window-frame count — no
-   *  collect_list, so a stopword-like window with a huge df streams
-   *  through the count without materializing its occurrence list, and no
-   *  second scan of the corpus (the groupBy-then-semi-join alternative
-   *  rescans the fingerprint stage). Survivors (df >= 2) shuffle once more
-   *  by doc — bounded per doc by its token count — where a coverage-gap
-   *  cumulative sum merges overlapping windows into maximal spans. */
+   *  collect_list row blowup, and no second scan of the corpus (the
+   *  groupBy-then-semi-join alternative either rescans the fingerprint
+   *  stage or materializes it, and the fingerprint table is token-count-
+   *  sized — the one intermediate here too big to checkpoint). Honest
+   *  tail: WindowExec buffers each hash partition in a spillable
+   *  (disk-backed) row array, so a pathologically ubiquitous window
+   *  (df ~ corpus) lands on one spilling reducer; if that tail matters,
+   *  prefilter stopword-dominated windows the way ngramJaccardPairs caps
+   *  shingle df. Survivors (df >= 2) shuffle once more by doc — bounded
+   *  per doc by its token count — where a coverage-gap cumulative sum
+   *  merges overlapping windows into maximal spans. */
   def duplicateSpans(docs: DataFrame, id: String, text: String, k: Int): DataFrame = {
     val toks = docs
       .select(col(id).as("doc_id"), TextOps.tokensCol(col(text)).as("toks"))

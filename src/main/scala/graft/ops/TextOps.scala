@@ -26,6 +26,33 @@ object TextOps {
       size(filter(split(col(text), "[^a-zA-Z0-9]+"), t => t =!= "")).cast("long").as("alnum_tokens"),
       size(array_distinct(tokensCol(col(text)))).cast("long").as("distinct_tokens"))
 
+  // PII patterns kept to syntax Java regex and RE2 (the DuckDB oracle)
+  // interpret identically: character classes, bounded quantifiers, \b.
+  private val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val Ipv4Pat  = "\\b[0-9]{1,3}(\\.[0-9]{1,3}){3}\\b"
+  private val PhonePat = "\\+[0-9][0-9()\\- ]{6,}[0-9]"
+
+  /** PII redaction — the privacy-scrub step of a training-data pipeline
+   *  (the C4/Gopher-era pipelines drop or mask emails, IPs and phone
+   *  numbers before training): masks emails, IPv4 addresses and
+   *  international-format phone numbers with typed placeholders and counts
+   *  each category (counts are matches of each pattern on the ORIGINAL
+   *  text; the redaction itself applies email -> ip -> phone in sequence).
+   *  Pure regexp column algebra — codegen'd, map-only, zero shuffle. */
+  def redactPii(docs: DataFrame, id: String, text: String): DataFrame = {
+    val t = col(text)
+    docs.select(
+      col(id),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(t, EmailPat, "<EMAIL>"),
+          Ipv4Pat, "<IP>"),
+        PhonePat, "<PHONE>").as("clean"),
+      regexp_count(t, lit(EmailPat)).cast("long").as("n_email"),
+      regexp_count(t, lit(Ipv4Pat)).cast("long").as("n_ip"),
+      regexp_count(t, lit(PhonePat)).cast("long").as("n_phone"))
+  }
+
   /** Quality scoring: length stats + stopword ratio + a composite score
    *  in [0,1] (len-saturation x (1 - stopword_ratio)). */
   def quality(docs: DataFrame, id: String, text: String): DataFrame = {

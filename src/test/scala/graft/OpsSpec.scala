@@ -232,6 +232,23 @@ class OpsSpec extends SparkSpec {
     assert(m(2).toSeq == Seq(3L, 1L, 0.0, 0.0, 0.0, 0.0, 0.0))
   }
 
+  test("redactPii masks emails, IPv4s and phone numbers with per-category counts") {
+    val docs = Seq(
+      (1L, "reach bob.smith+x@corp.example.org or alice@ex.io today"),
+      (2L, "server 192.168.0.1 and 10.0.0.255 up"),
+      (3L, "call +1 (555) 123-4567 now"),
+      (4L, "no pii here")
+    ).toDF("doc_id", "text")
+    val got = graft.ops.TextOps.redactPii(docs, "doc_id", "text")
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == Seq(
+      (1L, "reach <EMAIL> or <EMAIL> today", 2L, 0L, 0L),
+      (2L, "server <IP> and <IP> up", 0L, 2L, 0L),
+      (3L, "call <PHONE> now", 0L, 0L, 1L),
+      (4L, "no pii here", 0L, 0L, 0L)))
+  }
+
   test("duplicateSpans merges overlapping duplicated windows into maximal spans") {
     // k=3. doc 1 and doc 2 share the 5-token run "p q r s t": windows
     // starting at 0,1,2 in doc 1 (and 1,2,3 in doc 2) are duplicated and
