@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.analysis.Analyzer
 import graft.corpus.Corpus
-import graft.index.{Index, Segments}
+import graft.index.{Deletes, Index, IndexCache, Segments}
 import graft.query.Bm25
 
 /**
@@ -61,6 +61,40 @@ object CorpusEntries {
       import s.implicits._
       Segments.readMetrics(s, segStore(dir), NSeg).toDS().toDF()
         .select(col("segment_id"), col("stage"), col("rows"))
+    }),
+
+    // ---- delete / update lifecycle (Lucene liveDocs analogue) ----
+    // tombstoned docs vanish from the hits while statistics stay STALE
+    // (docCount/avgdl/df still include them) — Lucene's documented
+    // pre-merge behavior, which the oracle replicates by scoring with
+    // full-corpus stats and filtering only the hit set
+    "bm25_with_deletes" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      val dead = s.read.parquet(s"$dir/documents.parquet")
+        .where(col("doc_id") % 7 === 3).select("doc_id")
+      Bm25.topK(Deletes.withDeletes(idx, dead, "doc_id"), Seq("merge", "group"), 10)
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+    }),
+    // merge-time purge: blocks rewritten without the tombstoned ids, every
+    // statistic recomputed — scores now reflect the post-delete corpus
+    "bm25_compacted" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      val dead = s.read.parquet(s"$dir/documents.parquet")
+        .where(col("doc_id") % 7 === 3).select("doc_id")
+      Bm25.topK(Deletes.compact(idx, dead, "doc_id"), Seq("merge", "group"), 10)
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+    }),
+    // update = delete + add: purge the old rows, build a delta index over
+    // the new row versions only, block-merge into base — must score exactly
+    // as a fresh build over the updated corpus
+    "bm25_after_update" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      val updated = s.read.parquet(s"$dir/documents.parquet")
+        .where(col("doc_id") % 13 === 5)
+        .withColumn("text", concat(col("text"), lit(" rewritten content patch")))
+      Bm25.topK(Deletes.applyUpdate(idx, updated, "doc_id", "text"),
+          Seq("rewritten", "patch", "join"), 10)
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
     }),
 
     // incremental build: Structured Streaming micro-batches -> segments ->
@@ -128,6 +162,55 @@ object CorpusEntries {
       s"""WITH $tokCte
          |SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS ttf
          |FROM tf GROUP BY term""".stripMargin,
+
+    // stale-stats deletes: full-corpus stats CTEs, deleted ids filtered
+    // from the HIT SET only (Lucene liveDocs semantics pre-merge)
+    "bm25_with_deletes" ->
+      s"""WITH $tokCte,
+         |score AS (
+         |  SELECT tf.doc_id,
+         |         sum( ln(1 + (stats.n - df.df + 0.5)/(df.df + 0.5))
+         |              * (tf.tf / (tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/stats.avgdl))) ) AS s
+         |  FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN stats
+         |  WHERE tf.term IN ('merge', 'group')
+         |  GROUP BY tf.doc_id)
+         |SELECT doc_id, round(s, 4) AS score FROM score
+         |WHERE doc_id % 7 <> 3
+         |ORDER BY s DESC, doc_id LIMIT 10""".stripMargin,
+
+    // post-compaction: every stat recomputed over the live corpus — the
+    // tok/df/dl/stats CTEs all read the filtered live_docs view
+    "bm25_compacted" ->
+      s"""WITH live_docs AS (SELECT * FROM documents WHERE doc_id % 7 <> 3),
+         |${tokCte.replace("FROM documents", "FROM live_docs")},
+         |score AS (
+         |  SELECT tf.doc_id,
+         |         sum( ln(1 + (stats.n - df.df + 0.5)/(df.df + 0.5))
+         |              * (tf.tf / (tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/stats.avgdl))) ) AS s
+         |  FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN stats
+         |  WHERE tf.term IN ('merge', 'group')
+         |  GROUP BY tf.doc_id)
+         |SELECT doc_id, round(s, 4) AS score FROM score
+         |ORDER BY s DESC, doc_id LIMIT 10""".stripMargin,
+
+    // update = delete + add: the oracle scores a fresh build over the
+    // updated corpus (same rows, %13==5 texts rewritten)
+    "bm25_after_update" ->
+      s"""WITH live_docs AS (
+         |  SELECT doc_id,
+         |         CASE WHEN doc_id % 13 = 5
+         |              THEN text || ' rewritten content patch' ELSE text END AS text
+         |  FROM documents),
+         |${tokCte.replace("FROM documents", "FROM live_docs")},
+         |score AS (
+         |  SELECT tf.doc_id,
+         |         sum( ln(1 + (stats.n - df.df + 0.5)/(df.df + 0.5))
+         |              * (tf.tf / (tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/stats.avgdl))) ) AS s
+         |  FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN stats
+         |  WHERE tf.term IN ('rewritten', 'patch', 'join')
+         |  GROUP BY tf.doc_id)
+         |SELECT doc_id, round(s, 4) AS score FROM score
+         |ORDER BY s DESC, doc_id LIMIT 10""".stripMargin,
 
     "segments_metrics" ->
       s"""WITH $tokCte,

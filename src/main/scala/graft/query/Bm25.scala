@@ -128,11 +128,14 @@ object Bm25 {
             i += 1
           }
           val base = bucket << InvertedIndex.BucketBits
+          // liveDocs gate: a seen doc with no forward entry (dl slot 0) is
+          // tombstoned (Deletes.maskDocLens removed it) — a live doc with
+          // any posting always has dl >= 1, so this never drops live hits
           if (lim <= 0) {
             val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
             var d = 0
             while (d < span) {
-              if (seen(d)) out += ((base + d, scores(d)))
+              if (seen(d) && dlArr(d) > 0) out += ((base + d, scores(d)))
               d += 1
             }
             out.iterator
@@ -142,7 +145,7 @@ object Bm25 {
             val pq = new scala.collection.mutable.PriorityQueue[(Long, Double)]()(ord.reverse)
             var d = 0
             while (d < span) {
-              if (seen(d)) {
+              if (seen(d) && dlArr(d) > 0) {
                 val cand = (base + d, scores(d))
                 if (pq.size < lim) pq.enqueue(cand)
                 else if (ord.gt(cand, pq.head)) { pq.dequeue(); pq.enqueue(cand) }
@@ -278,7 +281,8 @@ object Bm25 {
           val base = bucket << InvertedIndex.BucketBits
           var d = 0
           while (d < span) {
-            if (seen(d)) {
+            // liveDocs gate — see scoreTerms: dl slot 0 == tombstoned
+            if (seen(d) && dlArr(d) > 0) {
               val cand = (base + d, scores(d))
               if (pq.size < kk) pq.enqueue(cand)
               else if (ord.gt(cand, pq.head)) { pq.dequeue(); pq.enqueue(cand) }
