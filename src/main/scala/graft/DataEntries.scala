@@ -102,6 +102,20 @@ object DataEntries {
         cents, asg, nProbe = 16, k = 10)
     }),
 
+    // random-hyperplane LSH (Charikar sign-of-projection): near-dup pairs
+    // from DERIVED band buckets — no caller-supplied block column, no
+    // trained centroids; candidates verify exact cosine. 32 planes, 4
+    // 8-bit bands (256 buckets per band at corpus scale)
+    "dedup_embed_lsh" -> ((s, dir) =>
+      Ann.lshCosinePairs(emb(s, dir), "vec_id", "embedding",
+        nPlanes = 32, nBands = 4, threshold = 0.35, dim = 64)),
+    // LSH-bucketed approximate top-k: score only vectors sharing >= 1 of
+    // the query's band values (the scale path where IVF's centroid train
+    // is not worth it), exact cosine rank within candidates
+    "ann_lsh_topk" -> ((s, dir) =>
+      Ann.lshTopK(emb(s, dir), "vec_id", "embedding", queryId = 9L, k = 10,
+        nPlanes = 32, nBands = 4, dim = 64)),
+
     // ---- impact-ordered doc-id reordering (index-sort analogue) ----
     "reorder_by_length" -> ((s, dir) =>
       graft.index.Reorder.denseIds(docs(s, dir).select("doc_id", "n_chars"),
@@ -554,6 +568,28 @@ object DataEntries {
          |FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id,
          |LATERAL (SELECT ${cosSql("a.embedding", "b.embedding")} AS c)
          |WHERE c >= 0.35""".stripMargin,
+    "dedup_embed_lsh" ->
+      s"""WITH ${lshCtes(32, 4, 64)},
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bh = b.bh AND a.vec_id < b.vec_id)
+         |SELECT id_a, id_b, round(c, 4) AS cos
+         |FROM cand
+         |JOIN embeddings ea ON ea.vec_id = id_a
+         |JOIN embeddings eb ON eb.vec_id = id_b,
+         |LATERAL (SELECT ${cosSql("ea.embedding", "eb.embedding")} AS c)
+         |WHERE c >= 0.35""".stripMargin,
+    "ann_lsh_topk" ->
+      s"""WITH ${lshCtes(32, 4, 64)},
+         |qb AS (SELECT band, bh FROM bands WHERE vec_id = 9),
+         |cand AS (SELECT DISTINCT b.vec_id
+         |         FROM bands b JOIN qb ON b.band = qb.band AND b.bh = qb.bh),
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 9)
+         |SELECT vec_id, round(c, 4) AS cos FROM (
+         |  SELECT e.vec_id, ${cosSql("e.embedding", "q.qv")} AS c
+         |  FROM embeddings e JOIN cand USING (vec_id), q)
+         |ORDER BY c DESC, vec_id LIMIT 10""".stripMargin,
     "knn_radial" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 5)
          |SELECT vec_id, round(c, 4) AS cos FROM (
@@ -650,6 +686,20 @@ object DataEntries {
     def d(x: String, y: String) =
       s"list_dot_product(CAST($x AS DOUBLE[]), CAST($y AS DOUBLE[]))"
     s"(${d(a, b)} / (sqrt(${d(a, a)}) * sqrt(${d(b, b)})))"
+  }
+
+  /** The LSH sig + bands CTEs with the SAME +-1 hyperplanes the engine
+   *  bakes into its plan, inlined here as SQL literals — the oracle
+   *  recomputes every signature bit independently. */
+  private def lshCtes(nPlanes: Int, nBands: Int, dim: Int): String = {
+    val rows = nPlanes / nBands
+    val bits = (0 until nPlanes).map { p =>
+      val w = graft.ops.Ann.hyperplane(p, dim).map(x => s"$x.0").mkString(", ")
+      s"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), [$w]) >= 0 THEN '1' ELSE '0' END)"
+    }.mkString(" || ")
+    s"""sig AS (SELECT vec_id, $bits AS sig FROM embeddings),
+       |bands AS (SELECT vec_id, bb.b AS band, substring(sig, bb.b*$rows + 1, $rows) AS bh
+       |          FROM sig CROSS JOIN (SELECT unnest(generate_series(0, ${nBands - 1})) AS b) bb)""".stripMargin
   }
 
   private def minhashLshOracle: String = {

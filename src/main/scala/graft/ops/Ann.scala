@@ -327,4 +327,98 @@ object Ann {
       .where(col("c") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("c"), 4).as("cos"))
   }
+
+  // -------------------------------------------------------------------
+  // Random-hyperplane LSH (sign-of-projection, Charikar 2002): the
+  // LSH-bucketed scale path next to IVF. Signature bit p is the SIGN of
+  // vec . r_p for a deterministic +-1 hyperplane r_p, so
+  // P[bit differs] = angle/pi — near-cosine-duplicates agree on most
+  // bits, and banding the signature turns near-duplicate search into
+  // bounded equality-join buckets (no caller-supplied block column, no
+  // trained centroids). Everything below is codegen'd column algebra:
+  // the hyperplanes bake into the plan as literal arrays (metadata-sized,
+  // deterministic from md5, shipped inside the serialized plan).
+  // -------------------------------------------------------------------
+
+  /** Deterministic +-1 hyperplane for plane `p`: weight d is the top bit of
+   *  md5("p:d") — reproducible anywhere (incl. the SQL oracle, which inlines
+   *  these as literals). */
+  def hyperplane(p: Int, dim: Int): Array[Int] =
+    Array.tabulate(dim) { d =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$p:$d".getBytes("UTF-8"))
+      if ((h(0) & 0x80) != 0) 1 else -1
+    }
+
+  /** Sign-bit signature as an nPlanes-char '0'/'1' string (map-only; one
+   *  dot product per plane, left-to-right fold for cross-engine parity). */
+  def lshSignature(emb: DataFrame, id: String, vec: String,
+                   nPlanes: Int, dim: Int): DataFrame = {
+    val bits = (0 until nPlanes).map { p =>
+      val w = array(hyperplane(p, dim).map(x => lit(x.toDouble)): _*)
+      when(dot(col(vec), w) >= 0, "1").otherwise("0")
+    }
+    emb.select(col(id).as("id"), concat(bits: _*).as("sig"))
+  }
+
+  /** Bands of rows = nPlanes/nBands adjacent signature bits (id, band, bh). */
+  private def lshBands(sig: DataFrame, nPlanes: Int, nBands: Int): DataFrame = {
+    require(nPlanes % nBands == 0, s"nBands $nBands must divide nPlanes $nPlanes")
+    val rows = nPlanes / nBands
+    sig.select(col("id"), posexplode(array(
+      (0 until nBands).map(b => substring(col("sig"), b * rows + 1, rows)): _*))
+      .as(Seq("band", "bh")))
+  }
+
+  /**
+   * LSH near-duplicate pairs: candidates agree on at least one band,
+   * survivors verify cosine >= threshold. The band self-join is the
+   * bounded-bucket shape (a band bucket of B vectors yields pairs only
+   * within itself), and the expensive cosine runs on candidates only —
+   * the derived-bucket replacement for [[cosinePairs]]'s caller-supplied
+   * block column. Approximate by design: recall is the standard
+   * 1-(1-s^rows)^bands LSH curve, tuned by (nPlanes, nBands).
+   */
+  def lshCosinePairs(emb: DataFrame, id: String, vec: String, nPlanes: Int,
+                     nBands: Int, threshold: Double, dim: Int): DataFrame = {
+    // the signature table feeds both sides of the band self-join: compute
+    // the nPlanes dot products once, not once per branch
+    val sig = lshSignature(emb, id, vec, nPlanes, dim).localCheckpoint(true)
+    val bands = lshBands(sig, nPlanes, nBands)
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct() // a pair matching several bands verifies once
+    cand
+      .join(emb.select(col(id).as("id_a"), col(vec).as("va")), "id_a")
+      .join(emb.select(col(id).as("id_b"), col(vec).as("vb")), "id_b")
+      .withColumn("c", cosine(col("va"), col("vb")))
+      .where(col("c") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("c"), 4).as("cos"))
+  }
+
+  /**
+   * LSH-bucketed approximate top-k: score only the vectors sharing at least
+   * one band with the query (a semi join against the query's <= nBands band
+   * values — broadcast-sized by construction), exact cosine top-k within the
+   * candidate set. The query itself always collides with its own buckets, so
+   * rank 1 is the query at cosine 1 — same convention as [[bruteTopK]].
+   */
+  def lshTopK(emb: DataFrame, id: String, vec: String, queryId: Long, k: Int,
+              nPlanes: Int, nBands: Int, dim: Int): DataFrame = {
+    val sig = lshSignature(emb, id, vec, nPlanes, dim).localCheckpoint(true)
+    val bands = lshBands(sig, nPlanes, nBands)
+    val qBands = bands.where(col("id") === queryId)
+      .select(col("band"), col("bh"))
+    val candIds = bands.join(broadcast(qBands), Seq("band", "bh"), "left_semi")
+      .select(col("id")).distinct()
+    val q = emb.where(col(id) === queryId).select(col(vec).as("qv"))
+    emb.join(candIds, emb(id) === candIds("id"), "left_semi")
+      .crossJoin(broadcast(q))
+      .select(col(id), cosine(col(vec), col("qv")).as("_c"))
+      .orderBy(col("_c").desc, col(id).asc)
+      .limit(k)
+      .select(col(id), round(col("_c"), 4).as("cos"))
+  }
 }

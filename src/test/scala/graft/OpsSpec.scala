@@ -127,6 +127,47 @@ class OpsSpec extends SparkSpec {
     }.toDF("vec_id", "embedding")
   }
 
+  test("hyperplane LSH: identical vectors always pair; every pair is sound vs brute force") {
+    import graft.ops.Ann
+    // 0 and 1 identical (must share every band); 2 near 0; 3 orthogonal-ish
+    val emb = Seq(
+      (0L, Array(1.0f, 2.0f, 3.0f, 4.0f)),
+      (1L, Array(1.0f, 2.0f, 3.0f, 4.0f)),
+      (2L, Array(1.1f, 2.1f, 2.9f, 4.2f)),
+      (3L, Array(-4.0f, 3.0f, -2.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Ann.lshCosinePairs(emb, "vec_id", "embedding",
+      nPlanes = 16, nBands = 4, threshold = 0.9, dim = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 1L && p._3 == 1.0),
+      s"identical vectors share every band and must be found: $pairs")
+    // soundness: every reported pair really clears the cosine threshold
+    val brute = Ann.cosinePairs(emb.withColumn("blk", lit(1)),
+      "vec_id", "embedding", "blk", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.forall(p => brute.contains((p._1, p._2))), s"unsound pair in $pairs")
+  }
+
+  test("LSH top-k is the exact cosine rank within the candidate set, query first") {
+    import graft.ops.Ann
+    val emb = (0 until 40).map { i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 3.7 + d * 1.3).toFloat))
+    }.toDF("vec_id", "embedding")
+    val got = Ann.lshTopK(emb, "vec_id", "embedding", queryId = 7L, k = 5,
+      nPlanes = 16, nBands = 4, dim = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got.head == ((7L, 1.0)), "the query collides with its own buckets and ranks first")
+    assert(got.map(_._2) == got.map(_._2).sorted.reverse, "descending cosine order")
+    // every returned id shares at least one band with the query
+    val sig = Ann.lshSignature(emb, "vec_id", "embedding", 16, 8)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val qBands = (0 until 4).map(b => (b, sig(7L).substring(b * 4, b * 4 + 4)))
+    got.foreach { case (id, _) =>
+      assert(qBands.exists { case (b, bh) => sig(id).substring(b * 4, b * 4 + 4) == bh },
+        s"id $id shares no band with the query")
+    }
+  }
+
   test("kmeans centroids are deterministic and the assignment partitions the corpus") {
     val emb = kmeansData
     val c1 = graft.ops.Ann.kmeansCentroids(emb, "vec_id", "embedding", 3, iters = 3)
