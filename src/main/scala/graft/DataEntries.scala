@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.ops.{Ann, Chunkers, Dedup, Multimodal, Rerank, Semantic, Sparse, Seismic, ClusteredPosting}
+import graft.ops.{Ann, Chunkers, Dedup, Multimodal, Rerank, Sample, Semantic, Sparse, Seismic, ClusteredPosting}
 import graft.hybrid._
 import graft.functions.Combine
 import graft.stats.EventStats
@@ -115,6 +115,21 @@ object DataEntries {
     "ann_lsh_topk" -> ((s, dir) =>
       Ann.lshTopK(emb(s, dir), "vec_id", "embedding", queryId = 9L, k = 10,
         nPlanes = 32, nBands = 4, dim = 64)),
+
+    // ---- deterministic sampling (training-mix shaping) ----
+    // content-addressed Bernoulli off md5(doc_id): reruns pick the SAME
+    // sample, zero shuffle, and the oracle reproduces it bit-for-bit
+    "sample_fraction" -> ((s, dir) =>
+      Sample.fraction(docs(s, dir), "doc_id", 0.2).select("doc_id", "lang")),
+    // per-language rates: en downweighted to 25%, zh to 50%, rest kept —
+    // the mixture-reweighting step of a corpus curation pipeline
+    "sample_stratified" -> ((s, dir) =>
+      Sample.stratified(docs(s, dir), "doc_id", "lang",
+        Map("en" -> 0.25, "zh" -> 0.5)).select("doc_id", "lang")),
+    // exact per-language quota (sample-without-replacement by hash order),
+    // via the salted two-level top-n — no one-reducer-per-stratum window
+    "sample_quota" -> ((s, dir) =>
+      Sample.quota(docs(s, dir), "doc_id", "lang", 25).select("doc_id", "lang")),
 
     // ---- impact-ordered doc-id reordering (index-sort analogue) ----
     "reorder_by_length" -> ((s, dir) =>
@@ -568,6 +583,23 @@ object DataEntries {
          |FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id,
          |LATERAL (SELECT ${cosSql("a.embedding", "b.embedding")} AS c)
          |WHERE c >= 0.35""".stripMargin,
+    "sample_fraction" ->
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+         |      < '${graft.ops.Sample.rateThreshold(0.2)}'""".stripMargin,
+    "sample_stratified" ->
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+         |      < (CASE lang WHEN 'en' THEN '${graft.ops.Sample.rateThreshold(0.25)}'
+         |                   WHEN 'zh' THEN '${graft.ops.Sample.rateThreshold(0.5)}'
+         |                   ELSE '${graft.ops.Sample.rateThreshold(1.0)}' END)""".stripMargin,
+    "sample_quota" ->
+      s"""SELECT doc_id, lang FROM (
+         |  SELECT doc_id, lang, row_number() OVER (
+         |    PARTITION BY lang
+         |    ORDER BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id) AS rn
+         |  FROM documents)
+         |WHERE rn <= 25""".stripMargin,
     "dedup_embed_lsh" ->
       s"""WITH ${lshCtes(32, 4, 64)},
          |cand AS (

@@ -127,6 +127,37 @@ class OpsSpec extends SparkSpec {
     }.toDF("vec_id", "embedding")
   }
 
+  test("deterministic sampling: reproducible, rate-accurate, quota-exact") {
+    import graft.ops.Sample
+    val rows = (0L until 2000L).map(i => (i, if (i % 4 == 0) "en" else "xx"))
+      .toDF("doc_id", "lang")
+    val s1 = Sample.fraction(rows, "doc_id", 0.3).select("doc_id").as[Long].collect().toSet
+    val s2 = Sample.fraction(rows, "doc_id", 0.3).select("doc_id").as[Long].collect().toSet
+    assert(s1 == s2, "same input, same sample — no rand() anywhere")
+    assert(math.abs(s1.size / 2000.0 - 0.3) < 0.05, s"rate off: ${s1.size}")
+    // a smaller rate's sample NESTS inside a larger rate's (threshold is a
+    // prefix-ordered cut of the same hash coordinate)
+    val s3 = Sample.fraction(rows, "doc_id", 0.1).select("doc_id").as[Long].collect().toSet
+    assert(s3.subsetOf(s1), "rate 0.1 sample must nest inside rate 0.3")
+
+    val strat = Sample.stratified(rows, "doc_id", "lang", Map("en" -> 0.0))
+    assert(strat.where($"lang" === "en").count() == 0, "rate 0 stratum drops everything")
+    assert(strat.where($"lang" =!= "xx").count() == 0 || strat.count() > 1000,
+      "default rate 1.0 keeps the other stratum")
+
+    val q = Sample.quota(rows, "doc_id", "lang", 17)
+    val counts = q.groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("en" -> 17L, "xx" -> 17L), s"exact quota per stratum: $counts")
+    // quota picks the smallest hash keys — equals the plain window formulation
+    val expected = rows
+      .withColumn("hk", Sample.hashKey($"doc_id"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"lang")
+          .orderBy($"hk".asc, $"doc_id".asc)))
+      .where($"rn" <= 17).select("doc_id").as[Long].collect().toSet
+    assert(q.select("doc_id").as[Long].collect().toSet == expected)
+  }
+
   test("hyperplane LSH: identical vectors always pair; every pair is sound vs brute force") {
     import graft.ops.Ann
     // 0 and 1 identical (must share every band); 2 near 0; 3 orthogonal-ish
