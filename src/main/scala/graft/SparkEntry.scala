@@ -59,6 +59,33 @@ object SparkEntry {
     Bm25.topK(IndexCache.documents(s, dir), terms, k)
       .select(col("doc_id"), round(col("score"), 4).as("score"))
 
+  /** Phrase-BM25 oracle: positions over the FILTERED token list (parallel
+   *  unnest zips terms with their analyzed positions), consecutive-position
+   *  join chain for the phrase frequency, idf summed per phrase slot. */
+  private def phraseOracleSql(phrase: Seq[String], k: Int): String = {
+    val joins = phrase.zipWithIndex.tail.map { case (t, i) =>
+      s"JOIN tokp t$i ON t$i.doc_id = t0.doc_id AND t$i.pos = t0.pos + $i AND t$i.term = '$t'"
+    }.mkString("\n       ")
+    val idfTerms = phrase.map(t =>
+      s"(SELECT ln(1 + (stats.n - df.df + 0.5)/(df.df + 0.5)) FROM df CROSS JOIN stats WHERE df.term = '$t')")
+      .mkString(" + ")
+    s"""WITH $TOK_CTE,
+       |toksq AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l FROM documents),
+       |tokp AS (SELECT doc_id, unnest(l) AS term, unnest(range(len(l))) AS pos FROM toksq),
+       |ph AS (
+       |  SELECT t0.doc_id, count(*) AS freq
+       |  FROM tokp t0
+       |       $joins
+       |  WHERE t0.term = '${phrase.head}'
+       |  GROUP BY t0.doc_id),
+       |idfw AS (SELECT ($idfTerms) AS w)
+       |SELECT doc_id, round(s, 4) AS score FROM (
+       |  SELECT ph.doc_id,
+       |         idfw.w * (ph.freq / (ph.freq + 1.2*(1 - 0.75 + 0.75*dl.dl/stats.avgdl))) AS s
+       |  FROM ph JOIN dl USING (doc_id) CROSS JOIN idfw CROSS JOIN stats)
+       |ORDER BY s DESC, doc_id LIMIT $k""".stripMargin
+  }
+
   // ---------------------------------------------------------------------
   // queries + oracleSql (column names MUST match the oracle)
   // ---------------------------------------------------------------------
@@ -125,6 +152,18 @@ object SparkEntry {
       Bm25.topK(IndexCache.documents(s, dir, graft.analysis.Analyzer.LangTagged),
         Seq("the", "table"), 10)
         .select(col("doc_id"), round(col("score"), 4).as("score"))),
+    // exact phrase (match_phrase, slop 0): consecutive analyzed positions,
+    // tf = phrase frequency, BM25 weight = sum of member-term idfs — the
+    // Lucene PhraseQuery contract over the positional block table
+    "bm25_phrase" -> ((s, dir) =>
+      graft.query.Phrase.topK(IndexCache.documents(s, dir),
+        IndexCache.positions(s, dir), Seq("table", "hash"), 10)
+        .select(col("doc_id"), round(col("score"), 4).as("score"))),
+    // 3-term phrase with within-doc repeats (phrase freq > 1 exercised)
+    "bm25_phrase3" -> ((s, dir) =>
+      graft.query.Phrase.topK(IndexCache.documents(s, dir),
+        IndexCache.positions(s, dir), Seq("slow", "hash", "batch"), 10)
+        .select(col("doc_id"), round(col("score"), 4).as("score"))),
     // block-max WAND path: same exact results, blocks below the pass-1
     // threshold never decoded (SURVEY.md §7.4 two-pass scheme)
     "bm25_wand_top10" -> ((s, dir) =>
@@ -185,6 +224,8 @@ object SparkEntry {
          |ORDER BY s DESC, doc_id LIMIT 10""".stripMargin,
     "bm25_auto_top10"   -> bm25OracleSql("'merge', 'dup'", 10),
     "bm25_lang_tagged"  -> bm25OracleSql("'the', 'table'", 10, TOK_CTE_LANG),
+    "bm25_phrase"  -> phraseOracleSql(Seq("table", "hash"), 10),
+    "bm25_phrase3" -> phraseOracleSql(Seq("slow", "hash", "batch"), 10),
     "bm25_wand_top10"   -> bm25OracleSql("'spark', 'stream', 'filter'", 10),
     "bm25_wand_top100"  -> bm25OracleSql("'table', 'scan'", 100)
   ) ++ HybridEntries.oracles(TOK_CTE) ++ PipelineEntries.oracles(TOK_CTE) ++ DataEntries.oracles(TOK_CTE) ++ CorpusEntries.oracles(TOK_CTE)

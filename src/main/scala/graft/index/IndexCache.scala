@@ -22,6 +22,22 @@ object IndexCache {
   def evictOthers(appId: String): Unit =
     cache.keySet.filter(_._1 != appId).foreach(cache.remove)
 
+  private val posCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String, String), org.apache.spark.sql.Dataset[PosBlock]]
+
+  /** Positional block table over `documents.parquet` (the `.pos` analogue),
+   *  warmed once per session like the main index. */
+  def positions(spark: SparkSession, sfDir: String,
+                analyzer: String = Analyzer.Simple): org.apache.spark.sql.Dataset[PosBlock] = {
+    posCache.keySet.filter(_._1 != spark.sparkContext.applicationId).foreach(posCache.remove)
+    posCache.getOrElseUpdate((spark.sparkContext.applicationId, s"$sfDir/documents.parquet", analyzer), {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val pos = Positions.build(docs, "doc_id", "text", analyzer).persist()
+      pos.count()
+      pos
+    })
+  }
+
   /** Index over `documents.parquet` in sfDir (doc_id, text). */
   def documents(spark: SparkSession, sfDir: String, analyzer: String = Analyzer.Simple): Index = {
     evictOthers(spark.sparkContext.applicationId)

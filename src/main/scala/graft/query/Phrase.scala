@@ -1,0 +1,113 @@
+package graft.query
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import graft.index.{DocLenBlock, Index, InvertedIndex, PosBlock, Positions, PostingCodec}
+
+/**
+ * Exact phrase scoring over the positional block table — Lucene's
+ * PhraseQuery/ExactPhraseMatcher semantics, which the reference's `bool` /
+ * hybrid sub-queries can nest just like any Lucene query:
+ *
+ *  - a doc matches when the phrase's terms occur at CONSECUTIVE analyzed
+ *    positions (slop 0);
+ *  - tf is the PHRASE frequency (number of start positions);
+ *  - the BM25 weight is the SUM of the member terms' idfs, duplicates
+ *    counted per phrase slot — exactly how Lucene's PhraseQuery feeds
+ *    Similarity.scorer(boost, collectionStats, termStats...) with one
+ *    TermStatistics per position.
+ *
+ * Execution: matched position blocks cogroup with the forward doc-length
+ * blocks on `bucket` (the scoreTerms shape — per-query shuffle proportional
+ * to the phrase's posting volume, never corpus size); each bucket verifies
+ * consecutiveness with sorted-array binary probes, no per-doc hashing.
+ */
+object Phrase {
+
+  def topK(idx: Index, pos: Dataset[PosBlock], phrase: Seq[String], k: Int): DataFrame = {
+    require(phrase.size >= 2, "a phrase needs at least 2 terms")
+    val spark = idx.postings.sparkSession
+    import spark.implicits._
+
+    val uniq = phrase.distinct
+    val dfMap: Map[String, Long] = idx.termStats
+      .filter($"term".isin(uniq: _*)).collect().map(t => t.term -> t.df).toMap
+    // Lucene: a phrase with any unindexed term matches nothing
+    if (uniq.exists(t => !dfMap.contains(t)))
+      return spark.emptyDataset[(Long, Double)].toDF("doc_id", "score")
+    val n = idx.stats.doc_count
+    val avgdl = idx.stats.avgdl
+    // idf summed PER PHRASE SLOT (duplicate terms counted), left-to-right
+    val w = phrase.foldLeft(0.0)((acc, t) => acc + Bm25.idf(dfMap(t), n))
+    val terms = phrase.toArray
+    val kk = k
+
+    val matched = pos.filter($"term".isin(uniq: _*))
+    val docLens = idx.docLens
+      .join(matched.select($"bucket").distinct().hint("broadcast"), "bucket")
+      .as[DocLenBlock]
+
+    val scored: Dataset[(Long, Double)] = matched
+      .groupByKey(_.bucket)
+      .cogroup(docLens.groupByKey(_.bucket)) { (bucket, blocksIt, dlIt) =>
+        val byTerm = blocksIt.map(b => b.term -> Positions.decodeEntries(b)).toMap
+        if (terms.exists(t => !byTerm.contains(t))) Iterator.empty
+        else {
+          val span = InvertedIndex.BucketSpan
+          val dlArr = new Array[Int](span)
+          dlIt.foreach { dlb =>
+            val ids = PostingCodec.decodeDeltas(dlb.ids, dlb.cnt)
+            val dls = PostingCodec.decodeInts(dlb.dls, dlb.cnt)
+            var i = 0
+            while (i < dlb.cnt) { dlArr(ids(i)) = dls(i); i += 1 }
+          }
+          // per-term (sorted by localId) entry arrays; lead = rarest term in
+          // this bucket drives the doc loop (fewest candidates to probe)
+          val perTerm: Array[Array[(Int, Array[Int])]] = terms.map(byTerm(_))
+          val leadIdx = perTerm.indices.minBy(i => perTerm(i).length)
+          val others = perTerm.indices.filter(_ != leadIdx)
+          // localId -> positions lookups for the non-lead terms
+          val lookups: Map[Int, java.util.HashMap[Integer, Array[Int]]] =
+            others.map { i =>
+              val m = new java.util.HashMap[Integer, Array[Int]]()
+              perTerm(i).foreach { case (d, ps) => m.put(d, ps) }
+              i -> m
+            }.toMap
+          val base = bucket << InvertedIndex.BucketBits
+          perTerm(leadIdx).iterator.flatMap { case (local, leadPs) =>
+            // all terms present in this doc?
+            val docPs = new Array[Array[Int]](terms.length)
+            docPs(leadIdx) = leadPs
+            var ok = true
+            others.foreach { i =>
+              val ps = lookups(i).get(local)
+              if (ps == null) ok = false else docPs(i) = ps
+            }
+            if (!ok || dlArr(local) == 0) None // dl gate: liveDocs (see Bm25)
+            else {
+              // phrase freq: start positions p with term i at p + i
+              var freq = 0
+              val starts = docPs(0)
+              var s = 0
+              while (s < starts.length) {
+                val p = starts(s) // position of slot 0 -> start = p
+                var i = 1
+                var hit = true
+                while (hit && i < terms.length) {
+                  hit = java.util.Arrays.binarySearch(docPs(i), p + i) >= 0
+                  i += 1
+                }
+                if (hit) freq += 1
+                s += 1
+              }
+              if (freq == 0) None
+              else Some((base + local, w * Bm25.tfNorm(freq, dlArr(local), avgdl)))
+            }
+          }
+        }
+      }
+
+    scored.toDF("doc_id", "score")
+      .orderBy($"score".desc, $"doc_id".asc).limit(kk)
+  }
+}

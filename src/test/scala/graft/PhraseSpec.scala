@@ -1,0 +1,74 @@
+package graft
+
+import graft.index.{InvertedIndex, Positions}
+import graft.query.{Bm25, Phrase}
+
+/** Exact phrase matching (Lucene PhraseQuery semantics): positional block
+ *  round-trip, phrase frequency incl. within-doc repeats and overlap, idf
+ *  summed per phrase slot, unindexed-term emptiness. */
+class PhraseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (0L, "a b c a b"),       // "a b" x2, "a b c" x1
+    (1L, "b a c b a"),       // no "a b"
+    (2L, "a b a b a b"),     // "a b" x3 (starts 0, 2, 4)
+    (3L, "x y a"),           // no "a b"
+    (4100L, "a b z")         // second bucket: cross-bucket correctness
+  )
+
+  private def fixture = corpus.toDF("doc_id", "text")
+  private lazy val idx = InvertedIndex.build(fixture, "doc_id", "text")
+  private lazy val pos = Positions.build(fixture, "doc_id", "text")
+
+  test("positional blocks round-trip the analyzed positions exactly") {
+    val got = pos.collect().flatMap { b =>
+      val base = b.bucket << InvertedIndex.BucketBits
+      Positions.decodeEntries(b).map { case (local, ps) =>
+        (b.term, base + local) -> ps.toSeq
+      }
+    }.toMap
+    val expected = corpus.flatMap { case (id, text) =>
+      text.split(" ").zipWithIndex.groupBy(_._1).map { case (t, occ) =>
+        (t, id) -> occ.map(_._2).toSeq
+      }
+    }.toMap
+    assert(got == expected)
+  }
+
+  test("phrase top-k: frequency, idf-sum weight, and ordering from first principles") {
+    val docs = corpus.toMap
+    val toks = docs.view.mapValues(_.split(" ").toSeq).toMap
+    val nDocs = docs.size.toLong
+    val avgdl = toks.values.map(_.size).sum.toDouble / nDocs
+    def df(t: String) = toks.values.count(_.contains(t)).toLong
+    def phraseFreq(id: Long, ph: Seq[String]): Int =
+      toks(id).indices.count(p =>
+        ph.indices.forall(i => toks(id).lift(p + i).contains(ph(i))))
+    def expectedTopK(ph: Seq[String], k: Int): Seq[(Long, Double)] = {
+      val w = ph.map(t => Bm25.idf(df(t), nDocs)).sum
+      docs.keys.toSeq.sorted
+        .map(id => (id, phraseFreq(id, ph)))
+        .filter(_._2 > 0)
+        .map { case (id, f) => (id, w * Bm25.tfNorm(f, toks(id).size, avgdl)) }
+        .sortBy { case (id, s) => (-s, id) }
+        .take(k)
+    }
+    def got(ph: Seq[String], k: Int): Seq[(Long, Double)] =
+      Phrase.topK(idx, pos, ph, k).collect().toSeq
+        .map(r => (r.getLong(0), r.getDouble(1)))
+
+    for (ph <- Seq(Seq("a", "b"), Seq("a", "b", "c"), Seq("b", "a"), Seq("x", "y"))) {
+      val g = got(ph, 10)
+      val e = expectedTopK(ph, 10)
+      assert(g.map(_._1) == e.map(_._1), s"docs for $ph: got $g expected $e")
+      g.zip(e).foreach { case ((_, gs), (_, es)) =>
+        assert(math.abs(gs - es) < 1e-9, s"score for $ph: got $g expected $e")
+      }
+    }
+  }
+
+  test("a phrase containing an unindexed term matches nothing") {
+    assert(Phrase.topK(idx, pos, Seq("a", "nosuchterm"), 10).count() == 0)
+  }
+}
