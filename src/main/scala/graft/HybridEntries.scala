@@ -72,7 +72,11 @@ object HybridEntries {
         .select(col("vec_id").as("doc_id"), col("embedding").as("vec"))) else None,
       fields = query.collapse.map(_ =>
         s.read.parquet(s"$dir/documents.parquet")),
-      ivf = if (needIvf) Some(ivfSource(s, dir)) else None
+      ivf = if (needIvf) Some(ivfSource(s, dir)) else None,
+      positions =
+        if (query.subQueries.exists(_.isInstanceOf[LexicalPhrase]))
+          Some(IndexCache.positions(s, dir))
+        else None
     )
   }
 
@@ -142,6 +146,12 @@ object HybridEntries {
     // min_max — the one case normalization exists for
     "hybrid_sparse_lex" ->
       run(q(Seq(Lexical(A), SparseLinear(SQ.toMap)),
+        MinMaxNormTech(), Combination(Combine.Arithmetic))) _,
+    // lexical BM25 + exact phrase (match_phrase slop 0, positional blocks)
+    // through min_max — phrase scores live on the lexical scale but only
+    // consecutive-occurrence docs carry them
+    "hybrid_phrase_lex" ->
+      run(q(Seq(Lexical(A), LexicalPhrase(Seq("table", "hash"))),
         MinMaxNormTech(), Combination(Combine.Arithmetic))) _,
     // lexical BM25 + dense cosine ([-1, 1], negatives included)
     "hybrid_ann_lex" ->
@@ -247,6 +257,24 @@ object HybridEntries {
           |    "normalization": { "technique": "min_max" },
           |    "combination":   { "technique": "arithmetic_mean" } } }""".stripMargin
       graft.query.QueryDsl.execute(idx, json, s, s.read.parquet(s"$dir/documents.parquet"))
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+    }),
+    // DSL with a match_phrase clause (object form, explicit slop 0): the
+    // parse path analyzes the phrase text and the positional source rides
+    // in through HybridSources.positions
+    "dsl_phrase" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      val json =
+        """{ "query": { "hybrid": {
+          |    "queries": [ { "match": { "text": "join hash" } },
+          |                 { "match_phrase": { "text": { "query": "table hash", "slop": 0 } } } ],
+          |    "pagination_depth": 50 } },
+          |  "size": 10,
+          |  "search_pipeline": {
+          |    "normalization": { "technique": "min_max" },
+          |    "combination":   { "technique": "arithmetic_mean" } } }""".stripMargin
+      val src = HybridSources(idx, positions = Some(IndexCache.positions(s, dir)))
+      graft.query.QueryDsl.execute(src, json, s.read.parquet(s"$dir/documents.parquet"))
         .select(col("doc_id"), round(col("score"), 4).as("score"))
     }),
     // DSL with a neural_sparse clause + bool filter: the heterogeneous parse
@@ -634,6 +662,30 @@ object HybridEntries {
          |  FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN stats
          |  WHERE tf.term IN (${termList(terms)})$f
          |  GROUP BY tf.doc_id)""".stripMargin
+    case LexicalPhrase(ph) =>
+      // phrase BM25: positions over the filtered token list (zip-unnest),
+      // consecutive-position join chain, idf summed per phrase slot
+      val f = filterPred.map(p => s" AND t0.$p").getOrElse("")
+      val joins = ph.zipWithIndex.tail.map { case (t, j) =>
+        s"JOIN tokp$i t$j ON t$j.doc_id = t0.doc_id AND t$j.pos = t0.pos + $j AND t$j.term = '$t'"
+      }.mkString("\n        ")
+      val idfTerms = ph.map(t =>
+        s"(SELECT ln(1 + (stats.n - df.df + 0.5)/(df.df + 0.5)) FROM df CROSS JOIN stats WHERE df.term = '$t')")
+        .mkString(" + ")
+      s"""tokp$i AS (
+         |  SELECT doc_id, unnest(l) AS term, unnest(range(len(l))) AS pos
+         |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+         |        FROM documents)),
+         |sq$i AS (
+         |  SELECT ph.doc_id,
+         |         ($idfTerms)
+         |         * (ph.freq / (ph.freq + 1.2*(1 - 0.75 + 0.75*dl.dl/stats.avgdl))) AS s
+         |  FROM (SELECT t0.doc_id, count(*) AS freq
+         |        FROM tokp$i t0
+         |        $joins
+         |        WHERE t0.term = '${ph.head}'$f
+         |        GROUP BY t0.doc_id) ph
+         |  JOIN dl USING (doc_id) CROSS JOIN stats)""".stripMargin
     case SparseLinear(query) =>
       val vals = query.toSeq.sortBy(_._1)
         .map { case (t, w) => s"('$t', $w)" }.mkString(", ")
@@ -978,6 +1030,12 @@ object HybridEntries {
 
       "hybrid_sparse_lex" ->
         hybridOracle(tokCte, Seq(Lexical(A), SparseLinear(SQ.toMap)),
+          MinMaxNormTech(), Combination(Combine.Arithmetic)),
+      "hybrid_phrase_lex" ->
+        hybridOracle(tokCte, Seq(Lexical(A), LexicalPhrase(Seq("table", "hash"))),
+          MinMaxNormTech(), Combination(Combine.Arithmetic)),
+      "dsl_phrase" ->
+        hybridOracle(tokCte, Seq(Lexical(A), LexicalPhrase(Seq("table", "hash"))),
           MinMaxNormTech(), Combination(Combine.Arithmetic)),
       "hybrid_ann_lex" ->
         hybridOracle(tokCte, Seq(Lexical(A), DenseCosine(DenseQ)),

@@ -70,6 +70,11 @@ sealed trait SubQuery
 /** Lexical BM25 clause — the `match`/`term` sub-query shape. */
 case class Lexical(terms: Seq[String], boosts: Map[String, Double] = Map.empty) extends SubQuery
 
+/** Exact-phrase clause — the `match_phrase` sub-query shape (slop 0): terms
+ *  at consecutive analyzed positions, tf = phrase frequency, weight = sum of
+ *  member-term idfs (Lucene PhraseQuery). Needs [[HybridSources.positions]]. */
+case class LexicalPhrase(phrase: Seq[String]) extends SubQuery
+
 /** Sparse token-weight clause — `neural_sparse`: linear dot product of the
  *  query token map against the encoded corpus
  *  (reference: query/NeuralSparseQueryBuilder.java:568-581). */
@@ -166,7 +171,8 @@ case class HybridSources(
     emb: Option[DataFrame] = None,
     fields: Option[DataFrame] = None,
     ivf: Option[IvfSource] = None,
-    semantic: Map[String, SemanticSource] = Map.empty
+    semantic: Map[String, SemanticSource] = Map.empty,
+    positions: Option[org.apache.spark.sql.Dataset[graft.index.PosBlock]] = None
 )
 
 case class HybridQuery(
@@ -206,6 +212,10 @@ object Hybrid {
       require(q.comb.weights.forall(w => w >= 0 && w <= 1), "weights must be in [0,1]")
     }
     q.subQueries.foreach {
+      case LexicalPhrase(ph) =>
+        require(src.positions.nonEmpty,
+          "match_phrase sub-query requires HybridSources.positions (positional blocks)")
+        require(ph.size >= 2, "a phrase needs at least 2 terms")
       case _: SparseLinear => require(src.sparse.nonEmpty,
         "sparse sub-query requires HybridSources.sparse (doc_id, token, w)")
       case _: DenseCosine => require(src.emb.nonEmpty,
@@ -413,6 +423,10 @@ object Hybrid {
     sq match {
       case Lexical(terms, boosts) =>
         Bm25.scoreTerms(src.idx, terms, boosts, limitPerBucket = boundPerBucket)
+      case LexicalPhrase(ph) =>
+        // positional verification happens inside the bucket scorer; the
+        // result is the unbounded matched set, like any lexical clause
+        graft.query.Phrase.score(src.idx, src.positions.get, ph)
       case SparseLinear(qm) =>
         Sparse.linearScore(src.sparse.get, qm)
       case DenseCosine(qid) =>
@@ -604,7 +618,7 @@ object Hybrid {
     if (filterDocs.nonEmpty) increment("hybrid_query_with_filter_requests")
     if (q.from > 0) increment("hybrid_query_with_pagination_requests")
     q.subQueries.foreach {
-      case _: Lexical => ()
+      case _: Lexical | _: LexicalPhrase => ()
       case _: SparseLinear => increment("neural_sparse_query_requests")
       case _: DenseCosine | _: DenseVector | _: DenseIvf | _: DenseRadial =>
         increment("neural_query_requests")

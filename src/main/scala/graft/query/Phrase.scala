@@ -25,6 +25,15 @@ import graft.index.{DocLenBlock, Index, InvertedIndex, PosBlock, Positions, Post
 object Phrase {
 
   def topK(idx: Index, pos: Dataset[PosBlock], phrase: Seq[String], k: Int): DataFrame = {
+    val spark = idx.postings.sparkSession
+    import spark.implicits._
+    score(idx, pos, phrase)
+      .orderBy($"score".desc, $"doc_id".asc).limit(k)
+  }
+
+  /** All matching docs with their phrase-BM25 scores, unbounded and
+   *  unsorted — the clause shape hybrid's per-sub-query collection expects. */
+  def score(idx: Index, pos: Dataset[PosBlock], phrase: Seq[String]): DataFrame = {
     require(phrase.size >= 2, "a phrase needs at least 2 terms")
     val spark = idx.postings.sparkSession
     import spark.implicits._
@@ -40,7 +49,6 @@ object Phrase {
     // idf summed PER PHRASE SLOT (duplicate terms counted), left-to-right
     val w = phrase.foldLeft(0.0)((acc, t) => acc + Bm25.idf(dfMap(t), n))
     val terms = phrase.toArray
-    val kk = k
 
     val matched = pos.filter($"term".isin(uniq: _*))
     val docLens = idx.docLens
@@ -108,6 +116,5 @@ object Phrase {
       }
 
     scored.toDF("doc_id", "score")
-      .orderBy($"score".desc, $"doc_id".asc).limit(kk)
   }
 }

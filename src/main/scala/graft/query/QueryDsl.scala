@@ -179,6 +179,19 @@ object QueryDsl {
       val terms = Analyzer.analyze(analyzer)(text).toSeq
       Lexical(terms,
         if (boost == 1.0) Map.empty else terms.map(_ -> boost).toMap)
+    } else if (!q.path("match_phrase").isMissingNode) {
+      // exact phrase (slop 0): the analyzed text's tokens must occur at
+      // consecutive positions; slop != 0 is rejected (not implemented)
+      val (_, body) = firstField(q.path("match_phrase"))
+      val text =
+        if (body.isObject) body.path("query").asText() else body.asText()
+      require(text.nonEmpty,
+        "match_phrase requires a non-empty query text (object form: {\"query\": ...})")
+      if (body.isObject)
+        require(body.path("slop").asInt(0) == 0, "match_phrase supports only slop 0")
+      val terms = Analyzer.analyze(analyzer)(text).toSeq
+      require(terms.size >= 2, "match_phrase requires at least 2 analyzed terms")
+      graft.hybrid.LexicalPhrase(terms)
     } else if (!q.path("term").isMissingNode) {
       val (_, body) = firstField(q.path("term"))
       val (v, boost) =

@@ -126,6 +126,13 @@ class HybridSpec extends SparkSpec {
     }
   }
 
+  test("match_phrase clause needs the positional source; 1-term phrase rejected") {
+    intercept[IllegalArgumentException] {
+      Hybrid.execute(HybridSources(idx),
+        HybridQuery(Seq(LexicalPhrase(Seq("a", "b")))), None)
+    }
+  }
+
   test("heterogeneous hybrid: lexical + sparse + dense execute end-to-end") {
     val sparse = Seq((0L, "a", 3.0), (1L, "a", 1.0), (2L, "c", 2.0))
       .toDF("doc_id", "token", "w")

@@ -83,6 +83,29 @@ class QueryDslSpec extends SparkSpec {
       """{"query":{"hybrid":{"queries":[{"term":{"text":{"value":"a","boost":-1.0}}}]}}}"""))
   }
 
+  test("match_phrase parses both forms; slop != 0 and 1-term phrases rejected") {
+    // plain-text form
+    val p1 = QueryDsl.parse(
+      """{"query":{"hybrid":{"queries":[{"match_phrase":{"text":"hash join"}}]}}}""")
+    assert(p1.query.subQueries.head == graft.hybrid.LexicalPhrase(Seq("hash", "join")))
+    // object form with explicit slop 0
+    val p2 = QueryDsl.parse(
+      """{"query":{"hybrid":{"queries":[
+        |  {"match_phrase":{"text":{"query":"merge sort window","slop":0}}}]}}}""".stripMargin)
+    assert(p2.query.subQueries.head ==
+      graft.hybrid.LexicalPhrase(Seq("merge", "sort", "window")))
+    // slop != 0 not implemented -> reject, like an unsupported param
+    intercept[IllegalArgumentException](QueryDsl.parse(
+      """{"query":{"hybrid":{"queries":[
+        |  {"match_phrase":{"text":{"query":"a b","slop":2}}}]}}}""".stripMargin))
+    // a single analyzed term is not a phrase
+    intercept[IllegalArgumentException](QueryDsl.parse(
+      """{"query":{"hybrid":{"queries":[{"match_phrase":{"text":"hash"}}]}}}"""))
+    // empty text rejected
+    intercept[IllegalArgumentException](QueryDsl.parse(
+      """{"query":{"hybrid":{"queries":[{"match_phrase":{"text":{"query":""}}}]}}}"""))
+  }
+
   test("hybrid-level boost != 1.0 is rejected (HybridQueryBuilder.java:247-253)") {
     intercept[IllegalArgumentException](QueryDsl.parse(
       """{"query":{"hybrid":{"boost":2.0,"queries":[{"term":{"text":"a"}}]}}}"""))
