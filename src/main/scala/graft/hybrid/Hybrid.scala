@@ -501,31 +501,40 @@ object Hybrid {
     // The per-bucket bound inside the BM25 scorer is only safe when nothing
     // after scoring can resurrect a below-bound doc (no filter, no collapse).
     val boundPerBucket = if (filterDocs.isEmpty && q.collapse.isEmpty) q.depth else 0
-    val collectedPerSub: Seq[DataFrame] = q.subQueries.zipWithIndex.map { case (sq, i) =>
+    val order = Seq($"score".desc, $"doc_id".asc)
+    val scoredPerSub: Seq[DataFrame] = q.subQueries.zipWithIndex.map { case (sq, i) =>
       val raw = scoreClause(src, sq, boundPerBucket)
       val filtered = filterDocs match {
         case Some(f) => raw.join(f.select("doc_id"), Seq("doc_id"), "left_semi")
         case None    => raw
       }
-      // collapse collection bound: best n per group per sub-query
-      val grouped = q.collapse match {
-        case Some(c) =>
-          val g = src.fields.get.select(col("doc_id"), col(c.field).as("_grp"))
-          TopN.perGroup(filtered.join(g, "doc_id"), Seq("_grp"), "doc_id",
-            c.docsPerGroupPerSubquery, Seq($"score".desc, $"doc_id".asc))
-            .drop("_grp")
-        case None => filtered
-      }
-      // 2. top-depth per sub-query (the collector's HitQueue bound):
-      // TakeOrdered = bounded per-partition heap + one <=depth-row merge
-      grouped.orderBy($"score".desc, $"doc_id".asc).limit(q.depth)
-        .withColumn("subq", lit(i))
+      filtered.withColumn("subq", lit(i))
     }
-    val union = collectedPerSub.reduce(_ unionByName _)
-
-    // rank within each sub-query (feeds RRF); input is <= nSub x depth rows
-    val byRank = Window.partitionBy($"subq").orderBy($"score".desc, $"doc_id".asc)
-    union.withColumn("rank", row_number().over(byRank))
+    q.collapse match {
+      case Some(c) =>
+        // collapse collection bound: best n per group per sub-query. The
+        // tagged UNION of matched sets joins the collapse column ONCE (the
+        // fields-side scan + exchange happen once, not once per sub-query),
+        // one salted per-(subq, group) keep trims to n, and a fused
+        // top-depth window emits the collection rank in the same pass —
+        // per-sub-query joins + TakeOrdereds would run ~2x the stages for
+        // the identical shuffle volume.
+        val union = scoredPerSub.reduce(_ unionByName _)
+        val g = src.fields.get.select(col("doc_id"), col(c.field).as("_grp"))
+        val trimmed = TopN.perGroup(union.join(g, "doc_id"), Seq("subq", "_grp"),
+          "doc_id", c.docsPerGroupPerSubquery, order).drop("_grp")
+        // 2. top-depth per sub-query (the collector's HitQueue bound),
+        // bounded two-level; the final window's row_number IS the rank
+        TopN.perGroupRanked(trimmed, Seq("subq"), "doc_id", q.depth, order, "rank")
+      case None =>
+        // 2. top-depth per sub-query: TakeOrdered = bounded per-partition
+        // heap + one <=depth-row merge
+        val collectedPerSub = scoredPerSub.map(_.orderBy(order: _*).limit(q.depth))
+        val union = collectedPerSub.reduce(_ unionByName _)
+        // rank within each sub-query (feeds RRF); <= nSub x depth rows
+        val byRank = Window.partitionBy($"subq").orderBy(order: _*)
+        union.withColumn("rank", row_number().over(byRank))
+    }
   }
 
   /** Stages 3-5 minus min_score: normalize, align, combine, collapse — all

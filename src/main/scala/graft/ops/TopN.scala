@@ -28,7 +28,17 @@ object TopN {
    * @param order   total order, best first (include a unique tie-breaker)
    */
   def perGroup(df: DataFrame, grpCols: Seq[String], saltOn: String, n: Int,
-               order: Seq[Column], saltBuckets: Int = 64): DataFrame = {
+               order: Seq[Column], saltBuckets: Int = 64): DataFrame =
+    perGroupRanked(df, grpCols, saltOn, n, order, "_tn_rank", saltBuckets)
+      .drop("_tn_rank")
+
+  /** Same bounded two-level top-n, but the survivor's within-group rank
+   *  (1-based, under `order`) is kept as `rankCol` — for callers that need
+   *  the collection rank anyway (RRF) and would otherwise pay a third
+   *  window for it. */
+  def perGroupRanked(df: DataFrame, grpCols: Seq[String], saltOn: String,
+                     n: Int, order: Seq[Column], rankCol: String,
+                     saltBuckets: Int = 64): DataFrame = {
     require(n > 0 && saltBuckets >= 1)
     val w2 = Window.partitionBy(grpCols.map(col): _*).orderBy(order: _*)
     val pre =
@@ -42,8 +52,7 @@ object TopN {
           .filter(col("_tn_rn") <= n)
           .drop("_tn_rn", "_tn_salt")
       }
-    pre.withColumn("_tn_rn", row_number().over(w2))
-      .filter(col("_tn_rn") <= n)
-      .drop("_tn_rn")
+    pre.withColumn(rankCol, row_number().over(w2))
+      .filter(col(rankCol) <= n)
   }
 }
