@@ -76,9 +76,23 @@ object HybridEntries {
       positions =
         if (query.subQueries.exists(_.isInstanceOf[LexicalPhrase]))
           Some(IndexCache.positions(s, dir))
-        else None
+        else None,
+      fieldIdx =
+        if (query.subQueries.exists(_.isInstanceOf[LexicalMulti]))
+          Map("path" -> IndexCache.corpusField(s, dir, "path"))
+        else Map.empty
     )
   }
+
+  /** multi_match query text analyzed: hits the text index ("join") and the
+   *  path index ("pkg7" — doc_id % 97 == 7; "en" — the path's lang token). */
+  private val MultiTerms = Seq("join", "pkg7", "en")
+
+  /** Sources with the secondary `path` field index registered — what a
+   *  multi_match caller supplies. */
+  private def srcWithPath(s: SparkSession, dir: String): HybridSources =
+    HybridSources(IndexCache.documents(s, dir),
+      fieldIdx = Map("path" -> IndexCache.corpusField(s, dir, "path")))
 
   /** Semantic-field registry for the routed-DSL entries: one sparse-model
    *  and one dense-model field over the documents corpus, both chunked at
@@ -188,6 +202,80 @@ object HybridEntries {
         k = 10, collapse = Some(Collapse("source", 3)))) _,
 
     "collapse_by_source" -> (collapseBySource _),
+
+    // scoring bool: must all match and score, should adds score when
+    // matched (Lucene BooleanQuery sum-of-matching-clauses)
+    "bool_must_should" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      graft.query.BoolQuery.topK(HybridSources(idx),
+        graft.query.BoolQuery.BoolSpec(must = Seq(Lexical(A)), should = Seq(Lexical(B))), 10)
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+    }),
+    // must_not excludes and never scores
+    "bool_must_not" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      graft.query.BoolQuery.topK(HybridSources(idx),
+        graft.query.BoolQuery.BoolSpec(
+          must = Seq(Lexical(A)), mustNot = Seq(Lexical(Seq("dup")))), 10)
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+    }),
+    // should-only with minimum_should_match = 2 of 3 single-term clauses
+    "bool_msm2" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      graft.query.BoolQuery.topK(HybridSources(idx),
+        graft.query.BoolQuery.BoolSpec(
+          should = Seq(Lexical(Seq("merge")), Lexical(Seq("window")), Lexical(Seq("scan"))),
+          minimumShouldMatch = Some(2)), 10)
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+    }),
+    // the bool JSON parse path: must + should + must_not + filter end-to-end
+    "dsl_bool" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      val json =
+        """{ "query": { "bool": {
+          |    "must":     [ { "match": { "text": "join hash" } } ],
+          |    "should":   [ { "match": { "text": "merge sort window" } } ],
+          |    "must_not": [ { "term": { "text": "dup" } } ],
+          |    "filter":   { "term": { "lang": "en" } } } },
+          |  "size": 10 }""".stripMargin
+      graft.query.QueryDsl.execute(HybridSources(idx), json,
+        s.read.parquet(s"$dir/documents.parquet"))
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+    }),
+    // multi_match best_fields: dismax + tie_breaker over text + boosted path
+    "multi_best_fields" -> ((s, dir) => {
+      val src = srcWithPath(s, dir)
+      graft.query.BoolQuery.topK(src,
+        graft.query.BoolQuery.BoolSpec(must = Seq(LexicalMulti(
+          Seq("text" -> 1.0, "path" -> 2.0), MultiTerms, BestFields(0.3)))), 10)
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+    }),
+    // multi_match most_fields: per-field BM25 sum
+    "multi_most_fields" -> ((s, dir) => {
+      val src = srcWithPath(s, dir)
+      graft.query.BoolQuery.topK(src,
+        graft.query.BoolQuery.BoolSpec(must = Seq(LexicalMulti(
+          Seq("text" -> 1.0, "path" -> 2.0), MultiTerms, MostFields))), 10)
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+    }),
+    // multi_match arriving as JSON (caret boost syntax) nested in a bool
+    "dsl_multi_match" -> ((s, dir) => {
+      val src = srcWithPath(s, dir)
+      val json =
+        """{ "query": { "bool": {
+          |    "must": [ { "multi_match": {
+          |      "query": "join pkg7 en", "fields": ["text", "path^2"],
+          |      "type": "best_fields", "tie_breaker": 0.3 } } ],
+          |    "must_not": [ { "term": { "text": "dup" } } ] } },
+          |  "size": 10 }""".stripMargin
+      graft.query.QueryDsl.execute(src, json,
+        s.read.parquet(s"$dir/documents.parquet"))
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+    }),
+    // multi_match as a hybrid sub-query clause through normalization
+    "hybrid_multi_lex" ->
+      run(q(Seq(LexicalMulti(Seq("text" -> 1.0, "path" -> 2.0), MultiTerms, BestFields(0.3)),
+        Lexical(A)), MinMaxNormTech(), Combination(Combine.Arithmetic))) _,
     // explain mode: per-sub-query normalized scores alongside the combined one
     "hybrid_explain" -> ((s, dir) => {
       val idx = IndexCache.documents(s, dir)
@@ -662,6 +750,64 @@ object HybridEntries {
          |  FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN stats
          |  WHERE tf.term IN (${termList(terms)})$f
          |  GROUP BY tf.doc_id)""".stripMargin
+    case LexicalMulti(fields, terms, mm) =>
+      // per-field BM25 over each field's OWN token stream — field "text" is
+      // the shared tf/dl/df/stats chain, field "path" re-derives the corpus
+      // path expression (corpus_ingest's projection) and tokenizes it with
+      // the simple-analyzer-equivalent regexp split; per-field boosts
+      // multiply the field score; dismax / sum combine over pivoted columns
+      val fieldCtes = fields.zipWithIndex.map { case ((f, _), j) =>
+        val (tfT, dlT, dfT, stT, extra) = f match {
+          case "text" => ("tf", "dl", "df", "stats", "")
+          case "path" =>
+            val p =
+              s"""crp${i}_$j AS (
+                 |  SELECT doc_id,
+                 |         'src/pkg' || (doc_id % 97) || '/File' || doc_id || '.' || lang AS fv
+                 |  FROM documents),
+                 |ptok${i}_$j AS (
+                 |  SELECT doc_id, unnest(list_filter(
+                 |    string_split(regexp_replace(lower(fv), '[^a-z0-9]+', ' ', 'g'), ' '),
+                 |    x -> x <> '')) AS term FROM crp${i}_$j),
+                 |ptf${i}_$j AS (SELECT doc_id, term, count(*) AS tf FROM ptok${i}_$j GROUP BY doc_id, term),
+                 |pdl${i}_$j AS (SELECT doc_id, count(*) AS dl FROM ptok${i}_$j GROUP BY doc_id),
+                 |pdf${i}_$j AS (SELECT term, count(*) AS df FROM ptf${i}_$j GROUP BY term),
+                 |pstats${i}_$j AS (SELECT (SELECT count(*) FROM documents) AS n,
+                 |  (SELECT sum(dl)*1.0/(SELECT count(*) FROM documents) FROM pdl${i}_$j) AS avgdl),
+                 |""".stripMargin
+            (s"ptf${i}_$j", s"pdl${i}_$j", s"pdf${i}_$j", s"pstats${i}_$j", p)
+          case other => throw new IllegalArgumentException(
+            s"no oracle token chain for multi_match field [$other]")
+        }
+        val flt = filterPred.map(p => s" AND tf.${p}").getOrElse("")
+        s"""${extra}sq${i}_f$j AS (
+           |  SELECT tf.doc_id,
+           |         sum( ln(1 + (stats.n - df.df + 0.5)/(df.df + 0.5))
+           |              * (tf.tf / (tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/stats.avgdl))) ) AS s
+           |  FROM $tfT tf JOIN $dlT dl USING (doc_id) JOIN $dfT df USING (term)
+           |       CROSS JOIN $stT stats
+           |  WHERE tf.term IN (${termList(terms)})$flt
+           |  GROUP BY tf.doc_id)""".stripMargin
+      }.mkString(",\n")
+      val unions = fields.zipWithIndex.map { case ((_, b), j) =>
+        s"SELECT doc_id, s * $b AS s, $j AS fid FROM sq${i}_f$j"
+      }.mkString("\n        UNION ALL ")
+      val pivots = fields.indices.map(j =>
+        s"max(CASE WHEN fid = $j THEN s END) AS f$j").mkString(",\n               ")
+      val cSum = fields.indices.map(j => s"COALESCE(f$j, 0)").mkString("(", " + ", ")")
+      val combine = mm match {
+        case MostFields => cSum
+        case BestFields(tb) =>
+          val mx = fields.indices.map(j => s"COALESCE(f$j, 0)").mkString("greatest(", ", ", ")")
+          if (tb == 0.0) mx else s"$mx + $tb * ($cSum - $mx)"
+      }
+      s"""$fieldCtes,
+         |sq$i AS (
+         |  SELECT doc_id, $combine AS s
+         |  FROM (SELECT doc_id,
+         |               $pivots
+         |        FROM ($unions) u${i}
+         |        GROUP BY doc_id) p$i)""".stripMargin
     case LexicalPhrase(ph) =>
       // phrase BM25: positions over the filtered token list (zip-unnest),
       // consecutive-position join chain, idf summed per phrase slot
@@ -877,6 +1023,42 @@ object HybridEntries {
     }
   }
 
+  /** Oracle for the scoring bool query: per-clause score CTEs (same clause
+   *  SQL as hybrid), a kind-tagged union aggregated by doc_id, the same
+   *  fixed left-to-right COALESCE sum as the engine's fold, and the
+   *  must-all / should-at-least-msm / no-must_not gate. */
+  def boolOracle(tokCte: String, must: Seq[SubQuery], should: Seq[SubQuery],
+                 mustNot: Seq[SubQuery], msm: Int, k: Int = 10,
+                 filterPred: Option[String] = None): String = {
+    val all = must ++ should ++ mustNot
+    val twPart = if (all.exists(_.isInstanceOf[SparseLinear])) s",\n$TwCte" else ""
+    val ctes = all.zipWithIndex.map { case (t, i) => scoreCte(i, t, filterPred) }
+      .mkString(",\n")
+    val kindOf = must.map(_ => "m") ++ should.map(_ => "s") ++ mustNot.map(_ => "n")
+    val unions = all.indices.map(i =>
+      s"SELECT doc_id, s, '${kindOf(i)}' AS kind, $i AS cid FROM sq$i")
+      .mkString("\n  UNION ALL ")
+    val pivots = all.indices.map(i =>
+      s"max(CASE WHEN cid = $i THEN s END) AS s$i").mkString(",\n         ")
+    val scoringIdx = all.indices.filter(i => kindOf(i) != "n")
+    val total = scoringIdx.map(i => s"COALESCE(s$i, 0)").mkString("(", " + ", ")")
+    s"""WITH $tokCte$twPart,
+       |$ctes,
+       |u AS (
+       |  $unions),
+       |a AS (
+       |  SELECT doc_id,
+       |         $pivots,
+       |         count(CASE WHEN kind = 'm' THEN 1 END) AS nm,
+       |         count(CASE WHEN kind = 's' THEN 1 END) AS ns,
+       |         count(CASE WHEN kind = 'n' THEN 1 END) AS nn
+       |  FROM u GROUP BY doc_id)
+       |SELECT doc_id, round($total, 4) AS score
+       |FROM a
+       |WHERE nm = ${must.size} AND ns >= $msm AND nn = 0
+       |ORDER BY $total DESC, doc_id LIMIT $k""".stripMargin
+  }
+
   def hybridOracle(tokCte: String, sub: Seq[SubQuery], norm: Normalization,
                    comb: Combination, k: Int = 10, from: Int = 0,
                    filterPred: Option[String] = None, explain: Boolean = false,
@@ -1037,6 +1219,36 @@ object HybridEntries {
       "dsl_phrase" ->
         hybridOracle(tokCte, Seq(Lexical(A), LexicalPhrase(Seq("table", "hash"))),
           MinMaxNormTech(), Combination(Combine.Arithmetic)),
+      "bool_must_should" ->
+        boolOracle(tokCte, must = Seq(Lexical(A)), should = Seq(Lexical(B)),
+          mustNot = Nil, msm = 0),
+      "bool_must_not" ->
+        boolOracle(tokCte, must = Seq(Lexical(A)), should = Nil,
+          mustNot = Seq(Lexical(Seq("dup"))), msm = 0),
+      "bool_msm2" ->
+        boolOracle(tokCte,
+          must = Nil,
+          should = Seq(Lexical(Seq("merge")), Lexical(Seq("window")), Lexical(Seq("scan"))),
+          mustNot = Nil, msm = 2),
+      "dsl_bool" ->
+        boolOracle(tokCte, must = Seq(Lexical(A)), should = Seq(Lexical(B)),
+          mustNot = Seq(Lexical(Seq("dup"))), msm = 0, filterPred = langF),
+      "multi_best_fields" ->
+        boolOracle(tokCte, must = Seq(LexicalMulti(
+          Seq("text" -> 1.0, "path" -> 2.0), MultiTerms, BestFields(0.3))),
+          should = Nil, mustNot = Nil, msm = 0),
+      "multi_most_fields" ->
+        boolOracle(tokCte, must = Seq(LexicalMulti(
+          Seq("text" -> 1.0, "path" -> 2.0), MultiTerms, MostFields)),
+          should = Nil, mustNot = Nil, msm = 0),
+      "dsl_multi_match" ->
+        boolOracle(tokCte, must = Seq(LexicalMulti(
+          Seq("text" -> 1.0, "path" -> 2.0), MultiTerms, BestFields(0.3))),
+          should = Nil, mustNot = Seq(Lexical(Seq("dup"))), msm = 0),
+      "hybrid_multi_lex" ->
+        hybridOracle(tokCte, Seq(LexicalMulti(
+          Seq("text" -> 1.0, "path" -> 2.0), MultiTerms, BestFields(0.3)),
+          Lexical(A)), MinMaxNormTech(), Combination(Combine.Arithmetic)),
       "hybrid_ann_lex" ->
         hybridOracle(tokCte, Seq(Lexical(A), DenseCosine(DenseQ)),
           MinMaxNormTech(), Combination(Combine.Arithmetic, Seq(0.6, 0.4))),

@@ -132,6 +132,24 @@ case class DenseRadial(queryId: Long,
  *  best-chunk scoring. */
 case class SemanticText(field: String, terms: Seq[String]) extends SubQuery
 
+/** How a [[LexicalMulti]] clause combines its per-field scores — Lucene's
+ *  two multi_match modes (MultiMatchQueryBuilder.Type): `best_fields` is a
+ *  DisjunctionMaxQuery (max + tieBreaker × sum-of-others), `most_fields` a
+ *  should-bool (plain sum). */
+sealed trait MultiMatchType
+case class BestFields(tieBreaker: Double = 0.0) extends MultiMatchType
+case object MostFields extends MultiMatchType
+
+/** Multi-field lexical clause — the `multi_match` query: the same analyzed
+ *  terms scored independently against several indexed fields (each with its
+ *  own postings, doc lengths, and collection stats), per-field boosts
+ *  multiplied into the field's BM25 score, combined per
+ *  [[MultiMatchType]]. Field name "text" resolves to the primary
+ *  [[HybridSources.idx]]; any other name must be registered in
+ *  [[HybridSources.fieldIdx]]. */
+case class LexicalMulti(fields: Seq[(String, Double)], terms: Seq[String],
+                        mm: MultiMatchType = BestFields()) extends SubQuery
+
 object SubQuery {
   /** Back-compat constructor: a bare SubQuery(terms) is a lexical clause. */
   def apply(terms: Seq[String], boosts: Map[String, Double] = Map.empty): Lexical =
@@ -172,7 +190,10 @@ case class HybridSources(
     fields: Option[DataFrame] = None,
     ivf: Option[IvfSource] = None,
     semantic: Map[String, SemanticSource] = Map.empty,
-    positions: Option[org.apache.spark.sql.Dataset[graft.index.PosBlock]] = None
+    positions: Option[org.apache.spark.sql.Dataset[graft.index.PosBlock]] = None,
+    /** secondary per-field indexes for [[LexicalMulti]]; the primary `idx`
+     *  is always addressable as field "text" */
+    fieldIdx: Map[String, Index] = Map.empty
 )
 
 case class HybridQuery(
@@ -211,7 +232,16 @@ object Hybrid {
       require(math.abs(q.comb.weights.sum - 1.0) <= 0.01, "weights must sum to 1.0 (+-0.01)")
       require(q.comb.weights.forall(w => w >= 0 && w <= 1), "weights must be in [0,1]")
     }
-    q.subQueries.foreach {
+    validateClauseSources(src, q.subQueries)
+    require(q.collapse.isEmpty || src.fields.nonEmpty,
+      "collapse requires HybridSources.fields with the collapse column")
+  }
+
+  /** Per-clause source requirements — shared by hybrid and bool execution
+   *  (both score the same clause ADT against the same sources). */
+  private[graft] def validateClauseSources(src: HybridSources,
+                                           clauses: Seq[SubQuery]): Unit = {
+    clauses.foreach {
       case LexicalPhrase(ph) =>
         require(src.positions.nonEmpty,
           "match_phrase sub-query requires HybridSources.positions (positional blocks)")
@@ -245,10 +275,21 @@ object Hybrid {
         require(ms.isDefined ^ md.isDefined,
           "radial knn requires exactly one of [min_score], [max_distance]")
         require(md.forall(_ >= 0.0), "max_distance must be >= 0")
+      case LexicalMulti(fields, terms, mm) =>
+        require(fields.nonEmpty, "multi_match requires at least one field")
+        require(terms.nonEmpty, "multi_match requires a non-empty query text")
+        fields.foreach { case (f, b) =>
+          require(f == "text" || src.fieldIdx.contains(f),
+            s"multi_match field [$f] has no index — register it in HybridSources.fieldIdx")
+          require(b > 0, s"field boost must be > 0, got [$f^$b]")
+        }
+        mm match {
+          case BestFields(tb) =>
+            require(tb >= 0.0 && tb <= 1.0, s"tie_breaker must be in [0,1], got $tb")
+          case MostFields => ()
+        }
       case _ => ()
     }
-    require(q.collapse.isEmpty || src.fields.nonEmpty,
-      "collapse requires HybridSources.fields with the collapse column")
   }
 
   /**
@@ -419,10 +460,37 @@ object Hybrid {
   }
 
   /** Score one sub-query clause: DataFrame(doc_id, score), unbounded rows. */
-  private def scoreClause(src: HybridSources, sq: SubQuery, boundPerBucket: Int): DataFrame =
+  private[graft] def scoreClause(src: HybridSources, sq: SubQuery, boundPerBucket: Int): DataFrame =
     sq match {
       case Lexical(terms, boosts) =>
         Bm25.scoreTerms(src.idx, terms, boosts, limitPerBucket = boundPerBucket)
+      case LexicalMulti(fields, terms, mm) =>
+        // per-field BM25 against each field's OWN index (its own postings,
+        // lengths, df/avgdl — Lucene scores each field as an independent
+        // TermQuery tree), field boost as a constant multiplier (equal to
+        // boosting every term weight), then one doc_id aggregation combines.
+        // No per-bucket bound on the field scorers: dismax/sum can promote a
+        // doc that is below any single field's bucket-local top-k.
+        val tagged = fields.zipWithIndex.map { case ((f, b), i) =>
+          val fi = if (f == "text") src.idx else src.fieldIdx(f)
+          Bm25.scoreTerms(fi, terms, limitPerBucket = 0)
+            .select($"doc_id", ($"score" * b).as("score"), lit(i).as("fid"))
+        }
+        val u = tagged.reduce(_ unionByName _)
+        // pivot per-field scores so both combiners are FIXED left-to-right
+        // folds over field order — deterministic FP, not shuffle-order sums
+        val pivots = fields.indices.map(i =>
+          max(when($"fid" === i, $"score")).as(s"_f$i"))
+        val agg = u.groupBy($"doc_id").agg(pivots.head, pivots.tail: _*)
+        val cols = fields.indices.map(i => coalesce(col(s"_f$i"), lit(0.0)))
+        val sum = cols.reduceLeft(_ + _)
+        val score = mm match {
+          case MostFields => sum
+          case BestFields(tb) =>
+            val mx = cols.reduceLeft((a, b) => greatest(a, b))
+            if (tb == 0.0) mx else mx + lit(tb) * (sum - mx)
+        }
+        agg.select($"doc_id", score.as("score"))
       case LexicalPhrase(ph) =>
         // positional verification happens inside the bucket scorer; the
         // result is the unbounded matched set, like any lexical clause
@@ -627,7 +695,7 @@ object Hybrid {
     if (filterDocs.nonEmpty) increment("hybrid_query_with_filter_requests")
     if (q.from > 0) increment("hybrid_query_with_pagination_requests")
     q.subQueries.foreach {
-      case _: Lexical | _: LexicalPhrase => ()
+      case _: Lexical | _: LexicalPhrase | _: LexicalMulti => ()
       case _: SparseLinear => increment("neural_sparse_query_requests")
       case _: DenseCosine | _: DenseVector | _: DenseIvf | _: DenseRadial =>
         increment("neural_query_requests")

@@ -38,6 +38,27 @@ object IndexCache {
     })
   }
 
+  /** Index over a NON-text column of the north-rule corpus projection
+   *  ([[graft.corpus.Corpus.ingest]]) — e.g. `path` for multi_match
+   *  queries. Each field is its own full index (postings, doc lengths,
+   *  collection stats), exactly Lucene's per-field inverted index; the
+   *  build shares the single-pass fragment shape with the primary index
+   *  and is warmed/persisted per session the same way. */
+  def corpusField(spark: SparkSession, sfDir: String, column: String,
+                  analyzer: String = Analyzer.Simple): Index = {
+    evictOthers(spark.sparkContext.applicationId)
+    cache.getOrElseUpdate((spark.sparkContext.applicationId, s"$sfDir#$column", analyzer), {
+      val corpus = graft.corpus.Corpus.ingest(spark, sfDir)
+      val blocks = InvertedIndex.mergedBlocksOf(corpus, "doc_id", column, analyzer).persist()
+      blocks.count()
+      val postings = InvertedIndex.postingsFromBlocks(blocks).persist()
+      val docLens = InvertedIndex.docLensFromBlocks(blocks).persist()
+      val termStats = InvertedIndex.termStatsOf(postings).persist()
+      val stats = InvertedIndex.statsOf(docLens)
+      Index(postings, docLens, termStats, stats, analyzer)
+    })
+  }
+
   /** Index over `documents.parquet` in sfDir (doc_id, text). */
   def documents(spark: SparkSession, sfDir: String, analyzer: String = Analyzer.Simple): Index = {
     evictOthers(spark.sparkContext.applicationId)

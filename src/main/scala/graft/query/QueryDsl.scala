@@ -63,6 +63,32 @@ object QueryDsl {
     def filterField: Option[(String, String)] = filters.headOption
   }
 
+  case class ParsedBool(bool: BoolQuery.BoolSpec, filters: Seq[(String, String)],
+                        k: Int)
+
+  /** Parse a top-level scoring `bool` request (must / should / must_not /
+   *  minimum_should_match / filter). Clauses are the same grammar as
+   *  hybrid's sub-queries (match, term, match_phrase, neural_sparse, knn,
+   *  ...), single-object or array form. */
+  def parseBool(json: String, analyzer: String = Analyzer.Simple): ParsedBool = {
+    val root = mapper.readTree(json)
+    val b = root.path("query").path("bool")
+    require(!b.isMissingNode, "query.bool is required")
+    val enricher = parseEnricher(root.path("search_pipeline").path("request_processors"))
+    def clauses(name: String): Seq[SubQuery] = {
+      val node = b.path(name)
+      if (node.isMissingNode) Nil
+      else if (node.isArray)
+        (0 until node.size()).map(i => parseSubQuery(node.get(i), analyzer, enricher))
+      else Seq(parseSubQuery(node, analyzer, enricher))
+    }
+    val msm = Option(b.path("minimum_should_match")).filter(_.isNumber).map(_.asInt())
+    ParsedBool(
+      BoolQuery.BoolSpec(clauses("must"), clauses("should"), clauses("must_not"), msm),
+      parseFilter(b.path("filter")),
+      root.path("size").asInt(10))
+  }
+
   def parse(json: String, analyzer: String = Analyzer.Simple): Parsed = {
     val root = mapper.readTree(json)
     val hybrid = Option(root.path("query").path("hybrid"))
@@ -192,6 +218,38 @@ object QueryDsl {
       val terms = Analyzer.analyze(analyzer)(text).toSeq
       require(terms.size >= 2, "match_phrase requires at least 2 analyzed terms")
       graft.hybrid.LexicalPhrase(terms)
+    } else if (!q.path("multi_match").isMissingNode) {
+      // {"multi_match": {"query": "...", "fields": ["text", "path^2"],
+      //   "type": "best_fields"|"most_fields", "tie_breaker": 0.3}} —
+      // field boosts in Lucene's caret syntax. cross_fields / phrase types
+      // are not implemented and rejected explicitly.
+      val body = q.path("multi_match")
+      val text = body.path("query").asText("")
+      require(text.nonEmpty, "multi_match requires a non-empty [query]")
+      val fNode = body.path("fields")
+      require(fNode.isArray && fNode.size() > 0,
+        "multi_match requires a non-empty [fields] array")
+      val fields = (0 until fNode.size()).map { i =>
+        val spec = fNode.get(i).asText()
+        spec.split('^') match {
+          case Array(f)    => (f, 1.0)
+          case Array(f, b) => (f, b.toDouble)
+          case _ => throw new IllegalArgumentException(
+            s"bad multi_match field spec [$spec] — use field or field^boost")
+        }
+      }
+      val mm = body.path("type").asText("best_fields") match {
+        case "best_fields" =>
+          graft.hybrid.BestFields(body.path("tie_breaker").asDouble(0.0))
+        case "most_fields" =>
+          require(body.path("tie_breaker").isMissingNode,
+            "[tie_breaker] only applies to type best_fields")
+          graft.hybrid.MostFields
+        case other => throw new IllegalArgumentException(
+          s"multi_match type [$other] is not supported (best_fields, most_fields)")
+      }
+      val terms = Analyzer.analyze(analyzer)(text).toSeq
+      graft.hybrid.LexicalMulti(fields, terms, mm)
     } else if (!q.path("term").isMissingNode) {
       val (_, body) = firstField(q.path("term"))
       val (v, boost) =
@@ -295,6 +353,13 @@ object QueryDsl {
   /** Parse + execute against hybrid sources; `docs` supplies filter and
    *  collapse fields. */
   def execute(src: HybridSources, json: String, docs: => DataFrame): DataFrame = {
+    if (!mapper.readTree(json).path("query").path("bool").isMissingNode) {
+      val pb = parseBool(json, src.idx.analyzer)
+      val bFilter = Option(pb.filters).filter(_.nonEmpty).map { fs =>
+        fs.foldLeft(docs)((d, f) => d.where(col(f._1) === f._2)).select("doc_id")
+      }
+      return BoolQuery.topK(src, pb.bool, pb.k, bFilter)
+    }
     val parsed = parse(json, src.idx.analyzer)
     val filterDf = Option(parsed.filters).filter(_.nonEmpty).map { fs =>
       fs.foldLeft(docs)((d, f) => d.where(col(f._1) === f._2)).select("doc_id")

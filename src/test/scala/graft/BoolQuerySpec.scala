@@ -1,0 +1,117 @@
+package graft
+
+import graft.hybrid.{Hybrid, HybridQuery, HybridSources, Lexical, SubQuery}
+import graft.index.InvertedIndex
+import graft.query.{Bm25, BoolQuery, QueryDsl}
+import graft.query.BoolQuery.BoolSpec
+
+/** Scoring bool semantics on a tiny corpus with hand-checkable postings:
+ *  doc 0: a b a c | doc 1: a b | doc 2: c d | doc 3: d d e | doc 4: e a c */
+class BoolQuerySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val idx = InvertedIndex.build(
+    Seq(
+      (0L, "a b a c"),
+      (1L, "a b"),
+      (2L, "c d"),
+      (3L, "d d e"),
+      (4L, "e a c")
+    ).toDF("doc_id", "text"), "doc_id", "text")
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+    df.collect().map(_.getLong(0)).toSeq
+
+  test("must is an intersection; score sums the matching clauses") {
+    // must: a AND c -> docs {0, 4}
+    val r = BoolQuery.topK(HybridSources(idx),
+      BoolSpec(must = Seq(Lexical(Seq("a")), Lexical(Seq("c")))), 10)
+    assert(ids(r).toSet == Set(0L, 4L))
+    // per-doc score = bm25(a) + bm25(c), cross-checked against the
+    // single-clause scorers
+    val a = Bm25.scoreTerms(idx, Seq("a"), Map.empty).collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    val c = Bm25.scoreTerms(idx, Seq("c"), Map.empty).collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    r.collect().foreach { row =>
+      val d = row.getLong(0)
+      assert(math.abs(row.getDouble(1) - (a(d) + c(d))) < 1e-12)
+    }
+  }
+
+  test("should adds score but does not gate when must is present") {
+    // must: a -> {0, 1, 4}; should: d matches none of them except... d -> {2, 3}
+    val r = BoolQuery.topK(HybridSources(idx),
+      BoolSpec(must = Seq(Lexical(Seq("a"))), should = Seq(Lexical(Seq("b")))), 10)
+    assert(ids(r).toSet == Set(0L, 1L, 4L))
+    // docs 0 and 1 (contain b) must outscore their must-only baseline
+    val aOnly = Bm25.scoreTerms(idx, Seq("a"), Map.empty).collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    val scores = r.collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(scores(0L) > aOnly(0L) && scores(1L) > aOnly(1L))
+    assert(math.abs(scores(4L) - aOnly(4L)) < 1e-12) // no b in doc 4
+  }
+
+  test("must_not excludes matching docs and never scores") {
+    // must: a -> {0, 1, 4}; must_not: b -> {0, 1}; result {4}
+    val r = BoolQuery.topK(HybridSources(idx),
+      BoolSpec(must = Seq(Lexical(Seq("a"))), mustNot = Seq(Lexical(Seq("b")))), 10)
+    assert(ids(r) == Seq(4L))
+  }
+
+  test("minimum_should_match: default 1 when should-only, explicit m gates") {
+    // should: a {0,1,4}, d {2,3} — default msm=1 -> union
+    val union = BoolQuery.topK(HybridSources(idx),
+      BoolSpec(should = Seq(Lexical(Seq("a")), Lexical(Seq("d")))), 10)
+    assert(ids(union).toSet == Set(0L, 1L, 2L, 3L, 4L))
+    // msm=2 -> docs matching both a and d: none
+    val both = BoolQuery.topK(HybridSources(idx),
+      BoolSpec(should = Seq(Lexical(Seq("a")), Lexical(Seq("d"))),
+        minimumShouldMatch = Some(2)), 10)
+    assert(ids(both).isEmpty)
+    // msm=2 of {a, c, e}: docs matching at least two -> {0, 4} (a+c / e+a+c)
+    val two = BoolQuery.topK(HybridSources(idx),
+      BoolSpec(should = Seq(Lexical(Seq("a")), Lexical(Seq("c")), Lexical(Seq("e"))),
+        minimumShouldMatch = Some(2)), 10)
+    assert(ids(two).toSet == Set(0L, 4L))
+  }
+
+  test("purely negative bool and out-of-range msm are rejected") {
+    intercept[IllegalArgumentException] {
+      BoolQuery.topK(HybridSources(idx), BoolSpec(mustNot = Seq(Lexical(Seq("a")))), 10)
+    }
+    intercept[IllegalArgumentException] {
+      BoolQuery.topK(HybridSources(idx),
+        BoolSpec(should = Seq(Lexical(Seq("a"))), minimumShouldMatch = Some(2)), 10)
+    }
+  }
+
+  test("DSL parse: bool with must/should/must_not/minimum_should_match") {
+    val pb = QueryDsl.parseBool(
+      """{"query":{"bool":{
+        |  "must":     [{"match":{"text":"a c"}}],
+        |  "should":   {"term":{"text":"b"}},
+        |  "must_not": [{"term":{"text":"d"}}],
+        |  "minimum_should_match": 0,
+        |  "filter":   {"term":{"lang":"en"}}}},
+        |"size": 7}""".stripMargin)
+    assert(pb.bool.must == Seq(Lexical(Seq("a", "c"))))
+    assert(pb.bool.should == Seq(Lexical(Seq("b"))))
+    assert(pb.bool.mustNot == Seq(Lexical(Seq("d"))))
+    assert(pb.bool.minimumShouldMatch.contains(0))
+    assert(pb.filters == Seq(("lang", "en")))
+    assert(pb.k == 7)
+  }
+
+  test("DSL execute routes query.bool to the bool engine") {
+    val docs = Seq((0L, "x"), (1L, "x"), (2L, "x"), (3L, "x"), (4L, "x"))
+      .toDF("doc_id", "src")
+    val r = QueryDsl.execute(HybridSources(idx),
+      """{"query":{"bool":{
+        |  "must": [{"term":{"text":"a"}}],
+        |  "must_not": [{"term":{"text":"b"}}]}},
+        |"size": 10}""".stripMargin, docs)
+    assert(ids(r) == Seq(4L))
+  }
+}

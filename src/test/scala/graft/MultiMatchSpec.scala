@@ -1,0 +1,115 @@
+package graft
+
+import graft.hybrid.{BestFields, HybridSources, Lexical, LexicalMulti, MostFields}
+import graft.index.InvertedIndex
+import graft.query.{Bm25, BoolQuery, QueryDsl}
+import graft.query.BoolQuery.BoolSpec
+
+/** multi_match semantics on a two-field toy corpus: each field has its OWN
+ *  postings/lengths/stats (Lucene's per-field inverted index), per-field
+ *  boosts scale the field score, best_fields is dismax + tie_breaker,
+ *  most_fields is the plain sum.
+ *  title: doc 0 "a b" | 1 "b c" | 2 "c"     (field name "text" = primary)
+ *  body:  doc 0 "c d" | 1 "a a d" | 2 "b"   (field name "body") */
+class MultiMatchSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val titleIdx = InvertedIndex.build(
+    Seq((0L, "a b"), (1L, "b c"), (2L, "c")).toDF("doc_id", "text"),
+    "doc_id", "text")
+  private lazy val bodyIdx = InvertedIndex.build(
+    Seq((0L, "c d"), (1L, "a a d"), (2L, "b")).toDF("doc_id", "text"),
+    "doc_id", "text")
+
+  private lazy val src =
+    HybridSources(titleIdx, fieldIdx = Map("body" -> bodyIdx))
+
+  private def scoresOf(mm: graft.hybrid.MultiMatchType,
+                       fields: Seq[(String, Double)],
+                       terms: Seq[String]): Map[Long, Double] =
+    BoolQuery.score(src, BoolSpec(must = Seq(LexicalMulti(fields, terms, mm))))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+  private def fieldScores(idx: graft.index.Index, terms: Seq[String]): Map[Long, Double] =
+    Bm25.scoreTerms(idx, terms).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+  test("most_fields sums per-field BM25 x boost; best_fields(0) is the max") {
+    val terms = Seq("a", "b")
+    val t = fieldScores(titleIdx, terms) // docs 0,1,2(b? no: title 2 = c) -> {0,1}
+    val b = fieldScores(bodyIdx, terms)  // body: a in 1, b in 2 -> {1,2}
+    def at(m: Map[Long, Double], d: Long) = m.getOrElse(d, 0.0)
+
+    val most = scoresOf(MostFields, Seq("text" -> 1.0, "body" -> 2.0), terms)
+    val best = scoresOf(BestFields(0.0), Seq("text" -> 1.0, "body" -> 2.0), terms)
+    // matched set = union of the field matches
+    assert(most.keySet == t.keySet.union(b.keySet))
+    assert(best.keySet == most.keySet)
+    most.keySet.foreach { d =>
+      assert(math.abs(most(d) - (at(t, d) + 2.0 * at(b, d))) < 1e-12)
+      assert(math.abs(best(d) - math.max(at(t, d), 2.0 * at(b, d))) < 1e-12)
+    }
+  }
+
+  test("tie_breaker interpolates: tb=1 equals most_fields; 0<tb<1 strictly between") {
+    val terms = Seq("a", "b", "c")
+    val fields = Seq("text" -> 1.0, "body" -> 1.0)
+    val most = scoresOf(MostFields, fields, terms)
+    val tb1 = scoresOf(BestFields(1.0), fields, terms)
+    val tb0 = scoresOf(BestFields(0.0), fields, terms)
+    val mid = scoresOf(BestFields(0.4), fields, terms)
+    most.keySet.foreach { d =>
+      assert(math.abs(tb1(d) - most(d)) < 1e-12)
+      assert(mid(d) >= tb0(d) - 1e-12 && mid(d) <= most(d) + 1e-12)
+      // doc matching in both fields: strictly between
+      if (math.abs(most(d) - tb0(d)) > 1e-9) {
+        assert(mid(d) > tb0(d) && mid(d) < most(d))
+      }
+    }
+  }
+
+  test("single-field multi_match degenerates to the plain lexical clause") {
+    val terms = Seq("a", "c")
+    val plain = fieldScores(titleIdx, terms)
+    val multi = scoresOf(BestFields(0.3), Seq("text" -> 1.0), terms)
+    assert(multi.keySet == plain.keySet)
+    multi.keySet.foreach(d => assert(math.abs(multi(d) - plain(d)) < 1e-12))
+  }
+
+  test("validation: unregistered field, bad boost, bad tie_breaker") {
+    intercept[IllegalArgumentException] {
+      scoresOf(MostFields, Seq("nope" -> 1.0), Seq("a"))
+    }
+    intercept[IllegalArgumentException] {
+      scoresOf(MostFields, Seq("text" -> 0.0), Seq("a"))
+    }
+    intercept[IllegalArgumentException] {
+      scoresOf(BestFields(1.5), Seq("text" -> 1.0), Seq("a"))
+    }
+  }
+
+  test("DSL parse: caret boosts, type, tie_breaker; bad forms rejected") {
+    val pb = QueryDsl.parseBool(
+      """{"query":{"bool":{"must":[{"multi_match":{
+        |  "query": "a b", "fields": ["text", "body^2.5"],
+        |  "type": "best_fields", "tie_breaker": 0.3}}]}}}""".stripMargin)
+    assert(pb.bool.must == Seq(LexicalMulti(
+      Seq(("text", 1.0), ("body", 2.5)), Seq("a", "b"), BestFields(0.3))))
+
+    // default type is best_fields with tie_breaker 0
+    val dflt = QueryDsl.parseBool(
+      """{"query":{"bool":{"must":[{"multi_match":{
+        |  "query": "a", "fields": ["text"]}}]}}}""".stripMargin)
+    assert(dflt.bool.must == Seq(LexicalMulti(
+      Seq(("text", 1.0)), Seq("a"), BestFields(0.0))))
+
+    def bad(q: String): Unit = intercept[IllegalArgumentException] {
+      QueryDsl.parseBool(s"""{"query":{"bool":{"must":[{"multi_match":$q}]}}}""")
+    }
+    bad("""{"query": "a", "fields": []}""")
+    bad("""{"query": "", "fields": ["text"]}""")
+    bad("""{"query": "a", "fields": ["text"], "type": "cross_fields"}""")
+    bad("""{"query": "a", "fields": ["text"], "type": "most_fields", "tie_breaker": 0.3}""")
+  }
+}
