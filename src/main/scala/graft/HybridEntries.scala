@@ -242,6 +242,71 @@ object HybridEntries {
         s.read.parquet(s"$dir/documents.parquet"))
         .select(col("doc_id"), round(col("score"), 4).as("score"))
     }),
+    // match with operator=and through the DSL: all analyzed terms required
+    "dsl_match_and" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      val json =
+        """{ "query": { "bool": { "must": [
+          |    { "match": { "text": { "query": "join hash merge", "operator": "and" } } }
+          |  ] } }, "size": 10 }""".stripMargin
+      graft.query.QueryDsl.execute(HybridSources(idx), json,
+        s.read.parquet(s"$dir/documents.parquet"))
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+    }),
+    // match with a term-level minimum_should_match: >= 2 of 3 terms
+    "match_msm" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      graft.query.BoolQuery.topK(HybridSources(idx),
+        graft.query.BoolQuery.BoolSpec(
+          must = Seq(LexicalMsm(Seq("merge", "window", "scan"), 2))), 10)
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+    }),
+    // nested bool: (merge OR scan) gated sub-bool in must, should adds A
+    "bool_nested" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      graft.query.BoolQuery.topK(HybridSources(idx),
+        graft.query.BoolQuery.BoolSpec(
+          must = Seq(BoolSub(
+            should = Seq(Lexical(Seq("merge")), Lexical(Seq("scan"))),
+            minimumShouldMatch = Some(1))),
+          should = Seq(Lexical(A))), 10)
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+    }),
+    // the same nested request arriving as JSON
+    "dsl_bool_nested" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      val json =
+        """{ "query": { "bool": {
+          |    "must": [ { "bool": {
+          |      "should": [ { "term": { "text": "merge" } },
+          |                  { "term": { "text": "scan" } } ],
+          |      "minimum_should_match": 1 } } ],
+          |    "should": [ { "match": { "text": "join hash" } } ] } },
+          |  "size": 10 }""".stripMargin
+      graft.query.QueryDsl.execute(HybridSources(idx), json,
+        s.read.parquet(s"$dir/documents.parquet"))
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+    }),
+    // match_all as the scoring base of a negative bool: constant 1.0
+    "match_all_bool" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      graft.query.BoolQuery.topK(HybridSources(idx),
+        graft.query.BoolQuery.BoolSpec(
+          must = Seq(MatchAll()), mustNot = Seq(Lexical(Seq("dup")))), 10)
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+    }),
+    // pure filter context (must_not only): every doc not excluded, score 0
+    "bool_filter_only" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      val json =
+        """{ "query": { "bool": {
+          |    "must_not": [ { "term": { "text": "dup" } } ],
+          |    "filter":   { "term": { "lang": "en" } } } },
+          |  "size": 10 }""".stripMargin
+      graft.query.QueryDsl.execute(HybridSources(idx), json,
+        s.read.parquet(s"$dir/documents.parquet"))
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+    }),
     // multi_match best_fields: dismax + tie_breaker over text + boosted path
     "multi_best_fields" -> ((s, dir) => {
       val src = srcWithPath(s, dir)
@@ -733,8 +798,34 @@ object HybridEntries {
   }
 
   /** score CTE for one sub-query clause: sq$i(doc_id, s). `filterPred` is a
-   *  predicate template over the alias's doc-id column. */
-  private def scoreCte(i: Int, sq: SubQuery, filterPred: Option[String]): String = sq match {
+   *  predicate template over the alias's doc-id column. The id is a STRING
+   *  so nested bool clauses can prefix their children's CTE names. */
+  private def scoreCte(i: String, sq: SubQuery, filterPred: Option[String]): String = sq match {
+    case LexicalMsm(terms, m, boosts) =>
+      // `operator: and` / term-level minimum_should_match: the Lexical BM25
+      // sum gated on the count of DISTINCT matched query terms (tf rows are
+      // one per (doc, term), so count(*) is that count)
+      val f = filterPred.map(p => s" AND tf.${p}").getOrElse("")
+      val boostSql =
+        if (boosts.isEmpty) ""
+        else "\n              * (CASE tf.term " +
+          boosts.toSeq.sortBy(_._1).map { case (t, b) => s"WHEN '$t' THEN $b" }.mkString(" ") +
+          " ELSE 1.0 END)"
+      s"""sq$i AS (
+         |  SELECT tf.doc_id,
+         |         sum( ln(1 + (stats.n - df.df + 0.5)/(df.df + 0.5))$boostSql
+         |              * (tf.tf / (tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/stats.avgdl))) ) AS s
+         |  FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN stats
+         |  WHERE tf.term IN (${termList(terms)})$f
+         |  GROUP BY tf.doc_id
+         |  HAVING count(*) >= $m)""".stripMargin
+    case MatchAll(boost) =>
+      // every live doc at the constant boost score (dl covers the universe)
+      val f = filterPred.map(p => s"\n  WHERE dl.${p}").getOrElse("")
+      s"""sq$i AS (
+         |  SELECT dl.doc_id, $boost AS s FROM dl$f)""".stripMargin
+    case b: BoolSub =>
+      boolClauseCtes(i, b, filterPred)
     case Lexical(terms, boosts) =>
       val f = filterPred.map(p => s" AND tf.${p}").getOrElse("")
       val boostSql =
@@ -1023,40 +1114,77 @@ object HybridEntries {
     }
   }
 
-  /** Oracle for the scoring bool query: per-clause score CTEs (same clause
-   *  SQL as hybrid), a kind-tagged union aggregated by doc_id, the same
-   *  fixed left-to-right COALESCE sum as the engine's fold, and the
-   *  must-all / should-at-least-msm / no-must_not gate. */
+  /** CTE chain computing one bool's qualifying set as `sq$id(doc_id, s)`:
+   *  per-clause score CTEs (same clause SQL as hybrid, children prefixed
+   *  `${id}c`), a kind-tagged union aggregated by doc_id, the same fixed
+   *  left-to-right COALESCE sum as the engine's fold, and the must-all /
+   *  should-at-least-msm / no-must_not gate. Recursion through
+   *  [[scoreCte]]'s BoolSub case handles arbitrary nesting. A bool with no
+   *  scoring clause is pure filter context: every doc minus must_not at
+   *  score 0.0, like the engine. */
+  private def boolClauseCtes(id: String, b: BoolSub,
+                             filterPred: Option[String]): String = {
+    if (b.must.isEmpty && b.should.isEmpty) {
+      val nots = b.mustNot.zipWithIndex
+        .map { case (t, j) => scoreCte(s"${id}c$j", t, filterPred) }
+      val ctesPart = if (nots.isEmpty) "" else nots.mkString(",\n") + ",\n"
+      val excl =
+        if (b.mustNot.isEmpty) ""
+        else b.mustNot.indices
+          .map(j => s"SELECT doc_id FROM sq${id}c$j")
+          .mkString("\n  AND dl.doc_id NOT IN (", " UNION ALL ", ")")
+      val f = filterPred.map(p => s"\n  AND dl.${p}").getOrElse("")
+      s"""${ctesPart}sq$id AS (
+         |  SELECT dl.doc_id, 0.0 AS s FROM dl
+         |  WHERE TRUE$excl$f)""".stripMargin
+    } else {
+      val all = b.must ++ b.should ++ b.mustNot
+      val ctes = all.zipWithIndex
+        .map { case (t, j) => scoreCte(s"${id}c$j", t, filterPred) }
+        .mkString(",\n")
+      val kindOf = b.must.map(_ => "m") ++ b.should.map(_ => "s") ++ b.mustNot.map(_ => "n")
+      val unions = all.indices.map(j =>
+        s"SELECT doc_id, s, '${kindOf(j)}' AS kind, $j AS cid FROM sq${id}c$j")
+        .mkString("\n  UNION ALL ")
+      val pivots = all.indices.map(j =>
+        s"max(CASE WHEN cid = $j THEN s END) AS s$j").mkString(",\n         ")
+      val scoringIdx = all.indices.filter(j => kindOf(j) != "n")
+      val total = scoringIdx.map(j => s"COALESCE(s$j, 0)").mkString("(", " + ", ")")
+      s"""$ctes,
+         |u$id AS (
+         |  $unions),
+         |a$id AS (
+         |  SELECT doc_id,
+         |         $pivots,
+         |         count(CASE WHEN kind = 'm' THEN 1 END) AS nm,
+         |         count(CASE WHEN kind = 's' THEN 1 END) AS ns,
+         |         count(CASE WHEN kind = 'n' THEN 1 END) AS nn
+         |  FROM u$id GROUP BY doc_id),
+         |sq$id AS (
+         |  SELECT doc_id, $total AS s
+         |  FROM a$id
+         |  WHERE nm = ${b.must.size} AND ns >= ${b.effectiveMsm} AND nn = 0)""".stripMargin
+    }
+  }
+
+  /** Oracle for a top-level bool request: the [[boolClauseCtes]] chain plus
+   *  the rounded, ordered top-k page. */
   def boolOracle(tokCte: String, must: Seq[SubQuery], should: Seq[SubQuery],
                  mustNot: Seq[SubQuery], msm: Int, k: Int = 10,
                  filterPred: Option[String] = None): String = {
-    val all = must ++ should ++ mustNot
-    val twPart = if (all.exists(_.isInstanceOf[SparseLinear])) s",\n$TwCte" else ""
-    val ctes = all.zipWithIndex.map { case (t, i) => scoreCte(i, t, filterPred) }
-      .mkString(",\n")
-    val kindOf = must.map(_ => "m") ++ should.map(_ => "s") ++ mustNot.map(_ => "n")
-    val unions = all.indices.map(i =>
-      s"SELECT doc_id, s, '${kindOf(i)}' AS kind, $i AS cid FROM sq$i")
-      .mkString("\n  UNION ALL ")
-    val pivots = all.indices.map(i =>
-      s"max(CASE WHEN cid = $i THEN s END) AS s$i").mkString(",\n         ")
-    val scoringIdx = all.indices.filter(i => kindOf(i) != "n")
-    val total = scoringIdx.map(i => s"COALESCE(s$i, 0)").mkString("(", " + ", ")")
+    val b = BoolSub(must, should, mustNot, Some(msm))
+    def allClauses(x: BoolSub): Seq[SubQuery] =
+      (x.must ++ x.should ++ x.mustNot).flatMap {
+        case nested: BoolSub => allClauses(nested)
+        case leaf            => Seq(leaf)
+      }
+    val twPart =
+      if (allClauses(b).exists(_.isInstanceOf[SparseLinear])) s",\n$TwCte" else ""
     s"""WITH $tokCte$twPart,
-       |$ctes,
-       |u AS (
-       |  $unions),
-       |a AS (
-       |  SELECT doc_id,
-       |         $pivots,
-       |         count(CASE WHEN kind = 'm' THEN 1 END) AS nm,
-       |         count(CASE WHEN kind = 's' THEN 1 END) AS ns,
-       |         count(CASE WHEN kind = 'n' THEN 1 END) AS nn
-       |  FROM u GROUP BY doc_id)
-       |SELECT doc_id, round($total, 4) AS score
-       |FROM a
-       |WHERE nm = ${must.size} AND ns >= $msm AND nn = 0
-       |ORDER BY $total DESC, doc_id LIMIT $k""".stripMargin
+       |${boolClauseCtes("0", b, filterPred)}
+       |SELECT doc_id, round(s, 4) AS score
+       |FROM sq0
+       |ORDER BY s DESC, doc_id LIMIT $k""".stripMargin
   }
 
   def hybridOracle(tokCte: String, sub: Seq[SubQuery], norm: Normalization,
@@ -1074,7 +1202,7 @@ object HybridEntries {
       else if (semKindsUsed.contains(SemanticDenseKind)) s",\n$SemTwCte,\n$SemDvCte"
       else s",\n$SemTwCte"
     val subq = sub.zipWithIndex.map { case (t, i) =>
-      scoreCte(i, t, filterPred) + ",\n" + topCte(i, collapse)
+      scoreCte(i.toString, t, filterPred) + ",\n" + topCte(i, collapse)
     }.mkString(",\n")
     val norms = (0 until n).map { i =>
       val (lb, ub) = norm match {
@@ -1232,6 +1360,30 @@ object HybridEntries {
           mustNot = Nil, msm = 2),
       "dsl_bool" ->
         boolOracle(tokCte, must = Seq(Lexical(A)), should = Seq(Lexical(B)),
+          mustNot = Seq(Lexical(Seq("dup"))), msm = 0, filterPred = langF),
+      "dsl_match_and" ->
+        boolOracle(tokCte, must = Seq(LexicalMsm(Seq("join", "hash", "merge"), 3)),
+          should = Nil, mustNot = Nil, msm = 0),
+      "match_msm" ->
+        boolOracle(tokCte, must = Seq(LexicalMsm(Seq("merge", "window", "scan"), 2)),
+          should = Nil, mustNot = Nil, msm = 0),
+      "bool_nested" ->
+        boolOracle(tokCte,
+          must = Seq(BoolSub(
+            should = Seq(Lexical(Seq("merge")), Lexical(Seq("scan"))),
+            minimumShouldMatch = Some(1))),
+          should = Seq(Lexical(A)), mustNot = Nil, msm = 0),
+      "dsl_bool_nested" ->
+        boolOracle(tokCte,
+          must = Seq(BoolSub(
+            should = Seq(Lexical(Seq("merge")), Lexical(Seq("scan"))),
+            minimumShouldMatch = Some(1))),
+          should = Seq(Lexical(A)), mustNot = Nil, msm = 0),
+      "match_all_bool" ->
+        boolOracle(tokCte, must = Seq(MatchAll()), should = Nil,
+          mustNot = Seq(Lexical(Seq("dup"))), msm = 0),
+      "bool_filter_only" ->
+        boolOracle(tokCte, must = Nil, should = Nil,
           mustNot = Seq(Lexical(Seq("dup"))), msm = 0, filterPred = langF),
       "multi_best_fields" ->
         boolOracle(tokCte, must = Seq(LexicalMulti(

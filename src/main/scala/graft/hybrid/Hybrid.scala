@@ -150,6 +150,38 @@ case object MostFields extends MultiMatchType
 case class LexicalMulti(fields: Seq[(String, Double)], terms: Seq[String],
                         mm: MultiMatchType = BestFields()) extends SubQuery
 
+/** Lexical clause with a term-count gate — `match` with `operator: and`
+ *  (minTermsMatch = distinct term count) or a term-level
+ *  `minimum_should_match`: a doc qualifies only when it matches at least
+ *  minTermsMatch DISTINCT query terms; the score stays the plain BM25 sum
+ *  over the terms it matches. Lucene's MatchQuery compiles exactly this —
+ *  a BooleanQuery of TermQuery clauses with the msm / all-MUST gate. */
+case class LexicalMsm(terms: Seq[String], minTermsMatch: Int,
+                      boosts: Map[String, Double] = Map.empty) extends SubQuery
+
+/** `match_all` — every live document matches with the constant boost score
+ *  (Lucene MatchAllDocsQuery). The explicit base clause for purely-negative
+ *  or filter-plus-score bools. */
+case class MatchAll(boost: Double = 1.0) extends SubQuery
+
+/** A nested `bool` clause — Lucene BooleanQuery nests arbitrarily. The
+ *  nested bool's qualifying docs contribute their summed clause score to
+ *  the enclosing query; semantics (must intersection, should msm gate,
+ *  must_not exclusion, filter-context zero score) are
+ *  [[graft.query.BoolQuery]]'s. Also the top-level bool request shape
+ *  (`BoolQuery.BoolSpec` is an alias of this). */
+case class BoolSub(
+    must: Seq[SubQuery] = Nil,
+    should: Seq[SubQuery] = Nil,
+    mustNot: Seq[SubQuery] = Nil,
+    minimumShouldMatch: Option[Int] = None
+) extends SubQuery {
+  /** BooleanQuery's documented default: 1 when there are should clauses and
+   *  no must/filter-ish scoring clauses, else 0. */
+  def effectiveMsm: Int =
+    minimumShouldMatch.getOrElse(if (must.isEmpty && should.nonEmpty) 1 else 0)
+}
+
 object SubQuery {
   /** Back-compat constructor: a bare SubQuery(terms) is a lexical clause. */
   def apply(terms: Seq[String], boosts: Map[String, Double] = Map.empty): Lexical =
@@ -288,6 +320,18 @@ object Hybrid {
             require(tb >= 0.0 && tb <= 1.0, s"tie_breaker must be in [0,1], got $tb")
           case MostFields => ()
         }
+      case LexicalMsm(terms, m, _) =>
+        require(terms.nonEmpty, "match requires a non-empty query text")
+        require(m >= 1 && m <= terms.distinct.size,
+          s"minimum_should_match must be in [1, ${terms.distinct.size}], got $m")
+      case MatchAll(boost) =>
+        require(boost > 0, s"[boost] must be > 0, got $boost")
+      case b: BoolSub =>
+        b.minimumShouldMatch.foreach { m =>
+          require(m >= 0 && m <= b.should.size,
+            s"minimum_should_match must be in [0, ${b.should.size}]")
+        }
+        validateClauseSources(src, b.must ++ b.should ++ b.mustNot)
       case _ => ()
     }
   }
@@ -464,6 +508,20 @@ object Hybrid {
     sq match {
       case Lexical(terms, boosts) =>
         Bm25.scoreTerms(src.idx, terms, boosts, limitPerBucket = boundPerBucket)
+      case LexicalMsm(terms, m, boosts) =>
+        // the msm gate applies inside the bucket scorer BEFORE any per-bucket
+        // top-k trim, so the bound stays a valid upper set for global top-k
+        Bm25.scoreTerms(src.idx, terms, boosts, limitPerBucket = boundPerBucket,
+          minTermsMatch = m)
+      case MatchAll(boost) =>
+        // the live-doc universe, decoded block-locally from the forward
+        // table — constant score, no postings touched
+        graft.index.InvertedIndex.liveDocIds(src.idx.docLens)
+          .select($"doc_id", lit(boost).as("score"))
+      case b: BoolSub =>
+        // nested bool: its qualifying set with summed scores — recursion
+        // bottoms out at leaf clauses; each level is one aggregation shuffle
+        graft.query.BoolQuery.score(src, b)
       case LexicalMulti(fields, terms, mm) =>
         // per-field BM25 against each field's OWN index (its own postings,
         // lengths, df/avgdl — Lucene scores each field as an independent
@@ -695,7 +753,8 @@ object Hybrid {
     if (filterDocs.nonEmpty) increment("hybrid_query_with_filter_requests")
     if (q.from > 0) increment("hybrid_query_with_pagination_requests")
     q.subQueries.foreach {
-      case _: Lexical | _: LexicalPhrase | _: LexicalMulti => ()
+      case _: Lexical | _: LexicalPhrase | _: LexicalMulti | _: LexicalMsm |
+           _: MatchAll | _: BoolSub => ()
       case _: SparseLinear => increment("neural_sparse_query_requests")
       case _: DenseCosine | _: DenseVector | _: DenseIvf | _: DenseRadial =>
         increment("neural_query_requests")

@@ -251,6 +251,20 @@ object InvertedIndex {
       .map(b => DocLenBlock(b.bucket, b.cnt, b.min_v, b.docs, b.tfs))
   }
 
+  /** All live doc ids, decoded block-locally from the forward (doc-length)
+   *  table — the MatchAllDocsQuery universe. Tombstoned docs never appear
+   *  here (Deletes.maskDocLens removes their forward entries), so match_all
+   *  respects deletes like every scorer. */
+  def liveDocIds(docLens: Dataset[DocLenBlock]): org.apache.spark.sql.DataFrame = {
+    val spark = docLens.sparkSession
+    import spark.implicits._
+    docLens.flatMap { b =>
+      val ids = PostingCodec.decodeDeltas(b.ids, b.cnt)
+      val base = b.bucket << BucketBits
+      (0 until b.cnt).iterator.map(i => base + ids(i))
+    }.toDF("doc_id")
+  }
+
   /** Per-term stats derived from posting blocks — no re-tokenize: partial
    *  aggregation over the already-compressed block rows. */
   def termStatsOf(postings: Dataset[PostingBlock]): Dataset[TermStat] = {

@@ -72,14 +72,22 @@ object Bm25 {
       idx: Index,
       terms: Seq[String],
       boosts: Map[String, Double] = Map.empty,
-      limitPerBucket: Int = 0
+      limitPerBucket: Int = 0,
+      minTermsMatch: Int = 0
   ): DataFrame = {
     val spark = idx.postings.sparkSession
     import spark.implicits._
 
     val avgdl = idx.stats.avgdl
     val weightPerTerm = termWeights(idx, terms, boosts)
-    if (weightPerTerm.isEmpty) return spark.emptyDataset[(Long, Double)].toDF("doc_id", "score")
+    // `operator: and` / minimum_should_match over the query's terms: a doc
+    // must match at least `minTermsMatch` DISTINCT query terms. A query term
+    // absent from the index can never be matched, so if fewer than
+    // minTermsMatch terms exist at all, nothing can qualify — exactly
+    // Lucene's MatchQuery-with-AND compiling to a MUST TermQuery per term,
+    // where one zero-df term empties the whole query.
+    if (weightPerTerm.isEmpty || weightPerTerm.size < minTermsMatch)
+      return spark.emptyDataset[(Long, Double)].toDF("doc_id", "score")
 
     val matched = idx.postings.filter($"term".isin(weightPerTerm.keys.toSeq: _*))
     // Ship only the doc-length blocks of buckets that can match: the semi
@@ -91,6 +99,7 @@ object Bm25 {
       .join(matched.select($"bucket").distinct().hint("broadcast"), "bucket")
       .as[DocLenBlock]
     val lim = limitPerBucket
+    val minTerms = minTermsMatch
     val span = InvertedIndex.BucketSpan
 
     val scored: Dataset[(Long, Double)] = matched
@@ -112,6 +121,9 @@ object Bm25 {
           }
           val scores = new Array[Double](span)
           val seen = new Array[Boolean](span)
+          // distinct matched query terms per doc (one merged block per
+          // (term, bucket), so one increment per term) — the msm gate
+          val cnts = if (minTerms > 1) new Array[Int](span) else null
           var i = 0
           while (i < blocks.length) {
             val b = blocks(i)
@@ -123,11 +135,14 @@ object Bm25 {
               val local = ids(j)
               scores(local) += w * tfNorm(tfs(j), dlArr(local), avgdl)
               seen(local) = true
+              if (cnts != null) cnts(local) += 1
               j += 1
             }
             i += 1
           }
           val base = bucket << InvertedIndex.BucketBits
+          @inline def qualifies(d: Int): Boolean =
+            seen(d) && dlArr(d) > 0 && (cnts == null || cnts(d) >= minTerms)
           // liveDocs gate: a seen doc with no forward entry (dl slot 0) is
           // tombstoned (Deletes.maskDocLens removed it) — a live doc with
           // any posting always has dl >= 1, so this never drops live hits
@@ -135,7 +150,7 @@ object Bm25 {
             val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
             var d = 0
             while (d < span) {
-              if (seen(d) && dlArr(d) > 0) out += ((base + d, scores(d)))
+              if (qualifies(d)) out += ((base + d, scores(d)))
               d += 1
             }
             out.iterator
@@ -145,7 +160,7 @@ object Bm25 {
             val pq = new scala.collection.mutable.PriorityQueue[(Long, Double)]()(ord.reverse)
             var d = 0
             while (d < span) {
-              if (seen(d) && dlArr(d) > 0) {
+              if (qualifies(d)) {
                 val cand = (base + d, scores(d))
                 if (pq.size < lim) pq.enqueue(cand)
                 else if (ord.gt(cand, pq.head)) { pq.dequeue(); pq.enqueue(cand) }

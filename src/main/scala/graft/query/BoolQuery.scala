@@ -3,7 +3,8 @@ package graft.query
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.hybrid.{Hybrid, HybridSources, SubQuery}
+import graft.hybrid.{BoolSub, Hybrid, HybridSources, SubQuery}
+import graft.index.InvertedIndex
 
 /**
  * Scoring boolean query — Lucene's `BooleanQuery` / the OpenSearch `bool`
@@ -16,52 +17,67 @@ import graft.hybrid.{Hybrid, HybridSources, SubQuery}
  * `must_not` clauses exclude matching docs and never score.
  *
  * Clauses reuse the hybrid [[SubQuery]] ADT and its scorers, so a bool can
- * nest anything a hybrid clause can: match, term, match_phrase,
- * neural_sparse, knn — against the same [[HybridSources]].
+ * nest anything a hybrid clause can: match, term, match_phrase, multi_match,
+ * neural_sparse, knn, match_all — and [[BoolSub]] itself, since Lucene
+ * BooleanQueries nest arbitrarily (the spec type IS the nested-clause type).
  *
- * Execution is one shuffle: every clause's matched set (one row per doc,
- * posting-proportional, never corpus-sized) is tagged with its clause index
- * and kind, unioned, and aggregated by doc_id. Per-clause scores come back
- * as pivoted columns so the final score is a FIXED left-to-right sum —
- * bit-deterministic across runs and engines, not a float sum in shuffle
- * arrival order. The top-k collection is TakeOrdered (bounded heap per
- * partition + one small merge), like every other scorer here.
+ * Execution is one shuffle per nesting level: every clause's matched set
+ * (one row per doc, posting-proportional, never corpus-sized unless a
+ * match_all demands it) is tagged with its clause index and kind, unioned,
+ * and aggregated by doc_id. Per-clause scores come back as pivoted columns
+ * so the final score is a FIXED left-to-right sum — bit-deterministic
+ * across runs and engines, not a float sum in shuffle arrival order. The
+ * top-k collection is TakeOrdered (bounded heap per partition + one small
+ * merge), like every other scorer here.
  *
  * Lucene semantics notes:
  *  - score = sum of matching `must` + `should` scores (must_not adds 0)
  *  - `minimum_should_match` defaults to 1 when there are should clauses and
  *    NO must clauses, else 0 (BooleanQuery's documented default)
- *  - a purely negative bool (must_not only) needs a match-all base query;
- *    out of scope here — at least one scoring clause is required.
+ *  - a bool with NO scoring clause (must_not only, or filter only) runs in
+ *    pure filter context: every live doc not excluded matches with score
+ *    0.0 — OpenSearch wraps the implicit MatchAllDocsQuery as a
+ *    FILTER clause, which contributes no score.
  */
 object BoolQuery {
 
-  case class BoolSpec(
-      must: Seq[SubQuery] = Nil,
-      should: Seq[SubQuery] = Nil,
-      mustNot: Seq[SubQuery] = Nil,
-      minimumShouldMatch: Option[Int] = None
-  ) {
-    def effectiveMsm: Int =
-      minimumShouldMatch.getOrElse(if (must.isEmpty && should.nonEmpty) 1 else 0)
-  }
+  /** The bool request shape — the same type as the nested-clause ADT case,
+   *  because a top-level bool and a nested bool are the same query. */
+  type BoolSpec = BoolSub
+  val BoolSpec: BoolSub.type = BoolSub
 
   /** All qualifying docs with their bool scores, unbounded and unsorted. */
-  def score(src: HybridSources, bq: BoolSpec,
+  def score(src: HybridSources, bq: BoolSub,
             filterDocs: Option[DataFrame] = None): DataFrame = {
-    require(bq.must.nonEmpty || bq.should.nonEmpty,
-      "bool query requires at least one scoring clause (must or should); " +
-        "a purely negative query needs a match_all base, which is out of scope")
     bq.minimumShouldMatch.foreach { m =>
       require(m >= 0 && m <= bq.should.size,
         s"minimum_should_match must be in [0, ${bq.should.size}]")
     }
+    val spark = src.idx.postings.sparkSession
+    import spark.implicits._
+
+    if (bq.must.isEmpty && bq.should.isEmpty) {
+      // pure filter context: live universe minus must_not, score 0.0
+      require(bq.mustNot.nonEmpty || filterDocs.nonEmpty,
+        "bool query requires at least one clause")
+      Hybrid.validateClauseSources(src, bq.mustNot)
+      val live = InvertedIndex.liveDocIds(src.idx.docLens)
+      val base = filterDocs match {
+        case Some(f) => live.join(f.select("doc_id"), Seq("doc_id"), "left_semi")
+        case None    => live
+      }
+      val kept = bq.mustNot
+        .map(sq => Hybrid.scoreClause(src, sq, boundPerBucket = 0).select("doc_id"))
+        .reduceOption(_ unionByName _) match {
+        case Some(ex) => base.join(ex, Seq("doc_id"), "left_anti")
+        case None     => base
+      }
+      return kept.select($"doc_id", lit(0.0).as("score"))
+    }
+
     val all: Seq[(SubQuery, String)] =
       bq.must.map(_ -> "m") ++ bq.should.map(_ -> "s") ++ bq.mustNot.map(_ -> "n")
     Hybrid.validateClauseSources(src, all.map(_._1))
-
-    val spark = src.idx.postings.sparkSession
-    import spark.implicits._
 
     // no per-bucket collection bound: must-intersection / must_not-exclusion
     // can promote docs from below any bucket-local top-k
@@ -100,7 +116,7 @@ object BoolQuery {
   }
 
   /** Top-k page, ordered (score desc, doc_id asc). */
-  def topK(src: HybridSources, bq: BoolSpec, k: Int,
+  def topK(src: HybridSources, bq: BoolSub, k: Int,
            filterDocs: Option[DataFrame] = None): DataFrame = {
     require(k >= 1, "size must be >= 1")
     val spark = src.idx.postings.sparkSession

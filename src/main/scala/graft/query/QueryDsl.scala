@@ -190,8 +190,10 @@ object QueryDsl {
   private def parseSubQuery(q: JsonNode, analyzer: String, enricher: Enricher): SubQuery =
     if (!q.path("match").isMissingNode) {
       // value form: "text": "..." ; object form: "text": {"query": "...",
-      // "boost": 2.0} (per-sub-query boost is legal INSIDE a clause — only
-      // the hybrid-level boost is rejected, HybridQueryBuilder.java:247-253)
+      // "boost": 2.0, "operator": "and"|"or",
+      // "minimum_should_match": n} (per-sub-query boost is legal INSIDE a
+      // clause — only the hybrid-level boost is rejected,
+      // HybridQueryBuilder.java:247-253)
       val (_, body) = firstField(q.path("match"))
       val (text, boost) =
         if (body.isObject) (body.path("query").asText(), body.path("boost").asDouble(1.0))
@@ -203,8 +205,44 @@ object QueryDsl {
       // real scores when every term weight is non-negative
       require(boost > 0, s"[boost] must be > 0, got $boost")
       val terms = Analyzer.analyze(analyzer)(text).toSeq
-      Lexical(terms,
-        if (boost == 1.0) Map.empty else terms.map(_ -> boost).toMap)
+      val boosts = if (boost == 1.0) Map.empty[String, Double] else terms.map(_ -> boost).toMap
+      val operator = if (body.isObject) body.path("operator").asText("or") else "or"
+      require(operator == "or" || operator == "and",
+        s"match [operator] must be or|and, got [$operator]")
+      val msmNode = body.path("minimum_should_match") // MissingNode on value-form bodies
+      require(operator == "or" || msmNode.isMissingNode,
+        "[minimum_should_match] conflicts with operator and (and already requires every term)")
+      if (operator == "and")
+        graft.hybrid.LexicalMsm(terms, terms.distinct.size, boosts)
+      else if (!msmNode.isMissingNode) {
+        val m = msmNode.asInt()
+        require(m >= 1 && m <= terms.distinct.size,
+          s"minimum_should_match must be in [1, ${terms.distinct.size}], got $m")
+        graft.hybrid.LexicalMsm(terms, m, boosts)
+      } else
+        Lexical(terms, boosts)
+    } else if (!q.path("match_all").isMissingNode) {
+      val body = q.path("match_all")
+      val boost = body.path("boost").asDouble(1.0)
+      require(boost > 0, s"[boost] must be > 0, got $boost")
+      graft.hybrid.MatchAll(boost)
+    } else if (!q.path("bool").isMissingNode) {
+      // nested bool clause — Lucene BooleanQueries nest arbitrarily. The
+      // nested form carries no filter (filter is the top-level request's
+      // non-scoring gate here; a nested filter would need its own
+      // filter-context plumbing and is rejected explicitly).
+      val b = q.path("bool")
+      require(b.path("filter").isMissingNode,
+        "[filter] inside a nested bool is not supported — put the filter on the top-level request")
+      def cl(name: String): Seq[SubQuery] = {
+        val node = b.path(name)
+        if (node.isMissingNode) Nil
+        else if (node.isArray)
+          (0 until node.size()).map(i => parseSubQuery(node.get(i), analyzer, enricher))
+        else Seq(parseSubQuery(node, analyzer, enricher))
+      }
+      val msm = Option(b.path("minimum_should_match")).filter(_.isNumber).map(_.asInt())
+      graft.hybrid.BoolSub(cl("must"), cl("should"), cl("must_not"), msm)
     } else if (!q.path("match_phrase").isMissingNode) {
       // exact phrase (slop 0): the analyzed text's tokens must occur at
       // consecutive positions; slop != 0 is rejected (not implemented)

@@ -77,14 +77,63 @@ class BoolQuerySpec extends SparkSpec {
     assert(ids(two).toSet == Set(0L, 4L))
   }
 
-  test("purely negative bool and out-of-range msm are rejected") {
+  test("must_not-only bool runs in filter context: excluded set removed, score 0") {
+    // must_not: a -> {0, 1, 4}; universe minus that = {2, 3}, all score 0.0
+    val r = BoolQuery.topK(HybridSources(idx),
+      BoolSpec(mustNot = Seq(Lexical(Seq("a")))), 10).collect()
+    assert(r.map(_.getLong(0)).toSeq == Seq(2L, 3L))
+    assert(r.forall(_.getDouble(1) == 0.0))
+  }
+
+  test("empty bool and out-of-range msm are rejected") {
     intercept[IllegalArgumentException] {
-      BoolQuery.topK(HybridSources(idx), BoolSpec(mustNot = Seq(Lexical(Seq("a")))), 10)
+      BoolQuery.topK(HybridSources(idx), BoolSpec(), 10)
     }
     intercept[IllegalArgumentException] {
       BoolQuery.topK(HybridSources(idx),
         BoolSpec(should = Seq(Lexical(Seq("a"))), minimumShouldMatch = Some(2)), 10)
     }
+  }
+
+  test("match_all scores every doc at boost; nested bool gates and sums") {
+    import graft.hybrid.{BoolSub, MatchAll}
+    val all = BoolQuery.topK(HybridSources(idx),
+      BoolSpec(must = Seq(MatchAll(2.0)), mustNot = Seq(Lexical(Seq("e")))), 10)
+      .collect()
+    // universe {0..4} minus e-docs {3, 4}
+    assert(all.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
+    assert(all.forall(_.getDouble(1) == 2.0))
+
+    // nested bool in must: (b OR d) gate; outer should adds a's score
+    val nested = BoolQuery.topK(HybridSources(idx),
+      BoolSpec(
+        must = Seq(BoolSub(should = Seq(Lexical(Seq("b")), Lexical(Seq("d"))))),
+        should = Seq(Lexical(Seq("a")))), 10)
+    val got = nested.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // b -> {0,1}, d -> {2,3}; a adds on {0,1}
+    assert(got.keySet == Set(0L, 1L, 2L, 3L))
+    val b = Bm25.scoreTerms(idx, Seq("b"), Map.empty).collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    val a = Bm25.scoreTerms(idx, Seq("a"), Map.empty).collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(math.abs(got(0L) - (b(0L) + a(0L))) < 1e-12)
+    assert(math.abs(got(1L) - (b(1L) + a(1L))) < 1e-12)
+  }
+
+  test("match msm gate: operator-and requires every term, msm=m at least m") {
+    import graft.hybrid.LexicalMsm
+    // and-semantics: a AND c -> {0, 4}; score still the full OR-sum
+    val and = BoolQuery.topK(HybridSources(idx),
+      BoolSpec(must = Seq(LexicalMsm(Seq("a", "c"), 2))), 10)
+    assert(and.collect().map(_.getLong(0)).toSet == Set(0L, 4L))
+    // msm=2 of (a, c, e): {0 (a,c), 4 (a,c,e)}
+    val msm = BoolQuery.topK(HybridSources(idx),
+      BoolSpec(must = Seq(LexicalMsm(Seq("a", "c", "e"), 2))), 10)
+    assert(msm.collect().map(_.getLong(0)).toSet == Set(0L, 4L))
+    // a term absent from the index can never satisfy and-semantics
+    val none = BoolQuery.topK(HybridSources(idx),
+      BoolSpec(must = Seq(LexicalMsm(Seq("a", "zzz"), 2))), 10)
+    assert(none.collect().isEmpty)
   }
 
   test("DSL parse: bool with must/should/must_not/minimum_should_match") {

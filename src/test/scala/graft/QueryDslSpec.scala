@@ -234,6 +234,28 @@ class QueryDslSpec extends SparkSpec {
       """{"query":{"hybrid":{"queries":[{"term":{"t":{"boost":2.0}}}]}}}"""))
   }
 
+  test("match operator/msm forms parse; conflicts and typos rejected") {
+    val pb = QueryDsl.parseBool(
+      """{"query":{"bool":{"must":[
+        |  {"match":{"text":{"query":"a b c","operator":"and"}}},
+        |  {"match":{"text":{"query":"a b c","minimum_should_match":2}}},
+        |  {"match_all":{"boost":1.5}}]}}}""".stripMargin)
+    assert(pb.bool.must(0) == graft.hybrid.LexicalMsm(Seq("a", "b", "c"), 3))
+    assert(pb.bool.must(1) == graft.hybrid.LexicalMsm(Seq("a", "b", "c"), 2))
+    assert(pb.bool.must(2) == graft.hybrid.MatchAll(1.5))
+
+    def bad(clause: String): Unit = intercept[IllegalArgumentException] {
+      QueryDsl.parseBool(s"""{"query":{"bool":{"must":[$clause]}}}""")
+    }
+    // operator typo, msm+and conflict, msm out of range, non-positive boost
+    bad("""{"match":{"text":{"query":"a","operator":"AND_"}}}""")
+    bad("""{"match":{"text":{"query":"a b","operator":"and","minimum_should_match":1}}}""")
+    bad("""{"match":{"text":{"query":"a b","minimum_should_match":3}}}""")
+    bad("""{"match_all":{"boost":0}}""")
+    // filter inside a nested bool is unsupported
+    bad("""{"bool":{"must":[{"term":{"text":"a"}}],"filter":{"term":{"lang":"en"}}}}""")
+  }
+
   test("malformed requests are rejected") {
     intercept[IllegalArgumentException](QueryDsl.parse("""{"query":{}}"""))
     intercept[IllegalArgumentException](
