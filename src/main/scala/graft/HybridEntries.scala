@@ -307,6 +307,56 @@ object HybridEntries {
         s.read.parquet(s"$dir/documents.parquet"))
         .select(col("doc_id"), round(col("score"), 4).as("score"))
     }),
+    // numeric range + term equality in one filter, through the hybrid DSL
+    "dsl_range_filter" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      val json =
+        """{ "query": { "hybrid": {
+          |    "queries": [ { "match": { "text": "join hash" } },
+          |                 { "match": { "text": "merge sort window" } } ],
+          |    "filter": { "bool": { "must": [
+          |      { "term": { "lang": "en" } },
+          |      { "range": { "doc_id": { "gte": 100, "lt": 400 } } } ] } } } },
+          |  "size": 10,
+          |  "search_pipeline": {
+          |    "normalization": { "technique": "min_max" },
+          |    "combination":   { "technique": "arithmetic_mean" } } }""".stripMargin
+      graft.query.QueryDsl.execute(HybridSources(idx), json,
+        s.read.parquet(s"$dir/documents.parquet"))
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+    }),
+    // prefix query (constant-score rewrite) gating, match ranking on top
+    "prefix_query" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      graft.query.BoolQuery.topK(HybridSources(idx),
+        graft.query.BoolQuery.BoolSpec(
+          must = Seq(TermPattern("s%")), should = Seq(Lexical(A))), 10)
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+    }),
+    // wildcard s?a* (-> LIKE s_a%) through the DSL, blended with a match
+    "dsl_wildcard" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      val json =
+        """{ "query": { "bool": {
+          |    "must":   [ { "wildcard": { "text": { "value": "s?a*" } } } ],
+          |    "should": [ { "match": { "text": "join hash" } } ] } },
+          |  "size": 10 }""".stripMargin
+      graft.query.QueryDsl.execute(HybridSources(idx), json,
+        s.read.parquet(s"$dir/documents.parquet"))
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+    }),
+    // constant_score flattens a scored clause to a uniform boost
+    "dsl_constant_score" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      val json =
+        """{ "query": { "bool": { "should": [
+          |    { "constant_score": { "filter": { "match": { "text": "merge" } }, "boost": 1.5 } },
+          |    { "match": { "text": "join hash" } } ] } },
+          |  "size": 10 }""".stripMargin
+      graft.query.QueryDsl.execute(HybridSources(idx), json,
+        s.read.parquet(s"$dir/documents.parquet"))
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+    }),
     // multi_match best_fields: dismax + tie_breaker over text + boosted path
     "multi_best_fields" -> ((s, dir) => {
       val src = srcWithPath(s, dir)
@@ -826,6 +876,16 @@ object HybridEntries {
          |  SELECT dl.doc_id, $boost AS s FROM dl$f)""".stripMargin
     case b: BoolSub =>
       boolClauseCtes(i, b, filterPred)
+    case TermPattern(p, boost) =>
+      // constant-score multi-term: distinct docs containing any LIKE-matched
+      // term (both engines evaluate the identical LIKE pattern)
+      val f = filterPred.map(x => s" AND ${x}").getOrElse("")
+      s"""sq$i AS (
+         |  SELECT doc_id, $boost AS s
+         |  FROM (SELECT DISTINCT doc_id FROM tf WHERE term LIKE '$p'$f))""".stripMargin
+    case ConstantScore(inner, boost) =>
+      s"""${scoreCte(s"${i}w", inner, filterPred)},
+         |sq$i AS (SELECT doc_id, $boost AS s FROM sq${i}w)""".stripMargin
     case Lexical(terms, boosts) =>
       val f = filterPred.map(p => s" AND tf.${p}").getOrElse("")
       val boostSql =
@@ -1385,6 +1445,21 @@ object HybridEntries {
       "bool_filter_only" ->
         boolOracle(tokCte, must = Nil, should = Nil,
           mustNot = Seq(Lexical(Seq("dup"))), msm = 0, filterPred = langF),
+      "dsl_range_filter" ->
+        hybridOracle(tokCte, lex(Seq(A, B)), MinMaxNormTech(),
+          Combination(Combine.Arithmetic),
+          filterPred = Some("doc_id IN (SELECT doc_id FROM documents " +
+            "WHERE lang = 'en' AND doc_id >= 100 AND doc_id < 400)")),
+      "prefix_query" ->
+        boolOracle(tokCte, must = Seq(TermPattern("s%")),
+          should = Seq(Lexical(A)), mustNot = Nil, msm = 0),
+      "dsl_wildcard" ->
+        boolOracle(tokCte, must = Seq(TermPattern("s_a%")),
+          should = Seq(Lexical(A)), mustNot = Nil, msm = 0),
+      "dsl_constant_score" ->
+        boolOracle(tokCte, must = Nil,
+          should = Seq(ConstantScore(Lexical(Seq("merge")), 1.5), Lexical(A)),
+          mustNot = Nil, msm = 1),
       "multi_best_fields" ->
         boolOracle(tokCte, must = Seq(LexicalMulti(
           Seq("text" -> 1.0, "path" -> 2.0), MultiTerms, BestFields(0.3))),

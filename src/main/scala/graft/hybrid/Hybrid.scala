@@ -164,6 +164,21 @@ case class LexicalMsm(terms: Seq[String], minTermsMatch: Int,
  *  or filter-plus-score bools. */
 case class MatchAll(boost: Double = 1.0) extends SubQuery
 
+/** Constant-score multi-term clause — Lucene's PrefixQuery under its
+ *  default CONSTANT_SCORE rewrite: a prefix/wildcard query FILTERS (every
+ *  doc containing any matching term scores the flat boost), it does not
+ *  rank. `pattern` is a SQL LIKE pattern over the term dictionary —
+ *  `prefix` queries compile to `pre%`, `wildcard` queries translate
+ *  Lucene's `*`/`?` to `%`/`_`. Patterns are restricted to the analyzer's
+ *  own alphabet ([a-z0-9] + wildcards) so both engines evaluate the
+ *  identical LIKE. */
+case class TermPattern(pattern: String, boost: Double = 1.0) extends SubQuery
+
+/** `constant_score` wrapper: the inner clause's matched set at a flat
+ *  boost (Lucene ConstantScoreQuery — filter context promoted to a
+ *  uniform score). */
+case class ConstantScore(inner: SubQuery, boost: Double = 1.0) extends SubQuery
+
 /** A nested `bool` clause — Lucene BooleanQuery nests arbitrarily. The
  *  nested bool's qualifying docs contribute their summed clause score to
  *  the enclosing query; semantics (must intersection, should msm gate,
@@ -332,6 +347,23 @@ object Hybrid {
             s"minimum_should_match must be in [0, ${b.should.size}]")
         }
         validateClauseSources(src, b.must ++ b.should ++ b.mustNot)
+      case TermPattern(p, boost) =>
+        // the alphabet restriction keeps LIKE semantics identical across
+        // engines (no escape-char divergence) and matches what the analyzer
+        // can ever have indexed
+        require(p.nonEmpty && p.matches("[a-z0-9%_]+"),
+          s"term pattern must be non-empty [a-z0-9] plus wildcards, got [$p]")
+        require(p.exists(c => c != '%' && c != '_'),
+          "a pattern of only wildcards is a match_all — use match_all")
+        require(boost > 0, s"[boost] must be > 0, got $boost")
+      case ConstantScore(inner, boost) =>
+        require(boost > 0, s"[boost] must be > 0, got $boost")
+        inner match {
+          case _: ConstantScore => throw new IllegalArgumentException(
+            "constant_score directly wrapping constant_score is redundant")
+          case _ => ()
+        }
+        validateClauseSources(src, Seq(inner))
       case _ => ()
     }
   }
@@ -522,6 +554,11 @@ object Hybrid {
         // nested bool: its qualifying set with summed scores — recursion
         // bottoms out at leaf clauses; each level is one aggregation shuffle
         graft.query.BoolQuery.score(src, b)
+      case TermPattern(p, boost) =>
+        Bm25.matchLike(src.idx, p).select($"doc_id", lit(boost).as("score"))
+      case ConstantScore(inner, boost) =>
+        scoreClause(src, inner, boundPerBucket = 0)
+          .select($"doc_id", lit(boost).as("score"))
       case LexicalMulti(fields, terms, mm) =>
         // per-field BM25 against each field's OWN index (its own postings,
         // lengths, df/avgdl — Lucene scores each field as an independent
@@ -754,7 +791,7 @@ object Hybrid {
     if (q.from > 0) increment("hybrid_query_with_pagination_requests")
     q.subQueries.foreach {
       case _: Lexical | _: LexicalPhrase | _: LexicalMulti | _: LexicalMsm |
-           _: MatchAll | _: BoolSub => ()
+           _: MatchAll | _: BoolSub | _: TermPattern | _: ConstantScore => ()
       case _: SparseLinear => increment("neural_sparse_query_requests")
       case _: DenseCosine | _: DenseVector | _: DenseIvf | _: DenseRadial =>
         increment("neural_query_requests")

@@ -175,6 +175,54 @@ object Bm25 {
     scored.toDF("doc_id", "score")
   }
 
+  /**
+   * Constant-score multi-term match: all live docs containing any indexed
+   * term matching the SQL LIKE pattern — Lucene's PrefixQuery / WildcardQuery
+   * under the default CONSTANT_SCORE rewrite (MultiTermQuery doesn't rank,
+   * it filters). The pattern filter runs on the postings scan (a prefix
+   * pattern pushes down as StringStartsWith), the matched blocks cogroup
+   * with the forward blocks of only their buckets (posting-proportional
+   * shuffle), a bucket-local seen array dedups docs across the expanded
+   * terms, and the dl-gate drops tombstoned docs like every scorer.
+   *
+   * @return DataFrame(doc_id: Long) — distinct matching live docs.
+   */
+  def matchLike(idx: Index, likePattern: String): DataFrame = {
+    val spark = idx.postings.sparkSession
+    import spark.implicits._
+    val matched = idx.postings.filter($"term".like(likePattern))
+    val docLens = idx.docLens
+      .join(matched.select($"bucket").distinct().hint("broadcast"), "bucket")
+      .as[DocLenBlock]
+    val span = InvertedIndex.BucketSpan
+    matched
+      .groupByKey(_.bucket)
+      .cogroup(docLens.groupByKey(_.bucket)) { (bucket, blocksIt, dlIt) =>
+        val dlArr = new Array[Int](span)
+        dlIt.foreach { dlb =>
+          val ids = PostingCodec.decodeDeltas(dlb.ids, dlb.cnt)
+          val dls = PostingCodec.decodeInts(dlb.dls, dlb.cnt)
+          var i = 0
+          while (i < dlb.cnt) { dlArr(ids(i)) = dls(i); i += 1 }
+        }
+        val seen = new Array[Boolean](span)
+        blocksIt.foreach { b =>
+          val ids = PostingCodec.decodeDeltas(b.docs, b.cnt)
+          var j = 0
+          while (j < b.cnt) { seen(ids(j)) = true; j += 1 }
+        }
+        val base = bucket << InvertedIndex.BucketBits
+        val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+        var d = 0
+        while (d < span) {
+          if (seen(d) && dlArr(d) > 0) out += base + d
+          d += 1
+        }
+        out.iterator
+      }
+      .toDF("doc_id")
+  }
+
   /** Top-k by (score desc, doc_id asc) — Spark plans this as
    *  TakeOrderedAndProject, the distributed HitQueue merge. */
   def topK(idx: Index, terms: Seq[String], k: Int, boosts: Map[String, Double] = Map.empty): DataFrame = {

@@ -58,13 +58,14 @@ object QueryDsl {
   }
 
   case class Parsed(query: HybridQuery, filters: Seq[(String, String)],
-                    sort: Seq[(String, Boolean)] = Nil) {
+                    sort: Seq[(String, Boolean)] = Nil,
+                    ranges: Seq[RangeF] = Nil) {
     /** first equality filter, if any (back-compat accessor) */
     def filterField: Option[(String, String)] = filters.headOption
   }
 
   case class ParsedBool(bool: BoolQuery.BoolSpec, filters: Seq[(String, String)],
-                        k: Int)
+                        k: Int, ranges: Seq[RangeF] = Nil)
 
   /** Parse a top-level scoring `bool` request (must / should / must_not /
    *  minimum_should_match / filter). Clauses are the same grammar as
@@ -83,10 +84,12 @@ object QueryDsl {
       else Seq(parseSubQuery(node, analyzer, enricher))
     }
     val msm = Option(b.path("minimum_should_match")).filter(_.isNumber).map(_.asInt())
+    val (eqs, ranges) = parseFilter(b.path("filter"))
     ParsedBool(
       BoolQuery.BoolSpec(clauses("must"), clauses("should"), clauses("must_not"), msm),
-      parseFilter(b.path("filter")),
-      root.path("size").asInt(10))
+      eqs,
+      root.path("size").asInt(10),
+      ranges)
   }
 
   def parse(json: String, analyzer: String = Analyzer.Simple): Parsed = {
@@ -111,7 +114,7 @@ object QueryDsl {
       (0 until arr.size()).map(i => parseSubQuery(arr.get(i), analyzer, enricher))
     }
 
-    val filters = parseFilter(hybrid.path("filter"))
+    val (filters, ranges) = parseFilter(hybrid.path("filter"))
 
     val pipeline = root.path("search_pipeline")
     val normNode = pipeline.path("normalization")
@@ -166,7 +169,8 @@ object QueryDsl {
         collapse = collapse
       ),
       filters,
-      sort
+      sort,
+      ranges
     )
   }
 
@@ -221,6 +225,36 @@ object QueryDsl {
         graft.hybrid.LexicalMsm(terms, m, boosts)
       } else
         Lexical(terms, boosts)
+    } else if (!q.path("prefix").isMissingNode) {
+      // {"prefix": {"text": "sc"}} | {"prefix": {"text": {"value": "sc",
+      //   "boost": 2.0}}} — constant-score rewrite, like Lucene's default
+      val (_, body) = firstField(q.path("prefix"))
+      val (v, boost) =
+        if (body.isObject) (body.path("value").asText(), body.path("boost").asDouble(1.0))
+        else (body.asText(), 1.0)
+      require(v.nonEmpty, "prefix requires a non-empty value")
+      require(v.matches("[a-z0-9]+"),
+        s"prefix must stay in the analyzer's alphabet [a-z0-9], got [$v]")
+      graft.hybrid.TermPattern(v + "%", boost)
+    } else if (!q.path("wildcard").isMissingNode) {
+      // {"wildcard": {"text": {"value": "s?a*"}}} — Lucene * / ? translate
+      // to SQL LIKE % / _ over the term dictionary
+      val (_, body) = firstField(q.path("wildcard"))
+      val (v, boost) =
+        if (body.isObject) (body.path("value").asText(), body.path("boost").asDouble(1.0))
+        else (body.asText(), 1.0)
+      require(v.nonEmpty, "wildcard requires a non-empty value")
+      require(v.matches("[a-z0-9*?]+"),
+        s"wildcard must stay in [a-z0-9] plus * and ?, got [$v]")
+      graft.hybrid.TermPattern(v.replace('*', '%').replace('?', '_'), boost)
+    } else if (!q.path("constant_score").isMissingNode) {
+      // {"constant_score": {"filter": {<clause>}, "boost": 1.5}}
+      val body = q.path("constant_score")
+      val f = body.path("filter")
+      require(!f.isMissingNode && f.isObject && f.size() > 0,
+        "constant_score requires a [filter] clause")
+      val boost = body.path("boost").asDouble(1.0)
+      graft.hybrid.ConstantScore(parseSubQuery(f, analyzer, enricher), boost)
     } else if (!q.path("match_all").isMissingNode) {
       val body = q.path("match_all")
       val boost = body.path("boost").asDouble(1.0)
@@ -369,45 +403,76 @@ object QueryDsl {
     (ms, md)
   }
 
-  /** `filter` accepts a single `term` clause or a `bool.must` of term
-   *  clauses, like the reference's filter QueryBuilder (pushed into every
-   *  sub-query, HybridQueryBuilder.java:116-127). */
-  private def parseFilter(node: JsonNode): Seq[(String, String)] =
-    if (node.isMissingNode) Nil
+  /** A numeric `range` filter clause: any of gte/gt/lte/lt, ANDed. */
+  case class RangeF(field: String, gte: Option[Double], gt: Option[Double],
+                    lte: Option[Double], lt: Option[Double]) {
+    require(Seq(gte, gt, lte, lt).exists(_.nonEmpty),
+      s"range [$field] requires at least one of gte/gt/lte/lt")
+    require(gte.isEmpty || gt.isEmpty, s"range [$field]: gte and gt conflict")
+    require(lte.isEmpty || lt.isEmpty, s"range [$field]: lte and lt conflict")
+    def predicate: org.apache.spark.sql.Column =
+      (gte.map(col(field) >= _) ++ gt.map(col(field) > _) ++
+        lte.map(col(field) <= _) ++ lt.map(col(field) < _)).reduce(_ && _)
+  }
+
+  private def parseRange(r: JsonNode): RangeF = {
+    val (field, body) = firstField(r)
+    def num(k: String): Option[Double] =
+      Option(body.path(k)).filter(_.isNumber).map(_.asDouble())
+    RangeF(field, num("gte"), num("gt"), num("lte"), num("lt"))
+  }
+
+  /** `filter` accepts a single `term`/`range` clause or a `bool.must` of
+   *  them, like the reference's filter QueryBuilder (pushed into every
+   *  sub-query, HybridQueryBuilder.java:116-127). Returns equality filters
+   *  plus numeric range filters. */
+  private def parseFilter(node: JsonNode): (Seq[(String, String)], Seq[RangeF]) =
+    if (node.isMissingNode) (Nil, Nil)
     else if (!node.path("term").isMissingNode && node.path("term").isObject) {
       val (name, v) = firstField(node.path("term"))
-      Seq((name, v.asText()))
+      (Seq((name, v.asText())), Nil)
+    } else if (!node.path("range").isMissingNode && node.path("range").isObject) {
+      (Nil, Seq(parseRange(node.path("range"))))
     } else if (!node.path("bool").isMissingNode) {
       val must = node.path("bool").path("must")
       require(must.isArray && must.size() > 0, "filter.bool.must must be a non-empty array")
-      (0 until must.size()).map { i =>
+      val parsed = (0 until must.size()).map { i =>
         val t = must.get(i).path("term")
-        require(!t.isMissingNode && t.isObject, s"filter.bool.must supports term clauses, got ${must.get(i)}")
-        val (name, v) = firstField(t)
-        (name, v.asText())
+        val r = must.get(i).path("range")
+        if (!t.isMissingNode && t.isObject) {
+          val (name, v) = firstField(t)
+          Left((name, v.asText()))
+        } else if (!r.isMissingNode && r.isObject) Right(parseRange(r))
+        else throw new IllegalArgumentException(
+          s"filter.bool.must supports term and range clauses, got ${must.get(i)}")
       }
+      (parsed.collect { case Left(x) => x }, parsed.collect { case Right(x) => x })
     } else throw new IllegalArgumentException(s"unsupported filter: $node")
+
+  /** Apply parsed equality + range filters to the docs table -> doc_id set. */
+  private def filterDf(docs: => DataFrame, eqs: Seq[(String, String)],
+                       ranges: Seq[RangeF]): Option[DataFrame] =
+    if (eqs.isEmpty && ranges.isEmpty) None
+    else {
+      val afterEq = eqs.foldLeft(docs)((d, f) => d.where(col(f._1) === f._2))
+      Some(ranges.foldLeft(afterEq)((d, r) => d.where(r.predicate)).select("doc_id"))
+    }
 
   /** Parse + execute against hybrid sources; `docs` supplies filter and
    *  collapse fields. */
   def execute(src: HybridSources, json: String, docs: => DataFrame): DataFrame = {
     if (!mapper.readTree(json).path("query").path("bool").isMissingNode) {
       val pb = parseBool(json, src.idx.analyzer)
-      val bFilter = Option(pb.filters).filter(_.nonEmpty).map { fs =>
-        fs.foldLeft(docs)((d, f) => d.where(col(f._1) === f._2)).select("doc_id")
-      }
-      return BoolQuery.topK(src, pb.bool, pb.k, bFilter)
+      return BoolQuery.topK(src, pb.bool, pb.k, filterDf(docs, pb.filters, pb.ranges))
     }
     val parsed = parse(json, src.idx.analyzer)
-    val filterDf = Option(parsed.filters).filter(_.nonEmpty).map { fs =>
-      fs.foldLeft(docs)((d, f) => d.where(col(f._1) === f._2)).select("doc_id")
-    }
+    val fDf = filterDf(docs, parsed.filters, parsed.ranges)
     val src2 =
       if ((parsed.query.collapse.nonEmpty || parsed.sort.nonEmpty) && src.fields.isEmpty)
         src.copy(fields = Some(docs))
       else src
-    if (parsed.sort.nonEmpty) Hybrid.executeSorted(src2, parsed.query, parsed.sort, filterDf)
-    else Hybrid.execute(src2, parsed.query, filterDf)
+    if (parsed.sort.nonEmpty) Hybrid.executeSorted(src2, parsed.query, parsed.sort, fDf)
+    else Hybrid.execute(src2, parsed.query, fDf)
   }
 
   /** Back-compat entry: lexical + sparse clauses only (no embedding source). */

@@ -136,6 +136,34 @@ class BoolQuerySpec extends SparkSpec {
     assert(none.collect().isEmpty)
   }
 
+  test("term pattern matches are constant-score, deduped across expanded terms") {
+    import graft.hybrid.{ConstantScore, TermPattern}
+    // LIKE 'a%' | corpus a-terms: just "a" -> docs {0, 1, 4}, each 1.0
+    val pre = BoolQuery.topK(HybridSources(idx),
+      BoolSpec(must = Seq(TermPattern("a%"))), 10).collect()
+    assert(pre.map(_.getLong(0)).toSeq == Seq(0L, 1L, 4L))
+    assert(pre.forall(_.getDouble(1) == 1.0))
+    // multi-term expansion dedup: its own index with composite terms —
+    // 'ca%' matches cat AND car; doc 0 holds both -> exactly one row
+    import spark.implicits._
+    val idx2 = InvertedIndex.build(
+      Seq((0L, "cat car"), (1L, "car"), (2L, "dog")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    val multi = BoolQuery.topK(HybridSources(idx2),
+      BoolSpec(must = Seq(TermPattern("ca%", 2.0))), 10).collect()
+    assert(multi.map(_.getLong(0)).toSeq == Seq(0L, 1L))
+    assert(multi.forall(_.getDouble(1) == 2.0))
+    // constant_score flattens a scored clause to the boost
+    val cs = BoolQuery.topK(HybridSources(idx),
+      BoolSpec(must = Seq(ConstantScore(Lexical(Seq("a", "c")), 1.5))), 10).collect()
+    assert(cs.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 4L))
+    assert(cs.forall(_.getDouble(1) == 1.5))
+    // all-wildcard pattern rejected (that's a match_all)
+    intercept[IllegalArgumentException] {
+      BoolQuery.topK(HybridSources(idx), BoolSpec(must = Seq(TermPattern("%"))), 10)
+    }
+  }
+
   test("DSL parse: bool with must/should/must_not/minimum_should_match") {
     val pb = QueryDsl.parseBool(
       """{"query":{"bool":{

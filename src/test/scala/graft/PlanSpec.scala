@@ -46,6 +46,21 @@ class PlanSpec extends SparkSpec {
       "term isin must reach the scan: " + p.take(3000))
   }
 
+  test("prefix pattern reaches the disk-backed postings scan as StartsWith") {
+    val tmp = java.nio.file.Files.createTempDirectory("plan-pre-").toString
+    import spark.implicits._
+    val docs = (0L until 200L).map(i => (i, s"alpha beta w$i")).toDF("doc_id", "text")
+    val disk = InvertedIndex.buildAndWrite(docs, "doc_id", "text", tmp, Analyzer.Simple)
+    // Bm25.matchLike's term predicate: LikeSimplification rewrites
+    // `LIKE 'al%'` to StartsWith, which parquet accepts as a pushed filter —
+    // the dictionary seek never decodes non-matching row groups' terms
+    val p = disk.postings.filter(col("term").like("al%"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") &&
+      (p.contains("StringStartsWith(term") || p.contains("StartsWith(term")),
+      "prefix must reach the scan as a pushed StartsWith: " + p.take(3000))
+  }
+
   test("hybrid sub-query collection is TakeOrdered per clause, not a subq-partitioned window over scored rows") {
     val q = HybridQuery(Seq(Lexical(Seq("join")), Lexical(Seq("merge"))),
       MinMaxNormTech(), Combination(graft.functions.Combine.Arithmetic), k = 5, depth = 20)

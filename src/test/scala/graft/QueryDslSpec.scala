@@ -256,6 +256,38 @@ class QueryDslSpec extends SparkSpec {
     bad("""{"bool":{"must":[{"term":{"text":"a"}}],"filter":{"term":{"lang":"en"}}}}""")
   }
 
+  test("prefix/wildcard/constant_score parse; range filter parses both forms") {
+    val pb = QueryDsl.parseBool(
+      """{"query":{"bool":{"must":[
+        |  {"prefix":{"text":"sc"}},
+        |  {"wildcard":{"text":{"value":"s?a*","boost":2.0}}},
+        |  {"constant_score":{"filter":{"term":{"text":"a"}},"boost":1.5}}],
+        |  "filter":{"bool":{"must":[
+        |    {"term":{"lang":"en"}},
+        |    {"range":{"doc_id":{"gte":10,"lt":20}}}]}}}}}""".stripMargin)
+    assert(pb.bool.must(0) == graft.hybrid.TermPattern("sc%", 1.0))
+    assert(pb.bool.must(1) == graft.hybrid.TermPattern("s_a%", 2.0))
+    assert(pb.bool.must(2) ==
+      graft.hybrid.ConstantScore(graft.hybrid.Lexical(Seq("a")), 1.5))
+    assert(pb.filters == Seq(("lang", "en")))
+    assert(pb.ranges == Seq(QueryDsl.RangeF("doc_id", Some(10.0), None, None, Some(20.0))))
+
+    def bad(q: String): Unit = intercept[IllegalArgumentException] {
+      QueryDsl.parseBool(s"""{"query":{"bool":{"must":[$q]}}}""")
+    }
+    // out-of-alphabet pattern, empty value, missing constant_score filter
+    bad("""{"prefix":{"text":"Sc%"}}""")
+    bad("""{"wildcard":{"text":""}}""")
+    bad("""{"constant_score":{"boost":2.0}}""")
+    // range with no bound / conflicting bounds
+    intercept[IllegalArgumentException](QueryDsl.parseBool(
+      """{"query":{"bool":{"must":[{"term":{"text":"a"}}],
+        |"filter":{"range":{"doc_id":{}}}}}}""".stripMargin))
+    intercept[IllegalArgumentException](QueryDsl.parseBool(
+      """{"query":{"bool":{"must":[{"term":{"text":"a"}}],
+        |"filter":{"range":{"doc_id":{"gte":1,"gt":2}}}}}}""".stripMargin))
+  }
+
   test("malformed requests are rejected") {
     intercept[IllegalArgumentException](QueryDsl.parse("""{"query":{}}"""))
     intercept[IllegalArgumentException](
