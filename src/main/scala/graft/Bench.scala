@@ -364,6 +364,8 @@ object Bench {
         graft.index.IndexCache.documents(s32, sfDir)
         graft.index.IndexCache.corpusField(s32, sfDir, "path")
         graft.index.IndexCache.positions(s32, sfDir)
+        graft.index.IndexCache.semanticDense(s32, sfDir)
+        graft.index.IndexCache.semanticSparse(s32, sfDir)
         s32.read.parquet(s"$sfDir/embeddings.parquet").count()
       }
       System.err.println(f"[graft-bench] warmup(index+emb) $warmup%.1fs (untimed)")

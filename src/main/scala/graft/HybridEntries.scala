@@ -98,14 +98,12 @@ object HybridEntries {
    *  and one dense-model field over the documents corpus, both chunked at
    *  tokenLimit 20 (the mapper's auto-generated sub-fields). */
   private def semanticSources(s: SparkSession, dir: String,
-                              idx: graft.index.Index): HybridSources = {
-    val d = s.read.parquet(s"$dir/documents.parquet")
+                              idx: graft.index.Index): HybridSources =
     HybridSources(idx, semantic = Map(
       "sem_sparse" -> SemanticSource(SemanticSparseKind,
-        graft.ops.Semantic.ingestSparse(d, "doc_id", "text", 20)),
+        IndexCache.semanticSparse(s, dir)),
       "sem_dense" -> SemanticSource(SemanticDenseKind,
-        graft.ops.Semantic.ingestDense(d, "doc_id", "text", 20), dims = 8)))
-  }
+        IndexCache.semanticDense(s, dir), dims = 8)))
 
   /** Build-once dense ANN structure for [[DenseIvf]] clauses: fixed
    *  deterministic centroids (ids < 16, as `ann_ivf_topk` uses) and the

@@ -141,16 +141,18 @@ object PipelineEntries {
       graft.ops.Semantic.ingestDense(docs(s, dir), "doc_id", "text", 20)
         .select(col("doc_id"), col("chunk_idx"), col("dim").cast("long").as("dim"),
           round(col("v"), 4).as("v"))),
-    // nested kNN over chunk vectors, best chunk per doc, global top-k
+    // nested kNN over chunk vectors, best chunk per doc, global top-k —
+    // the chunk table is the session-cached index artifact, not a per-query
+    // corpus re-encode
     "semantic_dense_knn" -> ((s, dir) => {
-      val dense = graft.ops.Semantic.ingestDense(docs(s, dir), "doc_id", "text", 20)
+      val dense = graft.index.IndexCache.semanticDense(s, dir)
       graft.ops.Semantic.denseKnnBestChunk(dense, "doc_id", queryDoc = 7L, queryChunk = 0, k = 10)
         .select(col("doc_id"), col("chunk_idx"), round(col("c"), 4).as("cos"))
     }),
     // expand_nested: every matching CHUNK is its own hit — no best-chunk
     // collapse (reference: NeuralKNNQueryBuilder.java:139,425-470)
     "semantic_dense_knn_expanded" -> ((s, dir) => {
-      val dense = graft.ops.Semantic.ingestDense(docs(s, dir), "doc_id", "text", 20)
+      val dense = graft.index.IndexCache.semanticDense(s, dir)
       graft.ops.Semantic.denseKnnExpanded(dense, "doc_id", queryDoc = 7L, queryChunk = 0, k = 15)
         .select(col("doc_id"), col("chunk_idx"), round(col("c"), 4).as("cos"))
     })

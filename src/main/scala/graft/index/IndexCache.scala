@@ -38,6 +38,36 @@ object IndexCache {
     })
   }
 
+  private val semCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String, String), org.apache.spark.sql.DataFrame]
+
+  /** Session-cached semantic chunk sub-field tables. These are INDEX-time
+   *  artifacts — the reference's semantic field mapper generates the chunk
+   *  embeddings at ingest and stores them in the index; a query must never
+   *  re-encode the corpus. Entries/benches that measure the ingest itself
+   *  call the builders directly. */
+  def semanticDense(spark: SparkSession, sfDir: String,
+                    tokenLimit: Int = 20): org.apache.spark.sql.DataFrame = {
+    semCache.keySet.filter(_._1 != spark.sparkContext.applicationId).foreach(semCache.remove)
+    semCache.getOrElseUpdate((spark.sparkContext.applicationId, s"$sfDir#dense", s"$tokenLimit"), {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val df = graft.ops.Semantic.ingestDense(docs, "doc_id", "text", tokenLimit).persist()
+      df.count()
+      df
+    })
+  }
+
+  def semanticSparse(spark: SparkSession, sfDir: String,
+                     tokenLimit: Int = 20): org.apache.spark.sql.DataFrame = {
+    semCache.keySet.filter(_._1 != spark.sparkContext.applicationId).foreach(semCache.remove)
+    semCache.getOrElseUpdate((spark.sparkContext.applicationId, s"$sfDir#sparse", s"$tokenLimit"), {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val df = graft.ops.Semantic.ingestSparse(docs, "doc_id", "text", tokenLimit).persist()
+      df.count()
+      df
+    })
+  }
+
   /** Index over a NON-text column of the north-rule corpus projection
    *  ([[graft.corpus.Corpus.ingest]]) — e.g. `path` for multi_match
    *  queries. Each field is its own full index (postings, doc lengths,

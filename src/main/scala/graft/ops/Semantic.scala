@@ -70,13 +70,7 @@ object Semantic {
       .filter(col(idCol) === queryDoc && col("chunk_idx") === queryChunk)
       .select(col("dim"), col("v").as("qv"))
     val qNorm = sqrt(sum(col("qv") * col("qv")))
-    val dots = dense.join(broadcast(q), "dim")
-      .groupBy(col(idCol), col("chunk_idx"))
-      .agg(sum(col("v") * col("qv")).as("dot"))
-    val norms = dense
-      .groupBy(col(idCol), col("chunk_idx"))
-      .agg(sqrt(sum(col("v") * col("v"))).as("n"))
-    val cosv = dots.join(norms, Seq(idCol, "chunk_idx"))
+    val cosv = chunkCosines(dense, idCol, q)
       .crossJoin(broadcast(q.agg(qNorm.as("qn"))))
       .select(col(idCol), col("chunk_idx"), (col("dot") / (col("n") * col("qn"))).as("c"))
     cosv
@@ -86,6 +80,21 @@ object Semantic {
       .orderBy(col("c").desc, col(idCol).asc)
       .limit(k)
   }
+
+  /** One aggregation computing dot AND norm per chunk: left-join the
+   *  broadcast query dims (missing dims contribute 0 to the dot, still
+   *  count into the chunk norm), keep only chunks sharing >= 1 dim with the
+   *  query — the exact matched set the former dots-join-norms pair
+   *  produced, at half the aggregations and no chunk-cardinality join. */
+  private def chunkCosines(dense: DataFrame, idCol: String,
+                           q: DataFrame): DataFrame =
+    dense.join(broadcast(q), Seq("dim"), "left")
+      .groupBy(col(idCol), col("chunk_idx"))
+      .agg(sum(col("v") * coalesce(col("qv"), lit(0.0))).as("dot"),
+        sqrt(sum(col("v") * col("v"))).as("n"),
+        count(col("qv")).as("_nm"))
+      .filter(col("_nm") > 0)
+      .drop("_nm")
 
   /**
    * Per-chunk hit expansion — the reference's `expand_nested` kNN form
@@ -99,13 +108,7 @@ object Semantic {
     val q = dense
       .filter(col(idCol) === queryDoc && col("chunk_idx") === queryChunk)
       .select(col("dim"), col("v").as("qv"))
-    val dots = dense.join(broadcast(q), "dim")
-      .groupBy(col(idCol), col("chunk_idx"))
-      .agg(sum(col("v") * col("qv")).as("dot"))
-    val norms = dense
-      .groupBy(col(idCol), col("chunk_idx"))
-      .agg(sqrt(sum(col("v") * col("v"))).as("n"))
-    dots.join(norms, Seq(idCol, "chunk_idx"))
+    chunkCosines(dense, idCol, q)
       .crossJoin(broadcast(q.agg(sqrt(sum(col("qv") * col("qv"))).as("qn"))))
       .select(col(idCol), col("chunk_idx"), (col("dot") / (col("n") * col("qn"))).as("c"))
       .orderBy(col("c").desc, col(idCol).asc, col("chunk_idx").asc)
@@ -142,13 +145,7 @@ object Semantic {
     import spark.implicits._
     val q = queryVec.toSeq.toDF("dim", "qv")
     val qn = math.sqrt(queryVec.values.map(v => v * v).sum)
-    val dots = chunks.join(broadcast(q), "dim")
-      .groupBy(col(idCol), col("chunk_idx"))
-      .agg(sum(col("v") * col("qv")).as("dot"))
-    val norms = chunks
-      .groupBy(col(idCol), col("chunk_idx"))
-      .agg(sqrt(sum(col("v") * col("v"))).as("n"))
-    dots.join(norms, Seq(idCol, "chunk_idx"))
+    chunkCosines(chunks, idCol, q)
       .select(col(idCol), (col("dot") / (col("n") * lit(qn))).as("cs"))
       .groupBy(col(idCol))
       .agg(max(col("cs")).as("score"))
