@@ -355,6 +355,44 @@ object HybridEntries {
         s.read.parquet(s"$dir/documents.parquet"))
         .select(col("doc_id"), round(col("score"), 4).as("score"))
     }),
+    // explicit dis_max over two match clauses with tie_breaker
+    "dsl_dis_max" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      val json =
+        """{ "query": { "bool": { "must": [ { "dis_max": {
+          |    "queries": [ { "match": { "text": "join hash" } },
+          |                 { "match": { "text": "merge sort window" } } ],
+          |    "tie_breaker": 0.3 } } ] } },
+          |  "size": 10 }""".stripMargin
+      graft.query.QueryDsl.execute(HybridSources(idx), json,
+        s.read.parquet(s"$dir/documents.parquet"))
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+    }),
+    // boosting: demote (not exclude) docs matching the negative clause
+    "dsl_boosting" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      val json =
+        """{ "query": { "bool": { "must": [ { "boosting": {
+          |    "positive": { "match": { "text": "join hash" } },
+          |    "negative": { "term": { "text": "dup" } },
+          |    "negative_boost": 0.4 } } ] } },
+          |  "size": 10 }""".stripMargin
+      graft.query.QueryDsl.execute(HybridSources(idx), json,
+        s.read.parquet(s"$dir/documents.parquet"))
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+    }),
+    // fuzzy: edit-distance term expansion ("joim" ~1 -> join), constant score
+    "dsl_fuzzy" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      val json =
+        """{ "query": { "bool": {
+          |    "must":   [ { "fuzzy": { "text": { "value": "joim", "fuzziness": 1 } } } ],
+          |    "should": [ { "match": { "text": "hash" } } ] } },
+          |  "size": 10 }""".stripMargin
+      graft.query.QueryDsl.execute(HybridSources(idx), json,
+        s.read.parquet(s"$dir/documents.parquet"))
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+    }),
     // multi_match best_fields: dismax + tie_breaker over text + boosted path
     "multi_best_fields" -> ((s, dir) => {
       val src = srcWithPath(s, dir)
@@ -884,6 +922,38 @@ object HybridEntries {
     case ConstantScore(inner, boost) =>
       s"""${scoreCte(s"${i}w", inner, filterPred)},
          |sq$i AS (SELECT doc_id, $boost AS s FROM sq${i}w)""".stripMargin
+    case Fuzzy(t, f, boost) =>
+      // DuckDB's levenshtein is the same classic distance as Spark's
+      val flt = filterPred.map(x => s" AND ${x}").getOrElse("")
+      s"""sq$i AS (
+         |  SELECT doc_id, $boost AS s
+         |  FROM (SELECT DISTINCT doc_id FROM tf
+         |        WHERE abs(length(term) - ${t.length}) <= $f
+         |          AND levenshtein(term, '$t') <= $f$flt))""".stripMargin
+    case DisMax(clauses, tb) =>
+      val ctes = clauses.zipWithIndex
+        .map { case (c, j) => scoreCte(s"${i}c$j", c, filterPred) }.mkString(",\n")
+      val unions = clauses.indices.map(j =>
+        s"SELECT doc_id, s, $j AS cid FROM sq${i}c$j").mkString("\n  UNION ALL ")
+      val pivots = clauses.indices.map(j =>
+        s"max(CASE WHEN cid = $j THEN s END) AS s$j").mkString(",\n         ")
+      val mSum = clauses.indices.map(j => s"COALESCE(s$j, 0)").mkString("(", " + ", ")")
+      val score = if (tb == 0.0) "mx" else s"mx + $tb * ($mSum - mx)"
+      s"""$ctes,
+         |u$i AS (
+         |  $unions),
+         |a$i AS (
+         |  SELECT doc_id, $pivots,
+         |         max(s) AS mx
+         |  FROM u$i GROUP BY doc_id),
+         |sq$i AS (SELECT doc_id, $score AS s FROM a$i)""".stripMargin
+    case Boosting(pos, neg, nb) =>
+      s"""${scoreCte(s"${i}p", pos, filterPred)},
+         |${scoreCte(s"${i}n", neg, filterPred)},
+         |sq$i AS (
+         |  SELECT p.doc_id,
+         |         p.s * (CASE WHEN n.doc_id IS NOT NULL THEN $nb ELSE 1.0 END) AS s
+         |  FROM sq${i}p p LEFT JOIN sq${i}n n ON p.doc_id = n.doc_id)""".stripMargin
     case Lexical(terms, boosts) =>
       val f = filterPred.map(p => s" AND tf.${p}").getOrElse("")
       val boostSql =
@@ -1443,6 +1513,16 @@ object HybridEntries {
       "bool_filter_only" ->
         boolOracle(tokCte, must = Nil, should = Nil,
           mustNot = Seq(Lexical(Seq("dup"))), msm = 0, filterPred = langF),
+      "dsl_dis_max" ->
+        boolOracle(tokCte, must = Seq(DisMax(Seq(Lexical(A), Lexical(B)), 0.3)),
+          should = Nil, mustNot = Nil, msm = 0),
+      "dsl_boosting" ->
+        boolOracle(tokCte,
+          must = Seq(Boosting(Lexical(A), Lexical(Seq("dup")), 0.4)),
+          should = Nil, mustNot = Nil, msm = 0),
+      "dsl_fuzzy" ->
+        boolOracle(tokCte, must = Seq(Fuzzy("joim", 1)),
+          should = Seq(Lexical(Seq("hash"))), mustNot = Nil, msm = 0),
       "dsl_range_filter" ->
         hybridOracle(tokCte, lex(Seq(A, B)), MinMaxNormTech(),
           Combination(Combine.Arithmetic),

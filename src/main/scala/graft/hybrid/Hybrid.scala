@@ -179,6 +179,30 @@ case class TermPattern(pattern: String, boost: Double = 1.0) extends SubQuery
  *  uniform score). */
 case class ConstantScore(inner: SubQuery, boost: Double = 1.0) extends SubQuery
 
+/** Explicit disjunction-max — Lucene's DisjunctionMaxQuery / the `dis_max`
+ *  query: matches when ANY clause matches; score = best clause score +
+ *  tieBreaker × (sum of the others). `multi_match best_fields` is the
+ *  field-specialized form of this over arbitrary clauses. */
+case class DisMax(clauses: Seq[SubQuery], tieBreaker: Double = 0.0) extends SubQuery
+
+/** The `boosting` query (Lucene BoostingQuery): matches exactly the
+ *  positive clause's docs at its score, demoted by ×negativeBoost when the
+ *  doc also matches the negative clause — "prefer not" instead of
+ *  must_not's hard exclusion. */
+case class Boosting(positive: SubQuery, negative: SubQuery,
+                    negativeBoost: Double) extends SubQuery
+
+/** `fuzzy` term query: constant-score over docs containing any indexed
+ *  term within `fuzziness` edit distance of the query term — Lucene's
+ *  FuzzyQuery with the multi-term constant-score treatment. Distance is
+ *  classic Levenshtein (Spark and DuckDB agree exactly); Lucene's automaton
+ *  additionally counts transpositions as one edit (Damerau-OSA) — a
+ *  documented divergence on transposed-pair terms only. The term-dictionary
+ *  scan is the relational analogue of the FST automaton intersection; a
+ *  length/prefix prefilter is the scale refinement. */
+case class Fuzzy(term: String, fuzziness: Int = 1,
+                 boost: Double = 1.0) extends SubQuery
+
 /** A nested `bool` clause — Lucene BooleanQuery nests arbitrarily. The
  *  nested bool's qualifying docs contribute their summed clause score to
  *  the enclosing query; semantics (must intersection, should msm gate,
@@ -364,6 +388,22 @@ object Hybrid {
           case _ => ()
         }
         validateClauseSources(src, Seq(inner))
+      case DisMax(clauses, tb) =>
+        require(clauses.nonEmpty, "dis_max requires at least one clause")
+        require(tb >= 0.0 && tb <= 1.0, s"tie_breaker must be in [0,1], got $tb")
+        validateClauseSources(src, clauses)
+      case Boosting(pos, neg, nb) =>
+        // Lucene requires a non-negative negative_boost; >= 1 would be a
+        // promotion, which the boosting query is not for — but Lucene allows
+        // it, so only negativity is rejected
+        require(nb >= 0.0, s"negative_boost must be >= 0, got $nb")
+        validateClauseSources(src, Seq(pos, neg))
+      case Fuzzy(t, f, boost) =>
+        require(t.nonEmpty && t.matches("[a-z0-9]+"),
+          s"fuzzy term must be non-empty [a-z0-9], got [$t]")
+        require(f >= 0 && f <= 2,
+          s"fuzziness must be in [0, 2] (Lucene's bound), got $f")
+        require(boost > 0, s"[boost] must be > 0, got $boost")
       case _ => ()
     }
   }
@@ -556,9 +596,44 @@ object Hybrid {
         graft.query.BoolQuery.score(src, b)
       case TermPattern(p, boost) =>
         Bm25.matchLike(src.idx, p).select($"doc_id", lit(boost).as("score"))
+      case Fuzzy(t, f, boost) =>
+        // term-dictionary scan with a codegen'd levenshtein predicate over
+        // the DISTINCT (term, bucket) rows — the relational analogue of the
+        // FST automaton intersection; the abs-length prefilter skips the
+        // edit-distance computation for terms that cannot be within f
+        Bm25.matchWhere(src.idx,
+          (abs(length($"term") - t.length) <= f) &&
+            levenshtein($"term", lit(t)) <= f)
+          .select($"doc_id", lit(boost).as("score"))
       case ConstantScore(inner, boost) =>
         scoreClause(src, inner, boundPerBucket = 0)
           .select($"doc_id", lit(boost).as("score"))
+      case DisMax(clauses, tb) =>
+        // union of the clauses' matched sets; one aggregation pivots the
+        // per-clause scores (fixed-order FP sum) and takes the null-skipping
+        // max — correct even when a clause scores negative (dense cosine)
+        val tagged = clauses.zipWithIndex.map { case (c, i) =>
+          scoreClause(src, c, boundPerBucket = 0)
+            .select($"doc_id", $"score", lit(i).as("cid"))
+        }
+        val u = tagged.reduce(_ unionByName _)
+        val pivots = clauses.indices.map(i =>
+          max(when($"cid" === i, $"score")).as(s"_c$i")) :+ max($"score").as("_mx")
+        val agg = u.groupBy($"doc_id").agg(pivots.head, pivots.tail: _*)
+        val matchedSum = clauses.indices
+          .map(i => coalesce(col(s"_c$i"), lit(0.0))).reduceLeft(_ + _)
+        val score =
+          if (tb == 0.0) col("_mx") else col("_mx") + lit(tb) * (matchedSum - col("_mx"))
+        agg.select($"doc_id", score.as("score"))
+      case Boosting(pos, neg, nb) =>
+        // positive's matched set and score; ×negativeBoost where the doc
+        // also matches the negative clause (no hard exclusion)
+        val p = scoreClause(src, pos, boundPerBucket = 0)
+        val n = scoreClause(src, neg, boundPerBucket = 0)
+          .select($"doc_id", lit(true).as("_neg"))
+        p.join(n, Seq("doc_id"), "left")
+          .select($"doc_id",
+            ($"score" * when($"_neg".isNotNull, nb).otherwise(1.0)).as("score"))
       case LexicalMulti(fields, terms, mm) =>
         // per-field BM25 against each field's OWN index (its own postings,
         // lengths, df/avgdl — Lucene scores each field as an independent
@@ -791,7 +866,8 @@ object Hybrid {
     if (q.from > 0) increment("hybrid_query_with_pagination_requests")
     q.subQueries.foreach {
       case _: Lexical | _: LexicalPhrase | _: LexicalMulti | _: LexicalMsm |
-           _: MatchAll | _: BoolSub | _: TermPattern | _: ConstantScore => ()
+           _: MatchAll | _: BoolSub | _: TermPattern | _: ConstantScore |
+           _: DisMax | _: Boosting | _: Fuzzy => ()
       case _: SparseLinear => increment("neural_sparse_query_requests")
       case _: DenseCosine | _: DenseVector | _: DenseIvf | _: DenseRadial =>
         increment("neural_query_requests")

@@ -190,7 +190,15 @@ object Bm25 {
   def matchLike(idx: Index, likePattern: String): DataFrame = {
     val spark = idx.postings.sparkSession
     import spark.implicits._
-    val matched = idx.postings.filter($"term".like(likePattern))
+    matchWhere(idx, $"term".like(likePattern))
+  }
+
+  /** [[matchLike]] generalized to any term-column predicate — the `fuzzy`
+   *  query's levenshtein scan uses this. */
+  def matchWhere(idx: Index, termPredicate: org.apache.spark.sql.Column): DataFrame = {
+    val spark = idx.postings.sparkSession
+    import spark.implicits._
+    val matched = idx.postings.filter(termPredicate)
     val docLens = idx.docLens
       .join(matched.select($"bucket").distinct().hint("broadcast"), "bucket")
       .as[DocLenBlock]

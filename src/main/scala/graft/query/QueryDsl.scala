@@ -247,6 +247,37 @@ object QueryDsl {
       require(v.matches("[a-z0-9*?]+"),
         s"wildcard must stay in [a-z0-9] plus * and ?, got [$v]")
       graft.hybrid.TermPattern(v.replace('*', '%').replace('?', '_'), boost)
+    } else if (!q.path("dis_max").isMissingNode) {
+      // {"dis_max": {"queries": [ ... ], "tie_breaker": 0.3}}
+      val body = q.path("dis_max")
+      val qs = body.path("queries")
+      require(qs.isArray && qs.size() > 0,
+        "dis_max requires a non-empty [queries] array")
+      val clauses = (0 until qs.size()).map(i => parseSubQuery(qs.get(i), analyzer, enricher))
+      graft.hybrid.DisMax(clauses, body.path("tie_breaker").asDouble(0.0))
+    } else if (!q.path("boosting").isMissingNode) {
+      // {"boosting": {"positive": {...}, "negative": {...}, "negative_boost": 0.4}}
+      val body = q.path("boosting")
+      require(body.path("positive").isObject && body.path("negative").isObject,
+        "boosting requires [positive] and [negative] clauses")
+      require(body.path("negative_boost").isNumber,
+        "boosting requires a numeric [negative_boost]")
+      graft.hybrid.Boosting(
+        parseSubQuery(body.path("positive"), analyzer, enricher),
+        parseSubQuery(body.path("negative"), analyzer, enricher),
+        body.path("negative_boost").asDouble())
+    } else if (!q.path("fuzzy").isMissingNode) {
+      // {"fuzzy": {"text": {"value": "joim", "fuzziness": 1, "boost": 2.0}}}
+      // | {"fuzzy": {"text": "joim"}} (fuzziness defaults to 1, like AUTO
+      // resolves for short terms)
+      val (_, body) = firstField(q.path("fuzzy"))
+      val (v, fz, boost) =
+        if (body.isObject)
+          (body.path("value").asText(), body.path("fuzziness").asInt(1),
+            body.path("boost").asDouble(1.0))
+        else (body.asText(), 1, 1.0)
+      require(v.nonEmpty, "fuzzy requires a non-empty value")
+      graft.hybrid.Fuzzy(v, fz, boost)
     } else if (!q.path("constant_score").isMissingNode) {
       // {"constant_score": {"filter": {<clause>}, "boost": 1.5}}
       val body = q.path("constant_score")

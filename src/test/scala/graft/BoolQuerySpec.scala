@@ -164,6 +164,48 @@ class BoolQuerySpec extends SparkSpec {
     }
   }
 
+  test("dis_max takes the best clause + tie_breaker; boosting demotes; fuzzy expands") {
+    import graft.hybrid.{Boosting, DisMax, Fuzzy}
+    val a = Bm25.scoreTerms(idx, Seq("a"), Map.empty).collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    val d = Bm25.scoreTerms(idx, Seq("d"), Map.empty).collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    def at(m: Map[Long, Double], k: Long) = m.getOrElse(k, 0.0)
+
+    // dis_max(a, d) tb=0.25: union matched; max + 0.25 * others
+    val dm = BoolQuery.topK(HybridSources(idx),
+      BoolSpec(must = Seq(DisMax(Seq(Lexical(Seq("a")), Lexical(Seq("d"))), 0.25))), 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(dm.keySet == a.keySet.union(d.keySet))
+    dm.keySet.foreach { k =>
+      val (mx, sm) = (math.max(at(a, k), at(d, k)), at(a, k) + at(d, k))
+      assert(math.abs(dm(k) - (mx + 0.25 * (sm - mx))) < 1e-12)
+    }
+
+    // boosting(positive=a, negative=b, nb=0.5): matched set == a's; b-docs halved
+    val bs = BoolQuery.topK(HybridSources(idx),
+      BoolSpec(must = Seq(Boosting(Lexical(Seq("a")), Lexical(Seq("b")), 0.5))), 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(bs.keySet == a.keySet)
+    // docs 0, 1 contain b -> demoted; doc 4 does not
+    assert(math.abs(bs(0L) - a(0L) * 0.5) < 1e-12)
+    assert(math.abs(bs(1L) - a(1L) * 0.5) < 1e-12)
+    assert(math.abs(bs(4L) - a(4L)) < 1e-12)
+
+    // fuzzy: 1 edit from "ab" reaches terms a and b -> docs {0,1,4} ∪ {0,1}
+    val fz = BoolQuery.topK(HybridSources(idx),
+      BoolSpec(must = Seq(Fuzzy("ab", 1, 2.0))), 10).collect()
+    assert(fz.map(_.getLong(0)).toSeq == Seq(0L, 1L, 4L))
+    assert(fz.forall(_.getDouble(1) == 2.0))
+    // fuzziness 0 of an unindexed term matches nothing
+    assert(BoolQuery.topK(HybridSources(idx),
+      BoolSpec(must = Seq(Fuzzy("zz", 0))), 10).collect().isEmpty)
+    // fuzziness outside Lucene's [0, 2] bound is rejected at validation
+    intercept[IllegalArgumentException] {
+      BoolQuery.topK(HybridSources(idx), BoolSpec(must = Seq(Fuzzy("ab", 3))), 10)
+    }
+  }
+
   test("DSL parse: bool with must/should/must_not/minimum_should_match") {
     val pb = QueryDsl.parseBool(
       """{"query":{"bool":{

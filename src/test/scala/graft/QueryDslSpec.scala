@@ -288,6 +288,27 @@ class QueryDslSpec extends SparkSpec {
         |"filter":{"range":{"doc_id":{"gte":1,"gt":2}}}}}}""".stripMargin))
   }
 
+  test("dis_max/boosting/fuzzy parse; malformed forms rejected") {
+    val pb = QueryDsl.parseBool(
+      """{"query":{"bool":{"must":[
+        |  {"dis_max":{"queries":[{"term":{"text":"a"}},{"term":{"text":"b"}}],"tie_breaker":0.3}},
+        |  {"boosting":{"positive":{"term":{"text":"a"}},"negative":{"term":{"text":"b"}},"negative_boost":0.4}},
+        |  {"fuzzy":{"text":{"value":"ab","fuzziness":2,"boost":1.5}}}]}}}""".stripMargin)
+    assert(pb.bool.must(0) == graft.hybrid.DisMax(
+      Seq(graft.hybrid.Lexical(Seq("a")), graft.hybrid.Lexical(Seq("b"))), 0.3))
+    assert(pb.bool.must(1) == graft.hybrid.Boosting(
+      graft.hybrid.Lexical(Seq("a")), graft.hybrid.Lexical(Seq("b")), 0.4))
+    assert(pb.bool.must(2) == graft.hybrid.Fuzzy("ab", 2, 1.5))
+
+    def bad(q: String): Unit = intercept[IllegalArgumentException] {
+      QueryDsl.parseBool(s"""{"query":{"bool":{"must":[$q]}}}""")
+    }
+    bad("""{"dis_max":{"queries":[]}}""")
+    bad("""{"boosting":{"positive":{"term":{"text":"a"}},"negative_boost":0.4}}""")
+    bad("""{"boosting":{"positive":{"term":{"text":"a"}},"negative":{"term":{"text":"b"}}}}""")
+    bad("""{"fuzzy":{"text":""}}""")
+  }
+
   test("malformed requests are rejected") {
     intercept[IllegalArgumentException](QueryDsl.parse("""{"query":{}}"""))
     intercept[IllegalArgumentException](
