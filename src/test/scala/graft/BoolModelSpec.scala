@@ -1,0 +1,163 @@
+package graft
+
+import graft.hybrid._
+import graft.index.InvertedIndex
+import graft.query.{Bm25, BoolQuery}
+
+/**
+ * Randomized model check for the whole clause algebra: random corpora and
+ * random (nested) bool queries, compared against a first-principles Scala
+ * model that recomputes BM25 and the bool/dis_max/boosting/fuzzy semantics
+ * from the tokenized docs directly — an independent reference implementation
+ * next to the DuckDB oracle, exercising clause SHAPES the fixed entries
+ * never compose (nested dis_max inside must_not, fuzzy under boosting, ...).
+ * Seeded, so failures replay deterministically.
+ */
+class BoolModelSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(20260818L)
+  private val vocab =
+    Vector("a", "b", "c", "d", "e", "ab", "bc", "cde", "zz")
+
+  // ---- first-principles model -------------------------------------------
+
+  private class Model(docs: Map[Long, Seq[String]]) {
+    val n: Long = docs.size.toLong
+    val dl: Map[Long, Int] = docs.map { case (k, v) => k -> v.size }
+    val avgdl: Double = dl.values.sum.toDouble / n
+    val df: Map[String, Long] = docs.values.toSeq.flatMap(_.distinct)
+      .groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+
+    private def likeMatch(pattern: String, term: String): Boolean = {
+      val re = pattern.flatMap {
+        case '%' => ".*"
+        case '_' => "."
+        case c   => java.util.regex.Pattern.quote(c.toString)
+      }
+      term.matches(re)
+    }
+
+    private def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+
+    /** matched docs -> score for one clause */
+    def eval(sq: SubQuery): Map[Long, Double] = sq match {
+      case Lexical(terms, boosts) =>
+        docs.flatMap { case (id, toks) =>
+          val tf = toks.groupBy(identity).map { case (t, xs) => t -> xs.size }
+          val matched = terms.distinct.filter(tf.contains)
+          if (matched.isEmpty) None
+          else Some(id -> matched.map(t =>
+            Bm25.idf(df(t), n) * boosts.getOrElse(t, 1.0) *
+              Bm25.tfNorm(tf(t), dl(id), avgdl)).sum)
+        }
+      case LexicalMsm(terms, m, boosts) =>
+        eval(Lexical(terms, boosts)).filter { case (id, _) =>
+          docs(id).distinct.count(terms.distinct.contains) >= m
+        }
+      case MatchAll(b) => docs.keys.map(_ -> b).toMap
+      case TermPattern(p, b) =>
+        docs.collect { case (id, toks) if toks.exists(likeMatch(p, _)) => id -> b }
+      case Fuzzy(t, f, b) =>
+        docs.collect { case (id, toks) if toks.exists(x => lev(x, t) <= f) => id -> b }
+      case ConstantScore(inner, b) => eval(inner).map { case (id, _) => id -> b }
+      case DisMax(cs, tb) =>
+        val evs = cs.map(eval)
+        evs.flatMap(_.keys).toSet.map { (id: Long) =>
+          val ss = evs.flatMap(_.get(id))
+          id -> (ss.max + tb * (ss.sum - ss.max))
+        }.toMap
+      case Boosting(p, neg, nb) =>
+        val nm = eval(neg).keySet
+        eval(p).map { case (id, s) => id -> (if (nm(id)) s * nb else s) }
+      case b: BoolSub =>
+        val mus = b.must.map(eval)
+        val shs = b.should.map(eval)
+        val nos = b.mustNot.map(eval)
+        if (b.must.isEmpty && b.should.isEmpty) {
+          val excluded = nos.flatMap(_.keys).toSet
+          docs.keys.filterNot(excluded).map(_ -> 0.0).toMap
+        } else {
+          val candidates =
+            if (mus.nonEmpty) mus.map(_.keySet).reduce(_ intersect _)
+            else shs.map(_.keySet).reduce(_ union _)
+          candidates.toSeq.flatMap { id =>
+            val shMatched = shs.count(_.contains(id))
+            val excluded = nos.exists(_.contains(id))
+            if (excluded || shMatched < b.effectiveMsm) None
+            else Some(id ->
+              (mus.flatMap(_.get(id)) ++ shs.flatMap(_.get(id))).sum)
+          }.toMap
+        }
+      case other => throw new IllegalArgumentException(s"model can't eval $other")
+    }
+  }
+
+  // ---- random generators -------------------------------------------------
+
+  private def term(): String = vocab(rnd.nextInt(vocab.size))
+
+  private def leaf(): SubQuery = rnd.nextInt(6) match {
+    case 0 => Lexical(Seq.fill(1 + rnd.nextInt(3))(term()))
+    case 1 =>
+      val ts = Seq.fill(2 + rnd.nextInt(2))(term())
+      LexicalMsm(ts, 1 + rnd.nextInt(ts.distinct.size))
+    case 2 => MatchAll(0.5 + rnd.nextInt(3) * 0.5)
+    case 3 => TermPattern(if (rnd.nextBoolean()) term().take(1) + "%" else "_" + term().take(1) + "%",
+      0.5 + rnd.nextInt(3) * 0.5)
+    case 4 => Fuzzy(term(), rnd.nextInt(2), 1.0 + rnd.nextInt(2))
+    case 5 => ConstantScore(Lexical(Seq(term())), 0.5 + rnd.nextInt(4) * 0.5)
+  }
+
+  private def clause(depth: Int): SubQuery =
+    if (depth <= 0) leaf()
+    else rnd.nextInt(4) match {
+      case 0 => DisMax(Seq.fill(1 + rnd.nextInt(3))(clause(depth - 1)), rnd.nextInt(3) * 0.25)
+      case 1 => Boosting(clause(depth - 1), clause(depth - 1), rnd.nextInt(3) * 0.3)
+      case 2 => genBool(depth - 1)
+      case _ => leaf()
+    }
+
+  private def genBool(depth: Int): BoolSub = {
+    val nm = rnd.nextInt(3)
+    val ns = rnd.nextInt(3)
+    val nn = rnd.nextInt(2)
+    val b = BoolSub(
+      must = Seq.fill(nm)(clause(depth)),
+      should = Seq.fill(ns)(clause(depth)),
+      mustNot = Seq.fill(nn)(clause(depth)),
+      minimumShouldMatch = if (ns > 0 && rnd.nextBoolean()) Some(rnd.nextInt(ns + 1)) else None)
+    if (b.must.isEmpty && b.should.isEmpty && b.mustNot.isEmpty)
+      BoolSub(must = Seq(leaf()))
+    else b
+  }
+
+  test("random nested bool trees match the first-principles model (12 corpora)") {
+    for (round <- 1 to 12) {
+      val nDocs = 20 + rnd.nextInt(20)
+      val corpus = (0L until nDocs.toLong).map(i =>
+        i -> Seq.fill(1 + rnd.nextInt(8))(term()))
+      val idx = InvertedIndex.build(
+        corpus.map { case (id, toks) => (id, toks.mkString(" ")) }.toDF("doc_id", "text"),
+        "doc_id", "text")
+      val model = new Model(corpus.toMap)
+      val bq = genBool(depth = 2)
+      val expected = model.eval(bq)
+      val got = BoolQuery.score(HybridSources(idx), bq).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(got.keySet == expected.keySet,
+        s"round $round matched-set mismatch for $bq:\n got ${got.keySet.toSeq.sorted}\n exp ${expected.keySet.toSeq.sorted}")
+      got.foreach { case (id, s) =>
+        assert(math.abs(s - expected(id)) < 1e-9,
+          s"round $round score mismatch doc $id for $bq: got $s exp ${expected(id)}")
+      }
+    }
+  }
+}
