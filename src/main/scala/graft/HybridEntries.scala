@@ -355,6 +355,28 @@ object HybridEntries {
         s.read.parquet(s"$dir/documents.parquet"))
         .select(col("doc_id"), round(col("score"), 4).as("score"))
     }),
+    // a bare top-level leaf query (no bool/hybrid wrapper) — the implicit
+    // single-must bool OpenSearch runs for {"query": {"match": ...}}
+    "dsl_plain_match" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      graft.query.QueryDsl.execute(HybridSources(idx),
+        """{ "query": { "match": { "text": "join hash" } }, "size": 10 }""",
+        s.read.parquet(s"$dir/documents.parquet"))
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+    }),
+    // more_like_this on a stored doc: tf-idf term selection, 30% msm,
+    // source doc excluded
+    "dsl_mlt" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      val json =
+        """{ "query": { "more_like_this": {
+          |    "like": { "_id": 7 },
+          |    "max_query_terms": 10, "min_term_freq": 2, "min_doc_freq": 5 } },
+          |  "size": 10 }""".stripMargin
+      graft.query.QueryDsl.execute(HybridSources(idx), json,
+        s.read.parquet(s"$dir/documents.parquet"))
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+    }),
     // explicit dis_max over two match clauses with tie_breaker
     "dsl_dis_max" -> ((s, dir) => {
       val idx = IndexCache.documents(s, dir)
@@ -947,6 +969,31 @@ object HybridEntries {
          |         max(s) AS mx
          |  FROM u$i GROUP BY doc_id),
          |sq$i AS (SELECT doc_id, $score AS s FROM a$i)""".stripMargin
+    case MoreLikeThisQ(likeId, maxQ, mtf, mdf, ratio) =>
+      // deterministic term selection (tf x idf desc, term asc, LIMIT) then
+      // the msm-gated disjunction, source doc excluded — both stages
+      // re-derived by DuckDB from the same token stream
+      val f = filterPred.map(p => s" AND tf.${p}").getOrElse("")
+      s"""mltf$i AS (SELECT term, tf FROM tf WHERE doc_id = $likeId AND tf >= $mtf),
+         |sel$i AS (
+         |  SELECT mltf$i.term
+         |  FROM mltf$i JOIN df USING (term) CROSS JOIN stats
+         |  WHERE df.df >= $mdf
+         |  ORDER BY mltf$i.tf * ln(1 + (stats.n - df.df + 0.5)/(df.df + 0.5)) DESC,
+         |           mltf$i.term ASC
+         |  LIMIT $maxQ),
+         |msm$i AS (SELECT greatest(1, CAST(floor($ratio * count(*)) AS INT)) AS m FROM sel$i),
+         |sq$i AS (
+         |  SELECT doc_id, s FROM (
+         |    SELECT tf.doc_id,
+         |           sum( ln(1 + (stats.n - df.df + 0.5)/(df.df + 0.5))
+         |                * (tf.tf / (tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/stats.avgdl))) ) AS s,
+         |           count(*) AS nm
+         |    FROM tf JOIN sel$i USING (term) JOIN dl USING (doc_id)
+         |         JOIN df USING (term) CROSS JOIN stats
+         |    WHERE tf.doc_id <> $likeId$f
+         |    GROUP BY tf.doc_id) x CROSS JOIN msm$i
+         |  WHERE x.nm >= msm$i.m)""".stripMargin
     case Boosting(pos, neg, nb) =>
       s"""${scoreCte(s"${i}p", pos, filterPred)},
          |${scoreCte(s"${i}n", neg, filterPred)},
@@ -1513,6 +1560,13 @@ object HybridEntries {
       "bool_filter_only" ->
         boolOracle(tokCte, must = Nil, should = Nil,
           mustNot = Seq(Lexical(Seq("dup"))), msm = 0, filterPred = langF),
+      "dsl_plain_match" ->
+        boolOracle(tokCte, must = Seq(Lexical(A)), should = Nil,
+          mustNot = Nil, msm = 0),
+      "dsl_mlt" ->
+        boolOracle(tokCte,
+          must = Seq(MoreLikeThisQ(7L, maxQueryTerms = 10)), should = Nil,
+          mustNot = Nil, msm = 0),
       "dsl_dis_max" ->
         boolOracle(tokCte, must = Seq(DisMax(Seq(Lexical(A), Lexical(B)), 0.3)),
           should = Nil, mustNot = Nil, msm = 0),

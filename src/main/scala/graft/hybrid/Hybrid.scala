@@ -203,6 +203,22 @@ case class Boosting(positive: SubQuery, negative: SubQuery,
 case class Fuzzy(term: String, fuzziness: Int = 1,
                  boost: Double = 1.0) extends SubQuery
 
+/** `more_like_this`: find docs similar to a stored document. Lucene's
+ *  MoreLikeThis extracts the source doc's "interesting" terms — tf >=
+ *  minTermFreq within the doc, df >= minDocFreq in the corpus — ranks them
+ *  by tf × idf, keeps the top maxQueryTerms, and runs them as a disjunction
+ *  with a minimum_should_match percentage (default 30%, floor, at least 1);
+ *  the source doc itself is excluded from the hits. Term selection reads
+ *  the doc's stored text ([[HybridSources.fields]]) exactly like the
+ *  reference's _source-based MLT when term vectors are absent; the ranked
+ *  selection is deterministic (score desc, term asc tie-break) so an
+ *  independent engine reproduces the same term set. */
+case class MoreLikeThisQ(likeId: Long,
+                         maxQueryTerms: Int = 25,
+                         minTermFreq: Int = 2,
+                         minDocFreq: Int = 5,
+                         msmRatio: Double = 0.3) extends SubQuery
+
 /** A nested `bool` clause — Lucene BooleanQuery nests arbitrarily. The
  *  nested bool's qualifying docs contribute their summed clause score to
  *  the enclosing query; semantics (must intersection, should msm gate,
@@ -404,6 +420,15 @@ object Hybrid {
         require(f >= 0 && f <= 2,
           s"fuzziness must be in [0, 2] (Lucene's bound), got $f")
         require(boost > 0, s"[boost] must be > 0, got $boost")
+      case m: MoreLikeThisQ =>
+        require(src.fields.nonEmpty,
+          "more_like_this requires HybridSources.fields (the stored docs table) " +
+            "to read the source document's text")
+        require(m.maxQueryTerms >= 1, "max_query_terms must be >= 1")
+        require(m.minTermFreq >= 1 && m.minDocFreq >= 1,
+          "min_term_freq and min_doc_freq must be >= 1")
+        require(m.msmRatio >= 0.0 && m.msmRatio <= 1.0,
+          s"minimum_should_match ratio must be in [0,1], got ${m.msmRatio}")
       case _ => ()
     }
   }
@@ -625,6 +650,40 @@ object Hybrid {
         val score =
           if (tb == 0.0) col("_mx") else col("_mx") + lit(tb) * (matchedSum - col("_mx"))
         agg.select($"doc_id", score.as("score"))
+      case m: MoreLikeThisQ =>
+        // term selection: one bounded single-row read of the source doc's
+        // text + one broadcast-sized term-stats lookup (the same shape as
+        // every query's idf lookup); scoring is the standard msm-gated
+        // disjunction, source doc excluded
+        val text = src.fields.get
+          .where($"doc_id" === m.likeId).select($"text")
+          .take(1).headOption.map(_.getString(0))
+          .getOrElse(throw new IllegalArgumentException(
+            s"more_like_this: doc [${m.likeId}] not found"))
+        val toks = graft.analysis.Analyzer.analyze(src.idx.analyzer)(text)
+        val tf = toks.groupBy(identity).map { case (t, xs) => t -> xs.size }
+          .filter(_._2 >= m.minTermFreq)
+        val terms =
+          if (tf.isEmpty) Seq.empty[String]
+          else {
+            val dfMap = Bm25.termDfs(src.idx, tf.keys.toSeq)
+            val n = src.idx.stats.doc_count
+            tf.toSeq
+              .flatMap { case (t, f) =>
+                dfMap.get(t).filter(_ >= m.minDocFreq)
+                  .map(df => (t, f * Bm25.idf(df, n)))
+              }
+              .sortBy { case (t, s) => (-s, t) }
+              .take(m.maxQueryTerms).map(_._1)
+          }
+        if (terms.isEmpty)
+          src.idx.postings.sparkSession.range(0)
+            .select(col("id").as("doc_id"), lit(0.0).as("score"))
+        else {
+          val msm = math.max(1, math.floor(m.msmRatio * terms.size).toInt)
+          Bm25.scoreTerms(src.idx, terms, minTermsMatch = msm)
+            .where($"doc_id" =!= m.likeId)
+        }
       case Boosting(pos, neg, nb) =>
         // positive's matched set and score; ×negativeBoost where the doc
         // also matches the negative clause (no hard exclusion)
@@ -867,7 +926,7 @@ object Hybrid {
     q.subQueries.foreach {
       case _: Lexical | _: LexicalPhrase | _: LexicalMulti | _: LexicalMsm |
            _: MatchAll | _: BoolSub | _: TermPattern | _: ConstantScore |
-           _: DisMax | _: Boosting | _: Fuzzy => ()
+           _: DisMax | _: Boosting | _: Fuzzy | _: MoreLikeThisQ => ()
       case _: SparseLinear => increment("neural_sparse_query_requests")
       case _: DenseCosine | _: DenseVector | _: DenseIvf | _: DenseRadial =>
         increment("neural_query_requests")

@@ -68,6 +68,15 @@ object Bm25 {
     }.toMap
   }
 
+  /** Broadcast-sized df lookup for a bag of terms (absent terms omitted) —
+   *  the TermStatistics fetch more_like_this's term selection needs. */
+  def termDfs(idx: Index, terms: Seq[String]): Map[String, Long] = {
+    val spark = idx.postings.sparkSession
+    import spark.implicits._
+    idx.termStats.filter($"term".isin(terms.distinct: _*))
+      .collect().map(t => t.term -> t.df).toMap
+  }
+
   def scoreTerms(
       idx: Index,
       terms: Seq[String],

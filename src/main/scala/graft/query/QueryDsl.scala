@@ -278,6 +278,30 @@ object QueryDsl {
         else (body.asText(), 1, 1.0)
       require(v.nonEmpty, "fuzzy requires a non-empty value")
       graft.hybrid.Fuzzy(v, fz, boost)
+    } else if (!q.path("more_like_this").isMissingNode) {
+      // {"more_like_this": {"like": {"_id": 7} | [{"_id": 7}],
+      //   "max_query_terms": 25, "min_term_freq": 2, "min_doc_freq": 5,
+      //   "minimum_should_match": "30%"}} — only stored-doc like is
+      // supported (free-text like would need its own analysis path)
+      val body = q.path("more_like_this")
+      val likeNode = {
+        val l = body.path("like")
+        if (l.isArray) { require(l.size() == 1, "more_like_this supports exactly one like doc"); l.get(0) }
+        else l
+      }
+      require(likeNode.path("_id").isNumber,
+        "more_like_this requires like: {\"_id\": <doc id>}")
+      val msmRatio = {
+        val s = body.path("minimum_should_match").asText("30%")
+        require(s.endsWith("%"), s"minimum_should_match must be a percentage, got [$s]")
+        s.dropRight(1).toDouble / 100.0
+      }
+      graft.hybrid.MoreLikeThisQ(
+        likeNode.path("_id").asLong(),
+        body.path("max_query_terms").asInt(25),
+        body.path("min_term_freq").asInt(2),
+        body.path("min_doc_freq").asInt(5),
+        msmRatio)
     } else if (!q.path("constant_score").isMissingNode) {
       // {"constant_score": {"filter": {<clause>}, "boost": 1.5}}
       val body = q.path("constant_score")
@@ -492,9 +516,22 @@ object QueryDsl {
   /** Parse + execute against hybrid sources; `docs` supplies filter and
    *  collapse fields. */
   def execute(src: HybridSources, json: String, docs: => DataFrame): DataFrame = {
-    if (!mapper.readTree(json).path("query").path("bool").isMissingNode) {
+    val rootQ = mapper.readTree(json).path("query")
+    if (!rootQ.path("bool").isMissingNode) {
       val pb = parseBool(json, src.idx.analyzer)
-      return BoolQuery.topK(src, pb.bool, pb.k, filterDf(docs, pb.filters, pb.ranges))
+      val srcB = if (src.fields.isEmpty) src.copy(fields = Some(docs)) else src
+      return BoolQuery.topK(srcB, pb.bool, pb.k, filterDf(docs, pb.filters, pb.ranges))
+    }
+    // a plain top-level clause ({"query": {"match": ...}} etc.) runs as the
+    // single scoring clause of an implicit bool — exactly how OpenSearch
+    // executes a bare leaf query
+    if (rootQ.isObject && rootQ.size() == 1 && rootQ.path("hybrid").isMissingNode) {
+      val root = mapper.readTree(json)
+      val enricher = parseEnricher(root.path("search_pipeline").path("request_processors"))
+      val clause = parseSubQuery(rootQ, src.idx.analyzer, enricher)
+      val srcB = if (src.fields.isEmpty) src.copy(fields = Some(docs)) else src
+      return BoolQuery.topK(srcB, graft.hybrid.BoolSub(must = Seq(clause)),
+        root.path("size").asInt(10), None)
     }
     val parsed = parse(json, src.idx.analyzer)
     val fDf = filterDf(docs, parsed.filters, parsed.ranges)

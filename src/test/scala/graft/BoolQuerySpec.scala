@@ -223,6 +223,39 @@ class BoolQuerySpec extends SparkSpec {
     assert(pb.k == 7)
   }
 
+  test("more_like_this selects the doc's terms and excludes the source doc") {
+    import graft.hybrid.MoreLikeThisQ
+    // doc 0 = "a b a c": tf(a)=2 passes min_term_freq=2; a's df=3 passes
+    // min_doc_freq=3 -> selected terms = {a}; msm = max(1, floor(0.3*1)) = 1
+    val src = HybridSources(idx,
+      fields = Some(Seq((0L, "a b a c"), (1L, "a b"), (2L, "c d"),
+        (3L, "d d e"), (4L, "e a c")).toDF("doc_id", "text")))
+    val r = BoolQuery.topK(src,
+      BoolSpec(must = Seq(MoreLikeThisQ(0L, minTermFreq = 2, minDocFreq = 3))), 10)
+      .collect()
+    // a-docs {0, 1, 4} minus the source doc 0
+    assert(r.map(_.getLong(0)).toSet == Set(1L, 4L))
+    val a = Bm25.scoreTerms(idx, Seq("a"), Map.empty).collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    r.foreach(row => assert(math.abs(row.getDouble(1) - a(row.getLong(0))) < 1e-12))
+    // unknown like-doc fails fast; missing fields source fails fast
+    intercept[IllegalArgumentException] {
+      BoolQuery.topK(src, BoolSpec(must = Seq(MoreLikeThisQ(99L))), 10)
+    }
+    intercept[IllegalArgumentException] {
+      BoolQuery.topK(HybridSources(idx), BoolSpec(must = Seq(MoreLikeThisQ(0L))), 10)
+    }
+  }
+
+  test("a bare top-level leaf query executes as an implicit single-must bool") {
+    val docs = Seq((0L, "x")).toDF("doc_id", "src")
+    val plain = QueryDsl.execute(HybridSources(idx),
+      """{"query": {"term": {"text": "a"}}, "size": 10}""", docs)
+    val viaBool = QueryDsl.execute(HybridSources(idx),
+      """{"query": {"bool": {"must": [{"term": {"text": "a"}}]}}, "size": 10}""", docs)
+    assert(plain.collect().toSeq == viaBool.collect().toSeq)
+  }
+
   test("DSL execute routes query.bool to the bool engine") {
     val docs = Seq((0L, "x"), (1L, "x"), (2L, "x"), (3L, "x"), (4L, "x"))
       .toDF("doc_id", "src")
