@@ -355,6 +355,21 @@ object HybridEntries {
         s.read.parquet(s"$dir/documents.parquet"))
         .select(col("doc_id"), round(col("score"), 4).as("score"))
     }),
+    // cursor pagination: the page strictly after (n_chars 400, doc_id 250)
+    // under the sort order — deep paging without from+size collection
+    "dsl_search_after" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      val json =
+        """{ "query": { "hybrid": {
+          |    "queries": [ { "match": { "text": "join hash" } },
+          |                 { "match": { "text": "merge sort window" } } ],
+          |    "pagination_depth": 50 } },
+          |  "size": 10,
+          |  "sort": [ { "n_chars": { "order": "desc" } } ],
+          |  "search_after": [400, 250] }""".stripMargin
+      graft.query.QueryDsl.execute(idx, json, s, s.read.parquet(s"$dir/documents.parquet"))
+        .select(col("doc_id"), col("n_chars"))
+    }),
     // a bare top-level leaf query (no bool/hybrid wrapper) — the implicit
     // single-must bool OpenSearch runs for {"query": {"match": ...}}
     "dsl_plain_match" -> ((s, dir) => {
@@ -1560,6 +1575,19 @@ object HybridEntries {
       "bool_filter_only" ->
         boolOracle(tokCte, must = Nil, should = Nil,
           mustNot = Seq(Lexical(Seq("dup"))), msm = 0, filterPred = langF),
+      "dsl_search_after" ->
+        s"""WITH $tokCte,
+           |m0 AS (SELECT DISTINCT doc_id FROM tf WHERE term IN (${termList(A)})),
+           |t0 AS (SELECT m0.doc_id, d.n_chars FROM m0 JOIN documents d USING (doc_id)
+           |       WHERE d.n_chars < 400 OR (d.n_chars = 400 AND m0.doc_id > 250)
+           |       ORDER BY d.n_chars DESC, m0.doc_id LIMIT $Depth),
+           |m1 AS (SELECT DISTINCT doc_id FROM tf WHERE term IN (${termList(B)})),
+           |t1 AS (SELECT m1.doc_id, d.n_chars FROM m1 JOIN documents d USING (doc_id)
+           |       WHERE d.n_chars < 400 OR (d.n_chars = 400 AND m1.doc_id > 250)
+           |       ORDER BY d.n_chars DESC, m1.doc_id LIMIT $Depth),
+           |u AS (SELECT * FROM t0 UNION SELECT * FROM t1)
+           |SELECT doc_id, n_chars FROM u
+           |ORDER BY n_chars DESC, doc_id LIMIT 10""".stripMargin,
       "dsl_plain_match" ->
         boolOracle(tokCte, must = Seq(Lexical(A)), should = Nil,
           mustNot = Nil, msm = 0),

@@ -531,14 +531,41 @@ object Hybrid {
    * @param sort (field, ascending) pairs; doc_id asc is the final tiebreak.
    * @return DataFrame(doc_id, sortField...): the final page, ordered.
    */
+  /** Lexicographic strictly-after predicate for cursor pagination: the row
+   *  tuple (sort keys..., doc_id) must order strictly beyond the cursor
+   *  values under each key's direction — OpenSearch's `search_after`, the
+   *  scale-correct deep-paging form (each page's collection SKIPS everything
+   *  at or before the cursor instead of collecting from+size rows). */
+  private def afterPredicate(sort: Seq[(String, Boolean)],
+                             vals: Seq[Any]): org.apache.spark.sql.Column = {
+    val keys = sort.map { case (f, asc) =>
+      (if (f == "_score") col("score") else col(f), asc)
+    } :+ (col("doc_id"), true)
+    require(vals.size == keys.size,
+      s"search_after needs ${keys.size} values (one per sort key + the " +
+        s"doc_id tiebreaker), got ${vals.size}")
+    def rec(ks: Seq[(org.apache.spark.sql.Column, Boolean)], vs: Seq[Any]): org.apache.spark.sql.Column = {
+      val (c, asc) = ks.head
+      val v = lit(vs.head)
+      val strict = if (asc) c > v else c < v
+      if (ks.tail.isEmpty) strict else strict || (c === v && rec(ks.tail, vs.tail))
+    }
+    rec(keys, vals)
+  }
+
   def executeSorted(src: HybridSources, q: HybridQuery, sort: Seq[(String, Boolean)],
-                    filterDocs: Option[DataFrame] = None): DataFrame = {
+                    filterDocs: Option[DataFrame] = None,
+                    searchAfter: Seq[Any] = Nil): DataFrame = {
     record(src, q, filterDocs)
     require(sort.nonEmpty, "executeSorted requires at least one sort field")
+    require(searchAfter.isEmpty || q.from == 0,
+      "[search_after] cannot be combined with [from] pagination")
     val fieldNames = sort.map(_._1).filter(_ != "_score")
     require(fieldNames.isEmpty || src.fields.nonEmpty,
       "sort requires HybridSources.fields with the sort columns")
     val byScore = sort.exists(_._1 == "_score")
+    val after: Option[org.apache.spark.sql.Column] =
+      if (searchAfter.isEmpty) None else Some(afterPredicate(sort, searchAfter))
     val sortCols = sort.map { case (f, asc) =>
       val c = if (f == "_score") col("score") else col(f)
       if (asc) c.asc else c.desc
@@ -566,7 +593,11 @@ object Hybrid {
         val collected = collectSubQueries(src, q, filterDocs)
         val scored = combineStage(collected, src, q.copy(collapse = None, minScore = None))
           .select(col("doc_id"), col("score"))
-        if (fieldNames.isEmpty) scored else scored.join(fieldCols, "doc_id")
+        val joined = if (fieldNames.isEmpty) scored else scored.join(fieldCols, "doc_id")
+        // cursor filter: scores exist only after combination, so the skip
+        // happens here; the collection depth bounds earlier stages exactly
+        // as it does for from+size pagination
+        after.fold(joined)(joined.where)
       } else {
         // pure field sort: per-sub-query TopFieldDocs capped at depth,
         // first-wins merge (reference: TopDocs.merge(sort, ...) + dedupe);
@@ -577,7 +608,13 @@ object Hybrid {
           val matched = scoreClause(src, sq, 0).select("doc_id")
           val filtered = filterDocs.fold(matched)(f =>
             matched.join(f.select("doc_id"), Seq("doc_id"), "left_semi"))
-          filtered.join(fieldCols, "doc_id").orderBy(sortCols: _*).limit(q.depth)
+          // the cursor filter applies INSIDE each sub-query's depth-bounded
+          // collection (OpenSearch's collector skips up to the cursor), so
+          // deep pages never pay from+size collection and the predicate
+          // prunes before the TopFieldDocs heap
+          val withFields = filtered.join(fieldCols, "doc_id")
+          after.fold(withFields)(withFields.where)
+            .orderBy(sortCols: _*).limit(q.depth)
         }
         perSub.reduce(_ unionByName _).dropDuplicates("doc_id")
       }

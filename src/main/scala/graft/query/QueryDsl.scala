@@ -59,7 +59,8 @@ object QueryDsl {
 
   case class Parsed(query: HybridQuery, filters: Seq[(String, String)],
                     sort: Seq[(String, Boolean)] = Nil,
-                    ranges: Seq[RangeF] = Nil) {
+                    ranges: Seq[RangeF] = Nil,
+                    searchAfter: Seq[Any] = Nil) {
     /** first equality filter, if any (back-compat accessor) */
     def filterField: Option[(String, String)] = filters.headOption
   }
@@ -170,7 +171,22 @@ object QueryDsl {
       ),
       filters,
       sort,
-      ranges
+      ranges,
+      searchAfter = {
+        // cursor values aligned with the sort keys + the implicit doc_id
+        // tiebreaker; numbers keep their JSON type (integral -> long)
+        val sa = root.path("search_after")
+        if (!sa.isArray) Nil
+        else {
+          require(sort.nonEmpty, "[search_after] requires a [sort]")
+          (0 until sa.size()).map { i =>
+            val n = sa.get(i)
+            if (n.isIntegralNumber) n.asLong()
+            else if (n.isNumber) n.asDouble()
+            else n.asText(): Any
+          }
+        }
+      }
     )
   }
 
@@ -539,8 +555,12 @@ object QueryDsl {
       if ((parsed.query.collapse.nonEmpty || parsed.sort.nonEmpty) && src.fields.isEmpty)
         src.copy(fields = Some(docs))
       else src
-    if (parsed.sort.nonEmpty) Hybrid.executeSorted(src2, parsed.query, parsed.sort, fDf)
-    else Hybrid.execute(src2, parsed.query, fDf)
+    if (parsed.sort.nonEmpty)
+      Hybrid.executeSorted(src2, parsed.query, parsed.sort, fDf, parsed.searchAfter)
+    else {
+      require(parsed.searchAfter.isEmpty, "[search_after] requires a [sort]")
+      Hybrid.execute(src2, parsed.query, fDf)
+    }
   }
 
   /** Back-compat entry: lexical + sparse clauses only (no embedding source). */

@@ -309,6 +309,46 @@ class QueryDslSpec extends SparkSpec {
     bad("""{"fuzzy":{"text":""}}""")
   }
 
+  test("search_after chains pages exactly: page2 == rows k+1..2k of one big page") {
+    import graft.hybrid.{Hybrid, HybridQuery, HybridSources, Lexical}
+    import spark.implicits._
+    val docs = (0L until 60L).map(i =>
+      (i, if (i % 3 == 0) "alpha beta" else "alpha", i % 7)).toDF("doc_id", "text", "grp")
+    val idx2 = graft.index.InvertedIndex.build(docs, "doc_id", "text")
+    val src = HybridSources(idx2, fields = Some(docs))
+    val q = HybridQuery(Seq(Lexical(Seq("alpha"))), k = 10, depth = 100)
+    val sort = Seq(("grp", false))
+    val big = Hybrid.executeSorted(src, q.copy(k = 20), sort).collect()
+    val p1 = Hybrid.executeSorted(src, q, sort).collect()
+    assert(p1.toSeq == big.take(10).toSeq)
+    val last = p1.last
+    val cursor = Seq(last.getAs[Any]("grp"), last.getAs[Long]("doc_id"))
+    val p2 = Hybrid.executeSorted(src, q, sort, None, cursor).collect()
+    assert(p2.map(_.getLong(0)).toSeq == big.slice(10, 20).map(_.getLong(0)).toSeq)
+    // _score sort path too: cursor = (score, doc_id) of the k-th hit
+    val sortS = Seq(("_score", false))
+    val bigS = Hybrid.executeSorted(src, q.copy(k = 20), sortS).collect()
+    val p1s = Hybrid.executeSorted(src, q, sortS).collect()
+    val cS = Seq(p1s.last.getAs[Double]("score"), p1s.last.getLong(0))
+    val p2s = Hybrid.executeSorted(src, q, sortS, None, cS).collect()
+    assert(p2s.map(_.getLong(0)).toSeq == bigS.slice(10, 20).map(_.getLong(0)).toSeq)
+    // search_after + from is rejected; wrong arity is rejected
+    intercept[IllegalArgumentException] {
+      Hybrid.executeSorted(src, q.copy(from = 5), sort, None, cursor)
+    }
+    intercept[IllegalArgumentException] {
+      Hybrid.executeSorted(src, q, sort, None, Seq(1L))
+    }
+    // DSL: search_after without sort is rejected
+    intercept[IllegalArgumentException] {
+      QueryDsl.execute(src,
+        """{"query":{"hybrid":{"queries":[{"match":{"text":"alpha"}}]}},
+          |"search_after":[3, 10],
+          |"search_pipeline":{"normalization":{"technique":"min_max"},
+          |"combination":{"technique":"arithmetic_mean"}}}""".stripMargin, docs)
+    }
+  }
+
   test("malformed requests are rejected") {
     intercept[IllegalArgumentException](QueryDsl.parse("""{"query":{}}"""))
     intercept[IllegalArgumentException](
