@@ -392,6 +392,18 @@ object HybridEntries {
         s.read.parquet(s"$dir/documents.parquet"))
         .select(col("doc_id"), round(col("score"), 4).as("score"))
     }),
+    // ids + terms as should clauses: set-membership constant scores stack
+    "dsl_ids_terms" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      val json =
+        """{ "query": { "bool": { "should": [
+          |    { "ids": { "values": [3, 7, 11, 400], "boost": 2.0 } },
+          |    { "terms": { "text": ["dup", "scan"] } } ] } },
+          |  "size": 10 }""".stripMargin
+      graft.query.QueryDsl.execute(HybridSources(idx), json,
+        s.read.parquet(s"$dir/documents.parquet"))
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+    }),
     // explicit dis_max over two match clauses with tie_breaker
     "dsl_dis_max" -> ((s, dir) => {
       val idx = IndexCache.documents(s, dir)
@@ -766,6 +778,20 @@ object HybridEntries {
           round(avg(col("n_chars")), 4).as("avg_chars"),
           sum(col("n_chars")).cast("long").as("sum_chars"))
     }),
+    // percentiles aggregation over the matched set — exact linear
+    // interpolation on the sorted values (Spark `percentile`; the
+    // reference's t-digest is approximate, exact is the stronger contract
+    // at oracle scale and the same API shape)
+    "hybrid_agg_percentiles" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      matchedAB(idx)
+        .join(s.read.parquet(s"$dir/documents.parquet").select("doc_id", "n_chars"), "doc_id")
+        .agg(
+          round(expr("percentile(n_chars, 0.25)"), 4).as("p25"),
+          round(expr("percentile(n_chars, 0.50)"), 4).as("p50"),
+          round(expr("percentile(n_chars, 0.75)"), 4).as("p75"),
+          round(expr("percentile(n_chars, 0.95)"), 4).as("p95"))
+    }),
     // terms bucket aggregation: top groups by doc count (the default
     // terms-agg order: count desc, key asc)
     "hybrid_agg_source_terms" -> ((s, dir) => {
@@ -984,6 +1010,17 @@ object HybridEntries {
          |         max(s) AS mx
          |  FROM u$i GROUP BY doc_id),
          |sq$i AS (SELECT doc_id, $score AS s FROM a$i)""".stripMargin
+    case IdsQ(ids, boost) =>
+      val f = filterPred.map(p => s" AND dl.${p}").getOrElse("")
+      s"""sq$i AS (
+         |  SELECT dl.doc_id, $boost AS s FROM dl
+         |  WHERE dl.doc_id IN (${ids.mkString(", ")})$f)""".stripMargin
+    case TermsSet(values, boost) =>
+      val f = filterPred.map(p => s" AND ${p}").getOrElse("")
+      s"""sq$i AS (
+         |  SELECT doc_id, $boost AS s
+         |  FROM (SELECT DISTINCT doc_id FROM tf
+         |        WHERE term IN (${termList(values)})$f))""".stripMargin
     case MoreLikeThisQ(likeId, maxQ, mtf, mdf, ratio) =>
       // deterministic term selection (tf x idf desc, term asc, LIMIT) then
       // the msm-gated disjunction, source doc excluded — both stages
@@ -1595,6 +1632,11 @@ object HybridEntries {
         boolOracle(tokCte,
           must = Seq(MoreLikeThisQ(7L, maxQueryTerms = 10)), should = Nil,
           mustNot = Nil, msm = 0),
+      "dsl_ids_terms" ->
+        boolOracle(tokCte, must = Nil,
+          should = Seq(IdsQ(Seq(3L, 7L, 11L, 400L), 2.0),
+            TermsSet(Seq("dup", "scan"))),
+          mustNot = Nil, msm = 1),
       "dsl_dis_max" ->
         boolOracle(tokCte, must = Seq(DisMax(Seq(Lexical(A), Lexical(B)), 0.3)),
           should = Nil, mustNot = Nil, msm = 0),
@@ -1741,6 +1783,16 @@ object HybridEntries {
            |FROM m JOIN documents d USING (doc_id)
            |GROUP BY d.source
            |ORDER BY n_docs DESC, d.source LIMIT 5""".stripMargin,
+      "hybrid_agg_percentiles" ->
+        s"""WITH $tokCte,
+           |m AS (
+           |  SELECT DISTINCT doc_id FROM tf
+           |  WHERE term IN (${termList(A)}) OR term IN (${termList(B)}))
+           |SELECT round(quantile_cont(d.n_chars, 0.25), 4) AS p25,
+           |       round(quantile_cont(d.n_chars, 0.50), 4) AS p50,
+           |       round(quantile_cont(d.n_chars, 0.75), 4) AS p75,
+           |       round(quantile_cont(d.n_chars, 0.95), 4) AS p95
+           |FROM m JOIN documents d USING (doc_id)""".stripMargin,
       "hybrid_sorted" ->
         s"""WITH $tokCte,
            |m AS (

@@ -203,6 +203,16 @@ case class Boosting(positive: SubQuery, negative: SubQuery,
 case class Fuzzy(term: String, fuzziness: Int = 1,
                  boost: Double = 1.0) extends SubQuery
 
+/** `ids` query: the named live documents at a constant boost — the direct
+ *  primary-key fetch form. Bucket-prunes the forward table to only the ids'
+ *  4096-doc buckets before decoding. */
+case class IdsQ(ids: Seq[Long], boost: Double = 1.0) extends SubQuery
+
+/** `terms` query: docs containing ANY of the exact values, constant boost —
+ *  OpenSearch's set-membership filter form (no per-term scoring, unlike
+ *  `match`). */
+case class TermsSet(values: Seq[String], boost: Double = 1.0) extends SubQuery
+
 /** `more_like_this`: find docs similar to a stored document. Lucene's
  *  MoreLikeThis extracts the source doc's "interesting" terms — tf >=
  *  minTermFreq within the doc, df >= minDocFreq in the corpus — ranks them
@@ -419,6 +429,12 @@ object Hybrid {
           s"fuzzy term must be non-empty [a-z0-9], got [$t]")
         require(f >= 0 && f <= 2,
           s"fuzziness must be in [0, 2] (Lucene's bound), got $f")
+        require(boost > 0, s"[boost] must be > 0, got $boost")
+      case IdsQ(ids, boost) =>
+        require(ids.nonEmpty, "ids query requires at least one id")
+        require(boost > 0, s"[boost] must be > 0, got $boost")
+      case TermsSet(values, boost) =>
+        require(values.nonEmpty, "terms query requires at least one value")
         require(boost > 0, s"[boost] must be > 0, got $boost")
       case m: MoreLikeThisQ =>
         require(src.fields.nonEmpty,
@@ -687,6 +703,17 @@ object Hybrid {
         val score =
           if (tb == 0.0) col("_mx") else col("_mx") + lit(tb) * (matchedSum - col("_mx"))
         agg.select($"doc_id", score.as("score"))
+      case IdsQ(ids, boost) =>
+        // prune the forward table to only the ids' buckets, then decode and
+        // keep the named live docs — bounded work however large the corpus
+        val buckets = ids.map(_ >> graft.index.InvertedIndex.BucketBits).distinct
+        graft.index.InvertedIndex.liveDocIds(
+          src.idx.docLens.filter($"bucket".isin(buckets: _*)))
+          .where($"doc_id".isin(ids: _*))
+          .select($"doc_id", lit(boost).as("score"))
+      case TermsSet(values, boost) =>
+        Bm25.matchWhere(src.idx, $"term".isin(values: _*))
+          .select($"doc_id", lit(boost).as("score"))
       case m: MoreLikeThisQ =>
         // term selection: one bounded single-row read of the source doc's
         // text + one broadcast-sized term-stats lookup (the same shape as
@@ -963,7 +990,8 @@ object Hybrid {
     q.subQueries.foreach {
       case _: Lexical | _: LexicalPhrase | _: LexicalMulti | _: LexicalMsm |
            _: MatchAll | _: BoolSub | _: TermPattern | _: ConstantScore |
-           _: DisMax | _: Boosting | _: Fuzzy | _: MoreLikeThisQ => ()
+           _: DisMax | _: Boosting | _: Fuzzy | _: MoreLikeThisQ |
+           _: IdsQ | _: TermsSet => ()
       case _: SparseLinear => increment("neural_sparse_query_requests")
       case _: DenseCosine | _: DenseVector | _: DenseIvf | _: DenseRadial =>
         increment("neural_query_requests")

@@ -294,6 +294,31 @@ object QueryDsl {
         else (body.asText(), 1, 1.0)
       require(v.nonEmpty, "fuzzy requires a non-empty value")
       graft.hybrid.Fuzzy(v, fz, boost)
+    } else if (!q.path("ids").isMissingNode) {
+      // {"ids": {"values": [1, 2, 3], "boost": 2.0}}
+      val body = q.path("ids")
+      val vs = body.path("values")
+      require(vs.isArray && vs.size() > 0, "ids requires a non-empty [values] array")
+      val boost = body.path("boost").asDouble(1.0)
+      graft.hybrid.IdsQ((0 until vs.size()).map(i => vs.get(i).asLong()), boost)
+    } else if (!q.path("terms").isMissingNode) {
+      // {"terms": {"text": ["merge", "scan"], "boost": 1.5}} — the boost
+      // key rides beside the field key, as in OpenSearch
+      val body = q.path("terms")
+      val fieldEntry = {
+        val it = body.fields()
+        var found: Option[(String, JsonNode)] = None
+        while (it.hasNext && found.isEmpty) {
+          val e = it.next()
+          if (e.getKey != "boost") found = Some(e.getKey -> e.getValue)
+        }
+        found.getOrElse(throw new IllegalArgumentException(
+          "terms requires a field with a values array"))
+      }
+      require(fieldEntry._2.isArray && fieldEntry._2.size() > 0,
+        "terms requires a non-empty values array")
+      val values = (0 until fieldEntry._2.size()).map(i => fieldEntry._2.get(i).asText())
+      graft.hybrid.TermsSet(values, body.path("boost").asDouble(1.0))
     } else if (!q.path("more_like_this").isMissingNode) {
       // {"more_like_this": {"like": {"_id": 7} | [{"_id": 7}],
       //   "max_query_terms": 25, "min_term_freq": 2, "min_doc_freq": 5,

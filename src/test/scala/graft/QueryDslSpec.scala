@@ -349,6 +349,21 @@ class QueryDslSpec extends SparkSpec {
     }
   }
 
+  test("ids/terms parse with boosts; empty value arrays rejected") {
+    val pb = QueryDsl.parseBool(
+      """{"query":{"bool":{"should":[
+        |  {"ids":{"values":[3, 7],"boost":2.0}},
+        |  {"terms":{"text":["a","b"],"boost":1.5}}]}}}""".stripMargin)
+    assert(pb.bool.should(0) == graft.hybrid.IdsQ(Seq(3L, 7L), 2.0))
+    assert(pb.bool.should(1) == graft.hybrid.TermsSet(Seq("a", "b"), 1.5))
+    def bad(q: String): Unit = intercept[IllegalArgumentException] {
+      QueryDsl.parseBool(s"""{"query":{"bool":{"must":[$q]}}}""")
+    }
+    bad("""{"ids":{"values":[]}}""")
+    bad("""{"terms":{"text":[]}}""")
+    bad("""{"terms":{"boost":2.0}}""")
+  }
+
   test("malformed requests are rejected") {
     intercept[IllegalArgumentException](QueryDsl.parse("""{"query":{}}"""))
     intercept[IllegalArgumentException](
