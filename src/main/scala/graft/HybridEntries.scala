@@ -392,6 +392,17 @@ object HybridEntries {
         s.read.parquet(s"$dir/documents.parquet"))
         .select(col("doc_id"), round(col("score"), 4).as("score"))
     }),
+    // explain: per-clause score breakdown from the same pivot aggregate
+    "bool_explain" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      graft.query.BoolQuery.explainTopK(HybridSources(idx),
+        graft.query.BoolQuery.BoolSpec(
+          must = Seq(Lexical(A)), should = Seq(Lexical(B), Lexical(Seq("scan")))), 10)
+        .select(col("doc_id"), round(col("score"), 4).as("score"),
+          round(col("must0"), 4).as("must0"),
+          round(col("should0"), 4).as("should0"),
+          round(col("should1"), 4).as("should1"))
+    }),
     // ids + terms as should clauses: set-membership constant scores stack
     "dsl_ids_terms" -> ((s, dir) => {
       val idx = IndexCache.documents(s, dir)
@@ -1395,10 +1406,12 @@ object HybridEntries {
   }
 
   /** Oracle for a top-level bool request: the [[boolClauseCtes]] chain plus
-   *  the rounded, ordered top-k page. */
+   *  the rounded, ordered top-k page. `explain` adds the per-scoring-clause
+   *  pivot columns (must<i>/should<i>) from the same aggregate. */
   def boolOracle(tokCte: String, must: Seq[SubQuery], should: Seq[SubQuery],
                  mustNot: Seq[SubQuery], msm: Int, k: Int = 10,
-                 filterPred: Option[String] = None): String = {
+                 filterPred: Option[String] = None,
+                 explain: Boolean = false): String = {
     val b = BoolSub(must, should, mustNot, Some(msm))
     def allClauses(x: BoolSub): Seq[SubQuery] =
       (x.must ++ x.should ++ x.mustNot).flatMap {
@@ -1407,10 +1420,16 @@ object HybridEntries {
       }
     val twPart =
       if (allClauses(b).exists(_.isInstanceOf[SparseLinear])) s",\n$TwCte" else ""
+    val explainCols =
+      if (!explain) ""
+      else (must.indices.map(i => s"round(a0.s$i, 4) AS must$i") ++
+        should.indices.map(i => s"round(a0.s${must.size + i}, 4) AS should$i"))
+        .mkString(",\n       ", ",\n       ", "")
+    val from = if (explain) "sq0 JOIN a0 USING (doc_id)" else "sq0"
     s"""WITH $tokCte$twPart,
        |${boolClauseCtes("0", b, filterPred)}
-       |SELECT doc_id, round(s, 4) AS score
-       |FROM sq0
+       |SELECT doc_id, round(s, 4) AS score$explainCols
+       |FROM $from
        |ORDER BY s DESC, doc_id LIMIT $k""".stripMargin
   }
 
@@ -1632,6 +1651,10 @@ object HybridEntries {
         boolOracle(tokCte,
           must = Seq(MoreLikeThisQ(7L, maxQueryTerms = 10)), should = Nil,
           mustNot = Nil, msm = 0),
+      "bool_explain" ->
+        boolOracle(tokCte, must = Seq(Lexical(A)),
+          should = Seq(Lexical(B), Lexical(Seq("scan"))),
+          mustNot = Nil, msm = 0, explain = true),
       "dsl_ids_terms" ->
         boolOracle(tokCte, must = Nil,
           should = Seq(IdsQ(Seq(3L, 7L, 11L, 400L), 2.0),

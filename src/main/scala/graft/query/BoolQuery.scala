@@ -46,9 +46,32 @@ object BoolQuery {
   type BoolSpec = BoolSub
   val BoolSpec: BoolSub.type = BoolSub
 
+  /** Top-k page with the per-clause score breakdown — the explain-API
+   *  shape: `score` plus one column per scoring clause (`must<i>` /
+   *  `should<i>`), null where that clause didn't match the doc. Computed
+   *  from the same pivot aggregate the plain path uses, so explain costs
+   *  nothing extra. */
+  def explainTopK(src: HybridSources, bq: BoolSub, k: Int,
+                  filterDocs: Option[DataFrame] = None): DataFrame = {
+    require(k >= 1, "size must be >= 1")
+    require(bq.must.nonEmpty || bq.should.nonEmpty,
+      "explain requires at least one scoring clause")
+    val spark = src.idx.postings.sparkSession
+    import spark.implicits._
+    val names = bq.must.indices.map(i => s"must$i") ++
+      bq.should.indices.map(i => s"should$i")
+    val cols = $"doc_id" +: $"score" +: names.zipWithIndex.map {
+      case (n, i) => col(s"_s$i").as(n)
+    }
+    score(src, bq, filterDocs, keepPivots = true)
+      .select(cols: _*)
+      .orderBy($"score".desc, $"doc_id".asc).limit(k)
+  }
+
   /** All qualifying docs with their bool scores, unbounded and unsorted. */
   def score(src: HybridSources, bq: BoolSub,
-            filterDocs: Option[DataFrame] = None): DataFrame = {
+            filterDocs: Option[DataFrame] = None,
+            keepPivots: Boolean = false): DataFrame = {
     bq.minimumShouldMatch.foreach { m =>
       require(m >= 0 && m <= bq.should.size,
         s"minimum_should_match must be in [0, ${bq.should.size}]")
@@ -110,9 +133,12 @@ object BoolQuery {
     val total = scoringIdx.foldLeft(lit(0.0)) { (acc, i) =>
       acc + coalesce(col(s"_s$i"), lit(0.0))
     }
-    agg.filter($"_nm" === bq.must.size &&
-        $"_ns" >= bq.effectiveMsm && $"_nn" === 0)
-      .select($"doc_id", total.as("score"))
+    val gated = agg.filter($"_nm" === bq.must.size &&
+      $"_ns" >= bq.effectiveMsm && $"_nn" === 0)
+    if (keepPivots)
+      gated.select($"doc_id" +: total.as("score") +:
+        scoringIdx.map(i => col(s"_s$i")): _*)
+    else gated.select($"doc_id", total.as("score"))
   }
 
   /** Top-k page, ordered (score desc, doc_id asc). */

@@ -61,6 +61,20 @@ class PlanSpec extends SparkSpec {
       "prefix must reach the scan as a pushed StartsWith: " + p.take(3000))
   }
 
+  test("bool topK is one aggregation ending in TakeOrdered — no Window, no global Sort+Limit") {
+    import graft.query.BoolQuery
+    import graft.hybrid.{BoolSub, Lexical}
+    val p = plan(BoolQuery.topK(HybridSources(idx),
+      BoolSub(must = Seq(Lexical(Seq("join"))), should = Seq(Lexical(Seq("merge"))),
+        mustNot = Seq(Lexical(Seq("dup")))), 10))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(!p.contains("Window"), p.take(2000))
+    // exactly ONE doc_id alignment shuffle: the post-union pivot+gate
+    // aggregate (clause scorers only add bucket-metadata exchanges)
+    assert("Exchange hashpartitioning\\(doc_id".r.findAllIn(p).size == 1,
+      p.take(3000))
+  }
+
   test("hybrid sub-query collection is TakeOrdered per clause, not a subq-partitioned window over scored rows") {
     val q = HybridQuery(Seq(Lexical(Seq("join")), Lexical(Seq("merge"))),
       MinMaxNormTech(), Combination(graft.functions.Combine.Arithmetic), k = 5, depth = 20)
