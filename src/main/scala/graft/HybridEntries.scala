@@ -392,6 +392,19 @@ object HybridEntries {
         s.read.parquet(s"$dir/documents.parquet"))
         .select(col("doc_id"), round(col("score"), 4).as("score"))
     }),
+    // the +required/-prohibited/"phrase"/or-terms mini-language, straight
+    // into the bool algebra (phrase clause rides the positional source)
+    "dsl_simple_query_string" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      val src = HybridSources(idx, positions = Some(IndexCache.positions(s, dir)))
+      val json =
+        """{ "query": { "simple_query_string": {
+          |    "query": "merge -dup +join \"table hash\"" } },
+          |  "size": 10 }""".stripMargin
+      graft.query.QueryDsl.execute(src, json,
+        s.read.parquet(s"$dir/documents.parquet"))
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+    }),
     // explain: per-clause score breakdown from the same pivot aggregate
     "bool_explain" -> ((s, dir) => {
       val idx = IndexCache.documents(s, dir)
@@ -1651,6 +1664,10 @@ object HybridEntries {
         boolOracle(tokCte,
           must = Seq(MoreLikeThisQ(7L, maxQueryTerms = 10)), should = Nil,
           mustNot = Nil, msm = 0),
+      "dsl_simple_query_string" ->
+        boolOracle(tokCte, must = Seq(Lexical(Seq("join"))),
+          should = Seq(Lexical(Seq("merge")), LexicalPhrase(Seq("table", "hash"))),
+          mustNot = Seq(Lexical(Seq("dup"))), msm = 0),
       "bool_explain" ->
         boolOracle(tokCte, must = Seq(Lexical(A)),
           should = Seq(Lexical(B), Lexical(Seq("scan"))),

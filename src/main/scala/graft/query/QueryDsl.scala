@@ -294,6 +294,39 @@ object QueryDsl {
         else (body.asText(), 1, 1.0)
       require(v.nonEmpty, "fuzzy requires a non-empty value")
       graft.hybrid.Fuzzy(v, fz, boost)
+    } else if (!q.path("simple_query_string").isMissingNode) {
+      // {"simple_query_string": {"query": "merge -dup +join \"table hash\""}}
+      // — the fail-soft mini-language: bare tokens are optional (OR),
+      // '+' requires, '-' prohibits, quotes make a phrase. Parses into the
+      // bool algebra, so it composes like any clause.
+      val body = q.path("simple_query_string")
+      val text = if (body.isObject) body.path("query").asText("") else body.asText("")
+      require(text.nonEmpty, "simple_query_string requires a non-empty [query]")
+      val tok = java.util.regex.Pattern.compile("([+-]?)(\"([^\"]*)\"|\\S+)")
+      val m = tok.matcher(text)
+      val must = Seq.newBuilder[SubQuery]
+      val should = Seq.newBuilder[SubQuery]
+      val mustNot = Seq.newBuilder[SubQuery]
+      val analyze: String => Array[String] = Analyzer.analyze(analyzer)(_)
+      while (m.find()) {
+        val quoted = m.group(3) != null
+        val terms = analyze(if (quoted) m.group(3) else m.group(2)).toSeq
+        if (terms.nonEmpty) {
+          // a 1-term "phrase" degrades to a term match, like the reference
+          val clause: SubQuery =
+            if (quoted && terms.size >= 2) graft.hybrid.LexicalPhrase(terms)
+            else Lexical(terms)
+          m.group(1) match {
+            case "+" => must += clause
+            case "-" => mustNot += clause
+            case _   => should += clause
+          }
+        }
+      }
+      val b = graft.hybrid.BoolSub(must.result(), should.result(), mustNot.result())
+      require(b.must.nonEmpty || b.should.nonEmpty || b.mustNot.nonEmpty,
+        "simple_query_string parsed no clauses")
+      b
     } else if (!q.path("ids").isMissingNode) {
       // {"ids": {"values": [1, 2, 3], "boost": 2.0}}
       val body = q.path("ids")

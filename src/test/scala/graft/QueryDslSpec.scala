@@ -364,6 +364,22 @@ class QueryDslSpec extends SparkSpec {
     bad("""{"terms":{"boost":2.0}}""")
   }
 
+  test("simple_query_string parses +/-/phrase/bare into the bool algebra") {
+    val pb = QueryDsl.parseBool(
+      """{"query":{"bool":{"must":[
+        |  {"simple_query_string":{"query":"b -d +a \"a c\" \"e\""}}]}}}""".stripMargin)
+    val b = pb.bool.must.head.asInstanceOf[graft.hybrid.BoolSub]
+    assert(b.must == Seq(graft.hybrid.Lexical(Seq("a"))))
+    // bare term, 2-term phrase, and the 1-term "phrase" degraded to a term
+    assert(b.should == Seq(graft.hybrid.Lexical(Seq("b")),
+      graft.hybrid.LexicalPhrase(Seq("a", "c")), graft.hybrid.Lexical(Seq("e"))))
+    assert(b.mustNot == Seq(graft.hybrid.Lexical(Seq("d"))))
+    intercept[IllegalArgumentException] {
+      QueryDsl.parseBool(
+        """{"query":{"bool":{"must":[{"simple_query_string":{"query":""}}]}}}""")
+    }
+  }
+
   test("malformed requests are rejected") {
     intercept[IllegalArgumentException](QueryDsl.parse("""{"query":{}}"""))
     intercept[IllegalArgumentException](
