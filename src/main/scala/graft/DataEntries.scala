@@ -62,6 +62,14 @@ object DataEntries {
     // by any 8-token window that occurs more than once across the corpus
     "dedup_duplicate_spans" -> ((s, dir) =>
       Dedup.duplicateSpans(docs(s, dir), "doc_id", "text", k = 8)),
+    // canonical duplicate clusters: the n-gram-Jaccard pair list closed
+    // under transitivity (large-star/small-star connected components) —
+    // cluster_id = min doc_id of each component, the keep-one-of label
+    "dedup_clusters" -> ((s, dir) =>
+      Dedup.connectedComponents(
+        Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
+          k = 3, threshold = 0.2),
+        "id_a", "id_b")),
     "dedup_embed_cosine" -> ((s, dir) =>
       Ann.cosinePairs(emb(s, dir), "vec_id", "embedding", "label", threshold = 0.35)),
 
@@ -555,6 +563,33 @@ object DataEntries {
          |  ('text_embedding_executions', 1),
          |  ('text_image_embedding_executions', 1)) AS t(stat_name, value)
          |ORDER BY stat_name""".stripMargin,
+    // transitive closure of the same jaccard pair list; cluster label =
+    // min reachable id (DuckDB's recursive CTE is the small-scale oracle
+    // for the star-contraction result)
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE sh AS (
+         |  SELECT DISTINCT doc_id, array_to_string(toks[CAST(i AS INT):CAST(i+2 AS INT)], ' ') AS shingle
+         |  FROM (SELECT doc_id, toks, unnest(generate_series(1, CAST(len(toks)-2 AS BIGINT))) AS i
+         |        FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+         |              FROM documents)
+         |        WHERE len(toks) >= 3)),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id),
+         |pr AS (
+         |  SELECT id_a, id_b FROM (
+         |    SELECT id_a, id_b, CAST(i AS DOUBLE)/(sa.sz + sb.sz - i) AS j
+         |    FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b)
+         |  WHERE j >= 0.2),
+         |edges AS (SELECT id_a AS u, id_b AS v FROM pr UNION SELECT id_b, id_a FROM pr),
+         |reach AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u)
+         |SELECT u AS doc_id, CAST(least(u, min(v)) AS BIGINT) AS cluster_id
+         |FROM reach GROUP BY u""".stripMargin,
     "dedup_minhash_lsh" -> minhashLshOracle,
     "dedup_simhash" -> simhashOracle,
     "dedup_simhash_pairs" -> simhashPairsOracle(64),

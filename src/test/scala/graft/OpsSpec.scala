@@ -354,4 +354,40 @@ class OpsSpec extends SparkSpec {
     assert(got(0).getLong(2) == 1L && got(0).getLong(1) == 3L) // 1 of 3 shingles
     assert(got(1).getLong(2) == 0L && got(1).getDouble(3) == 0.0)
   }
+
+  test("connectedComponents equals brute-force union-find on random pair graphs") {
+    def unionFind(n: Int, pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      nodes.map(x => x -> find(x)).toMap
+    }
+    // seeded random graphs: long chains (worst case for label propagation),
+    // cycles, stars, singleton pairs, and isolated cliques
+    for (seed <- Seq(7, 42, 99)) {
+      val rnd = new scala.util.Random(seed)
+      val chain = (0 until 40).map(i => (i.toLong * 3 + 1, i.toLong * 3 + 4))
+      val cycle = (0 until 10).map(i => (1000L + i, 1000L + (i + 1) % 10))
+      val random = (0 until 60).map(_ => (rnd.nextInt(50).toLong + 2000,
+        rnd.nextInt(50).toLong + 2000)).filter(p => p._1 != p._2)
+      val pairs = chain ++ cycle ++ random
+      val expected = unionFind(0, pairs)
+      val got = graft.ops.Dedup.connectedComponents(
+          pairs.toDF("id_a", "id_b"), "id_a", "id_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"seed=$seed")
+    }
+  }
+
+  test("connectedComponents handles an empty pair list") {
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(graft.ops.Dedup.connectedComponents(empty, "id_a", "id_b").count() == 0L)
+  }
 }
