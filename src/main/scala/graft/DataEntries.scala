@@ -70,6 +70,14 @@ object DataEntries {
         Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
           k = 3, threshold = 0.2),
         "id_a", "id_b")),
+    // the keep-one-of composition: corpus minus non-canonical cluster
+    // members (anti join on the duplicate ids only, never corpus text)
+    "dedup_keep_canonical" -> ((s, dir) =>
+      Dedup.keepCanonical(docs(s, dir), "doc_id",
+          Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
+            k = 3, threshold = 0.2),
+          "id_a", "id_b")
+        .select(col("doc_id"), col("n_chars"))),
     "dedup_embed_cosine" -> ((s, dir) =>
       Ann.cosinePairs(emb(s, dir), "vec_id", "embedding", "label", threshold = 0.35)),
 
@@ -566,30 +574,12 @@ object DataEntries {
     // transitive closure of the same jaccard pair list; cluster label =
     // min reachable id (DuckDB's recursive CTE is the small-scale oracle
     // for the star-contraction result)
-    "dedup_clusters" ->
-      s"""WITH RECURSIVE sh AS (
-         |  SELECT DISTINCT doc_id, array_to_string(toks[CAST(i AS INT):CAST(i+2 AS INT)], ' ') AS shingle
-         |  FROM (SELECT doc_id, toks, unnest(generate_series(1, CAST(len(toks)-2 AS BIGINT))) AS i
-         |        FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
-         |              FROM documents)
-         |        WHERE len(toks) >= 3)),
-         |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-         |inter AS (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
-         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-         |  GROUP BY a.doc_id, b.doc_id),
-         |pr AS (
-         |  SELECT id_a, id_b FROM (
-         |    SELECT id_a, id_b, CAST(i AS DOUBLE)/(sa.sz + sb.sz - i) AS j
-         |    FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b)
-         |  WHERE j >= 0.2),
-         |edges AS (SELECT id_a AS u, id_b AS v FROM pr UNION SELECT id_b, id_a FROM pr),
-         |reach AS (
-         |  SELECT u, v FROM edges
-         |  UNION
-         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u)
-         |SELECT u AS doc_id, CAST(least(u, min(v)) AS BIGINT) AS cluster_id
-         |FROM reach GROUP BY u""".stripMargin,
+    "dedup_clusters" -> s"$clustersCte\nSELECT doc_id, cluster_id FROM cl",
+    // corpus minus non-canonical members of the same clusters
+    "dedup_keep_canonical" ->
+      s"""$clustersCte
+         |SELECT doc_id, n_chars FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_id FROM cl WHERE doc_id <> cluster_id)""".stripMargin,
     "dedup_minhash_lsh" -> minhashLshOracle,
     "dedup_simhash" -> simhashOracle,
     "dedup_simhash_pairs" -> simhashPairsOracle(64),
@@ -768,6 +758,35 @@ object DataEntries {
        |bands AS (SELECT vec_id, bb.b AS band, substring(sig, bb.b*$rows + 1, $rows) AS bh
        |          FROM sig CROSS JOIN (SELECT unnest(generate_series(0, ${nBands - 1})) AS b) bb)""".stripMargin
   }
+
+  /** Transitive closure of the k=3, threshold=0.2 n-gram-Jaccard pair list;
+   *  `cl` = (doc_id, cluster_id = min reachable id) — DuckDB's recursive
+   *  CTE as the small-scale oracle for the star-contraction result. */
+  private def clustersCte: String =
+    s"""WITH RECURSIVE sh AS (
+       |  SELECT DISTINCT doc_id, array_to_string(toks[CAST(i AS INT):CAST(i+2 AS INT)], ' ') AS shingle
+       |  FROM (SELECT doc_id, toks, unnest(generate_series(1, CAST(len(toks)-2 AS BIGINT))) AS i
+       |        FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+       |              FROM documents)
+       |        WHERE len(toks) >= 3)),
+       |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id),
+       |pr AS (
+       |  SELECT id_a, id_b FROM (
+       |    SELECT id_a, id_b, CAST(i AS DOUBLE)/(sa.sz + sb.sz - i) AS j
+       |    FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b)
+       |  WHERE j >= 0.2),
+       |edges AS (SELECT id_a AS u, id_b AS v FROM pr UNION SELECT id_b, id_a FROM pr),
+       |reach AS (
+       |  SELECT u, v FROM edges
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u),
+       |cl AS (
+       |  SELECT u AS doc_id, CAST(least(u, min(v)) AS BIGINT) AS cluster_id
+       |  FROM reach GROUP BY u)""".stripMargin
 
   private def minhashLshOracle: String = {
     val sigs = (0 until 12).map(i => s"min(md5('$i:' || shingle)) AS h$i").mkString(", ")

@@ -215,8 +215,9 @@ object Dedup {
    *
    *  Algorithm: alternating large-star / small-star (Kiveris et al.,
    *  "Connected Components in MapReduce and Beyond", SoCC 2014). Each
-   *  round is pure bounded DataFrame algebra — one per-node window MIN and
-   *  a distinct per star step, edge-count-proportional shuffles, no
+   *  round is pure bounded DataFrame algebra — a map-side-combined per-node
+   *  MIN joined back plus a distinct per star step, edge-count-proportional
+   *  shuffles, no
    *  per-component state and no driver-side graph — and the edge set
    *  provably converges in O(log^2 n) rounds to stars rooted at each
    *  component's minimum. That termination bound is why this beats naive
@@ -229,12 +230,23 @@ object Dedup {
    *  are released by the ContextCleaner as the loop advances. */
   def connectedComponents(pairs: DataFrame, idA: String, idB: String,
                           maxIter: Int = 30): DataFrame = {
+    // Per-node minimum as a partially-aggregated groupBy joined back to the
+    // edges, NOT a Window.partitionBy(u): the min combines map-side (the
+    // shuffle carries one row per (node, input partition) instead of every
+    // edge), and the join back is AQE-skew-splittable, while a window
+    // partition holding a celebrity node's whole edge list is not. Star
+    // graphs with corpus-scale duplicate clusters are exactly where that
+    // hot key appears.
+    def withMin(e: DataFrame): DataFrame = {
+      val mins = e.groupBy(col("u")).agg(min(col("v")).as("nmin"))
+      e.join(mins, "u")
+    }
     // large-star: every node u connects its LARGER neighbors to
     // m = min(N(u) ∪ {u}) — long chains contract toward small ids
     def largeStar(e: DataFrame): DataFrame = {
       val both = e.union(e.select(col("v").as("u"), col("u").as("v")))
-      val w = Window.partitionBy(col("u"))
-      both.withColumn("m", least(col("u"), min(col("v")).over(w)))
+      withMin(both)
+        .withColumn("m", least(col("u"), col("nmin")))
         .where(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
         .distinct() // m <= u < v, so no self-loops survive
@@ -244,8 +256,7 @@ object Dedup {
     def smallStar(e: DataFrame): DataFrame = {
       val or = e.select(greatest(col("u"), col("v")).as("u"),
         least(col("u"), col("v")).as("v"))
-      val w = Window.partitionBy(col("u"))
-      val withM = or.withColumn("m", min(col("v")).over(w))
+      val withM = withMin(or).withColumn("m", col("nmin"))
       withM.where(col("v") =!= col("m"))
         .select(col("v").as("u"), col("m").as("v"))
         .union(withM.select(col("u"), col("m").as("v")))
@@ -279,6 +290,20 @@ object Dedup {
     edges.select(col("u").as("doc_id"), col("v").as("cluster_id"))
       .union(edges.select(col("v").as("doc_id"), col("v").as("cluster_id")))
       .distinct()
+  }
+
+  /** The keep-one-of step: drop every non-canonical cluster member
+   *  (doc_id != cluster_id under [[connectedComponents]]'s min-id labels)
+   *  from the corpus — what a training-data pipeline actually ships after
+   *  near-dup detection. The drop set is a LEFT ANTI join on doc_id: sized
+   *  by duplicates (tiny vs the corpus), so at scale it broadcasts or
+   *  shuffles only the duplicate ids, never corpus text. */
+  def keepCanonical(docs: DataFrame, id: String, pairs: DataFrame,
+                    idA: String, idB: String): DataFrame = {
+    val losers = connectedComponents(pairs, idA, idB)
+      .where(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as("__drop_id"))
+    docs.join(losers, docs(id) === col("__drop_id"), "left_anti")
   }
 
   /** 32-bit SimHash as a '0'/'1' string: bit j is the sign of the tf-weighted

@@ -386,6 +386,15 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("keepCanonical drops exactly the non-minimum cluster members") {
+    // components {1,2,3} (chain) and {10,11}; 20 is pair-free and survives
+    val corpus = Seq(1L, 2L, 3L, 10L, 11L, 20L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val kept = graft.ops.Dedup.keepCanonical(corpus, "doc_id", pairs, "id_a", "id_b")
+      .collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(1L, 10L, 20L))
+  }
+
   test("connectedComponents handles an empty pair list") {
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(graft.ops.Dedup.connectedComponents(empty, "id_a", "id_b").count() == 0L)
