@@ -323,6 +323,57 @@ object HybridEntries {
         s.read.parquet(s"$dir/documents.parquet"))
         .select(col("doc_id"), round(col("score"), 4).as("score"))
     }),
+    // regexp query (whole-term automaton, constant-score rewrite) through
+    // the DSL, gating a match ranking — "du[a-z]*" expands over the term
+    // dictionary exactly like prefix/wildcard/fuzzy
+    "dsl_regexp" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      val json =
+        """{ "query": { "bool": {
+          |    "must":   [ { "regexp": { "text": { "value": "du[a-z]*" } } } ],
+          |    "should": [ { "match": { "text": "join hash" } } ] } },
+          |  "size": 10 }""".stripMargin
+      graft.query.QueryDsl.execute(HybridSources(idx), json,
+        s.read.parquet(s"$dir/documents.parquet"))
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+    }),
+    // exists query: the field-produced-a-token universe as a scoring must
+    // clause (constant 1.0) beside a should match and a must_not exclusion
+    "bool_exists" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      graft.query.BoolQuery.topK(HybridSources(idx),
+        graft.query.BoolQuery.BoolSpec(
+          must = Seq(ExistsQ("text")), should = Seq(Lexical(A)),
+          mustNot = Seq(Lexical(Seq("dup")))), 10)
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+    }),
+    // unordered span_near proximity filter: table & hash within a width-2
+    // window in either order, match ranking on top
+    "span_near_unordered" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      val src = HybridSources(idx, positions = Some(IndexCache.positions(s, dir)))
+      graft.query.BoolQuery.topK(src,
+        graft.query.BoolQuery.BoolSpec(
+          must = Seq(SpanNearQ(Seq("table", "hash"), slop = 2, inOrder = false)),
+          should = Seq(Lexical(A))), 10)
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+    }),
+    // ordered span_near through the DSL: hash before join within slop 3
+    "dsl_span_near" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      val json =
+        """{ "query": { "bool": {
+          |    "must":   [ { "span_near": {
+          |        "clauses": [ { "span_term": { "text": "hash" } },
+          |                     { "span_term": { "text": "join" } } ],
+          |        "slop": 3, "in_order": true } } ],
+          |    "should": [ { "match": { "text": "merge sort" } } ] } },
+          |  "size": 10 }""".stripMargin
+      val src = HybridSources(idx, positions = Some(IndexCache.positions(s, dir)))
+      graft.query.QueryDsl.execute(src, json,
+        s.read.parquet(s"$dir/documents.parquet"))
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+    }),
     // prefix query (constant-score rewrite) gating, match ranking on top
     "prefix_query" -> ((s, dir) => {
       val idx = IndexCache.documents(s, dir)
@@ -888,6 +939,60 @@ object HybridEntries {
         sum(col("n_docs")).over(Window.orderBy(col("bucket"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     }),
+    // significant_terms over the matched set: JLH-scored
+    // foreground-vs-background term skew (postings pruned to the matched
+    // docs' buckets before decode — work scales with the foreground)
+    "hybrid_agg_significant_terms" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      graft.query.SignificantTerms(idx, matchedAB(idx), 10)
+    }),
+    // range bucket aggregation with explicit boundaries over the matched
+    // set (OpenSearch range agg semantics: from inclusive, to exclusive,
+    // keys in the *-to form)
+    "hybrid_agg_range" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      matchedAB(idx)
+        .join(s.read.parquet(s"$dir/documents.parquet").select("doc_id", "n_chars"), "doc_id")
+        .groupBy(
+          when(col("n_chars") < 200, "*-200")
+            .when(col("n_chars") < 500, "200-500")
+            .otherwise("500-*").as("bucket"))
+        .agg(count(lit(1)).as("n_docs"), round(avg(col("n_chars")), 4).as("avg_chars"))
+    }),
+    // filters aggregation: named predicate buckets computed in ONE pass
+    // over the matched set (a conditional sum per bucket — the reference
+    // runs each filter as a sub-collector over the same doc stream, NOT one
+    // scan per filter; same single-pass contract here)
+    "hybrid_agg_filters" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      matchedAB(idx)
+        .join(s.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "lang", "source", "n_chars"), "doc_id")
+        .agg(
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("f_en"),
+          sum(when(col("source") === "s1", 1L).otherwise(0L)).as("f_s1"),
+          sum(when(col("n_chars") >= 300, 1L).otherwise(0L)).as("f_long"))
+    }),
+    // top_hits inside a terms agg: per-source top-2 docs (n_chars desc,
+    // doc_id tiebreak) through the salted two-level TopN — per-bucket hit
+    // pages without a per-group hot partition
+    "hybrid_agg_top_hits" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      val joined = matchedAB(idx)
+        .join(s.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "source", "n_chars"), "doc_id")
+      graft.ops.TopN.perGroupRanked(joined, Seq("source"), "doc_id", 2,
+          Seq(col("n_chars").desc, col("doc_id").asc), "hit_rank")
+        .select("source", "hit_rank", "doc_id", "n_chars")
+    }),
+    // calendar-interval date_histogram (daily) over the events table's
+    // filtered set, count + avg metric per bucket — the date bucketing agg
+    // every dashboard query uses; date_trunc is a pure codegen'd column op
+    "agg_date_histogram" -> ((s, dir) =>
+      s.read.parquet(s"$dir/events.parquet")
+        .where(col("event_type") === "purchase")
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_events"), round(avg(col("value")), 4).as("avg_value"))),
     // MMR diversity rerank over the top window (reference:
     // processor/mmr/MMRNeuralQueryTransformer.java): greedy
     // lambda*rel - (1-lambda)*max-sim selection, deterministic embeddings
@@ -1045,6 +1150,53 @@ object HybridEntries {
          |  SELECT doc_id, $boost AS s
          |  FROM (SELECT DISTINCT doc_id FROM tf
          |        WHERE term IN (${termList(values)})$f))""".stripMargin
+    case RegexPattern(p, boost) =>
+      // regexp_full_match anchors the whole term, matching Lucene's (and
+      // the engine's ^(?:…)$-wrapped) whole-term semantics
+      val f = filterPred.map(x => s" AND ${x}").getOrElse("")
+      s"""sq$i AS (
+         |  SELECT doc_id, $boost AS s
+         |  FROM (SELECT DISTINCT doc_id FROM tf
+         |        WHERE regexp_full_match(term, '$p')$f))""".stripMargin
+    case ExistsQ(fld, boost) =>
+      // oracle covers the primary text field: exists = the doc produced at
+      // least one token (tf has no row otherwise); fieldIdx-backed exists
+      // is covered by the unit suite's discriminating corpus
+      require(fld == "text", s"oracle exists supports the text field, got [$fld]")
+      val f = filterPred.map(p => s" WHERE ${p}").getOrElse("")
+      s"""sq$i AS (
+         |  SELECT doc_id, $boost AS s
+         |  FROM (SELECT DISTINCT doc_id FROM tf$f))""".stripMargin
+    case SpanNearQ(ts, slop, inOrder, boost) =>
+      // one position alias per span slot over the zip-unnest token list;
+      // ordered chains strictly-increasing joins, unordered requires
+      // pairwise-distinct positions and bounds the width with
+      // greatest-least (exactly the engine's span-width rule)
+      val f = filterPred.map(p => s" AND t0.$p").getOrElse("")
+      val k = ts.size
+      val joins = ts.zipWithIndex.tail.map { case (t, j) =>
+        val ordPred =
+          if (inOrder) s"t$j.pos > t${j - 1}.pos"
+          else (0 until j).map(m => s"t$j.pos <> t$m.pos").mkString(" AND ")
+        s"JOIN tokp$i t$j ON t$j.doc_id = t0.doc_id AND t$j.term = '$t' AND $ordPred"
+      }.mkString("\n        ")
+      val width =
+        if (inOrder) s"t${k - 1}.pos - t0.pos + 1 - $k"
+        else {
+          val ps = ts.indices.map(j => s"t$j.pos").mkString(", ")
+          s"greatest($ps) - least($ps) + 1 - $k"
+        }
+      s"""tokp$i AS (
+         |  SELECT doc_id, unnest(l) AS term, unnest(range(len(l))) AS pos
+         |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+         |        FROM documents)),
+         |sq$i AS (
+         |  SELECT doc_id, $boost AS s FROM (
+         |    SELECT DISTINCT t0.doc_id
+         |    FROM tokp$i t0
+         |        $joins
+         |    WHERE t0.term = '${ts.head}'$f
+         |      AND ($width) <= $slop))""".stripMargin
     case MoreLikeThisQ(likeId, maxQ, mtf, mdf, ratio) =>
       // deterministic term selection (tf x idf desc, term asc, LIMIT) then
       // the msm-gated disjunction, source doc excluded — both stages
@@ -1698,6 +1850,20 @@ object HybridEntries {
       "dsl_wildcard" ->
         boolOracle(tokCte, must = Seq(TermPattern("s_a%")),
           should = Seq(Lexical(A)), mustNot = Nil, msm = 0),
+      "dsl_regexp" ->
+        boolOracle(tokCte, must = Seq(RegexPattern("du[a-z]*")),
+          should = Seq(Lexical(A)), mustNot = Nil, msm = 0),
+      "bool_exists" ->
+        boolOracle(tokCte, must = Seq(ExistsQ("text")),
+          should = Seq(Lexical(A)), mustNot = Seq(Lexical(Seq("dup"))), msm = 0),
+      "span_near_unordered" ->
+        boolOracle(tokCte,
+          must = Seq(SpanNearQ(Seq("table", "hash"), slop = 2, inOrder = false)),
+          should = Seq(Lexical(A)), mustNot = Nil, msm = 0),
+      "dsl_span_near" ->
+        boolOracle(tokCte,
+          must = Seq(SpanNearQ(Seq("hash", "join"), slop = 3, inOrder = true)),
+          should = Seq(Lexical(Seq("merge", "sort"))), mustNot = Nil, msm = 0),
       "dsl_constant_score" ->
         boolOracle(tokCte, must = Nil,
           should = Seq(ConstantScore(Lexical(Seq("merge")), 1.5), Lexical(A)),
@@ -1858,6 +2024,58 @@ object HybridEntries {
            |SELECT d.lang, count(*) AS n_docs
            |FROM m JOIN documents d USING (doc_id)
            |GROUP BY d.lang""".stripMargin,
+      "hybrid_agg_range" ->
+        s"""WITH $tokCte,
+           |m AS (
+           |  SELECT DISTINCT doc_id FROM tf
+           |  WHERE term IN (${termList(A)}) OR term IN (${termList(B)}))
+           |SELECT CASE WHEN d.n_chars < 200 THEN '*-200'
+           |            WHEN d.n_chars < 500 THEN '200-500'
+           |            ELSE '500-*' END AS bucket,
+           |       count(*) AS n_docs, round(avg(d.n_chars), 4) AS avg_chars
+           |FROM m JOIN documents d USING (doc_id)
+           |GROUP BY 1""".stripMargin,
+      "hybrid_agg_filters" ->
+        s"""WITH $tokCte,
+           |m AS (
+           |  SELECT DISTINCT doc_id FROM tf
+           |  WHERE term IN (${termList(A)}) OR term IN (${termList(B)}))
+           |SELECT CAST(sum(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS f_en,
+           |       CAST(sum(CASE WHEN d.source = 's1' THEN 1 ELSE 0 END) AS BIGINT) AS f_s1,
+           |       CAST(sum(CASE WHEN d.n_chars >= 300 THEN 1 ELSE 0 END) AS BIGINT) AS f_long
+           |FROM m JOIN documents d USING (doc_id)""".stripMargin,
+      "hybrid_agg_top_hits" ->
+        s"""WITH $tokCte,
+           |m AS (
+           |  SELECT DISTINCT doc_id FROM tf
+           |  WHERE term IN (${termList(A)}) OR term IN (${termList(B)})),
+           |r AS (
+           |  SELECT d.source, m.doc_id, d.n_chars,
+           |         row_number() OVER (PARTITION BY d.source
+           |                            ORDER BY d.n_chars DESC, m.doc_id) AS hit_rank
+           |  FROM m JOIN documents d USING (doc_id))
+           |SELECT source, hit_rank, doc_id, n_chars FROM r WHERE hit_rank <= 2""".stripMargin,
+      "agg_date_histogram" ->
+        s"""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, count(*) AS n_events,
+           |       round(avg(value), 4) AS avg_value
+           |FROM events WHERE event_type = 'purchase'
+           |GROUP BY 1""".stripMargin,
+      "hybrid_agg_significant_terms" ->
+        s"""WITH $tokCte,
+           |m AS (
+           |  SELECT DISTINCT doc_id FROM tf
+           |  WHERE term IN (${termList(A)}) OR term IN (${termList(B)})),
+           |fgt AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM m),
+           |fg AS (
+           |  SELECT term, count(*) AS fg_df
+           |  FROM (SELECT DISTINCT tf.term, tf.doc_id FROM tf JOIN m USING (doc_id))
+           |  GROUP BY term)
+           |SELECT term, fg_df, df AS bg_df,
+           |       round((fg_df/t - df/n) * ((fg_df/t)/(df/n)), 4) AS score
+           |FROM fg JOIN df USING (term) CROSS JOIN stats CROSS JOIN fgt
+           |WHERE fg_df/t > df/n
+           |ORDER BY (fg_df/t - df/n) * ((fg_df/t)/(df/n)) DESC, term
+           |LIMIT 10""".stripMargin,
       "search_highlight" ->
         s"""WITH $tokCte,
            |score AS (

@@ -213,6 +213,32 @@ case class IdsQ(ids: Seq[Long], boost: Double = 1.0) extends SubQuery
  *  `match`). */
 case class TermsSet(values: Seq[String], boost: Double = 1.0) extends SubQuery
 
+/** `regexp` query: constant-score multi-term over the term dictionary —
+ *  Lucene RegexpQuery under its default CONSTANT_SCORE rewrite. As in
+ *  Lucene, the pattern must match the ENTIRE term (implicit anchors).
+ *  The syntax is restricted to the core shared by Java regex and RE2
+ *  (literals, classes, grouping, alternation, `*`/`+`/`?`/`.`) so the
+ *  engine and the oracle evaluate the identical automaton. */
+case class RegexPattern(pattern: String, boost: Double = 1.0) extends SubQuery
+
+/** `exists` query: docs whose FIELD produced at least one indexed token —
+ *  Lucene FieldExistsQuery semantics (a missing / empty / all-whitespace
+ *  value indexes nothing, so it does not exist). Constant score; reads only
+ *  the field index's forward table and respects tombstones via its dl
+ *  gate. `field` = "text" for the primary index, else a
+ *  [[HybridSources.fieldIdx]] entry. */
+case class ExistsQ(field: String = "text", boost: Double = 1.0) extends SubQuery
+
+/** `span_near` over term spans, in filter context: a doc matches when one
+ *  position per term can be chosen — all positions distinct, strictly
+ *  increasing in the given order when `inOrder` — with
+ *  `(max - min + 1) - k <= slop` (Lucene's span-width rule; inOrder slop=0
+ *  over k terms is exactly the k-term phrase). Constant score: the
+ *  constant_score-wrapped span form every filter-context span query uses;
+ *  Lucene's sloppy-freq SpanScorer weighting is a documented non-goal. */
+case class SpanNearQ(terms: Seq[String], slop: Int, inOrder: Boolean,
+                     boost: Double = 1.0) extends SubQuery
+
 /** `more_like_this`: find docs similar to a stored document. Lucene's
  *  MoreLikeThis extracts the source doc's "interesting" terms — tf >=
  *  minTermFreq within the doc, df >= minDocFreq in the corpus — ranks them
@@ -435,6 +461,27 @@ object Hybrid {
         require(boost > 0, s"[boost] must be > 0, got $boost")
       case TermsSet(values, boost) =>
         require(values.nonEmpty, "terms query requires at least one value")
+        require(boost > 0, s"[boost] must be > 0, got $boost")
+      case RegexPattern(p, boost) =>
+        // portable-core syntax only: both engines compile the same automaton
+        require(p.nonEmpty && p.matches("""[a-z0-9\[\]()|*+?.^-]+"""),
+          s"regexp must be non-empty [a-z0-9] plus []()|*+?.^-, got [$p]")
+        try java.util.regex.Pattern.compile(p)
+        catch { case e: java.util.regex.PatternSyntaxException =>
+          throw new IllegalArgumentException(s"invalid regexp [$p]: ${e.getMessage}")
+        }
+        require(boost > 0, s"[boost] must be > 0, got $boost")
+      case ExistsQ(f, boost) =>
+        require(f == "text" || src.fieldIdx.contains(f),
+          s"exists field [$f] has no index — register it in HybridSources.fieldIdx")
+        require(boost > 0, s"[boost] must be > 0, got $boost")
+      case SpanNearQ(ts, slop, _, boost) =>
+        require(src.positions.nonEmpty,
+          "span_near requires HybridSources.positions (positional blocks)")
+        require(ts.size >= 2, "span_near needs at least 2 span_term clauses")
+        require(ts.forall(_.matches("[a-z0-9]+")),
+          s"span_near terms must be analyzed single tokens, got [${ts.mkString(" ")}]")
+        require(slop >= 0, s"slop must be >= 0, got $slop")
         require(boost > 0, s"[boost] must be > 0, got $boost")
       case m: MoreLikeThisQ =>
         require(src.fields.nonEmpty,
@@ -674,6 +721,19 @@ object Hybrid {
         graft.query.BoolQuery.score(src, b)
       case TermPattern(p, boost) =>
         Bm25.matchLike(src.idx, p).select($"doc_id", lit(boost).as("score"))
+      case RegexPattern(p, boost) =>
+        // same dictionary-scan shape as LIKE/fuzzy; Lucene anchors the
+        // pattern to the whole term, so wrap in ^(?:…)$ for Java's
+        // substring-matching rlike
+        Bm25.matchWhere(src.idx, $"term".rlike(s"^(?:$p)$$"))
+          .select($"doc_id", lit(boost).as("score"))
+      case ExistsQ(f, boost) =>
+        val fi = if (f == "text") src.idx else src.fieldIdx(f)
+        graft.index.InvertedIndex.existsDocIds(fi.docLens)
+          .select($"doc_id", lit(boost).as("score"))
+      case SpanNearQ(ts, slop, ord, boost) =>
+        graft.query.Phrase.spanNearMatch(src.idx, src.positions.get, ts, slop, ord)
+          .select($"doc_id", lit(boost).as("score"))
       case Fuzzy(t, f, boost) =>
         // term-dictionary scan with a codegen'd levenshtein predicate over
         // the DISTINCT (term, bucket) rows — the relational analogue of the
@@ -991,7 +1051,8 @@ object Hybrid {
       case _: Lexical | _: LexicalPhrase | _: LexicalMulti | _: LexicalMsm |
            _: MatchAll | _: BoolSub | _: TermPattern | _: ConstantScore |
            _: DisMax | _: Boosting | _: Fuzzy | _: MoreLikeThisQ |
-           _: IdsQ | _: TermsSet => ()
+           _: IdsQ | _: TermsSet | _: RegexPattern | _: ExistsQ |
+           _: SpanNearQ => ()
       case _: SparseLinear => increment("neural_sparse_query_requests")
       case _: DenseCosine | _: DenseVector | _: DenseIvf | _: DenseRadial =>
         increment("neural_query_requests")

@@ -265,6 +265,25 @@ object InvertedIndex {
     }.toDF("doc_id")
   }
 
+  /** Docs whose field produced AT LEAST ONE token — the `exists` universe.
+   *  Unlike [[liveDocIds]] (which includes rows whose value analyzed to
+   *  zero tokens — they are live for match_all), a token-less value
+   *  indexes nothing, so the field "does not exist" for it. This is the
+   *  index-derived analogue of Lucene's FieldExistsQuery; OpenSearch
+   *  additionally counts a literal empty string as existing via the stored
+   *  _field_names mapper, which has no index-side equivalent here — a
+   *  documented divergence on ""-valued fields only. */
+  def existsDocIds(docLens: Dataset[DocLenBlock]): org.apache.spark.sql.DataFrame = {
+    val spark = docLens.sparkSession
+    import spark.implicits._
+    docLens.flatMap { b =>
+      val ids = PostingCodec.decodeDeltas(b.ids, b.cnt)
+      val dls = PostingCodec.decodeInts(b.dls, b.cnt)
+      val base = b.bucket << BucketBits
+      (0 until b.cnt).iterator.filter(dls(_) > 0).map(i => base + ids(i))
+    }.toDF("doc_id")
+  }
+
   /** Per-term stats derived from posting blocks — no re-tokenize: partial
    *  aggregation over the already-compressed block rows. */
   def termStatsOf(postings: Dataset[PostingBlock]): Dataset[TermStat] = {

@@ -117,4 +117,133 @@ object Phrase {
 
     scored.toDF("doc_id", "score")
   }
+
+  /** `span_near` existence filter (see [[graft.hybrid.SpanNearQ]]): live
+   *  docs where one position per term can be chosen, all distinct, with
+   *  span width `(max - min + 1) - k <= slop`, strictly increasing when
+   *  `inOrder`. Same cogroup shape as [[score]] — shuffle proportional to
+   *  the terms' positional posting volume, never corpus size. The per-doc
+   *  check is bounded by the doc's term frequencies: ordered matching is a
+   *  greedy O(Σtf·log tf) pass (taking the smallest valid next position is
+   *  optimal — a smaller prefix end leaves a superset of completions);
+   *  unordered is a width-pruned DFS over rarest-first terms. */
+  def spanNearMatch(idx: Index, pos: Dataset[PosBlock], terms: Seq[String],
+                    slop: Int, inOrder: Boolean): DataFrame = {
+    require(terms.size >= 2, "span_near needs at least 2 terms")
+    val spark = idx.postings.sparkSession
+    import spark.implicits._
+    val uniq = terms.distinct
+    val k = terms.size
+    val termsArr = terms.toArray
+
+    val matched = pos.filter($"term".isin(uniq: _*))
+    val docLens = idx.docLens
+      .join(matched.select($"bucket").distinct().hint("broadcast"), "bucket")
+      .as[DocLenBlock]
+
+    val hits: Dataset[Long] = matched
+      .groupByKey(_.bucket)
+      .cogroup(docLens.groupByKey(_.bucket)) { (bucket, blocksIt, dlIt) =>
+        val byTerm = blocksIt.map(b => b.term -> Positions.decodeEntries(b)).toMap
+        if (uniq.exists(t => !byTerm.contains(t))) Iterator.empty
+        else {
+          val span = InvertedIndex.BucketSpan
+          val dlArr = new Array[Int](span)
+          dlIt.foreach { dlb =>
+            val ids = PostingCodec.decodeDeltas(dlb.ids, dlb.cnt)
+            val dls = PostingCodec.decodeInts(dlb.dls, dlb.cnt)
+            var i = 0
+            while (i < dlb.cnt) { dlArr(ids(i)) = dls(i); i += 1 }
+          }
+          val perTerm: Array[Array[(Int, Array[Int])]] = termsArr.map(byTerm(_))
+          val leadIdx = perTerm.indices.minBy(i => perTerm(i).length)
+          val others = perTerm.indices.filter(_ != leadIdx)
+          val lookups: Map[Int, java.util.HashMap[Integer, Array[Int]]] =
+            others.map { i =>
+              val m = new java.util.HashMap[Integer, Array[Int]]()
+              perTerm(i).foreach { case (d, ps) => m.put(d, ps) }
+              i -> m
+            }.toMap
+          val base = bucket << InvertedIndex.BucketBits
+          perTerm(leadIdx).iterator.flatMap { case (local, leadPs) =>
+            val docPs = new Array[Array[Int]](k)
+            docPs(leadIdx) = leadPs
+            var ok = true
+            others.foreach { i =>
+              val ps = lookups(i).get(local)
+              if (ps == null) ok = false else docPs(i) = ps
+            }
+            if (!ok || dlArr(local) == 0) None // dl gate: liveDocs
+            else {
+              val matchFound =
+                if (inOrder) orderedSpanExists(docPs, slop)
+                else unorderedSpanExists(docPs, slop)
+              if (matchFound) Some(base + local) else None
+            }
+          }
+        }
+      }
+
+    hits.toDF("doc_id")
+  }
+
+  /** exists p_0 < p_1 < … < p_{k-1} (one per term, sorted arrays) with
+   *  p_last - p_0 + 1 - k <= slop. For each start, greedily advance each
+   *  subsequent term to its smallest position strictly after the previous
+   *  choice: that minimizes the end for this start, so it decides
+   *  existence exactly. */
+  private def orderedSpanExists(docPs: Array[Array[Int]], slop: Int): Boolean = {
+    val k = docPs.length
+    val starts = docPs(0)
+    var s = 0
+    while (s < starts.length) {
+      var prev = starts(s)
+      var i = 1
+      var ok = true
+      while (ok && i < k) {
+        val arr = docPs(i)
+        var idx = java.util.Arrays.binarySearch(arr, prev + 1)
+        if (idx < 0) idx = -idx - 1
+        if (idx >= arr.length) ok = false
+        else { prev = arr(idx); i += 1 }
+      }
+      if (ok && prev - starts(s) + 1 - k <= slop) return true
+      s += 1
+    }
+    false
+  }
+
+  /** exists one position per term, pairwise distinct, with
+   *  max - min + 1 - k <= slop (any order). DFS over terms sorted
+   *  rarest-first; a partial choice already wider than the budget prunes
+   *  (width only grows as positions are added). Distinctness only matters
+   *  for repeated terms — two different terms never share an analyzed
+   *  position — but checking all pairs is as cheap. */
+  private def unorderedSpanExists(docPs: Array[Array[Int]], slop: Int): Boolean = {
+    val k = docPs.length
+    val order = docPs.indices.sortBy(docPs(_).length).toArray
+    val chosen = new Array[Int](k)
+    def rec(d: Int, mn: Int, mx: Int): Boolean = {
+      if (d == k) return true
+      val arr = docPs(order(d))
+      var j = 0
+      while (j < arr.length) {
+        val p = arr(j)
+        var dup = false
+        var t = 0
+        while (t < d && !dup) { if (chosen(t) == p) dup = true; t += 1 }
+        if (!dup) {
+          val nmn = if (d == 0) p else math.min(mn, p)
+          val nmx = if (d == 0) p else math.max(mx, p)
+          if (nmx - nmn + 1 - k <= slop) {
+            chosen(d) = p
+            if (rec(d + 1, nmn, nmx)) return true
+          }
+        }
+        j += 1
+      }
+      false
+    }
+    rec(0, 0, 0)
+  }
 }

@@ -282,6 +282,41 @@ object QueryDsl {
         parseSubQuery(body.path("positive"), analyzer, enricher),
         parseSubQuery(body.path("negative"), analyzer, enricher),
         body.path("negative_boost").asDouble())
+    } else if (!q.path("regexp").isMissingNode) {
+      // {"regexp": {"text": {"value": "ha[sz]h(es)?", "boost": 2.0}}} |
+      // {"regexp": {"text": "sc.*"}} — constant-score multi-term; the
+      // pattern matches the entire term (Lucene's implicit anchoring)
+      val (_, body) = firstField(q.path("regexp"))
+      val (v, boost) =
+        if (body.isObject) (body.path("value").asText(), body.path("boost").asDouble(1.0))
+        else (body.asText(), 1.0)
+      require(v.nonEmpty, "regexp requires a non-empty value")
+      graft.hybrid.RegexPattern(v, boost)
+    } else if (!q.path("exists").isMissingNode) {
+      // {"exists": {"field": "text", "boost": 1.0}}
+      val body = q.path("exists")
+      val f = body.path("field").asText("")
+      require(f.nonEmpty, "exists requires a [field]")
+      graft.hybrid.ExistsQ(f, body.path("boost").asDouble(1.0))
+    } else if (!q.path("span_near").isMissingNode) {
+      // {"span_near": {"clauses": [{"span_term": {"text": "hash"}}, ...],
+      //   "slop": 3, "in_order": true, "boost": 1.0}} — term spans only
+      //   (the span form every proximity filter uses)
+      val body = q.path("span_near")
+      val cs = body.path("clauses")
+      require(cs.isArray && cs.size() >= 2,
+        "span_near requires a [clauses] array of at least 2 span_term clauses")
+      val terms = (0 until cs.size()).map { i =>
+        val st = cs.get(i).path("span_term")
+        require(!st.isMissingNode, "span_near clauses must be span_term objects")
+        val (_, b) = firstField(st)
+        val t = if (b.isObject) b.path("value").asText() else b.asText()
+        require(t.nonEmpty, "span_term requires a non-empty value")
+        t
+      }
+      require(!body.path("slop").isMissingNode, "span_near requires [slop]")
+      graft.hybrid.SpanNearQ(terms, body.path("slop").asInt(),
+        body.path("in_order").asBoolean(false), body.path("boost").asDouble(1.0))
     } else if (!q.path("fuzzy").isMissingNode) {
       // {"fuzzy": {"text": {"value": "joim", "fuzziness": 1, "boost": 2.0}}}
       // | {"fuzzy": {"text": "joim"}} (fuzziness defaults to 1, like AUTO

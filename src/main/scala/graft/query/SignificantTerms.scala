@@ -1,0 +1,54 @@
+package graft.query
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.index.{Index, InvertedIndex, PostingCodec}
+
+/** `significant_terms` bucket aggregation: terms over-represented in the
+ *  matched (foreground) doc set relative to the whole index (background),
+ *  scored with OpenSearch's default JLH heuristic
+ *  `(fgPct - bgPct) * (fgPct / bgPct)` — positive-signal terms only, top-k
+ *  by score. The reference runs bucket aggs over the hybrid matched set via
+ *  its aggregation processor (SURVEY §2.11); this is the "what is special
+ *  about these hits" agg.
+ *
+ *  Execution shape: the postings scan is pruned to the BUCKETS containing
+ *  foreground docs BEFORE any block decode (the scorers' bucket-broadcast
+ *  idiom), so per-query work scales with the foreground's posting volume,
+ *  never the index; the per-term foreground count is a map-side-combined
+ *  aggregate, and background stats come free from the persisted termStats
+ *  table. The result feeds one TakeOrdered — no global sort. */
+object SignificantTerms {
+
+  /** @param matched DataFrame(doc_id) — the foreground (query-matched) docs.
+   *  @return (term, fg_df, bg_df, score) — top `k` by JLH score. */
+  def apply(idx: Index, matched: DataFrame, k: Int): DataFrame = {
+    val spark = idx.postings.sparkSession
+    import spark.implicits._
+    val fgTotal = matched.count().toDouble
+    require(fgTotal > 0, "significant_terms needs a non-empty foreground")
+    val buckets = matched
+      .select(shiftright(col("doc_id"), InvertedIndex.BucketBits).as("bucket"))
+      .distinct()
+    val pruned = idx.postings.join(broadcast(buckets), "bucket")
+      .select("term", "bucket", "cnt", "max_tf", "sum_tf", "docs", "tfs")
+      .as[graft.index.PostingBlock]
+    val fgPairs = pruned.flatMap { b =>
+      val base = b.bucket << InvertedIndex.BucketBits
+      val ids = PostingCodec.decodeDeltas(b.docs, b.cnt)
+      (0 until b.cnt).iterator.map(i => (b.term, base + ids(i)))
+    }.toDF("term", "doc_id")
+    val fg = fgPairs.join(matched, "doc_id")
+      .groupBy("term").agg(count(lit(1)).as("fg_df"))
+    val n = idx.stats.doc_count.toDouble
+    val fgPct = col("fg_df") / lit(fgTotal)
+    val bgPct = col("df") / lit(n)
+    fg.join(idx.termStats.select(col("term"), col("df")), "term")
+      .where(fgPct > bgPct)
+      .withColumn("jlh", (fgPct - bgPct) * (fgPct / bgPct))
+      .orderBy(col("jlh").desc, col("term").asc)
+      .limit(k)
+      .select(col("term"), col("fg_df"), col("df").as("bg_df"),
+        round(col("jlh"), 4).as("score"))
+  }
+}

@@ -266,4 +266,77 @@ class BoolQuerySpec extends SparkSpec {
         |"size": 10}""".stripMargin, docs)
     assert(ids(r) == Seq(4L))
   }
+
+  test("regexp anchors the whole term and rejects non-portable syntax") {
+    val words = InvertedIndex.build(Seq(
+      (0L, "scan hash"), (1L, "scala dup"), (2L, "duplicate join")
+    ).toDF("doc_id", "text"), "doc_id", "text")
+    val src = HybridSources(words)
+    def run(p: String) = ids(BoolQuery.topK(src,
+      BoolSpec(must = Seq(graft.hybrid.RegexPattern(p))), 10)).toSet
+    assert(run("du[a-z]*") == Set(1L, 2L))
+    // whole-term: "sca." matches scan (4 chars) but NOT scala — an
+    // unanchored engine would match scala's prefix too
+    assert(run("sca.") == Set(0L))
+    assert(run("(hash|join)") == Set(0L, 2L))
+    // invalid syntax and non-portable constructs fail at validation
+    intercept[IllegalArgumentException] {
+      BoolQuery.topK(src, BoolSpec(must = Seq(graft.hybrid.RegexPattern("(a"))), 10)
+    }
+    intercept[IllegalArgumentException] {
+      BoolQuery.topK(src, BoolSpec(must = Seq(graft.hybrid.RegexPattern("a{2}"))), 10)
+    }
+  }
+
+  test("exists matches exactly the docs whose field produced tokens") {
+    val docs = Seq((0L, "a b", "p q"), (1L, "a", ""), (2L, "c", "r"))
+      .toDF("doc_id", "text", "path")
+    val ti = InvertedIndex.build(docs, "doc_id", "text")
+    val pi = InvertedIndex.build(docs, "doc_id", "path")
+    val src = HybridSources(ti, fieldIdx = Map("path" -> pi))
+    // doc 1's path analyzed to zero tokens -> it does not exist
+    val r = BoolQuery.topK(src,
+      BoolSpec(must = Seq(graft.hybrid.ExistsQ("path"))), 10)
+    assert(ids(r).toSet == Set(0L, 2L))
+    val r2 = BoolQuery.topK(src,
+      BoolSpec(must = Seq(graft.hybrid.ExistsQ("text"))), 10)
+    assert(ids(r2).toSet == Set(0L, 1L, 2L))
+    // a field with no registered index fails fast
+    intercept[IllegalArgumentException] {
+      BoolQuery.topK(src, BoolSpec(must = Seq(graft.hybrid.ExistsQ("nope"))), 10)
+    }
+  }
+
+  test("span_near validation: positions source, term count, slop bounds") {
+    val posSrc = HybridSources(idx,
+      positions = Some(graft.index.Positions.build(
+        Seq((0L, "a b a c"), (1L, "a b"), (2L, "c d"), (3L, "d d e"),
+          (4L, "e a c")).toDF("doc_id", "text"), "doc_id", "text")))
+    intercept[IllegalArgumentException] { // no positions registered
+      BoolQuery.topK(HybridSources(idx),
+        BoolSpec(must = Seq(graft.hybrid.SpanNearQ(Seq("a", "b"), 1, inOrder = true))), 10)
+    }
+    intercept[IllegalArgumentException] { // 1 term
+      BoolQuery.topK(posSrc,
+        BoolSpec(must = Seq(graft.hybrid.SpanNearQ(Seq("a"), 1, inOrder = true))), 10)
+    }
+    intercept[IllegalArgumentException] { // negative slop
+      BoolQuery.topK(posSrc,
+        BoolSpec(must = Seq(graft.hybrid.SpanNearQ(Seq("a", "b"), -1, inOrder = true))), 10)
+    }
+    // and the DSL parse path end-to-end: ordered a..c within slop 1
+    // (doc 0 "a b a c": a@2, c@3 -> width 2 - 2 = 0 <= 1; doc 4 "e a c")
+    val r = QueryDsl.execute(posSrc,
+      """{"query":{"bool":{"must":[{"span_near":{
+        |  "clauses":[{"span_term":{"text":"a"}},{"span_term":{"text":"c"}}],
+        |  "slop":1,"in_order":true}}]}},"size":10}""".stripMargin,
+      Seq((0L, "x")).toDF("doc_id", "src"))
+    assert(ids(r).toSet == Set(0L, 4L))
+    intercept[IllegalArgumentException] { // slop is required
+      QueryDsl.parse(
+        """{"query":{"bool":{"must":[{"span_near":{
+          |  "clauses":[{"span_term":{"text":"a"}},{"span_term":{"text":"c"}}],
+          |  "in_order":true}}]}}}""".stripMargin)
+    }
+  }
 }

@@ -71,4 +71,36 @@ class PhraseSpec extends SparkSpec {
   test("a phrase containing an unindexed term matches nothing") {
     assert(Phrase.topK(idx, pos, Seq("a", "nosuchterm"), 10).count() == 0)
   }
+
+  test("spanNearMatch equals the brute-force span model") {
+    val toks = corpus.toMap.view.mapValues(_.split(" ").toSeq).toMap
+    def brute(id: Long, terms: Seq[String], slop: Int, inOrder: Boolean): Boolean = {
+      val posLists = terms.map(t =>
+        toks(id).zipWithIndex.collect { case (`t`, p) => p })
+      if (posLists.exists(_.isEmpty)) false
+      else {
+        val combos = posLists.foldLeft(Seq(Seq.empty[Int])) { (acc, l) =>
+          for (c <- acc; p <- l) yield c :+ p
+        }
+        combos.exists { c =>
+          c.distinct.size == c.size &&
+            c.max - c.min + 1 - terms.size <= slop &&
+            (!inOrder || c.zip(c.tail).forall { case (x, y) => x < y })
+        }
+      }
+    }
+    // duplicate terms, reversed order, a 3-term span, an unindexed term
+    for {
+      terms <- Seq(Seq("a", "b"), Seq("b", "a"), Seq("a", "b", "c"),
+        Seq("a", "a"), Seq("x", "a"))
+      slop <- Seq(0, 1, 3)
+      inOrder <- Seq(true, false)
+    } {
+      val got = Phrase.spanNearMatch(idx, pos, terms, slop, inOrder)
+        .collect().map(_.getLong(0)).toSet
+      val want = corpus.map(_._1)
+        .filter(id => brute(id, terms, slop, inOrder)).toSet
+      assert(got == want, s"terms=$terms slop=$slop inOrder=$inOrder got=$got want=$want")
+    }
+  }
 }
