@@ -358,6 +358,52 @@ object HybridEntries {
           should = Seq(Lexical(A))), 10)
         .select(col("doc_id"), round(col("score"), 4).as("score"))
     }),
+    // term suggester ("did you mean"): misspelled tokens -> dictionary
+    // candidates within 2 edits, (distance, df desc, term) ranked, top 3;
+    // in-dictionary tokens (merge) suggest nothing (suggest_mode missing)
+    "term_suggest" -> ((s, dir) =>
+      graft.query.Suggest.termSuggest(IndexCache.documents(s, dir),
+        "joim hsah merge", maxEdits = 2, size = 3)),
+    // query_string: the classic mini-language — grouping, AND/OR, a
+    // -prohibited flag — parsed into the nested bool algebra
+    "dsl_query_string" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      val json =
+        """{ "query": { "query_string": {
+          |    "query": "(join AND hash) OR (merge -dup)" } },
+          |  "size": 10 }""".stripMargin
+      graft.query.QueryDsl.execute(HybridSources(idx), json,
+        s.read.parquet(s"$dir/documents.parquet"))
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+    }),
+    // query_string with a field-qualified boosted term, a wildcard, and a
+    // quoted phrase — the heterogeneous-atom parse path
+    "dsl_query_string_fields" -> ((s, dir) => {
+      val json =
+        """{ "query": { "query_string": {
+          |    "query": "path:pkg7^2 sc?n \"table hash\"" } },
+          |  "size": 10 }""".stripMargin
+      val src = srcWithPath(s, dir)
+        .copy(positions = Some(IndexCache.positions(s, dir)))
+      graft.query.QueryDsl.execute(src, json,
+        s.read.parquet(s"$dir/documents.parquet"))
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+    }),
+    // match_phrase_prefix through the DSL: exact "hash" slot + an
+    // s-prefix last slot capped at 3 dictionary-order expansions
+    "dsl_phrase_prefix" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      val json =
+        """{ "query": { "bool": {
+          |    "must":   [ { "match_phrase_prefix": {
+          |        "text": { "query": "hash s", "max_expansions": 3 } } } ],
+          |    "should": [ { "match": { "text": "join" } } ] } },
+          |  "size": 10 }""".stripMargin
+      val src = HybridSources(idx, positions = Some(IndexCache.positions(s, dir)))
+      graft.query.QueryDsl.execute(src, json,
+        s.read.parquet(s"$dir/documents.parquet"))
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+    }),
     // ordered span_near through the DSL: hash before join within slop 3
     "dsl_span_near" -> ((s, dir) => {
       val idx = IndexCache.documents(s, dir)
@@ -939,6 +985,19 @@ object HybridEntries {
         sum(col("n_docs")).over(Window.orderBy(col("bucket"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     }),
+    // derivative pipeline agg chained onto the daily date_histogram:
+    // bucket-over-bucket delta (first bucket null, as the reference emits
+    // no derivative for the first bucket). The ordered window runs over the
+    // bucket table (days), never the row stream.
+    "agg_derivative" -> ((s, dir) => {
+      val hist = s.read.parquet(s"$dir/events.parquet")
+        .where(col("event_type") === "purchase")
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_events"))
+      hist.withColumn("deriv",
+        col("n_events") - lag(col("n_events"), 1)
+          .over(Window.orderBy(col("day"))))
+    }),
     // significant_terms over the matched set: JLH-scored
     // foreground-vs-background term skew (postings pruned to the matched
     // docs' buckets before decode — work scales with the foreground)
@@ -1326,6 +1385,43 @@ object HybridEntries {
          |        WHERE t0.term = '${ph.head}'$f
          |        GROUP BY t0.doc_id) ph
          |  JOIN dl USING (doc_id) CROSS JOIN stats)""".stripMargin
+    case LexicalPhrasePrefix(fixed, prefix, maxExp) =>
+      // deterministic expansion: prefix-matched dictionary terms in term
+      // order, first maxExp; weight sums idf over fixed slots + every
+      // expansion term (MultiPhraseQuery's contract); freq joins the last
+      // slot against the expansion set (one token per position, so the
+      // join cannot double-count a start)
+      val f = filterPred.map(p => s" AND t0.$p").getOrElse("")
+      val k = fixed.size
+      val joins = fixed.zipWithIndex.tail.map { case (t, j) =>
+        s"JOIN tokp$i t$j ON t$j.doc_id = t0.doc_id AND t$j.pos = t0.pos + $j AND t$j.term = '$t'"
+      }.mkString("\n        ")
+      val fixedIdf = fixed.map(t =>
+        s"(SELECT ln(1 + (stats.n - df.df + 0.5)/(df.df + 0.5)) FROM df CROSS JOIN stats WHERE df.term = '$t')")
+        .mkString(" + ")
+      s"""exp$i AS (
+         |  SELECT term, df FROM df WHERE term LIKE '$prefix%'
+         |  ORDER BY term LIMIT $maxExp),
+         |w$i AS (
+         |  SELECT ($fixedIdf)
+         |       + COALESCE(sum(ln(1 + (stats.n - exp$i.df + 0.5)/(exp$i.df + 0.5))), 0) AS w
+         |  FROM exp$i CROSS JOIN stats),
+         |tokp$i AS (
+         |  SELECT doc_id, unnest(l) AS term, unnest(range(len(l))) AS pos
+         |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+         |        FROM documents)),
+         |ph$i AS (
+         |  SELECT t0.doc_id, count(*) AS freq
+         |  FROM tokp$i t0
+         |        $joins
+         |  JOIN tokp$i tp ON tp.doc_id = t0.doc_id AND tp.pos = t0.pos + $k
+         |       AND tp.term IN (SELECT term FROM exp$i)
+         |  WHERE t0.term = '${fixed.head}'$f
+         |  GROUP BY t0.doc_id),
+         |sq$i AS (
+         |  SELECT ph.doc_id,
+         |         w$i.w * (ph.freq / (ph.freq + 1.2*(1 - 0.75 + 0.75*dl.dl/stats.avgdl))) AS s
+         |  FROM ph$i ph JOIN dl USING (doc_id) CROSS JOIN stats CROSS JOIN w$i)""".stripMargin
     case SparseLinear(query) =>
       val vals = query.toSeq.sortBy(_._1)
         .map { case (t, w) => s"('$t', $w)" }.mkString(", ")
@@ -1864,6 +1960,40 @@ object HybridEntries {
         boolOracle(tokCte,
           must = Seq(SpanNearQ(Seq("hash", "join"), slop = 3, inOrder = true)),
           should = Seq(Lexical(Seq("merge", "sort"))), mustNot = Nil, msm = 0),
+      "dsl_phrase_prefix" ->
+        boolOracle(tokCte,
+          must = Seq(LexicalPhrasePrefix(Seq("hash"), "s", maxExpansions = 3)),
+          should = Seq(Lexical(Seq("join"))), mustNot = Nil, msm = 0),
+      "term_suggest" ->
+        s"""WITH $tokCte,
+           |inp AS (SELECT * FROM (VALUES ('joim'), ('hsah'), ('merge')) t(input)),
+           |miss AS (SELECT input FROM inp WHERE input NOT IN (SELECT term FROM df)),
+           |cand AS (
+           |  SELECT miss.input, df.term AS suggestion,
+           |         levenshtein(df.term, miss.input) AS dist, df.df
+           |  FROM df, miss
+           |  WHERE abs(length(df.term) - length(miss.input)) <= 2
+           |    AND df.term <> miss.input
+           |    AND levenshtein(df.term, miss.input) <= 2),
+           |r AS (SELECT *, row_number() OVER (
+           |        PARTITION BY input ORDER BY dist, df DESC, suggestion) AS rn
+           |      FROM cand)
+           |SELECT input, suggestion, dist, df FROM r WHERE rn <= 3""".stripMargin,
+      // the parsed query_string tree, spelled out as the same nested bool
+      "dsl_query_string" ->
+        boolOracle(tokCte,
+          must = Seq(BoolSub(should = Seq(
+            BoolSub(must = Seq(Lexical(Seq("join")), Lexical(Seq("hash")))),
+            BoolSub(should = Seq(Lexical(Seq("merge"))),
+              mustNot = Seq(Lexical(Seq("dup"))))))),
+          should = Nil, mustNot = Nil, msm = 0),
+      "dsl_query_string_fields" ->
+        boolOracle(tokCte,
+          must = Seq(BoolSub(should = Seq(
+            LexicalMulti(Seq("path" -> 2.0), Seq("pkg7"), MostFields),
+            TermPattern("sc_n"),
+            LexicalPhrase(Seq("table", "hash"))))),
+          should = Nil, mustNot = Nil, msm = 0),
       "dsl_constant_score" ->
         boolOracle(tokCte, must = Nil,
           should = Seq(ConstantScore(Lexical(Seq("merge")), 1.5), Lexical(A)),
@@ -2060,6 +2190,13 @@ object HybridEntries {
            |       round(avg(value), 4) AS avg_value
            |FROM events WHERE event_type = 'purchase'
            |GROUP BY 1""".stripMargin,
+      "agg_derivative" ->
+        s"""WITH h AS (
+           |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, count(*) AS n_events
+           |  FROM events WHERE event_type = 'purchase' GROUP BY 1)
+           |SELECT day, n_events,
+           |       n_events - lag(n_events, 1) OVER (ORDER BY day) AS deriv
+           |FROM h""".stripMargin,
       "hybrid_agg_significant_terms" ->
         s"""WITH $tokCte,
            |m AS (

@@ -89,6 +89,10 @@ object PipelineEntries {
     // Gopher-style repetition quality signals (dup/top n-gram fractions),
     // computed map-only (sorted-array linear folds, no shuffle)
     "text_repetition" -> ((s, dir) => TextOps.repetition(docs(s, dir), "doc_id", "text")),
+    // CCNet-style LM-perplexity quality signal: add-one bigram LM trained
+    // on the corpus scores each doc (high ppl -> filter candidate)
+    "text_lm_perplexity" -> ((s, dir) =>
+      TextOps.bigramPerplexity(docs(s, dir), "doc_id", "text")),
     // PII redaction: the synthetic corpus carries no PII, so the entry
     // appends deterministic doc_id-derived email/IP/phone strings (the
     // oracle synthesizes identically) — the regexes are exercised for real
@@ -234,6 +238,21 @@ object PipelineEntries {
          |SELECT doc_id, round(s, 4) AS score FROM fullsc JOIN cand USING (doc_id)
          |ORDER BY s DESC, doc_id LIMIT 10""".stripMargin,
 
+    "text_lm_perplexity" ->
+      s"""WITH $tokCte,
+         |tl AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+         |       FROM documents),
+         |bg AS (
+         |  SELECT doc_id, l[CAST(i AS INT)] AS w1, l[CAST(i+1 AS INT)] AS w2
+         |  FROM (SELECT doc_id, l, unnest(generate_series(1, CAST(len(l)-1 AS BIGINT))) AS i
+         |        FROM tl WHERE len(l) >= 2)),
+         |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+         |c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+         |v AS (SELECT CAST(count(DISTINCT term) AS DOUBLE) AS v FROM tok2)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |       round(exp(avg(ln((c1 + v)/(c12 + 1.0)))), 4) AS ppl
+         |FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+         |GROUP BY doc_id""".stripMargin,
     "text_tokens" ->
       s"""SELECT doc_id,
          |  CAST(len($Toks) AS BIGINT) AS ws_tokens,

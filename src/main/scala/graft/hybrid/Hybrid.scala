@@ -213,6 +213,14 @@ case class IdsQ(ids: Seq[Long], boost: Double = 1.0) extends SubQuery
  *  `match`). */
 case class TermsSet(values: Seq[String], boost: Double = 1.0) extends SubQuery
 
+/** `match_phrase_prefix`: exact leading slots + a dictionary-expanded
+ *  prefix last slot (Lucene MatchPhrasePrefixQuery -> MultiPhraseQuery;
+ *  deterministic first-`maxExpansions`-in-term-order cap). Scored like a
+ *  phrase whose weight sums idf over fixed slots + every expansion term
+ *  (MultiPhraseQuery's one-TermStatistics-per-term contract). */
+case class LexicalPhrasePrefix(fixed: Seq[String], prefix: String,
+                               maxExpansions: Int = 50) extends SubQuery
+
 /** `regexp` query: constant-score multi-term over the term dictionary —
  *  Lucene RegexpQuery under its default CONSTANT_SCORE rewrite. As in
  *  Lucene, the pattern must match the ENTIRE term (implicit anchors).
@@ -369,6 +377,14 @@ object Hybrid {
         require(src.positions.nonEmpty,
           "match_phrase sub-query requires HybridSources.positions (positional blocks)")
         require(ph.size >= 2, "a phrase needs at least 2 terms")
+      case LexicalPhrasePrefix(fixed, prefix, maxExp) =>
+        require(src.positions.nonEmpty,
+          "match_phrase_prefix requires HybridSources.positions (positional blocks)")
+        require(fixed.nonEmpty,
+          "match_phrase_prefix needs at least one exact leading term")
+        require(prefix.nonEmpty && prefix.matches("[a-z0-9]+"),
+          s"prefix must be a non-empty analyzed token, got [$prefix]")
+        require(maxExp >= 1, s"max_expansions must be >= 1, got $maxExp")
       case _: SparseLinear => require(src.sparse.nonEmpty,
         "sparse sub-query requires HybridSources.sparse (doc_id, token, w)")
       case _: DenseCosine => require(src.emb.nonEmpty,
@@ -848,6 +864,9 @@ object Hybrid {
         // positional verification happens inside the bucket scorer; the
         // result is the unbounded matched set, like any lexical clause
         graft.query.Phrase.score(src.idx, src.positions.get, ph)
+      case LexicalPhrasePrefix(fixed, prefix, maxExp) =>
+        graft.query.Phrase.phrasePrefixScore(src.idx, src.positions.get,
+          fixed, prefix, maxExp)
       case SparseLinear(qm) =>
         Sparse.linearScore(src.sparse.get, qm)
       case DenseCosine(qid) =>
@@ -1048,7 +1067,8 @@ object Hybrid {
     if (filterDocs.nonEmpty) increment("hybrid_query_with_filter_requests")
     if (q.from > 0) increment("hybrid_query_with_pagination_requests")
     q.subQueries.foreach {
-      case _: Lexical | _: LexicalPhrase | _: LexicalMulti | _: LexicalMsm |
+      case _: Lexical | _: LexicalPhrase | _: LexicalPhrasePrefix |
+           _: LexicalMulti | _: LexicalMsm |
            _: MatchAll | _: BoolSub | _: TermPattern | _: ConstantScore |
            _: DisMax | _: Boosting | _: Fuzzy | _: MoreLikeThisQ |
            _: IdsQ | _: TermsSet | _: RegexPattern | _: ExistsQ |

@@ -148,4 +148,38 @@ object TextOps {
           frac(dupOccurrences(sortedToks), size(toks)).as("dup_token_frac")) ++
         metrics(2) ++ metrics(3): _*)
   }
+
+  /** Corpus-trained bigram-LM perplexity per doc — the CCNet-style quality
+   *  signal (an in-domain LM scores each document; high perplexity flags
+   *  boilerplate/garble for the filtering stage). Add-one-smoothed bigram
+   *  model trained on the SAME corpus it scores:
+   *  p(w2|w1) = (c(w1 w2) + 1) / (c_ctx(w1) + V), where c_ctx counts w1 as
+   *  a bigram left-context and V is the corpus vocabulary; per-doc
+   *  ppl = exp(mean over its bigrams of -ln p). Docs with < 2 tokens carry
+   *  no bigram and are excluded.
+   *
+   *  Shape: two map-side-combined count aggregates (bigram, context) + one
+   *  join of the doc's bigrams against those counts — no driver-side model
+   *  object, so the "LM" scales with the corpus like any aggregate; a real
+   *  KenLM would slot in as a broadcast scorer over the same bigram
+   *  relation. */
+  def bigramPerplexity(docs: DataFrame, id: String, text: String): DataFrame = {
+    val toks = docs.select(col(id).as("doc_id"), tokensCol(col(text)).as("t"))
+      .where(size(col("t")) >= 2)
+    val bg = toks.select(col("doc_id"),
+        explode(arrays_zip(
+          slice(col("t"), lit(1), size(col("t")) - 1).as("w1"),
+          slice(col("t"), lit(2), size(col("t")) - 1).as("w2"))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c12 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val spark = docs.sparkSession
+    val vocab = docs.select(explode(tokensCol(col(text))).as("w"))
+      .agg(countDistinct(col("w"))).head.getLong(0).toDouble
+    bg.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        avg(log((col("c1") + lit(vocab)) / (col("c12") + lit(1.0)))).as("nll"))
+      .select(col("doc_id"), col("n_bigrams"), round(exp(col("nll")), 4).as("ppl"))
+  }
 }

@@ -118,6 +118,123 @@ object Phrase {
     scored.toDF("doc_id", "score")
   }
 
+  /** `match_phrase_prefix`: the phrase's last slot is a PREFIX expanded
+   *  against the term dictionary — Lucene's MatchPhrasePrefixQuery rewritten
+   *  to a MultiPhraseQuery. Expansion is deterministic: terms matching the
+   *  prefix in dictionary order, capped at `maxExpansions` (Lucene's
+   *  default 50, first-50-in-term-order cap). Semantics follow
+   *  MultiPhraseQuery's weight: ONE TermStatistics per term — idf summed
+   *  over the fixed slots plus EVERY expansion term — and freq counts start
+   *  positions where the fixed slots are consecutive and ANY expansion
+   *  occupies the last slot. A phrase whose fixed slots contain an
+   *  unindexed term, or whose prefix expands to nothing, matches nothing.
+   *
+   *  @param fixed the phrase's exact leading terms (>= 1)
+   *  @param prefix the last slot's prefix */
+  def phrasePrefixScore(idx: Index, pos: Dataset[PosBlock], fixed: Seq[String],
+                        prefix: String, maxExpansions: Int = 50): DataFrame = {
+    require(fixed.nonEmpty, "match_phrase_prefix needs at least one exact leading term")
+    require(prefix.nonEmpty && prefix.matches("[a-z0-9]+"),
+      s"prefix must be a non-empty analyzed token, got [$prefix]")
+    require(maxExpansions >= 1, s"max_expansions must be >= 1, got $maxExpansions")
+    val spark = idx.postings.sparkSession
+    import spark.implicits._
+
+    // bounded driver fetch: <= maxExpansions dictionary rows
+    val expansions: Seq[(String, Long)] = idx.termStats
+      .filter($"term".startsWith(prefix))
+      .select($"term", $"df").orderBy($"term".asc).limit(maxExpansions)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val uniqFixed = fixed.distinct
+    val dfMap: Map[String, Long] = idx.termStats
+      .filter($"term".isin(uniqFixed: _*)).collect().map(t => t.term -> t.df).toMap
+    if (expansions.isEmpty || uniqFixed.exists(t => !dfMap.contains(t)))
+      return spark.emptyDataset[(Long, Double)].toDF("doc_id", "score")
+    val n = idx.stats.doc_count
+    val avgdl = idx.stats.avgdl
+    // MultiPhraseQuery feeds the Similarity one TermStatistics per term:
+    // fixed slots per occurrence + every expansion term once
+    val w = fixed.foldLeft(0.0)((acc, t) => acc + Bm25.idf(dfMap(t), n)) +
+      expansions.foldLeft(0.0)((acc, e) => acc + Bm25.idf(e._2, n))
+    val expSet = expansions.map(_._1).toSet
+    val k = fixed.size // slot index of the prefix = k
+    val fixedArr = fixed.toArray
+    val allTerms = (uniqFixed ++ expSet).distinct
+
+    val matched = pos.filter($"term".isin(allTerms: _*))
+    val docLens = idx.docLens
+      .join(matched.select($"bucket").distinct().hint("broadcast"), "bucket")
+      .as[DocLenBlock]
+
+    val scored: Dataset[(Long, Double)] = matched
+      .groupByKey(_.bucket)
+      .cogroup(docLens.groupByKey(_.bucket)) { (bucket, blocksIt, dlIt) =>
+        val byTerm = blocksIt.map(b => b.term -> Positions.decodeEntries(b)).toMap
+        if (fixedArr.exists(t => !byTerm.contains(t))) Iterator.empty
+        else {
+          val span = InvertedIndex.BucketSpan
+          val dlArr = new Array[Int](span)
+          dlIt.foreach { dlb =>
+            val ids = PostingCodec.decodeDeltas(dlb.ids, dlb.cnt)
+            val dls = PostingCodec.decodeInts(dlb.dls, dlb.cnt)
+            var i = 0
+            while (i < dlb.cnt) { dlArr(ids(i)) = dls(i); i += 1 }
+          }
+          val perFixed: Array[Array[(Int, Array[Int])]] = fixedArr.map(byTerm(_))
+          // union of the expansion terms' positions per local doc — the
+          // MultiPhraseQuery "any synonym at this slot" position set
+          val expPos = new java.util.HashMap[Integer, java.util.TreeSet[Integer]]()
+          expSet.foreach { t =>
+            byTerm.get(t).foreach(_.foreach { case (d, ps) =>
+              var set = expPos.get(d)
+              if (set == null) { set = new java.util.TreeSet[Integer](); expPos.put(d, set) }
+              ps.foreach(p => set.add(p))
+            })
+          }
+          val others = (1 until k).toArray
+          val lookups: Map[Int, java.util.HashMap[Integer, Array[Int]]] =
+            others.map { i =>
+              val m = new java.util.HashMap[Integer, Array[Int]]()
+              perFixed(i).foreach { case (d, ps) => m.put(d, ps) }
+              i -> m
+            }.toMap
+          val base = bucket << InvertedIndex.BucketBits
+          perFixed(0).iterator.flatMap { case (local, leadPs) =>
+            val exp = expPos.get(local)
+            val docPs = new Array[Array[Int]](k)
+            docPs(0) = leadPs
+            var ok = exp != null
+            var i = 0
+            while (ok && i < others.length) {
+              val ps = lookups(others(i)).get(local)
+              if (ps == null) ok = false else docPs(others(i)) = ps
+              i += 1
+            }
+            if (!ok || dlArr(local) == 0) None
+            else {
+              var freq = 0
+              val starts = docPs(0)
+              var s = 0
+              while (s < starts.length) {
+                val p = starts(s)
+                var j = 1
+                var hit = true
+                while (hit && j < k) {
+                  hit = java.util.Arrays.binarySearch(docPs(j), p + j) >= 0
+                  j += 1
+                }
+                if (hit && exp.contains(p + k)) freq += 1
+                s += 1
+              }
+              if (freq == 0) None
+              else Some((base + local, w * Bm25.tfNorm(freq, dlArr(local), avgdl)))
+            }
+          }
+        }
+      }
+    scored.toDF("doc_id", "score")
+  }
+
   /** `span_near` existence filter (see [[graft.hybrid.SpanNearQ]]): live
    *  docs where one position per term can be chosen, all distinct, with
    *  span width `(max - min + 1) - k <= slop`, strictly increasing when

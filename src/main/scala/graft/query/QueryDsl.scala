@@ -282,6 +282,30 @@ object QueryDsl {
         parseSubQuery(body.path("positive"), analyzer, enricher),
         parseSubQuery(body.path("negative"), analyzer, enricher),
         body.path("negative_boost").asDouble())
+    } else if (!q.path("query_string").isMissingNode) {
+      // {"query_string": {"query": "(join AND hash) OR path:pkg7^2 -dup",
+      //   "default_operator": "OR"}} — the classic Lucene mini-language:
+      //   AND/OR/NOT (and &&/||), parentheses, +must/-must_not flags,
+      //   field:term, "phrases", trailing ^boost, * ? wildcards.
+      val body = q.path("query_string")
+      val text = if (body.isObject) body.path("query").asText("") else body.asText("")
+      require(text.nonEmpty, "query_string requires a non-empty [query]")
+      val defOp = body.path("default_operator").asText("OR").toUpperCase
+      require(defOp == "OR" || defOp == "AND",
+        s"default_operator must be OR|AND, got [$defOp]")
+      parseQueryString(text, defaultAnd = defOp == "AND", analyzer)
+    } else if (!q.path("match_phrase_prefix").isMissingNode) {
+      // {"match_phrase_prefix": {"text": {"query": "merge so",
+      //   "max_expansions": 50}}} | {"match_phrase_prefix": {"text": "..."}}
+      // — last analyzed token is the prefix, the rest are exact slots
+      val (_, body) = firstField(q.path("match_phrase_prefix"))
+      val (text, maxExp) =
+        if (body.isObject) (body.path("query").asText(), body.path("max_expansions").asInt(50))
+        else (body.asText(), 50)
+      val toks = Analyzer.analyze(analyzer)(text).toSeq
+      require(toks.size >= 2,
+        "match_phrase_prefix needs at least 2 analyzed tokens (exact slots + prefix)")
+      graft.hybrid.LexicalPhrasePrefix(toks.init, toks.last, maxExp)
     } else if (!q.path("regexp").isMissingNode) {
       // {"regexp": {"text": {"value": "ha[sz]h(es)?", "boost": 2.0}}} |
       // {"regexp": {"text": "sc.*"}} — constant-score multi-term; the
@@ -660,6 +684,162 @@ object QueryDsl {
   def execute(idx: Index, json: String, spark: SparkSession, docs: => DataFrame): DataFrame =
     execute(HybridSources(idx, sparse = Some(Sparse.encode(idx)), fields = Some(docs)),
       json, docs)
+
+  // ---- query_string: the classic Lucene mini-language --------------------
+  // Grammar (precedence tightest-first): NOT/- / + flags bind to the next
+  // atom or group; AND (or &&) chains; OR (or ||) chains; adjacency inserts
+  // the default operator. Occur flags map exactly onto BooleanQuery
+  // construction: at any level, '+'-flagged operands become must,
+  // '-'/NOT-flagged become must_not, bare OR-operands should (msm follows
+  // BoolSub's documented default: 1 when should-only), bare AND-operands
+  // must. Atoms: [field:]term[^boost], "phrase"[^boost], wildcard terms with
+  // * ? (text field only, constant-score rewrite — the same TermPattern as
+  // the wildcard query).
+  private sealed trait QsTok
+  private case object QsLP extends QsTok
+  private case object QsRP extends QsTok
+  private case object QsAnd extends QsTok
+  private case object QsOr extends QsTok
+  private case object QsNot extends QsTok
+  private case object QsPlus extends QsTok
+  private case class QsAtom(field: Option[String], body: String,
+                            quoted: Boolean, boost: Double) extends QsTok
+
+  private[graft] def parseQueryString(input: String, defaultAnd: Boolean,
+                                      analyzer: String): SubQuery = {
+    val pat = java.util.regex.Pattern.compile(
+      """\(|\)|&&|\|\||"([^"]*)"(\^[0-9.]+)?|[^\s()"]+""")
+    val m = pat.matcher(input)
+    val raw = scala.collection.mutable.ArrayBuffer.empty[QsTok]
+    while (m.find()) {
+      m.group() match {
+        case "("  => raw += QsLP
+        case ")"  => raw += QsRP
+        case "&&" => raw += QsAnd
+        case "||" => raw += QsOr
+        case _ if m.group(1) != null =>
+          val b = Option(m.group(2)).map(_.drop(1).toDouble).getOrElse(1.0)
+          raw += QsAtom(None, m.group(1), quoted = true, b)
+        case "AND" => raw += QsAnd
+        case "OR"  => raw += QsOr
+        case "NOT" => raw += QsNot
+        case w =>
+          var rest = w
+          if (rest.startsWith("+")) { raw += QsPlus; rest = rest.drop(1) }
+          else if (rest.startsWith("-")) { raw += QsNot; rest = rest.drop(1) }
+          require(rest.nonEmpty, s"dangling occur flag in query_string: [$w]")
+          val (bodyAndField, boost) = rest.lastIndexOf('^') match {
+            case -1 => (rest, 1.0)
+            case ix =>
+              val bs = rest.substring(ix + 1)
+              require(bs.nonEmpty && bs.matches("[0-9.]+"),
+                s"invalid boost in query_string term [$rest]")
+              (rest.substring(0, ix), bs.toDouble)
+          }
+          val (field, body) = bodyAndField.indexOf(':') match {
+            case -1 => (None, bodyAndField)
+            case ix => (Some(bodyAndField.substring(0, ix)), bodyAndField.substring(ix + 1))
+          }
+          require(body.nonEmpty, s"empty term in query_string: [$w]")
+          raw += QsAtom(field, body, quoted = false, boost)
+      }
+    }
+    require(raw.nonEmpty, "query_string parsed no tokens")
+    // adjacency -> the default operator (between an operand end and the
+    // next operand start)
+    val toks = scala.collection.mutable.ArrayBuffer.empty[QsTok]
+    raw.foreach { t =>
+      val opEnd = toks.lastOption.exists {
+        case _: QsAtom | QsRP => true
+        case _                => false
+      }
+      val opStart = t match {
+        case _: QsAtom | QsLP | QsNot | QsPlus => true
+        case _                                 => false
+      }
+      if (opEnd && opStart) toks += (if (defaultAnd) QsAnd else QsOr)
+      toks += t
+    }
+
+    var pos = 0
+    def peek: Option[QsTok] = if (pos < toks.size) Some(toks(pos)) else None
+    def next(): QsTok = { val t = toks(pos); pos += 1; t }
+
+    sealed trait Flag
+    case object FMust extends Flag; case object FNot extends Flag
+    case object FBare extends Flag
+
+    def atomToClause(a: QsAtom): SubQuery = {
+      if (a.quoted) {
+        val ts = Analyzer.analyze(analyzer)(a.body).toSeq
+        require(ts.nonEmpty, s"query_string phrase analyzed to nothing: [${a.body}]")
+        if (ts.size >= 2) {
+          // LexicalPhrase carries no boost — reject rather than silently drop
+          require(a.boost == 1.0, "query_string phrase boost is not supported")
+          graft.hybrid.LexicalPhrase(ts)
+        }
+        else Lexical(ts, if (a.boost == 1.0) Map.empty else ts.map(_ -> a.boost).toMap)
+      } else if (a.body.exists(c => c == '*' || c == '?')) {
+        require(a.field.isEmpty,
+          s"query_string wildcard terms are text-field only, got [${a.field.get}:${a.body}]")
+        require(a.body.matches("[a-z0-9*?]+"),
+          s"wildcard term must be [a-z0-9] plus * ?, got [${a.body}]")
+        graft.hybrid.TermPattern(a.body.replace('*', '%').replace('?', '_'), a.boost)
+      } else {
+        val ts = Analyzer.analyze(analyzer)(a.body).toSeq
+        require(ts.nonEmpty, s"query_string term analyzed to nothing: [${a.body}]")
+        a.field match {
+          case None | Some("text") =>
+            Lexical(ts, if (a.boost == 1.0) Map.empty else ts.map(_ -> a.boost).toMap)
+          case Some(f) =>
+            graft.hybrid.LexicalMulti(Seq(f -> a.boost), ts, graft.hybrid.MostFields)
+        }
+      }
+    }
+
+    def parseUnary(): (Flag, SubQuery) = peek match {
+      case Some(QsNot)  => next(); val (f, c) = parseUnary()
+        require(f == FBare, "query_string: conflicting occur flags"); (FNot, c)
+      case Some(QsPlus) => next(); val (f, c) = parseUnary()
+        require(f == FBare, "query_string: conflicting occur flags"); (FMust, c)
+      case Some(QsLP) =>
+        next()
+        val inner = parseOr()
+        require(peek.contains(QsRP), "query_string: unbalanced parentheses")
+        next()
+        (FBare, inner)
+      case Some(a: QsAtom) => next(); (FBare, atomToClause(a))
+      case other => throw new IllegalArgumentException(
+        s"query_string: expected a term or group, got $other")
+    }
+
+    def build(ops: Seq[(Flag, SubQuery)], bareIsMust: Boolean): SubQuery = {
+      val must = ops.collect { case (FMust, c) => c } ++
+        (if (bareIsMust) ops.collect { case (FBare, c) => c } else Nil)
+      val should = if (bareIsMust) Nil else ops.collect { case (FBare, c) => c }
+      val mustNot = ops.collect { case (FNot, c) => c }
+      if (must.size == 1 && should.isEmpty && mustNot.isEmpty) must.head
+      else graft.hybrid.BoolSub(must, should, mustNot)
+    }
+
+    def parseAnd(): (Flag, SubQuery) = {
+      val ops = scala.collection.mutable.ArrayBuffer(parseUnary())
+      while (peek.contains(QsAnd)) { next(); ops += parseUnary() }
+      if (ops.size == 1) ops.head
+      else (FBare, build(ops.toSeq, bareIsMust = true))
+    }
+
+    def parseOr(): SubQuery = {
+      val ops = scala.collection.mutable.ArrayBuffer(parseAnd())
+      while (peek.contains(QsOr)) { next(); ops += parseAnd() }
+      if (ops.size == 1 && ops.head._1 == FBare) ops.head._2
+      else build(ops.toSeq, bareIsMust = false)
+    }
+
+    val result = parseOr()
+    require(pos == toks.size, "query_string: unbalanced parentheses")
+    result
+  }
 
   private def firstField(n: JsonNode): (String, JsonNode) = {
     val it = n.fields()

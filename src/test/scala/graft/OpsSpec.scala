@@ -395,6 +395,36 @@ class OpsSpec extends SparkSpec {
     assert(kept.toSeq == Seq(1L, 10L, 20L))
   }
 
+  test("bigramPerplexity matches the hand-computed add-one bigram model") {
+    // corpus: d0 = "a b a" (bigrams ab, ba), d1 = "b b" (bigram bb),
+    // d2 = "x" (no bigram, but "x" counts in the vocabulary -> V = 3)
+    // contexts: c1(a)=1, c1(b)=2; bigram counts all 1
+    // d0: ppl = exp(avg(ln(4/2), ln(5/2))) = sqrt(10)/sqrt(2) = sqrt(5)
+    // d1: ppl = (2+3)/(1+1) = 2.5
+    val docs = Seq((0L, "a b a"), (1L, "b b"), (2L, "x")).toDF("doc_id", "text")
+    val got = graft.ops.TextOps.bigramPerplexity(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet == Set(0L, 1L)) // the 1-token doc carries no bigram
+    assert(got(0L) == ((2L, BigDecimal(math.sqrt(5.0))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    assert(got(1L) == ((1L, 2.5)))
+  }
+
+  test("termSuggest ranks by (distance, df desc, term) and skips in-dictionary tokens") {
+    import graft.index.InvertedIndex
+    val idx = InvertedIndex.build(Seq(
+      (0L, "scan hash scan"), (1L, "span hash"), (2L, "scat")
+    ).toDF("doc_id", "text"), "doc_id", "text")
+    val got = graft.query.Suggest.termSuggest(idx, "scam hash", maxEdits = 1, size = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSeq
+    // "hash" is in the dictionary -> no suggestions; "scam" -> scan/scat/span
+    // all at distance 1, ranked df desc (scan df=2) then term asc (scat)
+    assert(got == Seq(("scam", "scan", 1), ("scam", "scat", 1)))
+    intercept[IllegalArgumentException] {
+      graft.query.Suggest.termSuggest(idx, "scam", maxEdits = 3)
+    }
+  }
+
   test("connectedComponents handles an empty pair list") {
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(graft.ops.Dedup.connectedComponents(empty, "id_a", "id_b").count() == 0L)

@@ -72,6 +72,38 @@ class PhraseSpec extends SparkSpec {
     assert(Phrase.topK(idx, pos, Seq("a", "nosuchterm"), 10).count() == 0)
   }
 
+  test("match_phrase_prefix: deterministic expansion, MultiPhraseQuery weight, cap order") {
+    val c = Seq(
+      (0L, "go alpha x"),         // go + alpha
+      (1L, "go alert"),           // go + alert
+      (2L, "go beta"),            // prefix mismatch
+      (3L, "alpha go"),           // wrong order
+      (4L, "go alpha go alert"))  // freq 2 across two expansions
+    val f = c.toDF("doc_id", "text")
+    val i2 = InvertedIndex.build(f, "doc_id", "text")
+    val p2 = Positions.build(f, "doc_id", "text")
+    val got = Phrase.phrasePrefixScore(i2, p2, Seq("go"), "al").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val n = 5L
+    val avgdl = (3 + 2 + 2 + 2 + 4) / 5.0
+    def df(t: String) = c.count(_._2.split(" ").contains(t)).toLong
+    // one TermStatistics per term: go + BOTH expansions (alert, alpha)
+    val w = Bm25.idf(df("go"), n) + Bm25.idf(df("alert"), n) + Bm25.idf(df("alpha"), n)
+    val expected = Map(
+      0L -> w * Bm25.tfNorm(1, 3, avgdl),
+      1L -> w * Bm25.tfNorm(1, 2, avgdl),
+      4L -> w * Bm25.tfNorm(2, 4, avgdl))
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (d, s) => assert(math.abs(got(d) - s) < 1e-9, s"doc $d") }
+    // max_expansions keeps the FIRST dictionary-order term: "alert"
+    val capped = Phrase.phrasePrefixScore(i2, p2, Seq("go"), "al", maxExpansions = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(capped == Set(1L, 4L))
+    // unmatched prefix / unindexed fixed term -> empty
+    assert(Phrase.phrasePrefixScore(i2, p2, Seq("go"), "zz").count() == 0)
+    assert(Phrase.phrasePrefixScore(i2, p2, Seq("nosuch"), "al").count() == 0)
+  }
+
   test("spanNearMatch equals the brute-force span model") {
     val toks = corpus.toMap.view.mapValues(_.split(" ").toSeq).toMap
     def brute(id: Long, terms: Seq[String], slop: Int, inOrder: Boolean): Boolean = {

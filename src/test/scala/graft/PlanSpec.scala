@@ -160,4 +160,27 @@ class PlanSpec extends SparkSpec {
       .queryExecution.optimizedPlan.toString
     assert(lp.contains("LeftSemi"), lp.take(3000))
   }
+
+  test("significant_terms prunes postings by broadcast bucket join and ends in TakeOrdered") {
+    val matched = Bm25.scoreTerms(idx, Seq("dup")).select("doc_id")
+    val p = plan(graft.query.SignificantTerms(idx, matched, 10))
+    // the matched docs' buckets broadcast INTO the postings scan — the
+    // foreground decode must never be a full-index pass
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+  }
+
+  test("span_near matched set stays a cogroup over pruned positional blocks — no Window, no global sort") {
+    val pos = graft.index.Positions.build(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
+      "doc_id", "text")
+    val p = plan(graft.query.Phrase.spanNearMatch(
+      idx, pos, Seq("table", "hash"), slop = 2, inOrder = false))
+    assert(p.contains("CoGroup"), p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+    // partition-local sorts feed the cogroup; a GLOBAL sort would show as a
+    // range-partitioned exchange
+    assert(!p.contains("rangepartitioning"), p.take(3000))
+  }
 }

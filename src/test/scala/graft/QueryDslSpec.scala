@@ -380,6 +380,40 @@ class QueryDslSpec extends SparkSpec {
     }
   }
 
+  test("query_string parses the classic mini-language into the bool algebra") {
+    import graft.hybrid._
+    def p(s: String, and: Boolean = false) =
+      QueryDsl.parseQueryString(s, defaultAnd = and, graft.analysis.Analyzer.Simple)
+    assert(p("(join AND hash) OR (merge -dup)") == BoolSub(should = Seq(
+      BoolSub(must = Seq(Lexical(Seq("join")), Lexical(Seq("hash")))),
+      BoolSub(should = Seq(Lexical(Seq("merge"))),
+        mustNot = Seq(Lexical(Seq("dup")))))))
+    // adjacency takes the default operator
+    assert(p("merge dup", and = true) ==
+      BoolSub(must = Seq(Lexical(Seq("merge")), Lexical(Seq("dup")))))
+    assert(p("merge dup") ==
+      BoolSub(should = Seq(Lexical(Seq("merge")), Lexical(Seq("dup")))))
+    // occur flags at the OR level: + must, - must_not, bare should
+    assert(p("+join hash -dup") == BoolSub(
+      must = Seq(Lexical(Seq("join"))),
+      should = Seq(Lexical(Seq("hash"))),
+      mustNot = Seq(Lexical(Seq("dup")))))
+    // field:term^boost, wildcard, quoted phrase
+    assert(p("path:pkg7^2 sc?n \"table hash\"") == BoolSub(should = Seq(
+      LexicalMulti(Seq("path" -> 2.0), Seq("pkg7"), MostFields),
+      TermPattern("sc_n", 1.0),
+      LexicalPhrase(Seq("table", "hash")))))
+    // a single bare term stays a plain leaf
+    assert(p("join") == Lexical(Seq("join")))
+    // NOT chains to the next atom; && / || are operator synonyms
+    assert(p("join && NOT dup") == BoolSub(
+      must = Seq(Lexical(Seq("join"))), mustNot = Seq(Lexical(Seq("dup")))))
+    intercept[IllegalArgumentException](p("(join OR hash"))
+    intercept[IllegalArgumentException](p("NOT +join"))
+    intercept[IllegalArgumentException](p("\"table hash\"^2"))
+    intercept[IllegalArgumentException](p(""))
+  }
+
   test("malformed requests are rejected") {
     intercept[IllegalArgumentException](QueryDsl.parse("""{"query":{}}"""))
     intercept[IllegalArgumentException](
