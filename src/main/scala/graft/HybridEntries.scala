@@ -934,6 +934,32 @@ object HybridEntries {
       graft.ops.Highlight.matchedTerms(hits,
         s.read.parquet(s"$dir/documents.parquet"), "text", B, window = 3)
     }),
+    // highlight terms extracted from the parsed query tree (reference:
+    // highlight/single/extractor/QueryTextExtractorRegistry.java): the match
+    // clause and the bool's non-prohibited clauses contribute text, must_not
+    // is skipped, the match_phrase has no registered extractor and
+    // contributes nothing, hybrid texts are de-duplicated — the extracted
+    // text then drives the highlighter over the query's own top-k hits
+    "dsl_highlight" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      val json =
+        """{ "query": { "hybrid": {
+          |    "queries": [ { "match": { "text": "merge sort" } },
+          |                 { "bool": { "must": [ { "match": { "text": "join" } } ],
+          |                             "must_not": [ { "match": { "text": "window" } } ] } },
+          |                 { "match_phrase": { "text": { "query": "table hash" } } } ],
+          |    "pagination_depth": 50 } },
+          |  "size": 10,
+          |  "search_pipeline": {
+          |    "normalization": { "technique": "min_max" },
+          |    "combination":   { "technique": "arithmetic_mean" } } }""".stripMargin
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val src = HybridSources(idx, positions = Some(IndexCache.positions(s, dir)))
+      val hits = graft.query.QueryDsl.execute(src, json, docs)
+      val terms = graft.query.QueryText.highlightTerms(
+        graft.query.QueryDsl.parse(json, idx.analyzer).query, "text")
+      graft.ops.Highlight.matchedTerms(hits, docs, "text", terms, window = 3)
+    }),
     // by-field rerank: _score replaced by a stored numeric field, old score kept
     "rerank_by_field" -> ((s, dir) => {
       val idx = IndexCache.documents(s, dir)
@@ -2233,6 +2259,33 @@ object HybridEntries {
            |           x -> CASE WHEN x = term THEN '<em>' || x || '</em>' ELSE x END),
            |         ' ') AS snippet
            |FROM m WHERE pos > 0""".stripMargin,
+      // the hybrid query's own top-10 (match + bool-with-must_not + phrase,
+      // min_max/arithmetic) highlighted with the EXTRACTED terms: 'merge
+      // sort' from the match, 'join' from the bool's must ('window' is
+      // prohibited and skipped), nothing from the phrase (no registered
+      // extractor) — the inlined term list IS the extraction oracle
+      "dsl_highlight" -> {
+        val hybrid = hybridOracle(tokCte,
+          Seq(Lexical(Seq("merge", "sort")),
+            BoolSub(must = Seq(Lexical(Seq("join"))),
+              mustNot = Seq(Lexical(Seq("window")))),
+            LexicalPhrase(Seq("table", "hash"))),
+          MinMaxNormTech(), Combination(Combine.Arithmetic))
+        val hl = Seq("merge", "sort", "join")
+        s"""WITH topd AS (SELECT doc_id FROM ($hybrid)),
+           |tks AS (SELECT d.doc_id, string_split(d.text, ' ') AS toks
+           |        FROM documents d JOIN topd USING (doc_id)),
+           |m AS (
+           |  SELECT doc_id, toks, t.term,
+           |         CAST(coalesce(list_position(toks, t.term), 0) AS BIGINT) AS pos
+           |  FROM tks CROSS JOIN (SELECT unnest(ARRAY[${termList(hl)}]) AS term) t)
+           |SELECT doc_id, term, pos,
+           |       array_to_string(
+           |         list_transform(toks[CAST(greatest(pos - 3, 1) AS INT):CAST(pos + 3 AS INT)],
+           |           x -> CASE WHEN x = term THEN '<em>' || x || '</em>' ELSE x END),
+           |         ' ') AS snippet
+           |FROM m WHERE pos > 0""".stripMargin
+      },
       "rerank_by_field" ->
         s"""WITH $tokCte,
            |sc AS (

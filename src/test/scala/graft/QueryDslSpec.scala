@@ -414,6 +414,50 @@ class QueryDslSpec extends SparkSpec {
     intercept[IllegalArgumentException](p(""))
   }
 
+  test("query-text extraction: registry semantics over the parsed tree " +
+    "(QueryTextExtractorRegistry)") {
+    import graft.query.QueryText
+    val parsed = QueryDsl.parse(
+      """{ "query": { "hybrid": {
+        |    "queries": [ { "match": { "text": "merge sort" } },
+        |                 { "bool": { "must": [ { "match": { "text": "join" } } ],
+        |                             "must_not": [ { "match": { "text": "window" } } ] } },
+        |                 { "match_phrase": { "text": { "query": "table hash" } } } ] } },
+        |  "size": 10 }""".stripMargin)
+    // match contributes its terms; the bool skips the prohibited clause;
+    // the phrase has no registered extractor and contributes nothing
+    assert(QueryText.extractHybrid(parsed.query, "text") == "merge sort join")
+    assert(QueryText.highlightTerms(parsed.query, "text") ==
+      Seq("merge", "sort", "join"))
+
+    // term field check: a different highlighted field drops lexical text
+    assert(QueryText.extractHybrid(parsed.query, "title") == "")
+
+    // hybrid de-dup: identical sub-query texts join once (reference uses a
+    // set; first-seen order keeps it deterministic here)
+    val dup = QueryDsl.parse(
+      """{ "query": { "hybrid": {
+        |    "queries": [ { "match": { "text": "merge sort" } },
+        |                 { "match": { "text": "merge sort" } } ] } } }""".stripMargin)
+    assert(QueryText.extractHybrid(dup.query, "text") == "merge sort")
+
+    // multi_match: most_fields (BooleanQuery shape) contributes on a
+    // matching field; best_fields (DisMax — unregistered) never does
+    val most = HybridQuery(Seq(
+      LexicalMulti(Seq("title" -> 1.0, "text" -> 1.0), Seq("scan"), MostFields)))
+    assert(QueryText.extractHybrid(most, "title") == "scan")
+    val best = HybridQuery(Seq(
+      LexicalMulti(Seq("title" -> 1.0), Seq("scan"), BestFields())))
+    assert(QueryText.extractHybrid(best, "title") == "")
+
+    // nested bool recursion + neural original-text passthrough
+    val nested = HybridQuery(Seq(BoolSub(
+      must = Seq(BoolSub(should = Seq(Lexical(Seq("hash"))),
+        mustNot = Seq(Lexical(Seq("dup"))))),
+      should = Seq(SemanticText("body_semantic", Seq("bloom", "filter"))))))
+    assert(QueryText.extractHybrid(nested, "text") == "hash bloom filter")
+  }
+
   test("malformed requests are rejected") {
     intercept[IllegalArgumentException](QueryDsl.parse("""{"query":{}}"""))
     intercept[IllegalArgumentException](
