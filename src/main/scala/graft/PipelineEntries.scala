@@ -153,6 +153,24 @@ object PipelineEntries {
       graft.ops.Semantic.denseKnnBestChunk(dense, "doc_id", queryDoc = 7L, queryChunk = 0, k = 10)
         .select(col("doc_id"), col("chunk_idx"), round(col("c"), 4).as("cos"))
     }),
+    // asymmetric (E5-style) query/passage encoding (reference:
+    // ml/AsymmetricModelDetector.java + AsymmetricTextEmbeddingConstants):
+    // the ingest side embeds each chunk as 'passage: <chunk>' and the query
+    // side as 'query: <text>' — under the hashing mock encoder each side
+    // gains its prefix token's feature, so query and passage embeddings of
+    // identical text genuinely differ, exactly the property the detector
+    // exists to route around
+    "semantic_asymmetric_knn" -> ((s, dir) => {
+      val sem = graft.ops.Semantic
+      val dense = sem.ingestDense(docs(s, dir), "doc_id", "text", 20, 8,
+        passagePrefix = sem.DefaultPassagePrefix)
+      val qv = sem.hashQueryVector(Seq("merge", "sort"), 8,
+        queryPrefix = sem.DefaultQueryPrefix)
+      sem.denseBestChunkScore(dense, "doc_id", qv)
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(10)
+        .select(col("doc_id"), round(col("score"), 4).as("cos"))
+    }),
     // expand_nested: every matching CHUNK is its own hit — no best-chunk
     // collapse (reference: NeuralKNNQueryBuilder.java:139,425-470)
     "semantic_dense_knn_expanded" -> ((s, dir) => {
@@ -392,6 +410,33 @@ object PipelineEntries {
          |           PARTITION BY doc_id ORDER BY c DESC, chunk_idx) AS rn FROM cosv)
          |SELECT doc_id, chunk_idx, round(c, 4) AS cos FROM best
          |WHERE rn = 1 ORDER BY c DESC, doc_id LIMIT 10""".stripMargin,
+    // asymmetric encoding: the chunk bag gains the 'passage:' token, the
+    // query bag the 'query:' token; the rest is the same best-chunk cosine
+    "semantic_asymmetric_knn" ->
+      s"""WITH $DenseCtes,
+         |tA AS (SELECT doc_id, chunk_idx,
+         |              unnest(list_prepend('passage:', ctoks)) AS token FROM chunks),
+         |semA AS (SELECT doc_id, chunk_idx, token,
+         |                count(*) * (1.0 + (length(token) % 5) * 0.25) AS w
+         |         FROM tA GROUP BY doc_id, chunk_idx, token),
+         |dvA AS (SELECT doc_id, chunk_idx,
+         |               (length(token)*31 + ascii(substr(token,1,1))) % 8 AS dim,
+         |               sum(w) AS v
+         |        FROM semA GROUP BY doc_id, chunk_idx, 3),
+         |qt AS (SELECT unnest(ARRAY['query:', 'merge', 'sort']) AS token),
+         |qA AS (SELECT (length(token)*31 + ascii(substr(token,1,1))) % 8 AS dim,
+         |              sum(1.0 + (length(token) % 5) * 0.25) AS qv
+         |       FROM qt GROUP BY 1),
+         |qn AS (SELECT sqrt(sum(qv*qv)) AS qn FROM qA),
+         |dots AS (SELECT doc_id, chunk_idx, sum(v*qv) AS dot
+         |         FROM dvA JOIN qA USING (dim) GROUP BY doc_id, chunk_idx),
+         |norms AS (SELECT doc_id, chunk_idx, sqrt(sum(v*v)) AS n
+         |          FROM dvA GROUP BY doc_id, chunk_idx),
+         |cosv AS (SELECT doc_id, chunk_idx, dot/(n*qn.qn) AS c
+         |         FROM dots JOIN norms USING (doc_id, chunk_idx), qn),
+         |best AS (SELECT doc_id, max(c) AS c FROM cosv GROUP BY doc_id)
+         |SELECT doc_id, round(c, 4) AS cos FROM best
+         |ORDER BY c DESC, doc_id LIMIT 10""".stripMargin,
     // expand_nested: same cosine CTEs, no per-doc collapse — chunks are hits
     "semantic_dense_knn_expanded" ->
       s"""WITH $DenseCtes,

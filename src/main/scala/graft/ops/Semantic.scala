@@ -19,16 +19,42 @@ import graft.stats.EventStats
  */
 object Semantic {
 
-  /** @return (doc_id, chunk_idx, token, w) — the exploded token-weight
+  /** Reference default prefixes for asymmetric (E5-style) embedding models
+   *  (ml/AsymmetricTextEmbeddingConstants.java: DEFAULT_QUERY_PREFIX /
+   *  DEFAULT_PASSAGE_PREFIX — trailing space dropped, the analyzer splits on
+   *  whitespace anyway). */
+  final val DefaultQueryPrefix = "query:"
+  final val DefaultPassagePrefix = "passage:"
+
+  /** A model config's asymmetry marker — the reference's
+   *  ml/AsymmetricModelDetector.java: a model is asymmetric iff EITHER
+   *  prefix is configured (isAsymmetricLocalModel: passagePrefix != null ||
+   *  queryPrefix != null). Asymmetric models embed queries and passages
+   *  differently; the ingest path must use the passage prefix and the query
+   *  path the query prefix, or scores silently degrade. */
+  case class AsymmetricConfig(queryPrefix: Option[String] = None,
+                              passagePrefix: Option[String] = None) {
+    def isAsymmetric: Boolean = queryPrefix.nonEmpty || passagePrefix.nonEmpty
+  }
+
+  /** @param prefix optional asymmetric-model content prefix prepended to
+   *  every chunk BEFORE encoding (`embed(prefix + " " + chunk)`) — the
+   *  per-inference-text prefixing the reference's MLInput builder applies
+   *  AFTER chunking, so chunk boundaries are prefix-independent.
+   *  @return (doc_id, chunk_idx, token, w) — the exploded token-weight
    *  sub-field rows for every chunk. */
-  def ingestSparse(docs: DataFrame, idCol: String, textCol: String, tokenLimit: Int): DataFrame = {
+  def ingestSparse(docs: DataFrame, idCol: String, textCol: String, tokenLimit: Int,
+                   prefix: String = ""): DataFrame = {
     EventStats.increment("semantic_field_executions")
     EventStats.increment("semantic_field_chunking_executions")
     EventStats.increment("sparse_encoding_executions")
     val chunks = Chunkers.fixedTokenLength(docs, idCol, textCol, tokenLimit, 0.0)
+    val chunkText =
+      if (prefix.isEmpty) col("chunk")
+      else concat_ws(" ", lit(prefix), col("chunk"))
     chunks
       .select(col(idCol), col("chunk_idx"),
-        explode(TextOps.tokensCol(col("chunk"))).as("token"))
+        explode(TextOps.tokensCol(chunkText)).as("token"))
       .groupBy(col(idCol), col("chunk_idx"), col("token"))
       .agg(count(lit(1)).as("tf"))
       .withColumn("w", col("tf") * (lit(1.0) + (length(col("token")) % 5) * lit(0.25)))
@@ -47,9 +73,9 @@ object Semantic {
    *         occupied dimensions materialize, the shape that scales.
    */
   def ingestDense(docs: DataFrame, idCol: String, textCol: String, tokenLimit: Int,
-                  dims: Int = 8): DataFrame = {
+                  dims: Int = 8, passagePrefix: String = ""): DataFrame = {
     EventStats.increment("text_embedding_executions")
-    ingestSparse(docs, idCol, textCol, tokenLimit)
+    ingestSparse(docs, idCol, textCol, tokenLimit, passagePrefix)
       .withColumn("dim",
         (length(col("token")) * 31 + ascii(substring(col("token"), 1, 1))) % dims)
       .groupBy(col(idCol), col("chunk_idx"), col("dim"))
@@ -156,8 +182,10 @@ object Semantic {
    *  the mock-encoded token weights of the analyzed query text folded into
    *  the same `(len*31 + ascii(first)) % dims` buckets — what "running the
    *  search model" produces for a dense semantic field under zero egress. */
-  def hashQueryVector(terms: Seq[String], dims: Int): Map[Int, Double] =
-    graft.ops.Sparse.encodeQueryTokens(terms).toSeq
+  def hashQueryVector(terms: Seq[String], dims: Int,
+                      queryPrefix: String = ""): Map[Int, Double] =
+    graft.ops.Sparse.encodeQueryTokens(
+        if (queryPrefix.isEmpty) terms else queryPrefix +: terms).toSeq
       .groupBy { case (t, _) => (t.length * 31 + t.head.toInt) % dims }
       .map { case (d, tws) => d -> tws.map(_._2).sum }
 

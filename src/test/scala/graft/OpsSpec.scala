@@ -235,6 +235,50 @@ class OpsSpec extends SparkSpec {
       "doc 1 unchanged -> prev rows reused; doc 2 changed + doc 4 new -> encoded; doc 3 deleted -> absent")
   }
 
+  test("asymmetric encoding: detector flags prefixed configs; prefixes shift " +
+    "exactly the prefix token's feature (AsymmetricModelDetector)") {
+    val sem = graft.ops.Semantic
+    // detector: asymmetric iff either prefix is configured
+    assert(!sem.AsymmetricConfig().isAsymmetric)
+    assert(sem.AsymmetricConfig(queryPrefix = Some(sem.DefaultQueryPrefix)).isAsymmetric)
+    assert(sem.AsymmetricConfig(passagePrefix = Some(sem.DefaultPassagePrefix)).isAsymmetric)
+
+    // empty prefix is the identity: symmetric path unchanged
+    val d = Seq((1L, "merge sort join"), (2L, "hash scan")).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy($"doc_id", $"chunk_idx", $"dim")
+      .collect().map(r => (r.getLong(0), r.getAs[Int]("chunk_idx"),
+        r.getAs[Int]("dim"), r.getAs[Double]("v"))).toSeq
+    assert(rows(sem.ingestDense(d, "doc_id", "text", 20, 8)) ==
+      rows(sem.ingestDense(d, "doc_id", "text", 20, 8, passagePrefix = "")))
+
+    // 'passage:' hashes to dim (8*31 + ascii('p')) % 8 = 0 with weight
+    // 1*(1 + 8%5*0.25) = 1.75: the asymmetric chunk vector is the symmetric
+    // one plus exactly that feature, every chunk
+    val sym = sem.ingestDense(d, "doc_id", "text", 20, 8)
+    val asym = sem.ingestDense(d, "doc_id", "text", 20, 8,
+      passagePrefix = sem.DefaultPassagePrefix)
+    val diff = asym.withColumnRenamed("v", "va")
+      .join(sym.withColumnRenamed("v", "vs"),
+        Seq("doc_id", "chunk_idx", "dim"), "full")
+      .select($"doc_id", $"chunk_idx", $"dim",
+        (coalesce($"va", lit(0.0)) - coalesce($"vs", lit(0.0))).as("dv"))
+      .where(abs($"dv") > 1e-9)
+      .collect().map(r => (r.getAs[Int]("dim"), r.getAs[Double]("dv"))).toSeq
+    assert(diff.nonEmpty && diff.forall { case (dim, dv) =>
+      dim == 0 && math.abs(dv - 1.75) < 1e-9 },
+      s"asymmetric-symmetric delta must be the passage token's feature only: $diff")
+
+    // query side: the prefix token joins the bag before hashing
+    val q = sem.hashQueryVector(Seq("merge", "sort"), 8,
+      queryPrefix = sem.DefaultQueryPrefix)
+    val qSym = sem.hashQueryVector(Seq("merge", "sort"), 8)
+    assert(q((6 * 31 + 'q'.toInt) % 8) ==
+      qSym.getOrElse((6 * 31 + 'q'.toInt) % 8, 0.0) + 1.25)
+    assert(q.filterNot(_._1 == (6 * 31 + 'q'.toInt) % 8) ==
+      qSym.filterNot(_._1 == (6 * 31 + 'q'.toInt) % 8))
+  }
+
   test("rescore reorders the window by the second scorer, keeping previous_score") {
     val hits = Seq((1L, 10.0), (2L, 9.0), (3L, 8.0)).toDF("doc_id", "score")
     val second = Seq((2L, 0.9), (3L, 0.5)).toDF("doc_id", "score") // doc 1 uncovered -> 0.0
