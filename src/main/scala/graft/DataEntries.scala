@@ -218,8 +218,38 @@ object DataEntries {
     "stream_dedup" -> (streamDedup _),
 
     // ---- query-side event counters ----
-    "query_stats" -> (queryStats _)
+    "query_stats" -> (queryStats _),
+    // ---- memory-accounted LRU cache tier ----
+    "cache_stats" -> (cacheStats _)
   )
+
+  /**
+   * The memory-accounted artifact cache's stat surface (reference: the
+   * sparse cache/ package — AbstractLruCache recency + evict loop,
+   * MemoryUsageManager limit, CircuitBreakerManager refused admissions,
+   * CacheGatedPostingsReader read-through). A FIXED access script runs
+   * against a fresh [[graft.index.BoundedCache]] with a deterministic
+   * column-count weigher (40 bytes/column, limit 100): two admissions, one
+   * hit, a third admission that must evict the LRU entry, one oversized
+   * artifact the breaker refuses (still served unpersisted), and a re-read
+   * of the evicted key that misses and evicts again. The oracle's constants
+   * are hand-derived from that trace.
+   */
+  private def cacheStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = docs(s, dir)
+    val c = new graft.index.BoundedCache[String](100L,
+      weigher = Some(ds => 40L * ds.columns.length))
+    def art(n: Int) = d.where(col("doc_id") % 7 === n).select("doc_id")
+    c.get("a")(art(0)) // miss, admit: used 80 after b
+    c.get("b")(art(1)) // miss, admit
+    c.get("a")(art(0)) // hit — refreshes a's recency, b is now LRU
+    c.get("c")(art(2)) // miss: 80+40 > 100 -> evicts b, admits c (used 80)
+    c.get("big")(d.select(col("doc_id"), col("source"), col("lang")))
+      .count() // 120 > 100: breaker refuses; the read still computes
+    c.get("b")(art(1)) // miss again (was evicted): evicts LRU a, admits b
+    c.stats.toDF("stat_name", "value").orderBy("stat_name")
+  }
 
   /**
    * Query/control-plane event counters (reference:
@@ -535,6 +565,20 @@ object DataEntries {
     // (minmax 3, l2 2, zscore 1 -> 6 normalization + 1 rank_based rrf;
     // arithmetic 4, geometric/harmonic/rrf 1 each), one paginated and one
     // filtered; one of each response/request processor
+    // hand-derived from the fixed access script in cacheStats:
+    // miss(a) miss(b) hit(a) miss(c, evicts b) miss+reject(big)
+    // miss(b, evicts a) => hits 1, misses 5 (a rejected admission still
+    // missed the cache), evictions 2, rejections 1, resident {c, b} at
+    // 40 bytes each = 80, entries 2
+    "cache_stats" ->
+      s"""SELECT stat_name, CAST(value AS BIGINT) AS value FROM (VALUES
+         |  ('cache_breaker_rejections', 1),
+         |  ('cache_entries', 2),
+         |  ('cache_evictions', 2),
+         |  ('cache_hits', 1),
+         |  ('cache_misses', 5),
+         |  ('cache_ram_bytes_used', 80)) t(stat_name, value)
+         |ORDER BY stat_name""".stripMargin,
     "query_stats" ->
       s"""SELECT stat_name, CAST(value AS BIGINT) AS value FROM (VALUES
          |  ('comb_arithmetic_executions', 4),

@@ -22,24 +22,28 @@ object IndexCache {
   def evictOthers(appId: String): Unit =
     cache.keySet.filter(_._1 != appId).foreach(cache.remove)
 
-  private val posCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String, String), org.apache.spark.sql.Dataset[PosBlock]]
+  /** The single-Dataset session artifacts (positions, semantic chunk
+   *  tables) live behind the memory-accounted LRU tier ([[BoundedCache]] —
+   *  the reference's cache/ package: LRU recency, byte accounting against a
+   *  limit, breaker-refused admissions reading through). The limit is
+   *  effectively unbounded on the 128 GiB local harness unless configured
+   *  (-Dgraft.cache.limitBytes); on a memory-tight cluster the bound turns
+   *  cold artifacts back into recomputable lineage instead of letting
+   *  Spark's block-level storage eviction shred hot ones. */
+  val artifacts: BoundedCache[(String, String, String)] =
+    new BoundedCache(
+      sys.props.get("graft.cache.limitBytes").map(_.toLong).getOrElse(1L << 40))
 
   /** Positional block table over `documents.parquet` (the `.pos` analogue),
    *  warmed once per session like the main index. */
   def positions(spark: SparkSession, sfDir: String,
                 analyzer: String = Analyzer.Simple): org.apache.spark.sql.Dataset[PosBlock] = {
-    posCache.keySet.filter(_._1 != spark.sparkContext.applicationId).foreach(posCache.remove)
-    posCache.getOrElseUpdate((spark.sparkContext.applicationId, s"$sfDir/documents.parquet", analyzer), {
+    artifacts.retainKeys(_._1 == spark.sparkContext.applicationId)
+    artifacts.get((spark.sparkContext.applicationId, s"$sfDir/documents.parquet#pos", analyzer)) {
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-      val pos = Positions.build(docs, "doc_id", "text", analyzer).persist()
-      pos.count()
-      pos
-    })
+      Positions.build(docs, "doc_id", "text", analyzer)
+    }
   }
-
-  private val semCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String, String), org.apache.spark.sql.DataFrame]
 
   /** Session-cached semantic chunk sub-field tables. These are INDEX-time
    *  artifacts — the reference's semantic field mapper generates the chunk
@@ -48,24 +52,20 @@ object IndexCache {
    *  call the builders directly. */
   def semanticDense(spark: SparkSession, sfDir: String,
                     tokenLimit: Int = 20): org.apache.spark.sql.DataFrame = {
-    semCache.keySet.filter(_._1 != spark.sparkContext.applicationId).foreach(semCache.remove)
-    semCache.getOrElseUpdate((spark.sparkContext.applicationId, s"$sfDir#dense", s"$tokenLimit"), {
+    artifacts.retainKeys(_._1 == spark.sparkContext.applicationId)
+    artifacts.get((spark.sparkContext.applicationId, s"$sfDir#dense", s"$tokenLimit")) {
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-      val df = graft.ops.Semantic.ingestDense(docs, "doc_id", "text", tokenLimit).persist()
-      df.count()
-      df
-    })
+      graft.ops.Semantic.ingestDense(docs, "doc_id", "text", tokenLimit)
+    }
   }
 
   def semanticSparse(spark: SparkSession, sfDir: String,
                      tokenLimit: Int = 20): org.apache.spark.sql.DataFrame = {
-    semCache.keySet.filter(_._1 != spark.sparkContext.applicationId).foreach(semCache.remove)
-    semCache.getOrElseUpdate((spark.sparkContext.applicationId, s"$sfDir#sparse", s"$tokenLimit"), {
+    artifacts.retainKeys(_._1 == spark.sparkContext.applicationId)
+    artifacts.get((spark.sparkContext.applicationId, s"$sfDir#sparse", s"$tokenLimit")) {
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-      val df = graft.ops.Semantic.ingestSparse(docs, "doc_id", "text", tokenLimit).persist()
-      df.count()
-      df
-    })
+      graft.ops.Semantic.ingestSparse(docs, "doc_id", "text", tokenLimit)
+    }
   }
 
   /** Index over a NON-text column of the north-rule corpus projection
