@@ -164,6 +164,10 @@ object DataEntries {
     // ---- multimodal plumbing (stubbed decode) ----
     "mm_features" -> ((s, dir) =>
       Multimodal.features(docs(s, dir), "doc_id", "text")),
+    // uniform k-frame sampling over the payload stream: bounded output,
+    // offsets computed without materializing unsampled frames
+    "mm_frame_sample" -> ((s, dir) =>
+      Multimodal.frameSample(docs(s, dir), "doc_id", "text", k = 4, frameBytes = 16)),
     // combined text+image embedding (TextImageEmbeddingProcessor analogue):
     // feature-hashing text dims + payload byte-feature dims in one vector
     "mm_text_image_embed" -> ((s, dir) =>
@@ -748,6 +752,20 @@ object DataEntries {
     "reorder_by_length" ->
       """SELECT doc_id, CAST(row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS BIGINT) AS new_id
         |FROM documents""".stripMargin,
+    // ASCII corpus: payload byte i == text char i, so DuckDB samples the
+    // same offsets straight off the text column
+    "mm_frame_sample" ->
+      """WITH p AS (
+        |  SELECT doc_id, CAST(floor(length(text) / 16) AS BIGINT) AS n_frames
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, greatest(1, CAST(floor(n_frames / 4) AS BIGINT)) AS stride,
+        |         unnest(generate_series(0, least(4, n_frames) - 1)) AS i
+        |  FROM p WHERE n_frames > 0)
+        |SELECT s.doc_id, CAST(i * stride AS BIGINT) AS frame_idx,
+        |       CAST(i * stride * 16 AS BIGINT) AS offset,
+        |       CAST(ascii(substr(d.text, CAST(i * stride * 16 + 1 AS INT), 1)) AS BIGINT) AS lead_byte
+        |FROM s JOIN documents d USING (doc_id)""".stripMargin,
     "mm_features" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
         |       CAST(CASE WHEN length(text) > 0 THEN ascii(substr(text, 1, 1)) ELSE -1 END AS BIGINT) AS first_byte,

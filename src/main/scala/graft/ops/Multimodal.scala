@@ -45,6 +45,44 @@ object Multimodal {
     stubFeaturize(withPayload(docs, id, text))
 
   /**
+   * Uniform frame sampling over an opaque media payload — the frame-sample
+   * member of the decode / feature-extract / resize / frame-sample family.
+   * A real decoder derives frame geometry from the container; the stub
+   * models the stream as fixed-size frames of `frameBytes` and features a
+   * sampled frame by its leading byte. What is REAL and load-bearing at
+   * scale: the sampling is pure column algebra (sequence + explode, no UDF,
+   * no driver loop), the per-doc output is bounded at k rows regardless of
+   * payload size, and the selected offsets are computed WITHOUT
+   * materializing unsampled frames — the property that makes uniform-k
+   * sampling affordable over hours-long videos.
+   *
+   * Indices: n_frames = floor(n_bytes / frameBytes); stride =
+   * max(1, floor(n_frames / k)); sampled frame ids are i*stride for
+   * i < min(k, n_frames) — the standard uniform-k sampler.
+   *
+   * @return (doc_id, frame_idx, offset, lead_byte) — one row per sampled
+   *         frame; lead_byte is the stub per-frame feature.
+   */
+  def frameSample(docs: DataFrame, id: String, text: String,
+                  k: Int = 4, frameBytes: Int = 16): DataFrame = {
+    val p = withPayload(docs, id, text)
+    p.select(col("id").as("doc_id"), col("payload"),
+        floor(length(col("payload")) / frameBytes).cast("long").as("n_frames"))
+      .where(col("n_frames") > 0)
+      .withColumn("stride",
+        greatest(lit(1L), floor(col("n_frames") / k).cast("long")))
+      .select(col("doc_id"), col("payload"), col("stride"),
+        explode(sequence(lit(0L),
+          least(lit(k.toLong), col("n_frames")) - 1)).as("i"))
+      .withColumn("frame_idx", col("i") * col("stride"))
+      .withColumn("offset", col("frame_idx") * frameBytes)
+      .select(col("doc_id"), col("frame_idx"), col("offset"),
+        conv(hex(col("payload").substr(
+          (col("offset") + 1).cast("int"), lit(1))), 16, 10)
+          .cast("long").as("lead_byte"))
+  }
+
+  /**
    * Combined text+image embedding — the reference's text_image_embedding
    * processor fuses a text field and an image field into ONE vector through
    * multimodal inference (reference: processor/TextImageEmbeddingProcessor

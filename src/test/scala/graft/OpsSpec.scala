@@ -279,6 +279,23 @@ class OpsSpec extends SparkSpec {
       qSym.filterNot(_._1 == (6 * 31 + 'q'.toInt) % 8))
   }
 
+  test("frameSample: uniform-k over fixed-size frames, bounded rows, exact offsets") {
+    // 70 bytes -> 4 frames, stride 1 -> frames 0..3 at offsets 0,16,32,48;
+    // 200 bytes -> 12 frames, stride 3 -> frames 0,3,6,9 at 0,48,96,144;
+    // 10 bytes -> 0 frames -> no rows
+    val t1 = ("a" * 16) + ("b" * 16) + ("c" * 16) + ("d" * 16) + ("e" * 6)
+    val t2 = (0 until 200).map(i => ('a' + (i / 16) % 26).toChar).mkString
+    val d = Seq((1L, t1), (2L, t2), (3L, "tiny bytes")).toDF("doc_id", "text")
+    val got = graft.ops.Multimodal.frameSample(d, "doc_id", "text", k = 4, frameBytes = 16)
+      .orderBy($"doc_id", $"frame_idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq(
+      (1L, 0L, 0L, 'a'.toLong), (1L, 1L, 16L, 'b'.toLong),
+      (1L, 2L, 32L, 'c'.toLong), (1L, 3L, 48L, 'd'.toLong),
+      (2L, 0L, 0L, 'a'.toLong), (2L, 3L, 48L, 'd'.toLong),
+      (2L, 6L, 96L, 'g'.toLong), (2L, 9L, 144L, 'j'.toLong)))
+  }
+
   test("rescore reorders the window by the second scorer, keeping previous_score") {
     val hits = Seq((1L, 10.0), (2L, 9.0), (3L, 8.0)).toDF("doc_id", "score")
     val second = Seq((2L, 0.9), (3L, 0.5)).toDF("doc_id", "score") // doc 1 uncovered -> 0.0
