@@ -177,6 +177,17 @@ object PipelineEntries {
       val dense = graft.index.IndexCache.semanticDense(s, dir)
       graft.ops.Semantic.denseKnnExpanded(dense, "doc_id", queryDoc = 7L, queryChunk = 0, k = 15)
         .select(col("doc_id"), col("chunk_idx"), round(col("c"), 4).as("cos"))
+    }),
+    // inner_hits on nested kNN (reference: HybridQueryBuilder.java:289-291,
+    // 425-430 extracts inner-hit contexts per sub-query): parents ranked by
+    // best chunk, each carrying its top-3 matching chunks with their scores
+    "semantic_knn_inner_hits" -> ((s, dir) => {
+      val dense = graft.index.IndexCache.semanticDense(s, dir)
+      graft.ops.Semantic.denseKnnInnerHits(dense, "doc_id", queryDoc = 7L, queryChunk = 0,
+          k = 10, innerSize = 3)
+        .select(col("doc_id"), round(col("score"), 4).as("score"),
+          col("inner_rank").cast("long").as("inner_rank"), col("chunk_idx"),
+          round(col("chunk_cos"), 4).as("chunk_cos"))
     })
   )
 
@@ -449,7 +460,27 @@ object PipelineEntries {
          |cosv AS (SELECT doc_id, chunk_idx, dot/(n*qn.qn) AS c
          |         FROM dots JOIN norms USING (doc_id, chunk_idx), qn)
          |SELECT doc_id, chunk_idx, round(c, 4) AS cos FROM cosv
-         |ORDER BY c DESC, doc_id, chunk_idx LIMIT 15""".stripMargin
+         |ORDER BY c DESC, doc_id, chunk_idx LIMIT 15""".stripMargin,
+    // inner_hits: parents by best chunk (score_mode max), top-3 chunks each
+    "semantic_knn_inner_hits" ->
+      s"""WITH $DenseCtes,
+         |q AS (SELECT dim, v AS qv FROM dv WHERE doc_id = 7 AND chunk_idx = 0),
+         |qn AS (SELECT sqrt(sum(qv*qv)) AS qn FROM q),
+         |dots AS (SELECT doc_id, chunk_idx, sum(v*qv) AS dot
+         |         FROM dv JOIN q USING (dim) GROUP BY doc_id, chunk_idx),
+         |norms AS (SELECT doc_id, chunk_idx, sqrt(sum(v*v)) AS n
+         |          FROM dv GROUP BY doc_id, chunk_idx),
+         |cosv AS (SELECT doc_id, chunk_idx, dot/(n*qn.qn) AS c
+         |         FROM dots JOIN norms USING (doc_id, chunk_idx), qn),
+         |top AS (SELECT doc_id, max(c) AS score FROM cosv GROUP BY doc_id
+         |        ORDER BY score DESC, doc_id LIMIT 10),
+         |ih AS (SELECT c.doc_id, t.score, c.chunk_idx, c.c,
+         |              row_number() OVER (PARTITION BY c.doc_id
+         |                ORDER BY c.c DESC, c.chunk_idx) AS rn
+         |       FROM cosv c JOIN top t USING (doc_id))
+         |SELECT doc_id, round(score, 4) AS score, rn - 1 AS inner_rank,
+         |       chunk_idx, round(c, 4) AS chunk_cos
+         |FROM ih WHERE rn <= 3""".stripMargin
   )
 
   /** dense semantic sub-field CTEs: chunk -> mock sparse weights -> feature-

@@ -141,6 +141,46 @@ object Semantic {
       .limit(k)
   }
 
+  /**
+   * Nested kNN with inner hits — the reference extracts `inner_hits`
+   * contexts from every hybrid sub-query (query/HybridQueryBuilder.java:
+   * 289-291,425-430, stat HYBRID_QUERY_INNER_HITS_REQUESTS) and OpenSearch
+   * core resolves them for nested neural queries as: parent documents
+   * ranked by their BEST child chunk (score_mode max — the same collapse
+   * [[denseKnnBestChunk]] performs), each hit carrying its top `innerSize`
+   * matching chunks sorted by child score.
+   *
+   * Scale shape: the chunk cosines are computed ONCE; the parent top-k is a
+   * bounded TakeOrdered; the inner-hit expansion joins the k parent ids
+   * (broadcast — k is query-sized) back to the cosines, so the per-group
+   * collect is bounded at k groups x chunks-per-doc, never corpus-wide.
+   *
+   * @return (doc_id, score, inner_rank, chunk_idx, chunk_cos) — one row per
+   *         inner hit, inner_rank 0-based within its parent.
+   */
+  def denseKnnInnerHits(dense: DataFrame, idCol: String, queryDoc: Long, queryChunk: Int,
+                        k: Int, innerSize: Int): DataFrame = {
+    EventStats.increment("hybrid_query_inner_hits_requests")
+    val q = dense
+      .filter(col(idCol) === queryDoc && col("chunk_idx") === queryChunk)
+      .select(col("dim"), col("v").as("qv"))
+    val cosv = chunkCosines(dense, idCol, q)
+      .crossJoin(broadcast(q.agg(sqrt(sum(col("qv") * col("qv"))).as("qn"))))
+      .select(col(idCol), col("chunk_idx"), (col("dot") / (col("n") * col("qn"))).as("c"))
+    val top = cosv
+      .groupBy(col(idCol))
+      .agg(max(col("c")).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+    cosv.join(broadcast(top), Seq(idCol))
+      .groupBy(col(idCol), col("score"))
+      .agg(slice(sort_array(collect_list(struct((-col("c")).as("negc"),
+        col("chunk_idx"), col("c").as("cos")))), 1, innerSize).as("hits"))
+      .select(col(idCol), col("score"), posexplode(col("hits")))
+      .select(col(idCol), col("score"), col("pos").as("inner_rank"),
+        col("col.chunk_idx").as("chunk_idx"), col("col.cos").as("chunk_cos"))
+  }
+
   /** Best-chunk SPARSE score of an encoded token-weight query against the
    *  chunked sparse sub-field (doc_id, chunk_idx, token, w): dot product per
    *  chunk, max over chunks per doc — the nested scoring a routed

@@ -235,6 +235,47 @@ class OpsSpec extends SparkSpec {
       "doc 1 unchanged -> prev rows reused; doc 2 changed + doc 4 new -> encoded; doc 3 deleted -> absent")
   }
 
+  test("inner_hits nested kNN: parents match best-chunk top-k; inner hits are " +
+    "each parent's chunks ranked by cosine, bounded at size") {
+    val sem = graft.ops.Semantic
+    // multi-chunk docs: tokenLimit 2 forces several chunks per doc
+    val d = Seq(
+      (1L, "merge sort join hash scan filter"),
+      (2L, "merge sort merge sort merge sort"),
+      (3L, "hash scan dup key probe build"),
+      (4L, "sort merge partition shuffle spill block")).toDF("doc_id", "text")
+    val dense = sem.ingestDense(d, "doc_id", "text", tokenLimit = 2, dims = 8)
+    val ih = sem.denseKnnInnerHits(dense, "doc_id", queryDoc = 1L, queryChunk = 0,
+      k = 3, innerSize = 2).collect()
+
+    // parent set + parent scores == the best-chunk top-k contract
+    val best = sem.denseKnnBestChunk(dense, "doc_id", 1L, 0, 3)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        BigDecimal(r.getAs[Double]("c")).setScale(9, BigDecimal.RoundingMode.HALF_UP))).toMap
+    val parents = ih.map(r => (r.getAs[Long]("doc_id"),
+      BigDecimal(r.getAs[Double]("score")).setScale(9, BigDecimal.RoundingMode.HALF_UP))).toMap
+    assert(parents == best, s"parent hits must equal best-chunk top-k: $parents vs $best")
+
+    val byParent = ih.groupBy(_.getAs[Long]("doc_id"))
+    byParent.foreach { case (id, rows) =>
+      val sorted = rows.sortBy(_.getAs[Int]("inner_rank"))
+      assert(sorted.length <= 2, s"doc $id: inner hits bounded at size")
+      assert(sorted.map(_.getAs[Int]("inner_rank")).toSeq ==
+        sorted.indices.toSeq, s"doc $id: dense 0-based inner ranks")
+      // rank 0 carries the parent's own score (score_mode max)
+      assert(math.abs(sorted.head.getAs[Double]("chunk_cos") -
+        sorted.head.getAs[Double]("score")) < 1e-12,
+        s"doc $id: rank-0 inner hit must be the scoring chunk")
+      // non-increasing cosine down the ranks
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Double]("chunk_cos") >= b.getAs[Double]("chunk_cos") - 1e-12,
+            s"doc $id: inner hits ordered by cosine")
+        case _ =>
+      }
+    }
+  }
+
   test("asymmetric encoding: detector flags prefixed configs; prefixes shift " +
     "exactly the prefix token's feature (AsymmetricModelDetector)") {
     val sem = graft.ops.Semantic
