@@ -60,7 +60,7 @@ object HybridEntries {
 
   private def sources(s: SparkSession, dir: String, query: HybridQuery): HybridSources = {
     val idx = IndexCache.documents(s, dir)
-    val needSparse = query.subQueries.exists(_.isInstanceOf[SparseLinear])
+    val needSparse = query.subQueries.exists(c => c.isInstanceOf[SparseLinear] || c.isInstanceOf[RankFeatureQ])
     val needIvf = query.subQueries.exists(_.isInstanceOf[DenseIvf])
     val needDense = needIvf || query.subQueries.exists(sq =>
       sq.isInstanceOf[DenseCosine] || sq.isInstanceOf[DenseVector] ||
@@ -546,6 +546,47 @@ object HybridEntries {
           |    "positive": { "match": { "text": "join hash" } },
           |    "negative": { "term": { "text": "dup" } },
           |    "negative_boost": 0.4 } } ] } },
+          |  "size": 10 }""".stripMargin
+      graft.query.QueryDsl.execute(HybridSources(idx), json,
+        s.read.parquet(s"$dir/documents.parquet"))
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+    }),
+    // rank_feature: stored token-weight features scored through Lucene's
+    // FeatureField functions (saturation / log / sigmoid) as bool should
+    // clauses beside a BM25 match
+    "dsl_rank_feature" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      val json =
+        """{ "query": { "bool": { "should": [
+          |    { "rank_feature": { "field": "features.join",
+          |        "saturation": { "pivot": 4 }, "boost": 2.0 } },
+          |    { "rank_feature": { "field": "features.hash",
+          |        "log": { "scaling_factor": 1.5 } } },
+          |    { "rank_feature": { "field": "features.scan",
+          |        "sigmoid": { "pivot": 3, "exponent": 0.6 } } },
+          |    { "match": { "text": "merge" } } ] } },
+          |  "size": 10 }""".stripMargin
+      graft.query.QueryDsl.execute(
+        HybridSources(idx, sparse = Some(Sparse.encode(idx))), json,
+        s.read.parquet(s"$dir/documents.parquet"))
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+    }),
+    // function_score: weight-filter + field_value_factor + gauss decay
+    // reshaping a match query's BM25 scores (score_mode sum, boost_mode
+    // multiply, max_boost cap)
+    "dsl_function_score" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      val json =
+        """{ "query": { "function_score": {
+          |    "query": { "match": { "text": "join hash" } },
+          |    "functions": [
+          |      { "filter": { "term": { "text": "dup" } }, "weight": 0.5 },
+          |      { "field_value_factor": { "field": "n_chars", "factor": 0.01,
+          |          "modifier": "log1p", "missing": 1 } },
+          |      { "gauss": { "n_chars": { "origin": 300, "scale": 150,
+          |          "offset": 25, "decay": 0.5 } }, "weight": 2.0 } ],
+          |    "score_mode": "sum", "boost_mode": "multiply",
+          |    "max_boost": 3.0 } },
           |  "size": 10 }""".stripMargin
       graft.query.QueryDsl.execute(HybridSources(idx), json,
         s.read.parquet(s"$dir/documents.parquet"))
@@ -1314,6 +1355,109 @@ object HybridEntries {
          |  SELECT p.doc_id,
          |         p.s * (CASE WHEN n.doc_id IS NOT NULL THEN $nb ELSE 1.0 END) AS s
          |  FROM sq${i}p p LEFT JOIN sq${i}n n ON p.doc_id = n.doc_id)""".stripMargin
+    case RankFeatureQ(token, fn, pivot, sf, expn, boost, pos) =>
+      val f = filterPred.map(p => s" AND ${p}").getOrElse("")
+      val s = fn match {
+        case "saturation" =>
+          if (pos) s"(w / (w + $pivot))" else s"($pivot / (w + $pivot))"
+        case "log"     => s"ln(w + $sf)"
+        case "sigmoid" => s"(pow(w, $expn) / (pow(w, $expn) + pow($pivot, $expn)))"
+        case "linear"  => "w"
+      }
+      s"""sq$i AS (
+         |  SELECT doc_id, $s * $boost AS s FROM htw WHERE token = '$token'$f)""".stripMargin
+    case FunctionScore(inner, fns, scoreMode, boostMode, maxBoost) =>
+      // same math as Hybrid.scoreFunctionScore, re-derived in SQL: inner
+      // score cte, one documents join for field values, one left join per
+      // function filter, factor expression folded per score/boost mode
+      val innerCte = scoreCte(s"${i}q", inner, filterPred)
+      val filterCtes = fns.zipWithIndex.collect {
+        case (fn, j) if fn.filter.nonEmpty =>
+          scoreCte(s"${i}f$j", fn.filter.get, filterPred)
+      }
+      val fieldsNeeded = fns.collect {
+        case f: FieldValueFactorFn => f.field
+        case d: DecayFn            => d.field
+      }.distinct
+      val docJoin =
+        if (fieldsNeeded.isEmpty) ""
+        else "\n  LEFT JOIN documents d ON q.doc_id = d.doc_id"
+      val fltJoins = fns.zipWithIndex.collect {
+        case (fn, j) if fn.filter.nonEmpty =>
+          s"\n  LEFT JOIN (SELECT DISTINCT doc_id FROM sq${i}f$j) f$j ON q.doc_id = f$j.doc_id"
+      }.mkString
+      def m(j: Int) =
+        if (fns(j).filter.nonEmpty) s"(f$j.doc_id IS NOT NULL)" else "TRUE"
+      def rawSql(fn: ScoreFn): String = fn match {
+        case _: WeightFn => "1.0"
+        case f: FieldValueFactorFn =>
+          val v0 = s"CAST(d.${f.field} AS DOUBLE)"
+          val fv = s"(${f.missing.fold(v0)(ms => s"COALESCE($v0, $ms)")} * ${f.factor})"
+          f.modifier match {
+            case "none"       => fv
+            case "log"        => s"log10($fv)"
+            case "log1p"      => s"log10($fv + 1.0)"
+            case "log2p"      => s"log10($fv + 2.0)"
+            case "ln"         => s"ln($fv)"
+            case "ln1p"       => s"ln($fv + 1.0)"
+            case "ln2p"       => s"ln($fv + 2.0)"
+            case "sqrt"       => s"sqrt($fv)"
+            case "square"     => s"($fv * $fv)"
+            case "reciprocal" => s"(1.0 / $fv)"
+          }
+        case dc: DecayFn =>
+          val dist =
+            s"greatest(0.0, abs(CAST(d.${dc.field} AS DOUBLE) - ${dc.origin}) - ${dc.offset})"
+          dc.kind match {
+            case "gauss" =>
+              val sigma2 = -dc.scale * dc.scale / (2.0 * math.log(dc.decay))
+              s"exp(($dist * $dist) * ${-1.0 / (2.0 * sigma2)})"
+            case "exp" => s"exp($dist * ${math.log(dc.decay) / dc.scale})"
+            case "linear" =>
+              val sc = dc.scale / (1.0 - dc.decay)
+              s"greatest(0.0, 1.0 - $dist / $sc)"
+          }
+      }
+      def w(j: Int) = s"(${rawSql(fns(j))} * ${fns(j).weight})"
+      val any = fns.indices.map(m).mkString("(", " OR ", ")")
+      val combined = scoreMode match {
+        case "multiply" =>
+          fns.indices.map(j => s"(CASE WHEN ${m(j)} THEN ${w(j)} ELSE 1.0 END)")
+            .mkString(" * ")
+        case "sum" =>
+          fns.indices.map(j => s"(CASE WHEN ${m(j)} THEN ${w(j)} ELSE 0.0 END)")
+            .mkString(" + ")
+        case "max" =>
+          "greatest(" + fns.indices.map(j =>
+            s"CASE WHEN ${m(j)} THEN ${w(j)} END").mkString(", ") + ")"
+        case "min" =>
+          "least(" + fns.indices.map(j =>
+            s"CASE WHEN ${m(j)} THEN ${w(j)} END").mkString(", ") + ")"
+        case "avg" =>
+          val num = fns.indices.map(j =>
+            s"(CASE WHEN ${m(j)} THEN ${w(j)} ELSE 0.0 END)").mkString(" + ")
+          val den = fns.indices.map(j =>
+            s"(CASE WHEN ${m(j)} THEN ${fns(j).weight} ELSE 0.0 END)").mkString(" + ")
+          s"($num) / ($den)"
+        case "first" =>
+          "CASE " + fns.indices.map(j =>
+            s"WHEN ${m(j)} THEN ${w(j)}").mkString(" ") + " ELSE 1.0 END"
+      }
+      val factor0 = s"(CASE WHEN $any THEN $combined ELSE 1.0 END)"
+      val factor =
+        if (maxBoost == Double.MaxValue) factor0 else s"least($factor0, $maxBoost)"
+      val score = boostMode match {
+        case "multiply" => s"q.s * $factor"
+        case "replace"  => factor
+        case "sum"      => s"q.s + $factor"
+        case "avg"      => s"(q.s + $factor) / 2.0"
+        case "max"      => s"greatest(q.s, $factor)"
+        case "min"      => s"least(q.s, $factor)"
+      }
+      s"""$innerCte${if (filterCtes.nonEmpty) filterCtes.mkString(",\n", ",\n", "") else ""},
+         |sq$i AS (
+         |  SELECT q.doc_id, $score AS s
+         |  FROM sq${i}q q$docJoin$fltJoins)""".stripMargin
     case Lexical(terms, boosts) =>
       val f = filterPred.map(p => s" AND tf.${p}").getOrElse("")
       val boostSql =
@@ -1706,7 +1850,7 @@ object HybridEntries {
         case leaf            => Seq(leaf)
       }
     val twPart =
-      if (allClauses(b).exists(_.isInstanceOf[SparseLinear])) s",\n$TwCte" else ""
+      if (allClauses(b).exists(c => c.isInstanceOf[SparseLinear] || c.isInstanceOf[RankFeatureQ])) s",\n$TwCte" else ""
     val explainCols =
       if (!explain) ""
       else (must.indices.map(i => s"round(a0.s$i, 4) AS must$i") ++
@@ -1728,7 +1872,7 @@ object HybridEntries {
                    mixedSort: Seq[(String, Boolean)] = Nil,
                    withTotal: Boolean = false): String = {
     val n = sub.size
-    val twPart = if (sub.exists(_.isInstanceOf[SparseLinear])) s",\n$TwCte" else ""
+    val twPart = if (sub.exists(c => c.isInstanceOf[SparseLinear] || c.isInstanceOf[RankFeatureQ])) s",\n$TwCte" else ""
     val semKindsUsed = sub.collect { case SemanticText(f, _) => SemKinds(f) }.toSet
     val semPart =
       if (semKindsUsed.isEmpty) ""
@@ -1961,6 +2105,23 @@ object HybridEntries {
       "dsl_fuzzy" ->
         boolOracle(tokCte, must = Seq(Fuzzy("joim", 1)),
           should = Seq(Lexical(Seq("hash"))), mustNot = Nil, msm = 0),
+      "dsl_rank_feature" ->
+        boolOracle(tokCte, must = Nil,
+          should = Seq(
+            RankFeatureQ("join", "saturation", pivot = 4, boost = 2.0),
+            RankFeatureQ("hash", "log", scalingFactor = 1.5),
+            RankFeatureQ("scan", "sigmoid", pivot = 3, exponent = 0.6),
+            Lexical(Seq("merge"))),
+          mustNot = Nil, msm = 1),
+      "dsl_function_score" ->
+        boolOracle(tokCte, must = Seq(FunctionScore(
+          Lexical(Seq("join", "hash")),
+          Seq(
+            WeightFn(0.5, Some(Lexical(Seq("dup")))),
+            FieldValueFactorFn("n_chars", 0.01, "log1p", Some(1.0)),
+            DecayFn("gauss", "n_chars", 300, 150, 25, 0.5, 2.0)),
+          scoreMode = "sum", boostMode = "multiply", maxBoost = 3.0)),
+          should = Nil, mustNot = Nil, msm = 0),
       "dsl_range_filter" ->
         hybridOracle(tokCte, lex(Seq(A, B)), MinMaxNormTech(),
           Combination(Combine.Arithmetic),

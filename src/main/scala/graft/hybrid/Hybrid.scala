@@ -263,6 +263,76 @@ case class MoreLikeThisQ(likeId: Long,
                          minDocFreq: Int = 5,
                          msmRatio: Double = 0.3) extends SubQuery
 
+/** `rank_feature`: score docs by a stored per-doc numeric feature — the
+ *  token-weight field the reference persists via Lucene FeatureField
+ *  (query/NeuralSparseQueryBuilder.java:576-581 writes token→weight exactly
+ *  so feature queries can score them). Functions are Lucene's
+ *  FeatureField factories: saturation w/(w+pivot) — pivot/(w+pivot) when
+ *  the feature has negative score impact — log ln(scalingFactor + w),
+ *  sigmoid wᵃ/(wᵃ+pivotᵃ), linear w. Docs without the feature token do
+ *  not match (FeatureField postings semantics). */
+case class RankFeatureQ(token: String,
+                        fn: String = "saturation",
+                        pivot: Double = 1.0,
+                        scalingFactor: Double = 1.0,
+                        exponent: Double = 1.0,
+                        boost: Double = 1.0,
+                        positiveImpact: Boolean = true) extends SubQuery
+
+/** One function of a `function_score` query (Lucene FunctionScoreQuery /
+ *  filter-functions, which the reference composes freely — any core
+ *  QueryBuilder is legal as a hybrid/bool sub-query, built via
+ *  `qb.rewrite(context).toQuery(context)`,
+ *  query/HybridQueryBuilder.java:368-377). Each function yields a raw value
+ *  `r` for the docs whose `filter` matches (no filter = every doc); its
+ *  contribution is `r * weight`. */
+sealed trait ScoreFn {
+  def weight: Double
+  def filter: Option[SubQuery]
+}
+
+/** `{"filter": ..., "weight": w}` — constant w where the filter matches. */
+case class WeightFn(weight: Double = 1.0,
+                    filter: Option[SubQuery] = None) extends ScoreFn
+
+/** `field_value_factor`: modifier(factor * fieldValue), null field values
+ *  fall back to `missing` (OpenSearch errors without it — so do we). */
+case class FieldValueFactorFn(field: String,
+                              factor: Double = 1.0,
+                              modifier: String = "none",
+                              missing: Option[Double] = None,
+                              weight: Double = 1.0,
+                              filter: Option[SubQuery] = None) extends ScoreFn
+
+/** Decay scoring over a numeric field — gauss / exp / linear with the
+ *  standard parameterization: dist = max(0, |v - origin| - offset), and the
+ *  curve fixed by requiring value(origin±scale) = decay:
+ *  gauss  exp(-dist² / (2σ²)),  σ² = -scale² / (2 ln decay)
+ *  exp    exp(ln(decay)/scale * dist)
+ *  linear max(0, (s - dist)/s), s = scale / (1 - decay) */
+case class DecayFn(kind: String,
+                   field: String,
+                   origin: Double,
+                   scale: Double,
+                   offset: Double = 0.0,
+                   decay: Double = 0.5,
+                   weight: Double = 1.0,
+                   filter: Option[SubQuery] = None) extends ScoreFn
+
+/** `function_score`: rescore the inner query's matches with a set of
+ *  functions. Matching functions combine per `scoreMode`
+ *  (multiply / sum / avg / max / min / first — avg is the WEIGHTED average
+ *  Σwᵢrᵢ/Σwᵢ, Lucene's FiltersFunctionScoreQuery contract); when NO
+ *  function matches a doc the factor is the neutral 1.0. The factor is
+ *  capped at `maxBoost` and folded into the query score per `boostMode`
+ *  (multiply / replace / sum / avg / max / min). The matched DOC SET is
+ *  always the inner query's — functions only reshape scores. */
+case class FunctionScore(inner: SubQuery,
+                         functions: Seq[ScoreFn],
+                         scoreMode: String = "multiply",
+                         boostMode: String = "multiply",
+                         maxBoost: Double = Double.MaxValue) extends SubQuery
+
 /** A nested `bool` clause — Lucene BooleanQuery nests arbitrarily. The
  *  nested bool's qualifying docs contribute their summed clause score to
  *  the enclosing query; semantics (must intersection, should msm gate,
@@ -833,6 +903,26 @@ object Hybrid {
         p.join(n, Seq("doc_id"), "left")
           .select($"doc_id",
             ($"score" * when($"_neg".isNotNull, nb).otherwise(1.0)).as("score"))
+      case fs: FunctionScore =>
+        scoreFunctionScore(src, fs)
+      case r: RankFeatureQ =>
+        // feature postings seek: the token-weight table pruned to ONE token
+        // (predicate reaches the scan), then a scalar scoring projection —
+        // the FeatureField query never touches docs lacking the feature
+        val tw = src.sparse.getOrElse(throw new IllegalArgumentException(
+          "rank_feature requires HybridSources.sparse (the token-weight table)"))
+          .where($"token" === r.token)
+        val w = $"w"
+        val s = r.fn match {
+          case "saturation" =>
+            if (r.positiveImpact) w / (w + r.pivot)
+            else lit(r.pivot) / (w + r.pivot)
+          case "log"     => log(w + r.scalingFactor)
+          case "sigmoid" => pow(w, r.exponent) /
+            (pow(w, r.exponent) + math.pow(r.pivot, r.exponent))
+          case "linear"  => w
+        }
+        tw.select($"doc_id", (s * r.boost).as("score"))
       case LexicalMulti(fields, terms, mm) =>
         // per-field BM25 against each field's OWN index (its own postings,
         // lengths, df/avgdl — Lucene scores each field as an independent
@@ -931,6 +1021,112 @@ object Hybrid {
           case _            => scored
         }
     }
+
+  /** [[FunctionScore]] scoring. Scale shape: ONE pass over the inner
+   *  query's matched set — field values arrive by a doc_id join against the
+   *  stored-fields table (Catalyst prunes it to exactly the referenced
+   *  columns), each function filter contributes a left-semi-style matched
+   *  flag, and the whole factor expression is a single codegen'd projection.
+   *  No window, no per-function re-score of the corpus. */
+  private def scoreFunctionScore(src: HybridSources, fs: FunctionScore): DataFrame = {
+    require(fs.functions.nonEmpty, "function_score requires at least one function")
+    val base = scoreClause(src, fs.inner, boundPerBucket = 0)
+    // one join brings in every referenced numeric field, column-pruned
+    val fieldsNeeded = fs.functions.collect {
+      case f: FieldValueFactorFn => f.field
+      case d: DecayFn            => d.field
+    }.distinct
+    val withFields = if (fieldsNeeded.isEmpty) base else {
+      val flds = src.fields.getOrElse(throw new IllegalArgumentException(
+        "function_score over field values requires HybridSources.fields"))
+      base.join(
+        flds.select((col("doc_id") +: fieldsNeeded.map(f =>
+          col(f).cast("double").as(s"_fv_$f"))): _*),
+        Seq("doc_id"), "left")
+    }
+    // per-function matched flag (filter present -> its doc set, else true)
+    val withFlags = fs.functions.zipWithIndex.foldLeft(withFields) {
+      case (df, (fn, i)) => fn.filter match {
+        case Some(flt) =>
+          val m = scoreClause(src, flt, boundPerBucket = 0)
+            .select($"doc_id").distinct().withColumn(s"_m$i", lit(true))
+          df.join(m, Seq("doc_id"), "left")
+            .withColumn(s"_m$i", coalesce(col(s"_m$i"), lit(false)))
+        case None => df.withColumn(s"_m$i", lit(true))
+      }
+    }
+    def raw(fn: ScoreFn): Column = fn match {
+      case _: WeightFn => lit(1.0)
+      case f: FieldValueFactorFn =>
+        val v0 = col(s"_fv_${f.field}")
+        val v = f.missing.fold(
+          when(v0.isNull, raise_error(lit(
+            s"function_score: field [${f.field}] is null and [missing] is unset")))
+            .otherwise(v0))(m => coalesce(v0, lit(m))) * f.factor
+        f.modifier match {
+          case "none"       => v
+          case "log"        => log10(v)
+          case "log1p"      => log10(v + 1.0)
+          case "log2p"      => log10(v + 2.0)
+          case "ln"         => log(v)
+          case "ln1p"       => log(v + 1.0)
+          case "ln2p"       => log(v + 2.0)
+          case "sqrt"       => sqrt(v)
+          case "square"     => v * v
+          case "reciprocal" => lit(1.0) / v
+        }
+      case d: DecayFn =>
+        val dist = greatest(lit(0.0), abs(col(s"_fv_${d.field}") - d.origin) - d.offset)
+        d.kind match {
+          case "gauss" =>
+            val sigma2 = -d.scale * d.scale / (2.0 * math.log(d.decay))
+            exp(dist * dist * lit(-1.0 / (2.0 * sigma2)))
+          case "exp" => exp(dist * lit(math.log(d.decay) / d.scale))
+          case "linear" =>
+            val s = d.scale / (1.0 - d.decay)
+            greatest(lit(0.0), lit(1.0) - dist / s)
+        }
+    }
+    val matched = fs.functions.indices.map(i => col(s"_m$i"))
+    val weighted = fs.functions.map(fn => raw(fn) * fn.weight)
+    val anyMatched = matched.reduceLeft(_ || _)
+    val combined = fs.scoreMode match {
+      case "multiply" =>
+        fs.functions.indices.map(i =>
+          when(matched(i), weighted(i)).otherwise(1.0)).reduceLeft(_ * _)
+      case "sum" =>
+        fs.functions.indices.map(i =>
+          when(matched(i), weighted(i)).otherwise(0.0)).reduceLeft(_ + _)
+      case "max" =>
+        fs.functions.indices.map(i =>
+          when(matched(i), weighted(i))).reduceLeft((a, b) => greatest(a, b))
+      case "min" =>
+        fs.functions.indices.map(i =>
+          when(matched(i), weighted(i))).reduceLeft((a, b) => least(a, b))
+      case "avg" =>
+        // weighted average of the raw values, Σwᵢrᵢ / Σwᵢ over matched
+        val num = fs.functions.zipWithIndex.map { case (_, i) =>
+          when(matched(i), weighted(i)).otherwise(0.0) }.reduceLeft(_ + _)
+        val den = fs.functions.zipWithIndex.map { case (fn, i) =>
+          when(matched(i), lit(fn.weight)).otherwise(0.0) }.reduceLeft(_ + _)
+        num / den
+      case "first" =>
+        fs.functions.indices.reverse.foldLeft(lit(1.0)) { (acc, i) =>
+          when(matched(i), weighted(i)).otherwise(acc)
+        }
+    }
+    // no matching function -> the neutral 1.0 (FiltersFunctionScoreQuery)
+    val factor = least(when(anyMatched, combined).otherwise(1.0), lit(fs.maxBoost))
+    val score = fs.boostMode match {
+      case "multiply" => $"score" * factor
+      case "replace"  => factor
+      case "sum"      => $"score" + factor
+      case "avg"      => ($"score" + factor) / 2.0
+      case "max"      => greatest($"score", factor)
+      case "min"      => least($"score", factor)
+    }
+    withFlags.select($"doc_id", score.as("score"))
+  }
 
   /** Stages 1-2 of the pipeline: per-sub-query scoring, filter, per-group
    *  keep, top-depth collection, collection rank. Output is <= nSub x depth

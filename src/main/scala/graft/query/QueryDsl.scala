@@ -282,6 +282,111 @@ object QueryDsl {
         parseSubQuery(body.path("positive"), analyzer, enricher),
         parseSubQuery(body.path("negative"), analyzer, enricher),
         body.path("negative_boost").asDouble())
+    } else if (!q.path("rank_feature").isMissingNode) {
+      // {"rank_feature": {"field": "features.join", "saturation": {"pivot": 8},
+      //   "boost": 2}} — field's last dot-segment names the feature token;
+      // exactly one of saturation/log/sigmoid/linear (saturation needs an
+      // explicit pivot — the reference's computed-pivot default needs index
+      // stats the query parser doesn't have)
+      val body = q.path("rank_feature")
+      val field = body.path("field").asText("")
+      require(field.nonEmpty, "rank_feature requires a [field]")
+      val token = field.split('.').last
+      val boost = body.path("boost").asDouble(1.0)
+      require(boost > 0, s"[boost] must be > 0, got $boost")
+      val fnKeys = Seq("saturation", "log", "sigmoid", "linear")
+        .filter(k => !body.path(k).isMissingNode)
+      require(fnKeys.size == 1,
+        s"rank_feature requires exactly one of saturation|log|sigmoid|linear, got $fnKeys")
+      fnKeys.head match {
+        case "saturation" =>
+          val p = body.path("saturation").path("pivot")
+          require(p.isNumber && p.asDouble() > 0,
+            "rank_feature saturation requires a positive [pivot]")
+          graft.hybrid.RankFeatureQ(token, "saturation", pivot = p.asDouble(),
+            boost = boost)
+        case "log" =>
+          val sf = body.path("log").path("scaling_factor")
+          require(sf.isNumber && sf.asDouble() >= 1,
+            "rank_feature log requires [scaling_factor] >= 1")
+          graft.hybrid.RankFeatureQ(token, "log", scalingFactor = sf.asDouble(),
+            boost = boost)
+        case "sigmoid" =>
+          val (p, e) = (body.path("sigmoid").path("pivot"),
+            body.path("sigmoid").path("exponent"))
+          require(p.isNumber && p.asDouble() > 0 && e.isNumber && e.asDouble() > 0,
+            "rank_feature sigmoid requires positive [pivot] and [exponent]")
+          graft.hybrid.RankFeatureQ(token, "sigmoid", pivot = p.asDouble(),
+            exponent = e.asDouble(), boost = boost)
+        case "linear" =>
+          graft.hybrid.RankFeatureQ(token, "linear", boost = boost)
+      }
+    } else if (!q.path("function_score").isMissingNode) {
+      // {"function_score": {"query": {...}, "functions": [
+      //    {"filter": {...}, "weight": 2},
+      //    {"field_value_factor": {"field": "n_chars", "factor": 0.01,
+      //      "modifier": "log1p", "missing": 1}},
+      //    {"gauss": {"n_chars": {"origin": 300, "scale": 150,
+      //      "offset": 50, "decay": 0.5}}} ],
+      //   "score_mode": "sum", "boost_mode": "multiply", "max_boost": 10}}
+      // — or the single-function shorthand with the function keys inline.
+      val body = q.path("function_score")
+      require(body.path("query").isObject, "function_score requires a [query]")
+      val inner = parseSubQuery(body.path("query"), analyzer, enricher)
+      val modifiers = Set("none", "log", "log1p", "log2p", "ln", "ln1p",
+        "ln2p", "sqrt", "square", "reciprocal")
+      def parseFn(n: JsonNode): graft.hybrid.ScoreFn = {
+        val filter = Option(n.path("filter")).filterNot(_.isMissingNode)
+          .map(parseSubQuery(_, analyzer, enricher))
+        val weight = if (n.path("weight").isNumber) n.path("weight").asDouble() else 1.0
+        val decayKinds = Seq("gauss", "exp", "linear").filter(k => !n.path(k).isMissingNode)
+        if (!n.path("field_value_factor").isMissingNode) {
+          val f = n.path("field_value_factor")
+          val field = f.path("field").asText("")
+          require(field.nonEmpty, "field_value_factor requires a [field]")
+          val modifier = f.path("modifier").asText("none")
+          require(modifiers(modifier),
+            s"field_value_factor [modifier] must be one of $modifiers, got [$modifier]")
+          graft.hybrid.FieldValueFactorFn(field, f.path("factor").asDouble(1.0),
+            modifier,
+            Option(f.path("missing")).filter(_.isNumber).map(_.asDouble()),
+            weight, filter)
+        } else if (decayKinds.nonEmpty) {
+          require(decayKinds.size == 1,
+            s"a function may define only one decay, got $decayKinds")
+          val kind = decayKinds.head
+          val (field, cfg) = firstField(n.path(kind))
+          require(cfg.path("origin").isNumber && cfg.path("scale").isNumber,
+            s"$kind decay requires numeric [origin] and [scale]")
+          val scale = cfg.path("scale").asDouble()
+          require(scale > 0, s"$kind [scale] must be > 0, got $scale")
+          val decay = cfg.path("decay").asDouble(0.5)
+          require(decay > 0 && decay < 1,
+            s"$kind [decay] must be in (0, 1), got $decay")
+          graft.hybrid.DecayFn(kind, field, cfg.path("origin").asDouble(), scale,
+            cfg.path("offset").asDouble(0.0), decay, weight, filter)
+        } else {
+          require(n.path("weight").isNumber,
+            "function must define weight, field_value_factor, or a decay (gauss/exp/linear)")
+          graft.hybrid.WeightFn(weight, filter)
+        }
+      }
+      val fnsNode = body.path("functions")
+      val fns =
+        if (fnsNode.isArray) {
+          require(fnsNode.size() > 0, "function_score [functions] must be non-empty")
+          (0 until fnsNode.size()).map(i => parseFn(fnsNode.get(i)))
+        } else Seq(parseFn(body))
+      val scoreMode = body.path("score_mode").asText("multiply")
+      require(Set("multiply", "sum", "avg", "first", "max", "min")(scoreMode),
+        s"function_score [score_mode] must be multiply|sum|avg|first|max|min, got [$scoreMode]")
+      val boostMode = body.path("boost_mode").asText("multiply")
+      require(Set("multiply", "replace", "sum", "avg", "max", "min")(boostMode),
+        s"function_score [boost_mode] must be multiply|replace|sum|avg|max|min, got [$boostMode]")
+      val maxBoost =
+        if (body.path("max_boost").isNumber) body.path("max_boost").asDouble()
+        else Double.MaxValue
+      graft.hybrid.FunctionScore(inner, fns, scoreMode, boostMode, maxBoost)
     } else if (!q.path("query_string").isMissingNode) {
       // {"query_string": {"query": "(join AND hash) OR path:pkg7^2 -dup",
       //   "default_operator": "OR"}} — the classic Lucene mini-language:

@@ -458,6 +458,148 @@ class QueryDslSpec extends SparkSpec {
     assert(QueryText.extractHybrid(nested, "text") == "hash bloom filter")
   }
 
+  test("function_score parses functions + modes; malformed forms rejected") {
+    import graft.hybrid._
+    val pb = QueryDsl.parseBool(
+      """{"query":{"bool":{"must":[{"function_score":{
+        |  "query":{"match":{"text":"join"}},
+        |  "functions":[
+        |    {"filter":{"term":{"text":"dup"}},"weight":0.5},
+        |    {"field_value_factor":{"field":"n_chars","factor":0.01,
+        |      "modifier":"log1p","missing":1}},
+        |    {"gauss":{"n_chars":{"origin":300,"scale":150,"offset":25,
+        |      "decay":0.5}},"weight":2}],
+        |  "score_mode":"sum","boost_mode":"multiply","max_boost":3}}]}}}""".stripMargin)
+    val fs = pb.bool.must.head.asInstanceOf[FunctionScore]
+    assert(fs.inner == Lexical(Seq("join")))
+    assert(fs.functions == Seq(
+      WeightFn(0.5, Some(Lexical(Seq("dup")))),
+      FieldValueFactorFn("n_chars", 0.01, "log1p", Some(1.0)),
+      DecayFn("gauss", "n_chars", 300, 150, 25, 0.5, 2.0)))
+    assert(fs.scoreMode == "sum" && fs.boostMode == "multiply" && fs.maxBoost == 3.0)
+
+    // single-function shorthand: keys inline on the function_score body
+    val short = QueryDsl.parseBool(
+      """{"query":{"bool":{"must":[{"function_score":{
+        |  "query":{"match":{"text":"join"}},
+        |  "linear":{"n_chars":{"origin":0,"scale":100}}}}]}}}""".stripMargin)
+      .bool.must.head.asInstanceOf[FunctionScore]
+    assert(short.functions == Seq(DecayFn("linear", "n_chars", 0, 100, 0, 0.5, 1.0)))
+    assert(short.maxBoost == Double.MaxValue)
+
+    def bad(q: String): Unit = intercept[IllegalArgumentException] {
+      QueryDsl.parseBool(s"""{"query":{"bool":{"must":[$q]}}}""")
+    }
+    val innerQ = """"query":{"match":{"text":"a"}}"""
+    bad(s"""{"function_score":{"functions":[{"weight":2}]}}""")           // no query
+    bad(s"""{"function_score":{$innerQ,"functions":[]}}""")               // empty functions
+    bad(s"""{"function_score":{$innerQ,"functions":[{"filter":{"term":{"text":"a"}}}]}}""") // functionless
+    bad(s"""{"function_score":{$innerQ,"functions":[{"weight":2}],"score_mode":"prod"}}""")
+    bad(s"""{"function_score":{$innerQ,"functions":[{"weight":2}],"boost_mode":"times"}}""")
+    bad(s"""{"function_score":{$innerQ,"functions":[{"field_value_factor":{"field":"n","modifier":"cube"}}]}}""")
+    bad(s"""{"function_score":{$innerQ,"functions":[{"gauss":{"n":{"origin":0,"scale":100,"decay":1.5}}}]}}""")
+    bad(s"""{"function_score":{$innerQ,"functions":[{"gauss":{"n":{"origin":0,"scale":-5}}}]}}""")
+    bad(s"""{"function_score":{$innerQ,"functions":[{"gauss":{"n":{"origin":0,"scale":1}},"exp":{"n":{"origin":0,"scale":1}}}]}}""")
+  }
+
+  test("rank_feature parses FeatureField functions; scores saturation exactly") {
+    import graft.hybrid._
+    val pb = QueryDsl.parseBool(
+      """{"query":{"bool":{"should":[
+        |{"rank_feature":{"field":"features.join","saturation":{"pivot":8},"boost":2}},
+        |{"rank_feature":{"field":"f.hash","log":{"scaling_factor":1.5}}},
+        |{"rank_feature":{"field":"scan","sigmoid":{"pivot":3,"exponent":0.6}}},
+        |{"rank_feature":{"field":"x","linear":{}}}]}}}""".stripMargin)
+    assert(pb.bool.should == Seq(
+      RankFeatureQ("join", "saturation", pivot = 8, boost = 2),
+      RankFeatureQ("hash", "log", scalingFactor = 1.5),
+      RankFeatureQ("scan", "sigmoid", pivot = 3, exponent = 0.6),
+      RankFeatureQ("x", "linear")))
+
+    def bad(q: String): Unit = intercept[IllegalArgumentException] {
+      QueryDsl.parseBool(s"""{"query":{"bool":{"must":[$q]}}}""")
+    }
+    bad("""{"rank_feature":{"saturation":{"pivot":8}}}""")
+    bad("""{"rank_feature":{"field":"f","saturation":{"pivot":1},"linear":{}}}""")
+    bad("""{"rank_feature":{"field":"f","saturation":{}}}""")
+    bad("""{"rank_feature":{"field":"f","log":{"scaling_factor":0.5}}}""")
+    bad("""{"rank_feature":{"field":"f","sigmoid":{"pivot":3}}}""")
+    bad("""{"rank_feature":{"field":"f","linear":{},"boost":0}}""")
+
+    // saturation w/(w+pivot) over the encoded weights: token "beta"
+    // (len 4 -> weight 2.0 per tf occurrence)
+    import spark.implicits._
+    val docs = Seq((1L, "beta"), (2L, "beta beta beta"), (3L, "alpha"))
+      .toDF("doc_id", "text")
+    val idx2 = graft.index.InvertedIndex.build(docs, "doc_id", "text")
+    val src = graft.hybrid.HybridSources(idx2,
+      sparse = Some(graft.ops.Sparse.encode(idx2)))
+    val got = graft.query.BoolQuery.topK(src,
+      BoolSub(must = Seq(RankFeatureQ("beta", "saturation", pivot = 2.0))), 10)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    assert(got == Map(1L -> 0.5, 2L -> 0.75), s"got $got") // w=2 -> .5, w=6 -> .75
+  }
+
+  test("function_score semantics: every score/boost mode, filters, fvf, " +
+    "decay, max_boost, none-matched neutrality — vs hand math") {
+    import graft.hybrid._
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta", 100L), (2L, "alpha", 300L),
+      (3L, "alpha beta", 500L), (4L, "alpha", 700L))
+      .toDF("doc_id", "text", "n_chars")
+    val idx2 = graft.index.InvertedIndex.build(docs, "doc_id", "text")
+    val src = graft.hybrid.HybridSources(idx2, fields = Some(docs))
+    val fns = Seq(
+      WeightFn(3.0, Some(Lexical(Seq("beta")))),
+      FieldValueFactorFn("n_chars", 0.01, "sqrt"),
+      DecayFn("linear", "n_chars", origin = 100, scale = 300, decay = 0.5,
+        weight = 2.0))
+    val nChars = Map(1L -> 100.0, 2L -> 300.0, 3L -> 500.0, 4L -> 700.0)
+    // (matched, weighted value, weight) per function, straight from the spec
+    def vals(id: Long) = Seq(
+      (id == 1 || id == 3, 3.0, 3.0),
+      (true, math.sqrt(nChars(id) * 0.01), 1.0),
+      (true, math.max(0.0, 1.0 - math.abs(nChars(id) - 100.0) / 600.0) * 2.0, 2.0))
+    def factor(id: Long, mode: String): Double = {
+      val vs = vals(id).filter(_._1)
+      mode match {
+        case "multiply" => vs.map(_._2).product
+        case "sum"      => vs.map(_._2).sum
+        case "avg"      => vs.map(_._2).sum / vs.map(_._3).sum
+        case "max"      => vs.map(_._2).max
+        case "min"      => vs.map(_._2).min
+        case "first"    => vs.head._2
+      }
+    }
+    def run(fs: FunctionScore): Map[Long, Double] =
+      graft.query.BoolQuery.topK(src, BoolSub(must = Seq(fs)), 10)
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    for (mode <- Seq("multiply", "sum", "avg", "max", "min", "first")) {
+      val got = run(FunctionScore(MatchAll(2.0), fns, mode, "multiply"))
+      (1L to 4L).foreach { id =>
+        assert(math.abs(got(id) - 2.0 * factor(id, mode)) < 1e-9,
+          s"score_mode=$mode doc=$id: got ${got(id)}, want ${2.0 * factor(id, mode)}")
+      }
+    }
+    // boost modes fold the (sum) factor into the query score
+    val f1 = factor(1L, "sum")
+    val boostExpect = Map("multiply" -> (2.0 * f1), "replace" -> f1,
+      "sum" -> (2.0 + f1), "avg" -> ((2.0 + f1) / 2.0),
+      "max" -> math.max(2.0, f1), "min" -> math.min(2.0, f1))
+    for ((bm, want) <- boostExpect) {
+      val got = run(FunctionScore(MatchAll(2.0), fns, "sum", bm))
+      assert(math.abs(got(1L) - want) < 1e-9, s"boost_mode=$bm: got ${got(1L)}")
+    }
+    // max_boost caps the factor BEFORE boost_mode
+    val capped = run(FunctionScore(MatchAll(2.0), fns, "sum", "multiply", maxBoost = 4.0))
+    assert(math.abs(capped(1L) - 2.0 * math.min(f1, 4.0)) < 1e-9)
+    // no matching function -> neutral 1.0 factor (docs 2/4 keep query score)
+    val neutral = run(FunctionScore(MatchAll(2.0),
+      Seq(WeightFn(5.0, Some(Lexical(Seq("beta"))))), "sum", "multiply"))
+    assert(neutral(2L) == 2.0 && neutral(4L) == 2.0 && neutral(1L) == 10.0)
+  }
+
   test("malformed requests are rejected") {
     intercept[IllegalArgumentException](QueryDsl.parse("""{"query":{}}"""))
     intercept[IllegalArgumentException](
