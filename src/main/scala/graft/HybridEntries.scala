@@ -551,6 +551,32 @@ object HybridEntries {
         s.read.parquet(s"$dir/documents.parquet"))
         .select(col("doc_id"), round(col("score"), 4).as("score"))
     }),
+    // match_bool_prefix: type-ahead — leading tokens as unordered term
+    // shoulds, last token as a prefix
+    "dsl_match_bool_prefix" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      val json =
+        """{ "query": { "bool": {
+          |    "must":   [ { "match_bool_prefix": { "text": "hash jo" } } ],
+          |    "should": [ { "match": { "text": "merge" } } ] } },
+          |  "size": 10 }""".stripMargin
+      graft.query.QueryDsl.execute(HybridSources(idx), json,
+        s.read.parquet(s"$dir/documents.parquet"))
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+    }),
+    // sliced scroll: slice 1 of 4 (doc_id % 4 == 1) of the matched set —
+    // the parallel-export contract for draining large results
+    "dsl_scroll_slice" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      val json =
+        """{ "query": { "bool": {
+          |    "should": [ { "match": { "text": "merge sort" } } ] } },
+          |  "slice": { "id": 1, "max": 4 },
+          |  "size": 10 }""".stripMargin
+      graft.query.QueryDsl.execute(HybridSources(idx), json,
+        s.read.parquet(s"$dir/documents.parquet"))
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+    }),
     // rank_feature: stored token-weight features scored through Lucene's
     // FeatureField functions (saturation / log / sigmoid) as bool should
     // clauses beside a BM25 match
@@ -2105,6 +2131,16 @@ object HybridEntries {
       "dsl_fuzzy" ->
         boolOracle(tokCte, must = Seq(Fuzzy("joim", 1)),
           should = Seq(Lexical(Seq("hash"))), mustNot = Nil, msm = 0),
+      "dsl_match_bool_prefix" ->
+        boolOracle(tokCte,
+          must = Seq(BoolSub(should = Seq(Lexical(Seq("hash")),
+            TermPattern("jo%")))),
+          should = Seq(Lexical(Seq("merge"))), mustNot = Nil, msm = 0),
+      "dsl_scroll_slice" ->
+        boolOracle(tokCte, must = Nil,
+          should = Seq(Lexical(Seq("merge", "sort"))),
+          mustNot = Nil, msm = 1,
+          filterPred = Some("doc_id % 4 = 1")),
       "dsl_rank_feature" ->
         boolOracle(tokCte, must = Nil,
           should = Seq(

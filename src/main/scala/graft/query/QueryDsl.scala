@@ -60,13 +60,31 @@ object QueryDsl {
   case class Parsed(query: HybridQuery, filters: Seq[(String, String)],
                     sort: Seq[(String, Boolean)] = Nil,
                     ranges: Seq[RangeF] = Nil,
-                    searchAfter: Seq[Any] = Nil) {
+                    searchAfter: Seq[Any] = Nil,
+                    slice: Option[(Int, Int)] = None) {
     /** first equality filter, if any (back-compat accessor) */
     def filterField: Option[(String, String)] = filters.headOption
   }
 
   case class ParsedBool(bool: BoolQuery.BoolSpec, filters: Seq[(String, String)],
-                        k: Int, ranges: Seq[RangeF] = Nil)
+                        k: Int, ranges: Seq[RangeF] = Nil,
+                        slice: Option[(Int, Int)] = None)
+
+  /** Root-level `slice` (sliced scroll — the parallel-export contract:
+   *  `{"slice": {"id": n, "max": m}}` partitions the matched doc set into m
+   *  disjoint covering slices so m independent consumers can drain a large
+   *  result in parallel). Slicing on doc_id % max (OpenSearch's default
+   *  slices on the _id hash; modulo is the same disjoint-cover contract,
+   *  deterministic across engines). */
+  private def parseSlice(root: JsonNode): Option[(Int, Int)] =
+    Option(root.path("slice")).filterNot(_.isMissingNode).map { sl =>
+      require(sl.path("id").isNumber && sl.path("max").isNumber,
+        "slice requires numeric [id] and [max]")
+      val (id, max) = (sl.path("id").asInt(), sl.path("max").asInt())
+      require(max >= 2, s"slice [max] must be >= 2, got $max")
+      require(id >= 0 && id < max, s"slice [id] must be in [0, $max), got $id")
+      (id, max)
+    }
 
   /** Parse a top-level scoring `bool` request (must / should / must_not /
    *  minimum_should_match / filter). Clauses are the same grammar as
@@ -90,7 +108,8 @@ object QueryDsl {
       BoolQuery.BoolSpec(clauses("must"), clauses("should"), clauses("must_not"), msm),
       eqs,
       root.path("size").asInt(10),
-      ranges)
+      ranges,
+      parseSlice(root))
   }
 
   def parse(json: String, analyzer: String = Analyzer.Simple): Parsed = {
@@ -186,7 +205,8 @@ object QueryDsl {
             else n.asText(): Any
           }
         }
-      }
+      },
+      slice = parseSlice(root)
     )
   }
 
@@ -399,6 +419,26 @@ object QueryDsl {
       require(defOp == "OR" || defOp == "AND",
         s"default_operator must be OR|AND, got [$defOp]")
       parseQueryString(text, defaultAnd = defOp == "AND", analyzer)
+    } else if (!q.path("match_bool_prefix").isMissingNode) {
+      // {"match_bool_prefix": {"text": {"query": "hash jo",
+      //   "minimum_should_match": 1}}} — every analyzed token a should term
+      // clause except the LAST, which matches as a prefix (the type-ahead
+      // form: terms can match in any order/position, unlike
+      // match_phrase_prefix). Composes as the equivalent bool.
+      val (_, body) = firstField(q.path("match_bool_prefix"))
+      val (text, msmN) =
+        if (body.isObject) (body.path("query").asText(),
+          Option(body.path("minimum_should_match")).filter(_.isNumber).map(_.asInt()))
+        else (body.asText(), None)
+      require(text.nonEmpty, "match_bool_prefix requires a non-empty query text")
+      val toks = Analyzer.analyze(analyzer)(text).toSeq
+      require(toks.nonEmpty, "match_bool_prefix analyzed to zero tokens")
+      msmN.foreach(m => require(m >= 1 && m <= toks.size,
+        s"minimum_should_match must be in [1, ${toks.size}], got $m"))
+      graft.hybrid.BoolSub(
+        should = toks.init.map(t => Lexical(Seq(t))) :+
+          graft.hybrid.TermPattern(toks.last + "%"),
+        minimumShouldMatch = msmN)
     } else if (!q.path("match_phrase_prefix").isMissingNode) {
       // {"match_phrase_prefix": {"text": {"query": "merge so",
       //   "max_expansions": 50}}} | {"match_phrase_prefix": {"text": "..."}}
@@ -744,11 +784,19 @@ object QueryDsl {
 
   /** Apply parsed equality + range filters to the docs table -> doc_id set. */
   private def filterDf(docs: => DataFrame, eqs: Seq[(String, String)],
-                       ranges: Seq[RangeF]): Option[DataFrame] =
-    if (eqs.isEmpty && ranges.isEmpty) None
+                       ranges: Seq[RangeF],
+                       slice: Option[(Int, Int)] = None): Option[DataFrame] =
+    if (eqs.isEmpty && ranges.isEmpty && slice.isEmpty) None
     else {
       val afterEq = eqs.foldLeft(docs)((d, f) => d.where(col(f._1) === f._2))
-      Some(ranges.foldLeft(afterEq)((d, r) => d.where(r.predicate)).select("doc_id"))
+      val afterR = ranges.foldLeft(afterEq)((d, r) => d.where(r.predicate))
+      // slice id of max: doc_id % max == id — m disjoint covering slices,
+      // each consumer's predicate reaches the scan like any pushed filter
+      val sliced = slice.fold(afterR) { case (id, max) =>
+        afterR.where(org.apache.spark.sql.functions.pmod(
+          col("doc_id"), org.apache.spark.sql.functions.lit(max.toLong)) === id.toLong)
+      }
+      Some(sliced.select("doc_id"))
     }
 
   /** Parse + execute against hybrid sources; `docs` supplies filter and
@@ -758,7 +806,8 @@ object QueryDsl {
     if (!rootQ.path("bool").isMissingNode) {
       val pb = parseBool(json, src.idx.analyzer)
       val srcB = if (src.fields.isEmpty) src.copy(fields = Some(docs)) else src
-      return BoolQuery.topK(srcB, pb.bool, pb.k, filterDf(docs, pb.filters, pb.ranges))
+      return BoolQuery.topK(srcB, pb.bool, pb.k,
+        filterDf(docs, pb.filters, pb.ranges, pb.slice))
     }
     // a plain top-level clause ({"query": {"match": ...}} etc.) runs as the
     // single scoring clause of an implicit bool — exactly how OpenSearch
@@ -769,10 +818,10 @@ object QueryDsl {
       val clause = parseSubQuery(rootQ, src.idx.analyzer, enricher)
       val srcB = if (src.fields.isEmpty) src.copy(fields = Some(docs)) else src
       return BoolQuery.topK(srcB, graft.hybrid.BoolSub(must = Seq(clause)),
-        root.path("size").asInt(10), None)
+        root.path("size").asInt(10), filterDf(docs, Nil, Nil, parseSlice(root)))
     }
     val parsed = parse(json, src.idx.analyzer)
-    val fDf = filterDf(docs, parsed.filters, parsed.ranges)
+    val fDf = filterDf(docs, parsed.filters, parsed.ranges, parsed.slice)
     val src2 =
       if ((parsed.query.collapse.nonEmpty || parsed.sort.nonEmpty) && src.fields.isEmpty)
         src.copy(fields = Some(docs))

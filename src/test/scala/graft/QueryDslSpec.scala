@@ -502,6 +502,55 @@ class QueryDslSpec extends SparkSpec {
     bad(s"""{"function_score":{$innerQ,"functions":[{"gauss":{"n":{"origin":0,"scale":1}},"exp":{"n":{"origin":0,"scale":1}}}]}}""")
   }
 
+  test("match_bool_prefix parses to term-shoulds + last-token prefix; " +
+    "slice parses and covers disjointly") {
+    import graft.hybrid._
+    val pb = QueryDsl.parseBool(
+      """{"query":{"bool":{"must":[{"match_bool_prefix":{"text":
+        |{"query":"hash jo","minimum_should_match":2}}}]}}}""".stripMargin)
+    assert(pb.bool.must.head == BoolSub(
+      should = Seq(Lexical(Seq("hash")), TermPattern("jo%")),
+      minimumShouldMatch = Some(2)))
+    // single token -> prefix only
+    val one = QueryDsl.parseBool(
+      """{"query":{"bool":{"must":[{"match_bool_prefix":{"text":"jo"}}]}}}""")
+    assert(one.bool.must.head == BoolSub(should = Seq(TermPattern("jo%"))))
+    intercept[IllegalArgumentException](QueryDsl.parseBool(
+      """{"query":{"bool":{"must":[{"match_bool_prefix":{"text":
+        |{"query":"a b","minimum_should_match":3}}}]}}}""".stripMargin))
+
+    // slice: parse + rejections
+    val sl = QueryDsl.parseBool(
+      """{"query":{"bool":{"must":[{"match":{"text":"a"}}]}},
+        |"slice":{"id":2,"max":5}}""".stripMargin)
+    assert(sl.slice.contains((2, 5)))
+    def badSlice(s: String): Unit = intercept[IllegalArgumentException](
+      QueryDsl.parseBool(
+        s"""{"query":{"bool":{"must":[{"match":{"text":"a"}}]}},"slice":$s}"""))
+    badSlice("""{"id":4,"max":4}""")
+    badSlice("""{"id":-1,"max":4}""")
+    badSlice("""{"id":0,"max":1}""")
+    badSlice("""{"id":0}""")
+
+    // slices are disjoint and cover: union of all 4 == unsliced matched set
+    import spark.implicits._
+    val docs = (0L until 40L).map(i => (i, "alpha")).toDF("doc_id", "text")
+    val idx2 = graft.index.InvertedIndex.build(docs, "doc_id", "text")
+    val src = graft.hybrid.HybridSources(idx2)
+    def ids(json: String): Set[Long] =
+      QueryDsl.execute(src, json, docs).collect().map(_.getAs[Long]("doc_id")).toSet
+    val all = ids("""{"query":{"bool":{"must":[{"match":{"text":"alpha"}}]}},"size":100}""")
+    val slices = (0 until 4).map(i => ids(
+      s"""{"query":{"bool":{"must":[{"match":{"text":"alpha"}}]}},
+         |"slice":{"id":$i,"max":4},"size":100}""".stripMargin))
+    assert(slices.map(_.size).sum == all.size && slices.reduce(_ ++ _) == all,
+      "4 slices must partition the matched set")
+    assert(slices.combinations(2).forall { case Seq(a, b) => (a & b).isEmpty })
+    // bare-leaf path honors slice too
+    val bare = ids("""{"query":{"match":{"text":"alpha"}},"slice":{"id":1,"max":4},"size":100}""")
+    assert(bare == slices(1))
+  }
+
   test("rank_feature parses FeatureField functions; scores saturation exactly") {
     import graft.hybrid._
     val pb = QueryDsl.parseBool(
