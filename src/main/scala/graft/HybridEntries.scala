@@ -364,6 +364,13 @@ object HybridEntries {
     "term_suggest" -> ((s, dir) =>
       graft.query.Suggest.termSuggest(IndexCache.documents(s, dir),
         "joim hsah merge", maxEdits = 2, size = 3)),
+    // phrase suggester: whole-phrase "did you mean" — per-slot candidate
+    // corrections x stupid-backoff bigram LM over the corpus token stream
+    "phrase_suggest" -> ((s, dir) =>
+      graft.query.Suggest.phraseSuggest(IndexCache.documents(s, dir),
+        IndexCache.positions(s, dir), "fas rew",
+        maxEdits = 2, candidatesPerSlot = 3, size = 5)
+        .select(col("suggestion"), round(col("score"), 4).as("score"))),
     // query_string: the classic mini-language — grouping, AND/OR, a
     // -prohibited flag — parsed into the nested bool algebra
     "dsl_query_string" -> ((s, dir) => {
@@ -966,6 +973,33 @@ object HybridEntries {
           round(avg(col("n_chars")), 4).as("avg_chars"),
           sum(col("n_chars")).cast("long").as("sum_chars"))
     }),
+    // extended_stats: the stats family plus sum-of-squares / population
+    // variance / std-dev / std-dev bounds — one aggregate, no second pass
+    // (variance computed from the same sums the reference accumulates)
+    "hybrid_agg_extended_stats" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      matchedAB(idx)
+        .join(s.read.parquet(s"$dir/documents.parquet").select("doc_id", "n_chars"), "doc_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"),
+          round(avg(col("n_chars")), 4).as("avg_chars"),
+          sum(col("n_chars") * col("n_chars")).cast("long").as("sum_of_squares"),
+          round(var_pop(col("n_chars")), 4).as("variance"),
+          round(stddev_pop(col("n_chars")), 4).as("std_deviation"),
+          round(avg(col("n_chars")) + lit(2.0) * stddev_pop(col("n_chars")), 4)
+            .as("std_upper"),
+          round(avg(col("n_chars")) - lit(2.0) * stddev_pop(col("n_chars")), 4)
+            .as("std_lower"))
+    }),
+    // rare_terms: the long tail — terms whose corpus doc-frequency is at
+    // most max_doc_count (the inverse of the terms agg; reads ONLY the
+    // term-stats table, no postings decode)
+    "agg_rare_terms" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      idx.termStats.select(col("term"), col("df"))
+        .where(col("df") <= 30)
+        .orderBy(col("df").asc, col("term").asc)
+    }),
     // percentiles aggregation over the matched set — exact linear
     // interpolation on the sorted values (Spark `percentile`; the
     // reference's t-digest is approximate, exact is the stronger contract
@@ -1090,6 +1124,26 @@ object HybridEntries {
       hist.withColumn("deriv",
         col("n_events") - lag(col("n_events"), 1)
           .over(Window.orderBy(col("day"))))
+    }),
+    // sibling pipeline aggs over the daily histogram: moving_fn (window-3
+    // moving average, current bucket inclusive) per bucket, plus the
+    // bucket-metric family avg/max/min/sum_bucket broadcast back onto
+    // every row. The ordered window runs over the BUCKET table (days) —
+    // same bounded-cardinality contract as derivative/cumulative — and
+    // the bucket metrics are one tiny aggregate broadcast back.
+    "agg_bucket_pipeline" -> ((s, dir) => {
+      val hist = s.read.parquet(s"$dir/events.parquet")
+        .where(col("event_type") === "purchase")
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_events"))
+      hist.withColumn("mov_avg",
+          round(avg(col("n_events")).over(
+            Window.orderBy(col("day")).rowsBetween(-2, 0)), 4))
+        .crossJoin(broadcast(hist.agg(
+          round(avg(col("n_events")), 4).as("avg_bucket"),
+          max(col("n_events")).as("max_bucket"),
+          min(col("n_events")).as("min_bucket"),
+          sum(col("n_events")).as("sum_bucket"))))
     }),
     // significant_terms over the matched set: JLH-scored
     // foreground-vs-background term skew (postings pruned to the matched
@@ -2187,6 +2241,58 @@ object HybridEntries {
         boolOracle(tokCte,
           must = Seq(LexicalPhrasePrefix(Seq("hash"), "s", maxExpansions = 3)),
           should = Seq(Lexical(Seq("join"))), mustNot = Nil, msm = 0),
+      "phrase_suggest" -> {
+        // mirrors Suggest.phraseSuggest for the fixed input "sorr roww":
+        // per-slot candidates (original-if-indexed + top-3 corrections),
+        // channel priors, stupid-backoff bigram LM — additions in the same
+        // left-to-right order as the engine so the doubles agree exactly
+        val rwel = 0.95
+        val missPrior = 1 - rwel // interpolated so both engines use the
+                                 // identical double (1-0.95 != literal 0.05)
+        def candCtes(i: Int, input: String) =
+          s"""c$i AS (
+             |  SELECT term, dist FROM (
+             |    SELECT df.term, levenshtein(df.term, '$input') AS dist,
+             |           row_number() OVER (ORDER BY levenshtein(df.term, '$input'),
+             |             df.df DESC, df.term) AS rn
+             |    FROM df
+             |    WHERE abs(length(df.term) - ${input.length}) <= 2
+             |      AND df.term <> '$input'
+             |      AND levenshtein(df.term, '$input') <= 2) WHERE rn <= 3
+             |  UNION ALL
+             |  SELECT '$input', 0 WHERE EXISTS (SELECT 1 FROM df WHERE term = '$input')),
+             |pri$i AS (SELECT term,
+             |            CASE WHEN dist = 0 THEN $rwel ELSE $missPrior / dist END AS p
+             |          FROM c$i)""".stripMargin
+        s"""WITH $tokCte,
+           |tokp AS (SELECT doc_id, unnest(l) AS term, unnest(range(len(l))) AS pos
+           |         FROM (SELECT doc_id,
+           |                 list_filter(string_split(text, ' '), x -> x <> '') AS l
+           |               FROM documents)),
+           |ug AS (SELECT term, sum(tf)*1.0 AS c FROM tf GROUP BY term),
+           |tot AS (SELECT sum(tf)*1.0 AS t FROM tf),
+           |${candCtes(0, "fas")},
+           |${candCtes(1, "rew")},
+           |seqs AS (SELECT p0.term AS t0, p1.term AS t1, ln(p0.p) + ln(p1.p) AS lp
+           |         FROM pri0 p0 CROSS JOIN pri1 p1),
+           |bgc AS (SELECT a.term AS t0, b.term AS t1, count(*)*1.0 AS c
+           |        FROM tokp a JOIN tokp b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+           |        WHERE a.term IN (SELECT term FROM c0)
+           |          AND b.term IN (SELECT term FROM c1)
+           |        GROUP BY 1, 2),
+           |scored AS (
+           |  SELECT s.t0 || ' ' || s.t1 AS suggestion,
+           |         s.lp + ln(u0.c / tot.t) +
+           |         CASE WHEN bgc.c IS NOT NULL THEN ln(bgc.c / u0.c)
+           |              ELSE ln(0.4 * u1.c / tot.t) END AS sc
+           |  FROM seqs s
+           |  JOIN ug u0 ON u0.term = s.t0
+           |  JOIN ug u1 ON u1.term = s.t1
+           |  LEFT JOIN bgc ON bgc.t0 = s.t0 AND bgc.t1 = s.t1
+           |  CROSS JOIN tot)
+           |SELECT suggestion, round(sc, 4) AS score FROM scored
+           |ORDER BY sc DESC, suggestion LIMIT 5""".stripMargin
+      },
       "term_suggest" ->
         s"""WITH $tokCte,
            |inp AS (SELECT * FROM (VALUES ('joim'), ('hsah'), ('merge')) t(input)),
@@ -2333,6 +2439,24 @@ object HybridEntries {
            |       max(d.n_chars) AS max_chars, round(avg(d.n_chars), 4) AS avg_chars,
            |       CAST(sum(d.n_chars) AS BIGINT) AS sum_chars
            |FROM m JOIN documents d USING (doc_id)""".stripMargin,
+      "hybrid_agg_extended_stats" ->
+        s"""WITH $tokCte,
+           |m AS (
+           |  SELECT DISTINCT doc_id FROM tf
+           |  WHERE term IN (${termList(A)}) OR term IN (${termList(B)}))
+           |SELECT count(*) AS n_docs,
+           |       CAST(sum(d.n_chars) AS BIGINT) AS sum_chars,
+           |       round(avg(d.n_chars), 4) AS avg_chars,
+           |       CAST(sum(d.n_chars * d.n_chars) AS BIGINT) AS sum_of_squares,
+           |       round(var_pop(d.n_chars), 4) AS variance,
+           |       round(stddev_pop(d.n_chars), 4) AS std_deviation,
+           |       round(avg(d.n_chars) + 2.0 * stddev_pop(d.n_chars), 4) AS std_upper,
+           |       round(avg(d.n_chars) - 2.0 * stddev_pop(d.n_chars), 4) AS std_lower
+           |FROM m JOIN documents d USING (doc_id)""".stripMargin,
+      "agg_rare_terms" ->
+        s"""WITH $tokCte
+           |SELECT term, df FROM df WHERE df <= 30
+           |ORDER BY df, term""".stripMargin,
       "hybrid_agg_source_terms" ->
         s"""WITH $tokCte,
            |m AS (
@@ -2413,6 +2537,20 @@ object HybridEntries {
            |       round(avg(value), 4) AS avg_value
            |FROM events WHERE event_type = 'purchase'
            |GROUP BY 1""".stripMargin,
+      "agg_bucket_pipeline" ->
+        s"""WITH h AS (
+           |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, count(*) AS n_events
+           |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+           |m AS (
+           |  SELECT day, n_events,
+           |         round(avg(n_events) OVER (ORDER BY day
+           |           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mov_avg
+           |  FROM h),
+           |b AS (
+           |  SELECT round(avg(n_events), 4) AS avg_bucket, max(n_events) AS max_bucket,
+           |         min(n_events) AS min_bucket, CAST(sum(n_events) AS BIGINT) AS sum_bucket
+           |  FROM h)
+           |SELECT * FROM m CROSS JOIN b""".stripMargin,
       "agg_derivative" ->
         s"""WITH h AS (
            |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, count(*) AS n_events

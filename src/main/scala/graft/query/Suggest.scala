@@ -1,9 +1,9 @@
 package graft.query
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import graft.analysis.Analyzer
-import graft.index.Index
+import graft.index.{Index, PosBlock, Positions}
 import graft.ops.TopN
 
 /** The `term` suggester ("did you mean"): per misspelled input token, the
@@ -42,5 +42,123 @@ object Suggest {
     TopN.perGroup(cand, Seq("input"), "term", size,
         Seq(col("dist").asc, col("df").desc, col("term").asc))
       .select($"input", $"term".as("suggestion"), $"dist", $"df")
+  }
+
+  /** The `phrase` suggester ("did you mean" over whole phrases): per
+   *  analyzed token slot a direct-generator candidate set — the original
+   *  term when indexed, plus the top `candidatesPerSlot` dictionary terms
+   *  within `maxEdits` ranked (dist asc, df desc, term asc); suggest_mode
+   *  `always`, so real-word slots still generate corrections — and every
+   *  slot-candidate combination scored by channel prior × stupid-backoff
+   *  bigram LM over the corpus token stream (Brants et al. 2007, the
+   *  default smoothing of OpenSearch's phrase suggester):
+   *
+   *    ln score  = ln prior(c₁..cₖ) + ln p(c₁) + Σ ln p(cᵢ | cᵢ₋₁)
+   *    p(w)      = cnt(w) / T
+   *    p(w₂|w₁)  = cnt(w₁w₂) / cnt(w₁) when cnt(w₁w₂) > 0,
+   *                else 0.4 · cnt(w₂) / T
+   *    prior(cᵢ) = realWordErrorLikelihood for the original token,
+   *                (1 − rwel) / dist for an edit-distance-dist correction
+   *
+   *  Scale shape: the LM is NEVER materialized corpus-wide. Unigram counts
+   *  are an aggregate of the postings blocks' per-block `sum_tf` over the
+   *  term-pruned rows; bigram counts decode the POSITIONAL index pruned to
+   *  the candidate terms at the scan (the same bounded per-bucket decode a
+   *  phrase query performs) and count adjacency only for the ≤ |slots|·c²
+   *  candidate pairs; only query-sized candidate/sequence sets reach the
+   *  driver. */
+  def phraseSuggest(idx: Index, pos: Dataset[PosBlock], text: String,
+                    maxEdits: Int = 2, candidatesPerSlot: Int = 3,
+                    size: Int = 5, realWordErrorLikelihood: Double = 0.95,
+                    analyzer: String = Analyzer.Simple): DataFrame = {
+    require(maxEdits >= 1 && maxEdits <= 2,
+      s"max_edits must be in [1, 2] (Lucene's bound), got $maxEdits")
+    require(candidatesPerSlot >= 1 && size >= 1, "candidates and size must be >= 1")
+    require(realWordErrorLikelihood > 0 && realWordErrorLikelihood < 1,
+      s"real_word_error_likelihood must be in (0, 1)")
+    val spark = idx.postings.sparkSession
+    import spark.implicits._
+    val rwel = realWordErrorLikelihood
+    val toks = Analyzer.analyze(analyzer)(text).toSeq
+    require(toks.size >= 2 && toks.size <= 5,
+      s"phrase suggester takes 2-5 analyzed tokens, got ${toks.size}")
+
+    // one shared dictionary scan generates every slot's corrections
+    val inputs = toks.zipWithIndex.toDF("input", "slot")
+    val dict = idx.termStats.select($"term", $"df")
+    val cand = dict.join(broadcast(inputs),
+        abs(length($"term") - length($"input")) <= maxEdits &&
+          $"term" =!= $"input" &&
+          levenshtein($"term", $"input") <= maxEdits)
+      .withColumn("dist", levenshtein($"term", $"input"))
+    val corr = TopN.perGroup(cand, Seq("slot"), "term", candidatesPerSlot,
+        Seq(col("dist").asc, col("df").desc, col("term").asc))
+      .select($"slot", $"term", $"dist").collect()
+      .map(r => (r.getAs[Int]("slot"), r.getAs[String]("term"), r.getAs[Int]("dist")))
+    val inDict: Set[String] = idx.termStats
+      .filter($"term".isin(toks.distinct: _*))
+      .select($"term").collect().map(_.getString(0)).toSet
+
+    val perSlot: Seq[Seq[(String, Double)]] = toks.zipWithIndex.map { case (t, i) =>
+      val orig = if (inDict(t)) Seq((t, rwel)) else Nil
+      val all = orig ++ corr.collect { case (`i`, term, d) => (term, (1 - rwel) / d) }
+      require(all.nonEmpty, s"no candidates for token [$t] within $maxEdits edits")
+      all
+    }
+    // bounded enumeration: <= (1 + candidatesPerSlot)^5 sequences
+    val seqs: Seq[(Seq[String], Double)] =
+      perSlot.foldLeft(Seq(Seq.empty[String] -> 0.0)) { (acc, cands) =>
+        for ((s0, lp) <- acc; (t, p) <- cands) yield (s0 :+ t, lp + math.log(p))
+      }
+
+    // unigram counts: per-block sum_tf aggregated over the pruned term rows
+    val candTerms = perSlot.flatten.map(_._1).distinct
+    val ug: Map[String, Long] = idx.postings.filter($"term".isin(candTerms: _*))
+      .groupBy($"term").agg(sum($"sum_tf").as("c")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totalT = idx.stats.sum_dl.toDouble
+
+    // bigram counts for exactly the adjacent candidate pairs
+    val pairs: Set[(String, String)] =
+      seqs.flatMap { case (s, _) => s.sliding(2).map(p => (p(0), p(1))) }.toSet
+    val pairsB = spark.sparkContext.broadcast(pairs)
+    val bg: Map[(String, String), Long] = pos
+      .filter($"term".isin(candTerms: _*))
+      .groupByKey(_.bucket)
+      .flatMapGroups { (_, it) =>
+        val byTerm = it.map(b => b.term -> Positions.decodeEntries(b)).toMap
+        pairsB.value.iterator.flatMap { case (a, b2) =>
+          (byTerm.get(a), byTerm.get(b2)) match {
+            case (Some(ea), Some(eb)) =>
+              val posB = eb.toMap
+              var c = 0L
+              ea.foreach { case (id, ps) =>
+                posB.get(id).foreach { pb =>
+                  val set = pb.toSet
+                  ps.foreach(p => if (set.contains(p + 1)) c += 1)
+                }
+              }
+              if (c > 0) Iterator.single((a, b2, c)) else Iterator.empty
+            case _ => Iterator.empty
+          }
+        }
+      }.toDF("a", "b", "c").groupBy($"a", $"b").agg(sum($"c").as("c"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+
+    // driver-side scoring of the bounded sequence set — additions kept in
+    // one fixed left-to-right order (prior, unigram, bigrams) so an
+    // independent engine reproduces the exact double
+    val scored = seqs.map { case (s, lprior) =>
+      var sc = lprior + math.log(ug(s.head) / totalT)
+      s.sliding(2).foreach { w =>
+        val (a, b2) = (w(0), w(1))
+        sc += (bg.getOrElse((a, b2), 0L) match {
+          case 0L => math.log(0.4 * ug(b2) / totalT)
+          case c  => math.log(c.toDouble / ug(a))
+        })
+      }
+      (s.mkString(" "), sc)
+    }
+    scored.sortBy { case (t, sc) => (-sc, t) }.take(size).toDF("suggestion", "score")
   }
 }

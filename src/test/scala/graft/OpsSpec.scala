@@ -527,6 +527,42 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("phraseSuggest: candidates, channel priors, stupid-backoff bigram LM " +
+    "— exact hand math") {
+    import graft.index.{InvertedIndex, Positions}
+    val docs = Seq((1L, "a b a c"), (2L, "b a"), (3L, "c c b a b"))
+      .toDF("doc_id", "text")
+    val idx = InvertedIndex.build(docs, "doc_id", "text")
+    val pos = Positions.build(docs, "doc_id", "text")
+    val got = graft.query.Suggest.phraseSuggest(idx, pos, "ab cb",
+      maxEdits = 1, candidatesPerSlot = 2, size = 5)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    // slot "ab": corrections a, b (both dist 1, df 3 each, term asc);
+    // slot "cb": b (df 3) then c (df 2). T=11, cnt(a)=4, cnt(b)=4, cnt(c)=3,
+    // bigrams: (a,b)=2, (a,c)=1, (b,b)=0, (b,c)=0
+    val pr = 2 * math.log((1 - 0.95) / 1)
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = Seq(
+      ("a b", pr + math.log(4.0 / 11) + math.log(2.0 / 4)),
+      ("a c", pr + math.log(4.0 / 11) + math.log(1.0 / 4)),
+      ("b b", pr + math.log(4.0 / 11) + math.log(0.4 * 4 / 11)),
+      ("b c", pr + math.log(4.0 / 11) + math.log(0.4 * 3 / 11)))
+      .map { case (t, s) => (t, r4(s)) }
+    assert(got.map { case (t, s) => (t, r4(s)) } == want, s"got $got")
+    // real-word slot keeps the original at the rwel prior AND generates
+    // corrections (suggest_mode always)
+    val rw = graft.query.Suggest.phraseSuggest(idx, pos, "a cb",
+      maxEdits = 1, candidatesPerSlot = 1, size = 10)
+      .collect().map(_.getString(0)).toSeq
+    // slot "a": original (.95) + top-1 correction b; slot "cb": top-1 b
+    assert(rw.toSet == Set("a b", "b b"), s"got $rw")
+    assert(rw.head == "a b") // original 'a' at .95 prior + best LM path
+    intercept[IllegalArgumentException] {
+      graft.query.Suggest.phraseSuggest(idx, pos, "ab", maxEdits = 1)
+    }
+  }
+
   test("connectedComponents handles an empty pair list") {
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(graft.ops.Dedup.connectedComponents(empty, "id_a", "id_b").count() == 0L)
