@@ -178,6 +178,16 @@ object PipelineEntries {
       graft.ops.Semantic.denseKnnExpanded(dense, "doc_id", queryDoc = 7L, queryChunk = 0, k = 15)
         .select(col("doc_id"), col("chunk_idx"), round(col("c"), 4).as("cos"))
     }),
+    // nested score_mode family: avg (the nested default) / max / sum / min
+    // child-chunk aggregation side by side from one chunk-cosine pass
+    "semantic_knn_score_modes" -> ((s, dir) => {
+      val dense = graft.index.IndexCache.semanticDense(s, dir)
+      graft.ops.Semantic.denseKnnScoreModes(dense, "doc_id", queryDoc = 7L,
+          queryChunk = 0, k = 12)
+        .select(col("doc_id"), round(col("s_avg"), 4).as("s_avg"),
+          round(col("s_max"), 4).as("s_max"), round(col("s_sum"), 4).as("s_sum"),
+          round(col("s_min"), 4).as("s_min"), col("n_chunks"))
+    }),
     // inner_hits on nested kNN (reference: HybridQueryBuilder.java:289-291,
     // 425-430 extracts inner-hit contexts per sub-query): parents ranked by
     // best chunk, each carrying its top-3 matching chunks with their scores
@@ -461,6 +471,22 @@ object PipelineEntries {
          |         FROM dots JOIN norms USING (doc_id, chunk_idx), qn)
          |SELECT doc_id, chunk_idx, round(c, 4) AS cos FROM cosv
          |ORDER BY c DESC, doc_id, chunk_idx LIMIT 15""".stripMargin,
+    // nested score_mode family over the same cosines, ranked by avg
+    "semantic_knn_score_modes" ->
+      s"""WITH $DenseCtes,
+         |q AS (SELECT dim, v AS qv FROM dv WHERE doc_id = 7 AND chunk_idx = 0),
+         |qn AS (SELECT sqrt(sum(qv*qv)) AS qn FROM q),
+         |dots AS (SELECT doc_id, chunk_idx, sum(v*qv) AS dot
+         |         FROM dv JOIN q USING (dim) GROUP BY doc_id, chunk_idx),
+         |norms AS (SELECT doc_id, chunk_idx, sqrt(sum(v*v)) AS n
+         |          FROM dv GROUP BY doc_id, chunk_idx),
+         |cosv AS (SELECT doc_id, chunk_idx, dot/(n*qn.qn) AS c
+         |         FROM dots JOIN norms USING (doc_id, chunk_idx), qn)
+         |SELECT doc_id, round(avg(c), 4) AS s_avg, round(max(c), 4) AS s_max,
+         |       round(sum(c), 4) AS s_sum, round(min(c), 4) AS s_min,
+         |       count(*) AS n_chunks
+         |FROM cosv GROUP BY doc_id
+         |ORDER BY avg(c) DESC, doc_id LIMIT 12""".stripMargin,
     // inner_hits: parents by best chunk (score_mode max), top-3 chunks each
     "semantic_knn_inner_hits" ->
       s"""WITH $DenseCtes,

@@ -181,6 +181,31 @@ object Semantic {
         col("col.chunk_idx").as("chunk_idx"), col("col.cos").as("chunk_cos"))
   }
 
+  /**
+   * Nested score_mode family — OpenSearch's nested query aggregates child
+   * (chunk) scores into the parent per `score_mode`: max (what the
+   * reference's neural kNN wrap uses and [[denseKnnBestChunk]] implements),
+   * avg (the nested default), sum, min. All four computed side by side from
+   * ONE chunk-cosine pass — a single aggregation over the same cosines the
+   * best-chunk path scores, ranked by avg (the default mode), bounded
+   * TakeOrdered top-k.
+   */
+  def denseKnnScoreModes(dense: DataFrame, idCol: String, queryDoc: Long,
+                         queryChunk: Int, k: Int): DataFrame = {
+    val q = dense
+      .filter(col(idCol) === queryDoc && col("chunk_idx") === queryChunk)
+      .select(col("dim"), col("v").as("qv"))
+    val cosv = chunkCosines(dense, idCol, q)
+      .crossJoin(broadcast(q.agg(sqrt(sum(col("qv") * col("qv"))).as("qn"))))
+      .select(col(idCol), col("chunk_idx"), (col("dot") / (col("n") * col("qn"))).as("c"))
+    cosv.groupBy(col(idCol))
+      .agg(avg(col("c")).as("s_avg"), max(col("c")).as("s_max"),
+        sum(col("c")).as("s_sum"), min(col("c")).as("s_min"),
+        count(lit(1)).as("n_chunks"))
+      .orderBy(col("s_avg").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Best-chunk SPARSE score of an encoded token-weight query against the
    *  chunked sparse sub-field (doc_id, chunk_idx, token, w): dot product per
    *  chunk, max over chunks per doc — the nested scoring a routed

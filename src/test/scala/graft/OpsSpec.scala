@@ -235,6 +235,32 @@ class OpsSpec extends SparkSpec {
       "doc 1 unchanged -> prev rows reused; doc 2 changed + doc 4 new -> encoded; doc 3 deleted -> absent")
   }
 
+  test("nested score_mode family: avg/max/sum/min/count equal brute-force " +
+    "over the per-chunk cosines") {
+    val sem = graft.ops.Semantic
+    val d = Seq(
+      (1L, "merge sort join hash scan filter"),
+      (2L, "merge sort merge sort merge sort"),
+      (3L, "hash scan dup key probe build"),
+      (4L, "sort merge partition shuffle spill block")).toDF("doc_id", "text")
+    val dense = sem.ingestDense(d, "doc_id", "text", tokenLimit = 2, dims = 8)
+    val per = sem.denseKnnExpanded(dense, "doc_id", 1L, 0, k = 1000)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("c")))
+      .groupBy(_._1).map { case (id, xs) => id -> xs.map(_._2) }
+    val modes = sem.denseKnnScoreModes(dense, "doc_id", 1L, 0, k = 10)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Double]("s_avg"), r.getAs[Double]("s_max"),
+          r.getAs[Double]("s_sum"), r.getAs[Double]("s_min"),
+          r.getAs[Long]("n_chunks")))).toMap
+    assert(modes.keySet == per.keySet)
+    per.foreach { case (id, cs) =>
+      val (a, mx, sm, mn, n) = modes(id)
+      assert(math.abs(a - cs.sum / cs.size) < 1e-9, s"doc $id avg")
+      assert(math.abs(mx - cs.max) < 1e-9 && math.abs(mn - cs.min) < 1e-9)
+      assert(math.abs(sm - cs.sum) < 1e-9 && n == cs.size)
+    }
+  }
+
   test("inner_hits nested kNN: parents match best-chunk top-k; inner hits are " +
     "each parent's chunks ranked by cosine, bounded at size") {
     val sem = graft.ops.Semantic
