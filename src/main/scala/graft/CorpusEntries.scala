@@ -49,6 +49,18 @@ object CorpusEntries {
 
     "segments_lineage" -> ((s, dir) => lineageDf(s, dir)),
 
+    // TieredMergePolicy-style selection round over segment metadata:
+    // tier = floor(log4 doc_count); a tier with >= 3 members merges its 3
+    // smallest (doc_count asc, id asc). Metadata only — no postings read.
+    "segments_tiered_plan" -> ((s, dir) => {
+      segmented(s, dir) // ensure built
+      import s.implicits._
+      val lin = Segments.readLineage(s, segStore(dir), NSeg)
+        .values.toSeq.sortBy(_.segment_id)
+      Segments.tieredMergePlan(lin, segmentsPerTier = 3, tierFactor = 4.0)
+        .toDF("segment_id", "doc_count", "tier", "merge_group")
+    }),
+
     "segments_merged_term_stats" -> ((s, dir) =>
       segmented(s, dir).termStats.toDF().select(col("term"), col("df"), col("ttf"))),
 
@@ -152,6 +164,27 @@ object CorpusEntries {
          |       max(sha) AS sha_max,
          |       count(DISTINCT sha) AS sha_distinct
          |FROM segd GROUP BY segment_id, sp, mx""".stripMargin,
+
+    "segments_tiered_plan" ->
+      s"""WITH $tokCte,
+         |bounds AS (SELECT max(doc_id) AS mx FROM documents),
+         |segspan AS (SELECT (mx + $NSeg) // $NSeg AS sp FROM bounds),
+         |segs AS (
+         |  SELECT CAST(d.doc_id // s.sp AS INT) AS segment_id,
+         |         count(*) AS doc_count
+         |  FROM documents d CROSS JOIN segspan s GROUP BY 1),
+         |tiers AS (
+         |  SELECT segment_id, doc_count,
+         |         CAST(floor(ln(greatest(doc_count, 1)) / ln(4.0)) AS INT) AS tier
+         |  FROM segs),
+         |ranked AS (
+         |  SELECT *, count(*) OVER (PARTITION BY tier) AS tn,
+         |         row_number() OVER (PARTITION BY tier
+         |           ORDER BY doc_count, segment_id) AS rn
+         |  FROM tiers)
+         |SELECT segment_id, CAST(doc_count AS BIGINT) AS doc_count, tier,
+         |       CASE WHEN tn >= 3 AND rn <= 3 THEN tier END AS merge_group
+         |FROM ranked""".stripMargin,
 
     "segments_merged_term_stats" ->
       s"""WITH $tokCte

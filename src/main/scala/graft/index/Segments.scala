@@ -183,6 +183,37 @@ object Segments {
     mergeIds(spark, dir, (0 until nSegments).toSeq, lineage.values.toSeq, analyzer)
   }
 
+  /** One selection round of a Lucene-TieredMergePolicy-style merge plan
+   *  over the segment METADATA: segments bucket into size tiers
+   *  (floor(log_tierFactor doc_count) — TMP's logarithmic size levels),
+   *  and any tier holding at least `segmentsPerTier` segments yields one
+   *  merge group: its `segmentsPerTier` SMALLEST members (doc_count asc,
+   *  segment_id asc) — TMP's preference for merging small similar-sized
+   *  segments while leaving large ones alone. Pure metadata decision over
+   *  the lineage rows (bounded = segment count); postings are never read.
+   *  Execute a group with [[mergeAll]]/`mergeIds` as usual.
+   *
+   *  @return one row per segment: (segment_id, doc_count, tier,
+   *          merge_group) — merge_group = the tier id when the segment is
+   *          selected for that tier's merge, None otherwise. */
+  def tieredMergePlan(lineage: Seq[SegmentLineage], segmentsPerTier: Int = 3,
+                      tierFactor: Double = 4.0): Seq[(Int, Long, Int, Option[Int])] = {
+    require(segmentsPerTier >= 2, s"segments_per_tier must be >= 2, got $segmentsPerTier")
+    require(tierFactor > 1.0, s"tier factor must be > 1, got $tierFactor")
+    val tiers = lineage.map(l => (l.segment_id, l.doc_count,
+      math.floor(math.log(math.max(l.doc_count, 1L).toDouble) /
+        math.log(tierFactor)).toInt))
+    val byTier = tiers.groupBy(_._3)
+    tiers.sortBy(_._1).map { case (id, dc, t) =>
+      val members = byTier(t)
+      val selected: Set[Int] =
+        if (members.size >= segmentsPerTier)
+          members.sortBy(m => (m._2, m._1)).take(segmentsPerTier).map(_._1).toSet
+        else Set.empty
+      (id, dc, t, if (selected(id)) Some(t) else None)
+    }
+  }
+
   /** Merge every committed segment found under `dir` (whatever its id) —
    *  the shape the streaming/incremental path needs, where segment ids are
    *  micro-batch ids with possible gaps. */

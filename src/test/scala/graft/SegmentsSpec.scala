@@ -94,4 +94,27 @@ class SegmentsSpec extends SparkSpec {
     val counts = toks.groupBy(identity).view.mapValues(_.length)
     assert(counts.getOrElse("import", 0) > 20 * counts.getOrElse("sym17", 1).max(1) / 10)
   }
+
+  test("tieredMergePlan: log-size tiers; a >=3-member tier merges its 3 " +
+    "smallest, big/lonely tiers stay untouched") {
+    import graft.index.{SegmentLineage, Segments}
+    def lin(id: Int, dc: Long) = SegmentLineage(id, 0, 0, dc, 0, "", "", 0)
+    val plan = Segments.tieredMergePlan(Seq(
+      lin(0, 300), lin(1, 10), lin(2, 12), lin(3, 14), lin(4, 15),
+      lin(5, 310), lin(6, 1000000)))
+    val m = plan.map(p => p._1 -> p._4).toMap
+    // tier floor(ln dc / ln 4): {10,12,14,15} -> tier 1 (4 members),
+    // {300,310} -> tier 4 (2 members), {1e6} -> tier 9 (alone)
+    assert(m(1).contains(1) && m(2).contains(1) && m(3).contains(1))
+    assert(m(4).isEmpty, "4th (largest) member of the tier is left out")
+    assert(m(0).isEmpty && m(5).isEmpty, "2-member tier below segments_per_tier")
+    assert(m(6).isEmpty, "lone large segment never merges")
+    // equal sizes tie-break on segment_id
+    val tie = Segments.tieredMergePlan(
+      Seq(lin(0, 10), lin(1, 10), lin(2, 10), lin(3, 10)))
+    assert(tie.map(p => p._1 -> p._4).toMap ==
+      Map(0 -> Some(1), 1 -> Some(1), 2 -> Some(1), 3 -> None))
+    intercept[IllegalArgumentException](
+      Segments.tieredMergePlan(Seq(lin(0, 10)), segmentsPerTier = 1))
+  }
 }
