@@ -558,6 +558,32 @@ object HybridEntries {
         s.read.parquet(s"$dir/documents.parquet"))
         .select(col("doc_id"), round(col("score"), 4).as("score"))
     }),
+    // pinned: promoted ids in given order above the organic match
+    "dsl_pinned" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      val json =
+        """{ "query": { "pinned": {
+          |    "ids": [41, 7, 113],
+          |    "organic": { "match": { "text": "join hash" } } } },
+          |  "size": 10 }""".stripMargin
+      graft.query.QueryDsl.execute(HybridSources(idx), json,
+        s.read.parquet(s"$dir/documents.parquet"))
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+    }),
+    // distance_feature beside BM25 in one bool: proximity of n_chars to an
+    // origin as a should-clause boost
+    "dsl_distance_feature" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      val json =
+        """{ "query": { "bool": {
+          |    "must":   [ { "match": { "text": "merge" } } ],
+          |    "should": [ { "distance_feature": { "field": "n_chars",
+          |                    "origin": 300, "pivot": 50, "boost": 2.0 } } ] } },
+          |  "size": 10 }""".stripMargin
+      graft.query.QueryDsl.execute(HybridSources(idx), json,
+        s.read.parquet(s"$dir/documents.parquet"))
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+    }),
     // match_bool_prefix: type-ahead — leading tokens as unordered term
     // shoulds, last token as a prefix
     "dsl_match_bool_prefix" -> ((s, dir) => {
@@ -1435,6 +1461,25 @@ object HybridEntries {
          |  SELECT p.doc_id,
          |         p.s * (CASE WHEN n.doc_id IS NOT NULL THEN $nb ELSE 1.0 END) AS s
          |  FROM sq${i}p p LEFT JOIN sq${i}n n ON p.doc_id = n.doc_id)""".stripMargin
+    case PinnedQ(ids, organic) =>
+      val pinCase = ids.zipWithIndex
+        .map { case (id, j) => s"WHEN $id THEN ${PinnedQ.PinBase - j}" }
+        .mkString(" ")
+      val f = filterPred.map(p => s" AND dl.${p}").getOrElse("")
+      s"""${scoreCte(s"${i}o", organic, filterPred)},
+         |sq$i AS (
+         |  SELECT dl.doc_id, CASE dl.doc_id $pinCase END AS s FROM dl
+         |  WHERE dl.doc_id IN (${ids.mkString(", ")})$f
+         |  UNION ALL
+         |  SELECT doc_id, s FROM sq${i}o
+         |  WHERE doc_id NOT IN (${ids.mkString(", ")}))""".stripMargin
+    case DistanceFeatureQ(fld, origin, pivot, boost) =>
+      val f = filterPred.map(p => s" AND dl.${p}").getOrElse("")
+      s"""sq$i AS (
+         |  SELECT dl.doc_id,
+         |         $boost * $pivot / ($pivot + abs(CAST(d.$fld AS DOUBLE) - $origin)) AS s
+         |  FROM dl JOIN documents d USING (doc_id)
+         |  WHERE TRUE$f)""".stripMargin
     case RankFeatureQ(token, fn, pivot, sf, expn, boost, pos) =>
       val f = filterPred.map(p => s" AND ${p}").getOrElse("")
       val s = fn match {
@@ -2185,6 +2230,14 @@ object HybridEntries {
       "dsl_fuzzy" ->
         boolOracle(tokCte, must = Seq(Fuzzy("joim", 1)),
           should = Seq(Lexical(Seq("hash"))), mustNot = Nil, msm = 0),
+      "dsl_pinned" ->
+        boolOracle(tokCte, must = Seq(PinnedQ(Seq(41L, 7L, 113L),
+          Lexical(Seq("join", "hash")))),
+          should = Nil, mustNot = Nil, msm = 0),
+      "dsl_distance_feature" ->
+        boolOracle(tokCte, must = Seq(Lexical(Seq("merge"))),
+          should = Seq(DistanceFeatureQ("n_chars", 300, 50, 2.0)),
+          mustNot = Nil, msm = 0),
       "dsl_match_bool_prefix" ->
         boolOracle(tokCte,
           must = Seq(BoolSub(should = Seq(Lexical(Seq("hash")),

@@ -263,6 +263,21 @@ case class MoreLikeThisQ(likeId: Long,
                          minDocFreq: Int = 5,
                          msmRatio: Double = 0.3) extends SubQuery
 
+/** `pinned`: promote the named documents above every organic hit, in the
+ *  GIVEN id order (Lucene's PinnedQueryBuilder scores pin i at a constant
+ *  far above any organic score, decreasing with position); pinned ids are
+ *  removed from the organic results, and only LIVE pinned docs surface.
+ *  PinBase mirrors Lucene's huge constant pattern. */
+case class PinnedQ(ids: Seq[Long], organic: SubQuery) extends SubQuery
+object PinnedQ { val PinBase: Double = 1e9 }
+
+/** `distance_feature`: boost by proximity of a stored numeric field to an
+ *  origin — score = boost · pivot / (pivot + |value − origin|), the exact
+ *  Lucene DistanceFeatureQuery curve (score boost/2 at distance = pivot).
+ *  Matches every live doc carrying the field. */
+case class DistanceFeatureQ(field: String, origin: Double, pivot: Double,
+                            boost: Double = 1.0) extends SubQuery
+
 /** `rank_feature`: score docs by a stored per-doc numeric feature — the
  *  token-weight field the reference persists via Lucene FeatureField
  *  (query/NeuralSparseQueryBuilder.java:576-581 writes token→weight exactly
@@ -905,6 +920,31 @@ object Hybrid {
             ($"score" * when($"_neg".isNotNull, nb).otherwise(1.0)).as("score"))
       case fs: FunctionScore =>
         scoreFunctionScore(src, fs)
+      case PinnedQ(ids, organic) =>
+        // organic scores minus the pinned ids, unioned with the live pinned
+        // docs at position-decreasing constants far above any organic score
+        // — same bucket-pruned bounded fetch as the ids query
+        val org = scoreClause(src, organic, boundPerBucket = 0)
+          .where(!$"doc_id".isin(ids: _*))
+        val buckets = ids.map(_ >> graft.index.InvertedIndex.BucketBits).distinct
+        val pinScore = ids.zipWithIndex
+          .foldLeft(lit(null).cast("double")) { case (acc, (id, i)) =>
+            when($"doc_id" === id, PinnedQ.PinBase - i).otherwise(acc)
+          }
+        val pinned = graft.index.InvertedIndex.liveDocIds(
+            src.idx.docLens.filter($"bucket".isin(buckets: _*)))
+          .where($"doc_id".isin(ids: _*))
+          .select($"doc_id", pinScore.as("score"))
+        pinned.unionByName(org)
+      case DistanceFeatureQ(f, origin, pivot, boost) =>
+        // proximity curve over a stored numeric field for every live doc —
+        // one column-pruned join, a codegen'd scalar projection
+        val flds = src.fields.getOrElse(throw new IllegalArgumentException(
+          "distance_feature requires HybridSources.fields"))
+        graft.index.InvertedIndex.liveDocIds(src.idx.docLens)
+          .join(flds.select(col("doc_id"), col(f).cast("double").as("_v")), Seq("doc_id"))
+          .select($"doc_id",
+            (lit(boost) * pivot / (lit(pivot) + abs($"_v" - origin))).as("score"))
       case r: RankFeatureQ =>
         // feature postings seek: the token-weight table pruned to ONE token
         // (predicate reaches the scan), then a scalar scoring projection —

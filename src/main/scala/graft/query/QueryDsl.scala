@@ -302,6 +302,31 @@ object QueryDsl {
         parseSubQuery(body.path("positive"), analyzer, enricher),
         parseSubQuery(body.path("negative"), analyzer, enricher),
         body.path("negative_boost").asDouble())
+    } else if (!q.path("pinned").isMissingNode) {
+      // {"pinned": {"ids": [3, 7], "organic": {"match": {...}}}} — the
+      // named docs first, in the given order, above every organic hit
+      val body = q.path("pinned")
+      val idsN = body.path("ids")
+      require(idsN.isArray && idsN.size() > 0,
+        "pinned requires a non-empty [ids] array")
+      require(body.path("organic").isObject, "pinned requires an [organic] query")
+      val ids = (0 until idsN.size()).map(idsN.get(_).asLong())
+      require(ids.distinct.size == ids.size, "pinned [ids] must be distinct")
+      graft.hybrid.PinnedQ(ids,
+        parseSubQuery(body.path("organic"), analyzer, enricher))
+    } else if (!q.path("distance_feature").isMissingNode) {
+      // {"distance_feature": {"field": "n_chars", "origin": 300,
+      //   "pivot": 50, "boost": 2}}
+      val body = q.path("distance_feature")
+      val field = body.path("field").asText("")
+      require(field.nonEmpty, "distance_feature requires a [field]")
+      require(body.path("origin").isNumber && body.path("pivot").isNumber,
+        "distance_feature requires numeric [origin] and [pivot]")
+      val pivot = body.path("pivot").asDouble()
+      require(pivot > 0, s"distance_feature [pivot] must be > 0, got $pivot")
+      val boost = body.path("boost").asDouble(1.0)
+      require(boost > 0, s"[boost] must be > 0, got $boost")
+      graft.hybrid.DistanceFeatureQ(field, body.path("origin").asDouble(), pivot, boost)
     } else if (!q.path("rank_feature").isMissingNode) {
       // {"rank_feature": {"field": "features.join", "saturation": {"pivot": 8},
       //   "boost": 2}} — field's last dot-segment names the feature token;

@@ -551,6 +551,43 @@ class QueryDslSpec extends SparkSpec {
     assert(bare == slices(1))
   }
 
+  test("pinned promotes ids in given order above organic; distance_feature " +
+    "scores the proximity curve") {
+    import graft.hybrid._
+    import spark.implicits._
+    val docs = (0L until 10L).map(i =>
+      (i, if (i == 5) "beta" else "alpha", 100L + i * 50)).toDF("doc_id", "text", "n")
+    val idx2 = graft.index.InvertedIndex.build(docs, "doc_id", "text")
+    val src = graft.hybrid.HybridSources(idx2, fields = Some(docs))
+    val got = QueryDsl.execute(src,
+      """{"query":{"pinned":{"ids":[7, 2],
+        |"organic":{"match":{"text":"alpha"}}}},"size":10}""".stripMargin, docs)
+      .collect().map(_.getAs[Long]("doc_id")).toSeq
+    // 7 then 2 (given order), then the organic alphas minus the pins;
+    // doc 5 (beta) matches nothing organic and is not pinned -> absent
+    assert(got.take(2) == Seq(7L, 2L), s"got $got")
+    assert(got.drop(2).toSet == Set(0L, 1L, 3L, 4L, 6L, 8L, 9L))
+    assert(!got.contains(5L))
+
+    val df = QueryDsl.execute(src,
+      """{"query":{"distance_feature":{"field":"n","origin":200,
+        |"pivot":100,"boost":2}},"size":10}""".stripMargin, docs)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    // score = 2 * 100 / (100 + |n - 200|); doc 2 has n=200 -> 2.0
+    (0L until 10L).foreach { i =>
+      val want = 2.0 * 100 / (100 + math.abs(100.0 + i * 50 - 200))
+      assert(math.abs(df(i) - want) < 1e-9, s"doc $i: ${df(i)} vs $want")
+    }
+    def bad(q: String): Unit = intercept[IllegalArgumentException] {
+      QueryDsl.parseBool(s"""{"query":{"bool":{"must":[$q]}}}""")
+    }
+    bad("""{"pinned":{"ids":[],"organic":{"match":{"text":"a"}}}}""")
+    bad("""{"pinned":{"ids":[1,1],"organic":{"match":{"text":"a"}}}}""")
+    bad("""{"pinned":{"ids":[1]}}""")
+    bad("""{"distance_feature":{"field":"n","origin":0,"pivot":0}}""")
+    bad("""{"distance_feature":{"field":"n","pivot":10}}""")
+  }
+
   test("rank_feature parses FeatureField functions; scores saturation exactly") {
     import graft.hybrid._
     val pb = QueryDsl.parseBool(
