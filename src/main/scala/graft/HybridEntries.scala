@@ -558,6 +558,40 @@ object HybridEntries {
         s.read.parquet(s"$dir/documents.parquet"))
         .select(col("doc_id"), round(col("score"), 4).as("score"))
     }),
+    // intervals: the modern span form, lowered onto the span matcher
+    "dsl_intervals" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      val json =
+        """{ "query": { "bool": {
+          |    "must": [ { "intervals": { "text": { "match": {
+          |        "query": "hash join", "ordered": true,
+          |        "max_gaps": 3 } } } } ],
+          |    "should": [ { "match": { "text": "merge sort" } } ] } },
+          |  "size": 10 }""".stripMargin
+      graft.query.QueryDsl.execute(HybridSources(idx,
+          positions = Some(IndexCache.positions(s, dir))), json,
+        s.read.parquet(s"$dir/documents.parquet"))
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+    }),
+    // span_first + span_not composed in one bool: leading-position term
+    // match, include-minus-nearby-exclude occurrence filter
+    "dsl_span_first_not" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      val json =
+        """{ "query": { "bool": {
+          |    "must": [
+          |      { "span_first": { "match": { "span_term": { "text": "merge" } },
+          |          "end": 3 } },
+          |      { "span_not": { "include": { "span_term": { "text": "join" } },
+          |          "exclude": { "span_term": { "text": "hash" } },
+          |          "pre": 1, "post": 1 } } ],
+          |    "should": [ { "match": { "text": "scan" } } ] } },
+          |  "size": 10 }""".stripMargin
+      graft.query.QueryDsl.execute(HybridSources(idx,
+          positions = Some(IndexCache.positions(s, dir))), json,
+        s.read.parquet(s"$dir/documents.parquet"))
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+    }),
     // pinned: promoted ids in given order above the organic match
     "dsl_pinned" -> ((s, dir) => {
       val idx = IndexCache.documents(s, dir)
@@ -1461,6 +1495,32 @@ object HybridEntries {
          |  SELECT p.doc_id,
          |         p.s * (CASE WHEN n.doc_id IS NOT NULL THEN $nb ELSE 1.0 END) AS s
          |  FROM sq${i}p p LEFT JOIN sq${i}n n ON p.doc_id = n.doc_id)""".stripMargin
+    case SpanFirstQ(t, end, boost) =>
+      // the tokp positions CTE (same zip-unnest as span_near): term span
+      // ends within the first `end` positions <=> pos < end
+      val f = filterPred.map(p => s" AND $p").getOrElse("")
+      s"""tokp$i AS (
+         |  SELECT doc_id, unnest(l) AS term, unnest(range(len(l))) AS pos
+         |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+         |        FROM documents)),
+         |sq$i AS (
+         |  SELECT doc_id, $boost AS s FROM (
+         |    SELECT DISTINCT doc_id FROM tokp$i
+         |    WHERE term = '$t' AND pos < $end$f))""".stripMargin
+    case SpanNotQ(inc, exc, pre, post, boost) =>
+      val f = filterPred.map(p => s" AND i.$p").getOrElse("")
+      s"""tokp$i AS (
+         |  SELECT doc_id, unnest(l) AS term, unnest(range(len(l))) AS pos
+         |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+         |        FROM documents)),
+         |sq$i AS (
+         |  SELECT doc_id, $boost AS s FROM (
+         |    SELECT DISTINCT i.doc_id FROM tokp$i i
+         |    WHERE i.term = '$inc'$f
+         |      AND NOT EXISTS (
+         |        SELECT 1 FROM tokp$i e
+         |        WHERE e.doc_id = i.doc_id AND e.term = '$exc'
+         |          AND e.pos BETWEEN i.pos - $pre AND i.pos + $post)))""".stripMargin
     case PinnedQ(ids, organic) =>
       val pinCase = ids.zipWithIndex
         .map { case (id, j) => s"WHEN $id THEN ${PinnedQ.PinBase - j}" }
@@ -2230,6 +2290,14 @@ object HybridEntries {
       "dsl_fuzzy" ->
         boolOracle(tokCte, must = Seq(Fuzzy("joim", 1)),
           should = Seq(Lexical(Seq("hash"))), mustNot = Nil, msm = 0),
+      "dsl_intervals" ->
+        boolOracle(tokCte,
+          must = Seq(SpanNearQ(Seq("hash", "join"), slop = 3, inOrder = true)),
+          should = Seq(Lexical(Seq("merge", "sort"))), mustNot = Nil, msm = 0),
+      "dsl_span_first_not" ->
+        boolOracle(tokCte,
+          must = Seq(SpanFirstQ("merge", 3), SpanNotQ("join", "hash", 1, 1)),
+          should = Seq(Lexical(Seq("scan"))), mustNot = Nil, msm = 0),
       "dsl_pinned" ->
         boolOracle(tokCte, must = Seq(PinnedQ(Seq(41L, 7L, 113L),
           Lexical(Seq("join", "hash")))),

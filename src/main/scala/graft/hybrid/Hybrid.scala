@@ -247,6 +247,18 @@ case class ExistsQ(field: String = "text", boost: Double = 1.0) extends SubQuery
 case class SpanNearQ(terms: Seq[String], slop: Int, inOrder: Boolean,
                      boost: Double = 1.0) extends SubQuery
 
+/** `span_first` (Lucene SpanFirstQuery): the term span must end within
+ *  the first `end` positions — for a term span, position < end. Constant
+ *  score, like the rest of the filter-context span family. */
+case class SpanFirstQ(term: String, end: Int, boost: Double = 1.0) extends SubQuery
+
+/** `span_not` (Lucene SpanNotQuery with pre/post): occurrences of
+ *  `include` are disqualified when an `exclude` occurrence falls within
+ *  `[p - pre, p + post]`; the doc matches if any include occurrence
+ *  survives. Constant score. */
+case class SpanNotQ(include: String, exclude: String, pre: Int = 0,
+                    post: Int = 0, boost: Double = 1.0) extends SubQuery
+
 /** `more_like_this`: find docs similar to a stored document. Lucene's
  *  MoreLikeThis extracts the source doc's "interesting" terms — tf >=
  *  minTermFreq within the doc, df >= minDocFreq in the corpus — ranks them
@@ -834,6 +846,12 @@ object Hybrid {
           .select($"doc_id", lit(boost).as("score"))
       case SpanNearQ(ts, slop, ord, boost) =>
         graft.query.Phrase.spanNearMatch(src.idx, src.positions.get, ts, slop, ord)
+          .select($"doc_id", lit(boost).as("score"))
+      case SpanFirstQ(t, end, boost) =>
+        graft.query.Phrase.spanFirstMatch(src.idx, src.positions.get, t, end)
+          .select($"doc_id", lit(boost).as("score"))
+      case SpanNotQ(inc, exc, pre, post, boost) =>
+        graft.query.Phrase.spanNotMatch(src.idx, src.positions.get, inc, exc, pre, post)
           .select($"doc_id", lit(boost).as("score"))
       case Fuzzy(t, f, boost) =>
         // term-dictionary scan with a codegen'd levenshtein predicate over

@@ -304,6 +304,94 @@ object Phrase {
     hits.toDF("doc_id")
   }
 
+  /** `span_first` matched set: docs whose `term` occurs at a position
+   *  strictly below `end` (Lucene SpanFirstQuery: the span must END within
+   *  the first `end` positions; a 1-term span ending at p+1 <= end means
+   *  p < end). Positions are delta-decoded ascending, so the FIRST entry
+   *  decides — the rest of the doc's positions are never examined. Same
+   *  bucket-pruned decode + liveness gate as every positional matcher. */
+  def spanFirstMatch(idx: Index, pos: Dataset[PosBlock], term: String,
+                     end: Int): DataFrame = {
+    require(end >= 1, s"span_first [end] must be >= 1, got $end")
+    val spark = idx.postings.sparkSession
+    import spark.implicits._
+    val matched = pos.filter($"term" === term)
+    val docLens = idx.docLens
+      .join(matched.select($"bucket").distinct().hint("broadcast"), "bucket")
+      .as[DocLenBlock]
+    matched.groupByKey(_.bucket)
+      .cogroup(docLens.groupByKey(_.bucket)) { (bucket, blocksIt, dlIt) =>
+        val dlArr = new Array[Int](InvertedIndex.BucketSpan)
+        dlIt.foreach { dlb =>
+          val ids = PostingCodec.decodeDeltas(dlb.ids, dlb.cnt)
+          val dls = PostingCodec.decodeInts(dlb.dls, dlb.cnt)
+          var i = 0
+          while (i < dlb.cnt) { dlArr(ids(i)) = dls(i); i += 1 }
+        }
+        val base = bucket << InvertedIndex.BucketBits
+        blocksIt.flatMap { b =>
+          Positions.decodeEntries(b).iterator.collect {
+            case (local, ps) if dlArr(local) != 0 && ps.nonEmpty && ps(0) < end =>
+              base + local
+          }
+        }
+      }
+      .toDF("doc_id")
+  }
+
+  /** `span_not` matched set: docs with at least one occurrence of
+   *  `include` having NO occurrence of `exclude` within `[p - pre,
+   *  p + post]` (Lucene SpanNotQuery's pre/post exclusion window around
+   *  the include span). A doc whose every include position is shadowed by
+   *  a nearby exclude does not match. Per-bucket: exclude positions load
+   *  into a lookup, each include position binary-searches its window. */
+  def spanNotMatch(idx: Index, pos: Dataset[PosBlock], include: String,
+                   exclude: String, pre: Int, post: Int): DataFrame = {
+    require(pre >= 0 && post >= 0, s"span_not [pre]/[post] must be >= 0")
+    require(include != exclude, "span_not include and exclude must differ")
+    val spark = idx.postings.sparkSession
+    import spark.implicits._
+    val matched = pos.filter($"term".isin(include, exclude))
+    val docLens = idx.docLens
+      .join(matched.select($"bucket").distinct().hint("broadcast"), "bucket")
+      .as[DocLenBlock]
+    matched.groupByKey(_.bucket)
+      .cogroup(docLens.groupByKey(_.bucket)) { (bucket, blocksIt, dlIt) =>
+        val byTerm = blocksIt.map(b => b.term -> Positions.decodeEntries(b)).toMap
+        byTerm.get(include) match {
+          case None => Iterator.empty
+          case Some(inc) =>
+            val dlArr = new Array[Int](InvertedIndex.BucketSpan)
+            dlIt.foreach { dlb =>
+              val ids = PostingCodec.decodeDeltas(dlb.ids, dlb.cnt)
+              val dls = PostingCodec.decodeInts(dlb.dls, dlb.cnt)
+              var i = 0
+              while (i < dlb.cnt) { dlArr(ids(i)) = dls(i); i += 1 }
+            }
+            val excMap = new java.util.HashMap[Integer, Array[Int]]()
+            byTerm.getOrElse(exclude, Array.empty[(Int, Array[Int])])
+              .foreach { case (d, ps) => excMap.put(d, ps) }
+            val base = bucket << InvertedIndex.BucketBits
+            inc.iterator.flatMap { case (local, ips) =>
+              if (dlArr(local) == 0) None
+              else {
+                val eps = excMap.get(local)
+                val clear =
+                  if (eps == null) ips.nonEmpty
+                  else ips.exists { p =>
+                    // any exclude position q in [p - pre, p + post]?
+                    var idx2 = java.util.Arrays.binarySearch(eps, p - pre)
+                    if (idx2 < 0) idx2 = -idx2 - 1
+                    !(idx2 < eps.length && eps(idx2) <= p + post)
+                  }
+                if (clear) Some(base + local) else None
+              }
+            }
+        }
+      }
+      .toDF("doc_id")
+  }
+
   /** exists p_0 < p_1 < … < p_{k-1} (one per term, sorted arrays) with
    *  p_last - p_0 + 1 - k <= slop. For each start, greedily advance each
    *  subsequent term to its smallest position strictly after the previous

@@ -511,6 +511,53 @@ object QueryDsl {
       require(!body.path("slop").isMissingNode, "span_near requires [slop]")
       graft.hybrid.SpanNearQ(terms, body.path("slop").asInt(),
         body.path("in_order").asBoolean(false), body.path("boost").asDouble(1.0))
+    } else if (!q.path("intervals").isMissingNode) {
+      // {"intervals": {"text": {"match": {"query": "hash join",
+      //   "ordered": true, "max_gaps": 2}}}} — the modern span form:
+      // analyzed terms must co-occur within max_gaps extra positions,
+      // optionally in order. Same width contract as the span family
+      // (max - min + 1 - k <= max_gaps), so it lowers onto the span
+      // matcher; max_gaps -1 (unlimited) is rejected as unbounded here.
+      val (_, body) = firstField(q.path("intervals"))
+      val m = body.path("match")
+      require(!m.isMissingNode, "intervals requires a [match] rule")
+      val text = m.path("query").asText("")
+      require(text.nonEmpty, "intervals match requires a non-empty [query]")
+      val toks = Analyzer.analyze(analyzer)(text).toSeq
+      require(toks.size >= 2, "intervals match needs at least 2 analyzed tokens")
+      val maxGaps = m.path("max_gaps").asInt(0)
+      require(maxGaps >= 0, "intervals [max_gaps] must be >= 0 (unlimited is unbounded work)")
+      graft.hybrid.SpanNearQ(toks, maxGaps, m.path("ordered").asBoolean(false),
+        m.path("boost").asDouble(1.0))
+    } else if (!q.path("span_first").isMissingNode) {
+      // {"span_first": {"match": {"span_term": {"text": "merge"}}, "end": 3}}
+      val body = q.path("span_first")
+      val st = body.path("match").path("span_term")
+      require(!st.isMissingNode, "span_first [match] must be a span_term")
+      val (_, b) = firstField(st)
+      val t = if (b.isObject) b.path("value").asText() else b.asText()
+      require(t.nonEmpty, "span_term requires a non-empty value")
+      require(body.path("end").isNumber && body.path("end").asInt() >= 1,
+        "span_first requires [end] >= 1")
+      graft.hybrid.SpanFirstQ(t, body.path("end").asInt(),
+        body.path("boost").asDouble(1.0))
+    } else if (!q.path("span_not").isMissingNode) {
+      // {"span_not": {"include": {"span_term": {"text": "a"}},
+      //   "exclude": {"span_term": {"text": "b"}}, "pre": 0, "post": 1}}
+      val body = q.path("span_not")
+      def spanTerm(key: String): String = {
+        val st = body.path(key).path("span_term")
+        require(!st.isMissingNode, s"span_not [$key] must be a span_term")
+        val (_, b) = firstField(st)
+        val t = if (b.isObject) b.path("value").asText() else b.asText()
+        require(t.nonEmpty, "span_term requires a non-empty value")
+        t
+      }
+      val (inc, exc) = (spanTerm("include"), spanTerm("exclude"))
+      require(inc != exc, "span_not include and exclude must differ")
+      val (pre, post) = (body.path("pre").asInt(0), body.path("post").asInt(0))
+      require(pre >= 0 && post >= 0, "span_not [pre]/[post] must be >= 0")
+      graft.hybrid.SpanNotQ(inc, exc, pre, post, body.path("boost").asDouble(1.0))
     } else if (!q.path("fuzzy").isMissingNode) {
       // {"fuzzy": {"text": {"value": "joim", "fuzziness": 1, "boost": 2.0}}}
       // | {"fuzzy": {"text": "joim"}} (fuzziness defaults to 1, like AUTO

@@ -135,4 +135,28 @@ class PhraseSpec extends SparkSpec {
       assert(got == want, s"terms=$terms slop=$slop inOrder=$inOrder got=$got want=$want")
     }
   }
+
+  test("span_first and span_not matched sets (pre/post exclusion windows)") {
+    import graft.index.{InvertedIndex, Positions}
+    val docs = Seq(
+      (1L, "merge sort join"),       // merge@0, join@2, no hash
+      (2L, "sort hash join scan"),   // join@2 shadowed by hash@1 (pre 1)
+      (3L, "a b c merge"),           // merge@3: not within first 3
+      (4L, "join x hash"),           // hash@2 outside join@0's [-1, 1]
+      (5L, "join hash join scan"))   // both joins shadowed at pre=post=1
+      .toDF("doc_id", "text")
+    val i2 = InvertedIndex.build(docs, "doc_id", "text")
+    val p2 = Positions.build(docs, "doc_id", "text")
+    assert(Phrase.spanFirstMatch(i2, p2, "merge", 3)
+      .collect().map(_.getLong(0)).toSet == Set(1L))
+    assert(Phrase.spanFirstMatch(i2, p2, "merge", 4)
+      .collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+    assert(Phrase.spanNotMatch(i2, p2, "join", "hash", 1, 1)
+      .collect().map(_.getLong(0)).toSet == Set(1L, 4L))
+    // asymmetric window: post=0 frees doc 5's join@0 (hash@1 is after it)
+    assert(Phrase.spanNotMatch(i2, p2, "join", "hash", 1, 0)
+      .collect().map(_.getLong(0)).toSet == Set(1L, 4L, 5L))
+    intercept[IllegalArgumentException](Phrase.spanNotMatch(i2, p2, "a", "a", 0, 0))
+    intercept[IllegalArgumentException](Phrase.spanFirstMatch(i2, p2, "a", 0))
+  }
 }

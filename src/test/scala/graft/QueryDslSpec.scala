@@ -551,6 +551,34 @@ class QueryDslSpec extends SparkSpec {
     assert(bare == slices(1))
   }
 
+  test("intervals lowers onto the span matcher; span_first/span_not parse " +
+    "with validation") {
+    import graft.hybrid._
+    val iv = QueryDsl.parseBool(
+      """{"query":{"bool":{"must":[{"intervals":{"text":{"match":
+        |{"query":"hash join","ordered":true,"max_gaps":2}}}}]}}}""".stripMargin)
+    assert(iv.bool.must.head == SpanNearQ(Seq("hash", "join"), 2, inOrder = true))
+    val sf = QueryDsl.parseBool(
+      """{"query":{"bool":{"must":[{"span_first":{"match":
+        |{"span_term":{"text":"merge"}},"end":3}}]}}}""".stripMargin)
+    assert(sf.bool.must.head == SpanFirstQ("merge", 3))
+    val sn = QueryDsl.parseBool(
+      """{"query":{"bool":{"must":[{"span_not":{
+        |"include":{"span_term":{"text":"join"}},
+        |"exclude":{"span_term":{"text":"hash"}},"pre":1,"post":1}}]}}}""".stripMargin)
+    assert(sn.bool.must.head == SpanNotQ("join", "hash", 1, 1))
+    def bad(q: String): Unit = intercept[IllegalArgumentException] {
+      QueryDsl.parseBool(s"""{"query":{"bool":{"must":[$q]}}}""")
+    }
+    bad("""{"intervals":{"text":{"match":{"query":"solo"}}}}""")
+    bad("""{"intervals":{"text":{"match":{"query":"a b","max_gaps":-1}}}}""")
+    bad("""{"span_first":{"match":{"span_term":{"text":"a"}},"end":0}}""")
+    bad("""{"span_not":{"include":{"span_term":{"text":"a"}},
+      |"exclude":{"span_term":{"text":"a"}}}}""".stripMargin)
+    bad("""{"span_not":{"include":{"span_term":{"text":"a"}},
+      |"exclude":{"span_term":{"text":"b"}},"pre":-1}}""".stripMargin)
+  }
+
   test("pinned promotes ids in given order above organic; distance_feature " +
     "scores the proximity curve") {
     import graft.hybrid._
