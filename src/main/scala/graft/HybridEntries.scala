@@ -1060,6 +1060,24 @@ object HybridEntries {
         .where(col("df") <= 30)
         .orderBy(col("df").asc, col("term").asc)
     }),
+    // composite aggregation: the paginated full-keyspace bucket export —
+    // (source, lang, n_chars-histogram) keys walked in lexicographic pages
+    // of 60, each page resuming strictly after the previous page's last key
+    // via a row-level cursor predicate applied BEFORE the aggregation (plus
+    // its scan-pushable first-key bound). The whole keyspace arrives as a
+    // sequence of bounded jobs — the composite agg contract.
+    "agg_composite_walk" -> ((s, dir) => {
+      import graft.ops.Aggs
+      import graft.ops.Aggs.CompositeSource
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      Aggs.compositeWalk(docs,
+        Seq(CompositeSource("src", col("source")),
+            CompositeSource("lg", col("lang")),
+            CompositeSource("chars_bin", (col("n_chars") / 200).cast("long") * 200)),
+        size = 60,
+        metrics = Seq(count(lit(1)).as("n_docs"),
+          round(avg(col("n_chars")), 4).as("avg_chars")))
+    }),
     // percentiles aggregation over the matched set — exact linear
     // interpolation on the sorted values (Spark `percentile`; the
     // reference's t-digest is approximate, exact is the stronger contract
@@ -2578,6 +2596,17 @@ object HybridEntries {
         s"""WITH $tokCte
            |SELECT term, df FROM df WHERE df <= 30
            |ORDER BY df, term""".stripMargin,
+      // page p of the cursor walk == rows [p*60, (p+1)*60) of the full
+      // lexicographic bucket ordering — pagination must be exactly a
+      // re-slicing of the one global order, derived here independently
+      "agg_composite_walk" ->
+        s"""WITH b AS (
+           |  SELECT source AS src, lang AS lg, (n_chars // 200) * 200 AS chars_bin,
+           |         count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars
+           |  FROM documents GROUP BY 1, 2, 3),
+           |r AS (SELECT *, row_number() OVER (ORDER BY src, lg, chars_bin) AS rn FROM b)
+           |SELECT src, lg, chars_bin, n_docs, avg_chars,
+           |       CAST((rn - 1) // 60 AS INT) AS page FROM r""".stripMargin,
       "hybrid_agg_source_terms" ->
         s"""WITH $tokCte,
            |m AS (

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Aggs
+import graft.ops.Aggs.CompositeSource
+
+/** Composite aggregation: cursor pagination must be exactly a re-slicing of
+ *  the one global bucket order, the coarse cursor bound must reach the
+ *  parquet scan, and directions/validation must hold. */
+class AggsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rows = (1 to 300).map { i =>
+    (i.toLong, s"s${i % 7}", s"l${i % 3}", (i * 37 % 230).toLong)
+  }.toDF("doc_id", "source", "lang", "n_chars")
+
+  private val srcs = Seq(
+    CompositeSource("src", col("source")),
+    CompositeSource("lg", col("lang")),
+    CompositeSource("bin", (col("n_chars") / 50).cast("long") * 50))
+
+  private val mets = Seq(count(lit(1)).as("n_docs"), sum($"n_chars").as("s"))
+
+  test("composite pages re-slice the global bucket order exactly") {
+    val full = rows.groupBy($"source".as("src"), $"lang".as("lg"),
+        ((col("n_chars") / 50).cast("long") * 50).as("bin"))
+      .agg(mets.head, mets.tail: _*)
+      .orderBy($"src", $"lg", $"bin")
+      .collect().toSeq
+    // walk with size 10: concatenated pages == full order, page tags right
+    val walked = Aggs.compositeWalk(rows, srcs, 10, mets).collect().toSeq
+    assert(walked.map(_.toSeq.dropRight(1)) == full.map(_.toSeq))
+    assert(walked.map(_.getInt(walked.head.length - 1)) ==
+      full.indices.map(_ / 10))
+    // a single page with an explicit mid-stream cursor == the next slice
+    val a = full(24)
+    val page = Aggs.composite(rows, srcs, 10, mets,
+      after = Some(Seq(a.get(0), a.get(1), a.get(2)))).collect().toSeq
+    assert(page.map(_.toSeq) == full.slice(25, 35).map(_.toSeq))
+  }
+
+  test("composite honors per-source desc direction") {
+    val s2 = Seq(CompositeSource("src", col("source"), desc = true),
+                 CompositeSource("lg", col("lang")))
+    val full = rows.groupBy($"source".as("src"), $"lang".as("lg"))
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("s"))
+      .orderBy($"src".desc, $"lg".asc).collect().toSeq
+    val m2 = Seq(count(lit(1)).as("n_docs"), sum($"n_chars").as("s"))
+    val p1 = Aggs.composite(rows, s2, 8, m2).collect().toSeq
+    assert(p1.map(_.toSeq) == full.take(8).map(_.toSeq))
+    val last = p1.last
+    val p2 = Aggs.composite(rows, s2, 8, m2,
+      after = Some(Seq(last.get(0), last.get(1)))).collect().toSeq
+    assert(p2.map(_.toSeq) == full.slice(8, 16).map(_.toSeq))
+  }
+
+  test("coarse cursor bound on a raw first key reaches the parquet scan") {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/aggs_spec_${System.nanoTime()}"
+    rows.write.parquet(dir)
+    val pq = spark.read.parquet(dir)
+    val plan = Aggs.composite(pq, srcs, 10, mets,
+        after = Some(Seq("s3", "l1", 100L)))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters:") &&
+      plan.contains("GreaterThanOrEqual(source,s3)"), plan.take(2000))
+  }
+
+  test("composite validation") {
+    intercept[IllegalArgumentException](Aggs.composite(rows, Nil, 10, mets))
+    intercept[IllegalArgumentException](Aggs.composite(rows, srcs, 0, mets))
+    intercept[IllegalArgumentException](Aggs.composite(rows, srcs, 10, Nil))
+    intercept[IllegalArgumentException](
+      Aggs.composite(rows, srcs, 10, mets, after = Some(Seq("s1"))))
+  }
+}
