@@ -573,6 +573,36 @@ object HybridEntries {
         s.read.parquet(s"$dir/documents.parquet"))
         .select(col("doc_id"), round(col("score"), 4).as("score"))
     }),
+    // script_score: the exact-kNN idiom — the inner query filters, the
+    // vector space function REPLACES its score. All three supported
+    // painless sources in one bool: cosine+1 (must), 1/(1+l2²) and a
+    // boosted innerProduct (shoulds)
+    "dsl_script_score" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      val vec = KnnVec.mkString("[", ", ", "]")
+      val json =
+        s"""{ "query": { "bool": {
+           |    "must": [ { "script_score": {
+           |        "query": { "match": { "text": "hash join" } },
+           |        "script": { "source": "cosineSimilarity(params.query_vector, doc['embedding']) + 1.0",
+           |          "params": { "query_vector": $vec } } } } ],
+           |    "should": [
+           |      { "script_score": {
+           |          "query": { "match": { "text": "merge" } },
+           |          "script": { "source": "1 / (1 + l2Squared(params.query_vector, doc['embedding']))",
+           |            "params": { "query_vector": $vec } } } },
+           |      { "script_score": {
+           |          "query": { "match": { "text": "scan" } },
+           |          "script": { "source": "innerProduct(params.query_vector, doc['embedding'])",
+           |            "params": { "query_vector": $vec } },
+           |          "boost": 2.0 } } ] } },
+           |  "size": 10 }""".stripMargin
+      graft.query.QueryDsl.execute(HybridSources(idx,
+          emb = Some(s.read.parquet(s"$dir/embeddings.parquet")
+            .select(col("vec_id").as("doc_id"), col("embedding").as("vec")))),
+        json, s.read.parquet(s"$dir/documents.parquet"))
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+    }),
     // span_first + span_not composed in one bool: leading-position term
     // match, include-minus-nearby-exclude occurrence filter
     "dsl_span_first_not" -> ((s, dir) => {
@@ -1539,6 +1569,22 @@ object HybridEntries {
          |        SELECT 1 FROM tokp$i e
          |        WHERE e.doc_id = i.doc_id AND e.term = '$exc'
          |          AND e.pos BETWEEN i.pos - $pre AND i.pos + $post)))""".stripMargin
+    case ScriptScoreQ(inner, fn, qv, boost) =>
+      val vlist = s"CAST(${qv.mkString("[", ", ", "]")} AS DOUBLE[])"
+      val fnSql = fn match {
+        case CosinePlusOne => s"(${cosSql("e.embedding", vlist)} + 1.0)"
+        case InnerProd =>
+          s"list_dot_product(CAST(e.embedding AS DOUBLE[]), $vlist)"
+        case InvL2 =>
+          // left-to-right squared-diff sum, matching zip_with + aggregate
+          s"(1.0 / (1.0 + list_sum(list_transform(" +
+            s"list_zip(CAST(e.embedding AS DOUBLE[]), $vlist), " +
+            "x -> (x[1] - x[2]) * (x[1] - x[2])))))"
+      }
+      s"""${scoreCte(s"${i}q", inner, filterPred)},
+         |sq$i AS (
+         |  SELECT q.doc_id, $fnSql * $boost AS s
+         |  FROM sq${i}q q JOIN embeddings e ON e.vec_id = q.doc_id)""".stripMargin
     case PinnedQ(ids, organic) =>
       val pinCase = ids.zipWithIndex
         .map { case (id, j) => s"WHEN $id THEN ${PinnedQ.PinBase - j}" }
@@ -2316,6 +2362,14 @@ object HybridEntries {
         boolOracle(tokCte,
           must = Seq(SpanFirstQ("merge", 3), SpanNotQ("join", "hash", 1, 1)),
           should = Seq(Lexical(Seq("scan"))), mustNot = Nil, msm = 0),
+      "dsl_script_score" ->
+        boolOracle(tokCte,
+          must = Seq(ScriptScoreQ(Lexical(Seq("hash", "join")),
+            CosinePlusOne, KnnVec)),
+          should = Seq(
+            ScriptScoreQ(Lexical(Seq("merge")), InvL2, KnnVec),
+            ScriptScoreQ(Lexical(Seq("scan")), InnerProd, KnnVec, boost = 2.0)),
+          mustNot = Nil, msm = 0),
       "dsl_pinned" ->
         boolOracle(tokCte, must = Seq(PinnedQ(Seq(41L, 7L, 113L),
           Lexical(Seq("join", "hash")))),

@@ -106,6 +106,29 @@ case class DenseVector(vec: Seq[Double],
  *  [[DenseCosine]]) when nProbe = centroid count. */
 case class DenseIvf(queryId: Long, nProbe: Int) extends SubQuery
 
+/** The vector scoring function of a `script_score` query — the k-NN
+ *  painless extensions the reference ecosystem uses for EXACT vector
+ *  search (the script_score-over-knn idiom: score every doc the inner
+ *  query matches with a space function, no ANN structure involved). */
+sealed trait VectorScoreFn
+/** `cosineSimilarity(params.query_vector, doc[f]) + 1.0` — shifted to keep
+ *  scores positive, the documented cosine idiom. */
+case object CosinePlusOne extends VectorScoreFn
+/** `1 / (1 + l2Squared(params.query_vector, doc[f]))` — the bounded-(0,1]
+ *  L2 idiom. */
+case object InvL2 extends VectorScoreFn
+/** `innerProduct(params.query_vector, doc[f])` — raw dot product. */
+case object InnerProd extends VectorScoreFn
+
+/** `script_score`: the inner query picks the matched set, the script
+ *  REPLACES its scores. Only the deterministic vector space functions are
+ *  supported (real painless is out of scope); this is the reference
+ *  ecosystem's exact-kNN form — filter with any query, score by distance
+ *  over the stored vector field. */
+case class ScriptScoreQ(inner: SubQuery, fn: VectorScoreFn,
+                        queryVector: Seq[Double],
+                        boost: Double = 1.0) extends SubQuery
+
 /** Radial (range) kNN clause: every doc within the similarity radius,
  *  instead of the k nearest — the reference's `min_score` / `max_distance`
  *  forms of the neural clause (query/NeuralQueryBuilder.java:156-157,
@@ -504,6 +527,12 @@ object Hybrid {
             "query_text routes to the field's generated sub-field " +
             "(HybridSources.semantic)")
         require(terms.nonEmpty, "semantic query requires non-empty query text")
+      case ScriptScoreQ(inner, _, qv, boost) =>
+        require(src.emb.nonEmpty,
+          "script_score vector functions require HybridSources.emb (doc_id, vec)")
+        require(qv.nonEmpty, "script_score requires a non-empty params.query_vector")
+        require(boost > 0, s"boost must be > 0, got $boost")
+        validateClauseSources(src, Seq(inner))
       case DenseRadial(_, ms, md) =>
         require(src.emb.nonEmpty, "radial sub-query requires HybridSources.emb (doc_id, vec)")
         // the reference rejects any combination of more than one of
@@ -1050,6 +1079,34 @@ object Hybrid {
             graft.ops.Semantic.denseBestChunkScore(sem.chunks, "doc_id",
               graft.ops.Semantic.hashQueryVector(terms, sem.dims))
         }
+      case ScriptScoreQ(inner, fn, qvLit, boost) =>
+        // matched set from the inner query (scores discarded — script_score
+        // REPLACES them, so the inner MUST run unbounded: a per-bucket
+        // top-k on inner scores could trim a doc whose script score is
+        // top-k), one column-pruned join against the vector field, then the
+        // space function as a codegen'd projection. Work = inner matched
+        // set, never the corpus.
+        val matched = scoreClause(src, inner, boundPerBucket = 0).select($"doc_id")
+        val e = src.emb.get
+        val qv = array(qvLit.map(lit): _*)
+        val joined = matched.join(e, "doc_id")
+          .select($"doc_id",
+            when(size($"vec") === qvLit.length, $"vec")
+              .otherwise(raise_error(concat(
+                lit(s"script_score query_vector has ${qvLit.length} dims " +
+                  "but embedding has "), size($"vec")))).as("vec"))
+        val raw = fn match {
+          case CosinePlusOne => Ann.cosine($"vec", qv) + lit(1.0)
+          case InnerProd     => Ann.dot($"vec", qv)
+          case InvL2 =>
+            // left-to-right sum of squared diffs (zip_with + aggregate are
+            // codegen'd higher-order fns; association matches the oracle)
+            val sq = aggregate(
+              zip_with($"vec", qv, (a, b) => (a - b) * (a - b)),
+              lit(0.0), (acc, x) => acc + x)
+            lit(1.0) / (lit(1.0) + sq)
+        }
+        joined.select($"doc_id", (raw * lit(boost)).as("score"))
       case r @ DenseRadial(qid, _, _) =>
         // range-over-similarity: all docs with cosine >= the radius bound.
         // The threshold is applied at scoring, BEFORE top-depth collection —

@@ -790,6 +790,35 @@ object QueryDsl {
       require(vec.isArray && vec.size() > 0, "knn requires a non-empty vector array")
       val (ms, md) = radialBounds(body)
       DenseVector((0 until vec.size()).map(vec.get(_).asDouble()), ms, md)
+    } else if (!q.path("script_score").isMissingNode) {
+      // {"script_score": {"query": {...}, "script": {"source":
+      //   "cosineSimilarity(params.query_vector, doc['embedding']) + 1.0",
+      //   "params": {"query_vector": [...]}}}} — the exact-kNN idiom: the
+      // inner query filters, the space function REPLACES the score. Only
+      // the three documented deterministic vector sources are accepted
+      // (real painless compilation is out of scope and says so).
+      val body = q.path("script_score")
+      require(!body.path("query").isMissingNode, "script_score requires [query]")
+      val inner = parseSubQuery(body.path("query"), analyzer, enricher)
+      val script = body.path("script")
+      val source = script.path("source").asText("")
+      val qvNode = script.path("params").path("query_vector")
+      require(qvNode.isArray && qvNode.size() > 0,
+        "script_score requires a non-empty [params.query_vector]")
+      val qv = (0 until qvNode.size()).map(qvNode.get(_).asDouble())
+      val Cos = """cosineSimilarity\(params\.query_vector,\s*doc\['embedding'\]\)\s*\+\s*1\.0""".r
+      val L2 = """1\s*/\s*\(\s*1\s*\+\s*l2Squared\(params\.query_vector,\s*doc\['embedding'\]\)\s*\)""".r
+      val Ip = """innerProduct\(params\.query_vector,\s*doc\['embedding'\]\)""".r
+      val fn = source.trim match {
+        case Cos() => graft.hybrid.CosinePlusOne
+        case L2()  => graft.hybrid.InvL2
+        case Ip()  => graft.hybrid.InnerProd
+        case other => throw new IllegalArgumentException(
+          s"unsupported script_score source [$other] — supported vector " +
+            "functions: cosineSimilarity(...)+1.0, 1/(1+l2Squared(...)), " +
+            "innerProduct(...) over doc['embedding']")
+      }
+      graft.hybrid.ScriptScoreQ(inner, fn, qv, body.path("boost").asDouble(1.0))
     } else throw new IllegalArgumentException(s"unsupported sub-query: $q")
 
   /** Radial-form bounds of a neural/knn clause, enforcing the reference's

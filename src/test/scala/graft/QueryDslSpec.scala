@@ -579,6 +579,51 @@ class QueryDslSpec extends SparkSpec {
       |"exclude":{"span_term":{"text":"b"}},"pre":-1}}""".stripMargin)
   }
 
+  test("script_score replaces the inner score with the vector space function") {
+    import spark.implicits._
+    val docs = Seq((1L, "hash join x"), (2L, "merge"), (3L, "hash join scan"),
+      (4L, "scan only")).toDF("doc_id", "text")
+    val idx = graft.index.InvertedIndex.build(docs, "doc_id", "text")
+    val emb = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)), (3L, Seq(0.6, 0.8)))
+      .toDF("doc_id", "vec")
+    val src = HybridSources(idx, emb = Some(emb))
+    def ss(innerText: String, source: String, boost: String = "") =
+      s"""{"script_score":{"query":{"match":{"text":"$innerText"}},
+         |"script":{"source":"$source",
+         |"params":{"query_vector":[1.0, 0.0]}}$boost}}""".stripMargin
+    val json =
+      s"""{"query":{"bool":{
+         |  "must":[${ss("hash join", "cosineSimilarity(params.query_vector, doc['embedding']) + 1.0")}],
+         |  "should":[${ss("scan", "innerProduct(params.query_vector, doc['embedding'])", ""","boost":2.0""")}]}},
+         |"size":10}""".stripMargin
+    val got = QueryDsl.execute(src, json, docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // doc1: cos([1,0])+1 = 2; doc3: 1.6 (cos 0.6+1) + 2*0.6 innerProduct;
+    // doc2 fails the must; doc4 has no stored vector -> never matches
+    assert(got.keySet == Set(1L, 3L))
+    assert(math.abs(got(1L) - 2.0) < 1e-9 && math.abs(got(3L) - 2.8) < 1e-9)
+    // 1/(1+l2Squared): doc2's vector is [0,1], qv [1,0] -> l2sq 2 -> 1/3
+    val l2 = QueryDsl.execute(src,
+      s"""{"query":{"bool":{"must":[${ss("merge",
+         "1 / (1 + l2Squared(params.query_vector, doc['embedding']))")}]}}}""",
+      docs).collect()
+    assert(l2.map(_.getLong(0)).toSeq == Seq(2L))
+    assert(math.abs(l2.head.getDouble(1) - 1.0 / 3.0) < 1e-9)
+    // rejections: unknown source, missing vector, missing inner query
+    def bad(q: String): Unit = intercept[IllegalArgumentException] {
+      QueryDsl.parseBool(s"""{"query":{"bool":{"must":[$q]}}}""")
+    }
+    bad("""{"script_score":{"query":{"match":{"text":"a"}},
+      |"script":{"source":"doc['x'].value * 2",
+      |"params":{"query_vector":[1.0]}}}}""".stripMargin)
+    bad("""{"script_score":{"query":{"match":{"text":"a"}},
+      |"script":{"source":"innerProduct(params.query_vector, doc['embedding'])",
+      |"params":{}}}}""".stripMargin)
+    bad("""{"script_score":{"script":{
+      |"source":"innerProduct(params.query_vector, doc['embedding'])",
+      |"params":{"query_vector":[1.0]}}}}""".stripMargin)
+  }
+
   test("pinned promotes ids in given order above organic; distance_feature " +
     "scores the proximity curve") {
     import graft.hybrid._
