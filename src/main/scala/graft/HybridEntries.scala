@@ -1108,6 +1108,74 @@ object HybridEntries {
         metrics = Seq(count(lit(1)).as("n_docs"),
           round(avg(col("n_chars")), 4).as("avg_chars")))
     }),
+    // multi_terms bucket agg over the matched set — composite (source,lang)
+    // keys, count-desc order — carrying value_count (docs with a stored
+    // vector: count of a LEFT-joined field), missing (its complement, the
+    // missing-agg contract), weighted_avg (n_chars weighted by token
+    // count), and the global agg (query-independent corpus count, one
+    // broadcast single-row cross join). One shuffle for the buckets; the
+    // global count is its own tiny aggregate.
+    "agg_multi_terms" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id").as("doc_id"), lit(1).as("has_vec"))
+      matchedAB(idx)
+        .join(docs.select("doc_id", "source", "lang", "n_chars", "text"), "doc_id")
+        .join(emb, Seq("doc_id"), "left")
+        .withColumn("w", size(filter(split(col("text"), " "), t => t =!= lit(""))))
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          count(col("has_vec")).as("with_vector"),
+          (count(lit(1)) - count(col("has_vec"))).as("missing_vector"),
+          round(sum(col("n_chars") * col("w")) / sum(col("w")), 4).as("w_avg_chars"))
+        .crossJoin(broadcast(docs.agg(count(lit(1)).as("global_docs"))))
+        .orderBy(col("n_docs").desc, col("source").asc, col("lang").asc)
+        .limit(10)
+    }),
+    // adjacency_matrix agg: doc counts of each filter and each pairwise
+    // intersection. One pass: the three bounded term-postings matched sets
+    // union into per-doc membership flags, one aggregate computes all six
+    // cells, stack() unpivots — empty cells omitted, as the reference does.
+    "agg_adjacency_matrix" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      val sets = Seq("a" -> "hash", "b" -> "join", "c" -> "merge")
+      val flags = sets.map { case (n, t) =>
+        Bm25.scoreTerms(idx, Seq(t)).select(col("doc_id"), lit(n).as("f"))
+      }.reduce(_ unionByName _)
+      def has(k: String) = array_contains(col("fs"), k)
+      def cell(ks: String*) =
+        sum(when(ks.map(has).reduce(_ && _), 1L).otherwise(0L))
+      flags.groupBy("doc_id").agg(collect_set("f").as("fs"))
+        .agg(cell("a").as("a"), cell("b").as("b"), cell("c").as("c"),
+          cell("a", "b").as("ab"), cell("a", "c").as("ac"),
+          cell("b", "c").as("bc"))
+        .selectExpr("stack(6, 'a', a, 'b', b, 'c', c, 'a&b', ab, " +
+          "'a&c', ac, 'b&c', bc) as (key, doc_count)")
+        .where(col("doc_count") > 0)
+        .orderBy("key")
+    }),
+    // sampler + diversified_sampler: sub-aggs over the top-shard_size
+    // scored docs instead of the full matched set. Population = bounded
+    // top-50 by (score desc, doc_id) — one TakeOrdered, so the diversity
+    // window (max 2 docs per lang, the diversified_sampler contract) runs
+    // over 50 rows, never corpus-shaped.
+    "agg_sampler_diversified" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val top = Bm25.scoreTerms(idx, A)
+        .orderBy(col("score").desc, col("doc_id").asc).limit(50)
+        .join(docs.select("doc_id", "source", "lang"), "doc_id")
+      val samp = top.groupBy("source").agg(count(lit(1)).as("n_docs"))
+        .withColumn("agg", lit("sampler"))
+      val div = top.withColumn("rn", row_number().over(
+          Window.partitionBy("lang").orderBy(col("score").desc, col("doc_id").asc)))
+        .where(col("rn") <= 2).drop("rn")
+        .groupBy("source").agg(count(lit(1)).as("n_docs"))
+        .withColumn("agg", lit("diversified"))
+      samp.unionByName(div)
+        .orderBy(col("agg"), col("n_docs").desc, col("source"))
+    }),
     // percentiles aggregation over the matched set — exact linear
     // interpolation on the sorted values (Spark `percentile`; the
     // reference's t-digest is approximate, exact is the stronger contract
@@ -2650,6 +2718,64 @@ object HybridEntries {
         s"""WITH $tokCte
            |SELECT term, df FROM df WHERE df <= 30
            |ORDER BY df, term""".stripMargin,
+      "agg_multi_terms" ->
+        s"""WITH $tokCte,
+           |m AS (
+           |  SELECT DISTINCT doc_id FROM tf
+           |  WHERE term IN (${termList(A)}) OR term IN (${termList(B)})),
+           |j AS (
+           |  SELECT m.doc_id, d.source, d.lang, d.n_chars, e.vec_id AS has_vec,
+           |         len(list_filter(string_split(d.text, ' '), x -> x <> '')) AS w
+           |  FROM m JOIN documents d USING (doc_id)
+           |  LEFT JOIN embeddings e ON e.vec_id = m.doc_id)
+           |SELECT source, lang, count(*) AS n_docs,
+           |       count(has_vec) AS with_vector,
+           |       count(*) - count(has_vec) AS missing_vector,
+           |       round(sum(n_chars * w) * 1.0 / sum(w), 4) AS w_avg_chars,
+           |       (SELECT count(*) FROM documents) AS global_docs
+           |FROM j GROUP BY 1, 2
+           |ORDER BY n_docs DESC, source, lang LIMIT 10""".stripMargin,
+      "agg_adjacency_matrix" ->
+        s"""WITH $tokCte,
+           |f AS (
+           |  SELECT doc_id,
+           |         max(CASE WHEN term = 'hash'  THEN 1 ELSE 0 END) AS fa,
+           |         max(CASE WHEN term = 'join'  THEN 1 ELSE 0 END) AS fb,
+           |         max(CASE WHEN term = 'merge' THEN 1 ELSE 0 END) AS fc
+           |  FROM tf WHERE term IN ('hash', 'join', 'merge') GROUP BY doc_id),
+           |c AS (SELECT CAST(sum(fa) AS BIGINT) AS a, CAST(sum(fb) AS BIGINT) AS b,
+           |             CAST(sum(fc) AS BIGINT) AS c, CAST(sum(fa*fb) AS BIGINT) AS ab,
+           |             CAST(sum(fa*fc) AS BIGINT) AS ac, CAST(sum(fb*fc) AS BIGINT) AS bc
+           |      FROM f)
+           |SELECT key, doc_count FROM (
+           |  SELECT 'a' AS key, a AS doc_count FROM c UNION ALL
+           |  SELECT 'b', b FROM c UNION ALL
+           |  SELECT 'c', c FROM c UNION ALL
+           |  SELECT 'a&b', ab FROM c UNION ALL
+           |  SELECT 'a&c', ac FROM c UNION ALL
+           |  SELECT 'b&c', bc FROM c)
+           |WHERE doc_count > 0 ORDER BY key""".stripMargin,
+      "agg_sampler_diversified" ->
+        s"""WITH $tokCte,
+           |sc AS (
+           |  SELECT tf.doc_id, $Bm25Sum AS s
+           |  FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN stats
+           |  WHERE tf.term IN (${termList(A)})
+           |  GROUP BY tf.doc_id),
+           |top AS (
+           |  SELECT sc.doc_id, sc.s, d.source, d.lang
+           |  FROM sc JOIN documents d USING (doc_id)
+           |  ORDER BY sc.s DESC, sc.doc_id LIMIT 50),
+           |div AS (
+           |  SELECT * FROM (
+           |    SELECT top.*, row_number() OVER
+           |      (PARTITION BY lang ORDER BY s DESC, doc_id) AS rn FROM top)
+           |  WHERE rn <= 2)
+           |SELECT 'sampler' AS agg, source, count(*) AS n_docs
+           |FROM top GROUP BY 2
+           |UNION ALL
+           |SELECT 'diversified', source, count(*) FROM div GROUP BY 2
+           |ORDER BY agg, n_docs DESC, source""".stripMargin,
       // page p of the cursor walk == rows [p*60, (p+1)*60) of the full
       // lexicographic bucket ordering — pagination must be exactly a
       // re-slicing of the one global order, derived here independently
