@@ -364,6 +364,18 @@ object HybridEntries {
     "term_suggest" -> ((s, dir) =>
       graft.query.Suggest.termSuggest(IndexCache.documents(s, dir),
         "joim hsah merge", maxEdits = 2, size = 3)),
+    // completion suggester: type-ahead over the weighted term dictionary —
+    // plain prefix (weight desc) and the fuzzy variant (first char fixed,
+    // <=1 edit on the typed prefix vs the same-length head, exact-prefix
+    // ranked first) side by side; one bounded dictionary scan each
+    "completion_suggest" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      graft.query.Suggest.completionSuggest(idx, "s", size = 5)
+        .withColumn("kind", lit("plain"))
+        .unionByName(graft.query.Suggest
+          .completionSuggest(idx, "sm", size = 5, fuzziness = 1)
+          .withColumn("kind", lit("fuzzy")))
+    }),
     // phrase suggester: whole-phrase "did you mean" — per-slot candidate
     // corrections x stupid-backoff bigram LM over the corpus token stream
     "phrase_suggest" -> ((s, dir) =>
@@ -2569,6 +2581,19 @@ object HybridEntries {
            |        PARTITION BY input ORDER BY dist, df DESC, suggestion) AS rn
            |      FROM cand)
            |SELECT input, suggestion, dist, df FROM r WHERE rn <= 3""".stripMargin,
+      "completion_suggest" ->
+        s"""WITH $tokCte,
+           |p AS (SELECT term AS suggestion, 0 AS dist, df AS weight, 'plain' AS kind
+           |      FROM df WHERE term LIKE 's%'
+           |      ORDER BY weight DESC, suggestion LIMIT 5),
+           |f AS (SELECT term AS suggestion,
+           |             levenshtein(substr(term, 1, 2), 'sm') AS dist,
+           |             df AS weight, 'fuzzy' AS kind
+           |      FROM df
+           |      WHERE substr(term, 1, 1) = 's'
+           |        AND levenshtein(substr(term, 1, 2), 'sm') <= 1
+           |      ORDER BY dist, weight DESC, suggestion LIMIT 5)
+           |SELECT * FROM p UNION ALL SELECT * FROM f""".stripMargin,
       // the parsed query_string tree, spelled out as the same nested bool
       "dsl_query_string" ->
         boolOracle(tokCte,

@@ -44,6 +44,41 @@ object Suggest {
       .select($"input", $"term".as("suggestion"), $"dist", $"df")
   }
 
+  /** The `completion` suggester: type-ahead over a weighted suggestion
+   *  dictionary — here the term dictionary with weight = corpus df (the
+   *  reference indexes caller-supplied inputs/weights into an in-memory
+   *  FST; the relational analogue keeps distinct (term, weight) rows and
+   *  makes the prefix a predicate the scan can prune on). Ranking is the
+   *  completion contract: weight desc (popularity), term asc tie-break.
+   *  `fuzziness` > 0 is the FuzzyCompletionQuery variant — edit distance
+   *  computed between the typed prefix and the candidate's same-length
+   *  head, first character required to match (the default prefix_length 1)
+   *  — ranked exact-prefix-first (dist asc) then weight, as Lucene boosts
+   *  exact prefixes above fuzzy ones. skip_duplicates is inherent
+   *  (dictionary rows are distinct). Work is one bounded dictionary scan +
+   *  a size-bounded TakeOrdered, never postings. */
+  def completionSuggest(idx: Index, prefix: String, size: Int = 5,
+                        fuzziness: Int = 0): DataFrame = {
+    require(prefix.nonEmpty && prefix.matches("[a-z0-9]+"),
+      s"completion prefix must be a non-empty analyzed token, got [$prefix]")
+    require(size >= 1, s"size must be >= 1, got $size")
+    require(fuzziness >= 0 && fuzziness <= 2,
+      s"fuzziness must be in [0, 2] (Lucene's bound), got $fuzziness")
+    val spark = idx.postings.sparkSession
+    import spark.implicits._
+    val dict = idx.termStats.select($"term", $"df")
+    val matched =
+      if (fuzziness == 0)
+        dict.where($"term".startsWith(prefix)).withColumn("dist", lit(0))
+      else
+        dict.where($"term".startsWith(prefix.substring(0, 1)) &&
+            levenshtein(substring($"term", 1, prefix.length), lit(prefix)) <= fuzziness)
+          .withColumn("dist",
+            levenshtein(substring($"term", 1, prefix.length), lit(prefix)))
+    matched.orderBy($"dist".asc, $"df".desc, $"term".asc).limit(size)
+      .select($"term".as("suggestion"), $"dist", $"df".as("weight"))
+  }
+
   /** The `phrase` suggester ("did you mean" over whole phrases): per
    *  analyzed token slot a direct-generator candidate set — the original
    *  term when indexed, plus the top `candidatesPerSlot` dictionary terms

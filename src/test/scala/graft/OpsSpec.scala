@@ -553,6 +553,27 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("completionSuggest: popularity order, fuzzy exact-prefix-first, validation") {
+    import graft.index.InvertedIndex
+    val idx = InvertedIndex.build(Seq(
+      (1L, "hash join"), (2L, "hash merge join"), (3L, "hash hat"), (4L, "hat jolt")
+    ).toDF("doc_id", "text"), "doc_id", "text")
+    def run(p: String, f: Int = 0, size: Int = 5) =
+      graft.query.Suggest.completionSuggest(idx, p, size, f)
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+    // plain prefix: weight (df) desc — hash df=3 above hat df=2
+    assert(run("ha", size = 2) == Seq(("hash", 0, 3L), ("hat", 0, 2L)))
+    // fuzzy: 1 edit on the typed prefix vs the same-length head, first char
+    // fixed — join's head "joib"-distance is 1, jolt's is 2
+    assert(run("joib", f = 1) == Seq(("join", 1, 2L)))
+    // exact-prefix candidates rank ABOVE fuzzy ones regardless of weight:
+    // jolt (dist 0, df 1) before join (dist 1, df 2)
+    assert(run("jol", f = 1) == Seq(("jolt", 0, 1L), ("join", 1, 2L)))
+    intercept[IllegalArgumentException](run(""))
+    intercept[IllegalArgumentException](run("ha", f = 3))
+    intercept[IllegalArgumentException](run("ha", size = 0))
+  }
+
   test("phraseSuggest: candidates, channel priors, stupid-backoff bigram LM " +
     "— exact hand math") {
     import graft.index.{InvertedIndex, Positions}
