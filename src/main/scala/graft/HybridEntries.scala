@@ -615,6 +615,27 @@ object HybridEntries {
         json, s.read.parquet(s"$dir/documents.parquet"))
         .select(col("doc_id"), round(col("score"), 4).as("score"))
     }),
+    // span_containing (ordered 2-term big span containing little) composed
+    // with a span_or should (lowered onto the any-of terms matcher)
+    "dsl_span_containing" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      val json =
+        """{ "query": { "bool": {
+          |    "must": [ { "span_containing": {
+          |        "big": { "span_near": { "clauses": [
+          |            { "span_term": { "text": "hash" } },
+          |            { "span_term": { "text": "join" } } ],
+          |          "slop": 5, "in_order": true } },
+          |        "little": { "span_term": { "text": "merge" } } } } ],
+          |    "should": [ { "span_or": { "clauses": [
+          |        { "span_term": { "text": "scan" } },
+          |        { "span_term": { "text": "sort" } } ] } } ] } },
+          |  "size": 20 }""".stripMargin
+      graft.query.QueryDsl.execute(HybridSources(idx,
+          positions = Some(IndexCache.positions(s, dir))), json,
+        s.read.parquet(s"$dir/documents.parquet"))
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+    }),
     // span_first + span_not composed in one bool: leading-position term
     // match, include-minus-nearby-exclude occurrence filter
     "dsl_span_first_not" -> ((s, dir) => {
@@ -1665,6 +1686,30 @@ object HybridEntries {
          |sq$i AS (
          |  SELECT q.doc_id, $fnSql * $boost AS s
          |  FROM sq${i}q q JOIN embeddings e ON e.vec_id = q.doc_id)""".stripMargin
+    case SpanContainingQ(big, slop, inOrder, little, boost) =>
+      // oracle generator covers the k=2 big the entries use; general k and
+      // the unordered DFS are exercised by PhraseSpec against brute force
+      require(big.size == 2, "oracle SQL generator supports 2-term big spans")
+      val Seq(t1, t2) = big
+      val f = filterPred.map(p => s" AND b1.$p").getOrElse("")
+      val widthPred =
+        if (inOrder) s"b1.pos < b2.pos AND b2.pos - b1.pos - 1 <= $slop"
+        else s"b1.pos <> b2.pos AND abs(b2.pos - b1.pos) - 1 <= $slop"
+      val (lo, hi) =
+        if (inOrder) ("b1.pos", "b2.pos")
+        else ("least(b1.pos, b2.pos)", "greatest(b1.pos, b2.pos)")
+      s"""tokp$i AS (
+         |  SELECT doc_id, unnest(l) AS term, unnest(range(len(l))) AS pos
+         |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+         |        FROM documents)),
+         |sq$i AS (
+         |  SELECT doc_id, $boost AS s FROM (
+         |    SELECT DISTINCT b1.doc_id
+         |    FROM tokp$i b1 JOIN tokp$i b2 ON b2.doc_id = b1.doc_id
+         |    JOIN tokp$i l ON l.doc_id = b1.doc_id
+         |    WHERE b1.term = '$t1' AND b2.term = '$t2' AND l.term = '$little'
+         |      AND $widthPred
+         |      AND l.pos BETWEEN $lo AND $hi$f))""".stripMargin
     case PinnedQ(ids, organic) =>
       val pinCase = ids.zipWithIndex
         .map { case (id, j) => s"WHEN $id THEN ${PinnedQ.PinBase - j}" }
@@ -2442,6 +2487,12 @@ object HybridEntries {
         boolOracle(tokCte,
           must = Seq(SpanFirstQ("merge", 3), SpanNotQ("join", "hash", 1, 1)),
           should = Seq(Lexical(Seq("scan"))), mustNot = Nil, msm = 0),
+      "dsl_span_containing" ->
+        boolOracle(tokCte,
+          must = Seq(SpanContainingQ(Seq("hash", "join"), 5,
+            inOrder = true, "merge")),
+          should = Seq(TermsSet(Seq("scan", "sort"))), mustNot = Nil,
+          msm = 0, k = 20),
       "dsl_script_score" ->
         boolOracle(tokCte,
           must = Seq(ScriptScoreQ(Lexical(Seq("hash", "join")),

@@ -282,6 +282,13 @@ case class SpanFirstQ(term: String, end: Int, boost: Double = 1.0) extends SubQu
 case class SpanNotQ(include: String, exclude: String, pre: Int = 0,
                     post: Int = 0, boost: Double = 1.0) extends SubQuery
 
+/** `span_containing` / `span_within` (one matched-set matcher serves both,
+ *  see Phrase.spanContainingMatch): a qualifying BIG span_near span must
+ *  contain an occurrence of the LITTLE term. Constant score, like the rest
+ *  of the filter-context span family. */
+case class SpanContainingQ(bigTerms: Seq[String], slop: Int, inOrder: Boolean,
+                           little: String, boost: Double = 1.0) extends SubQuery
+
 /** `more_like_this`: find docs similar to a stored document. Lucene's
  *  MoreLikeThis extracts the source doc's "interesting" terms — tf >=
  *  minTermFreq within the doc, df >= minDocFreq in the corpus — ranks them
@@ -881,6 +888,10 @@ object Hybrid {
           .select($"doc_id", lit(boost).as("score"))
       case SpanNotQ(inc, exc, pre, post, boost) =>
         graft.query.Phrase.spanNotMatch(src.idx, src.positions.get, inc, exc, pre, post)
+          .select($"doc_id", lit(boost).as("score"))
+      case SpanContainingQ(big, slop, ord, little, boost) =>
+        graft.query.Phrase.spanContainingMatch(src.idx, src.positions.get,
+          big, slop, ord, little)
           .select($"doc_id", lit(boost).as("score"))
       case Fuzzy(t, f, boost) =>
         // term-dictionary scan with a codegen'd levenshtein predicate over

@@ -392,6 +392,154 @@ object Phrase {
       .toDF("doc_id")
   }
 
+  /** `span_containing` / `span_within` matched set: docs where some
+   *  qualifying span of the BIG span_near (terms/slop/inOrder, the span
+   *  family's width contract) contains an occurrence of the LITTLE term —
+   *  position p with spanMin <= p <= spanMax. At the matched-doc level the
+   *  two queries coincide (containing returns big spans that contain
+   *  little, within returns little spans inside big — either exists iff
+   *  the other does), so one matcher serves both DSL forms. Same
+   *  bucket-pruned bounded decode as span_near; the containment search
+   *  only widens a span when the width budget allows, since a wider valid
+   *  span can cover a little position the minimal one misses. */
+  def spanContainingMatch(idx: Index, pos: Dataset[PosBlock],
+                          bigTerms: Seq[String], slop: Int, inOrder: Boolean,
+                          little: String): DataFrame = {
+    require(bigTerms.size >= 2, "span_containing [big] needs at least 2 terms")
+    require(slop >= 0, s"slop must be >= 0, got $slop")
+    require(little.nonEmpty, "span_containing [little] requires a term")
+    val spark = idx.postings.sparkSession
+    import spark.implicits._
+    val uniq = (bigTerms :+ little).distinct
+    val k = bigTerms.size
+    val termsArr = bigTerms.toArray
+
+    val matched = pos.filter($"term".isin(uniq: _*))
+    val docLens = idx.docLens
+      .join(matched.select($"bucket").distinct().hint("broadcast"), "bucket")
+      .as[DocLenBlock]
+
+    matched.groupByKey(_.bucket)
+      .cogroup(docLens.groupByKey(_.bucket)) { (bucket, blocksIt, dlIt) =>
+        val byTerm = blocksIt.map(b => b.term -> Positions.decodeEntries(b)).toMap
+        if (uniq.exists(t => !byTerm.contains(t))) Iterator.empty
+        else {
+          val dlArr = new Array[Int](InvertedIndex.BucketSpan)
+          dlIt.foreach { dlb =>
+            val ids = PostingCodec.decodeDeltas(dlb.ids, dlb.cnt)
+            val dls = PostingCodec.decodeInts(dlb.dls, dlb.cnt)
+            var i = 0
+            while (i < dlb.cnt) { dlArr(ids(i)) = dls(i); i += 1 }
+          }
+          val perTerm: Array[Array[(Int, Array[Int])]] = termsArr.map(byTerm(_))
+          val lookups = perTerm.map { entries =>
+            val m = new java.util.HashMap[Integer, Array[Int]]()
+            entries.foreach { case (d, ps) => m.put(d, ps) }
+            m
+          }
+          val littleMap = new java.util.HashMap[Integer, Array[Int]]()
+          byTerm(little).foreach { case (d, ps) => littleMap.put(d, ps) }
+          val base = bucket << InvertedIndex.BucketBits
+          perTerm(0).iterator.flatMap { case (local, _) =>
+            val lps = littleMap.get(local)
+            if (lps == null || dlArr(local) == 0) None
+            else {
+              val docPs = new Array[Array[Int]](k)
+              var ok = true
+              var i = 0
+              while (ok && i < k) {
+                val ps = lookups(i).get(local)
+                if (ps == null) ok = false else docPs(i) = ps
+                i += 1
+              }
+              val found = ok && (
+                if (inOrder) orderedContainedExists(docPs, slop, lps)
+                else unorderedContainedExists(docPs, slop, lps))
+              if (found) Some(base + local) else None
+            }
+          }
+        }
+      }
+      .toDF("doc_id")
+  }
+
+  /** any little position inside [mn, mx]? (little sorted ascending) */
+  private def littleIn(little: Array[Int], mn: Int, mx: Int): Boolean = {
+    var idx = java.util.Arrays.binarySearch(little, mn)
+    if (idx < 0) idx = -idx - 1
+    idx < little.length && little(idx) <= mx
+  }
+
+  /** ordered big span containing a little position: for each start, the
+   *  greedy chain gives the MINIMAL last position; any last-term position
+   *  up to start + slop + k - 1 also completes a valid span (the greedy
+   *  intermediates still fit below it), so the containment window is
+   *  [start, largest valid last]. */
+  private def orderedContainedExists(docPs: Array[Array[Int]], slop: Int,
+                                     little: Array[Int]): Boolean = {
+    val k = docPs.length
+    val starts = docPs(0)
+    val lastArr = docPs(k - 1)
+    var s = 0
+    while (s < starts.length) {
+      val p0 = starts(s)
+      var prev = p0
+      var i = 1
+      var ok = true
+      while (ok && i < k) {
+        val arr = docPs(i)
+        var idx = java.util.Arrays.binarySearch(arr, prev + 1)
+        if (idx < 0) idx = -idx - 1
+        if (idx >= arr.length) ok = false
+        else { prev = arr(idx); i += 1 }
+      }
+      val maxLast = p0 + slop + k - 1
+      if (ok && prev <= maxLast) {
+        // largest last-term position <= maxLast (>= prev by construction)
+        var hi = java.util.Arrays.binarySearch(lastArr, maxLast)
+        if (hi < 0) hi = -hi - 2
+        val pl = lastArr(hi)
+        if (littleIn(little, p0, pl)) return true
+      }
+      s += 1
+    }
+    false
+  }
+
+  /** unordered big span containing a little position: DFS over terms
+   *  rarest-first with the width-budget prune; a COMPLETE assignment's
+   *  window [mn, mx] qualifies if it holds a little position (unlike bare
+   *  existence, a wider valid window can succeed where the narrowest
+   *  fails, so acceptance checks containment per complete assignment). */
+  private def unorderedContainedExists(docPs: Array[Array[Int]], slop: Int,
+                                       little: Array[Int]): Boolean = {
+    val k = docPs.length
+    val order = docPs.indices.sortBy(docPs(_).length).toArray
+    val chosen = new Array[Int](k)
+    def rec(d: Int, mn: Int, mx: Int): Boolean = {
+      if (d == k) return littleIn(little, mn, mx)
+      val arr = docPs(order(d))
+      var j = 0
+      while (j < arr.length) {
+        val p = arr(j)
+        var dup = false
+        var t = 0
+        while (t < d && !dup) { if (chosen(t) == p) dup = true; t += 1 }
+        if (!dup) {
+          val nmn = if (d == 0) p else math.min(mn, p)
+          val nmx = if (d == 0) p else math.max(mx, p)
+          if (nmx - nmn + 1 - k <= slop) {
+            chosen(d) = p
+            if (rec(d + 1, nmn, nmx)) return true
+          }
+        }
+        j += 1
+      }
+      false
+    }
+    rec(0, 0, 0)
+  }
+
   /** exists p_0 < p_1 < … < p_{k-1} (one per term, sorted arrays) with
    *  p_last - p_0 + 1 - k <= slop. For each start, greedily advance each
    *  subsequent term to its smallest position strictly after the previous

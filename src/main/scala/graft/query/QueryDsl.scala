@@ -558,6 +558,54 @@ object QueryDsl {
       val (pre, post) = (body.path("pre").asInt(0), body.path("post").asInt(0))
       require(pre >= 0 && post >= 0, "span_not [pre]/[post] must be >= 0")
       graft.hybrid.SpanNotQ(inc, exc, pre, post, body.path("boost").asDouble(1.0))
+    } else if (!q.path("span_containing").isMissingNode ||
+               !q.path("span_within").isMissingNode) {
+      // {"span_containing": {"big": {"span_near": {...}}, "little":
+      //   {"span_term": {...}}}} | {"span_within": {"little": ..., "big":
+      //   ...}} — both lower onto the ONE containment matcher: at the
+      //   matched-doc level a big span containing little exists iff a
+      //   little span within big does
+      val body = if (!q.path("span_containing").isMissingNode)
+        q.path("span_containing") else q.path("span_within")
+      val near = body.path("big").path("span_near")
+      require(!near.isMissingNode, "span_containing/span_within [big] must be a span_near")
+      val cls = near.path("clauses")
+      require(cls.isArray && cls.size() >= 2,
+        "span_near requires at least 2 [clauses]")
+      val bigTerms = (0 until cls.size()).map { j =>
+        val st = cls.get(j).path("span_term")
+        require(!st.isMissingNode, "span_near clauses must be span_term")
+        val (_, b) = firstField(st)
+        val t = if (b.isObject) b.path("value").asText() else b.asText()
+        require(t.nonEmpty, "span_term requires a non-empty value")
+        t
+      }
+      require(near.path("slop").isNumber, "span_near requires [slop]")
+      val lt = body.path("little").path("span_term")
+      require(!lt.isMissingNode, "span_containing/span_within [little] must be a span_term")
+      val (_, lb) = firstField(lt)
+      val little = if (lb.isObject) lb.path("value").asText() else lb.asText()
+      require(little.nonEmpty, "span_term requires a non-empty value")
+      graft.hybrid.SpanContainingQ(bigTerms, near.path("slop").asInt(),
+        near.path("in_order").asBoolean(false), little,
+        body.path("boost").asDouble(1.0))
+    } else if (!q.path("span_or").isMissingNode) {
+      // {"span_or": {"clauses": [{"span_term": ...}, ...]}} — a doc matches
+      // if ANY clause span occurs; as a matched-set filter that is exactly
+      // the constant-score any-of terms matcher, so it lowers onto
+      // TermsSet — zero new execution machinery
+      val cls = q.path("span_or").path("clauses")
+      require(cls.isArray && cls.size() >= 1, "span_or requires [clauses]")
+      val terms = (0 until cls.size()).map { j =>
+        val st = cls.get(j).path("span_term")
+        require(!st.isMissingNode, "span_or clauses must be span_term")
+        val (_, b) = firstField(st)
+        val t = if (b.isObject) b.path("value").asText() else b.asText()
+        require(t.nonEmpty, "span_term requires a non-empty value")
+        t
+      }
+      graft.hybrid.TermsSet(terms.distinct,
+        q.path("span_or").path("boost").asDouble(1.0))
     } else if (!q.path("fuzzy").isMissingNode) {
       // {"fuzzy": {"text": {"value": "joim", "fuzziness": 1, "boost": 2.0}}}
       // | {"fuzzy": {"text": "joim"}} (fuzziness defaults to 1, like AUTO

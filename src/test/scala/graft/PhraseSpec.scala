@@ -136,6 +136,45 @@ class PhraseSpec extends SparkSpec {
     }
   }
 
+  test("span_containing equals brute force (ordered/unordered, k=2/3, " +
+    "repeated terms)") {
+    import graft.index.{InvertedIndex, Positions}
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val docs = (1L to 40L).map(i =>
+      (i, Seq.fill(3 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+    val df = docs.toDF("doc_id", "text")
+    val idx = InvertedIndex.build(df, "doc_id", "text")
+    val pb = Positions.build(df, "doc_id", "text")
+    def brute(big: Seq[String], slop: Int, inOrder: Boolean, little: String): Set[Long] =
+      docs.filter { case (_, text) =>
+        val toks = text.split(" ").toVector
+        val posOf = big.map(t => toks.zipWithIndex.collect { case (w, i) if w == t => i })
+        val lps = toks.zipWithIndex.collect { case (w, i) if w == little => i }
+        def tuples(ts: Seq[Seq[Int]]): Seq[Seq[Int]] =
+          ts.foldLeft(Seq(Seq.empty[Int]))((acc, arr) => acc.flatMap(pre => arr.map(pre :+ _)))
+        posOf.forall(_.nonEmpty) && lps.nonEmpty && tuples(posOf).exists { tup =>
+          tup.distinct.size == tup.size &&
+            (!inOrder || tup.sliding(2).forall(s => s.size < 2 || s(0) < s(1))) &&
+            tup.max - tup.min + 1 - tup.size <= slop &&
+            lps.exists(lp => lp >= tup.min && lp <= tup.max)
+        }
+      }.map(_._1).toSet
+    for ((big, slop, ord, little) <- Seq(
+        (Seq("a", "b"), 2, true, "c"), (Seq("a", "b"), 3, false, "d"),
+        (Seq("a", "b", "c"), 4, true, "d"), (Seq("a", "b", "c"), 3, false, "e"),
+        (Seq("a", "a"), 2, true, "b"), (Seq("b", "a"), 0, true, "c"))) {
+      val got = Phrase.spanContainingMatch(idx, pb, big, slop, ord, little)
+        .collect().map(_.getLong(0)).toSet
+      assert(got == brute(big, slop, ord, little),
+        s"big=$big slop=$slop ord=$ord little=$little")
+    }
+    intercept[IllegalArgumentException](
+      Phrase.spanContainingMatch(idx, pb, Seq("a"), 1, inOrder = true, "b"))
+    intercept[IllegalArgumentException](
+      Phrase.spanContainingMatch(idx, pb, Seq("a", "b"), -1, inOrder = true, "c"))
+  }
+
   test("span_first and span_not matched sets (pre/post exclusion windows)") {
     import graft.index.{InvertedIndex, Positions}
     val docs = Seq(

@@ -579,6 +579,37 @@ class QueryDslSpec extends SparkSpec {
       |"exclude":{"span_term":{"text":"b"}},"pre":-1}}""".stripMargin)
   }
 
+  test("span_containing/span_within lower onto one matcher; span_or lowers " +
+    "to the any-of terms matcher") {
+    import graft.hybrid._
+    val want = SpanContainingQ(Seq("hash", "join"), 3, inOrder = true, "merge")
+    val sc = QueryDsl.parseBool(
+      """{"query":{"bool":{"must":[{"span_containing":{
+        |"big":{"span_near":{"clauses":[{"span_term":{"text":"hash"}},
+        |{"span_term":{"text":"join"}}],"slop":3,"in_order":true}},
+        |"little":{"span_term":{"text":"merge"}}}}]}}}""".stripMargin)
+    assert(sc.bool.must.head == want)
+    val sw = QueryDsl.parseBool(
+      """{"query":{"bool":{"must":[{"span_within":{
+        |"little":{"span_term":{"text":"merge"}},
+        |"big":{"span_near":{"clauses":[{"span_term":{"text":"hash"}},
+        |{"span_term":{"text":"join"}}],"slop":3,"in_order":true}}}}]}}}""".stripMargin)
+    assert(sw.bool.must.head == want)
+    val so = QueryDsl.parseBool(
+      """{"query":{"bool":{"should":[{"span_or":{"clauses":[
+        |{"span_term":{"text":"scan"}},{"span_term":{"text":"sort"}},
+        |{"span_term":{"text":"scan"}}]}}]}}}""".stripMargin)
+    assert(so.bool.should.head == TermsSet(Seq("scan", "sort")))
+    def bad(q: String): Unit = intercept[IllegalArgumentException] {
+      QueryDsl.parseBool(s"""{"query":{"bool":{"must":[$q]}}}""")
+    }
+    bad("""{"span_or":{"clauses":[]}}""")
+    bad("""{"span_containing":{"big":{"span_near":{"clauses":[
+      |{"span_term":{"text":"a"}},{"span_term":{"text":"b"}}],"slop":1}}}}""".stripMargin)
+    bad("""{"span_containing":{"big":{"span_term":{"text":"a"}},
+      |"little":{"span_term":{"text":"b"}}}}""".stripMargin)
+  }
+
   test("script_score replaces the inner score with the vector space function") {
     import spark.implicits._
     val docs = Seq((1L, "hash join x"), (2L, "merge"), (3L, "hash join scan"),
