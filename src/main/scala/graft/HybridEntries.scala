@@ -364,6 +364,20 @@ object HybridEntries {
     "term_suggest" -> ((s, dir) =>
       graft.query.Suggest.termSuggest(IndexCache.documents(s, dir),
         "joim hsah merge", maxEdits = 2, size = 3)),
+    // percolate: search inverted — registered queries as data, each doc
+    // returns the queries matching it. The query terms are the indexed
+    // side; only (doc, query) pairs sharing a term ever materialize.
+    "percolate" -> ((s, dir) => {
+      import graft.query.Percolate, Percolate.Registered
+      val qs = Seq(
+        Registered(1L, Seq("hash", "join"), 2),
+        Registered(2L, Seq("merge", "sort", "window"), 2),
+        Registered(3L, Seq("scan"), 1, notTerms = Seq("slow")),
+        Registered(4L, Seq("spark", "stream", "batch"), 1),
+        Registered(5L, Seq("join"), 1, notTerms = Seq("hash", "merge")))
+      Percolate.matches(s, qs, s.read.parquet(s"$dir/documents.parquet"))
+        .orderBy("doc_id", "query_id")
+    }),
     // completion suggester: type-ahead over the weighted term dictionary —
     // plain prefix (weight desc) and the fuzzy variant (first char fixed,
     // <=1 edit on the typed prefix vs the same-length head, exact-prefix
@@ -2632,6 +2646,26 @@ object HybridEntries {
            |        PARTITION BY input ORDER BY dist, df DESC, suggestion) AS rn
            |      FROM cand)
            |SELECT input, suggestion, dist, df FROM r WHERE rn <= 3""".stripMargin,
+      "percolate" ->
+        s"""WITH $tokCte,
+           |dt AS (SELECT DISTINCT doc_id, term FROM tok2),
+           |qt AS (SELECT * FROM (VALUES
+           |  (1, 'hash', 2), (1, 'join', 2),
+           |  (2, 'merge', 2), (2, 'sort', 2), (2, 'window', 2),
+           |  (3, 'scan', 1),
+           |  (4, 'spark', 1), (4, 'stream', 1), (4, 'batch', 1),
+           |  (5, 'join', 1)) t(query_id, term, msm)),
+           |qn AS (SELECT * FROM (VALUES
+           |  (3, 'slow'), (5, 'hash'), (5, 'merge')) t(query_id, not_term)),
+           |cand AS (
+           |  SELECT dt.doc_id, qt.query_id FROM dt JOIN qt USING (term)
+           |  GROUP BY dt.doc_id, qt.query_id, qt.msm
+           |  HAVING count(*) >= qt.msm)
+           |SELECT c.doc_id, CAST(c.query_id AS BIGINT) AS query_id FROM cand c
+           |WHERE NOT EXISTS (
+           |  SELECT 1 FROM qn JOIN dt ON dt.term = qn.not_term
+           |  WHERE qn.query_id = c.query_id AND dt.doc_id = c.doc_id)
+           |ORDER BY 1, 2""".stripMargin,
       "completion_suggest" ->
         s"""WITH $tokCte,
            |p AS (SELECT term AS suggestion, 0 AS dist, df AS weight, 'plain' AS kind

@@ -553,6 +553,29 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("percolate: msm gating, prohibited terms, validation") {
+    import graft.query.Percolate, Percolate.Registered
+    val docs = Seq(
+      (1L, "hash join fast"),      // q1 (both terms), q3 (join, no hash? no — hash present)
+      (2L, "join only here"),      // q3 (join, neither hash nor merge)
+      (3L, "hash alone"),          // nothing (q1 needs 2 of 2)
+      (4L, "merge join slow"))     // q2? merge only 1 of 2 -> no; q3 blocked by merge
+      .toDF("doc_id", "text")
+    val qs = Seq(
+      Registered(1L, Seq("hash", "join"), 2),
+      Registered(2L, Seq("merge", "sort"), 2),
+      Registered(3L, Seq("join"), 1, notTerms = Seq("hash", "merge")))
+    val got = Percolate.matches(spark, qs, docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 1L), (2L, 3L)))
+    intercept[IllegalArgumentException](Percolate.matches(spark, Nil, docs))
+    intercept[IllegalArgumentException](
+      Percolate.matches(spark, Seq(Registered(1L, Seq("a"), 2)), docs))
+    intercept[IllegalArgumentException](
+      Percolate.matches(spark,
+        Seq(Registered(1L, Seq("a"), 1), Registered(1L, Seq("b"), 1)), docs))
+  }
+
   test("completionSuggest: popularity order, fuzzy exact-prefix-first, validation") {
     import graft.index.InvertedIndex
     val idx = InvertedIndex.build(Seq(
