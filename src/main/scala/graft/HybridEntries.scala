@@ -1155,6 +1155,56 @@ object HybridEntries {
         metrics = Seq(count(lit(1)).as("n_docs"),
           round(avg(col("n_chars")), 4).as("avg_chars")))
     }),
+    // matrix_stats agg over the matched set: per-field mean/variance/
+    // skewness/kurtosis + pairwise covariance/correlation for (n_chars,
+    // n_tokens), all derived from RAW POWER SUMS in ONE aggregate pass —
+    // the formulation both engines can reproduce bit-comparably at round-4,
+    // and the single-pass shape that holds at any scale
+    "agg_matrix_stats" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      val j = matchedAB(idx)
+        .join(s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("n_chars").cast("double").as("x"),
+            size(filter(split(col("text"), " "), t => t =!= lit("")))
+              .cast("double").as("y")), "doc_id")
+      val agg = j.agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("x")).as("sx"), sum(col("x") * col("x")).as("sx2"),
+        sum(col("x") * col("x") * col("x")).as("sx3"),
+        sum(col("x") * col("x") * col("x") * col("x")).as("sx4"),
+        sum(col("y")).as("sy"), sum(col("y") * col("y")).as("sy2"),
+        sum(col("x") * col("y")).as("sxy"))
+      agg.select(
+        col("n").cast("long").as("n_docs"),
+        round(col("sx") / col("n"), 4).as("mean_x"),
+        round(col("sx2") / col("n") - (col("sx") / col("n")) * (col("sx") / col("n")), 4).as("var_x"),
+        round((col("sx3") / col("n") - lit(3.0) * (col("sx") / col("n")) * (col("sx2") / col("n"))
+          + lit(2.0) * pow(col("sx") / col("n"), 3))
+          / pow(sqrt(col("sx2") / col("n") - (col("sx") / col("n")) * (col("sx") / col("n"))), 3), 4)
+          .as("skew_x"),
+        round((col("sx4") / col("n") - lit(4.0) * (col("sx") / col("n")) * (col("sx3") / col("n"))
+          + lit(6.0) * pow(col("sx") / col("n"), 2) * (col("sx2") / col("n"))
+          - lit(3.0) * pow(col("sx") / col("n"), 4))
+          / pow(col("sx2") / col("n") - (col("sx") / col("n")) * (col("sx") / col("n")), 2), 4)
+          .as("kurt_x"),
+        round(col("sy") / col("n"), 4).as("mean_y"),
+        round(col("sxy") / col("n") - (col("sx") / col("n")) * (col("sy") / col("n")), 4).as("cov_xy"),
+        round((col("sxy") / col("n") - (col("sx") / col("n")) * (col("sy") / col("n")))
+          / (sqrt(col("sx2") / col("n") - (col("sx") / col("n")) * (col("sx") / col("n")))
+            * sqrt(col("sy2") / col("n") - (col("sy") / col("n")) * (col("sy") / col("n")))), 4)
+          .as("corr_xy"))
+    }),
+    // top_metrics agg: the metric values riding on the top-sorted docs —
+    // one size-bounded TakeOrdered, never a corpus sort
+    "agg_top_metrics" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      matchedAB(idx)
+        .join(s.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "n_chars", "source", "lang"), "doc_id")
+        .orderBy(col("n_chars").desc, col("doc_id").asc)
+        .limit(3)
+        .select(col("doc_id"), col("n_chars"), col("source"), col("lang"))
+    }),
     // multi_terms bucket agg over the matched set — composite (source,lang)
     // keys, count-desc order — carrying value_count (docs with a stored
     // vector: count of a LEFT-joined field), missing (its complement, the
@@ -2828,6 +2878,43 @@ object HybridEntries {
         s"""WITH $tokCte
            |SELECT term, df FROM df WHERE df <= 30
            |ORDER BY df, term""".stripMargin,
+      "agg_matrix_stats" ->
+        s"""WITH $tokCte,
+           |m AS (
+           |  SELECT DISTINCT doc_id FROM tf
+           |  WHERE term IN (${termList(A)}) OR term IN (${termList(B)})),
+           |j AS (
+           |  SELECT CAST(d.n_chars AS DOUBLE) AS x,
+           |         CAST(len(list_filter(string_split(d.text, ' '), v -> v <> '')) AS DOUBLE) AS y
+           |  FROM m JOIN documents d USING (doc_id)),
+           |a AS (
+           |  SELECT CAST(count(*) AS DOUBLE) AS n,
+           |         sum(x) AS sx, sum(x*x) AS sx2, sum(x*x*x) AS sx3,
+           |         sum(x*x*x*x) AS sx4,
+           |         sum(y) AS sy, sum(y*y) AS sy2, sum(x*y) AS sxy
+           |  FROM j)
+           |SELECT CAST(n AS BIGINT) AS n_docs,
+           |       round(sx/n, 4) AS mean_x,
+           |       round(sx2/n - (sx/n)*(sx/n), 4) AS var_x,
+           |       round((sx3/n - 3.0*(sx/n)*(sx2/n) + 2.0*pow(sx/n, 3))
+           |             / pow(sqrt(sx2/n - (sx/n)*(sx/n)), 3), 4) AS skew_x,
+           |       round((sx4/n - 4.0*(sx/n)*(sx3/n) + 6.0*pow(sx/n, 2)*(sx2/n)
+           |              - 3.0*pow(sx/n, 4))
+           |             / pow(sx2/n - (sx/n)*(sx/n), 2), 4) AS kurt_x,
+           |       round(sy/n, 4) AS mean_y,
+           |       round(sxy/n - (sx/n)*(sy/n), 4) AS cov_xy,
+           |       round((sxy/n - (sx/n)*(sy/n))
+           |             / (sqrt(sx2/n - (sx/n)*(sx/n)) * sqrt(sy2/n - (sy/n)*(sy/n))), 4)
+           |         AS corr_xy
+           |FROM a""".stripMargin,
+      "agg_top_metrics" ->
+        s"""WITH $tokCte,
+           |m AS (
+           |  SELECT DISTINCT doc_id FROM tf
+           |  WHERE term IN (${termList(A)}) OR term IN (${termList(B)}))
+           |SELECT m.doc_id, d.n_chars, d.source, d.lang
+           |FROM m JOIN documents d USING (doc_id)
+           |ORDER BY d.n_chars DESC, m.doc_id LIMIT 3""".stripMargin,
       "agg_multi_terms" ->
         s"""WITH $tokCte,
            |m AS (
