@@ -108,6 +108,28 @@ object CorpusEntries {
           Seq("rewritten", "patch", "join"), 10)
         .select(col("doc_id"), round(col("score"), 4).as("score"))
     }),
+    // _delete_by_query: the matched set of a DSL bool query becomes the
+    // tombstone set — one query execution + the per-bucket mask, no scroll,
+    // no bulk round trips; stats stay stale until compact
+    "dsl_delete_by_query" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      val masked = Deletes.deleteByQuery(graft.hybrid.HybridSources(idx),
+        """{"query":{"bool":{"must":[{"match":{"text":"slow"}}]}}}""")
+      Bm25.topK(masked, Seq("merge", "group"), 10)
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+    }),
+    // _update_by_query: matched docs get the script-analogue text transform,
+    // then delete + re-add; the unmatched corpus is never rewritten
+    "dsl_update_by_query" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val updated = Deletes.updateByQuery(graft.hybrid.HybridSources(idx),
+        docs, "doc_id", "text",
+        """{"query":{"bool":{"must":[{"match":{"text":"batch"}}]}}}""",
+        concat(col("text"), lit(" refreshed content patch")))
+      Bm25.topK(updated, Seq("refreshed", "patch", "join"), 10)
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+    }),
 
     // incremental build: Structured Streaming micro-batches -> segments ->
     // merge; stats must equal the batch build's (same oracle as term_stats)
@@ -241,6 +263,44 @@ object CorpusEntries {
          |              * (tf.tf / (tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/stats.avgdl))) ) AS s
          |  FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN stats
          |  WHERE tf.term IN ('rewritten', 'patch', 'join')
+         |  GROUP BY tf.doc_id)
+         |SELECT doc_id, round(s, 4) AS score FROM score
+         |ORDER BY s DESC, doc_id LIMIT 10""".stripMargin,
+
+    // delete_by_query: stale-stats tombstones over the QUERY's matched set
+    // (docs containing the analyzed token 'slow')
+    "dsl_delete_by_query" ->
+      s"""WITH $tokCte,
+         |score AS (
+         |  SELECT tf.doc_id,
+         |         sum( ln(1 + (stats.n - df.df + 0.5)/(df.df + 0.5))
+         |              * (tf.tf / (tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/stats.avgdl))) ) AS s
+         |  FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN stats
+         |  WHERE tf.term IN ('merge', 'group')
+         |  GROUP BY tf.doc_id)
+         |SELECT doc_id, round(s, 4) AS score FROM score
+         |WHERE doc_id NOT IN (SELECT doc_id FROM tf WHERE term = 'slow')
+         |ORDER BY s DESC, doc_id LIMIT 10""".stripMargin,
+
+    // update_by_query: fresh scoring over the corpus where every doc the
+    // query matched (token 'batch') carries the transformed text
+    "dsl_update_by_query" ->
+      s"""WITH base_tok AS (
+         |  SELECT DISTINCT doc_id FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |    FROM documents) WHERE term = 'batch'),
+         |live_docs AS (
+         |  SELECT doc_id,
+         |         CASE WHEN doc_id IN (SELECT doc_id FROM base_tok)
+         |              THEN text || ' refreshed content patch' ELSE text END AS text
+         |  FROM documents),
+         |${tokCte.replace("FROM documents", "FROM live_docs")},
+         |score AS (
+         |  SELECT tf.doc_id,
+         |         sum( ln(1 + (stats.n - df.df + 0.5)/(df.df + 0.5))
+         |              * (tf.tf / (tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/stats.avgdl))) ) AS s
+         |  FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN stats
+         |  WHERE tf.term IN ('refreshed', 'patch', 'join')
          |  GROUP BY tf.doc_id)
          |SELECT doc_id, round(s, 4) AS score FROM score
          |ORDER BY s DESC, doc_id LIMIT 10""".stripMargin,

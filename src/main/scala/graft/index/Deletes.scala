@@ -180,4 +180,40 @@ object Deletes {
     Index(postings, docLens, InvertedIndex.termStatsOf(postings),
       InvertedIndex.statsOf(docLens), idx.analyzer)
   }
+
+  /** `_delete_by_query`: the matched set of a DSL bool query becomes the
+   *  tombstone set. The reference scrolls the query and bulk-deletes the
+   *  hits batch by batch; here the matched set IS a DataFrame, so the whole
+   *  delete is one query execution + the standard per-bucket tombstone mask
+   *  — no scroll, no bulk round trips, no driver materialization.
+   *  Statistics stay stale until [[compact]], exactly like single-doc
+   *  deletes (the reference's _delete_by_query leaves the same pre-merge
+   *  state). */
+  def deleteByQuery(src: graft.hybrid.HybridSources, json: String,
+                    analyzer: String = graft.analysis.Analyzer.Simple): Index = {
+    val parsed = graft.query.QueryDsl.parseBool(json, analyzer)
+    require(parsed.filters.isEmpty && parsed.ranges.isEmpty && parsed.slice.isEmpty,
+      "delete_by_query supports the bool query body (no root filters/slice)")
+    val dead = graft.query.BoolQuery.score(src, parsed.bool).select("doc_id")
+    withDeletes(src.idx, dead, "doc_id")
+  }
+
+  /** `_update_by_query`: every doc matched by the DSL bool query gets its
+   *  text replaced by `newText` (the script analogue — a Column over the
+   *  matched rows), then delete + re-add via [[applyUpdate]]. One query
+   *  execution + one semi join sized by the matched set; the unmatched
+   *  corpus is never rewritten. */
+  def updateByQuery(src: graft.hybrid.HybridSources, docs: DataFrame,
+                    idCol: String, textCol: String, json: String,
+                    newText: org.apache.spark.sql.Column,
+                    analyzer: String = graft.analysis.Analyzer.Simple): Index = {
+    val parsed = graft.query.QueryDsl.parseBool(json, analyzer)
+    require(parsed.filters.isEmpty && parsed.ranges.isEmpty && parsed.slice.isEmpty,
+      "update_by_query supports the bool query body (no root filters/slice)")
+    val matched = graft.query.BoolQuery.score(src, parsed.bool).select("doc_id")
+    val updated = docs
+      .join(matched, docs(idCol) === matched("doc_id"), "left_semi")
+      .withColumn(textCol, newText)
+    applyUpdate(src.idx, updated, idCol, textCol)
+  }
 }
