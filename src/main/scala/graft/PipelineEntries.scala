@@ -35,6 +35,34 @@ object PipelineEntries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- parent-child join field ----
+    // has_child: parents ranked by their matching chunk-children (children =
+    // fixed-token chunks keyed by parent id; the relation is a plain
+    // relational join + one aggregation, no global-ordinals map)
+    "join_has_child" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val children = Chunkers.fixedTokenLength(docs, "doc_id", "text", 12)
+        .withColumnRenamed("doc_id", "parent_id")
+      graft.ops.ParentChild.hasChild(children, "parent_id", "chunk",
+          Seq("hash", "join"), scoreMode = "sum", minChildren = 2)
+        .orderBy(col("score").desc, col("parent_id").asc)
+        .limit(20)
+    }),
+    // has_parent: children inheriting their matched parent's score (score:
+    // true) — parent score = the parent's tf of the query term
+    "join_has_parent" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val parents = docs.select(col("doc_id").as("parent_id"),
+          size(filter(TextOps.tokensCol(col("text")), t => t === lit("slow")))
+            .cast("double").as("score"))
+        .where(col("score") > 0)
+      val children = Chunkers.fixedTokenLength(docs, "doc_id", "text", 12)
+        .withColumnRenamed("doc_id", "child_parent")
+      graft.ops.ParentChild.hasParent(children, "child_parent",
+          parents, withScore = true)
+        .select(col("child_parent").as("parent_id"), col("chunk_idx"),
+          col("score"))
+    }),
     // ---- sparse token-weight ops ----
     "sparse_prune_topk" -> ((s, dir) =>
       Sparse.pruneTopK(tw(s, dir), 5)
@@ -215,6 +243,35 @@ object PipelineEntries {
   private val Toks = "list_filter(string_split(text, ' '), x -> x <> '')"
 
   def oracles(tokCte: String): Map[String, String] = Map(
+    "join_has_child" ->
+      s"""WITH ch AS (
+         |  SELECT doc_id AS parent_id,
+         |         toks[CAST(i*12 + 1 AS INT):CAST(i*12 + 12 AS INT)] AS ctoks
+         |  FROM (SELECT doc_id, toks,
+         |          unnest(generate_series(0, CAST(floor((len(toks)-1)/12) AS BIGINT))) AS i
+         |        FROM (SELECT doc_id, $Toks AS toks FROM documents))),
+         |cs AS (
+         |  SELECT parent_id,
+         |         CAST(len(list_distinct(list_intersect(ctoks, ['hash', 'join']))) AS DOUBLE) AS cs
+         |  FROM ch),
+         |m AS (
+         |  SELECT parent_id, sum(cs) AS score, count(*) AS n_children
+         |  FROM cs WHERE cs > 0 GROUP BY 1)
+         |SELECT parent_id, score, n_children FROM m
+         |WHERE n_children >= 2
+         |ORDER BY score DESC, parent_id LIMIT 20""".stripMargin,
+    "join_has_parent" ->
+      s"""WITH p AS (
+         |  SELECT doc_id AS parent_id,
+         |         CAST(len(list_filter($Toks, x -> x = 'slow')) AS DOUBLE) AS score
+         |  FROM documents),
+         |ch AS (
+         |  SELECT doc_id AS parent_id, i AS chunk_idx
+         |  FROM (SELECT doc_id, toks,
+         |          unnest(generate_series(0, CAST(floor((len(toks)-1)/12) AS BIGINT))) AS i
+         |        FROM (SELECT doc_id, $Toks AS toks FROM documents)))
+         |SELECT ch.parent_id, ch.chunk_idx, p.score
+         |FROM ch JOIN p USING (parent_id) WHERE p.score > 0""".stripMargin,
     "sparse_prune_topk" ->
       s"""WITH $tokCte, $TwCte
          |SELECT doc_id, token, round(w, 4) AS w FROM (

@@ -553,6 +553,38 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("has_child score modes + children bounds; has_parent score inheritance") {
+    import graft.ops.ParentChild
+    val children = Seq(
+      (1L, 0L, "hash join x"),   // cs=2
+      (1L, 1L, "hash y z"),      // cs=1
+      (2L, 0L, "join join a"),   // cs=1 (distinct terms)
+      (2L, 1L, "b c d"),         // no match
+      (3L, 0L, "e f g"))         // no match
+      .toDF("parent_id", "chunk_idx", "chunk")
+    def run(mode: String, minC: Int = 1) =
+      ParentChild.hasChild(children, "parent_id", "chunk",
+          Seq("hash", "join"), mode, minChildren = minC)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(run("sum") == Set((1L, 3.0, 2L), (2L, 1.0, 1L)))
+    assert(run("avg") == Set((1L, 1.5, 2L), (2L, 1.0, 1L)))
+    assert(run("max") == Set((1L, 2.0, 2L), (2L, 1.0, 1L)))
+    assert(run("min") == Set((1L, 1.0, 2L), (2L, 1.0, 1L)))
+    assert(run("none") == Set((1L, 1.0, 2L), (2L, 1.0, 1L)))
+    assert(run("sum", minC = 2) == Set((1L, 3.0, 2L)))
+    intercept[IllegalArgumentException](run("prod"))
+    intercept[IllegalArgumentException](
+      ParentChild.hasChild(children, "parent_id", "chunk", Nil, "sum"))
+    // has_parent: children of parent 1 inherit its score; score=false -> 1.0
+    val parents = Seq((1L, 7.5)).toDF("parent_id", "score")
+    val hp = ParentChild.hasParent(children, "parent_id", parents, withScore = true)
+      .collect().map(r => (r.getAs[Long]("chunk_idx"), r.getAs[Double]("score"))).toSet
+    assert(hp == Set((0L, 7.5), (1L, 7.5)))
+    val hpc = ParentChild.hasParent(children, "parent_id", parents, withScore = false)
+      .collect().map(_.getAs[Double]("score")).toSet
+    assert(hpc == Set(1.0))
+  }
+
   test("percolate: msm gating, prohibited terms, validation") {
     import graft.query.Percolate, Percolate.Registered
     val docs = Seq(
