@@ -364,6 +364,36 @@ object HybridEntries {
     "term_suggest" -> ((s, dir) =>
       graft.query.Suggest.termSuggest(IndexCache.documents(s, dir),
         "joim hsah merge", maxEdits = 2, size = 3)),
+    // rank_eval: search-quality metrics (precision@k, recall@k, MRR,
+    // NDCG@k) per query + the overall mean over 3 BM25 runs, judged by a
+    // deterministic grade (distinct query terms contained)
+    "rank_eval" -> ((s, dir) => {
+      import graft.ops.{RankEval, TextOps}
+      val idx = IndexCache.documents(s, dir)
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val qs = Seq(1L -> Seq("join", "hash"), 2L -> Seq("merge", "sort"),
+        3L -> Seq("scan", "filter"))
+      val topk = qs.map { case (qid, ts) =>
+        // rank over the ALREADY top-10-bounded result — the unpartitioned
+        // window sees 10 rows, never the corpus
+        Bm25.topK(idx, ts, 10)
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("score").desc, col("doc_id").asc)))
+          .select(lit(qid).as("query_id"), col("doc_id"), col("rank"))
+      }.reduce(_ unionByName _)
+      val toksC = TextOps.tokensCol(col("text"))
+      val judgments = qs.map { case (qid, ts) =>
+        docs.select(lit(qid).as("query_id"), col("doc_id"),
+          size(array_intersect(toksC, lit(ts.toArray))).as("grade"))
+          .where(col("grade") > 0)
+      }.reduce(_ unionByName _)
+      RankEval.evaluate(topk, judgments, 10)
+        .select(col("query_id"),
+          round(col("precision_k"), 4).as("precision_k"),
+          round(col("recall_k"), 4).as("recall_k"),
+          round(col("mrr"), 4).as("mrr"),
+          round(col("ndcg_k"), 4).as("ndcg_k"))
+    }),
     // percolate: search inverted — registered queries as data, each doc
     // returns the queries matching it. The query terms are the indexed
     // side; only (doc, query) pairs sharing a term ever materialize.
@@ -2696,6 +2726,60 @@ object HybridEntries {
            |        PARTITION BY input ORDER BY dist, df DESC, suggestion) AS rn
            |      FROM cand)
            |SELECT input, suggestion, dist, df FROM r WHERE rn <= 3""".stripMargin,
+      "rank_eval" -> {
+        val qs = Seq(1 -> Seq("join", "hash"), 2 -> Seq("merge", "sort"),
+          3 -> Seq("scan", "filter"))
+        val perQ = qs.map { case (qid, ts) =>
+          s"""sc$qid AS (
+             |  SELECT tf.doc_id, $Bm25Sum AS s
+             |  FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN stats
+             |  WHERE tf.term IN (${termList(ts)}) GROUP BY tf.doc_id),
+             |top$qid AS (
+             |  SELECT CAST($qid AS BIGINT) AS query_id, doc_id,
+             |         row_number() OVER (ORDER BY s DESC, doc_id) AS rank
+             |  FROM (SELECT * FROM sc$qid ORDER BY s DESC, doc_id LIMIT 10)),
+             |jd$qid AS (
+             |  SELECT CAST($qid AS BIGINT) AS query_id, doc_id,
+             |         CAST(count(DISTINCT term) AS DOUBLE) AS grade
+             |  FROM tf WHERE term IN (${termList(ts)}) GROUP BY doc_id)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $tokCte,
+           |$perQ,
+           |topk AS (SELECT * FROM top1 UNION ALL SELECT * FROM top2
+           |         UNION ALL SELECT * FROM top3),
+           |jd AS (SELECT * FROM jd1 UNION ALL SELECT * FROM jd2
+           |       UNION ALL SELECT * FROM jd3),
+           |pq AS (
+           |  SELECT t.query_id, count(*) AS retrieved,
+           |         sum(CASE WHEN coalesce(j.grade, 0) > 0 THEN 1 ELSE 0 END) AS rel_retrieved,
+           |         min(CASE WHEN coalesce(j.grade, 0) > 0 THEN t.rank END) AS first_rel,
+           |         sum((pow(2.0, coalesce(j.grade, 0)) - 1.0) / log2(t.rank + 1.0)) AS dcg
+           |  FROM topk t LEFT JOIN jd j USING (query_id, doc_id) GROUP BY 1),
+           |ideal AS (
+           |  SELECT query_id, sum((pow(2.0, grade) - 1.0) / log2(irank + 1.0)) AS idcg
+           |  FROM (SELECT query_id, grade, doc_id, row_number() OVER
+           |          (PARTITION BY query_id ORDER BY grade DESC, doc_id) AS irank
+           |        FROM jd WHERE grade > 0)
+           |  WHERE irank <= 10 GROUP BY 1),
+           |nr AS (SELECT query_id, count(*) AS n_rel FROM jd WHERE grade > 0 GROUP BY 1),
+           |m AS (
+           |  SELECT pq.query_id,
+           |         rel_retrieved * 1.0 / retrieved AS precision_k,
+           |         CASE WHEN nr.n_rel IS NULL THEN 0.0
+           |              ELSE rel_retrieved * 1.0 / nr.n_rel END AS recall_k,
+           |         CASE WHEN first_rel IS NULL THEN 0.0
+           |              ELSE 1.0 / first_rel END AS mrr,
+           |         CASE WHEN ideal.idcg IS NULL OR ideal.idcg = 0 THEN 0.0
+           |              ELSE dcg / ideal.idcg END AS ndcg_k
+           |  FROM pq LEFT JOIN ideal USING (query_id) LEFT JOIN nr USING (query_id))
+           |SELECT query_id, round(precision_k, 4) AS precision_k,
+           |       round(recall_k, 4) AS recall_k, round(mrr, 4) AS mrr,
+           |       round(ndcg_k, 4) AS ndcg_k FROM m
+           |UNION ALL
+           |SELECT CAST(-1 AS BIGINT), round(avg(precision_k), 4),
+           |       round(avg(recall_k), 4), round(avg(mrr), 4),
+           |       round(avg(ndcg_k), 4) FROM m""".stripMargin
+      },
       "percolate" ->
         s"""WITH $tokCte,
            |dt AS (SELECT DISTINCT doc_id, term FROM tok2),

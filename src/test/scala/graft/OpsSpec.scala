@@ -553,6 +553,27 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("rank_eval: precision/recall/MRR/NDCG hand math + the no-relevant query") {
+    import graft.ops.RankEval
+    val topk = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3), (2L, 20L, 1))
+      .toDF("query_id", "doc_id", "rank")
+    val jd = Seq((1L, 11L, 2.0), (1L, 12L, 1.0), (1L, 99L, 3.0))
+      .toDF("query_id", "doc_id", "grade")
+    val got = RankEval.evaluate(topk, jd, 10).collect()
+      .map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    def ~=(a: Double, b: Double) = math.abs(a - b) < 1e-9
+    val (p1, r1, m1, n1) = got(1L)
+    assert(~=(p1, 2.0 / 3) && ~=(r1, 2.0 / 3) && ~=(m1, 0.5))
+    val dcg = 3.0 / (math.log(3) / math.log(2)) + 1.0 / 2.0
+    val idcg = 7.0 + 3.0 / (math.log(3) / math.log(2)) + 1.0 / 2.0
+    assert(~=(n1, dcg / idcg))
+    assert(got(2L) == ((0.0, 0.0, 0.0, 0.0)))
+    val (pm, rm, mm, nm) = got(-1L)
+    assert(~=(pm, p1 / 2) && ~=(rm, r1 / 2) && ~=(mm, 0.25) && ~=(nm, n1 / 2))
+    intercept[IllegalArgumentException](RankEval.evaluate(topk, jd, 0))
+  }
+
   test("has_child score modes + children bounds; has_parent score inheritance") {
     import graft.ops.ParentChild
     val children = Seq(
