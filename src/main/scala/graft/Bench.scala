@@ -697,9 +697,21 @@ object Bench {
           .replace("@JSON@", json)
       // only a FULL run may replace the committed scaling evidence — a
       // query-filtered or scaling-skipped iteration would overwrite the
-      // artifact with zeroed scaling tables (which once clobbered the doc)
-      if (!skipScaling && !sys.env.contains("SPARK_GRAFT_BENCH_ONLY"))
-        java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH/BASELINE.md"), md)
+      // artifact with zeroed scaling tables (which once clobbered the doc).
+      // The hand-maintained run-to-run history section (everything from its
+      // "## Run-to-run history" heading on) is preserved across rewrites —
+      // a fresh run replaces only the per-run tables above it.
+      if (!skipScaling && !sys.env.contains("SPARK_GRAFT_BENCH_ONLY")) {
+        val path = java.nio.file.Paths.get("BENCH/BASELINE.md")
+        val marker = "## Run-to-run history"
+        val history =
+          if (java.nio.file.Files.exists(path)) {
+            val prev = java.nio.file.Files.readString(path)
+            val at = prev.indexOf(marker)
+            if (at >= 0) "\n" + prev.substring(at) else ""
+          } else ""
+        java.nio.file.Files.writeString(path, md + history)
+      }
     } catch { case _: Throwable => () }
 
     println(json)
