@@ -26,6 +26,10 @@ object DataEntries {
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
+  /** fixed deterministic 64-dim query vector for the int8 entry (the
+   *  client-side-embedded shape; values span +/- 1) */
+  private val Int8QV: Seq[Double] = (0 until 64).map(i => ((i * 29 % 17) - 8) / 8.0)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- dedup ----
     "dedup_exact" -> ((s, dir) =>
@@ -84,6 +88,12 @@ object DataEntries {
     // ---- similarity search ----
     "ann_brute_topk" -> ((s, dir) =>
       Ann.bruteTopK(emb(s, dir), "vec_id", "embedding", queryId = 0L, k = 20)),
+    // int8-quantized cosine top-k: the byte-vector form — 4x less to store
+    // and scan at 100 TB; dequantize q*scale on the fly, same bounded
+    // TakeOrdered shape as brute force
+    "ann_int8_topk" -> ((s, dir) =>
+      Ann.int8CosineTopK(Ann.quantizeInt8(emb(s, dir), "vec_id", "embedding"),
+        "vec_id", Int8QV, k = 20)),
     // radial (range) kNN: everything within the similarity radius instead
     // of top-k (reference: NeuralQueryBuilder min_score/max_distance)
     "knn_radial" -> ((s, dir) =>
@@ -705,6 +715,19 @@ object DataEntries {
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
          |SELECT vec_id, round(c, 4) AS cos FROM (
          |  SELECT e.vec_id, ${cosSql("e.embedding", "q.qv")} AS c FROM embeddings e, q)
+         |ORDER BY c DESC, vec_id LIMIT 20""".stripMargin,
+    // int8 quantize -> dequantize -> cosine, re-derived with the identical
+    // floor(x/scale + 0.5) half-up rule
+    "ann_int8_topk" ->
+      s"""WITH qn AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+         |         list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) / 127.0 AS scale
+         |  FROM embeddings),
+         |dq AS (
+         |  SELECT vec_id, list_transform(e, x -> floor(x / scale + 0.5) * scale) AS dv
+         |  FROM qn WHERE scale > 0)
+         |SELECT vec_id, round(c, 4) AS cos FROM (
+         |  SELECT vec_id, ${cosSql("dv", Int8QV.mkString("[", ", ", "]"))} AS c FROM dq)
          |ORDER BY c DESC, vec_id LIMIT 20""".stripMargin,
     "ann_ivf_topk" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1),

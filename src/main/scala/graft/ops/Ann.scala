@@ -29,6 +29,42 @@ object Ann {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
+  /** Scalar int8 quantization of the embedding column — the 4x memory/IO
+   *  reduction that makes a 100 TB vector corpus storable and scannable
+   *  (the byte-vector index form of the reference ecosystem): per vector
+   *  scale = max|v| / 127, q_i = floor(v_i / scale + 0.5) stored as
+   *  tinyint (symmetric round-half-up written as floor(+0.5) — an
+   *  expression both engines reproduce bit-identically, where native
+   *  round() functions disagree on halves), so q is always in [-127, 127].
+   *  A zero vector quantizes to scale 0 with an all-zero qvec and is
+   *  excluded from cosine scoring (undefined norm). Pure codegen'd column
+   *  algebra — one pass, no UDFs. */
+  def quantizeInt8(emb: DataFrame, id: String, vec: String): DataFrame = {
+    val scale = array_max(transform(col(vec), x => abs(x.cast("double")))) / lit(127.0)
+    emb.select(col(id), scale.as("scale"),
+      when(scale > 0,
+        transform(col(vec), x =>
+          floor(x.cast("double") / scale + lit(0.5)).cast("tinyint")))
+        .otherwise(transform(col(vec), x => lit(0).cast("tinyint")))
+        .as("qvec"))
+  }
+
+  /** Top-k cosine against [[quantizeInt8]]'s artifact: dequantize
+   *  q * scale on the fly (one multiply per element) against the float
+   *  query vector — the scan reads a quarter of the bytes and the rest is
+   *  the exact brute-force shape (codegen'd score, bounded TakeOrdered). */
+  def int8CosineTopK(quantized: DataFrame, id: String,
+                     queryVec: Seq[Double], k: Int): DataFrame = {
+    require(queryVec.nonEmpty, "int8 cosine requires a non-empty query vector")
+    val dv = transform(col("qvec"), q => q.cast("double") * col("scale"))
+    val qv = array(queryVec.map(lit): _*)
+    quantized.where(col("scale") > 0)
+      .select(col(id), cosine(dv, qv).as("_c"))
+      .orderBy(col("_c").desc, col(id).asc)
+      .limit(k)
+      .select(col(id), round(col("_c"), 4).as("cos"))
+  }
+
   /** Brute-force cosine top-k against the embedding of `queryId`. */
   def bruteTopK(emb: DataFrame, id: String, vec: String, queryId: Long, k: Int): DataFrame = {
     val q = emb.where(col(id) === queryId).select(col(vec).as("qv"))

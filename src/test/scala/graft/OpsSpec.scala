@@ -553,6 +553,39 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("int8 quantization: range, reconstruction bound, zero-vector handling, recall") {
+    import graft.ops.Ann
+    val rnd = new scala.util.Random(11)
+    val vecs = (1L to 30L).map(i => (i, Seq.fill(8)(rnd.nextDouble() * 2 - 1))) :+
+      (31L, Seq.fill(8)(0.0))
+    val emb = vecs.toDF("vec_id", "embedding")
+    val q = Ann.quantizeInt8(emb, "vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getSeq[Byte](2))).toSeq
+    val byId = vecs.toMap
+    q.foreach { case (id, scale, qv) =>
+      if (id == 31L) assert(scale == 0.0 && qv.forall(_ == 0))
+      else {
+        assert(qv.forall(b => b >= -127 && b <= 127))
+        // reconstruction error bound: half a quantization step per element
+        byId(id).zip(qv).foreach { case (v, b) =>
+          assert(math.abs(b * scale - v) <= scale / 2 + 1e-12, s"id=$id")
+        }
+      }
+    }
+    val qv = (0 until 8).map(i => (i - 4) / 4.0)
+    val got = Ann.int8CosineTopK(
+      Ann.quantizeInt8(emb, "vec_id", "embedding"), "vec_id", qv, 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(!got.contains(31L)) // zero vector excluded
+    // exact top-5 on the original floats: int8 recall stays high
+    val qcol = org.apache.spark.sql.functions.array(qv.map(lit): _*)
+    val exact = emb.where($"vec_id" =!= 31L)
+      .select($"vec_id", Ann.cosine($"embedding", qcol).as("c"))
+      .orderBy($"c".desc, $"vec_id".asc).limit(5)
+      .collect().map(_.getLong(0)).toSet
+    assert((got & exact).size >= 4, s"int8=$got exact=$exact")
+  }
+
   test("rank_eval: precision/recall/MRR/NDCG hand math + the no-relevant query") {
     import graft.ops.RankEval
     val topk = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3), (2L, 20L, 1))
