@@ -156,6 +156,12 @@ object DataEntries {
     // via the salted two-level top-n — no one-reducer-per-stratum window
     "sample_quota" -> ((s, dir) =>
       Sample.quota(docs(s, dir), "doc_id", "lang", 25).select("doc_id", "lang")),
+    // temperature mixture sampling: stratum share ~ n_s^alpha (alpha 0.5
+    // flattens toward uniform), largest-remainder integer apportionment,
+    // per-stratum draw by hash order — the LLM-corpus domain re-balancer
+    "sample_temperature" -> ((s, dir) =>
+      Sample.temperature(docs(s, dir), "doc_id", "source",
+        alpha = 0.5, target = 100).select("doc_id", "source")),
 
     // ---- impact-ordered doc-id reordering (index-sort analogue) ----
     "reorder_by_length" -> ((s, dir) =>
@@ -683,6 +689,26 @@ object DataEntries {
          |    ORDER BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id) AS rn
          |  FROM documents)
          |WHERE rn <= 25""".stripMargin,
+    // largest-remainder apportionment of 100 over pow(n_s, 0.5) weights,
+    // then the same hash-order draw per stratum (caps never bind at this
+    // target; the engine additionally caps at stratum size)
+    "sample_temperature" ->
+      s"""WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+         |w AS (SELECT source, n, pow(n, 0.5) AS w FROM c),
+         |t AS (SELECT sum(w) AS ws FROM w),
+         |r AS (SELECT source, n, 100 * w / ws AS raw FROM w, t),
+         |b AS (SELECT source, CAST(floor(raw) AS BIGINT) AS bq,
+         |             raw - floor(raw) AS rem FROM r),
+         |l AS (SELECT 100 - sum(bq) AS leftn FROM b),
+         |rk AS (SELECT source, bq, row_number() OVER (ORDER BY rem DESC, source) AS rr FROM b),
+         |qt AS (SELECT source, bq + CASE WHEN rr <= (SELECT leftn FROM l)
+         |                                THEN 1 ELSE 0 END AS q FROM rk),
+         |sel AS (SELECT doc_id, source, row_number() OVER (
+         |          PARTITION BY source
+         |          ORDER BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id) AS hr
+         |        FROM documents)
+         |SELECT s.doc_id, s.source FROM sel s JOIN qt USING (source)
+         |WHERE s.hr <= qt.q""".stripMargin,
     "dedup_embed_lsh" ->
       s"""WITH ${lshCtes(32, 4, 64)},
          |cand AS (

@@ -59,4 +59,65 @@ object Sample {
   def quota(df: DataFrame, id: String, stratum: String, n: Int): DataFrame =
     TopN.perGroup(df, Seq(stratum), id, n,
       Seq(hashKey(col(id)).asc, col(id).asc))
+
+  /**
+   * Temperature-based mixture sampling — the domain/language re-balancing
+   * rule LLM training mixtures use: stratum `s` gets a share proportional
+   * to `n_s^alpha` (alpha = 1 keeps the natural distribution, alpha -> 0
+   * flattens it toward uniform). `target` rows are apportioned across
+   * strata by the LARGEST-REMAINDER method over the `n_s^alpha` weights
+   * (exact integer quotas, deterministic remainder tie-break by stratum
+   * name, each quota capped at the stratum's size with capacity-aware
+   * redistribution), then each stratum's quota is drawn by hash order —
+   * the same content-addressed "exactly n without replacement" draw
+   * [[quota]] uses.
+   *
+   * Scale shape: the per-stratum counts are ONE aggregate whose result is
+   * dimension-sized by construction (one row per stratum) — that tiny
+   * table is the only thing the driver touches; selection is one salted
+   * two-level top-n with the quota map joined back as a broadcast literal.
+   */
+  def temperature(df: DataFrame, id: String, stratum: String,
+                  alpha: Double, target: Int): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
+    require(target >= 1, s"target must be >= 1, got $target")
+    val counts = df.groupBy(col(stratum)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.get(0) -> r.getLong(1))
+      .sortBy(_._1.toString)
+    require(counts.nonEmpty, "temperature sampling over an empty input")
+    val weights = counts.map { case (k, n) => (k, math.pow(n.toDouble, alpha), n) }
+    val wSum = weights.map(_._2).sum
+    val raw = weights.map { case (k, w, n) => (k, target * w / wSum, n) }
+    val quotas = scala.collection.mutable.LinkedHashMap(
+      raw.map { case (k, r, n) => k -> math.min(math.floor(r).toLong, n) }: _*)
+    var left = target - quotas.values.sum
+    // largest remainder first (stratum-name tie-break); repeat rounds so a
+    // capped stratum's surplus flows to the next-largest remainders
+    val order = raw.sortBy { case (k, r, _) => (-(r - math.floor(r)), k.toString) }
+    val cap = counts.toMap
+    var progressed = true
+    while (left > 0 && progressed) {
+      progressed = false
+      order.foreach { case (k, _, _) =>
+        if (left > 0 && quotas(k) < cap(k)) {
+          quotas(k) += 1; left -= 1; progressed = true
+        }
+      }
+    }
+    val quotaDf = df.sparkSession.createDataFrame(
+      df.sparkSession.sparkContext.parallelize(
+        quotas.toSeq.map { case (k, q) => org.apache.spark.sql.Row(k, q) }, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("_t_stratum",
+          df.schema(stratum).dataType),
+        org.apache.spark.sql.types.StructField("_t_quota",
+          org.apache.spark.sql.types.LongType))))
+    val maxQ = quotas.values.max.toInt
+    if (maxQ == 0) return df.limit(0)
+    TopN.perGroupRanked(df, Seq(stratum), id, maxQ,
+        Seq(hashKey(col(id)).asc, col(id).asc), "_t_rank")
+      .join(broadcast(quotaDf), col(stratum) === col("_t_stratum"))
+      .where(col("_t_rank") <= col("_t_quota"))
+      .drop("_t_rank", "_t_stratum", "_t_quota")
+  }
 }

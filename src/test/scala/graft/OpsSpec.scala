@@ -553,6 +553,35 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("temperature sampling: apportionment, caps with redistribution, determinism") {
+    import graft.ops.Sample
+    // strata: a=64 docs, b=16, c=4 -> sqrt weights 8/4/2, target 28 ->
+    // exact shares 16/8/4 (no remainders, no caps)
+    val df = ((1 to 64).map(i => (i.toLong, "a")) ++
+      (101 to 116).map(i => (i.toLong, "b")) ++
+      (201 to 204).map(i => (i.toLong, "c"))).toDF("doc_id", "src")
+    val got = Sample.temperature(df, "doc_id", "src", alpha = 0.5, target = 28)
+      .groupBy("src").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 16L, "b" -> 8L, "c" -> 4L))
+    // caps bind: target 80 wants 45.7/22.9/11.4 -> c capped at 4, its
+    // surplus flows to the larger strata; total stays 80
+    val capped = Sample.temperature(df, "doc_id", "src", alpha = 0.5, target = 80)
+      .groupBy("src").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(capped("c") == 4L && capped.values.sum == 80L)
+    // alpha = 1 keeps the natural distribution: 64/84, 16/84, 4/84 of 21
+    val nat = Sample.temperature(df, "doc_id", "src", alpha = 1.0, target = 21)
+      .groupBy("src").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(nat == Map("a" -> 16L, "b" -> 4L, "c" -> 1L))
+    // content-addressed: the same call returns the same rows
+    val a1 = Sample.temperature(df, "doc_id", "src", 0.5, 28)
+      .collect().map(_.getLong(0)).toSet
+    val a2 = Sample.temperature(df, "doc_id", "src", 0.5, 28)
+      .collect().map(_.getLong(0)).toSet
+    assert(a1 == a2)
+    intercept[IllegalArgumentException](Sample.temperature(df, "doc_id", "src", 0.0, 10))
+    intercept[IllegalArgumentException](Sample.temperature(df, "doc_id", "src", 0.5, 0))
+  }
+
   test("int8 quantization: range, reconstruction bound, zero-vector handling, recall") {
     import graft.ops.Ann
     val rnd = new scala.util.Random(11)
