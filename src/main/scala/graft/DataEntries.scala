@@ -103,6 +103,18 @@ object DataEntries {
       Ann.ivfTopK(emb(s, dir), "vec_id", "embedding", queryId = 1L,
         nCentroids = 16, nProbe = 4, k = 10,
         assigned = Some(ivfAssignment(s, dir)))),
+    // the reference's "efficient filtering" decision: a selective filter
+    // (10 of 500 ids) takes the exact-over-filtered-subset fallback, a
+    // broad one (250 ids) probes the IVF partitions and intersects — the
+    // branch taken is part of the oracled output
+    "knn_filtered_fallback" -> ((s, dir) => {
+      val e = emb(s, dir)
+      def run(filterMod: Int) = Ann.filteredTopK(e, "vec_id", "embedding",
+        queryId = 1L, nCentroids = 16, nProbe = 4, k = 10,
+        filterIds = e.where(col("vec_id") % filterMod === 0).select("vec_id"),
+        exactThreshold = 50, assigned = Some(ivfAssignment(s, dir)))
+      run(50).unionByName(run(2))
+    }),
     // same search against the persisted (partitioned-by-centroid) build
     // artifact: probes prune to nProbe partitions at the storage layer
     "ann_ivf_persisted" -> ((s, dir) => {
@@ -773,6 +785,33 @@ object DataEntries {
          |  SELECT e.vec_id, ${cosSql("e.embedding", "q.qv")} AS c
          |  FROM embeddings e JOIN assigned a USING (vec_id) JOIN probed p USING (c_id), q)
          |ORDER BY c DESC, vec_id LIMIT 10""".stripMargin,
+    "knn_filtered_fallback" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1),
+         |cents AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings WHERE vec_id < 16),
+         |probed AS (
+         |  SELECT c_id FROM (
+         |    SELECT c_id, row_number() OVER (
+         |      ORDER BY ${cosSql("cv", "q.qv")} DESC, c_id) AS rn
+         |    FROM cents, q) WHERE rn <= 4),
+         |assigned AS (
+         |  SELECT vec_id, c_id FROM (
+         |    SELECT e.vec_id, c.c_id, row_number() OVER (
+         |      PARTITION BY e.vec_id
+         |      ORDER BY ${cosSql("e.embedding", "c.cv")} DESC, c.c_id) AS rn
+         |    FROM embeddings e, cents c) WHERE rn = 1),
+         |sel AS (
+         |  SELECT vec_id, round(c, 4) AS cos, 'exact' AS strategy FROM (
+         |    SELECT e.vec_id, ${cosSql("e.embedding", "q.qv")} AS c
+         |    FROM embeddings e, q WHERE e.vec_id % 50 = 0)
+         |  ORDER BY c DESC, vec_id LIMIT 10),
+         |brd AS (
+         |  SELECT vec_id, round(c, 4) AS cos, 'ann' AS strategy FROM (
+         |    SELECT e.vec_id, ${cosSql("e.embedding", "q.qv")} AS c
+         |    FROM embeddings e JOIN assigned a USING (vec_id)
+         |    JOIN probed p USING (c_id), q
+         |    WHERE e.vec_id % 2 = 0)
+         |  ORDER BY c DESC, vec_id LIMIT 10)
+         |SELECT * FROM sel UNION ALL SELECT * FROM brd""".stripMargin,
     // exact because all 16 centroids are probed: the learned partition must
     // cover the corpus exactly once, so the result equals brute-force top-k
     "ann_ivf_kmeans" ->

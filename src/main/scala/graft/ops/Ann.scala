@@ -303,6 +303,48 @@ object Ann {
       .drop("_c")
   }
 
+  /** Filtered kNN with the reference's "efficient filtering" decision: a
+   *  selective filter makes ANN probing counterproductive — probed
+   *  partitions may hold almost none of the filtered docs, costing recall
+   *  for no work saved — so when the filter matches at most
+   *  `exactThreshold` docs the engine brute-forces EXACT cosine over the
+   *  filtered subset (the k-NN filtered-search fallback: guaranteed k
+   *  results and full recall on selective filters); above the threshold it
+   *  probes the IVF partitions and intersects with the filter. The
+   *  selectivity check is ONE count aggregate over the (pushed) filter —
+   *  the same cardinality peek AQE performs before choosing a join
+   *  strategy; the returned `strategy` column records the branch taken. */
+  def filteredTopK(emb: DataFrame, id: String, vec: String, queryId: Long,
+                   nCentroids: Int, nProbe: Int, k: Int,
+                   filterIds: DataFrame, exactThreshold: Long,
+                   assigned: Option[DataFrame] = None): DataFrame = {
+    require(exactThreshold >= 0, "exactThreshold must be >= 0")
+    val nFilter = filterIds.count()
+    val q = emb.where(col(id) === queryId).select(col(vec).as("qv"))
+    if (nFilter <= exactThreshold) {
+      emb.join(filterIds.select(col(id)), Seq(id), "left_semi")
+        .crossJoin(broadcast(q))
+        .select(col(id), round(cosine(col(vec), col("qv")), 4).as("cos"),
+          cosine(col(vec), col("qv")).as("_c"))
+        .orderBy(col("_c").desc, col(id).asc).limit(k).drop("_c")
+        .withColumn("strategy", lit("exact"))
+    } else {
+      val cents = emb.where(col(id) < nCentroids)
+        .select(col(id).as("c_id"), col(vec).as("cv"))
+      val probed = cents.crossJoin(broadcast(q))
+        .orderBy(cosine(col("cv"), col("qv")).desc, col("c_id").asc)
+        .limit(nProbe).select("c_id")
+      val asg = assigned.getOrElse(ivfAssign(emb, id, vec, nCentroids))
+      emb.join(filterIds.select(col(id)), Seq(id), "left_semi")
+        .join(asg, id).join(broadcast(probed), "c_id")
+        .crossJoin(broadcast(q))
+        .select(col(id), round(cosine(col(vec), col("qv")), 4).as("cos"),
+          cosine(col(vec), col("qv")).as("_c"))
+        .orderBy(col("_c").desc, col(id).asc).limit(k).drop("_c")
+        .withColumn("strategy", lit("ann"))
+    }
+  }
+
   /** IVF search: probe the nProbe centroids nearest to the query embedding,
    *  brute-force only within their assigned vectors. `assigned` is the
    *  build-time artifact from [[ivfBuild]]; recomputing it per query would
