@@ -812,6 +812,15 @@ object HybridEntries {
           Seq("text" -> 1.0, "path" -> 2.0), MultiTerms, BestFields(0.3)))), 10)
         .select(col("doc_id"), round(col("score"), 4).as("score"))
     }),
+    // multi_match cross_fields: blended-df term-centric scoring — the
+    // "treat these fields as one field" mode
+    "multi_cross_fields" -> ((s, dir) => {
+      val src = srcWithPath(s, dir)
+      graft.query.BoolQuery.topK(src,
+        graft.query.BoolQuery.BoolSpec(must = Seq(LexicalMulti(
+          Seq("text" -> 1.0, "path" -> 2.0), MultiTerms, CrossFields))), 10)
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+    }),
     // multi_match most_fields: per-field BM25 sum
     "multi_most_fields" -> ((s, dir) => {
       val src = srcWithPath(s, dir)
@@ -1941,6 +1950,65 @@ object HybridEntries {
          |  FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN stats
          |  WHERE tf.term IN (${termList(terms)})$f
          |  GROUP BY tf.doc_id)""".stripMargin
+    case LexicalMulti(fields, terms, CrossFields) =>
+      // cross_fields: per term the df blends to the MAX across fields; each
+      // field scores the term with the blended idf imposed through the
+      // boost channel exactly as the engine composes it
+      // ((idf_f * ((b * idf_blend) / idf_f)) * tfNorm); per (doc, term) the
+      // best field wins, terms sum in fixed query order
+      val uniq = terms.distinct
+      val chains = fields.zipWithIndex.map { case ((f, _), j) =>
+        f match {
+          case "text" => ("tf", "dl", "df", "stats", "")
+          case "path" =>
+            val pre =
+              s"""crp${i}_$j AS (
+                 |  SELECT doc_id,
+                 |         'src/pkg' || (doc_id % 97) || '/File' || doc_id || '.' || lang AS fv
+                 |  FROM documents),
+                 |ptok${i}_$j AS (
+                 |  SELECT doc_id, unnest(list_filter(
+                 |    string_split(regexp_replace(lower(fv), '[^a-z0-9]+', ' ', 'g'), ' '),
+                 |    x -> x <> '')) AS term FROM crp${i}_$j),
+                 |ptf${i}_$j AS (SELECT doc_id, term, count(*) AS tf FROM ptok${i}_$j GROUP BY doc_id, term),
+                 |pdl${i}_$j AS (SELECT doc_id, count(*) AS dl FROM ptok${i}_$j GROUP BY doc_id),
+                 |pdf${i}_$j AS (SELECT term, count(*) AS df FROM ptf${i}_$j GROUP BY term),
+                 |pstats${i}_$j AS (SELECT (SELECT count(*) FROM documents) AS n,
+                 |  (SELECT sum(dl)*1.0/(SELECT count(*) FROM documents) FROM pdl${i}_$j) AS avgdl),
+                 |""".stripMargin
+            (s"ptf${i}_$j", s"pdl${i}_$j", s"pdf${i}_$j", s"pstats${i}_$j", pre)
+          case other => throw new IllegalArgumentException(
+            s"no oracle token chain for multi_match field [$other]")
+        }
+      }
+      val bdfJoins = chains.zipWithIndex
+        .map { case ((_, _, dfT, _, _), j) => s"LEFT JOIN $dfT d$j ON d$j.term = t.term" }
+        .mkString("\n  ")
+      val bdfGreatest = chains.indices.map(j => s"coalesce(d$j.df, 0)").mkString(", ")
+      val termVals = uniq.map(t => s"('$t')").mkString(", ")
+      val unions = fields.zipWithIndex.map { case ((_, b), j) =>
+        val (tfT, dlT, dfT, stT, _) = chains(j)
+        val flt = filterPred.map(p => s" AND tf.${p}").getOrElse("")
+        val idfF = "ln(1 + (stats.n - df.df + 0.5)/(df.df + 0.5))"
+        val idfB = s"ln(1 + ((SELECT count(*) FROM documents) - bdf.bdf + 0.5)/(bdf.bdf + 0.5))"
+        s"""SELECT tf.doc_id, tf.term,
+           |         ($idfF * (($b * $idfB) / $idfF))
+           |           * (tf.tf / (tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/stats.avgdl))) AS s
+           |  FROM $tfT tf JOIN $dlT dl USING (doc_id) JOIN $dfT df USING (term)
+           |       JOIN bdf$i bdf ON bdf.term = tf.term CROSS JOIN $stT stats
+           |  WHERE tf.term IN (${termList(uniq)})$flt""".stripMargin
+      }.mkString("\n  UNION ALL\n  ")
+      val termSum = uniq
+        .map(t => s"COALESCE(max(CASE WHEN term = '$t' THEN s END), 0)")
+        .mkString("(", " + ", ")")
+      s"""${chains.map(_._5).mkString("")}bdf$i AS (
+         |  SELECT t.term, greatest($bdfGreatest) AS bdf
+         |  FROM (VALUES $termVals) t(term)
+         |  $bdfJoins),
+         |u$i AS (
+         |  $unions),
+         |sq$i AS (
+         |  SELECT doc_id, $termSum AS s FROM u$i GROUP BY doc_id)""".stripMargin
     case LexicalMulti(fields, terms, mm) =>
       // per-field BM25 over each field's OWN token stream — field "text" is
       // the shared tf/dl/df/stats chain, field "path" re-derives the corpus
@@ -2835,6 +2903,10 @@ object HybridEntries {
       "multi_best_fields" ->
         boolOracle(tokCte, must = Seq(LexicalMulti(
           Seq("text" -> 1.0, "path" -> 2.0), MultiTerms, BestFields(0.3))),
+          should = Nil, mustNot = Nil, msm = 0),
+      "multi_cross_fields" ->
+        boolOracle(tokCte, must = Seq(LexicalMulti(
+          Seq("text" -> 1.0, "path" -> 2.0), MultiTerms, CrossFields)),
           should = Nil, mustNot = Nil, msm = 0),
       "multi_most_fields" ->
         boolOracle(tokCte, must = Seq(LexicalMulti(

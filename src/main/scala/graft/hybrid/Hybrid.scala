@@ -162,6 +162,14 @@ case class SemanticText(field: String, terms: Seq[String]) extends SubQuery
 sealed trait MultiMatchType
 case class BestFields(tieBreaker: Double = 0.0) extends MultiMatchType
 case object MostFields extends MultiMatchType
+/** `cross_fields`: term-centric blending (Lucene BlendedTermQuery) — per
+ *  term the doc-frequency blends to the MAX across the queried fields, each
+ *  field scores the term with the blended idf against its own
+ *  tf/length/avgdl, the doc takes the best field PER TERM (a per-term
+ *  dismax), and terms sum. The "treat these fields as one field" semantics:
+ *  a name split across first_name/last_name fields still scores like one
+ *  field would. */
+case object CrossFields extends MultiMatchType
 
 /** Multi-field lexical clause — the `multi_match` query: the same analyzed
  *  terms scored independently against several indexed fields (each with its
@@ -558,7 +566,8 @@ object Hybrid {
         mm match {
           case BestFields(tb) =>
             require(tb >= 0.0 && tb <= 1.0, s"tie_breaker must be in [0,1], got $tb")
-          case MostFields => ()
+          case MostFields  => ()
+          case CrossFields => ()
         }
       case LexicalMsm(terms, m, _) =>
         require(terms.nonEmpty, "match requires a non-empty query text")
@@ -1021,6 +1030,46 @@ object Hybrid {
           case "linear"  => w
         }
         tw.select($"doc_id", (s * r.boost).as("score"))
+      case LexicalMulti(fields, terms, CrossFields) =>
+        // term-centric blending: per term the df blends to the MAX across
+        // fields (BlendedTermQuery), each field scores with the blended idf
+        // over its own tf/dl/avgdl (imposed through the boost channel:
+        // boost_eff = (b * idf_blend) / idf_field, so the fused scorer's
+        // idf_field * boost_eff carries the blend), the doc keeps the best
+        // field PER TERM, terms sum in fixed query order. df lookups are the
+        // broadcast-sized TermStatistics fetch; one union + one aggregation.
+        val idxOf = fields.map { case (f, _) =>
+          f -> (if (f == "text") src.idx else src.fieldIdx(f)) }.toMap
+        val dfsOf = fields.map { case (f, _) =>
+          f -> Bm25.termDfs(idxOf(f), terms) }.toMap
+        val uniq = terms.distinct
+        val blend = uniq.flatMap { t =>
+          val ds = fields.flatMap { case (f, _) => dfsOf(f).get(t) }
+          if (ds.isEmpty) None else Some(t -> ds.max)
+        }.toMap
+        val tagged = for {
+          (f, b) <- fields
+          (t, ti) <- uniq.zipWithIndex
+          dfF <- dfsOf(f).get(t).toSeq
+        } yield {
+          val nF = idxOf(f).stats.doc_count
+          val boost = b * Bm25.idf(blend(t), src.idx.stats.doc_count) /
+            Bm25.idf(dfF, nF)
+          Bm25.scoreTerms(idxOf(f), Seq(t), boosts = Map(t -> boost))
+            .select($"doc_id", $"score", lit(ti).as("tid"))
+        }
+        if (tagged.isEmpty)
+          src.idx.postings.sparkSession.emptyDataFrame
+            .select(lit(0L).as("doc_id"), lit(0.0).as("score")).limit(0)
+        else {
+          val u = tagged.reduce(_ unionByName _)
+          val pivots = uniq.indices.map(ti =>
+            max(when($"tid" === ti, $"score")).as(s"_t$ti"))
+          val agg = u.groupBy($"doc_id").agg(pivots.head, pivots.tail: _*)
+          val score = uniq.indices
+            .map(ti => coalesce(col(s"_t$ti"), lit(0.0))).reduceLeft(_ + _)
+          agg.select($"doc_id", score.as("score"))
+        }
       case LexicalMulti(fields, terms, mm) =>
         // per-field BM25 against each field's OWN index (its own postings,
         // lengths, df/avgdl — Lucene scores each field as an independent

@@ -770,8 +770,12 @@ object QueryDsl {
           require(body.path("tie_breaker").isMissingNode,
             "[tie_breaker] only applies to type best_fields")
           graft.hybrid.MostFields
+        case "cross_fields" =>
+          require(body.path("tie_breaker").isMissingNode,
+            "[tie_breaker] only applies to type best_fields")
+          graft.hybrid.CrossFields
         case other => throw new IllegalArgumentException(
-          s"multi_match type [$other] is not supported (best_fields, most_fields)")
+          s"multi_match type [$other] is not supported (best_fields, most_fields, cross_fields)")
       }
       val terms = Analyzer.analyze(analyzer)(text).toSeq
       graft.hybrid.LexicalMulti(fields, terms, mm)

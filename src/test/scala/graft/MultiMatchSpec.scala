@@ -109,7 +109,38 @@ class MultiMatchSpec extends SparkSpec {
     }
     bad("""{"query": "a", "fields": []}""")
     bad("""{"query": "", "fields": ["text"]}""")
-    bad("""{"query": "a", "fields": ["text"], "type": "cross_fields"}""")
+    bad("""{"query": "a", "fields": ["text"], "type": "fuzzy_fields"}""")
     bad("""{"query": "a", "fields": ["text"], "type": "most_fields", "tie_breaker": 0.3}""")
+    bad("""{"query": "a", "fields": ["text"], "type": "cross_fields", "tie_breaker": 0.3}""")
+  }
+
+  test("cross_fields blends df to the max across fields; per-term best field wins") {
+    import graft.hybrid.CrossFields
+    val got = scoresOf(CrossFields, Seq("text" -> 1.0, "body" -> 2.0), Seq("a", "b"))
+    def idf(df: Double, n: Double) = math.log(1 + (n - df + 0.5) / (df + 0.5))
+    def tfn(tf: Double, dl: Double, avg: Double) =
+      tf / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avg))
+    val titleDl = Map(0L -> 2.0, 1L -> 2.0, 2L -> 1.0); val tAvg = 5.0 / 3
+    val bodyDl = Map(0L -> 2.0, 1L -> 3.0, 2L -> 1.0); val bAvg = 2.0
+    val titleTf = Map(("a", 0L) -> 1.0, ("b", 0L) -> 1.0, ("b", 1L) -> 1.0)
+    val bodyTf = Map(("a", 1L) -> 2.0, ("b", 2L) -> 1.0)
+    // blended df: a = max(1, 1) = 1, b = max(2, 1) = 2 — b scores with the
+    // COMMON idf in the body field too, though its body df is 1
+    val blend = Map("a" -> 1.0, "b" -> 2.0)
+    def model(d: Long) = Seq("a", "b").map { t =>
+      val ts = titleTf.get((t, d))
+        .map(tf => 1.0 * idf(blend(t), 3) * tfn(tf, titleDl(d), tAvg)).getOrElse(0.0)
+      val bs = bodyTf.get((t, d))
+        .map(tf => 2.0 * idf(blend(t), 3) * tfn(tf, bodyDl(d), bAvg)).getOrElse(0.0)
+      math.max(ts, bs)
+    }.sum
+    Seq(0L, 1L, 2L).foreach { d =>
+      assert(math.abs(got.getOrElse(d, 0.0) - model(d)) < 1e-9, s"doc $d")
+    }
+    val p = QueryDsl.parseBool(
+      """{"query":{"bool":{"must":[{"multi_match":
+        |{"query":"a b","fields":["text","body^2"],"type":"cross_fields"}}]}}}""".stripMargin)
+    assert(p.bool.must.head == LexicalMulti(
+      Seq("text" -> 1.0, "body" -> 2.0), Seq("a", "b"), CrossFields))
   }
 }
