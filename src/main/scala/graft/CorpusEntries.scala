@@ -61,6 +61,35 @@ object CorpusEntries {
         .toDF("segment_id", "doc_count", "tier", "merge_group")
     }),
 
+    // snapshot -> incremental re-snapshot (all skipped) -> restore into a
+    // fresh dir -> idempotent re-restore (all present), lineage verified
+    // against the manifest: the full repository round trip, every action
+    // part of the oracled output
+    "segments_snapshot_restore" -> ((s, dir) => {
+      import s.implicits._
+      segmented(s, dir) // ensure built
+      val tag = dir.replaceAll("[^a-zA-Z0-9.]", "_")
+      val repo = s"target/snaprepo/$tag"
+      val rest = s"target/snaprest/$tag"
+      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(repo), true)
+      fs.delete(new org.apache.hadoop.fs.Path(rest), true)
+      val first = Segments.snapshot(s, segStore(dir), repo, "snap1", NSeg)
+        .map(a => a.segment_id -> a.action).toMap
+      val second = Segments.snapshot(s, segStore(dir), repo, "snap1", NSeg)
+        .map(a => a.segment_id -> a.action).toMap
+      val restored = Segments.restore(s, repo, "snap1", rest)
+        .map(a => a.segment_id -> a.action).toMap
+      val again = Segments.restore(s, repo, "snap1", rest)
+        .map(a => a.segment_id -> a.action).toMap
+      Segments.readLineage(s, rest, NSeg).values.toSeq.sortBy(_.segment_id)
+        .map(l => (l.segment_id, l.doc_count, l.sum_dl, l.sha_distinct,
+          first(l.segment_id), second(l.segment_id),
+          restored(l.segment_id), again(l.segment_id)))
+        .toDF("segment_id", "doc_count", "sum_dl", "sha_distinct",
+          "first_snapshot", "second_snapshot", "restore", "restore_again")
+    }),
+
     "segments_merged_term_stats" -> ((s, dir) =>
       segmented(s, dir).termStats.toDF().select(col("term"), col("df"), col("ttf"))),
 
@@ -186,6 +215,24 @@ object CorpusEntries {
          |       max(sha) AS sha_max,
          |       count(DISTINCT sha) AS sha_distinct
          |FROM segd GROUP BY segment_id, sp, mx""".stripMargin,
+
+    // the restored store's lineage re-derived from first principles; the
+    // actions are the snapshot contract itself (incremental second
+    // snapshot, idempotent second restore)
+    "segments_snapshot_restore" ->
+      s"""WITH $tokCte,
+         |bounds AS (SELECT max(doc_id) AS mx FROM documents),
+         |segspan AS (SELECT (mx + $NSeg) // $NSeg AS sp, mx FROM bounds),
+         |segd AS (
+         |  SELECT CAST(d.doc_id // s.sp AS INT) AS segment_id,
+         |         sha256(d.text) AS sha, coalesce(dl.dl, 0) AS dl
+         |  FROM documents d CROSS JOIN segspan s LEFT JOIN dl ON d.doc_id = dl.doc_id)
+         |SELECT segment_id, count(*) AS doc_count,
+         |       CAST(sum(dl) AS BIGINT) AS sum_dl,
+         |       count(DISTINCT sha) AS sha_distinct,
+         |       'copied' AS first_snapshot, 'skipped' AS second_snapshot,
+         |       'restored' AS restore, 'present' AS restore_again
+         |FROM segd GROUP BY segment_id""".stripMargin,
 
     "segments_tiered_plan" ->
       s"""WITH $tokCte,

@@ -102,6 +102,91 @@ object Segments {
     lineage
   }
 
+  /** One segment's snapshot outcome: `copied` on first capture,
+   *  `skipped` when the repository already holds this lineage (the
+   *  incremental contract). */
+  case class SnapshotAction(segment_id: Int, action: String)
+
+  /** Snapshot the committed segments of `srcDir` into
+   *  `repoDir/<name>` — the reference's repository snapshot, which is
+   *  INCREMENTAL at segment granularity: Lucene segments are immutable, so
+   *  a segment whose lineage row (content checksums included) already sits
+   *  in the repository is skipped, and only new/changed segments copy. A
+   *  manifest (the lineage rows) is written last, making the snapshot
+   *  atomic-by-manifest: a reader only trusts segments the manifest names.
+   *  Per-segment file copies are driver-side FileSystem ops over the
+   *  segment DIRECTORY (metadata-scale, one per segment — never row
+   *  data through the driver). */
+  def snapshot(spark: SparkSession, srcDir: String, repoDir: String,
+               name: String, nSegments: Int): Seq[SnapshotAction] = {
+    import spark.implicits._
+    val lineage = readLineage(spark, srcDir, nSegments)
+    require(lineage.nonEmpty, s"nothing committed under $srcDir to snapshot")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(repoDir)
+      .getFileSystem(conf)
+    val actions = lineage.toSeq.sortBy(_._1).map { case (id, lin) =>
+      val dst = new org.apache.hadoop.fs.Path(s"$repoDir/$name/seg$id")
+      val already = fsExists(spark, s"$repoDir/$name/seg$id/lineage") &&
+        scala.util.Try(spark.read.parquet(s"$repoDir/$name/seg$id/lineage")
+          .as[SegmentLineage].head()).toOption.contains(lin)
+      if (already) SnapshotAction(id, "skipped")
+      else {
+        fs.delete(dst, true)
+        org.apache.hadoop.fs.FileUtil.copy(
+          fs, new org.apache.hadoop.fs.Path(segDir(srcDir, id)),
+          fs, dst, false, conf)
+        SnapshotAction(id, "copied")
+      }
+    }
+    // manifest written LAST: the snapshot exists only once it does
+    lineage.values.toSeq.sortBy(_.segment_id).toDS()
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$repoDir/$name/manifest")
+    actions
+  }
+
+  /** Restore snapshot `name` from the repository into `dstDir`: copy back
+   *  only segments missing or lineage-mismatched at the target (the same
+   *  incremental rule in reverse), then VERIFY every restored segment's
+   *  lineage row against the manifest — a corrupt or partial copy fails
+   *  loudly instead of serving wrong postings. Returns the per-segment
+   *  (segment_id, action) with action `restored` or `present`. */
+  def restore(spark: SparkSession, repoDir: String, name: String,
+              dstDir: String): Seq[SnapshotAction] = {
+    import spark.implicits._
+    val manifestPath = s"$repoDir/$name/manifest"
+    require(fsExists(spark, manifestPath), s"no snapshot [$name] in $repoDir")
+    val manifest = spark.read.parquet(manifestPath).as[SegmentLineage]
+      .collect().sortBy(_.segment_id)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(dstDir).getFileSystem(conf)
+    val actions = manifest.toSeq.map { lin =>
+      val id = lin.segment_id
+      val present = fsExists(spark, s"${segDir(dstDir, id)}/lineage") &&
+        scala.util.Try(spark.read.parquet(s"${segDir(dstDir, id)}/lineage")
+          .as[SegmentLineage].head()).toOption.contains(lin)
+      if (present) SnapshotAction(id, "present")
+      else {
+        val dst = new org.apache.hadoop.fs.Path(segDir(dstDir, id))
+        fs.delete(dst, true)
+        org.apache.hadoop.fs.FileUtil.copy(
+          fs, new org.apache.hadoop.fs.Path(s"$repoDir/$name/seg$id"),
+          fs, dst, false, conf)
+        SnapshotAction(id, "restored")
+      }
+    }
+    // verification: every manifest row must now be readable at the target
+    // and equal the manifest's lineage (content checksums included)
+    manifest.foreach { lin =>
+      val got = spark.read.parquet(s"${segDir(dstDir, lin.segment_id)}/lineage")
+        .as[SegmentLineage].head()
+      require(got == lin,
+        s"restore verification failed for segment ${lin.segment_id}: $got != $lin")
+    }
+    actions
+  }
+
   /** Metrics rows of all committed segments under `dir`. */
   def readMetrics(spark: SparkSession, dir: String, nSegments: Int): Seq[SegmentMetric] = {
     import spark.implicits._

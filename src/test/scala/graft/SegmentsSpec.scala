@@ -82,6 +82,36 @@ class SegmentsSpec extends SparkSpec {
     assert(lin.map(_.sha_max).max == shaAll.getString(1))
   }
 
+  test("snapshot/restore: incremental skip, idempotent restore, corrupt-repo detection") {
+    import graft.index.Segments.SnapshotAction
+    val store = freshStore()
+    Segments.buildResumable(docs, "doc_id", "text", Analyzer.Simple, store, 3)
+    val repo = freshStore(); val dst = freshStore()
+    // first snapshot copies all; second skips all (segments immutable)
+    assert(Segments.snapshot(spark, store, repo, "s1", 3)
+      .map(_.action).forall(_ == "copied"))
+    assert(Segments.snapshot(spark, store, repo, "s1", 3)
+      .map(_.action).forall(_ == "skipped"))
+    // restore copies all; second restore finds them present; lineage equal
+    assert(Segments.restore(spark, repo, "s1", dst)
+      .map(_.action).forall(_ == "restored"))
+    assert(Segments.restore(spark, repo, "s1", dst)
+      .map(_.action).forall(_ == "present"))
+    assert(Segments.readLineage(spark, dst, 3) ==
+      Segments.readLineage(spark, store, 3))
+    // a corrupt repository segment fails restore verification LOUDLY:
+    // overwrite seg1's lineage in the repo with a tampered row
+    import spark.implicits._
+    val lin = spark.read.parquet(s"$repo/s1/seg1/lineage")
+      .as[graft.index.SegmentLineage].head()
+    Seq(lin.copy(sha_distinct = lin.sha_distinct + 1)).toDS()
+      .write.mode("overwrite").parquet(s"$repo/s1/seg1/lineage")
+    val dst2 = freshStore()
+    intercept[IllegalArgumentException] {
+      Segments.restore(spark, repo, "s1", dst2)
+    }
+  }
+
   test("synthetic corpus generator is deterministic and parallelism-invariant") {
     val a = Corpus.generate(spark, 200).orderBy("doc_id").collect()
     val b = Corpus.generate(spark, 200).repartition(7).orderBy("doc_id").collect()
