@@ -392,7 +392,8 @@ object HybridEntries {
           round(col("precision_k"), 4).as("precision_k"),
           round(col("recall_k"), 4).as("recall_k"),
           round(col("mrr"), 4).as("mrr"),
-          round(col("ndcg_k"), 4).as("ndcg_k"))
+          round(col("ndcg_k"), 4).as("ndcg_k"),
+          round(col("err_k"), 4).as("err_k"))
     }),
     // percolate: search inverted — registered queries as data, each doc
     // returns the queries matching it. The query terms are the indexed
@@ -2830,6 +2831,27 @@ object HybridEntries {
            |        FROM jd WHERE grade > 0)
            |  WHERE irank <= 10 GROUP BY 1),
            |nr AS (SELECT query_id, count(*) AS n_rel FROM jd WHERE grade > 0 GROUP BY 1),
+           |errw AS (
+           |  -- ERR cascade (Chapelle 2009), iterated rank by rank over the
+           |  -- k-bounded list: err += trust * R / rank, trust *= (1 - R)
+           |  SELECT query_id, rank, err, p FROM (
+           |    WITH RECURSIVE walk AS (
+           |      SELECT query_id, 0 AS rank,
+           |             CAST(0.0 AS DOUBLE) AS err, CAST(1.0 AS DOUBLE) AS p
+           |      FROM (SELECT DISTINCT query_id FROM topk)
+           |      UNION ALL
+           |      SELECT t.query_id, t.rank,
+           |             w.err + w.p * ((pow(2.0, coalesce(j.grade, 0)) - 1.0) / pow(2.0, 2.0)) / t.rank,
+           |             w.p * (1 - ((pow(2.0, coalesce(j.grade, 0)) - 1.0) / pow(2.0, 2.0)))
+           |      FROM walk w JOIN topk t
+           |        ON t.query_id = w.query_id AND t.rank = w.rank + 1
+           |      LEFT JOIN jd j ON j.query_id = t.query_id AND j.doc_id = t.doc_id)
+           |    SELECT * FROM walk)),
+           |errf AS (
+           |  SELECT query_id, err AS err_k FROM (
+           |    SELECT query_id, err, row_number() OVER
+           |      (PARTITION BY query_id ORDER BY rank DESC) AS rn FROM errw)
+           |  WHERE rn = 1),
            |m AS (
            |  SELECT pq.query_id,
            |         rel_retrieved * 1.0 / retrieved AS precision_k,
@@ -2838,15 +2860,17 @@ object HybridEntries {
            |         CASE WHEN first_rel IS NULL THEN 0.0
            |              ELSE 1.0 / first_rel END AS mrr,
            |         CASE WHEN ideal.idcg IS NULL OR ideal.idcg = 0 THEN 0.0
-           |              ELSE dcg / ideal.idcg END AS ndcg_k
-           |  FROM pq LEFT JOIN ideal USING (query_id) LEFT JOIN nr USING (query_id))
+           |              ELSE dcg / ideal.idcg END AS ndcg_k,
+           |         errf.err_k
+           |  FROM pq LEFT JOIN ideal USING (query_id) LEFT JOIN nr USING (query_id)
+           |       JOIN errf USING (query_id))
            |SELECT query_id, round(precision_k, 4) AS precision_k,
            |       round(recall_k, 4) AS recall_k, round(mrr, 4) AS mrr,
-           |       round(ndcg_k, 4) AS ndcg_k FROM m
+           |       round(ndcg_k, 4) AS ndcg_k, round(err_k, 4) AS err_k FROM m
            |UNION ALL
            |SELECT CAST(-1 AS BIGINT), round(avg(precision_k), 4),
            |       round(avg(recall_k), 4), round(avg(mrr), 4),
-           |       round(avg(ndcg_k), 4) FROM m""".stripMargin
+           |       round(avg(ndcg_k), 4), round(avg(err_k), 4) FROM m""".stripMargin
       },
       "percolate" ->
         s"""WITH $tokCte,

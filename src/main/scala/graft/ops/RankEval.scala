@@ -25,9 +25,13 @@ object RankEval {
 
   /** @param topk      (query_id, doc_id, rank) — rank 1-based, <= k rows/query
    *  @param judgments (query_id, doc_id, grade) — positive grades only is fine
+   *  @param maxRelevance ERR's grade ceiling (the expected_reciprocal_rank
+   *                      metric's maximum_relevance parameter)
    *  @return per-query metrics + an overall mean row with query_id = -1 */
-  def evaluate(topk: DataFrame, judgments: DataFrame, k: Int): DataFrame = {
+  def evaluate(topk: DataFrame, judgments: DataFrame, k: Int,
+               maxRelevance: Int = 2): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    require(maxRelevance >= 1, s"maximum_relevance must be >= 1, got $maxRelevance")
     val j = judgments.select(col("query_id"), col("doc_id"),
       col("grade").cast("double").as("grade"))
 
@@ -39,7 +43,8 @@ object RankEval {
       sum(when(col("grade") > 0, 1L).otherwise(0L)).as("rel_retrieved"),
       min(when(col("grade") > 0, col("rank"))).as("first_rel"),
       sum((pow(lit(2.0), col("grade")) - lit(1.0))
-        / log2(col("rank") + lit(1.0))).as("dcg"))
+        / log2(col("rank") + lit(1.0))).as("dcg"),
+      sort_array(collect_list(struct(col("rank"), col("grade")))).as("_rl"))
 
     // ideal DCG: each query's judgments sorted grade desc (doc_id asc
     // tie-break), best k positions — window bounded by the ratings file
@@ -66,14 +71,28 @@ object RankEval {
         when(col("first_rel").isNull, 0.0)
           .otherwise(lit(1.0) / col("first_rel")).as("mrr"),
         when(col("idcg").isNull || col("idcg") === 0.0, 0.0)
-          .otherwise(col("dcg") / col("idcg")).as("ndcg_k"))
+          .otherwise(col("dcg") / col("idcg")).as("ndcg_k"),
+        // ERR (Chapelle et al. 2009): a sequential cascade over the ranked
+        // list — R_i = (2^g - 1)/2^gmax, err += trust * R_i / i,
+        // trust *= (1 - R_i). The fold runs over the k-bounded per-query
+        // list (an aggregate HOF, codegen'd), never a corpus scan.
+        aggregate(col("_rl"),
+          struct(lit(0.0).as("err"), lit(1.0).as("p")),
+          (acc, x) => {
+            val r = (pow(lit(2.0), x("grade")) - lit(1.0)) /
+              pow(lit(2.0), lit(maxRelevance.toDouble))
+            struct(
+              (acc("err") + acc("p") * r / x("rank")).as("err"),
+              (acc("p") * (lit(1.0) - r)).as("p"))
+          })("err").as("err_k"))
 
     val mean = metrics.agg(
       lit(-1L).as("query_id"),
       avg(col("precision_k")).as("precision_k"),
       avg(col("recall_k")).as("recall_k"),
       avg(col("mrr")).as("mrr"),
-      avg(col("ndcg_k")).as("ndcg_k"))
+      avg(col("ndcg_k")).as("ndcg_k"),
+      avg(col("err_k")).as("err_k"))
     metrics.unionByName(mean)
   }
 }

@@ -623,17 +623,23 @@ class OpsSpec extends SparkSpec {
       .toDF("query_id", "doc_id", "grade")
     val got = RankEval.evaluate(topk, jd, 10).collect()
       .map(r => r.getLong(0) ->
-        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5))).toMap
     def ~=(a: Double, b: Double) = math.abs(a - b) < 1e-9
-    val (p1, r1, m1, n1) = got(1L)
+    val (p1, r1, m1, n1, e1) = got(1L)
     assert(~=(p1, 2.0 / 3) && ~=(r1, 2.0 / 3) && ~=(m1, 0.5))
     val dcg = 3.0 / (math.log(3) / math.log(2)) + 1.0 / 2.0
     val idcg = 7.0 + 3.0 / (math.log(3) / math.log(2)) + 1.0 / 2.0
     assert(~=(n1, dcg / idcg))
-    assert(got(2L) == ((0.0, 0.0, 0.0, 0.0)))
-    val (pm, rm, mm, nm) = got(-1L)
-    assert(~=(pm, p1 / 2) && ~=(rm, r1 / 2) && ~=(mm, 0.25) && ~=(nm, n1 / 2))
+    // ERR cascade (gmax 2): grades 0, 2, 1 -> R = 0, 3/4, 1/4:
+    // err = 0 + 1*(3/4)/2 + (1/4)*(1/4)/3
+    assert(~=(e1, 3.0 / 8 + 1.0 / 48))
+    assert(got(2L) == ((0.0, 0.0, 0.0, 0.0, 0.0)))
+    val (pm, rm, mm, nm, em) = got(-1L)
+    assert(~=(pm, p1 / 2) && ~=(rm, r1 / 2) && ~=(mm, 0.25) && ~=(nm, n1 / 2)
+      && ~=(em, e1 / 2))
     intercept[IllegalArgumentException](RankEval.evaluate(topk, jd, 0))
+    intercept[IllegalArgumentException](RankEval.evaluate(topk, jd, 10, 0))
   }
 
   test("has_child score modes + children bounds; has_parent score inheritance") {
