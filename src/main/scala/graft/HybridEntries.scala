@@ -630,6 +630,26 @@ object HybridEntries {
         s.read.parquet(s"$dir/documents.parquet"))
         .select(col("doc_id"), round(col("score"), 4).as("score"))
     }),
+    // has_child as a composable DSL clause: parents of matching chunk
+    // children (sum score_mode, min_children 2) beside a lexical should
+    "dsl_has_child" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val children = graft.ops.Chunkers
+        .fixedTokenLength(docs, "doc_id", "text", 12)
+        .withColumnRenamed("doc_id", "parent_id")
+      val json =
+        """{ "query": { "bool": {
+          |    "must": [ { "has_child": { "type": "chunks",
+          |        "query": { "match": { "chunk": "hash join" } },
+          |        "score_mode": "sum", "min_children": 2 } } ],
+          |    "should": [ { "match": { "text": "merge" } } ] } },
+          |  "size": 15 }""".stripMargin
+      graft.query.QueryDsl.execute(
+        HybridSources(idx, children = Map("chunks" -> ((children, "chunk")))),
+        json, docs)
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+    }),
     // script_score: the exact-kNN idiom — the inner query filters, the
     // vector space function REPLACES its score. All three supported
     // painless sources in one bool: cosine+1 (must), 1/(1+l2²) and a
@@ -1814,6 +1834,36 @@ object HybridEntries {
          |    WHERE b1.term = '$t1' AND b2.term = '$t2' AND l.term = '$little'
          |      AND $widthPred
          |      AND l.pos BETWEEN $lo AND $hi$f))""".stripMargin
+    case HasChildQ(rel, terms, mode, minC, maxC, boost) =>
+      // oracle models the entries' registered relation: fixed-token-12
+      // chunks of the documents table
+      require(rel == "chunks", "oracle SQL supports the [chunks] relation")
+      val termsArr = terms.distinct.map(t => s"'$t'").mkString("[", ", ", "]")
+      val modeSql = mode match {
+        case "none" => "1.0"
+        case "sum"  => "sum(cs)"
+        case "avg"  => "avg(cs)"
+        case "max"  => "max(cs)"
+        case "min"  => "min(cs)"
+      }
+      val maxSql = if (maxC == Int.MaxValue) "" else s" AND count(*) <= $maxC"
+      val f = filterPred.map(p => s" AND $p").getOrElse("")
+      s"""ch$i AS (
+         |  SELECT doc_id,
+         |         toks[CAST(j*12 + 1 AS INT):CAST(j*12 + 12 AS INT)] AS ctoks
+         |  FROM (SELECT doc_id, toks,
+         |          unnest(generate_series(0, CAST(floor((len(toks)-1)/12) AS BIGINT))) AS j
+         |        FROM (SELECT doc_id,
+         |                list_filter(string_split(text, ' '), x -> x <> '') AS toks
+         |              FROM documents))),
+         |cs$i AS (
+         |  SELECT doc_id,
+         |         CAST(len(list_distinct(list_intersect(ctoks, $termsArr))) AS DOUBLE) AS cs
+         |  FROM ch$i),
+         |sq$i AS (
+         |  SELECT doc_id, $modeSql * $boost AS s
+         |  FROM cs$i WHERE cs > 0$f GROUP BY doc_id
+         |  HAVING count(*) >= $minC$maxSql)""".stripMargin
     case PinnedQ(ids, organic) =>
       val pinCase = ids.zipWithIndex
         .map { case (id, j) => s"WHEN $id THEN ${PinnedQ.PinBase - j}" }
@@ -2656,6 +2706,11 @@ object HybridEntries {
             inOrder = true, "merge")),
           should = Seq(TermsSet(Seq("scan", "sort"))), mustNot = Nil,
           msm = 0, k = 20),
+      "dsl_has_child" ->
+        boolOracle(tokCte,
+          must = Seq(HasChildQ("chunks", Seq("hash", "join"), "sum", 2)),
+          should = Seq(Lexical(Seq("merge"))), mustNot = Nil,
+          msm = 0, k = 15),
       "dsl_script_score" ->
         boolOracle(tokCte,
           must = Seq(ScriptScoreQ(Lexical(Seq("hash", "join")),

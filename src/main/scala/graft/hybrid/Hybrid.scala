@@ -297,6 +297,14 @@ case class SpanNotQ(include: String, exclude: String, pre: Int = 0,
 case class SpanContainingQ(bigTerms: Seq[String], slop: Int, inOrder: Boolean,
                            little: String, boost: Double = 1.0) extends SubQuery
 
+/** `has_child` as a composable clause: parents whose registered child
+ *  relation has matching children — scored per score_mode over the matching
+ *  children (see [[graft.ops.ParentChild.hasChild]]); composes anywhere a
+ *  clause can because the output is doc_id-keyed (the parents ARE docs). */
+case class HasChildQ(relation: String, terms: Seq[String], scoreMode: String,
+                     minChildren: Int = 1, maxChildren: Int = Int.MaxValue,
+                     boost: Double = 1.0) extends SubQuery
+
 /** `more_like_this`: find docs similar to a stored document. Lucene's
  *  MoreLikeThis extracts the source doc's "interesting" terms — tf >=
  *  minTermFreq within the doc, df >= minDocFreq in the corpus — ranks them
@@ -459,7 +467,10 @@ case class HybridSources(
     positions: Option[org.apache.spark.sql.Dataset[graft.index.PosBlock]] = None,
     /** secondary per-field indexes for [[LexicalMulti]]; the primary `idx`
      *  is always addressable as field "text" */
-    fieldIdx: Map[String, Index] = Map.empty
+    fieldIdx: Map[String, Index] = Map.empty,
+    /** child relations for [[HasChildQ]]: relation name -> child table with
+     *  a `parent_id` column and a text column (the parent-join field) */
+    children: Map[String, (DataFrame, String)] = Map.empty
 )
 
 case class HybridQuery(
@@ -505,6 +516,9 @@ object Hybrid {
 
   /** Per-clause source requirements — shared by hybrid and bool execution
    *  (both score the same clause ADT against the same sources). */
+  private def minChildrenOk(minC: Int, maxC: Int): Boolean =
+    minC >= 1 && maxC >= minC
+
   private[graft] def validateClauseSources(src: HybridSources,
                                            clauses: Seq[SubQuery]): Unit = {
     clauses.foreach {
@@ -542,6 +556,14 @@ object Hybrid {
             "query_text routes to the field's generated sub-field " +
             "(HybridSources.semantic)")
         require(terms.nonEmpty, "semantic query requires non-empty query text")
+      case HasChildQ(rel, terms, mode, minC, maxC, boost) =>
+        require(src.children.contains(rel),
+          s"[$rel] is not a registered child relation (HybridSources.children)")
+        require(terms.nonEmpty, "has_child requires a non-empty query")
+        require(Set("none", "sum", "avg", "max", "min").contains(mode),
+          s"score_mode must be none/sum/avg/max/min, got [$mode]")
+        require(minChildrenOk(minC, maxC), s"bad min/max_children: $minC/$maxC")
+        require(boost > 0, s"boost must be > 0, got $boost")
       case ScriptScoreQ(inner, _, qv, boost) =>
         require(src.emb.nonEmpty,
           "script_score vector functions require HybridSources.emb (doc_id, vec)")
@@ -1139,6 +1161,11 @@ object Hybrid {
             graft.ops.Semantic.denseBestChunkScore(sem.chunks, "doc_id",
               graft.ops.Semantic.hashQueryVector(terms, sem.dims))
         }
+      case HasChildQ(rel, terms, mode, minC, maxC, boost) =>
+        val (child, textCol) = src.children(rel)
+        graft.ops.ParentChild.hasChild(child, "parent_id", textCol,
+            terms, mode, minC, maxC)
+          .select($"parent_id".as("doc_id"), ($"score" * boost).as("score"))
       case ScriptScoreQ(inner, fn, qvLit, boost) =>
         // matched set from the inner query (scores discarded — script_score
         // REPLACES them, so the inner MUST run unbounded: a per-bucket

@@ -606,6 +606,26 @@ object QueryDsl {
       }
       graft.hybrid.TermsSet(terms.distinct,
         q.path("span_or").path("boost").asDouble(1.0))
+    } else if (!q.path("has_child").isMissingNode) {
+      // {"has_child": {"type": "chunks", "query": {"match": {...}},
+      //   "score_mode": "sum", "min_children": 2}} — parents of matching
+      // children in the registered child relation; composes because the
+      // parents ARE docs
+      val body = q.path("has_child")
+      val rel = body.path("type").asText("")
+      require(rel.nonEmpty, "has_child requires [type] (the child relation)")
+      val m = body.path("query").path("match")
+      require(!m.isMissingNode, "has_child [query] must be a match clause")
+      val (_, mv) = firstField(m)
+      val text = if (mv.isObject) mv.path("query").asText() else mv.asText()
+      val toks = Analyzer.analyze(analyzer)(text).toSeq
+      require(toks.nonEmpty, "has_child match requires non-empty query text")
+      val minC = body.path("min_children").asInt(1)
+      val maxC = if (body.path("max_children").isMissingNode) Int.MaxValue
+                 else body.path("max_children").asInt()
+      graft.hybrid.HasChildQ(rel, toks,
+        body.path("score_mode").asText("none"), minC, maxC,
+        body.path("boost").asDouble(1.0))
     } else if (!q.path("fuzzy").isMissingNode) {
       // {"fuzzy": {"text": {"value": "joim", "fuzziness": 1, "boost": 2.0}}}
       // | {"fuzzy": {"text": "joim"}} (fuzziness defaults to 1, like AUTO

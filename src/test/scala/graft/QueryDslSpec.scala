@@ -610,6 +610,31 @@ class QueryDslSpec extends SparkSpec {
       |"little":{"span_term":{"text":"b"}}}}""".stripMargin)
   }
 
+  test("has_child parses as a composable clause with validation") {
+    import graft.hybrid._
+    val p = QueryDsl.parseBool(
+      """{"query":{"bool":{"must":[{"has_child":{"type":"chunks",
+        |"query":{"match":{"chunk":"hash join"}},
+        |"score_mode":"sum","min_children":2,"max_children":9}}]}}}""".stripMargin)
+    assert(p.bool.must.head ==
+      HasChildQ("chunks", Seq("hash", "join"), "sum", 2, 9))
+    def bad(q: String): Unit = intercept[IllegalArgumentException] {
+      QueryDsl.parseBool(s"""{"query":{"bool":{"must":[$q]}}}""")
+    }
+    bad("""{"has_child":{"query":{"match":{"chunk":"a"}}}}""")
+    bad("""{"has_child":{"type":"chunks","query":{"term":{"chunk":"a"}}}}""")
+    bad("""{"has_child":{"type":"chunks","query":{"match":{"chunk":""}}}}""")
+    // unregistered relation + bad mode are rejected at execute-time
+    import spark.implicits._
+    val docs = Seq((1L, "a")).toDF("doc_id", "text")
+    val idx = graft.index.InvertedIndex.build(docs, "doc_id", "text")
+    intercept[IllegalArgumentException] {
+      QueryDsl.execute(HybridSources(idx),
+        """{"query":{"bool":{"must":[{"has_child":{"type":"nope",
+          |"query":{"match":{"chunk":"a"}}}}]}}}""".stripMargin, docs)
+    }
+  }
+
   test("script_score replaces the inner score with the vector space function") {
     import spark.implicits._
     val docs = Seq((1L, "hash join x"), (2L, "merge"), (3L, "hash join scan"),
