@@ -94,6 +94,16 @@ object DataEntries {
     "ann_int8_topk" -> ((s, dir) =>
       Ann.int8CosineTopK(Ann.quantizeInt8(emb(s, dir), "vec_id", "embedding"),
         "vec_id", Int8QV, k = 20)),
+    // product quantization (m=8 subspaces x 16 seeded codewords): codes are
+    // 8 small ints per vector (32x compression); query-time ADC scores each
+    // vector by 8 table lookups from a driver-computed m x 16 dot table
+    "ann_pq_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val cb = Ann.pqSeededCodebook(e, "vec_id", "embedding", m = 8, nCodes = 16)
+      val qv = e.where(col("vec_id") === 1L).select("embedding")
+        .collect().head.getSeq[Float](0).map(_.toDouble).toSeq
+      Ann.pqTopK(Ann.pqEncode(e, "vec_id", "embedding", cb), "vec_id", qv, cb, 20)
+    }),
     // radial (range) kNN: everything within the similarity radius instead
     // of top-k (reference: NeuralQueryBuilder min_score/max_distance)
     "knn_radial" -> ((s, dir) =>
@@ -785,6 +795,60 @@ object DataEntries {
          |  SELECT e.vec_id, ${cosSql("e.embedding", "q.qv")} AS c
          |  FROM embeddings e JOIN assigned a USING (vec_id) JOIN probed p USING (c_id), q)
          |ORDER BY c DESC, vec_id LIMIT 10""".stripMargin,
+    "ann_pq_topk" ->
+      s"""WITH js AS (SELECT unnest(range(8)) AS j),
+         |cb AS (
+         |  SELECT c.vec_id AS c_id, js.j,
+         |         CAST(c.embedding AS DOUBLE[])[CAST(js.j*8+1 AS INT):CAST(js.j*8+8 AS INT)] AS cw
+         |  FROM embeddings c CROSS JOIN js WHERE c.vec_id < 16),
+         |subs AS (
+         |  SELECT e.vec_id, js.j,
+         |         CAST(e.embedding AS DOUBLE[])[CAST(js.j*8+1 AS INT):CAST(js.j*8+8 AS INT)] AS sv
+         |  FROM embeddings e CROSS JOIN js),
+         |codes AS (
+         |  SELECT vec_id, j, c_id AS code FROM (
+         |    SELECT s.vec_id, s.j, cb.c_id,
+         |           row_number() OVER (PARTITION BY s.vec_id, s.j
+         |             ORDER BY list_sum(list_transform(list_zip(s.sv, cb.cw),
+         |               x -> (x[1]-x[2])*(x[1]-x[2]))), cb.c_id) AS rn
+         |    FROM subs s JOIN cb ON cb.j = s.j) WHERE rn = 1),
+         |q AS (SELECT js.j,
+         |        CAST(embedding AS DOUBLE[])[CAST(js.j*8+1 AS INT):CAST(js.j*8+8 AS INT)] AS qs
+         |      FROM embeddings CROSS JOIN js WHERE vec_id = 1),
+         |adc AS (SELECT cb.j, cb.c_id, list_dot_product(q.qs, cb.cw) AS dot
+         |        FROM cb JOIN q ON q.j = cb.j),
+         |sc AS (SELECT c.vec_id, sum(a.dot) AS approx
+         |       FROM codes c JOIN adc a ON a.j = c.j AND a.c_id = c.code
+         |       GROUP BY c.vec_id)
+         |SELECT vec_id, round(approx, 4) AS approx_dot FROM sc
+         |ORDER BY approx DESC, vec_id LIMIT 20""".stripMargin,
+    "ann_pq_topk" ->
+      s"""WITH js AS (SELECT unnest(range(8)) AS j),
+         |cb AS (
+         |  SELECT c.vec_id AS c_id, js.j,
+         |         CAST(c.embedding AS DOUBLE[])[CAST(js.j*8+1 AS INT):CAST(js.j*8+8 AS INT)] AS cw
+         |  FROM embeddings c CROSS JOIN js WHERE c.vec_id < 16),
+         |subs AS (
+         |  SELECT e.vec_id, js.j,
+         |         CAST(e.embedding AS DOUBLE[])[CAST(js.j*8+1 AS INT):CAST(js.j*8+8 AS INT)] AS sv
+         |  FROM embeddings e CROSS JOIN js),
+         |codes AS (
+         |  SELECT vec_id, j, c_id AS code FROM (
+         |    SELECT s.vec_id, s.j, cb.c_id,
+         |           row_number() OVER (PARTITION BY s.vec_id, s.j
+         |             ORDER BY list_sum(list_transform(list_zip(s.sv, cb.cw),
+         |               x -> (x[1]-x[2])*(x[1]-x[2]))), cb.c_id) AS rn
+         |    FROM subs s JOIN cb ON cb.j = s.j) WHERE rn = 1),
+         |q AS (SELECT js.j,
+         |        CAST(embedding AS DOUBLE[])[CAST(js.j*8+1 AS INT):CAST(js.j*8+8 AS INT)] AS qs
+         |      FROM embeddings CROSS JOIN js WHERE vec_id = 1),
+         |adc AS (SELECT cb.j, cb.c_id, list_dot_product(q.qs, cb.cw) AS dot
+         |        FROM cb JOIN q ON q.j = cb.j),
+         |sc AS (SELECT c.vec_id, sum(a.dot) AS approx
+         |       FROM codes c JOIN adc a ON a.j = c.j AND a.c_id = c.code
+         |       GROUP BY c.vec_id)
+         |SELECT vec_id, round(approx, 4) AS approx_dot FROM sc
+         |ORDER BY approx DESC, vec_id LIMIT 20""".stripMargin,
     "knn_filtered_fallback" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1),
          |cents AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings WHERE vec_id < 16),

@@ -582,6 +582,34 @@ class OpsSpec extends SparkSpec {
     intercept[IllegalArgumentException](Sample.temperature(df, "doc_id", "src", 0.5, 0))
   }
 
+  test("PQ: codes pick the nearest codeword, ADC equals the table sum, recall") {
+    import graft.ops.Ann
+    // 4-dim vectors, m=2 subspaces of 2 dims, codebook seeded from ids 0..1
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 1.0f)),   // codeword source 0
+      (1L, Seq(0.0f, 1.0f, 1.0f, 0.0f)),   // codeword source 1
+      (2L, Seq(0.9f, 0.1f, 0.9f, 0.1f)),   // sub0 -> code 0, sub1 -> code 1
+      (3L, Seq(0.1f, 0.9f, 0.1f, 0.9f)))   // sub0 -> code 1, sub1 -> code 0
+      .toDF("vec_id", "embedding")
+    val cb = Ann.pqSeededCodebook(emb, "vec_id", "embedding", m = 2, nCodes = 2)
+    assert(cb(0)(0).toSeq == Seq(1.0, 0.0) && cb(1)(1).toSeq == Seq(1.0, 0.0))
+    val codes = Ann.pqEncode(emb, "vec_id", "embedding", cb).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    assert(codes(2L) == Seq(0, 1) && codes(3L) == Seq(1, 0))
+    assert(codes(0L) == Seq(0, 0) && codes(1L) == Seq(1, 1))
+    // ADC vs hand math for query [1, 0, 1, 0]:
+    // table[0] = (dot([1,0],[1,0]), dot([1,0],[0,1])) = (1, 0)
+    // table[1] = (dot([1,0],[0,1]), dot([1,0],[1,0])) = (0, 1)
+    val got = Ann.pqTopK(Ann.pqEncode(emb, "vec_id", "embedding", cb),
+        "vec_id", Seq(1.0, 0.0, 1.0, 0.0), cb, 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(2L) == 2.0 && got(3L) == 0.0) // codes (0,1) -> 1+1; (1,0) -> 0+0
+    assert(got(0L) == 1.0 && got(1L) == 1.0)
+    intercept[IllegalArgumentException](
+      Ann.pqTopK(Ann.pqEncode(emb, "vec_id", "embedding", cb),
+        "vec_id", Seq(1.0, 0.0), cb, 4))
+  }
+
   test("int8 quantization: range, reconstruction bound, zero-vector handling, recall") {
     import graft.ops.Ann
     val rnd = new scala.util.Random(11)
