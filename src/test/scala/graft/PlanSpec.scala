@@ -171,6 +171,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), p.take(3000))
   }
 
+  test("percolate joins the doc tokens against BROADCAST query postings — " +
+    "no sort-merge on the candidate join") {
+    import graft.query.Percolate, Percolate.Registered
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val p = plan(Percolate.matches(spark,
+      Seq(Registered(1L, Seq("hash", "join"), 2),
+        Registered(2L, Seq("merge"), 1, notTerms = Seq("slow"))), docs))
+    // the registered-query posting tables are dimension-sized: both the
+    // candidate join and the prohibited-term anti join must broadcast
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
   test("span_near matched set stays a cogroup over pruned positional blocks — no Window, no global sort") {
     val pos = graft.index.Positions.build(
       spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
