@@ -7,7 +7,8 @@ import graft.query.{Bm25, BoolQuery}
 /**
  * Randomized model check for the whole clause algebra: random corpora and
  * random (nested) bool queries, compared against a first-principles Scala
- * model that recomputes BM25 and the bool/dis_max/boosting/fuzzy semantics
+ * model that recomputes BM25 and the bool/dis_max/boosting/fuzzy/span/
+ * terms-set semantics
  * from the tokenized docs directly — an independent reference implementation
  * next to the DuckDB oracle, exercising clause SHAPES the fixed entries
  * never compose (nested dis_max inside must_not, fuzzy under boosting, ...).
@@ -96,15 +97,55 @@ class BoolModelSpec extends SparkSpec {
               (mus.flatMap(_.get(id)) ++ shs.flatMap(_.get(id))).sum)
           }.toMap
         }
+      case TermsSet(vals, b) =>
+        docs.collect { case (id, toks) if vals.exists(toks.contains) => id -> b }
+      case SpanFirstQ(t, end, b) =>
+        docs.collect {
+          case (id, toks) if toks.indexOf(t) >= 0 && toks.indexOf(t) < end => id -> b
+        }
+      case SpanNotQ(inc, exc, pre, post, b) =>
+        docs.flatMap { case (id, toks) =>
+          val ip = toks.zipWithIndex.collect { case (w, i) if w == inc => i }
+          val ep = toks.zipWithIndex.collect { case (w, i) if w == exc => i }.toSet
+          if (ip.exists(p => !(p - pre to p + post).exists(ep))) Some(id -> b)
+          else None
+        }
+      case SpanNearQ(ts, slop, ord, b) =>
+        docs.flatMap { case (id, toks) =>
+          if (spanTuples(posOf(toks, ts), slop, ord).nonEmpty) Some(id -> b) else None
+        }
+      case SpanContainingQ(big, slop, ord, little, b) =>
+        docs.flatMap { case (id, toks) =>
+          val lp = toks.zipWithIndex.collect { case (w, i) if w == little => i }
+          val hit = lp.nonEmpty && spanTuples(posOf(toks, big), slop, ord)
+            .exists(tup => lp.exists(p => p >= tup.min && p <= tup.max))
+          if (hit) Some(id -> b) else None
+        }
       case other => throw new IllegalArgumentException(s"model can't eval $other")
     }
+
+    private def posOf(toks: Seq[String], ts: Seq[String]): Seq[Seq[Int]] =
+      ts.map(t => toks.zipWithIndex.collect { case (w, i) if w == t => i })
+
+    /** brute enumeration of valid span tuples (one position per term,
+     *  pairwise distinct, width within slop, optionally ascending) */
+    private def spanTuples(posOf: Seq[Seq[Int]], slop: Int,
+                           inOrder: Boolean): Seq[Seq[Int]] =
+      if (posOf.exists(_.isEmpty)) Nil
+      else posOf.foldLeft(Seq(Seq.empty[Int]))((acc, arr) =>
+        acc.flatMap(pre => arr.map(pre :+ _)))
+        .filter { tup =>
+          tup.distinct.size == tup.size &&
+            (!inOrder || tup.sliding(2).forall(s => s.size < 2 || s(0) < s(1))) &&
+            tup.max - tup.min + 1 - tup.size <= slop
+        }
   }
 
   // ---- random generators -------------------------------------------------
 
   private def term(): String = vocab(rnd.nextInt(vocab.size))
 
-  private def leaf(): SubQuery = rnd.nextInt(6) match {
+  private def leaf(): SubQuery = rnd.nextInt(11) match {
     case 0 => Lexical(Seq.fill(1 + rnd.nextInt(3))(term()))
     case 1 =>
       val ts = Seq.fill(2 + rnd.nextInt(2))(term())
@@ -114,6 +155,17 @@ class BoolModelSpec extends SparkSpec {
       0.5 + rnd.nextInt(3) * 0.5)
     case 4 => Fuzzy(term(), rnd.nextInt(2), 1.0 + rnd.nextInt(2))
     case 5 => ConstantScore(Lexical(Seq(term())), 0.5 + rnd.nextInt(4) * 0.5)
+    case 6 => TermsSet(Seq.fill(1 + rnd.nextInt(2))(term()).distinct,
+      0.5 + rnd.nextInt(3) * 0.5)
+    case 7 => SpanFirstQ(term(), 1 + rnd.nextInt(4), 0.5 + rnd.nextInt(3) * 0.5)
+    case 8 =>
+      val inc = term()
+      val exc = Iterator.continually(term()).find(_ != inc).get
+      SpanNotQ(inc, exc, rnd.nextInt(2), rnd.nextInt(2), 0.5 + rnd.nextInt(3) * 0.5)
+    case 9 => SpanNearQ(Seq.fill(2)(term()), rnd.nextInt(4), rnd.nextBoolean(),
+      0.5 + rnd.nextInt(3) * 0.5)
+    case 10 => SpanContainingQ(Seq.fill(2)(term()), rnd.nextInt(4),
+      rnd.nextBoolean(), term(), 0.5 + rnd.nextInt(3) * 0.5)
   }
 
   private def clause(depth: Int): SubQuery =
@@ -150,7 +202,10 @@ class BoolModelSpec extends SparkSpec {
       val model = new Model(corpus.toMap)
       val bq = genBool(depth = 2)
       val expected = model.eval(bq)
-      val got = BoolQuery.score(HybridSources(idx), bq).collect()
+      val pos = graft.index.Positions.build(
+        corpus.map { case (id, toks) => (id, toks.mkString(" ")) }.toDF("doc_id", "text"),
+        "doc_id", "text")
+      val got = BoolQuery.score(HybridSources(idx, positions = Some(pos)), bq).collect()
         .map(r => r.getLong(0) -> r.getDouble(1)).toMap
       assert(got.keySet == expected.keySet,
         s"round $round matched-set mismatch for $bq:\n got ${got.keySet.toSeq.sorted}\n exp ${expected.keySet.toSeq.sorted}")
