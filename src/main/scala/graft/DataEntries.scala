@@ -719,7 +719,7 @@ object DataEntries {
          |w AS (SELECT source, n, pow(n, 0.5) AS w FROM c),
          |t AS (SELECT sum(w) AS ws FROM w),
          |r AS (SELECT source, n, 100 * w / ws AS raw FROM w, t),
-         |b AS (SELECT source, CAST(floor(raw) AS BIGINT) AS bq,
+         |b AS MATERIALIZED (SELECT source, CAST(floor(raw) AS BIGINT) AS bq,
          |             raw - floor(raw) AS rem FROM r),
          |l AS (SELECT 100 - sum(bq) AS leftn FROM b),
          |rk AS (SELECT source, bq, row_number() OVER (ORDER BY rem DESC, source) AS rr FROM b),

@@ -2255,9 +2255,17 @@ object HybridEntries {
 
   /** collection CTE: optional per-(group, sub-query) keep, then top-depth
    *  with the collection rank used by RRF. */
+  // top$i is MATERIALIZED: DuckDB inlines a CTE once per REFERENCE, and the
+  // normalization chain reads it twice (stats + per-doc). Under
+  // multi-threaded execution each inlined evaluation can sum the BM25
+  // scores in a different order, leaving min(s) an ulp away from the same
+  // doc's s in the other evaluation — which flips boundary comparisons like
+  // min_max's ==0 floor (observed at sf0.1: engine 0.001 floor vs oracle
+  // -0.0). Materializing pins ONE evaluation, the semantics both sides
+  // define.
   private def topCte(i: Int, collapse: Option[Collapse]): String = collapse match {
     case None =>
-      s"""top$i AS (
+      s"""top$i AS MATERIALIZED (
          |  SELECT doc_id, s, rnk FROM (
          |    SELECT doc_id, s, row_number() OVER (ORDER BY s DESC, doc_id) AS rnk FROM sq$i)
          |  WHERE rnk <= $Depth)""".stripMargin
@@ -2269,7 +2277,7 @@ object HybridEntries {
          |                              ORDER BY sq.s DESC, sq.doc_id) AS grn
          |    FROM sq$i sq JOIN documents d USING (doc_id))
          |  WHERE grn <= ${c.docsPerGroupPerSubquery}),
-         |top$i AS (
+         |top$i AS MATERIALIZED (
          |  SELECT doc_id, s, rnk FROM (
          |    SELECT doc_id, s, row_number() OVER (ORDER BY s DESC, doc_id) AS rnk FROM grp$i)
          |  WHERE rnk <= $Depth)""".stripMargin

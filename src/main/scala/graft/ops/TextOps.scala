@@ -104,12 +104,29 @@ object TextOps {
   /** Occurrences belonging to a value that appears more than once, counted
    *  over the SORTED array in one linear pass: element i is part of a
    *  duplicate run iff it equals a neighbour. */
+  /** Occurrences belonging to a value that appears more than once =
+   *  n - (values appearing exactly once), via ONE linear fold over the
+   *  sorted array. The previous formulation filtered an index sequence with
+   *  element_at(sorted, i) back-references — and higher-order functions
+   *  evaluate interpreted, where each back-reference RE-EVALUATES the whole
+   *  sorted-grams child per element: O(n² · sort) per row, which turned a
+   *  sub-second metric into minutes on longer documents. */
   private def dupOccurrences(sorted: Column): Column =
     when(size(sorted) > 0,
-      size(filter(sequence(lit(1), size(sorted)), i =>
-        (i > 1 && element_at(sorted, i) === element_at(sorted, i - 1)) ||
-          (i < size(sorted) && element_at(sorted, i) === element_at(sorted, i + 1)))))
-      .otherwise(lit(0))
+      size(sorted).cast("long") - aggregate(sorted,
+        struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("singles")),
+        (acc, x) => {
+          val isNew = acc.getField("run") === 0L || x =!= acc.getField("prev")
+          struct(
+            x.as("prev"),
+            when(isNew, 1L).otherwise(acc.getField("run") + 1L).as("run"),
+            (acc.getField("singles") +
+              when(isNew && acc.getField("run") === 1L, 1L).otherwise(0L))
+              .as("singles"))
+        },
+        acc => acc.getField("singles") +
+          when(acc.getField("run") === 1L, 1L).otherwise(0L)))
+      .otherwise(lit(0L))
 
   /** Count of the most frequent value = longest equal run of the sorted
    *  array, via a linear `aggregate` fold (prev, run, best). */
