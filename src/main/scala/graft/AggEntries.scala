@@ -1,0 +1,226 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Aggs, Chunkers, ParentChild, TextOps}
+
+/** The aggregation/pipeline surface beyond HybridEntries' first wave: the
+ *  bucket-pipeline family (bucket_script / bucket_selector / bucket_sort /
+ *  serial_diff), the exact-metric family (percentile_ranks /
+ *  median_absolute_deviation / scripted_metric), the data-driven
+ *  auto_date_histogram, date_range buckets, the `children` aggregation and
+ *  the `parent_id` query. Every entry follows the repo contract: a typed
+ *  DataFrame plan (bucket tables stay bounded — windows run over BUCKETS,
+ *  never the row stream) plus a DuckDB oracle. */
+object AggEntries {
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/events.parquet")
+
+  private def daily(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // bucket_script pipeline agg: a per-bucket metric computed FROM sibling
+    // metrics (here purchases/clicks per day). Both inputs come out of ONE
+    // aggregation pass (conditional sums — the reference runs sub-collectors
+    // over the same doc stream, not one scan per metric); the script is a
+    // pure projection over the bucket table. gap_policy: skip -> a bucket
+    // missing an input (clicks = 0) emits NULL for the script value, the
+    // bucket itself survives.
+    "agg_bucket_script" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("purchases"),
+          sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("clicks"))
+        .withColumn("ratio",
+          when(col("clicks") > 0, round(col("purchases") / col("clicks"), 4)))),
+    // bucket_selector + bucket_sort chained: the selector's condition
+    // references a sibling stat (avg bucket size — one broadcast aggregate
+    // over the BUCKET table, so the threshold is scale-free), surviving
+    // buckets are then bucket_sort'ed (n desc, day asc tiebreak) and
+    // truncated to 5 — a bounded TakeOrdered over buckets, never rows.
+    "agg_bucket_selector_sort" -> ((s, dir) => {
+      val h = daily(s, dir)
+      h.crossJoin(broadcast(h.agg(avg(col("n_events")).as("avg_n"))))
+        .where(col("n_events") > col("avg_n"))
+        .orderBy(col("n_events").desc, col("day").asc)
+        .limit(5)
+        .select(col("day"), col("n_events"))
+    }),
+    // serial_diff pipeline agg at lag 7 (the week-over-week seasonality
+    // shape): the ordered window runs over the daily BUCKET table (30 rows),
+    // the first `lag` buckets emit NULL as the reference does.
+    "agg_serial_diff" -> ((s, dir) =>
+      events(s, dir)
+        .where(col("event_type") === "purchase")
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_events"))
+        .withColumn("diff7",
+          col("n_events") - lag(col("n_events"), 7).over(Window.orderBy(col("day"))))),
+    // percentile_ranks: the inverse-percentile metric — what % of observed
+    // values are <= each given value. Exact (one conditional-sum pass), not
+    // the reference's TDigest approximation; same contract, deterministic.
+    "agg_percentile_ranks" -> ((s, dir) =>
+      events(s, dir)
+        .where(col("event_type") === "purchase")
+        .agg(
+          round(lit(100.0) * sum(when(col("value") <= 10.0, 1L).otherwise(0L))
+            / count(lit(1)), 4).as("rank_10"),
+          round(lit(100.0) * sum(when(col("value") <= 50.0, 1L).otherwise(0L))
+            / count(lit(1)), 4).as("rank_50"))),
+    // median_absolute_deviation: exact MAD = median(|v - median(v)|), two
+    // bounded aggregate passes (the reference approximates with TDigest;
+    // exact interpolating percentile here = DuckDB's quantile_cont, so the
+    // oracle is an independent re-derivation). The median broadcast is one
+    // scalar row.
+    "agg_mad" -> ((s, dir) => {
+      val v = events(s, dir)
+        .where(col("event_type") === "purchase").select(col("value"))
+      v.crossJoin(broadcast(v.agg(percentile(col("value"), lit(0.5)).as("med"))))
+        .agg(
+          round(max(col("med")), 4).as("median"),
+          round(percentile(abs(col("value") - col("med")), lit(0.5)), 4).as("mad"))
+    }),
+    // scripted_metric: map_script = a per-row projection, combine_script =
+    // the partial (map-side) aggregate, reduce_script = the final merge —
+    // exactly Spark's partial-aggregation execution, so the custom metric
+    // (RMS of event value per type) is ONE codegen'd aggregate pass, no
+    // driver-side state. init/map/combine/reduce collapse into
+    // sum-of-squares + count.
+    "agg_scripted_metric" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(round(sqrt(sum(col("value") * col("value")) / count(lit(1))), 4).as("rms"))),
+    // auto_date_histogram: interval chosen FROM the data (smallest ladder
+    // rung keeping anchored bucket count <= target) via one metadata-sized
+    // min/max pre-pass; buckets are epoch-second starts, timezone-free.
+    "agg_auto_date_histogram" -> ((s, dir) =>
+      Aggs.autoDateHistogram(events(s, dir), "ts", targetBuckets = 15)),
+    // date_range buckets with half-open [from, to) semantics and the
+    // reference's *-to key forms; count + avg metric per bucket in one pass.
+    "agg_date_range" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(
+          when(col("ts") < lit("2024-01-10 00:00:00").cast("timestamp"), "*-2024-01-10")
+            .when(col("ts") < lit("2024-01-20 00:00:00").cast("timestamp"), "2024-01-10-2024-01-20")
+            .otherwise("2024-01-20-*").as("bucket"))
+        .agg(count(lit(1)).as("n_events"), round(avg(col("value")), 4).as("avg_value"))),
+    // children aggregation: parent-side buckets (source) over the CHILD
+    // docs matching a child query (chunks containing 'hash') — one child
+    // scan + one join keyed on the parent id + one aggregation; the child
+    // match is codegen'd column algebra so only matching children reach the
+    // join, mirroring ParentChild.hasChild's shape.
+    "agg_children" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val matched = Chunkers.fixedTokenLength(docs, "doc_id", "text", 12)
+        .where(array_contains(TextOps.tokensCol(col("chunk")), "hash"))
+      matched
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_children"),
+          countDistinct(col("doc_id")).as("n_parents"))
+    }),
+    // parent_id query: the children of ONE named parent — a constant
+    // equality predicate the scan pushes down; constant score 1.0.
+    "join_parent_id" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val children = Chunkers.fixedTokenLength(docs, "doc_id", "text", 12)
+        .withColumnRenamed("doc_id", "parent_id")
+      ParentChild.parentId(children, "parent_id", 7L)
+        .select(col("parent_id"), col("chunk_idx"), col("score"))
+    })
+  )
+
+  /** DuckDB re-derivations (same table views the driver registers). */
+  def oracles: Map[String, String] = Map(
+    "agg_bucket_script" ->
+      """WITH h AS (
+        |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
+        |         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks
+        |  FROM events GROUP BY 1)
+        |SELECT day, purchases, clicks,
+        |       CASE WHEN clicks > 0
+        |            THEN round(CAST(purchases AS DOUBLE) / clicks, 4) END AS ratio
+        |FROM h""".stripMargin,
+    "agg_bucket_selector_sort" ->
+      """WITH h AS (
+        |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, count(*) AS n_events
+        |  FROM events GROUP BY 1),
+        |b AS (SELECT avg(n_events) AS avg_n FROM h)
+        |SELECT day, n_events FROM h CROSS JOIN b
+        |WHERE n_events > avg_n
+        |ORDER BY n_events DESC, day ASC LIMIT 5""".stripMargin,
+    "agg_serial_diff" ->
+      """WITH h AS (
+        |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, count(*) AS n_events
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT day, n_events,
+        |       n_events - lag(n_events, 7) OVER (ORDER BY day) AS diff7
+        |FROM h""".stripMargin,
+    "agg_percentile_ranks" ->
+      """SELECT round(CAST(100 AS DOUBLE) * sum(CASE WHEN value <= 10.0 THEN 1 ELSE 0 END) / count(*), 4) AS rank_10,
+        |       round(CAST(100 AS DOUBLE) * sum(CASE WHEN value <= 50.0 THEN 1 ELSE 0 END) / count(*), 4) AS rank_50
+        |FROM events WHERE event_type = 'purchase'""".stripMargin,
+    "agg_mad" ->
+      """WITH p AS (SELECT value FROM events WHERE event_type = 'purchase'),
+        |m AS (SELECT quantile_cont(value, 0.5) AS med FROM p)
+        |SELECT round(max(med), 4) AS median,
+        |       round(quantile_cont(abs(value - med), 0.5), 4) AS mad
+        |FROM p CROSS JOIN m""".stripMargin,
+    "agg_scripted_metric" ->
+      """SELECT event_type,
+        |       round(sqrt(sum(value * value) / count(*)), 4) AS rms
+        |FROM events GROUP BY 1""".stripMargin,
+    "agg_auto_date_histogram" -> {
+      val ladder = Seq(60L, 300L, 1800L, 3600L, 10800L, 43200L, 86400L, 604800L, 2592000L)
+      val rungs = ladder.map(iv =>
+        s"WHEN hi // $iv - lo // $iv + 1 <= 15 THEN $iv").mkString("\n  ")
+      s"""WITH mm AS (
+         |  SELECT CAST(floor(epoch(min(ts))) AS BIGINT) AS lo,
+         |         CAST(floor(epoch(max(ts))) AS BIGINT) AS hi
+         |  FROM events),
+         |iv AS (SELECT CAST(CASE
+         |  $rungs
+         |  ELSE ${ladder.last} END AS BIGINT) AS interval_s FROM mm)
+         |SELECT (CAST(floor(epoch(ts)) AS BIGINT) // interval_s) * interval_s AS bucket_start,
+         |       count(*) AS n_events, interval_s
+         |FROM events CROSS JOIN iv
+         |GROUP BY 1, 3""".stripMargin
+    },
+    "agg_date_range" ->
+      """SELECT CASE WHEN ts < TIMESTAMP '2024-01-10 00:00:00' THEN '*-2024-01-10'
+        |            WHEN ts < TIMESTAMP '2024-01-20 00:00:00' THEN '2024-01-10-2024-01-20'
+        |            ELSE '2024-01-20-*' END AS bucket,
+        |       count(*) AS n_events, round(avg(value), 4) AS avg_value
+        |FROM events GROUP BY 1""".stripMargin,
+    "agg_children" ->
+      """WITH ch AS (
+        |  SELECT doc_id,
+        |         toks[CAST(i*12 + 1 AS INT):CAST(i*12 + 12 AS INT)] AS ctoks
+        |  FROM (SELECT doc_id, toks,
+        |          unnest(generate_series(0, CAST(floor((len(toks)-1)/12) AS BIGINT))) AS i
+        |        FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |              FROM documents)))
+        |SELECT d.source, count(*) AS n_children,
+        |       count(DISTINCT ch.doc_id) AS n_parents
+        |FROM ch JOIN documents d USING (doc_id)
+        |WHERE list_contains(ch.ctoks, 'hash')
+        |GROUP BY 1""".stripMargin,
+    "join_parent_id" ->
+      """WITH ch AS (
+        |  SELECT doc_id AS parent_id, i AS chunk_idx
+        |  FROM (SELECT doc_id, toks,
+        |          unnest(generate_series(0, CAST(floor((len(toks)-1)/12) AS BIGINT))) AS i
+        |        FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |              FROM documents)))
+        |SELECT parent_id, chunk_idx, CAST(1.0 AS DOUBLE) AS score
+        |FROM ch WHERE parent_id = 7""".stripMargin
+  )
+}

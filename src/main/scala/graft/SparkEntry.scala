@@ -172,7 +172,7 @@ object SparkEntry {
     "bm25_wand_top100" -> ((s, dir) =>
       Bm25.topKWand(IndexCache.documents(s, dir), Seq("table", "scan"), 100)
         .select(col("doc_id"), round(col("score"), 4).as("score")))
-  ) ++ HybridEntries.queries ++ PipelineEntries.queries ++ DataEntries.queries ++ CorpusEntries.queries
+  ) ++ HybridEntries.queries ++ PipelineEntries.queries ++ DataEntries.queries ++ CorpusEntries.queries ++ AggEntries.queries
 
   def oracleSql: Map[String, String] = Map(
     "corpus_stats" ->
@@ -228,5 +228,5 @@ object SparkEntry {
     "bm25_phrase3" -> phraseOracleSql(Seq("slow", "hash", "batch"), 10),
     "bm25_wand_top10"   -> bm25OracleSql("'spark', 'stream', 'filter'", 10),
     "bm25_wand_top100"  -> bm25OracleSql("'table', 'scan'", 100)
-  ) ++ HybridEntries.oracles(TOK_CTE) ++ PipelineEntries.oracles(TOK_CTE) ++ DataEntries.oracles(TOK_CTE) ++ CorpusEntries.oracles(TOK_CTE)
+  ) ++ HybridEntries.oracles(TOK_CTE) ++ PipelineEntries.oracles(TOK_CTE) ++ DataEntries.oracles(TOK_CTE) ++ CorpusEntries.oracles(TOK_CTE) ++ AggEntries.oracles
 }

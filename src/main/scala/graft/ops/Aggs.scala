@@ -80,6 +80,44 @@ object Aggs {
       .limit(size)
   }
 
+  /** `auto_date_histogram` (fixed-interval ladder variant): pick the
+   *  smallest interval from `ladderSeconds` whose ANCHORED bucket count
+   *  (epoch-floor buckets, the fixed_interval rounding) stays within
+   *  `targetBuckets`, then bucket in one pass. The selection reads ONE
+   *  metadata-sized min/max aggregate (two longs to the driver — the same
+   *  bounded-collect contract as a query's term-stats lookup), so the
+   *  data-driven choice costs a cheap pre-pass, not a corpus re-shuffle.
+   *  Buckets are emitted as epoch-second starts (BIGINT), deliberately not
+   *  timestamps: epoch arithmetic is timezone-free in both this engine and
+   *  any SQL oracle. OpenSearch's auto_date_histogram rounds on a calendar
+   *  ladder (minute/hour/day/month); the fixed-second ladder keeps the same
+   *  contract — at most `target` buckets, interval chosen by the data —
+   *  without calendar-vs-session-timezone ambiguity. */
+  def autoDateHistogram(rows: DataFrame, tsCol: String, targetBuckets: Int,
+                        ladderSeconds: Seq[Long] = Seq(60L, 300L, 1800L, 3600L,
+                          10800L, 43200L, 86400L, 604800L, 2592000L)): DataFrame = {
+    require(targetBuckets >= 1, s"target buckets must be >= 1, got $targetBuckets")
+    require(ladderSeconds.nonEmpty && ladderSeconds == ladderSeconds.sorted,
+      "interval ladder must be non-empty and ascending")
+    val mm = rows.agg(
+      min(unix_timestamp(col(tsCol))).as("lo"),
+      max(unix_timestamp(col(tsCol))).as("hi")).head()
+    if (mm.isNullAt(0)) {
+      return rows.sparkSession.range(0).select(
+        col("id").as("bucket_start"), col("id").as("n_events"),
+        col("id").as("interval_s"))
+    }
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val interval = ladderSeconds
+      .find(iv => hi / iv - lo / iv + 1 <= targetBuckets)
+      .getOrElse(ladderSeconds.last)
+    rows
+      .groupBy((floor(unix_timestamp(col(tsCol)) / interval) * interval)
+        .cast("long").as("bucket_start"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("interval_s", lit(interval))
+  }
+
   /** Walk the whole keyspace: repeatedly page with the last emitted key as
    *  the next cursor until a short page. Each iteration is one bounded job;
    *  only `size` rows per page reach the driver (this driver-side loop is

@@ -55,6 +55,17 @@ object ParentChild {
         col("n_children"))
   }
 
+  /** `parent_id`: the children of ONE named parent — the third member of
+   *  the parent-join query family (has_child / has_parent / parent_id).
+   *  The reference resolves it as a single ordinal lookup; relationally it
+   *  is a constant equality predicate on the parent-key column, which the
+   *  scan accepts as a pushed filter — bounded work (one parent's children)
+   *  however large the child table. Children score the constant 1.0, as the
+   *  reference's ParentIdQueryBuilder does. */
+  def parentId(children: DataFrame, parentCol: String, id: Long): DataFrame =
+    children.where(col(parentCol) === id)
+      .withColumn("score", lit(1.0))
+
   /** `has_parent`: children whose parent is in the matched parent set.
    *  `parents` carries (parent_id, score); with `withScore` each child
    *  inherits its parent's score (the reference's `score: true`), otherwise

@@ -72,4 +72,42 @@ class AggsSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Aggs.composite(rows, srcs, 10, mets, after = Some(Seq("s1"))))
   }
+
+  private def tsRows(spanSeconds: Long, n: Int) = {
+    val base = 1704067200L // 2024-01-01 00:00:00 UTC
+    (0 until n).map(i => (i.toLong, base + i * spanSeconds / math.max(1, n - 1)))
+      .toDF("id", "epoch")
+      .withColumn("ts", timestamp_seconds(col("epoch")))
+  }
+
+  test("auto_date_histogram picks the smallest ladder rung within target") {
+    // 2-hour span, target 10: 300 s gives 25 anchored buckets (> 10),
+    // 1800 s gives 5 (<= 10) -> the 1800 rung must win
+    val out = Aggs.autoDateHistogram(tsRows(7200L, 500), "ts", 10).collect()
+    assert(out.forall(_.getLong(2) == 1800L), out.mkString(","))
+    assert(out.length == 5)
+    assert(out.map(_.getLong(1)).sum == 500L)
+    // every bucket start is anchored on its interval
+    assert(out.forall(r => r.getLong(0) % 1800L == 0L))
+  }
+
+  test("auto_date_histogram bucket count respects the target at any rung") {
+    for (span <- Seq(100L, 3600L, 86400L * 3, 86400L * 40)) {
+      val out = Aggs.autoDateHistogram(tsRows(span, 200), "ts", 15).collect()
+      assert(out.length <= 15, s"span=$span gave ${out.length} buckets")
+    }
+  }
+
+  test("auto_date_histogram falls back to the widest rung and validates") {
+    // 10-year span cannot fit 15 buckets of 30 d -> widest rung, count > target
+    val out = Aggs.autoDateHistogram(tsRows(86400L * 3650, 300), "ts", 15).collect()
+    assert(out.forall(_.getLong(2) == 2592000L))
+    intercept[IllegalArgumentException](
+      Aggs.autoDateHistogram(tsRows(100L, 10), "ts", 0))
+    intercept[IllegalArgumentException](
+      Aggs.autoDateHistogram(tsRows(100L, 10), "ts", 5, ladderSeconds = Seq(300L, 60L)))
+    // empty input -> empty result, no NPE from the min/max pre-pass
+    assert(Aggs.autoDateHistogram(tsRows(100L, 10).where(lit(false)), "ts", 5)
+      .collect().isEmpty)
+  }
 }
