@@ -240,6 +240,37 @@ object HybridEntries {
         s.read.parquet(s"$dir/documents.parquet"))
         .select(col("doc_id"), round(col("score"), 4).as("score"))
     }),
+    // wrapper query: a base64-shipped prebuilt query decoding into a bool
+    // (match + a must_not match_none no-op) — the decode re-enters the
+    // parser, so execution is identical to the inline form
+    "dsl_wrapper" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      val inner =
+        """{ "bool": {
+          |    "must":     [ { "match": { "text": "join hash" } } ],
+          |    "must_not": [ { "match_none": {} } ] } }""".stripMargin
+      val b64 = java.util.Base64.getEncoder.encodeToString(
+        inner.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val json = s"""{ "query": { "wrapper": { "query": "$b64" } }, "size": 10 }"""
+      graft.query.QueryDsl.execute(HybridSources(idx), json,
+        s.read.parquet(s"$dir/documents.parquet"))
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+    }),
+    // terms lookup: the must clause's term set is fetched from doc 7's
+    // stored text at scoring time (one bounded point read), composing with
+    // a scoring should clause
+    "dsl_terms_lookup" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      val json =
+        """{ "query": { "bool": {
+          |    "must":   [ { "terms": { "text": {
+          |                    "index": "documents", "id": 7, "path": "text" } } } ],
+          |    "should": [ { "match": { "text": "merge sort window" } } ] } },
+          |  "size": 10 }""".stripMargin
+      graft.query.QueryDsl.execute(HybridSources(idx), json,
+        s.read.parquet(s"$dir/documents.parquet"))
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+    }),
     // match with operator=and through the DSL: all analyzed terms required
     "dsl_match_and" -> ((s, dir) => {
       val idx = IndexCache.documents(s, dir)
@@ -1689,6 +1720,17 @@ object HybridEntries {
          |  SELECT doc_id, $boost AS s
          |  FROM (SELECT DISTINCT doc_id FROM tf
          |        WHERE term IN (${termList(values)})$f))""".stripMargin
+    case TermsLookupQ(id, path, boost) =>
+      // the lookup doc's analyzed tokens ARE its tf rows (path = text);
+      // from there identical to the inline terms form
+      require(path == "text", s"oracle supports terms lookup on [text], got [$path]")
+      val f = filterPred.map(p => s" AND ${p}").getOrElse("")
+      s"""sq$i AS (
+         |  SELECT doc_id, $boost AS s
+         |  FROM (SELECT DISTINCT doc_id FROM tf
+         |        WHERE term IN (SELECT DISTINCT term FROM tf WHERE doc_id = $id)$f))""".stripMargin
+    case MatchNoneQ =>
+      s"""sq$i AS (SELECT dl.doc_id, 0.0 AS s FROM dl WHERE FALSE)""".stripMargin
     case RegexPattern(p, boost) =>
       // regexp_full_match anchors the whole term, matching Lucene's (and
       // the engine's ^(?:…)$-wrapped) whole-term semantics
@@ -2633,6 +2675,12 @@ object HybridEntries {
       "dsl_bool" ->
         boolOracle(tokCte, must = Seq(Lexical(A)), should = Seq(Lexical(B)),
           mustNot = Seq(Lexical(Seq("dup"))), msm = 0, filterPred = langF),
+      "dsl_wrapper" ->
+        boolOracle(tokCte, must = Seq(Lexical(A)), should = Nil,
+          mustNot = Seq(MatchNoneQ), msm = 0),
+      "dsl_terms_lookup" ->
+        boolOracle(tokCte, must = Seq(TermsLookupQ(7L, "text")),
+          should = Seq(Lexical(B)), mustNot = Nil, msm = 0),
       "dsl_match_and" ->
         boolOracle(tokCte, must = Seq(LexicalMsm(Seq("join", "hash", "merge"), 3)),
           should = Nil, mustNot = Nil, msm = 0),

@@ -244,6 +244,17 @@ case class IdsQ(ids: Seq[Long], boost: Double = 1.0) extends SubQuery
  *  `match`). */
 case class TermsSet(values: Seq[String], boost: Double = 1.0) extends SubQuery
 
+/** `terms` lookup form: the filter values come from ONE stored document's
+ *  field (OpenSearch fetches the lookup doc with a realtime GET and
+ *  inlines its values). Resolved at scoring time from the stored-fields
+ *  table — one column-pruned point read — then it behaves exactly like an
+ *  inline [[TermsSet]] over the doc's analyzed tokens. */
+case class TermsLookupQ(id: Long, path: String, boost: Double = 1.0) extends SubQuery
+
+/** `match_none` — the empty query (Lucene MatchNoDocsQuery): matches no
+ *  document, composes as the neutral element anywhere a clause can. */
+case object MatchNoneQ extends SubQuery
+
 /** `match_phrase_prefix`: exact leading slots + a dictionary-expanded
  *  prefix last slot (Lucene MatchPhrasePrefixQuery -> MultiPhraseQuery;
  *  deterministic first-`maxExpansions`-in-term-order cap). Scored like a
@@ -964,6 +975,24 @@ object Hybrid {
       case TermsSet(values, boost) =>
         Bm25.matchWhere(src.idx, $"term".isin(values: _*))
           .select($"doc_id", lit(boost).as("score"))
+      case TermsLookupQ(id, path, boost) =>
+        // one bounded point read of the lookup doc's stored field (the
+        // reference's realtime GET), analyzed with the index's analyzer;
+        // from there the clause IS an inline terms query
+        val row = src.fields.get.where($"doc_id" === id).select(col(path))
+          .take(1).headOption.getOrElse(throw new IllegalArgumentException(
+            s"terms lookup: doc [$id] not found"))
+        val vals = graft.analysis.Analyzer.analyze(src.idx.analyzer)(
+          row.getString(0)).distinct.toSeq
+        if (vals.isEmpty)
+          src.idx.postings.sparkSession.range(0)
+            .select(col("id").as("doc_id"), lit(0.0).as("score"))
+        else
+          Bm25.matchWhere(src.idx, $"term".isin(vals: _*))
+            .select($"doc_id", lit(boost).as("score"))
+      case MatchNoneQ =>
+        src.idx.postings.sparkSession.range(0)
+          .select(col("id").as("doc_id"), lit(0.0).as("score"))
       case m: MoreLikeThisQ =>
         // term selection: one bounded single-row read of the source doc's
         // text + one broadcast-sized term-stats lookup (the same shape as

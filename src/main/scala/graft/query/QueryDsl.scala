@@ -692,10 +692,22 @@ object QueryDsl {
         found.getOrElse(throw new IllegalArgumentException(
           "terms requires a field with a values array"))
       }
-      require(fieldEntry._2.isArray && fieldEntry._2.size() > 0,
-        "terms requires a non-empty values array")
-      val values = (0 until fieldEntry._2.size()).map(i => fieldEntry._2.get(i).asText())
-      graft.hybrid.TermsSet(values, body.path("boost").asDouble(1.0))
+      if (fieldEntry._2.isObject) {
+        // lookup form: {"terms": {"text": {"index": "documents", "id": 7,
+        //   "path": "text"}}} — values fetched from a stored doc's field at
+        // scoring time (OpenSearch's terms-lookup realtime GET)
+        val b = fieldEntry._2
+        require(b.path("id").isNumber, "terms lookup requires a numeric [id]")
+        val path = b.path("path").asText("")
+        require(path.nonEmpty, "terms lookup requires a [path]")
+        graft.hybrid.TermsLookupQ(b.path("id").asLong(), path,
+          body.path("boost").asDouble(1.0))
+      } else {
+        require(fieldEntry._2.isArray && fieldEntry._2.size() > 0,
+          "terms requires a non-empty values array")
+        val values = (0 until fieldEntry._2.size()).map(i => fieldEntry._2.get(i).asText())
+        graft.hybrid.TermsSet(values, body.path("boost").asDouble(1.0))
+      }
     } else if (!q.path("more_like_this").isMissingNode) {
       // {"more_like_this": {"like": {"_id": 7} | [{"_id": 7}],
       //   "max_query_terms": 25, "min_term_freq": 2, "min_doc_freq": 5,
@@ -733,6 +745,28 @@ object QueryDsl {
       val boost = body.path("boost").asDouble(1.0)
       require(boost > 0, s"[boost] must be > 0, got $boost")
       graft.hybrid.MatchAll(boost)
+    } else if (!q.path("match_none").isMissingNode) {
+      // {"match_none": {}} — Lucene MatchNoDocsQuery; the neutral element
+      graft.hybrid.MatchNoneQ
+    } else if (!q.path("wrapper").isMissingNode) {
+      // {"wrapper": {"query": "<base64 of a query JSON>"}} — the escape
+      // hatch clients use to ship a prebuilt query through systems that
+      // mangle raw JSON; decodes and re-enters this parser, so whatever a
+      // clause can be, a wrapper can carry
+      val body = q.path("wrapper")
+      val b64 = if (body.isObject) body.path("query").asText("") else body.asText("")
+      require(b64.nonEmpty, "wrapper requires a base64 [query]")
+      val decoded =
+        try new String(java.util.Base64.getDecoder.decode(b64),
+          java.nio.charset.StandardCharsets.UTF_8)
+        catch { case _: IllegalArgumentException => throw new IllegalArgumentException(
+          "wrapper [query] is not valid base64") }
+      val node =
+        try mapper.readTree(decoded)
+        catch { case e: Exception => throw new IllegalArgumentException(
+          s"wrapper [query] does not decode to JSON: ${e.getMessage}") }
+      require(node != null && node.isObject, "wrapper [query] must decode to a JSON object")
+      parseSubQuery(node, analyzer, enricher)
     } else if (!q.path("bool").isMissingNode) {
       // nested bool clause — Lucene BooleanQueries nest arbitrarily. The
       // nested form carries no filter (filter is the top-level request's

@@ -815,6 +815,74 @@ class QueryDslSpec extends SparkSpec {
     assert(neutral(2L) == 2.0 && neutral(4L) == 2.0 && neutral(1L) == 10.0)
   }
 
+  test("wrapper decodes to the inline query; match_none is the neutral leaf") {
+    import spark.implicits._
+    def b64(s: String): String =
+      java.util.Base64.getEncoder.encodeToString(
+        s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // wrapper(term a) parses identically to the inline term
+    val pb = QueryDsl.parseBool(
+      s"""{"query":{"bool":{"must":[
+         |  {"wrapper":{"query":"${b64("""{"term":{"text":"alpha"}}""")}"}},
+         |  {"match_none":{}}]}}}""".stripMargin)
+    assert(pb.bool.must.head == Lexical(Seq("alpha")))
+    assert(pb.bool.must(1) == MatchNoneQ)
+    // execution: match_none in must empties the result; in must_not it is
+    // a no-op; a dis_max over (match_none, match) scores like the match
+    val docs = (0L until 20L).map(i =>
+      (i, if (i % 2 == 0) "alpha beta" else "beta")).toDF("doc_id", "text")
+    val idx2 = graft.index.InvertedIndex.build(docs, "doc_id", "text")
+    val src = HybridSources(idx2, fields = Some(docs))
+    val viaMust = graft.query.BoolQuery.topK(src,
+      BoolSub(must = Seq(Lexical(Seq("alpha")), MatchNoneQ)), 10).collect()
+    assert(viaMust.isEmpty)
+    val viaNot = graft.query.BoolQuery.topK(src,
+      BoolSub(must = Seq(Lexical(Seq("alpha"))), mustNot = Seq(MatchNoneQ)), 10)
+      .collect()
+    val plain = graft.query.BoolQuery.topK(src,
+      BoolSub(must = Seq(Lexical(Seq("alpha")))), 10).collect()
+    assert(viaNot.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      plain.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+    val viaDisMax = graft.query.BoolQuery.topK(src,
+      BoolSub(must = Seq(DisMax(Seq(MatchNoneQ, Lexical(Seq("alpha")))))), 10)
+      .collect()
+    assert(viaDisMax.map(_.getLong(0)).toSeq == plain.map(_.getLong(0)).toSeq)
+    // rejections: bad base64, base64 of non-JSON, base64 of a non-object
+    intercept[IllegalArgumentException](QueryDsl.parseBool(
+      """{"query":{"bool":{"must":[{"wrapper":{"query":"%%%"}}]}}}"""))
+    intercept[IllegalArgumentException](QueryDsl.parseBool(
+      s"""{"query":{"bool":{"must":[{"wrapper":{"query":"${b64("not json")}"}}]}}}"""))
+    intercept[IllegalArgumentException](QueryDsl.parseBool(
+      """{"query":{"bool":{"must":[{"wrapper":{}}]}}}"""))
+  }
+
+  test("terms lookup resolves the stored doc's tokens; missing doc rejected") {
+    import spark.implicits._
+    val pb = QueryDsl.parseBool(
+      """{"query":{"bool":{"must":[
+        |  {"terms":{"text":{"index":"documents","id":3,"path":"text"}}}]}}}""".stripMargin)
+    assert(pb.bool.must.head == TermsLookupQ(3L, "text"))
+    val docs = Seq(
+      (0L, "alpha beta"), (1L, "gamma"), (2L, "alpha delta"), (3L, "beta delta"))
+      .toDF("doc_id", "text")
+    val idx2 = graft.index.InvertedIndex.build(docs, "doc_id", "text")
+    val src = HybridSources(idx2, fields = Some(docs))
+    // doc 3's tokens {beta, delta}: docs 0 (beta), 2 (delta), 3 match
+    val got = graft.query.BoolQuery.topK(src,
+      BoolSub(must = Seq(TermsLookupQ(3L, "text", boost = 2.0))), 10).collect()
+    assert(got.map(_.getLong(0)).sorted.toSeq == Seq(0L, 2L, 3L))
+    assert(got.forall(_.getDouble(1) == 2.0))
+    intercept[IllegalArgumentException] {
+      graft.query.BoolQuery.topK(src,
+        BoolSub(must = Seq(TermsLookupQ(99L, "text"))), 10).collect()
+    }
+    // parse rejections: missing path, non-numeric id
+    intercept[IllegalArgumentException](QueryDsl.parseBool(
+      """{"query":{"bool":{"must":[{"terms":{"text":{"id":3}}}]}}}"""))
+    intercept[IllegalArgumentException](QueryDsl.parseBool(
+      """{"query":{"bool":{"must":[{"terms":{"text":{"id":"x","path":"text"}}}]}}}"""))
+  }
+
   test("malformed requests are rejected") {
     intercept[IllegalArgumentException](QueryDsl.parse("""{"query":{}}"""))
     intercept[IllegalArgumentException](
