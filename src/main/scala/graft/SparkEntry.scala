@@ -86,6 +86,33 @@ object SparkEntry {
        |ORDER BY s DESC, doc_id LIMIT $k""".stripMargin
   }
 
+  private val MsearchRequests: Seq[(String, Seq[String])] = Seq(
+    "q_join_hash"  -> Seq("join", "hash"),
+    "q_merge_sort" -> Seq("merge", "sort"),
+    "q_window"     -> Seq("window"),
+    "q_scan_table" -> Seq("scan", "table"))
+
+  /** msearch oracle: each request re-derived independently (ranked BM25
+   *  top-k), union'd — the per-request independence contract itself. */
+  private def msearchOracleSql(requests: Seq[(String, Seq[String])], k: Int): String = {
+    val ctes = requests.zipWithIndex.map { case ((_, terms), i) =>
+      val lst = terms.map("'" + _ + "'").mkString(", ")
+      s"""s$i AS (
+         |  SELECT tf.doc_id,
+         |         sum( ln(1 + (stats.n - df.df + 0.5)/(df.df + 0.5))
+         |              * (tf.tf / (tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/stats.avgdl))) ) AS s
+         |  FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN stats
+         |  WHERE tf.term IN ($lst)
+         |  GROUP BY tf.doc_id),
+         |t$i AS (SELECT '${requests(i)._1}' AS query_id,
+         |               row_number() OVER (ORDER BY s DESC, doc_id) AS rank,
+         |               doc_id, round(s, 4) AS score
+         |        FROM s$i ORDER BY s DESC, doc_id LIMIT $k)""".stripMargin
+    }.mkString(",\n")
+    val unions = requests.indices.map(i => s"SELECT * FROM t$i").mkString("\nUNION ALL ")
+    s"WITH $TOK_CTE,\n$ctes\n$unions"
+  }
+
   // ---------------------------------------------------------------------
   // queries + oracleSql (column names MUST match the oracle)
   // ---------------------------------------------------------------------
@@ -171,7 +198,14 @@ object SparkEntry {
         .select(col("doc_id"), round(col("score"), 4).as("score"))),
     "bm25_wand_top100" -> ((s, dir) =>
       Bm25.topKWand(IndexCache.documents(s, dir), Seq("table", "scan"), 100)
-        .select(col("doc_id"), round(col("score"), 4).as("score")))
+        .select(col("doc_id"), round(col("score"), 4).as("score"))),
+    // _msearch: 4 independent BM25 requests in ONE postings pass — the
+    // union-term scan filtered once, each block decoded once, tfNorm
+    // shared across requests, per-request top-k via salted bounded TopN
+    "bm25_msearch" -> ((s, dir) =>
+      graft.query.Search.msearch(IndexCache.documents(s, dir), MsearchRequests, 10)
+        .select(col("query_id"), col("rank"), col("doc_id"),
+          round(col("score"), 4).as("score")))
   ) ++ HybridEntries.queries ++ PipelineEntries.queries ++ DataEntries.queries ++ CorpusEntries.queries ++ AggEntries.queries
 
   def oracleSql: Map[String, String] = Map(
@@ -227,6 +261,7 @@ object SparkEntry {
     "bm25_phrase"  -> phraseOracleSql(Seq("table", "hash"), 10),
     "bm25_phrase3" -> phraseOracleSql(Seq("slow", "hash", "batch"), 10),
     "bm25_wand_top10"   -> bm25OracleSql("'spark', 'stream', 'filter'", 10),
-    "bm25_wand_top100"  -> bm25OracleSql("'table', 'scan'", 100)
+    "bm25_wand_top100"  -> bm25OracleSql("'table', 'scan'", 100),
+    "bm25_msearch"      -> msearchOracleSql(MsearchRequests, 10)
   ) ++ HybridEntries.oracles(TOK_CTE) ++ PipelineEntries.oracles(TOK_CTE) ++ DataEntries.oracles(TOK_CTE) ++ CorpusEntries.oracles(TOK_CTE) ++ AggEntries.oracles
 }

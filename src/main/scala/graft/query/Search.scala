@@ -3,7 +3,7 @@ package graft.query
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.hybrid.{Hybrid, HybridQuery}
-import graft.index.Index
+import graft.index.{DocLenBlock, Index, InvertedIndex, PostingCodec}
 
 /**
  * The fetch phase: map the ranked top-k docIds back onto their stored fields
@@ -24,6 +24,110 @@ object Search {
   def hybrid(idx: Index, q: HybridQuery, docs: DataFrame,
              payload: Seq[String], filterDocs: Option[DataFrame] = None): DataFrame =
     fetch(Hybrid.execute(idx, q, filterDocs), docs, payload)
+
+  /** `_msearch`: N independent BM25 requests answered in ONE postings pass.
+   *  The reference's transport loops the sub-requests through the search
+   *  path one by one; on Spark the dominant per-query cost at cluster scale
+   *  is the scan plus its scheduling round, so the batch form amortizes
+   *  both: the postings scan is filtered ONCE to the union of every
+   *  request's terms, each matched block is decoded ONCE, tfNorm is
+   *  computed ONCE per posting, and every request sharing a term scores
+   *  from the same decode. The (query, doc) shuffle stays proportional to
+   *  total posting volume; the per-request top-k is the salted bounded
+   *  TopN, so no request's result depends on another's. Accumulation order
+   *  is fixed (blocks sorted by (term, bucket), requests in given order),
+   *  making scores bit-identical to the one-request scorer's.
+   *
+   *  Returns DataFrame(query_id, rank, doc_id, score). */
+  def msearch(idx: Index, requests: Seq[(String, Seq[String])], k: Int): DataFrame = {
+    require(requests.nonEmpty, "msearch requires at least one request")
+    require(requests.map(_._1).distinct.size == requests.size,
+      "msearch request ids must be unique")
+    require(k > 0, s"k must be > 0, got $k")
+    val spark = idx.postings.sparkSession
+    import spark.implicits._
+    val avgdl = idx.stats.avgdl
+    val nDocs = idx.stats.doc_count
+    val union = requests.flatMap(_._2).distinct
+    val dfs = Bm25.termDfs(idx, union)
+    // per term: the (request index, idf weight) list — request order fixed
+    val qTerms: Map[String, Array[(Int, Double)]] = union.flatMap { t =>
+      dfs.get(t).map { df =>
+        val w = Bm25.idf(df, nDocs)
+        t -> requests.zipWithIndex
+          .collect { case ((_, ts), qi) if ts.contains(t) => (qi, w) }
+          .toArray
+      }
+    }.toMap
+    val empty = spark.emptyDataset[(String, Int, Long, Double)]
+      .toDF("query_id", "rank", "doc_id", "score")
+    if (qTerms.isEmpty) return empty
+    val matched = idx.postings.filter($"term".isin(qTerms.keys.toSeq: _*))
+    val docLens = idx.docLens
+      .join(matched.select($"bucket").distinct().hint("broadcast"), "bucket")
+      .as[DocLenBlock]
+    val span = InvertedIndex.BucketSpan
+    val nQ = requests.size
+    val scored = matched
+      .groupByKey(_.bucket)
+      .cogroup(docLens.groupByKey(_.bucket)) { (bucket, blocksIt, dlIt) =>
+        val blocks = blocksIt.toArray.sortBy(b => (b.term, b.bucket))
+        if (blocks.isEmpty) Iterator.empty
+        else {
+          val dlArr = new Array[Int](span)
+          dlIt.foreach { dlb =>
+            val ids = PostingCodec.decodeDeltas(dlb.ids, dlb.cnt)
+            val dls = PostingCodec.decodeInts(dlb.dls, dlb.cnt)
+            var i = 0
+            while (i < dlb.cnt) { dlArr(ids(i)) = dls(i); i += 1 }
+          }
+          val scores = Array.ofDim[Double](nQ, span)
+          val seen = Array.ofDim[Boolean](nQ, span)
+          var i = 0
+          while (i < blocks.length) {
+            val b = blocks(i)
+            val qws = qTerms(b.term)
+            val ids = PostingCodec.decodeDeltas(b.docs, b.cnt)
+            val tfs = PostingCodec.decodeInts(b.tfs, b.cnt)
+            var j = 0
+            while (j < b.cnt) {
+              val local = ids(j)
+              // one decode + one tfNorm per posting, shared by every
+              // request containing this term
+              val tfn = Bm25.tfNorm(tfs(j), dlArr(local), avgdl)
+              var q = 0
+              while (q < qws.length) {
+                val (qi, w) = qws(q)
+                scores(qi)(local) += w * tfn
+                seen(qi)(local) = true
+                q += 1
+              }
+              j += 1
+            }
+            i += 1
+          }
+          val base = bucket << InvertedIndex.BucketBits
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double)]
+          var q = 0
+          while (q < nQ) {
+            var d = 0
+            while (d < span) {
+              // dl gate = liveDocs (a tombstoned doc has no forward entry)
+              if (seen(q)(d) && dlArr(d) > 0) out += ((q, base + d, scores(q)(d)))
+              d += 1
+            }
+            q += 1
+          }
+          out.iterator
+        }
+      }
+      .toDF("qi", "doc_id", "score")
+    val named = scored.withColumn("query_id",
+      element_at(lit(requests.map(_._1).toArray), col("qi") + 1))
+    graft.ops.TopN.perGroupRanked(named, Seq("query_id"), "doc_id", k,
+        Seq(col("score").desc, col("doc_id").asc), "rank")
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
+  }
 
   /** Join ranked (doc_id, score) hits to their stored fields, keeping rank
    *  order. The hits side is broadcast (k <= 100-ish). */

@@ -85,4 +85,35 @@ class Bm25Spec extends SparkSpec {
     assert(math.abs(m(5000L) - s(1, 1, 3)) < Eps)
     assert(math.abs(m(1L) - s(1, 2, 3)) < Eps)
   }
+
+  test("msearch == the single-request scorer, request by request, bit-exact") {
+    val docs = (0L until 40L).map { i =>
+      val words = Seq("a", "b", "c", "d", "e").filter(w => (i + w.head) % 3 != 0)
+      (i, (words ++ words.take((i % 3).toInt)).mkString(" "))
+    }.toDF("doc_id", "text")
+    val idx3 = InvertedIndex.build(docs, "doc_id", "text")
+    val reqs = Seq(
+      "q0" -> Seq("a", "b"), "q1" -> Seq("c"),
+      "q2" -> Seq("b", "d", "e"), "q3" -> Seq("zz")) // q3 matches nothing
+    val got = graft.query.Search.msearch(idx3, reqs, 5).collect()
+      .groupBy(_.getString(0))
+      .map { case (q, rs) =>
+        q -> rs.sortBy(_.getInt(1)).map(r => (r.getLong(2), r.getDouble(3))).toSeq
+      }
+    for ((qid, terms) <- reqs) {
+      val want = Bm25.topK(idx3, terms, 5).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got.getOrElse(qid, Nil) == want, s"request $qid diverges")
+    }
+    // validation: empty request list, duplicate ids, bad k
+    intercept[IllegalArgumentException](graft.query.Search.msearch(idx3, Nil, 5))
+    intercept[IllegalArgumentException](
+      graft.query.Search.msearch(idx3, Seq("q" -> Seq("a"), "q" -> Seq("b")), 5))
+    intercept[IllegalArgumentException](
+      graft.query.Search.msearch(idx3, Seq("q" -> Seq("a")), 0))
+    // all-unknown-terms batch -> empty result with the right schema
+    val empty = graft.query.Search.msearch(idx3, Seq("q" -> Seq("zz")), 5)
+    assert(empty.columns.toSeq == Seq("query_id", "rank", "doc_id", "score"))
+    assert(empty.count() == 0)
+  }
 }
