@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Aggs, Chunkers, ParentChild, TextOps}
+import graft.ops.{Aggs, Chunkers, Geo, ParentChild, TextOps}
 
 /** The aggregation/pipeline surface beyond HybridEntries' first wave: the
  *  bucket-pipeline family (bucket_script / bucket_selector / bucket_sort /
@@ -18,6 +18,26 @@ object AggEntries {
 
   private def events(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/events.parquet")
+
+  /** Deterministic synthetic coordinates from doc_id arithmetic — pure
+   *  integer ops then ONE double division, so any engine derives the
+   *  identical doubles (no trig, no hashing in the data itself). */
+  private def geoPts(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        (lit(-90.0) + (col("doc_id") * 37 % 18000) / 100.0).as("lat"),
+        (lit(-180.0) + (col("doc_id") * 91 % 36000) / 100.0).as("lon"))
+
+  private val GeoCte =
+    """pts AS (SELECT doc_id,
+      |    -90.0 + (doc_id*37 % 18000)/100.0 AS lat,
+      |    -180.0 + (doc_id*91 % 36000)/100.0 AS lon
+      |  FROM documents),
+      |gd AS (SELECT doc_id,
+      |    (2*6371.0088)*asin(sqrt(
+      |      sin(radians(lat - 40.0)/2)*sin(radians(lat - 40.0)/2)
+      |      + cos(radians(40.0))*cos(radians(lat))*(sin(radians(lon - -75.0)/2)*sin(radians(lon - -75.0)/2)))) AS dist
+      |  FROM pts)""".stripMargin
 
   private def daily(s: SparkSession, dir: String): DataFrame =
     events(s, dir)
@@ -126,6 +146,19 @@ object AggEntries {
         .agg(count(lit(1)).as("n_children"),
           countDistinct(col("doc_id")).as("n_parents"))
     }),
+    // geo_distance query: nearest points within 3000 km of (40, -75) —
+    // conservative lat/lon bounding box pushed to the scan (the BKD-prune
+    // analogue), exact haversine residual, bounded top-k
+    "geo_distance_topk" -> ((s, dir) =>
+      Geo.geoDistance(geoPts(s, dir), "doc_id", "lat", "lon",
+          olat = 40.0, olon = -75.0, radiusKm = 6000.0, k = 20)
+        .select(col("doc_id"), round(col("dist_km"), 3).as("dist_km"))),
+    // geo_distance aggregation: distance-ring buckets with [from, to)
+    // semantics; count/min/max metrics (order-independent, deterministic
+    // under any shuffle order)
+    "agg_geo_distance" -> ((s, dir) =>
+      Geo.distanceRanges(geoPts(s, dir), "lat", "lon",
+        olat = 40.0, olon = -75.0, bounds = Seq(3000.0, 8000.0))),
     // parent_id query: the children of ONE named parent — a constant
     // equality predicate the scan pushes down; constant score 1.0.
     "join_parent_id" -> ((s, dir) => {
@@ -213,6 +246,20 @@ object AggEntries {
         |FROM ch JOIN documents d USING (doc_id)
         |WHERE list_contains(ch.ctoks, 'hash')
         |GROUP BY 1""".stripMargin,
+    "geo_distance_topk" ->
+      s"""WITH $GeoCte
+         |SELECT doc_id, round(dist, 3) AS dist_km
+         |FROM gd WHERE dist <= 6000.0
+         |ORDER BY dist ASC, doc_id ASC LIMIT 20""".stripMargin,
+    "agg_geo_distance" ->
+      s"""WITH $GeoCte
+         |SELECT CASE WHEN dist < 3000.0 THEN '*-3000.0'
+         |            WHEN dist < 8000.0 THEN '3000.0-8000.0'
+         |            ELSE '8000.0-*' END AS bucket,
+         |       count(*) AS n_points,
+         |       round(min(dist), 3) AS min_km,
+         |       round(max(dist), 3) AS max_km
+         |FROM gd GROUP BY 1""".stripMargin,
     "join_parent_id" ->
       """WITH ch AS (
         |  SELECT doc_id AS parent_id, i AS chunk_idx

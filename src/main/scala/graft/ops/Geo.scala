@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Geo queries over plain (lat, lon) double columns — `geo_distance` and
+ *  the distance-range aggregation. OpenSearch backs these with BKD trees;
+ *  the relational re-expression gets the same two-phase shape from plain
+ *  range predicates: a CONSERVATIVE bounding box on raw lat/lon (pushable
+ *  comparisons that reach the parquet scan, so only the box's row groups
+ *  are read — the BKD-prune analogue) followed by the exact haversine
+ *  filter as a codegen'd residual. Distances are great-circle km on the
+ *  IUGG mean radius, matching the reference's arc distance. */
+object Geo {
+
+  val EarthRadiusKm = 6371.0088
+
+  /** Minimum km per degree of latitude (at the equator); dividing a radius
+   *  by it over-covers in degrees, which is what a PRUNE must do. */
+  private val MinKmPerDegLat = 110.567
+
+  /** Exact haversine distance (km) from the (olat, olon) origin, in a fixed
+   *  operation order so an independent engine writing the same expression
+   *  tree reproduces it to the last ulp of its libm. */
+  def haversineKm(lat: Column, lon: Column, olat: Double, olon: Double): Column = {
+    val s1 = sin(radians(lat - lit(olat)) / 2)
+    val s2 = sin(radians(lon - lit(olon)) / 2)
+    val a = s1 * s1 + cos(radians(lit(olat))) * cos(radians(lat)) * (s2 * s2)
+    lit(2 * EarthRadiusKm) * asin(sqrt(a))
+  }
+
+  /** Conservative bounding-box prune: every point within `radiusKm` of the
+   *  origin satisfies the returned predicate set (plain comparisons on the
+   *  raw columns — scan-pushable). Near the poles, or when the longitude
+   *  window would cross the antimeridian, the corresponding bound is
+   *  dropped (still conservative, just wider). */
+  private def boxed(points: DataFrame, latCol: String, lonCol: String,
+                    olat: Double, olon: Double, radiusKm: Double): DataFrame = {
+    val dLat = radiusKm / MinKmPerDegLat * 1.01
+    val latLo = olat - dLat
+    val latHi = olat + dLat
+    val base = points.where(col(latCol) >= latLo && col(latCol) <= latHi)
+    val maxAbsLat = math.max(math.abs(latLo), math.abs(latHi))
+    if (maxAbsLat >= 89.0) base
+    else {
+      // longitude degrees shrink by cos(lat): size the window at the
+      // band's widest |lat| so it over-covers everywhere in the band
+      val dLon = radiusKm / (MinKmPerDegLat * math.cos(math.toRadians(maxAbsLat))) * 1.01
+      if (dLon >= 180.0 || olon - dLon < -180.0 || olon + dLon > 180.0) base
+      else base.where(col(lonCol) >= olon - dLon && col(lonCol) <= olon + dLon)
+    }
+  }
+
+  /** `geo_distance` query: points within `radiusKm` of the origin, nearest
+   *  first (dist asc, id tiebreak), bounded top-k. */
+  def geoDistance(points: DataFrame, idCol: String, latCol: String, lonCol: String,
+                  olat: Double, olon: Double, radiusKm: Double, k: Int): DataFrame = {
+    require(radiusKm > 0, s"radius must be > 0, got $radiusKm")
+    require(k > 0, s"k must be > 0, got $k")
+    require(olat >= -90 && olat <= 90 && olon >= -180 && olon <= 180,
+      s"origin out of range: ($olat, $olon)")
+    boxed(points, latCol, lonCol, olat, olon, radiusKm)
+      .withColumn("dist_km", haversineKm(col(latCol), col(lonCol), olat, olon))
+      .where(col("dist_km") <= radiusKm)
+      .orderBy(col("dist_km").asc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** `geo_distance` aggregation: distance-ring buckets from the origin with
+   *  the reference's half-open [from, to) semantics and *-to keys. Bucket
+   *  metrics are count/min/max — order-independent aggregates, so the
+   *  result is deterministic under any shuffle order (an avg of millions of
+   *  libm-noisy doubles would not be). One pass, no prune (every ring keeps
+   *  every point by construction). */
+  def distanceRanges(points: DataFrame, latCol: String, lonCol: String,
+                     olat: Double, olon: Double, bounds: Seq[Double]): DataFrame = {
+    require(bounds.nonEmpty && bounds == bounds.sorted && bounds.head > 0,
+      s"bounds must be ascending positive, got $bounds")
+    val d = haversineKm(col(latCol), col(lonCol), olat, olon)
+    val keys = (Seq("*") ++ bounds.map(_.toString)) :+ "*"
+    val bucket = bounds.zipWithIndex.foldLeft(
+      when(lit(false), "")) { case (acc, (b, i)) =>
+        acc.when(d < b, s"${keys(i)}-${keys(i + 1)}")
+      }.otherwise(s"${bounds.last}-*")
+    points
+      .withColumn("dist_km", d)
+      .groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("n_points"),
+        round(min(col("dist_km")), 3).as("min_km"),
+        round(max(col("dist_km")), 3).as("max_km"))
+  }
+}

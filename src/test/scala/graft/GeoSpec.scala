@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Geo
+
+/** geo_distance: the box prune must be a pure optimization (identical
+ *  matched set vs the unpruned filter), bounds must reach the parquet scan,
+ *  and the ring agg must partition the corpus. */
+class GeoSpec extends SparkSpec {
+  import spark.implicits._
+
+  // a grid crossing the origin's box boundary in both axes
+  private def pts = (0L until 400L).map { i =>
+    (i, -90.0 + (i * 7 % 1800) / 10.0, -180.0 + (i * 13 % 3600) / 10.0)
+  }.toDF("id", "lat", "lon")
+
+  test("box prune never drops a within-radius point") {
+    for ((olat, olon, r) <- Seq((40.0, -75.0, 2000.0), (0.0, 0.0, 500.0),
+                                (85.0, 10.0, 3000.0), (10.0, 179.0, 2500.0))) {
+      val got = Geo.geoDistance(pts, "id", "lat", "lon", olat, olon, r, 1000)
+        .select("id").collect().map(_.getLong(0)).toSet
+      val brute = pts
+        .withColumn("d", Geo.haversineKm(col("lat"), col("lon"), olat, olon))
+        .where(col("d") <= r).select("id").collect().map(_.getLong(0)).toSet
+      assert(got == brute, s"origin ($olat, $olon) r=$r: ${brute.diff(got)} dropped")
+    }
+  }
+
+  test("k bounds the result and ordering is dist asc, id tiebreak") {
+    val top = Geo.geoDistance(pts, "id", "lat", "lon", 0.0, 0.0, 20000.0, 10)
+      .collect()
+    assert(top.length == 10)
+    val ds = top.map(_.getAs[Double]("dist_km")).toSeq
+    assert(ds == ds.sorted)
+  }
+
+  test("lat/lon bounds reach the parquet scan as pushed filters") {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/geo_spec_${System.nanoTime()}"
+    pts.write.parquet(dir)
+    val plan = Geo.geoDistance(spark.read.parquet(dir), "id", "lat", "lon",
+        40.0, -75.0, 2000.0, 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters:") &&
+      plan.contains("GreaterThanOrEqual(lat,") &&
+      plan.contains("LessThanOrEqual(lat,"), plan.take(2000))
+  }
+
+  test("distance rings partition the corpus; validation rejects bad bounds") {
+    val rings = Geo.distanceRanges(pts, "lat", "lon", 0.0, 0.0, Seq(3000.0, 8000.0))
+      .collect()
+    assert(rings.map(_.getAs[Long]("n_points")).sum == 400L)
+    assert(rings.map(_.getAs[String]("bucket")).toSet
+      .subsetOf(Set("*-3000.0", "3000.0-8000.0", "8000.0-*")))
+    // per-ring min/max stay inside the ring's [from, to) span
+    rings.foreach { r =>
+      val (mn, mx) = (r.getAs[Double]("min_km"), r.getAs[Double]("max_km"))
+      r.getAs[String]("bucket") match {
+        case "*-3000.0"        => assert(mx < 3000.0)
+        case "3000.0-8000.0"   => assert(mn >= 3000.0 && mx < 8000.0)
+        case "8000.0-*"        => assert(mn >= 8000.0)
+      }
+    }
+    intercept[IllegalArgumentException](
+      Geo.distanceRanges(pts, "lat", "lon", 0.0, 0.0, Nil))
+    intercept[IllegalArgumentException](
+      Geo.distanceRanges(pts, "lat", "lon", 0.0, 0.0, Seq(5000.0, 1000.0)))
+    intercept[IllegalArgumentException](
+      Geo.geoDistance(pts, "id", "lat", "lon", 95.0, 0.0, 100.0, 5))
+    intercept[IllegalArgumentException](
+      Geo.geoDistance(pts, "id", "lat", "lon", 0.0, 0.0, -1.0, 5))
+  }
+}
