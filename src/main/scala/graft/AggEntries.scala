@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.index.IndexCache
 import graft.ops.{Aggs, Chunkers, Geo, ParentChild, TextOps}
 
 /** The aggregation/pipeline surface beyond HybridEntries' first wave: the
@@ -159,6 +160,36 @@ object AggEntries {
     "agg_geo_distance" -> ((s, dir) =>
       Geo.distanceRanges(geoPts(s, dir), "lat", "lon",
         olat = 40.0, olon = -75.0, bounds = Seq(3000.0, 8000.0))),
+    // geo_bounding_box query: the map-viewport filter — pure range
+    // predicates on the raw columns, fully scan-pushable
+    "geo_bbox" -> ((s, dir) =>
+      Geo.boundingBox(geoPts(s, dir), "lat", "lon",
+        top = 60.0, left = -60.0, bottom = -30.0, right = 60.0)),
+    // geotile_grid aggregation: z/x/y Web-Mercator tile buckets at zoom 3 —
+    // standard tile math as codegen'd column algebra, out-of-Mercator
+    // latitudes dropped as the reference does
+    "agg_geotile_grid" -> ((s, dir) =>
+      Geo.geotileGrid(geoPts(s, dir), "lat", "lon", zoom = 3)),
+    // core search rescore (Lucene QueryRescorer): window_size=20 of the
+    // primary BM25 ranking re-scored by a secondary query at
+    // rescore_query_weight=2, score_mode=total; unmatched window docs keep
+    // query_weight*primary, the tail keeps its original order below
+    "search_rescore" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      val primary = graft.query.Bm25.topK(idx, Seq("join", "hash"), 30)
+      val secondary = graft.query.Bm25.scoreTerms(idx, Seq("merge", "window"))
+      graft.ops.Rerank.queryRescore(primary, secondary, windowSize = 20, k = 15,
+          queryWeight = 1.0, rescoreQueryWeight = 2.0, scoreMode = "total")
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+    }),
+    // terms aggregation ordered by a sub-metric (order: {avg_value: desc})
+    // instead of doc count — the bucket sort runs over the bucket table
+    "agg_terms_order_metric" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"), round(avg(col("value")), 4).as("avg_value"))
+        .orderBy(col("avg_value").desc, col("event_type").asc)
+        .limit(3)),
     // parent_id query: the children of ONE named parent — a constant
     // equality predicate the scan pushes down; constant score 1.0.
     "join_parent_id" -> ((s, dir) => {
@@ -171,7 +202,51 @@ object AggEntries {
   )
 
   /** DuckDB re-derivations (same table views the driver registers). */
-  def oracles: Map[String, String] = Map(
+  def oracles(tokCte: String): Map[String, String] = Map(
+    "geo_bbox" ->
+      s"""WITH $GeoCte
+         |SELECT doc_id, lat, lon FROM pts
+         |WHERE lat <= 60.0 AND lat >= -30.0 AND lon >= -60.0 AND lon <= 60.0""".stripMargin,
+    "agg_geotile_grid" ->
+      s"""WITH $GeoCte
+         |SELECT concat(3, '/', CAST(floor((lon + 180.0)/360.0 * 8.0) AS BIGINT),
+         |              '/', CAST(floor((1.0 - ln(tan(radians(lat)) + 1.0/cos(radians(lat)))/pi())/2.0 * 8.0) AS BIGINT)) AS tile,
+         |       count(*) AS n_points
+         |FROM pts
+         |WHERE lat >= -85.05112878 AND lat <= 85.05112878
+         |GROUP BY 1""".stripMargin,
+    "search_rescore" ->
+      s"""WITH $tokCte,
+         |p AS (
+         |  SELECT tf.doc_id,
+         |         sum( ln(1 + (stats.n - df.df + 0.5)/(df.df + 0.5))
+         |              * (tf.tf / (tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/stats.avgdl))) ) AS s
+         |  FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN stats
+         |  WHERE tf.term IN ('join', 'hash') GROUP BY tf.doc_id),
+         |pr AS (SELECT doc_id, s, row_number() OVER (ORDER BY s DESC, doc_id) AS rnk
+         |       FROM p ORDER BY s DESC, doc_id LIMIT 30),
+         |sec AS (
+         |  SELECT tf.doc_id,
+         |         sum( ln(1 + (stats.n - df.df + 0.5)/(df.df + 0.5))
+         |              * (tf.tf / (tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/stats.avgdl))) ) AS s
+         |  FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN stats
+         |  WHERE tf.term IN ('merge', 'window') GROUP BY tf.doc_id),
+         |win AS (
+         |  SELECT t.doc_id,
+         |         CASE WHEN sec.doc_id IS NOT NULL THEN t.s + sec.s * 2.0 ELSE t.s END AS score
+         |  FROM pr t LEFT JOIN sec ON t.doc_id = sec.doc_id
+         |  WHERE t.rnk <= 20),
+         |tl AS (SELECT doc_id, s AS score, rnk FROM pr WHERE rnk > 20),
+         |u AS (
+         |  SELECT doc_id, score, 0 AS grp, score AS k1, doc_id AS tie FROM win
+         |  UNION ALL
+         |  SELECT doc_id, score, 1 AS grp, CAST(-rnk AS DOUBLE) AS k1, doc_id AS tie FROM tl)
+         |SELECT doc_id, round(score, 4) AS score FROM u
+         |ORDER BY grp ASC, k1 DESC, tie ASC LIMIT 15""".stripMargin,
+    "agg_terms_order_metric" ->
+      """SELECT event_type, count(*) AS n_events, round(avg(value), 4) AS avg_value
+        |FROM events GROUP BY 1
+        |ORDER BY avg_value DESC, event_type ASC LIMIT 3""".stripMargin,
     "agg_bucket_script" ->
       """WITH h AS (
         |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,

@@ -66,6 +66,40 @@ object Geo {
       .limit(k)
   }
 
+  /** `geo_bounding_box` query: points inside the box — pure range
+   *  predicates on the raw columns, fully scan-pushable (the simplest geo
+   *  filter, and the one every map viewport issues). */
+  def boundingBox(points: DataFrame, latCol: String, lonCol: String,
+                  top: Double, left: Double, bottom: Double, right: Double): DataFrame = {
+    require(top > bottom, s"top ($top) must be > bottom ($bottom)")
+    require(right > left, s"right ($right) must be > left ($left) — antimeridian-crossing boxes not supported")
+    points.where(col(latCol) <= top && col(latCol) >= bottom &&
+      col(lonCol) >= left && col(lonCol) <= right)
+  }
+
+  /** Web-Mercator bound: tiles only exist for |lat| <= this. */
+  val MercatorMaxLat = 85.05112878
+
+  /** `geotile_grid` aggregation: bucket points into z/x/y Web-Mercator
+   *  tiles (the map-tile keys every slippy map uses). Pure column algebra
+   *  — the x/y formulas are the standard tile math, written in a fixed
+   *  operation order so an independent engine reproduces the same doubles
+   *  before the floor. Points outside the Mercator latitude range have no
+   *  tile and are dropped, as the reference does. */
+  def geotileGrid(points: DataFrame, latCol: String, lonCol: String,
+                  zoom: Int): DataFrame = {
+    require(zoom >= 0 && zoom <= 29, s"zoom must be in [0, 29], got $zoom")
+    val n = (1L << zoom).toDouble
+    val x = floor((col(lonCol) + 180.0) / 360.0 * n).cast("long")
+    val latR = radians(col(latCol))
+    val y = floor((lit(1.0) - log(tan(latR) + lit(1.0) / cos(latR)) / math.Pi)
+      / 2.0 * n).cast("long")
+    points
+      .where(col(latCol) >= -MercatorMaxLat && col(latCol) <= MercatorMaxLat)
+      .groupBy(concat_ws("/", lit(zoom), x, y).as("tile"))
+      .agg(count(lit(1)).as("n_points"))
+  }
+
   /** `geo_distance` aggregation: distance-ring buckets from the origin with
    *  the reference's half-open [from, to) semantics and *-to keys. Bucket
    *  metrics are count/min/max — order-independent aggregates, so the

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.stats.EventStats
 
@@ -51,6 +52,58 @@ object Rerank {
    * @return (doc_id, score, previous_score), re-sorted; hits the second
    *         scorer does not cover keep score 0.0 (sorted to the tail).
    */
+  /** The core search `rescore` (Lucene QueryRescorer, distinct from the
+   *  rerank processors): only the top `windowSize` primary hits are
+   *  re-scored by the secondary query, combined per `scoreMode` with
+   *  query_weight / rescore_query_weight; a window doc the secondary does
+   *  NOT match keeps `queryWeight * primary` (Lucene's combine(first,
+   *  false, _)); hits beyond the window keep their original score AND
+   *  their original order below the re-sorted window. Everything operates
+   *  on the bounded hits window (<= the caller's depth) — the corpus is
+   *  never touched; the secondary side joins only window-sized ids.
+   *
+   *  @param hits      (doc_id, score) — primary ranking, bounded
+   *  @param secondary (doc_id, score) — the rescore query's scores
+   *  @return (doc_id, score) — final ranking, top `k` */
+  def queryRescore(hits: DataFrame, secondary: DataFrame, windowSize: Int,
+                   k: Int, queryWeight: Double = 1.0,
+                   rescoreQueryWeight: Double = 1.0,
+                   scoreMode: String = "total"): DataFrame = {
+    require(windowSize > 0, s"window_size must be > 0, got $windowSize")
+    require(k > 0, s"k must be > 0, got $k")
+    val Modes = Set("total", "multiply", "avg", "max", "min")
+    require(Modes.contains(scoreMode),
+      s"score_mode must be one of ${Modes.mkString("/")}, got [$scoreMode]")
+    val ranked = hits
+      .withColumn("_rr_rank", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id").asc)))
+    val win = ranked.where(col("_rr_rank") <= windowSize)
+    val sec = secondary.select(col("doc_id"), col("score").as("_rr_sec"))
+    val p = col("score") * queryWeight
+    val s = col("_rr_sec") * rescoreQueryWeight
+    val combined = scoreMode match {
+      case "total"    => p + s
+      case "multiply" => p * s
+      case "avg"      => (p + s) / 2
+      case "max"      => greatest(p, s)
+      case "min"      => least(p, s)
+    }
+    val rescored = win.join(broadcast(sec), Seq("doc_id"), "left")
+      .withColumn("_rr_comb", when(col("_rr_sec").isNotNull, combined).otherwise(p))
+      // the window re-sorts among itself; sort bucket 0 keeps it above the
+      // untouched tail whatever the combined values are
+      .select(col("doc_id"), col("_rr_comb").as("score"), lit(0).as("_rr_grp"),
+        col("_rr_comb").as("_rr_key"), col("doc_id").as("_rr_tie"))
+    val tail = ranked.where(col("_rr_rank") > windowSize)
+      .select(col("doc_id"), col("score"), lit(1).as("_rr_grp"),
+        (-col("_rr_rank")).cast("double").as("_rr_key"),
+        col("doc_id").as("_rr_tie"))
+    rescored.unionByName(tail)
+      .orderBy(col("_rr_grp").asc, col("_rr_key").desc, col("_rr_tie").asc)
+      .limit(k)
+      .select(col("doc_id"), col("score"))
+  }
+
   def rescore(hits: DataFrame, newScores: DataFrame, k: Int): DataFrame = {
     EventStats.increment("rerank_ml_executions")
     val prev = hits.select(col("doc_id"), col("score").as("previous_score"))

@@ -69,4 +69,36 @@ class GeoSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Geo.geoDistance(pts, "id", "lat", "lon", 0.0, 0.0, -1.0, 5))
   }
+
+  test("bounding box filters exactly and validates orientation") {
+    val in = Geo.boundingBox(pts, "lat", "lon", 30.0, -60.0, -30.0, 60.0)
+      .collect()
+    assert(in.nonEmpty)
+    assert(in.forall { r =>
+      val (la, lo) = (r.getDouble(1), r.getDouble(2))
+      la <= 30.0 && la >= -30.0 && lo >= -60.0 && lo <= 60.0
+    })
+    intercept[IllegalArgumentException](
+      Geo.boundingBox(pts, "lat", "lon", -10.0, 0.0, 10.0, 20.0))
+    intercept[IllegalArgumentException](
+      Geo.boundingBox(pts, "lat", "lon", 10.0, 20.0, -10.0, 0.0))
+  }
+
+  test("geotile grid: known tiles at zoom 1, Mercator-range drop, counts partition") {
+    import spark.implicits._
+    // zoom 1: 2x2 tiles — (west, north)=(0,0), (east, north)=(1,0), etc.
+    val known = Seq(
+      (1L, 40.0, -90.0), (2L, 40.0, 90.0), (3L, -40.0, -90.0), (4L, -40.0, 90.0),
+      (5L, 89.0, 0.0) // beyond the Mercator bound -> dropped
+    ).toDF("id", "lat", "lon")
+    val tiles = Geo.geotileGrid(known, "lat", "lon", 1).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(tiles == Map("1/0/0" -> 1L, "1/1/0" -> 1L, "1/0/1" -> 1L, "1/1/1" -> 1L))
+    // grid points inside Mercator range partition across tiles
+    val inRange = pts.where(abs($"lat") <= Geo.MercatorMaxLat)
+    val total = Geo.geotileGrid(pts, "lat", "lon", 3).collect()
+      .map(_.getLong(1)).sum
+    assert(total == inRange.count())
+    intercept[IllegalArgumentException](Geo.geotileGrid(pts, "lat", "lon", 30))
+  }
 }

@@ -786,4 +786,34 @@ class OpsSpec extends SparkSpec {
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(graft.ops.Dedup.connectedComponents(empty, "id_a", "id_b").count() == 0L)
   }
+
+  test("queryRescore: window combine per mode, unmatched keep qw*primary, tail order kept") {
+    // primary ranking: docs 1..5 at 10, 8, 6, 4, 2
+    val hits = Seq((1L, 10.0), (2L, 8.0), (3L, 6.0), (4L, 4.0), (5L, 2.0))
+      .toDF("doc_id", "score")
+    // secondary matches docs 2 (5.0) and 3 (20.0); window = top 3
+    val sec = Seq((2L, 5.0), (3L, 20.0)).toDF("doc_id", "score")
+    def run(mode: String, qw: Double = 1.0, rqw: Double = 2.0) =
+      graft.ops.Rerank.queryRescore(hits, sec, windowSize = 3, k = 5, qw, rqw, mode)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // total: d1=10 (unmatched), d2=8+10=18, d3=6+40=46 -> window order 3,2,1;
+    // tail 4,5 keeps original order and scores below the window
+    assert(run("total") == Seq((3L, 46.0), (2L, 18.0), (1L, 10.0), (4L, 4.0), (5L, 2.0)))
+    // multiply: d2=8*10=80, d3=6*40=240, d1 unmatched stays 10
+    assert(run("multiply") == Seq((3L, 240.0), (2L, 80.0), (1L, 10.0), (4L, 4.0), (5L, 2.0)))
+    // max with rqw=1: d3=max(6,20)=20, d2=max(8,5)=8, d1=10
+    assert(run("max", rqw = 1.0) == Seq((3L, 20.0), (1L, 10.0), (2L, 8.0), (4L, 4.0), (5L, 2.0)))
+    // min with rqw=1: d3=min(6,20)=6, d2=min(8,5)=5, d1=10
+    assert(run("min", rqw = 1.0) == Seq((1L, 10.0), (3L, 6.0), (2L, 5.0), (4L, 4.0), (5L, 2.0)))
+    // avg with rqw=1: d2=(8+5)/2=6.5, d3=(6+20)/2=13
+    assert(run("avg", rqw = 1.0) == Seq((3L, 13.0), (1L, 10.0), (2L, 6.5), (4L, 4.0), (5L, 2.0)))
+    // the tail never outranks the window even when its raw score is higher
+    val lowWin = graft.ops.Rerank.queryRescore(hits,
+        Seq((1L, -100.0)).toDF("doc_id", "score"), 1, 5, 1.0, 1.0, "total")
+      .collect().map(_.getLong(0)).toSeq
+    assert(lowWin == Seq(1L, 2L, 3L, 4L, 5L)) // d1 stays first: window group
+    intercept[IllegalArgumentException](run("bogus"))
+    intercept[IllegalArgumentException](
+      graft.ops.Rerank.queryRescore(hits, sec, 0, 5))
+  }
 }
