@@ -137,6 +137,20 @@ object AggEntries {
     // scan + one join keyed on the parent id + one aggregation; the child
     // match is codegen'd column algebra so only matching children reach the
     // join, mirroring ParentChild.hasChild's shape.
+    // nested + reverse_nested aggregation pair: a terms agg over the
+    // NESTED chunk level (per-chunk distinct term presence) with the
+    // reverse_nested parent metric (how many root docs) beside it — both
+    // counts come out of ONE aggregation over one exploded pass
+    "agg_nested_reverse" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      Chunkers.fixedTokenLength(docs, "doc_id", "text", 12)
+        .select(col("doc_id"),
+          explode(array_distinct(TextOps.tokensCol(col("chunk")))).as("term"))
+        .groupBy(col("term"))
+        .agg(count(lit(1)).as("n_chunks"), countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy(col("n_chunks").desc, col("term").asc)
+        .limit(10)
+    }),
     "agg_children" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
       val matched = Chunkers.fixedTokenLength(docs, "doc_id", "text", 12)
@@ -308,6 +322,18 @@ object AggEntries {
         |            ELSE '2024-01-20-*' END AS bucket,
         |       count(*) AS n_events, round(avg(value), 4) AS avg_value
         |FROM events GROUP BY 1""".stripMargin,
+    "agg_nested_reverse" ->
+      """WITH ch AS (
+        |  SELECT doc_id,
+        |         toks[CAST(i*12 + 1 AS INT):CAST(i*12 + 12 AS INT)] AS ctoks
+        |  FROM (SELECT doc_id, toks,
+        |          unnest(generate_series(0, CAST(floor((len(toks)-1)/12) AS BIGINT))) AS i
+        |        FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |              FROM documents))),
+        |t AS (SELECT doc_id, unnest(list_distinct(ctoks)) AS term FROM ch)
+        |SELECT term, count(*) AS n_chunks, count(DISTINCT doc_id) AS n_docs
+        |FROM t GROUP BY 1
+        |ORDER BY n_chunks DESC, term ASC LIMIT 10""".stripMargin,
     "agg_children" ->
       """WITH ch AS (
         |  SELECT doc_id,

@@ -271,6 +271,23 @@ object HybridEntries {
         s.read.parquet(s"$dir/documents.parquet"))
         .select(col("doc_id"), round(col("score"), 4).as("score"))
     }),
+    // search_template: mustache-subset {{param}} substitution rendering
+    // into a bool request (string, banned-term, and numeric size params),
+    // then the ordinary parse/execute path — template rendering is pure
+    // driver-side string work, the plan is identical to the inline form
+    "dsl_search_template" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      val tpl =
+        """{ "query": { "bool": {
+          |    "must":     [ { "match": { "text": "{{qtext}}" } } ],
+          |    "must_not": [ { "term": { "text": "{{banned}}" } } ] } },
+          |  "size": {{size}} }""".stripMargin
+      val json = graft.query.QueryDsl.renderTemplate(tpl,
+        Map("qtext" -> "join hash", "banned" -> "dup", "size" -> 10))
+      graft.query.QueryDsl.execute(HybridSources(idx), json,
+        s.read.parquet(s"$dir/documents.parquet"))
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+    }),
     // match with operator=and through the DSL: all analyzed terms required
     "dsl_match_and" -> ((s, dir) => {
       val idx = IndexCache.documents(s, dir)
@@ -2681,6 +2698,9 @@ object HybridEntries {
       "dsl_terms_lookup" ->
         boolOracle(tokCte, must = Seq(TermsLookupQ(7L, "text")),
           should = Seq(Lexical(B)), mustNot = Nil, msm = 0),
+      "dsl_search_template" ->
+        boolOracle(tokCte, must = Seq(Lexical(A)), should = Nil,
+          mustNot = Seq(Lexical(Seq("dup"))), msm = 0),
       "dsl_match_and" ->
         boolOracle(tokCte, must = Seq(LexicalMsm(Seq("join", "hash", "merge"), 3)),
           should = Nil, mustNot = Nil, msm = 0),

@@ -1006,6 +1006,24 @@ object QueryDsl {
       Some(sliced.select("doc_id"))
     }
 
+  /** `search_template` rendering — the mustache-subset substitution every
+   *  template request uses: `{{name}}` placeholders replaced by the
+   *  param's JSON-escaped string form (numbers/booleans verbatim, so a
+   *  placeholder can sit in a value position like `"size": {{size}}`).
+   *  Unresolved placeholders are rejected: a template with a missing param
+   *  must fail loudly, not search for the literal braces. */
+  def renderTemplate(source: String, params: Map[String, Any]): String = {
+    val out = params.foldLeft(source) { case (acc, (k, v)) =>
+      acc.replace(s"{{$k}}", v match {
+        case s: String => s.replace("\\", "\\\\").replace("\"", "\\\"")
+        case other     => String.valueOf(other)
+      })
+    }
+    val leftover = "\\{\\{[^}]*\\}\\}".r.findFirstIn(out)
+    require(leftover.isEmpty, s"unresolved template parameter: ${leftover.get}")
+    out
+  }
+
   /** Parse + execute against hybrid sources; `docs` supplies filter and
    *  collapse fields. */
   def execute(src: HybridSources, json: String, docs: => DataFrame): DataFrame = {

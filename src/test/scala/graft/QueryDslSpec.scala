@@ -883,6 +883,18 @@ class QueryDslSpec extends SparkSpec {
       """{"query":{"bool":{"must":[{"terms":{"text":{"id":"x","path":"text"}}}]}}}"""))
   }
 
+  test("search_template rendering: substitution, escaping, unresolved rejection") {
+    val tpl = """{"query":{"match":{"text":"{{q}}"}},"size":{{k}}}"""
+    assert(QueryDsl.renderTemplate(tpl, Map("q" -> "a b", "k" -> 7)) ==
+      """{"query":{"match":{"text":"a b"}},"size":7}""")
+    // string params are JSON-escaped so a quote cannot break the template
+    assert(QueryDsl.renderTemplate("""{"x":"{{v}}"}""", Map("v" -> "a\"b\\c")) ==
+      """{"x":"a\"b\\c"}""")
+    // a missing param leaves its placeholder -> reject, never search braces
+    intercept[IllegalArgumentException](
+      QueryDsl.renderTemplate(tpl, Map("q" -> "a")))
+  }
+
   test("malformed requests are rejected") {
     intercept[IllegalArgumentException](QueryDsl.parse("""{"query":{}}"""))
     intercept[IllegalArgumentException](
