@@ -204,6 +204,37 @@ object AggEntries {
         .agg(count(lit(1)).as("n_events"), round(avg(col("value")), 4).as("avg_value"))
         .orderBy(col("avg_value").desc, col("event_type").asc)
         .limit(3)),
+    // _analyze API: text in, analyzed tokens with positions out — the
+    // debugging endpoint every mapping author hits; exercised for both
+    // registered analyzers (simple + code) in one result
+    "analyze_api" -> ((s, dir) => {
+      import s.implicits._
+      val texts = Seq(
+        ("simple", "Merge Sort  window"),
+        ("code", "parseQueryPlan snake_case x9"))
+      texts.flatMap { case (an, text) =>
+        graft.analysis.Analyzer.analyze(an)(text).zipWithIndex
+          .map { case (tok, pos) => (an, tok, pos.toLong) }
+      }.toDF("analyzer", "token", "position")
+    }),
+    // _mget: fetch N stored docs by id in one request — the id set prunes
+    // to a handful of buckets before any payload is read, so the cost is
+    // id-proportional however large the corpus
+    "mget" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .where(col("doc_id").isin(3L, 7L, 11L, 400L))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))),
+    // _count API: the matched-set cardinality WITHOUT fetch/rank — the
+    // plan is the bool matched set straight into one aggregate, no top-k,
+    // no payload join
+    "count_api" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      graft.query.BoolQuery.score(graft.hybrid.HybridSources(idx),
+          graft.hybrid.BoolSub(
+            must = Seq(graft.hybrid.Lexical(Seq("join", "hash"))),
+            mustNot = Seq(graft.hybrid.Lexical(Seq("dup")))))
+        .agg(count(lit(1)).as("n_matched"))
+    }),
     // parent_id query: the children of ONE named parent — a constant
     // equality predicate the scan pushes down; constant score 1.0.
     "join_parent_id" -> ((s, dir) => {
@@ -361,6 +392,32 @@ object AggEntries {
          |       round(min(dist), 3) AS min_km,
          |       round(max(dist), 3) AS max_km
          |FROM gd GROUP BY 1""".stripMargin,
+    // fixed-input golden (hand-derived from the documented analyzer rules —
+    // camelCase + digit-boundary subtokens after the full lowercased token)
+    "analyze_api" ->
+      """SELECT * FROM (VALUES
+        |  ('simple', 'merge',  CAST(0 AS BIGINT)),
+        |  ('simple', 'sort',   CAST(1 AS BIGINT)),
+        |  ('simple', 'window', CAST(2 AS BIGINT)),
+        |  ('code', 'parsequeryplan', CAST(0 AS BIGINT)),
+        |  ('code', 'parse',  CAST(1 AS BIGINT)),
+        |  ('code', 'query',  CAST(2 AS BIGINT)),
+        |  ('code', 'plan',   CAST(3 AS BIGINT)),
+        |  ('code', 'snake',  CAST(4 AS BIGINT)),
+        |  ('code', 'case',   CAST(5 AS BIGINT)),
+        |  ('code', 'x9',     CAST(6 AS BIGINT)),
+        |  ('code', 'x',      CAST(7 AS BIGINT)),
+        |  ('code', '9',      CAST(8 AS BIGINT))
+        |) t(analyzer, token, position)""".stripMargin,
+    "mget" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE doc_id IN (3, 7, 11, 400)""".stripMargin,
+    "count_api" ->
+      s"""WITH $tokCte,
+         |m AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ('join', 'hash')),
+         |x AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'dup')
+         |SELECT count(*) AS n_matched FROM m
+         |WHERE doc_id NOT IN (SELECT doc_id FROM x)""".stripMargin,
     "join_parent_id" ->
       """WITH ch AS (
         |  SELECT doc_id AS parent_id, i AS chunk_idx
