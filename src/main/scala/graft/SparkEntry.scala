@@ -205,7 +205,22 @@ object SparkEntry {
     "bm25_msearch" -> ((s, dir) =>
       graft.query.Search.msearch(IndexCache.documents(s, dir), MsearchRequests, 10)
         .select(col("query_id"), col("rank"), col("doc_id"),
-          round(col("score"), 4).as("score")))
+          round(col("score"), 4).as("score"))),
+    // Lucene SynonymQuery: the synonym set scores as ONE pseudo-term —
+    // tf summed across members BEFORE saturation, df = max member df
+    "bm25_synonym" -> ((s, dir) =>
+      Bm25.synonymTopK(IndexCache.documents(s, dir), Seq("fast", "slow"), 10)
+        .select(col("doc_id"), round(col("score"), 4).as("score"))),
+    // _reindex: a query-matched subset rebuilt as a NEW index (one filtered
+    // scan + the standard single-pass build); checked via the new index's
+    // own term statistics
+    "reindex_filtered" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .where(col("lang") === "en")
+      graft.index.InvertedIndex.build(docs, "doc_id", "text")
+        .termStats.filter(col("term").isin("join", "hash", "merge"))
+        .select(col("term"), col("df"), col("ttf"))
+    })
   ) ++ HybridEntries.queries ++ PipelineEntries.queries ++ DataEntries.queries ++ CorpusEntries.queries ++ AggEntries.queries
 
   def oracleSql: Map[String, String] = Map(
@@ -262,6 +277,25 @@ object SparkEntry {
     "bm25_phrase3" -> phraseOracleSql(Seq("slow", "hash", "batch"), 10),
     "bm25_wand_top10"   -> bm25OracleSql("'spark', 'stream', 'filter'", 10),
     "bm25_wand_top100"  -> bm25OracleSql("'table', 'scan'", 100),
-    "bm25_msearch"      -> msearchOracleSql(MsearchRequests, 10)
+    "bm25_msearch"      -> msearchOracleSql(MsearchRequests, 10),
+    "bm25_synonym" ->
+      s"""WITH $TOK_CTE,
+         |syn AS (SELECT doc_id, sum(tf) AS stf FROM tf
+         |        WHERE term IN ('fast', 'slow') GROUP BY doc_id),
+         |mdf AS (SELECT max(df) AS df FROM df WHERE term IN ('fast', 'slow'))
+         |SELECT doc_id, round(s, 4) AS score FROM (
+         |  SELECT syn.doc_id,
+         |         ln(1 + (stats.n - mdf.df + 0.5)/(mdf.df + 0.5))
+         |           * (syn.stf / (syn.stf + 1.2*(1 - 0.75 + 0.75*dl.dl/stats.avgdl))) AS s
+         |  FROM syn JOIN dl USING (doc_id) CROSS JOIN mdf CROSS JOIN stats)
+         |ORDER BY s DESC, doc_id LIMIT 10""".stripMargin,
+    "reindex_filtered" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |             FROM documents WHERE lang = 'en'),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok WHERE term <> ''
+        |       GROUP BY doc_id, term)
+        |SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS ttf
+        |FROM tf WHERE term IN ('join', 'hash', 'merge')
+        |GROUP BY term""".stripMargin
   ) ++ HybridEntries.oracles(TOK_CTE) ++ PipelineEntries.oracles(TOK_CTE) ++ DataEntries.oracles(TOK_CTE) ++ CorpusEntries.oracles(TOK_CTE) ++ AggEntries.oracles(TOK_CTE)
 }

@@ -248,6 +248,67 @@ object Bm25 {
       .limit(k)
   }
 
+  /** Lucene SynonymQuery scoring — what a `match` compiles to when the
+   *  analysis chain emits synonyms at one position: the synonym set scores
+   *  as ONE pseudo-term, tf = the SUM of member-term frequencies per doc
+   *  (summed BEFORE the tf saturation — the whole point: two synonyms
+   *  occurring once each must score like one term occurring twice, not like
+   *  two independent terms), df = the MAX member df (Lucene's blended
+   *  docFreq upper bound). Same bucket-cogroup kernel and dl/liveness gates
+   *  as every scorer here. */
+  def synonymTopK(idx: Index, synonyms: Seq[String], k: Int): DataFrame = {
+    require(synonyms.nonEmpty, "synonym set must be non-empty")
+    require(k > 0, s"k must be > 0, got $k")
+    val spark = idx.postings.sparkSession
+    import spark.implicits._
+    val avgdl = idx.stats.avgdl
+    val dfs = termDfs(idx, synonyms)
+    if (dfs.isEmpty)
+      return spark.emptyDataset[(Long, Double)].toDF("doc_id", "score")
+    val w = idf(dfs.values.max, idx.stats.doc_count)
+    val matched = idx.postings.filter($"term".isin(dfs.keys.toSeq: _*))
+    val docLens = idx.docLens
+      .join(matched.select($"bucket").distinct().hint("broadcast"), "bucket")
+      .as[DocLenBlock]
+    val span = InvertedIndex.BucketSpan
+    matched.groupByKey(_.bucket)
+      .cogroup(docLens.groupByKey(_.bucket)) { (bucket, blocksIt, dlIt) =>
+        val blocks = blocksIt.toArray.sortBy(b => (b.term, b.bucket))
+        if (blocks.isEmpty) Iterator.empty
+        else {
+          val dlArr = new Array[Int](span)
+          dlIt.foreach { dlb =>
+            val ids = PostingCodec.decodeDeltas(dlb.ids, dlb.cnt)
+            val dls = PostingCodec.decodeInts(dlb.dls, dlb.cnt)
+            var i = 0
+            while (i < dlb.cnt) { dlArr(ids(i)) = dls(i); i += 1 }
+          }
+          val tfSum = new Array[Int](span)
+          var i = 0
+          while (i < blocks.length) {
+            val b = blocks(i)
+            val ids = PostingCodec.decodeDeltas(b.docs, b.cnt)
+            val tfs = PostingCodec.decodeInts(b.tfs, b.cnt)
+            var j = 0
+            while (j < b.cnt) { tfSum(ids(j)) += tfs(j); j += 1 }
+            i += 1
+          }
+          val base = bucket << InvertedIndex.BucketBits
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+          var d = 0
+          while (d < span) {
+            if (tfSum(d) > 0 && dlArr(d) > 0)
+              out += ((base + d, w * tfNorm(tfSum(d), dlArr(d), avgdl)))
+            d += 1
+          }
+          out.iterator
+        }
+      }
+      .toDF("doc_id", "score")
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /**
    * Cost-based scorer choice from one tiny aggregate over the (persisted)
    * term-stats table: the fused WAND's upper-bound bookkeeping and the

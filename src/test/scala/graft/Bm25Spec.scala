@@ -86,6 +86,30 @@ class Bm25Spec extends SparkSpec {
     assert(math.abs(m(1L) - s(1, 2, 3)) < Eps)
   }
 
+  test("synonymTopK: tf sums BEFORE saturation, df blends to the max") {
+    // d0 has a twice, d1 has a once and b once, d2 has b once
+    val idx4 = InvertedIndex.build(
+      Seq((0L, "a a x"), (1L, "a b x"), (2L, "b x x")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    val got = Bm25.synonymTopK(idx4, Seq("a", "b"), 10).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val avgdl = 3.0
+    val w = Bm25.idf(2L, 3L) // max(df_a=2, df_b=2)
+    // d1: synonyms a+b occur once each -> MUST score like tf=2, same as d0
+    assert(math.abs(got(0L) - w * Bm25.tfNorm(2, 3, avgdl)) < Eps)
+    assert(got(0L) == got(1L), "one occurrence of each synonym == one term twice")
+    assert(math.abs(got(2L) - w * Bm25.tfNorm(1, 3, avgdl)) < Eps)
+    // and it is NOT the two-independent-terms score (scoreTerms would give
+    // d1 two idf*tfNorm(1) contributions > one tfNorm(2))
+    val indep = Bm25.topK(idx4, Seq("a", "b"), 10).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(indep(1L) > got(1L))
+    // unknown synonym set -> empty; validation
+    assert(Bm25.synonymTopK(idx4, Seq("zz"), 10).count() == 0)
+    intercept[IllegalArgumentException](Bm25.synonymTopK(idx4, Nil, 10))
+    intercept[IllegalArgumentException](Bm25.synonymTopK(idx4, Seq("a"), 0))
+  }
+
   test("msearch == the single-request scorer, request by request, bit-exact") {
     val docs = (0L until 40L).map { i =>
       val words = Seq("a", "b", "c", "d", "e").filter(w => (i + w.head) % 3 != 0)
