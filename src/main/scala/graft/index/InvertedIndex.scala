@@ -337,43 +337,46 @@ object InvertedIndex {
       System.err.println(f"[graft-build] $name ${(System.nanoTime() - t0) / 1e9}%.2fs")
       r
     }
-    // one analyze pass + one fragment shuffle feeds EVERY table; the blocks
-    // are persisted only while the four derived writes run, so nothing
-    // re-reads the corpus or the freshly-written parquet
-    val blocks = mergedBlocksOf(docs, idCol, textCol, analyzer)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    phase("materialize")(blocks.count())
-    // the four output tables are independent functions of the cached blocks:
-    // commit them as concurrent jobs so the write tail is max(), not sum()
-    // (Spark schedules concurrent jobs from separate submitter threads).
-    // Postings and doclens commit as ONE kind-partitioned write of the
-    // unified block table: the payload columns are the bulk of the cache,
-    // and scanning them twice (separate postings + doclens writes) was the
-    // commit tail's dominant cost — the tail that bounds 2->8 scaling,
-    // since the write's fixed I/O does not shrink with cores. Rows are
-    // pre-sorted (kind, term, bucket) inside each task so the dynamic
-    // partitioning needs no extra sort and term row-group stats stay tight
-    // for the read-side seek. termstats/stats prune to metadata/doclens
-    // columns on the columnar cache (no payload reads).
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    // ONE job does tokenize + fragment shuffle + the kind-partitioned block
+    // write — no persist and no separate materialize pass. The earlier
+    // cache-then-derive design paid the whole pipeline twice (once into the
+    // cache, once out of it) and its typed filter/map stats derivations
+    // deserialized full payload bytes from the cache, defeating column
+    // pruning. Every derived table (termstats, corpus stats) is a function
+    // of the METADATA columns alone — kind=0: (term, cnt, sum_tf) aggregate
+    // to df/ttf; kind=1: sum(cnt)/sum(sum_tf) ARE doc_count/sum_dl, because
+    // a doc-length fragment's sum over payload values is kept as sum_tf at
+    // encode time — so the read-back prunes to slim columns and never
+    // touches the payload bytes. Rows are pre-sorted (kind, term, bucket)
+    // inside each task so the dynamic partitioning needs no extra sort and
+    // term row-group stats stay tight for the read-side seek.
+    phase("blocks")(mergedBlocksOf(docs, idCol, textCol, analyzer)
+      .sortWithinPartitions("kind", "term", "bucket")
+      .write.mode("overwrite").partitionBy("kind").parquet(s"$dir/blocks"))
+    val meta = spark.read.parquet(s"$dir/blocks")
+      .select($"kind", $"term", $"cnt", $"sum_tf")
+    // the two stats tables are independent metadata-scale jobs: commit them
+    // concurrently so the post-write tail is max(), not sum()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
     import scala.concurrent.{Await, Future}
-    val fBlocks = Future(phase("blocks")(blocks
-      .sortWithinPartitions("kind", "term", "bucket")
-      .write.mode("overwrite").partitionBy("kind").parquet(s"$dir/blocks")))
-    val fTs = Future(phase("termstats")(termStatsOf(postingsFromBlocks(blocks))
+    val fTs = Future(phase("termstats")(meta.filter($"kind" === 0)
+      .groupBy($"term").agg(sum($"cnt").as("df"), sum($"sum_tf").as("ttf"))
+      .as[TermStat]
       .write.mode("overwrite").parquet(s"$dir/termstats")))
-    val fStats = Future {
-      val st = phase("stats")(statsOf(docLensFromBlocks(blocks)))
+    val fStats = Future(phase("stats") {
+      val row = meta.filter($"kind" === 1).agg(sum($"cnt"), sum($"sum_tf"))
+        .as[(Option[Long], Option[Long])].head()
+      val (n, sd) = (row._1.getOrElse(0L), row._2.getOrElse(0L))
+      val st = CorpusStats(n, sd, if (n == 0) 0.0 else sd.toDouble / n)
       Seq(st).toDS().write.mode("overwrite").parquet(s"$dir/stats")
       st
-    }
+    })
     val stats = try {
-      Await.result(Future.sequence(Seq(fBlocks, fTs)), scala.concurrent.duration.Duration.Inf)
+      Await.result(fTs, scala.concurrent.duration.Duration.Inf)
       Await.result(fStats, scala.concurrent.duration.Duration.Inf)
     } finally pool.shutdown()
-    blocks.unpersist()
     Index(
       postingsFromDir(spark, dir),
       docLensFromDir(spark, dir),
