@@ -861,13 +861,31 @@ object HybridEntries {
         s.read.parquet(s"$dir/documents.parquet"))
         .select(col("doc_id"), round(col("score"), 4).as("score"))
     }),
-    // fuzzy: edit-distance term expansion ("joim" ~1 -> join), constant score
+    // fuzzy: edit-distance term expansion ("joim" ~1 -> join), constant
+    // score — explicit transpositions:false exercises the classic
+    // Levenshtein automaton form
     "dsl_fuzzy" -> ((s, dir) => {
       val idx = IndexCache.documents(s, dir)
       val json =
         """{ "query": { "bool": {
-          |    "must":   [ { "fuzzy": { "text": { "value": "joim", "fuzziness": 1 } } } ],
+          |    "must":   [ { "fuzzy": { "text": { "value": "joim", "fuzziness": 1,
+          |                                       "transpositions": false } } } ],
           |    "should": [ { "match": { "text": "hash" } } ] } },
+          |  "size": 10 }""".stripMargin
+      graft.query.QueryDsl.execute(HybridSources(idx), json,
+        s.read.parquet(s"$dir/documents.parquet"))
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+    }),
+    // fuzzy with Lucene's DEFAULT transpositions=true: Damerau counts the
+    // adjacent swap as ONE edit, so "ahsh"~1 expands to "hash" — an
+    // expansion classic Levenshtein (distance 2) cannot reach (reference:
+    // FuzzyQuery's transpositions default; divergence closed this round)
+    "dsl_fuzzy_osa" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      val json =
+        """{ "query": { "bool": {
+          |    "must":   [ { "fuzzy": { "text": { "value": "ahsh", "fuzziness": 1 } } } ],
+          |    "should": [ { "match": { "text": "join" } } ] } },
           |  "size": 10 }""".stripMargin
       graft.query.QueryDsl.execute(HybridSources(idx), json,
         s.read.parquet(s"$dir/documents.parquet"))
@@ -996,6 +1014,26 @@ object HybridEntries {
         """{ "query": { "hybrid": {
           |    "queries": [ { "match": { "text": "join hash" } },
           |                 { "match_phrase": { "text": { "query": "table hash", "slop": 0 } } } ],
+          |    "pagination_depth": 50 } },
+          |  "size": 10,
+          |  "search_pipeline": {
+          |    "normalization": { "technique": "min_max" },
+          |    "combination":   { "technique": "arithmetic_mean" } } }""".stripMargin
+      val src = HybridSources(idx, positions = Some(IndexCache.positions(s, dir)))
+      graft.query.QueryDsl.execute(src, json, s.read.parquet(s"$dir/documents.parquet"))
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+    }),
+    // DSL match_phrase with slop > 0 — Lucene SloppyPhraseMatcher: shifted
+    // positions, greedy minimal windows, fractional freq of 1/(1+len) slop
+    // factors (reference: any match_phrase a hybrid sub-query carries,
+    // query/HybridQueryBuilder.java:368-377; OpenSearch match_phrase
+    // accepts slop by default)
+    "dsl_phrase_slop" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      val json =
+        """{ "query": { "hybrid": {
+          |    "queries": [ { "match": { "text": "join hash" } },
+          |                 { "match_phrase": { "text": { "query": "table scan", "slop": 2 } } } ],
           |    "pagination_depth": 50 } },
           |  "size": 10,
           |  "search_pipeline": {
@@ -1701,14 +1739,18 @@ object HybridEntries {
     case ConstantScore(inner, boost) =>
       s"""${scoreCte(s"${i}w", inner, filterPred)},
          |sq$i AS (SELECT doc_id, $boost AS s FROM sq${i}w)""".stripMargin
-    case Fuzzy(t, f, boost) =>
-      // DuckDB's levenshtein is the same classic distance as Spark's
+    case Fuzzy(t, f, boost, transpositions) =>
+      // DuckDB re-derives the same distance: classic levenshtein, or the
+      // unrestricted Damerau-Levenshtein (transposition = one edit) that
+      // graft.functions.StringMath.damerau computes — DuckDB's
+      // damerau_levenshtein is the same Lowrance-Wagner variant
+      val fn = if (transpositions) "damerau_levenshtein" else "levenshtein"
       val flt = filterPred.map(x => s" AND ${x}").getOrElse("")
       s"""sq$i AS (
          |  SELECT doc_id, $boost AS s
          |  FROM (SELECT DISTINCT doc_id FROM tf
          |        WHERE abs(length(term) - ${t.length}) <= $f
-         |          AND levenshtein(term, '$t') <= $f$flt))""".stripMargin
+         |          AND $fn(term, '$t') <= $f$flt))""".stripMargin
     case DisMax(clauses, tb) =>
       val ctes = clauses.zipWithIndex
         .map { case (c, j) => scoreCte(s"${i}c$j", c, filterPred) }.mkString(",\n")
@@ -2177,7 +2219,67 @@ object HybridEntries {
          |               $pivots
          |        FROM ($unions) u${i}
          |        GROUP BY doc_id) p$i)""".stripMargin
-    case LexicalPhrase(ph) =>
+    case LexicalPhrase(ph, slop) if slop > 0 =>
+      // sloppy phrase BM25, independently re-derived via the 2-term closed
+      // form of Lucene's SloppyPhraseMatcher: shift slot 1's positions by
+      // -1, then walk the STATIONARY CHAIN — v0 = the larger of the two
+      // heads (tie owned by slot 1: PhraseQueue pops the smaller offset
+      // first, leaving the other on top); each chain value v owned by one
+      // slot emits one match of length v - pred(v) against the other
+      // slot's largest position <= v, then jumps to the other slot's first
+      // position STRICTLY greater than v (ties skip — the matcher only
+      // finishes minimizing when the advancing position exceeds `next`).
+      // freq sums slop factors 1/(1+len) in chain order via an ordered
+      // list so fp association matches the matcher exactly (PhraseSpec
+      // proves the reduction by brute force against Phrase.sloppyFreq).
+      require(ph.size == 2,
+        "the sloppy-phrase oracle closed form holds for 2-term phrases only")
+      require(filterPred.isEmpty, "sloppy-phrase oracle does not take a filter")
+      val idfTerms = ph.map(t =>
+        s"(SELECT ln(1 + (stats.n - df.df + 0.5)/(df.df + 0.5)) FROM df CROSS JOIN stats WHERE df.term = '$t')")
+        .mkString(" + ")
+      s"""sq$i AS (
+         |  SELECT fr.doc_id,
+         |         ($idfTerms)
+         |         * (fr.freq / (fr.freq + 1.2*(1 - 0.75 + 0.75*dl.dl/stats.avgdl))) AS s
+         |  FROM (
+         |    WITH RECURSIVE
+         |    tokp AS (
+         |      SELECT doc_id, unnest(l) AS term, unnest(range(len(l))) AS pos
+         |      FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+         |            FROM documents)),
+         |    mg AS (
+         |      SELECT doc_id, pos AS p, 0 AS slot FROM tokp WHERE term = '${ph(0)}'
+         |      UNION ALL
+         |      SELECT doc_id, pos - 1 AS p, 1 AS slot FROM tokp WHERE term = '${ph(1)}'),
+         |    hd AS (
+         |      SELECT doc_id,
+         |             min(CASE WHEN slot = 0 THEN p END) AS h0,
+         |             min(CASE WHEN slot = 1 THEN p END) AS h1
+         |      FROM mg GROUP BY doc_id),
+         |    ch AS (
+         |      SELECT doc_id, 1 AS step,
+         |             CASE WHEN h0 > h1 THEN h0 ELSE h1 END AS v,
+         |             CASE WHEN h0 > h1 THEN 0 ELSE 1 END AS owner
+         |      FROM hd WHERE h0 IS NOT NULL AND h1 IS NOT NULL
+         |      UNION ALL
+         |      SELECT c.doc_id, c.step + 1, x.p, 1 - c.owner
+         |      FROM ch c, LATERAL (
+         |        SELECT m.p FROM mg m
+         |        WHERE m.doc_id = c.doc_id AND m.slot <> c.owner AND m.p > c.v
+         |        ORDER BY m.p LIMIT 1) x),
+         |    em AS (
+         |      SELECT c.doc_id, c.step,
+         |             c.v - (SELECT max(m.p) FROM mg m
+         |                    WHERE m.doc_id = c.doc_id AND m.slot <> c.owner
+         |                      AND m.p <= c.v) AS gap
+         |      FROM ch c)
+         |    SELECT doc_id,
+         |           list_sum(list(CAST(1.0 AS DOUBLE)/(1 + gap) ORDER BY step)) AS freq
+         |    FROM em WHERE gap <= $slop GROUP BY doc_id
+         |  ) fr JOIN dl USING (doc_id) CROSS JOIN stats
+         |  WHERE fr.freq > 0)""".stripMargin
+    case LexicalPhrase(ph, _) =>
       // phrase BM25: positions over the filtered token list (zip-unnest),
       // consecutive-position join chain, idf summed per phrase slot
       val f = filterPred.map(p => s" AND t0.$p").getOrElse("")
@@ -2678,6 +2780,9 @@ object HybridEntries {
       "dsl_phrase" ->
         hybridOracle(tokCte, Seq(Lexical(A), LexicalPhrase(Seq("table", "hash"))),
           MinMaxNormTech(), Combination(Combine.Arithmetic)),
+      "dsl_phrase_slop" ->
+        hybridOracle(tokCte, Seq(Lexical(A), LexicalPhrase(Seq("table", "scan"), slop = 2)),
+          MinMaxNormTech(), Combination(Combine.Arithmetic)),
       "bool_must_should" ->
         boolOracle(tokCte, must = Seq(Lexical(A)), should = Seq(Lexical(B)),
           mustNot = Nil, msm = 0),
@@ -2766,8 +2871,11 @@ object HybridEntries {
           must = Seq(Boosting(Lexical(A), Lexical(Seq("dup")), 0.4)),
           should = Nil, mustNot = Nil, msm = 0),
       "dsl_fuzzy" ->
-        boolOracle(tokCte, must = Seq(Fuzzy("joim", 1)),
+        boolOracle(tokCte, must = Seq(Fuzzy("joim", 1, transpositions = false)),
           should = Seq(Lexical(Seq("hash"))), mustNot = Nil, msm = 0),
+      "dsl_fuzzy_osa" ->
+        boolOracle(tokCte, must = Seq(Fuzzy("ahsh", 1)),
+          should = Seq(Lexical(Seq("join"))), mustNot = Nil, msm = 0),
       "dsl_intervals" ->
         boolOracle(tokCte,
           must = Seq(SpanNearQ(Seq("hash", "join"), slop = 3, inOrder = true)),

@@ -70,10 +70,13 @@ sealed trait SubQuery
 /** Lexical BM25 clause — the `match`/`term` sub-query shape. */
 case class Lexical(terms: Seq[String], boosts: Map[String, Double] = Map.empty) extends SubQuery
 
-/** Exact-phrase clause — the `match_phrase` sub-query shape (slop 0): terms
- *  at consecutive analyzed positions, tf = phrase frequency, weight = sum of
- *  member-term idfs (Lucene PhraseQuery). Needs [[HybridSources.positions]]. */
-case class LexicalPhrase(phrase: Seq[String]) extends SubQuery
+/** Phrase clause — the `match_phrase` sub-query shape. Slop 0: terms at
+ *  consecutive analyzed positions, tf = phrase frequency (Lucene
+ *  PhraseQuery / ExactPhraseMatcher). Slop > 0: Lucene SloppyPhraseMatcher
+ *  — tf is the fractional sum of 1/(1+matchLength) slop factors over the
+ *  greedy minimal windows (distinct terms only). Either way the weight is
+ *  the sum of member-term idfs. Needs [[HybridSources.positions]]. */
+case class LexicalPhrase(phrase: Seq[String], slop: Int = 0) extends SubQuery
 
 /** Sparse token-weight clause — `neural_sparse`: linear dot product of the
  *  query token map against the encoded corpus
@@ -225,14 +228,15 @@ case class Boosting(positive: SubQuery, negative: SubQuery,
 
 /** `fuzzy` term query: constant-score over docs containing any indexed
  *  term within `fuzziness` edit distance of the query term — Lucene's
- *  FuzzyQuery with the multi-term constant-score treatment. Distance is
- *  classic Levenshtein (Spark and DuckDB agree exactly); Lucene's automaton
- *  additionally counts transpositions as one edit (Damerau-OSA) — a
- *  documented divergence on transposed-pair terms only. The term-dictionary
- *  scan is the relational analogue of the FST automaton intersection; a
- *  length/prefix prefilter is the scale refinement. */
-case class Fuzzy(term: String, fuzziness: Int = 1,
-                 boost: Double = 1.0) extends SubQuery
+ *  FuzzyQuery with the multi-term constant-score treatment. With
+ *  `transpositions = true` (Lucene's and OpenSearch's default) the distance
+ *  is Damerau-Levenshtein — an adjacent transposition is ONE edit, so
+ *  "hte"~1 reaches "the"; `false` falls back to classic Levenshtein
+ *  (FuzzyQuery's transpositions=false form). The term-dictionary scan is
+ *  the relational analogue of the FST automaton intersection; a
+ *  length prefilter skips the distance computation where it cannot pass. */
+case class Fuzzy(term: String, fuzziness: Int = 1, boost: Double = 1.0,
+                 transpositions: Boolean = true) extends SubQuery
 
 /** `ids` query: the named live documents at a constant boost — the direct
  *  primary-key fetch form. Bucket-prunes the forward table to only the ids'
@@ -533,10 +537,13 @@ object Hybrid {
   private[graft] def validateClauseSources(src: HybridSources,
                                            clauses: Seq[SubQuery]): Unit = {
     clauses.foreach {
-      case LexicalPhrase(ph) =>
+      case LexicalPhrase(ph, slop) =>
         require(src.positions.nonEmpty,
           "match_phrase sub-query requires HybridSources.positions (positional blocks)")
         require(ph.size >= 2, "a phrase needs at least 2 terms")
+        require(slop >= 0, s"[slop] must be >= 0, got $slop")
+        require(slop == 0 || ph.distinct.size == ph.size,
+          "match_phrase with slop > 0 requires distinct analyzed terms")
       case LexicalPhrasePrefix(fixed, prefix, maxExp) =>
         require(src.positions.nonEmpty,
           "match_phrase_prefix requires HybridSources.positions (positional blocks)")
@@ -641,7 +648,7 @@ object Hybrid {
         // it, so only negativity is rejected
         require(nb >= 0.0, s"negative_boost must be >= 0, got $nb")
         validateClauseSources(src, Seq(pos, neg))
-      case Fuzzy(t, f, boost) =>
+      case Fuzzy(t, f, boost, _) =>
         require(t.nonEmpty && t.matches("[a-z0-9]+"),
           s"fuzzy term must be non-empty [a-z0-9], got [$t]")
         require(f >= 0 && f <= 2,
@@ -935,14 +942,19 @@ object Hybrid {
         graft.query.Phrase.spanContainingMatch(src.idx, src.positions.get,
           big, slop, ord, little)
           .select($"doc_id", lit(boost).as("score"))
-      case Fuzzy(t, f, boost) =>
-        // term-dictionary scan with a codegen'd levenshtein predicate over
+      case Fuzzy(t, f, boost, transpositions) =>
+        // term-dictionary scan with a codegen'd edit-distance predicate over
         // the DISTINCT (term, bucket) rows — the relational analogue of the
         // FST automaton intersection; the abs-length prefilter skips the
-        // edit-distance computation for terms that cannot be within f
+        // edit-distance computation for terms that cannot be within f.
+        // transpositions=true (the Lucene default) uses the codegen'd
+        // Damerau-Levenshtein expression; false the classic builtin.
+        val dist =
+          if (transpositions)
+            graft.functions.StringFunctions.damerauDistance($"term", lit(t))
+          else levenshtein($"term", lit(t))
         Bm25.matchWhere(src.idx,
-          (abs(length($"term") - t.length) <= f) &&
-            levenshtein($"term", lit(t)) <= f)
+          (abs(length($"term") - t.length) <= f) && dist <= f)
           .select($"doc_id", lit(boost).as("score"))
       case ConstantScore(inner, boost) =>
         scoreClause(src, inner, boundPerBucket = 0)
@@ -1148,10 +1160,11 @@ object Hybrid {
             if (tb == 0.0) mx else mx + lit(tb) * (sum - mx)
         }
         agg.select($"doc_id", score.as("score"))
-      case LexicalPhrase(ph) =>
+      case LexicalPhrase(ph, slop) =>
         // positional verification happens inside the bucket scorer; the
         // result is the unbounded matched set, like any lexical clause
-        graft.query.Phrase.score(src.idx, src.positions.get, ph)
+        if (slop == 0) graft.query.Phrase.score(src.idx, src.positions.get, ph)
+        else graft.query.Phrase.sloppyScore(src.idx, src.positions.get, ph, slop)
       case LexicalPhrasePrefix(fixed, prefix, maxExp) =>
         graft.query.Phrase.phrasePrefixScore(src.idx, src.positions.get,
           fixed, prefix, maxExp)

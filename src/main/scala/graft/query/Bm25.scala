@@ -36,6 +36,11 @@ object Bm25 {
   def tfNorm(tf: Int, dl: Int, avgdl: Double): Double =
     tf / (tf + K1 * (1 - B + B * dl / avgdl))
 
+  /** Fractional-frequency form — sloppy phrase freq is a sum of per-match
+   *  slop factors 1/(1+matchLength), a float in Lucene's PhraseScorer. */
+  def tfNorm(tf: Double, dl: Int, avgdl: Double): Double =
+    tf / (tf + K1 * (1 - B + B * dl / avgdl))
+
   /**
    * Score a bag of query terms (OR semantics, per-term scores summed — the
    * Lucene BooleanQuery-of-TermQuery shape a `match` query compiles to).

@@ -118,6 +118,163 @@ object Phrase {
     scored.toDF("doc_id", "score")
   }
 
+  /** `match_phrase` with `slop > 0` — Lucene's SloppyPhraseMatcher
+   *  semantics (reference exercises it through any match_phrase clause a
+   *  hybrid sub-query carries, query/HybridQueryBuilder.java:368-377):
+   *
+   *  - each phrase term's positions are SHIFTED by the term's phrase
+   *    offset (pp.position = pos - slot), so an exact occurrence collapses
+   *    to equal shifted positions;
+   *  - a priority queue ordered by (shifted position, slot) repeatedly
+   *    advances the minimum; whenever the advancing minimum jumps past the
+   *    runner-up, the minimal window seen while minimizing is a MATCH with
+   *    matchLength = end - min (shifted), contributing the slop factor
+   *    1/(1 + matchLength) to the phrase frequency when matchLength <=
+   *    slop — Lucene's SloppyPhraseMatcher + BM25Similarity sloppyWeight;
+   *  - tf is that fractional frequency; the BM25 weight is the sum of the
+   *    member terms' idfs, exactly as the exact-phrase path.
+   *
+   *  Repeated phrase terms (Lucene's `hasRpts` machinery) are rejected —
+   *  every analyzed slot must be a distinct term.
+   *
+   *  For a 2-term phrase this greedy enumeration reduces to a closed form
+   *  the DuckDB oracle re-derives independently: one match per ADJACENT
+   *  cross-list pair in the merged (shifted position, slot) order, with
+   *  matchLength = the pair's gap (PhraseSpec proves the reduction by
+   *  brute force; the k>=3 path is covered by hand-traced fixtures and a
+   *  matched-set parity check against exhaustive window search). */
+  def sloppyScore(idx: Index, pos: Dataset[PosBlock], phrase: Seq[String],
+                  slop: Int): DataFrame = {
+    require(phrase.size >= 2, "a phrase needs at least 2 terms")
+    require(slop >= 1, s"sloppyScore requires slop >= 1, got $slop (use score for slop 0)")
+    require(phrase.distinct.size == phrase.size,
+      "match_phrase with slop > 0 requires distinct analyzed terms (repeats not supported)")
+    val spark = idx.postings.sparkSession
+    import spark.implicits._
+
+    val uniq = phrase.distinct
+    val dfMap: Map[String, Long] = idx.termStats
+      .filter($"term".isin(uniq: _*)).collect().map(t => t.term -> t.df).toMap
+    if (uniq.exists(t => !dfMap.contains(t)))
+      return spark.emptyDataset[(Long, Double)].toDF("doc_id", "score")
+    val n = idx.stats.doc_count
+    val avgdl = idx.stats.avgdl
+    val w = phrase.foldLeft(0.0)((acc, t) => acc + Bm25.idf(dfMap(t), n))
+    val terms = phrase.toArray
+    val slopLocal = slop
+
+    val matched = pos.filter($"term".isin(uniq: _*))
+    val docLens = idx.docLens
+      .join(matched.select($"bucket").distinct().hint("broadcast"), "bucket")
+      .as[DocLenBlock]
+
+    val scored: Dataset[(Long, Double)] = matched
+      .groupByKey(_.bucket)
+      .cogroup(docLens.groupByKey(_.bucket)) { (bucket, blocksIt, dlIt) =>
+        val byTerm = blocksIt.map(b => b.term -> Positions.decodeEntries(b)).toMap
+        if (terms.exists(t => !byTerm.contains(t))) Iterator.empty
+        else {
+          val span = InvertedIndex.BucketSpan
+          val dlArr = new Array[Int](span)
+          dlIt.foreach { dlb =>
+            val ids = PostingCodec.decodeDeltas(dlb.ids, dlb.cnt)
+            val dls = PostingCodec.decodeInts(dlb.dls, dlb.cnt)
+            var i = 0
+            while (i < dlb.cnt) { dlArr(ids(i)) = dls(i); i += 1 }
+          }
+          val perTerm: Array[Array[(Int, Array[Int])]] = terms.map(byTerm(_))
+          val leadIdx = perTerm.indices.minBy(i => perTerm(i).length)
+          val others = perTerm.indices.filter(_ != leadIdx)
+          val lookups: Map[Int, java.util.HashMap[Integer, Array[Int]]] =
+            others.map { i =>
+              val m = new java.util.HashMap[Integer, Array[Int]]()
+              perTerm(i).foreach { case (d, ps) => m.put(d, ps) }
+              i -> m
+            }.toMap
+          val base = bucket << InvertedIndex.BucketBits
+          perTerm(leadIdx).iterator.flatMap { case (local, leadPs) =>
+            val docPs = new Array[Array[Int]](terms.length)
+            docPs(leadIdx) = leadPs
+            var ok = true
+            others.foreach { i =>
+              val ps = lookups(i).get(local)
+              if (ps == null) ok = false else docPs(i) = ps
+            }
+            if (!ok || dlArr(local) == 0) None // dl gate: liveDocs (see Bm25)
+            else {
+              // shifted position lists (pos - slot), still sorted ascending
+              val shifted = Array.tabulate(terms.length) { i =>
+                val src = docPs(i)
+                val out = new Array[Int](src.length)
+                var j = 0
+                while (j < src.length) { out(j) = src(j) - i; j += 1 }
+                out
+              }
+              val freq = sloppyFreq(shifted, slopLocal)
+              if (freq == 0.0) None
+              else Some((base + local, w * Bm25.tfNorm(freq, dlArr(local), avgdl)))
+            }
+          }
+        }
+      }
+
+    scored.toDF("doc_id", "score")
+  }
+
+  /** Lucene SloppyPhraseScorer.phraseFreq for distinct phrase terms:
+   *  `shifted(i)` is slot i's ascending (position - i) list; the minimum
+   *  (by shifted position, slot ascending — PhraseQueue's offset
+   *  tie-break) advances one step at a time; crossing the runner-up emits
+   *  the minimal window seen, gated by slop, weighted 1/(1+matchLength);
+   *  exhaustion emits the final window. */
+  private[graft] def sloppyFreq(shifted: Array[Array[Int]], slop: Int): Double = {
+    val k = shifted.length
+    val idx = new Array[Int](k)
+    val cur = new Array[Int](k)
+    var end = Int.MinValue
+    var i = 0
+    while (i < k) {
+      cur(i) = shifted(i)(0)
+      if (cur(i) > end) end = cur(i)
+      i += 1
+    }
+    // argmin by (cur, slot) over all slots except `exclude` (-1 = none)
+    def minSlot(exclude: Int): Int = {
+      var best = -1
+      var j = 0
+      while (j < k) {
+        if (j != exclude && (best == -1 || cur(j) < cur(best))) best = j
+        j += 1
+      }
+      best
+    }
+    var pp = minSlot(-1)
+    var matchLength = end - cur(pp)
+    var next = cur(minSlot(pp))
+    var freq = 0.0
+    var advancing = true
+    while (advancing) {
+      idx(pp) += 1
+      if (idx(pp) >= shifted(pp).length) advancing = false
+      else {
+        cur(pp) = shifted(pp)(idx(pp))
+        if (cur(pp) > end) end = cur(pp)
+        if (cur(pp) > next) {
+          // done minimizing the current match window
+          if (matchLength <= slop) freq += 1.0 / (1 + matchLength)
+          pp = minSlot(-1)
+          next = cur(minSlot(pp))
+          matchLength = end - cur(pp)
+        } else {
+          val ml2 = end - cur(pp)
+          if (ml2 < matchLength) matchLength = ml2
+        }
+      }
+    }
+    if (matchLength <= slop) freq += 1.0 / (1 + matchLength)
+    freq
+  }
+
   /** `match_phrase_prefix`: the phrase's last slot is a PREFIX expanded
    *  against the term dictionary — Lucene's MatchPhrasePrefixQuery rewritten
    *  to a MultiPhraseQuery. Expansion is deterministic: terms matching the

@@ -627,17 +627,19 @@ object QueryDsl {
         body.path("score_mode").asText("none"), minC, maxC,
         body.path("boost").asDouble(1.0))
     } else if (!q.path("fuzzy").isMissingNode) {
-      // {"fuzzy": {"text": {"value": "joim", "fuzziness": 1, "boost": 2.0}}}
-      // | {"fuzzy": {"text": "joim"}} (fuzziness defaults to 1, like AUTO
-      // resolves for short terms)
+      // {"fuzzy": {"text": {"value": "joim", "fuzziness": 1, "boost": 2.0,
+      // "transpositions": true}}} | {"fuzzy": {"text": "joim"}} (fuzziness
+      // defaults to 1, like AUTO resolves for short terms; transpositions
+      // defaults true — Lucene FuzzyQuery counts an adjacent swap as 1 edit)
       val (_, body) = firstField(q.path("fuzzy"))
-      val (v, fz, boost) =
+      val (v, fz, boost, tr) =
         if (body.isObject)
           (body.path("value").asText(), body.path("fuzziness").asInt(1),
-            body.path("boost").asDouble(1.0))
-        else (body.asText(), 1, 1.0)
+            body.path("boost").asDouble(1.0),
+            body.path("transpositions").asBoolean(true))
+        else (body.asText(), 1, 1.0, true)
       require(v.nonEmpty, "fuzzy requires a non-empty value")
-      graft.hybrid.Fuzzy(v, fz, boost)
+      graft.hybrid.Fuzzy(v, fz, boost, tr)
     } else if (!q.path("simple_query_string").isMissingNode) {
       // {"simple_query_string": {"query": "merge -dup +join \"table hash\""}}
       // — the fail-soft mini-language: bare tokens are optional (OR),
@@ -785,18 +787,21 @@ object QueryDsl {
       val msm = Option(b.path("minimum_should_match")).filter(_.isNumber).map(_.asInt())
       graft.hybrid.BoolSub(cl("must"), cl("should"), cl("must_not"), msm)
     } else if (!q.path("match_phrase").isMissingNode) {
-      // exact phrase (slop 0): the analyzed text's tokens must occur at
-      // consecutive positions; slop != 0 is rejected (not implemented)
+      // phrase query: slop 0 = consecutive analyzed positions (Lucene
+      // ExactPhraseMatcher); slop > 0 = Lucene SloppyPhraseMatcher over the
+      // positional blocks (distinct terms only — repeats rejected)
       val (_, body) = firstField(q.path("match_phrase"))
       val text =
         if (body.isObject) body.path("query").asText() else body.asText()
       require(text.nonEmpty,
         "match_phrase requires a non-empty query text (object form: {\"query\": ...})")
-      if (body.isObject)
-        require(body.path("slop").asInt(0) == 0, "match_phrase supports only slop 0")
+      val slop = if (body.isObject) body.path("slop").asInt(0) else 0
+      require(slop >= 0, s"match_phrase [slop] must be >= 0, got $slop")
       val terms = Analyzer.analyze(analyzer)(text).toSeq
       require(terms.size >= 2, "match_phrase requires at least 2 analyzed terms")
-      graft.hybrid.LexicalPhrase(terms)
+      require(slop == 0 || terms.distinct.size == terms.size,
+        "match_phrase with slop > 0 requires distinct analyzed terms (repeats not supported)")
+      graft.hybrid.LexicalPhrase(terms, slop)
     } else if (!q.path("multi_match").isMissingNode) {
       // {"multi_match": {"query": "...", "fields": ["text", "path^2"],
       //   "type": "best_fields"|"most_fields", "tie_breaker": 0.3}} —

@@ -66,8 +66,12 @@ class BoolModelSpec extends SparkSpec {
       case MatchAll(b) => docs.keys.map(_ -> b).toMap
       case TermPattern(p, b) =>
         docs.collect { case (id, toks) if toks.exists(likeMatch(p, _)) => id -> b }
-      case Fuzzy(t, f, b) =>
-        docs.collect { case (id, toks) if toks.exists(x => lev(x, t) <= f) => id -> b }
+      case Fuzzy(t, f, b, tr) =>
+        // the Damerau helper itself is verified against an independent BFS
+        // model in BoolQuerySpec; here it feeds the bool-algebra model
+        val dist: (String, String) => Int =
+          if (tr) graft.functions.StringMath.damerau else lev
+        docs.collect { case (id, toks) if toks.exists(x => dist(x, t) <= f) => id -> b }
       case ConstantScore(inner, b) => eval(inner).map { case (id, _) => id -> b }
       case DisMax(cs, tb) =>
         val evs = cs.map(eval)

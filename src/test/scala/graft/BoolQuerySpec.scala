@@ -164,6 +164,66 @@ class BoolQuerySpec extends SparkSpec {
     }
   }
 
+  test("fuzzy transpositions: Damerau counts an adjacent swap as one edit") {
+    import graft.functions.StringMath
+    import graft.hybrid.Fuzzy
+    // fixtures incl. the probe cases the DuckDB oracle was checked against
+    assert(StringMath.damerau("ca", "abc") == 2)    // unrestricted, not OSA(3)
+    assert(StringMath.damerau("hte", "the") == 1)
+    assert(StringMath.damerau("ahsh", "hash") == 1)
+    assert(StringMath.damerau("abc", "abc") == 0)
+    assert(StringMath.damerau("", "ab") == 2)
+    assert(StringMath.damerau("ab", "") == 2)
+    assert(StringMath.damerau("fast", "fats") == 1)
+    assert(StringMath.damerau("abcd", "badc") == 2)
+    // brute-force model: BFS over single edit ops (ins/del/sub/adjacent
+    // transposition) on the evolving string — the operational definition
+    // of unrestricted Damerau-Levenshtein
+    def bfs(a: String, b: String, cap: Int): Int = {
+      val alpha = "abc"
+      var frontier = Set(a)
+      val seen = scala.collection.mutable.Set(a)
+      var d = 0
+      while (d <= cap) {
+        if (frontier.contains(b)) return d
+        val next = scala.collection.mutable.Set.empty[String]
+        for (s <- frontier) {
+          val edits =
+            (0 to s.length).flatMap(i => alpha.map(c => s.take(i) + c + s.drop(i))) ++
+            s.indices.map(i => s.take(i) + s.drop(i + 1)) ++
+            s.indices.flatMap(i => alpha.map(c => s.take(i) + c + s.drop(i + 1))) ++
+            (0 until s.length - 1).map(i =>
+              s.take(i) + s(i + 1) + s(i) + s.drop(i + 2))
+          edits.filter(e => e.length <= b.length + cap && !seen(e))
+            .foreach { e => seen += e; next += e }
+        }
+        frontier = next.toSet
+        d += 1
+      }
+      cap + 1
+    }
+    val rnd = new scala.util.Random(3)
+    for (_ <- 1 to 300) {
+      val a = Seq.fill(rnd.nextInt(5))("abc"(rnd.nextInt(3))).mkString
+      val b = Seq.fill(rnd.nextInt(5))("abc"(rnd.nextInt(3))).mkString
+      val want = bfs(a, b, 3)
+      val got = StringMath.damerau(a, b)
+      assert(got == want || (want == 4 && got >= 4), s"[$a] [$b] got=$got want=$want")
+    }
+    // expansion-set divergence: "hte"~1 reaches "the" ONLY with
+    // transpositions (the Lucene default); classic Levenshtein needs 2
+    val docs = Seq((0L, "the end"), (1L, "eth coin"), (2L, "tea time"))
+      .toDF("doc_id", "text")
+    val i2 = InvertedIndex.build(docs, "doc_id", "text")
+    val osa = BoolQuery.topK(HybridSources(i2),
+      BoolSpec(must = Seq(Fuzzy("hte", 1))), 10).collect().map(_.getLong(0)).toSet
+    assert(osa == Set(0L))
+    val classic = BoolQuery.topK(HybridSources(i2),
+      BoolSpec(must = Seq(Fuzzy("hte", 1, transpositions = false))), 10)
+      .collect()
+    assert(classic.isEmpty)
+  }
+
   test("dis_max takes the best clause + tie_breaker; boosting demotes; fuzzy expands") {
     import graft.hybrid.{Boosting, DisMax, Fuzzy}
     val a = Bm25.scoreTerms(idx, Seq("a"), Map.empty).collect()

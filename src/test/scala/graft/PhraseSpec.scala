@@ -175,6 +175,120 @@ class PhraseSpec extends SparkSpec {
       Phrase.spanContainingMatch(idx, pb, Seq("a", "b"), -1, inOrder = true, "c"))
   }
 
+  test("sloppyFreq: 2-term chain closed form equals the pq matcher (fuzz)") {
+    // independent model: the stationary chain — v0 = larger head (tie owned
+    // by slot 1); each v emits length v - pred_other(v); jump to the other
+    // list's first value STRICTLY greater. This is the form the DuckDB
+    // dsl_phrase_slop oracle re-derives.
+    def chainFreq(a: Array[Int], b: Array[Int], slop: Int): Double = {
+      val lists = Array(a, b)
+      var owner = if (a(0) > b(0)) 0 else 1
+      var v = math.max(a(0), b(0))
+      var freq = 0.0
+      var go = true
+      while (go) {
+        val other = lists(1 - owner)
+        val i = other.lastIndexWhere(_ <= v)
+        val gap = v - other(i)
+        if (gap <= slop) freq += 1.0 / (1 + gap)
+        val j = other.indexWhere(_ > v)
+        if (j < 0) go = false
+        else { v = other(j); owner = 1 - owner }
+      }
+      freq
+    }
+    val rnd = new scala.util.Random(11)
+    for (_ <- 1 to 5000) {
+      val a = rnd.shuffle((0 to 40).toList).take(1 + rnd.nextInt(6)).sorted.toArray
+      val b = rnd.shuffle((-1 to 39).toList).take(1 + rnd.nextInt(6)).sorted.toArray
+      val slop = rnd.nextInt(7)
+      val got = Phrase.sloppyFreq(Array(a, b), slop)
+      val want = chainFreq(a, b, slop)
+      assert(math.abs(got - want) < 1e-12, s"a=${a.toSeq} b=${b.toSeq} slop=$slop")
+    }
+  }
+
+  test("sloppyFreq: hand-traced Lucene fixtures (k=2 and k=3, ties, reuse)") {
+    // k=2: A=[23], B(shifted)=[17,23,24]: matches (23,23) len 0 and
+    // (23,24) len 1 — the matcher REUSES A@23 against both B positions
+    assert(math.abs(Phrase.sloppyFreq(
+      Array(Array(23), Array(17, 23, 24)), 2) - 1.5) < 1e-12)
+    // k=2: the tie at 40 is consumed (len 0), then the chain jumps to 70
+    // whose best partner 42 is outside slop — total exactly 1.0
+    assert(math.abs(Phrase.sloppyFreq(
+      Array(Array(40, 42), Array(-1, 3, 5, 9, 26, 40, 70)), 2) - 1.0) < 1e-12)
+    // k=3 exact occurrence: all shifted positions equal -> one len-0 match
+    assert(math.abs(Phrase.sloppyFreq(
+      Array(Array(5), Array(5), Array(5)), 0) - 1.0) < 1e-12)
+    // k=3 trace: shifted [0], [2], [4]: min 0 advances, exhausts; final
+    // window ml = end(4) - 0 = 4 -> one match iff slop >= 4, weight 1/5
+    assert(Phrase.sloppyFreq(Array(Array(0), Array(2), Array(4)), 3) == 0.0)
+    assert(math.abs(Phrase.sloppyFreq(
+      Array(Array(0), Array(2), Array(4)), 4) - 0.2) < 1e-12)
+    // k=3 trace: [0,6],[2],[4]: phase 1 minimizes to ml=4 - 0 .. advancing
+    // 0->6 crosses next=2: emit 1/5; then min=2 advances: exhausts with
+    // ml = end(6) - 2 = 4 -> second match 1/5 at slop >= 4
+    assert(math.abs(Phrase.sloppyFreq(
+      Array(Array(0, 6), Array(2), Array(4)), 4) - 0.4) < 1e-12)
+  }
+
+  test("sloppy phrase: matched set equals exhaustive window existence") {
+    // freq > 0 iff SOME choice of one position per slot has a shifted
+    // window max-min <= slop (the greedy matcher finds the minimal window)
+    val toks = corpus.toMap.view.mapValues(_.split(" ").toSeq).toMap
+    def bruteMatches(id: Long, ph: Seq[String], slop: Int): Boolean = {
+      val posLists = ph.zipWithIndex.map { case (t, i) =>
+        toks(id).zipWithIndex.collect { case (`t`, p) => p - i }
+      }
+      posLists.forall(_.nonEmpty) && {
+        val combos = posLists.foldLeft(Seq(Seq.empty[Int])) { (acc, l) =>
+          for (c <- acc; p <- l) yield c :+ p
+        }
+        combos.exists(c => c.max - c.min <= slop)
+      }
+    }
+    for {
+      ph <- Seq(Seq("a", "b"), Seq("b", "a"), Seq("a", "c"), Seq("a", "b", "c"),
+        Seq("c", "b", "a"))
+      slop <- Seq(1, 2, 3)
+    } {
+      val got = Phrase.sloppyScore(idx, pos, ph, slop)
+        .collect().map(_.getLong(0)).toSet
+      val want = corpus.map(_._1).filter(id => bruteMatches(id, ph, slop)).toSet
+      assert(got == want, s"ph=$ph slop=$slop got=$got want=$want")
+    }
+  }
+
+  test("sloppy phrase: BM25 weight is the member-idf sum over fractional freq") {
+    // doc 1 "b a c b a": phrase (a, b) shifted A=[1,4], B'=[-1,2]:
+    // chain: v0=1(A): pred_B(1)=-1 gap 2; jump first B>1 -> 2: pred_A(2)=1
+    // gap 1; jump first A>2 -> 4: pred_B(4)=2 gap 2; A exhausts the chain.
+    // slop 2 freq = 1/3 + 1/2 + 1/3
+    val docs = corpus.toMap
+    val n = docs.size.toLong
+    val toksAll = docs.view.mapValues(_.split(" ").toSeq).toMap
+    val avgdl = toksAll.values.map(_.size).sum.toDouble / n
+    def df(t: String) = toksAll.values.count(_.contains(t)).toLong
+    val w = Bm25.idf(df("a"), n) + Bm25.idf(df("b"), n)
+    val freq = 1.0 / 3 + 1.0 / 2 + 1.0 / 3
+    val want = w * Bm25.tfNorm(freq, 5, avgdl)
+    val got = Phrase.sloppyScore(idx, pos, Seq("a", "b"), 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(got(1L) - want) < 1e-9, s"got=${got.get(1L)} want=$want")
+    // transposition: "b a" matches "a b"-adjacent docs only at slop >= 2
+    // (swapping two adjacent slots costs 2 in shifted distance)
+    val rev1 = Phrase.sloppyScore(idx, pos, Seq("b", "a"), 1)
+      .collect().map(_.getLong(0)).toSet
+    val rev2 = Phrase.sloppyScore(idx, pos, Seq("b", "a"), 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(!rev1.contains(4100L) && rev2.contains(4100L))
+    // guards: slop 0 routes to the exact matcher; repeats are rejected
+    intercept[IllegalArgumentException](Phrase.sloppyScore(idx, pos, Seq("a", "b"), 0))
+    intercept[IllegalArgumentException](Phrase.sloppyScore(idx, pos, Seq("a", "a"), 1))
+    // unindexed term -> empty
+    assert(Phrase.sloppyScore(idx, pos, Seq("a", "nosuchterm"), 2).count() == 0)
+  }
+
   test("span_first and span_not matched sets (pre/post exclusion windows)") {
     import graft.index.{InvertedIndex, Positions}
     val docs = Seq(

@@ -83,7 +83,7 @@ class QueryDslSpec extends SparkSpec {
       """{"query":{"hybrid":{"queries":[{"term":{"text":{"value":"a","boost":-1.0}}}]}}}"""))
   }
 
-  test("match_phrase parses both forms; slop != 0 and 1-term phrases rejected") {
+  test("match_phrase parses both forms; bad slop and 1-term phrases rejected") {
     // plain-text form
     val p1 = QueryDsl.parse(
       """{"query":{"hybrid":{"queries":[{"match_phrase":{"text":"hash join"}}]}}}""")
@@ -94,10 +94,20 @@ class QueryDslSpec extends SparkSpec {
         |  {"match_phrase":{"text":{"query":"merge sort window","slop":0}}}]}}}""".stripMargin)
     assert(p2.query.subQueries.head ==
       graft.hybrid.LexicalPhrase(Seq("merge", "sort", "window")))
-    // slop != 0 not implemented -> reject, like an unsupported param
+    // slop > 0 parses into a sloppy phrase clause
+    val p3 = QueryDsl.parse(
+      """{"query":{"hybrid":{"queries":[
+        |  {"match_phrase":{"text":{"query":"a b","slop":2}}}]}}}""".stripMargin)
+    assert(p3.query.subQueries.head ==
+      graft.hybrid.LexicalPhrase(Seq("a", "b"), slop = 2))
+    // negative slop rejected; repeated terms rejected at slop > 0 (the
+    // Lucene hasRpts machinery is out of scope) but fine at slop 0
     intercept[IllegalArgumentException](QueryDsl.parse(
       """{"query":{"hybrid":{"queries":[
-        |  {"match_phrase":{"text":{"query":"a b","slop":2}}}]}}}""".stripMargin))
+        |  {"match_phrase":{"text":{"query":"a b","slop":-1}}}]}}}""".stripMargin))
+    intercept[IllegalArgumentException](QueryDsl.parse(
+      """{"query":{"hybrid":{"queries":[
+        |  {"match_phrase":{"text":{"query":"a b a","slop":1}}}]}}}""".stripMargin))
     // a single analyzed term is not a phrase
     intercept[IllegalArgumentException](QueryDsl.parse(
       """{"query":{"hybrid":{"queries":[{"match_phrase":{"text":"hash"}}]}}}"""))
