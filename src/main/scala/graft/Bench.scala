@@ -11,7 +11,10 @@ import graft.query.Bm25
  * Benchmark main. Emits ONE JSON line on stdout:
  *   - "queries": wall seconds per SparkEntry query at local[32] over
  *     SPARK_GRAFT_SF_DIR (index build shared via IndexCache, like a warmed
- *     serving deployment);
+ *     serving deployment). Per entry: one untimed warm rep, then up to 3
+ *     timed reps; the reported value is the median of the reps whose
+ *     /proc/stat steal fraction <= 10% ("queries_reps" carries the raw
+ *     reps, "queries_tainted" the entries where every rep was stolen);
  *   - "build_docs_per_sec" at local[2], local[8] and local[32] over the SAME
  *     seeded synthetic source-code corpus (BASELINE.json north rule: two
  *     cluster sizes N and 4N — evidenced in-sandbox as two parallelism
@@ -372,15 +375,42 @@ object Bench {
       val r = SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (name, _) => only.forall(_.contains(name)) }
         .map { case (name, fn) =>
-        // per-query steal context: a query timed under a steal burst carries
-        // its own interference record, so per-entry regressions can be told
-        // apart from host noise in the artifact
-        val (sec, steal) = try {
-          val (_, wall, st) = withSteal(fn(s32, sfDir).count())
-          (wall, st)
-        } catch { case _: Throwable => (-1.0, 0.0) }
-        System.err.println(f"[graft-bench] $name ${sec}%.1fs steal=$steal%.3f")
-        (name, sec, steal)
+        // gated warm-median protocol — same spirit as the build rounds'
+        // pre-registered detectors, applied per entry:
+        //   1. one UNTIMED warm rep absorbs first-run artifact builds
+        //      (positional blocks, LSH/IVF tables, persisted caches) that
+        //      otherwise land on whichever entry touches them first;
+        //   2. up to 3 timed reps (stopping once an entry has spent 60 s
+        //      timed — heavy entries always get at least one), each with
+        //      its busy-weighted /proc/stat steal fraction;
+        //   3. the reported number is the MEDIAN of the reps whose steal
+        //      <= stealMax (the build rounds' 10% threshold). If every rep
+        //      is tainted the median of all reps is reported and the entry
+        //      is listed under "queries_tainted" — one bad host window can
+        //      no longer silently print a 26x number for a 4 s query.
+        val reps = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+        val ok = try {
+          fn(s32, sfDir).count() // warm rep, untimed
+          var spent = 0.0
+          while (reps.size < 3 && (reps.isEmpty || spent < 60.0)) {
+            val (_, wall, st) = withSteal(fn(s32, sfDir).count())
+            reps += ((wall, st))
+            spent += wall
+          }
+          true
+        } catch { case _: Throwable => false }
+        if (!ok) (name, -1.0, 0.0, Seq.empty[(Double, Double)], false)
+        else {
+          val clean = reps.toSeq.filter(_._2 <= 0.10)
+          val use = if (clean.nonEmpty) clean else reps.toSeq
+          val med = median(use.map(_._1))
+          val stealMaxUsed = use.map(_._2).max
+          System.err.println(f"[graft-bench] $name $med%.2fs " +
+            s"reps=${reps.map(p => f"${p._1}%.2f").mkString("/")} " +
+            s"steal=${reps.map(p => f"${p._2}%.3f").mkString("/")}" +
+            (if (clean.isEmpty) " TAINTED" else ""))
+          (name, med, stealMaxUsed, reps.toSeq, clean.isEmpty)
+        }
       }
       s32.stop()
       r
@@ -395,10 +425,14 @@ object Bench {
     // hedge against an external kill during the (longer) scaling phase: emit
     // a query-suite-only result line NOW; the final line replaces it (driver
     // takes the last JSON line on stdout)
-    val qsEarly = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
-    val qsSteal = results.map { case (k, _, st) => "\"" + k + "\":" + f"$st%.3f" }.mkString("{", ",", "}")
+    val qsEarly = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val qsSteal = results.map { case (k, _, st, _, _) => "\"" + k + "\":" + f"$st%.3f" }.mkString("{", ",", "}")
+    val qsReps = results.map { case (k, _, _, reps, _) =>
+      "\"" + k + "\":" + reps.map(p => f"${p._1}%.3f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val qsTainted = results.collect { case (k, _, _, _, true) => "\"" + k + "\"" }.mkString("[", ",", "]")
     val totalEarly = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$totalEarly,"unit":"sec","queries":$qsEarly,"queries_steal_frac":$qsSteal,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$totalEarly,"unit":"sec","queries":$qsEarly,"queries_steal_frac":$qsSteal,"queries_reps":$qsReps,"queries_tainted":$qsTainted,"sf":"$sfDir"}""")
     System.out.flush()
 
     val skipScaling = sys.env.contains("SPARK_GRAFT_BENCH_SKIP_SCALING")
@@ -570,10 +604,10 @@ object Bench {
       (if (d.isEmpty) Seq("none") else d).map("\"" + _ + "\"").mkString("[", ",", "]"))
       .mkString("[", ",", "]")
 
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val qs = qsEarly
     val total = results.map(_._2).filter(_ >= 0).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_steal_frac":$qsSteal,"sf":"$sfDir",""" +
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_steal_frac":$qsSteal,"queries_reps":$qsReps,"queries_tainted":$qsTainted,"sf":"$sfDir",""" +
       f""""build_docs_per_sec":{"local2":$tput2%.1f,"local8":$tput8%.1f,"local32":$tput32%.1f},""" +
       f""""scaling_efficiency":$eff%.3f,"scaling_efficiency_median_round":$effMedRound%.3f,"scaling_efficiency_steal_corrected":$effSteal%.3f,""" +
       f""""hw_ceiling_2to8":$hwCeil%.3f,"mem_ceiling_2to8":$memCeil%.3f,"scaling_efficiency_vs_ceiling":$effVsCeil%.3f,""" +

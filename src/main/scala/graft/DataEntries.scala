@@ -34,8 +34,12 @@ object DataEntries {
     // ---- dedup ----
     "dedup_exact" -> ((s, dir) =>
       Dedup.exactSummary(docs(s, dir), "doc_id", "text")),
+    // UNCAPPED sweep — the verification-only oracle baseline (quadratic on
+    // stop-shingles; the df-capped default is the production path, see
+    // dedup_ngram_jaccard_capped). Opting out of the cap is explicit.
     "dedup_ngram_jaccard" -> ((s, dir) =>
-      Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", k = 3, threshold = 0.2)),
+      Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", k = 3, threshold = 0.2,
+        maxShingleDf = Int.MaxValue)),
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text", k = 3, numHashes = 12, rowsPerBand = 3)),
     "dedup_simhash" -> ((s, dir) =>
@@ -72,18 +76,25 @@ object DataEntries {
     "dedup_clusters" -> ((s, dir) =>
       Dedup.connectedComponents(
         Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
-          k = 3, threshold = 0.2),
+          k = 3, threshold = 0.2, maxShingleDf = Int.MaxValue),
         "id_a", "id_b")),
     // the keep-one-of composition: corpus minus non-canonical cluster
     // members (anti join on the duplicate ids only, never corpus text)
     "dedup_keep_canonical" -> ((s, dir) =>
       Dedup.keepCanonical(docs(s, dir), "doc_id",
           Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
-            k = 3, threshold = 0.2),
+            k = 3, threshold = 0.2, maxShingleDf = Int.MaxValue),
           "id_a", "id_b")
         .select(col("doc_id"), col("n_chars"))),
     "dedup_embed_cosine" -> ((s, dir) =>
       Ann.cosinePairs(emb(s, dir), "vec_id", "embedding", "label", threshold = 0.35)),
+    // oversized-block routing proof: maxBlock squeezed below the label
+    // cardinality so SOME labels take the all-pairs path and the rest
+    // auto-route through in-block LSH banding — the shape a fat block
+    // (e.g. lang='en') takes at 100 TB instead of going quadratic
+    "dedup_embed_cosine_routed" -> ((s, dir) =>
+      Ann.cosinePairs(emb(s, dir), "vec_id", "embedding", "label",
+        threshold = 0.35, maxBlock = 50, nPlanes = 32, nBands = 4, dim = 64)),
 
     // ---- similarity search ----
     "ann_brute_topk" -> ((s, dir) =>
@@ -163,6 +174,15 @@ object DataEntries {
     "ann_lsh_topk" -> ((s, dir) =>
       Ann.lshTopK(emb(s, dir), "vec_id", "embedding", queryId = 9L, k = 10,
         nPlanes = 32, nBands = 4, dim = 64)),
+    // approximate-regime recall evidence: recall@10 vs in-plan brute force
+    // for IVF probing at nProbe ∈ {1, C/4, C/2, C} and banded LSH at 2/4
+    // bands, over the 1-in-50 query panel. nProbe = C must print 1.0 (the
+    // exactness claim); the others are the MEASURED floors the 100-TB
+    // configurations rely on, oracle-re-derived end to end
+    "ann_recall_curve" -> ((s, dir) =>
+      Ann.recallCurve(emb(s, dir), "vec_id", "embedding", queryMod = 50,
+        k = 10, nCentroids = 16, probes = Seq(1, 4, 8, 16),
+        nPlanes = 32, bandChoices = Seq(2, 4), dim = 64)),
 
     // ---- deterministic sampling (training-mix shaping) ----
     // content-addressed Bernoulli off md5(doc_id): reruns pick the SAME
@@ -694,6 +714,30 @@ object DataEntries {
          |FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id,
          |LATERAL (SELECT ${cosSql("a.embedding", "b.embedding")} AS c)
          |WHERE c >= 0.35""".stripMargin,
+    // split re-derivation: labels with <= 50 vectors take the exact
+    // all-pairs form; bigger labels only pair where >= 1 LSH band agrees
+    // (the same md5 hyperplanes, inlined as literals)
+    "dedup_embed_cosine_routed" ->
+      s"""WITH ${lshCtes(32, 4, 64)},
+         |bn AS MATERIALIZED (SELECT label, count(*) AS n FROM embeddings GROUP BY label),
+         |small AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${cosSql("a.embedding", "b.embedding")} AS c
+         |  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+         |  JOIN bn ON bn.label = a.label AND bn.n <= 50),
+         |bigcand AS (
+         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bh = b.bh AND a.vec_id < b.vec_id
+         |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+         |  JOIN embeddings eb ON eb.vec_id = b.vec_id AND eb.label = ea.label
+         |  JOIN bn ON bn.label = ea.label AND bn.n > 50),
+         |bigv AS (
+         |  SELECT id_a, id_b, ${cosSql("ea.embedding", "eb.embedding")} AS c
+         |  FROM bigcand JOIN embeddings ea ON ea.vec_id = id_a
+         |               JOIN embeddings eb ON eb.vec_id = id_b)
+         |SELECT id_a, id_b, round(c, 4) AS cos
+         |FROM (SELECT * FROM small UNION ALL SELECT * FROM bigv)
+         |WHERE c >= 0.35""".stripMargin,
     "sample_fraction" ->
       s"""SELECT doc_id, lang FROM documents
          |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
@@ -743,6 +787,9 @@ object DataEntries {
          |JOIN embeddings eb ON eb.vec_id = id_b,
          |LATERAL (SELECT ${cosSql("ea.embedding", "eb.embedding")} AS c)
          |WHERE c >= 0.35""".stripMargin,
+    "ann_recall_curve" ->
+      recallOracle(queryMod = 50, k = 10, nCents = 16, probes = Seq(1, 4, 8, 16),
+        nPlanes = 32, bandChoices = Seq(2, 4), dim = 64),
     "ann_lsh_topk" ->
       s"""WITH ${lshCtes(32, 4, 64)},
          |qb AS (SELECT band, bh FROM bands WHERE vec_id = 9),
@@ -957,6 +1004,80 @@ object DataEntries {
     def d(x: String, y: String) =
       s"list_dot_product(CAST($x AS DOUBLE[]), CAST($y AS DOUBLE[]))"
     s"(${d(a, b)} / (sqrt(${d(a, a)}) * sqrt(${d(b, b)})))"
+  }
+
+  /** Recall@k oracle: re-derives the full recall curve — brute top-k per
+   *  query, seeded-IVF candidates per probe depth, LSH candidates per
+   *  banding — and the hit-count division, independently of the engine. */
+  private def recallOracle(queryMod: Int, k: Int, nCents: Int,
+                           probes: Seq[Int], nPlanes: Int,
+                           bandChoices: Seq[Int], dim: Int): String = {
+    val bits = (0 until nPlanes).map { p =>
+      val w = graft.ops.Ann.hyperplane(p, dim).map(x => s"$x.0").mkString(", ")
+      s"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), [$w]) >= 0 THEN '1' ELSE '0' END)"
+    }.mkString(" || ")
+    val bandCtes = bandChoices.map { nb =>
+      val rows = nPlanes / nb
+      s"""bands$nb AS (
+         |  SELECT vec_id, bb.b AS band, substring(sig, bb.b*$rows + 1, $rows) AS bh
+         |  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, ${nb - 1})) AS b) bb)""".stripMargin
+    }.mkString(",\n")
+    val ivfCtes = probes.map { p =>
+      s"""ivftop$p AS (
+         |  SELECT qid, vid FROM (
+         |    SELECT s.qid, s.vid, row_number() OVER (
+         |      PARTITION BY s.qid ORDER BY s.c DESC, s.vid) AS rn
+         |    FROM scored s JOIN assigned a ON a.vec_id = s.vid
+         |                  JOIN qrank r ON r.qid = s.qid AND r.c_id = a.c_id AND r.rn <= $p)
+         |  WHERE rn <= $k)""".stripMargin
+    }.mkString(",\n")
+    val lshCtesSql = bandChoices.map { nb =>
+      s"""lshcand$nb AS (
+         |  SELECT DISTINCT qb.qid, b.vec_id AS vid
+         |  FROM bands$nb b JOIN (
+         |    SELECT q.qid, bb.band, bb.bh FROM bands$nb bb JOIN queries q ON bb.vec_id = q.qid) qb
+         |    ON b.band = qb.band AND b.bh = qb.bh),
+         |lshtop$nb AS (
+         |  SELECT qid, vid FROM (
+         |    SELECT s.qid, s.vid, row_number() OVER (
+         |      PARTITION BY s.qid ORDER BY s.c DESC, s.vid) AS rn
+         |    FROM scored s JOIN lshcand$nb c ON c.qid = s.qid AND c.vid = s.vid)
+         |  WHERE rn <= $k)""".stripMargin
+    }.mkString(",\n")
+    def recallSel(top: String, method: String, param: Int) =
+      s"""SELECT '$method' AS method, $param AS param,
+         |  round(CAST((SELECT count(*) FROM $top t
+         |              JOIN brute b ON b.qid = t.qid AND b.vid = t.vid) AS DOUBLE)
+         |        / (SELECT CAST(nq * $k AS DOUBLE) FROM nqt), 4) AS recall""".stripMargin
+    val unions = (probes.map(p => recallSel(s"ivftop$p", "ivf", p)) ++
+      bandChoices.map(nb => recallSel(s"lshtop$nb", "lsh", nb)))
+      .mkString("\nUNION ALL\n")
+    s"""WITH queries AS MATERIALIZED (
+       |  SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % $queryMod = 0),
+       |scored AS MATERIALIZED (
+       |  SELECT q.qid, e.vec_id AS vid, ${cosSql("e.embedding", "q.qv")} AS c
+       |  FROM embeddings e, queries q),
+       |brute AS MATERIALIZED (
+       |  SELECT qid, vid FROM (
+       |    SELECT qid, vid, row_number() OVER (PARTITION BY qid ORDER BY c DESC, vid) AS rn
+       |    FROM scored) WHERE rn <= $k),
+       |cents AS MATERIALIZED (
+       |  SELECT vec_id AS c_id, embedding AS cv FROM embeddings WHERE vec_id < $nCents),
+       |assigned AS MATERIALIZED (
+       |  SELECT vec_id, c_id FROM (
+       |    SELECT e.vec_id, c.c_id, row_number() OVER (
+       |      PARTITION BY e.vec_id ORDER BY ${cosSql("e.embedding", "c.cv")} DESC, c.c_id) AS rn
+       |    FROM embeddings e, cents c) WHERE rn = 1),
+       |qrank AS MATERIALIZED (
+       |  SELECT qid, c_id, row_number() OVER (
+       |    PARTITION BY qid ORDER BY ${cosSql("cv", "qv")} DESC, c_id) AS rn
+       |  FROM cents, queries),
+       |nqt AS (SELECT count(*) AS nq FROM queries),
+       |sig AS MATERIALIZED (SELECT vec_id, $bits AS sig FROM embeddings),
+       |$bandCtes,
+       |$ivfCtes,
+       |$lshCtesSql
+       |$unions""".stripMargin
   }
 
   /** The LSH sig + bands CTEs with the SAME +-1 hyperplanes the engine

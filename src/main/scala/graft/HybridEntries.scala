@@ -891,6 +891,43 @@ object HybridEntries {
         s.read.parquet(s"$dir/documents.parquet"))
         .select(col("doc_id"), round(col("score"), 4).as("score"))
     }),
+    // composed intervals: all_of(ordered, max_gaps 1) of [match "table",
+    // any_of(match "hash" | match "scan")] — Lucene's minimal-interval
+    // algebra nested one level (reference accepts intervals through any
+    // core query a hybrid clause carries)
+    "dsl_intervals_nested" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      val json =
+        """{ "query": { "bool": {
+          |    "must": [ { "intervals": { "text": { "all_of": {
+          |        "ordered": true, "max_gaps": 1,
+          |        "intervals": [
+          |          { "match": { "query": "table" } },
+          |          { "any_of": { "intervals": [
+          |              { "match": { "query": "hash" } },
+          |              { "match": { "query": "scan" } } ] } } ] } } } } ],
+          |    "should": [ { "match": { "text": "merge" } } ] } },
+          |  "size": 10 }""".stripMargin
+      val src = HybridSources(idx, positions = Some(IndexCache.positions(s, dir)))
+      graft.query.QueryDsl.execute(src, json,
+        s.read.parquet(s"$dir/documents.parquet"))
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+    }),
+    // index-time synonym graph: the DSL is a PLAIN match — the index's
+    // analyzer config (HybridSources.synonyms) rewrites "fast" into the
+    // SynonymQuery group {fast, slow} automatically, like Lucene's
+    // SynonymGraphFilter on a search_analyzer; "join" stays a TermQuery
+    "dsl_match_synonyms" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      val json =
+        """{ "query": { "bool": {
+          |    "must": [ { "match": { "text": "fast join" } } ] } },
+          |  "size": 10 }""".stripMargin
+      val src = HybridSources(idx, synonyms = Map("fast" -> Seq("slow")))
+      graft.query.QueryDsl.execute(src, json,
+        s.read.parquet(s"$dir/documents.parquet"))
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+    }),
     // multi_match best_fields: dismax + tie_breaker over text + boosted path
     "multi_best_fields" -> ((s, dir) => {
       val src = srcWithPath(s, dir)
@@ -1454,6 +1491,18 @@ object HybridEntries {
       graft.ops.Highlight.matchedTerms(hits,
         s.read.parquet(s"$dir/documents.parquet"), "text", B, window = 3)
     }),
+    // multi-fragment, phrase-aware highlighting (unified-highlighter
+    // shape): every occurrence of "window" plus every exact "merge sort"
+    // phrase span located per hit; touching context windows merge into
+    // fragment islands; top-2 fragments per doc by match density
+    "search_highlight_fragments" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      val hits = Bm25.topK(idx, B, 10)
+      graft.ops.Highlight.fragments(hits,
+        s.read.parquet(s"$dir/documents.parquet"), "text",
+        terms = Seq("window"), phrases = Seq(Seq("merge", "sort")),
+        window = 3, maxFragments = 2)
+    }),
     // highlight terms extracted from the parsed query tree (reference:
     // highlight/single/extractor/QueryTextExtractorRegistry.java): the match
     // clause and the bool's non-prohibited clauses contribute text, must_not
@@ -1837,6 +1886,35 @@ object HybridEntries {
          |        $joins
          |    WHERE t0.term = '${ts.head}'$f
          |      AND ($width) <= $slop))""".stripMargin
+    case IntervalsQ(isrc, boost) =>
+      // composed-intervals oracle, supported for the all_of(ordered) of
+      // [single-term match, any_of(single-term matches)] shape: width-1
+      // leaves are already minimal intervals, so existence reduces to one
+      // ordered position pair with interior gaps within budget — general
+      // trees are covered by IntervalsSpec's brute-force model
+      import graft.query.Intervals
+      isrc match {
+        case Intervals.IAllOf(
+            Seq(Intervals.IMatch(Seq(t0), _, _), Intervals.IAnyOf(anys)), mg, true)
+            if anys.forall {
+              case Intervals.IMatch(ts, _, _) => ts.size == 1
+              case _ => false
+            } =>
+          val alts = anys.collect { case Intervals.IMatch(Seq(t), _, _) => t }
+          val f = filterPred.map(p => s" AND t0.$p").getOrElse("")
+          s"""tokp$i AS (
+             |  SELECT doc_id, unnest(l) AS term, unnest(range(len(l))) AS pos
+             |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+             |        FROM documents)),
+             |sq$i AS (
+             |  SELECT doc_id, $boost AS s FROM (
+             |    SELECT DISTINCT t0.doc_id
+             |    FROM tokp$i t0 JOIN tokp$i t1 ON t1.doc_id = t0.doc_id
+             |    WHERE t0.term = '$t0' AND t1.term IN (${termList(alts)})$f
+             |      AND t1.pos > t0.pos AND (t1.pos - t0.pos + 1) - 2 <= $mg))""".stripMargin
+        case other => throw new IllegalArgumentException(
+          s"intervals oracle supports all_of(ordered)[term, any_of(terms)] only, got $other")
+      }
     case MoreLikeThisQ(likeId, maxQ, mtf, mdf, ratio) =>
       // deterministic term selection (tf x idf desc, term asc, LIMIT) then
       // the msm-gated disjunction, source doc excluded — both stages
@@ -2102,6 +2180,45 @@ object HybridEntries {
          |  FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN stats
          |  WHERE tf.term IN (${termList(terms)})$f
          |  GROUP BY tf.doc_id)""".stripMargin
+    case LexicalSyn(groups) =>
+      // synonym-graph match: per position group, SynonymQuery scoring — tf
+      // summed BEFORE saturation, df = max member df (the bm25_synonym
+      // oracle shape) — then positions sum via the fixed-order pivot the
+      // multi_match oracle uses, mirroring the engine's coalesce-sum
+      val f = filterPred.map(p => s" AND tf.${p}").getOrElse("")
+      val groupCtes = groups.zipWithIndex.map { case ((g, b), gi) =>
+        if (g.size == 1)
+          s"""sq${i}g$gi AS (
+             |  SELECT tf.doc_id,
+             |         (sum( ln(1 + (stats.n - df.df + 0.5)/(df.df + 0.5))
+             |              * (tf.tf / (tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/stats.avgdl))) )) * $b AS s
+             |  FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN stats
+             |  WHERE tf.term IN (${termList(g)})$f
+             |  GROUP BY tf.doc_id)""".stripMargin
+        else
+          s"""syn${i}g$gi AS (
+             |  SELECT tf.doc_id, sum(tf.tf) AS stf FROM tf
+             |  WHERE tf.term IN (${termList(g)})$f GROUP BY tf.doc_id),
+             |mdf${i}g$gi AS (SELECT max(df) AS df FROM df WHERE term IN (${termList(g)})),
+             |sq${i}g$gi AS (
+             |  SELECT syn.doc_id,
+             |         (ln(1 + (stats.n - mdf.df + 0.5)/(mdf.df + 0.5))
+             |          * (syn.stf / (syn.stf + 1.2*(1 - 0.75 + 0.75*dl.dl/stats.avgdl)))) * $b AS s
+             |  FROM syn${i}g$gi syn JOIN dl USING (doc_id)
+             |       CROSS JOIN mdf${i}g$gi mdf CROSS JOIN stats)""".stripMargin
+      }.mkString(",\n")
+      val unions = groups.indices.map(gi =>
+        s"SELECT doc_id, s, $gi AS gid FROM sq${i}g$gi").mkString("\n        UNION ALL ")
+      val pivots = groups.indices.map(gi =>
+        s"max(CASE WHEN gid = $gi THEN s END) AS g$gi").mkString(",\n               ")
+      val cSum = groups.indices.map(gi => s"COALESCE(g$gi, 0)").mkString("(", " + ", ")")
+      s"""$groupCtes,
+         |sq$i AS (
+         |  SELECT doc_id, $cSum AS s
+         |  FROM (SELECT doc_id,
+         |               $pivots
+         |        FROM ($unions) u$i
+         |        GROUP BY doc_id) p$i)""".stripMargin
     case LexicalMulti(fields, terms, CrossFields) =>
       // cross_fields: per term the df blends to the MAX across fields; each
       // field scores the term with the blended idf imposed through the
@@ -2876,6 +2993,19 @@ object HybridEntries {
       "dsl_fuzzy_osa" ->
         boolOracle(tokCte, must = Seq(Fuzzy("ahsh", 1)),
           should = Seq(Lexical(Seq("join"))), mustNot = Nil, msm = 0),
+      "dsl_match_synonyms" ->
+        boolOracle(tokCte,
+          must = Seq(LexicalSyn(Seq(Seq("fast", "slow") -> 1.0, Seq("join") -> 1.0))),
+          should = Nil, mustNot = Nil, msm = 0),
+      "dsl_intervals_nested" ->
+        boolOracle(tokCte,
+          must = Seq(IntervalsQ(graft.query.Intervals.IAllOf(Seq(
+            graft.query.Intervals.IMatch(Seq("table")),
+            graft.query.Intervals.IAnyOf(Seq(
+              graft.query.Intervals.IMatch(Seq("hash")),
+              graft.query.Intervals.IMatch(Seq("scan"))))),
+            maxGaps = 1, ordered = true))),
+          should = Seq(Lexical(Seq("merge"))), mustNot = Nil, msm = 0),
       "dsl_intervals" ->
         boolOracle(tokCte,
           must = Seq(SpanNearQ(Seq("hash", "join"), slop = 3, inOrder = true)),
@@ -3540,6 +3670,52 @@ object HybridEntries {
            |           x -> CASE WHEN x = term THEN '<em>' || x || '</em>' ELSE x END),
            |         ' ') AS snippet
            |FROM m WHERE pos > 0""".stripMargin,
+      // the full fragment pipeline re-derived: term occurrences + phrase
+      // spans -> distinct positions -> island merge (gap > 2w+1 starts a
+      // new fragment) -> per-doc fragment ranking -> <em>-tagged render
+      "search_highlight_fragments" ->
+        s"""WITH $tokCte,
+           |score AS (
+           |  SELECT tf.doc_id, $Bm25Sum AS s
+           |  FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN stats
+           |  WHERE tf.term IN (${termList(B)})
+           |  GROUP BY tf.doc_id),
+           |topd AS (SELECT doc_id FROM score ORDER BY s DESC, doc_id LIMIT 10),
+           |tks AS (SELECT d.doc_id, string_split(d.text, ' ') AS toks
+           |        FROM documents d JOIN topd USING (doc_id)),
+           |hltok AS (SELECT doc_id, unnest(toks) AS term,
+           |                 unnest(range(1, len(toks) + 1)) AS pos
+           |          FROM tks),
+           |tm AS (SELECT doc_id, pos FROM hltok WHERE term IN ('window')),
+           |pm AS (
+           |  SELECT t0.doc_id, unnest([t0.pos, t0.pos + 1]) AS pos
+           |  FROM hltok t0 JOIN hltok t1 ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1
+           |  WHERE t0.term = 'merge' AND t1.term = 'sort'),
+           |mp AS (SELECT DISTINCT doc_id, pos
+           |       FROM (SELECT * FROM tm UNION ALL SELECT * FROM pm)),
+           |pv AS (SELECT doc_id, pos,
+           |              lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+           |       FROM mp),
+           |isl AS (SELECT doc_id, pos,
+           |               sum(CASE WHEN prev IS NULL OR pos - prev > 7 THEN 1 ELSE 0 END)
+           |                 OVER (PARTITION BY doc_id ORDER BY pos) AS island
+           |        FROM pv),
+           |frag AS (SELECT doc_id, island, count(*) AS n_matches,
+           |                min(pos) AS mn, max(pos) AS mx,
+           |                list(pos ORDER BY pos) AS mpos
+           |         FROM isl GROUP BY doc_id, island),
+           |rk AS (SELECT f.*, row_number() OVER (
+           |         PARTITION BY doc_id ORDER BY n_matches DESC, mn) AS frag_rank
+           |       FROM frag f)
+           |SELECT r.doc_id, r.frag_rank, CAST(r.n_matches AS BIGINT) AS n_matches,
+           |       array_to_string(list_transform(
+           |         range(CAST(greatest(r.mn - 3, 1) AS INT),
+           |               CAST(least(r.mx + 3, len(t.toks)) AS INT) + 1),
+           |         i -> CASE WHEN list_contains(r.mpos, i)
+           |                   THEN '<em>' || t.toks[i] || '</em>' ELSE t.toks[i] END),
+           |         ' ') AS snippet
+           |FROM rk r JOIN tks t USING (doc_id)
+           |WHERE r.frag_rank <= 2""".stripMargin,
       // the hybrid query's own top-10 (match + bool-with-must_not + phrase,
       // min_max/arithmetic) highlighted with the EXTRACTED terms: 'merge
       // sort' from the match, 'join' from the bool's must ('window' is

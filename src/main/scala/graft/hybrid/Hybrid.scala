@@ -78,6 +78,13 @@ case class Lexical(terms: Seq[String], boosts: Map[String, Double] = Map.empty) 
  *  the sum of member-term idfs. Needs [[HybridSources.positions]]. */
 case class LexicalPhrase(phrase: Seq[String], slop: Int = 0) extends SubQuery
 
+/** SynonymQuery-group clause: one (member terms, boost) group per analyzed
+ *  query position. A `match` clause rewrites to this automatically when
+ *  [[HybridSources.synonyms]] carries an entry for any of its tokens —
+ *  Lucene's SynonymGraphFilter → SynonymQuery lowering. Each group scores
+ *  with tf summed before saturation and df = max member df; groups sum. */
+case class LexicalSyn(groups: Seq[(Seq[String], Double)]) extends SubQuery
+
 /** Sparse token-weight clause — `neural_sparse`: linear dot product of the
  *  query token map against the encoded corpus
  *  (reference: query/NeuralSparseQueryBuilder.java:568-581). */
@@ -237,6 +244,14 @@ case class Boosting(positive: SubQuery, negative: SubQuery,
  *  length prefilter skips the distance computation where it cannot pass. */
 case class Fuzzy(term: String, fuzziness: Int = 1, boost: Double = 1.0,
                  transpositions: Boolean = true) extends SubQuery
+
+/** `intervals` query with a composed source tree (match / all_of /
+ *  any_of, nested arbitrarily) — Lucene's minimal-interval algebra as a
+ *  filter-context existence at constant boost. The single top-level
+ *  `match` rule keeps lowering onto [[SpanNearQ]] (same contract); this
+ *  clause carries the compositions. Needs [[HybridSources.positions]]. */
+case class IntervalsQ(source: graft.query.Intervals.Source,
+                      boost: Double = 1.0) extends SubQuery
 
 /** `ids` query: the named live documents at a constant boost — the direct
  *  primary-key fetch form. Bucket-prunes the forward table to only the ids'
@@ -485,7 +500,14 @@ case class HybridSources(
     fieldIdx: Map[String, Index] = Map.empty,
     /** child relations for [[HasChildQ]]: relation name -> child table with
      *  a `parent_id` column and a text column (the parent-join field) */
-    children: Map[String, (DataFrame, String)] = Map.empty
+    children: Map[String, (DataFrame, String)] = Map.empty,
+    /** index-level synonym graph (analyzer config): query-time, a `match`
+     *  clause rewrites each analyzed token into a Lucene SynonymQuery over
+     *  {token} ∪ synonyms(token) — the DSL never mentions synonyms, the
+     *  index configuration injects them (Lucene SynonymGraphFilter on the
+     *  search_analyzer). Deterministic map; must be driver-small, exactly
+     *  like an OpenSearch synonym file. */
+    synonyms: Map[String, Seq[String]] = Map.empty
 )
 
 case class HybridQuery(
@@ -552,6 +574,12 @@ object Hybrid {
         require(prefix.nonEmpty && prefix.matches("[a-z0-9]+"),
           s"prefix must be a non-empty analyzed token, got [$prefix]")
         require(maxExp >= 1, s"max_expansions must be >= 1, got $maxExp")
+      case LexicalSyn(groups) =>
+        require(groups.nonEmpty, "synonym match requires at least one position group")
+        groups.foreach { case (g, b) =>
+          require(g.nonEmpty, "a synonym group must carry at least one term")
+          require(b > 0, s"[boost] must be > 0, got $b")
+        }
       case _: SparseLinear => require(src.sparse.nonEmpty,
         "sparse sub-query requires HybridSources.sparse (doc_id, token, w)")
       case _: DenseCosine => require(src.emb.nonEmpty,
@@ -653,6 +681,12 @@ object Hybrid {
           s"fuzzy term must be non-empty [a-z0-9], got [$t]")
         require(f >= 0 && f <= 2,
           s"fuzziness must be in [0, 2] (Lucene's bound), got $f")
+        require(boost > 0, s"[boost] must be > 0, got $boost")
+      case IntervalsQ(source, boost) =>
+        require(src.positions.nonEmpty,
+          "intervals requires HybridSources.positions (positional blocks)")
+        require(source.leafTerms.forall(_.matches("[a-z0-9]+")),
+          "intervals leaf terms must be analyzed single tokens")
         require(boost > 0, s"[boost] must be > 0, got $boost")
       case IdsQ(ids, boost) =>
         require(ids.nonEmpty, "ids query requires at least one id")
@@ -901,8 +935,37 @@ object Hybrid {
   /** Score one sub-query clause: DataFrame(doc_id, score), unbounded rows. */
   private[graft] def scoreClause(src: HybridSources, sq: SubQuery, boundPerBucket: Int): DataFrame =
     sq match {
+      case Lexical(terms, boosts) if src.synonyms.exists(kv => terms.contains(kv._1)) =>
+        // index-configured synonym graph (Lucene SynonymGraphFilter on the
+        // search_analyzer): rewrite each query position into its synonym
+        // group — the DSL never mentions synonyms, the index config injects
+        // them. Per-bucket trim is disabled: a bound valid per group is not
+        // a valid upper set for the cross-group sum.
+        val groups = terms.map { t =>
+          ((t +: src.synonyms.getOrElse(t, Nil)).distinct, boosts.getOrElse(t, 1.0))
+        }
+        scoreClause(src, LexicalSyn(groups), boundPerBucket = 0)
       case Lexical(terms, boosts) =>
         Bm25.scoreTerms(src.idx, terms, boosts, limitPerBucket = boundPerBucket)
+      case LexicalSyn(groups) =>
+        // each position scores as ONE SynonymQuery — tf summed across the
+        // group BEFORE saturation, df = the max member df (Bm25
+        // .synonymScore); positions then sum like the BooleanQuery a match
+        // compiles to. The pivot keeps the FP sum in fixed position order.
+        import org.apache.spark.sql.functions.{coalesce, max, when}
+        val tagged = groups.zipWithIndex.map { case ((g, b), gi) =>
+          val scored =
+            if (g.size == 1) Bm25.scoreTerms(src.idx, g, Map.empty)
+            else Bm25.synonymScore(src.idx, g)
+          scored.select($"doc_id", ($"score" * b).as("score"), lit(gi).as("gid"))
+        }
+        val u = tagged.reduce(_ unionByName _)
+        val pivots = groups.indices.map(gi =>
+          max(when($"gid" === gi, $"score")).as(s"_g$gi"))
+        val agg = u.groupBy($"doc_id").agg(pivots.head, pivots.tail: _*)
+        val sum = groups.indices.map(gi => coalesce(col(s"_g$gi"), lit(0.0)))
+          .reduceLeft(_ + _)
+        agg.select($"doc_id", sum.as("score"))
       case LexicalMsm(terms, m, boosts) =>
         // the msm gate applies inside the bucket scorer BEFORE any per-bucket
         // top-k trim, so the bound stays a valid upper set for global top-k
@@ -931,6 +994,9 @@ object Hybrid {
           .select($"doc_id", lit(boost).as("score"))
       case SpanNearQ(ts, slop, ord, boost) =>
         graft.query.Phrase.spanNearMatch(src.idx, src.positions.get, ts, slop, ord)
+          .select($"doc_id", lit(boost).as("score"))
+      case IntervalsQ(source, boost) =>
+        graft.query.Intervals.matchDocs(src.idx, src.positions.get, source)
           .select($"doc_id", lit(boost).as("score"))
       case SpanFirstQ(t, end, boost) =>
         graft.query.Phrase.spanFirstMatch(src.idx, src.positions.get, t, end)
@@ -1507,12 +1573,12 @@ object Hybrid {
     if (filterDocs.nonEmpty) increment("hybrid_query_with_filter_requests")
     if (q.from > 0) increment("hybrid_query_with_pagination_requests")
     q.subQueries.foreach {
-      case _: Lexical | _: LexicalPhrase | _: LexicalPhrasePrefix |
+      case _: Lexical | _: LexicalSyn | _: LexicalPhrase | _: LexicalPhrasePrefix |
            _: LexicalMulti | _: LexicalMsm |
            _: MatchAll | _: BoolSub | _: TermPattern | _: ConstantScore |
            _: DisMax | _: Boosting | _: Fuzzy | _: MoreLikeThisQ |
            _: IdsQ | _: TermsSet | _: RegexPattern | _: ExistsQ |
-           _: SpanNearQ => ()
+           _: SpanNearQ | _: IntervalsQ => ()
       case _: SparseLinear => increment("neural_sparse_query_requests")
       case _: DenseCosine | _: DenseVector | _: DenseIvf | _: DenseRadial =>
         increment("neural_query_requests")

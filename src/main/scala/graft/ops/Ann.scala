@@ -460,16 +460,71 @@ object Ann {
   }
 
   /** Embedding-cosine near-duplicate pairs, blocked by an equality key
-   *  (e.g. a cluster/label column) to bound the pair explosion. */
+   *  (e.g. a cluster/label column) to bound the pair explosion.
+   *
+   *  The block column is CALLER-SUPPLIED, so its cardinality is untrusted:
+   *  one fat block (e.g. lang='en') makes the within-block self-join
+   *  quadratic. `maxBlock` is the scale guard — blocks larger than it never
+   *  reach the all-pairs join. With `dim > 0`, oversized blocks auto-route
+   *  through in-block random-hyperplane LSH banding (candidates must share
+   *  the block AND at least one band, survivors verify exact cosine —
+   *  approximate per the standard 1-(1-s^rows)^bands recall curve, bounded
+   *  band buckets by construction, the [[lshCosinePairs]] shape). With
+   *  `dim <= 0` an oversized block FAILS LOUDLY (bounded limit-1 peek at
+   *  plan construction) instead of silently going quadratic. */
   def cosinePairs(emb: DataFrame, id: String, vec: String, blockCol: String,
-                  threshold: Double): DataFrame = {
-    val a = emb.select(col(id).as("id_a"), col(vec).as("va"), col(blockCol).as("blk"))
-    val b = emb.select(col(id).as("id_b"), col(vec).as("vb"), col(blockCol).as("blk"))
-    a.join(b, Seq("blk"))
+                  threshold: Double, maxBlock: Int = 10000,
+                  nPlanes: Int = 32, nBands: Int = 4, dim: Int = -1): DataFrame = {
+    require(maxBlock > 0, s"maxBlock must be > 0, got $maxBlock")
+    // block sizes join back on the block key (no driver collect — any
+    // number of blocks), splitting the corpus into the all-pairs-safe
+    // small blocks and the LSH-routed oversized ones
+    val sizes = emb.groupBy(col(blockCol).as("blk")).agg(count(lit(1)).as("_bn"))
+    val tagged = emb
+      .select(col(id).as("_id"), col(vec).as("_v"), col(blockCol).as("blk"))
+      .join(sizes, "blk")
+    val small = tagged.where(col("_bn") <= maxBlock)
+    val a = small.select(col("_id").as("id_a"), col("_v").as("va"), col("blk"))
+    val b = small.select(col("_id").as("id_b"), col("_v").as("vb"), col("blk"))
+    val smallPairs = a.join(b, Seq("blk"))
       .where(col("id_a") < col("id_b"))
       .withColumn("c", cosine(col("va"), col("vb")))
       .where(col("c") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("c"), 4).as("cos"))
+    val big = tagged.where(col("_bn") > maxBlock)
+    if (dim <= 0) {
+      val offending = big.select(col("blk")).limit(1).collect()
+      require(offending.isEmpty,
+        s"cosinePairs: block '${offending.headOption.map(_.get(0)).orNull}' exceeds " +
+          s"maxBlock=$maxBlock rows — the all-pairs join would be quadratic. " +
+          "Pass dim>0 to auto-route oversized blocks through LSH banding, or " +
+          "raise maxBlock deliberately.")
+      smallPairs
+    } else {
+      require(nPlanes % nBands == 0, s"nBands $nBands must divide nPlanes $nPlanes")
+      val bits = (0 until nPlanes).map { p =>
+        val w = array(hyperplane(p, dim).map(x => lit(x.toDouble)): _*)
+        when(dot(col("_v"), w) >= 0, "1").otherwise("0")
+      }
+      val sig = big.select(col("_id").as("id"), col("blk"), concat(bits: _*).as("sig"))
+        .localCheckpoint(true)
+      val rows = nPlanes / nBands
+      val bands = sig.select(col("id"), col("blk"), posexplode(array(
+        (0 until nBands).map(bi => substring(col("sig"), bi * rows + 1, rows)): _*))
+        .as(Seq("band", "bh")))
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.blk") === col("b.blk") && col("a.band") === col("b.band") &&
+            col("a.bh") === col("b.bh") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .distinct()
+      val routed = cand
+        .join(big.select(col("_id").as("id_a"), col("_v").as("va")), "id_a")
+        .join(big.select(col("_id").as("id_b"), col("_v").as("vb")), "id_b")
+        .withColumn("c", cosine(col("va"), col("vb")))
+        .where(col("c") >= threshold)
+        .select(col("id_a"), col("id_b"), round(col("c"), 4).as("cos"))
+      smallPairs.unionByName(routed)
+    }
   }
 
   // -------------------------------------------------------------------
@@ -564,5 +619,68 @@ object Ann {
       .orderBy(col("_c").desc, col(id).asc)
       .limit(k)
       .select(col(id), round(col("_c"), 4).as("cos"))
+  }
+
+  /**
+   * Recall@k of the APPROXIMATE ANN regimes against in-plan brute force,
+   * over a deterministic multi-query panel (every `queryMod`-th vector) —
+   * the evidence that the configurations a 100-TB deployment actually runs
+   * (nProbe < C IVF probing, banded LSH) lose bounded, MEASURED recall
+   * rather than assumed recall. Seeded centroids (ids < nCentroids, the
+   * [[ivfTopK]] convention) keep every stage SQL-re-derivable.
+   *
+   * Output: one row per configuration — (method, param, recall) with
+   * recall = Σ_q |approx_topk(q) ∩ brute_topk(q)| / (nQueries · k).
+   * The Q×N scored table is computed ONCE (Q is metadata-sized, one corpus
+   * scan) and shared by brute force and every approximate branch.
+   */
+  def recallCurve(emb: DataFrame, id: String, vec: String, queryMod: Long,
+                  k: Int, nCentroids: Int, probes: Seq[Int],
+                  nPlanes: Int, bandChoices: Seq[Int], dim: Int): DataFrame = {
+    require(queryMod > 0 && k > 0 && probes.nonEmpty)
+    val queries = emb.where(col(id) % queryMod === 0)
+      .select(col(id).as("qid"), col(vec).as("qv"))
+    val scored = emb.crossJoin(broadcast(queries))
+      .select(col("qid"), col(id).as("vid"), cosine(col(vec), col("qv")).as("c"))
+      .localCheckpoint(true)
+    val ord = Seq(col("c").desc, col("vid").asc)
+    val brute = TopN.perGroup(scored, Seq("qid"), "vid", k, ord)
+      .select("qid", "vid").localCheckpoint(true)
+    val nq = queries.count() // bounded: the query panel is metadata-sized
+    def recallOf(cand: DataFrame, method: String, param: Int): DataFrame =
+      TopN.perGroup(scored.join(cand, Seq("qid", "vid"), "left_semi"),
+          Seq("qid"), "vid", k, ord)
+        .join(brute, Seq("qid", "vid"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(method).as("method"), lit(param).as("param"),
+          round(col("hits").cast("double") / lit((nq * k).toDouble), 4).as("recall"))
+    // IVF: rank the seeded centroids per query, probe the top-n lists
+    val cents = emb.where(col(id) < nCentroids)
+      .select(col(id).as("c_id"), col(vec).as("cv"))
+    val asg = assignTo(emb, id, vec, cents)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cc").desc, col("c_id").asc)
+    val ranked = queries.crossJoin(broadcast(cents)) // Q x C: metadata-sized
+      .select(col("qid"), col("c_id"), cosine(col("qv"), col("cv")).as("cc"))
+      .withColumn("rn", row_number().over(w))
+      .localCheckpoint(true)
+    val ivf = probes.map { p =>
+      val probed = ranked.where(col("rn") <= p).select("qid", "c_id")
+      val cand = asg.join(broadcast(probed), "c_id")
+        .select(col("qid"), col(id).as("vid"))
+      recallOf(cand, "ivf", p)
+    }
+    // LSH: candidates share >= 1 band with the query at each banding choice
+    val lsh = bandChoices.map { nb =>
+      val sig = lshSignature(emb, id, vec, nPlanes, dim).localCheckpoint(true)
+      val bands = lshBands(sig, nPlanes, nb)
+      val qBands = bands.join(broadcast(queries.select(col("qid"))),
+          bands("id") === col("qid"))
+        .select(col("qid"), col("band"), col("bh"))
+      val cand = bands.join(broadcast(qBands), Seq("band", "bh"))
+        .select(col("qid"), col("id").as("vid")).distinct()
+      recallOf(cand, "lsh", nb)
+    }
+    (ivf ++ lsh).reduce(_ unionByName _)
   }
 }

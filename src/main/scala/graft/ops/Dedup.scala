@@ -120,10 +120,16 @@ object Dedup {
    *  df^2/2 candidate pairs, the self-join explosion that makes an uncapped
    *  sweep impossible at corpus scale). Sizes and intersections are both
    *  computed over the capped shingle space, so the jaccard is exact w.r.t.
-   *  the capped sets. */
+   *  the capped sets.
+   *
+   *  The cap is ON BY DEFAULT (64 — a shared shingle contributes at most
+   *  ~2k candidate pairs); the uncapped sweep is the small-scale oracle
+   *  BASELINE only and must be requested explicitly with
+   *  `maxShingleDf = Int.MaxValue`. */
   def ngramJaccardPairs(docs: DataFrame, id: String, text: String,
                         k: Int, threshold: Double,
-                        maxShingleDf: Int = Int.MaxValue): DataFrame = {
+                        maxShingleDf: Int = 64): DataFrame = {
+    require(maxShingleDf > 0, s"maxShingleDf must be > 0, got $maxShingleDf")
     // shared scans: shAll feeds both sides of the df-cap join, and sh feeds
     // the size aggregate plus both sides of the intersection self-join —
     // without sharing, the shingle explosion runs once per branch

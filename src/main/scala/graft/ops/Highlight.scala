@@ -58,4 +58,98 @@ object Highlight {
           " "))
       .select(col("doc_id"), col("term"), col("pos"), col("snippet"))
   }
+
+  /**
+   * Multi-fragment, phrase-aware highlighting — the unified-highlighter
+   * shape (reference surface: the highlight/single package): per hit, EVERY
+   * occurrence of every query term plus every exact phrase span is located
+   * in the tokenized text; occurrences whose context windows touch merge
+   * into one fragment (interval islands); the best `maxFragments`
+   * fragments per doc (match count desc, start asc) are emitted with every
+   * matched token `<em>`-wrapped.
+   *
+   * Distribution shape: the hits side is <= k rows, so only k documents'
+   * text is ever tokenized (broadcast semi join, column-pruned scan);
+   * occurrence rows are per-match (bounded by k x matches-per-doc), the
+   * island assignment is a per-doc window over those rows, and the snippet
+   * renders through codegen'd array HOFs — no UDFs, no corpus-wide work.
+   *
+   * @param phrases   exact-adjacency phrase spans (analyzed tokens); every
+   *                  position a phrase covers highlights, and a phrase
+   *                  match counts each covered position toward the
+   *                  fragment's match count (Lucene's unified highlighter
+   *                  weights passages by term-occurrence density too)
+   * @return (doc_id, frag_rank, n_matches, snippet), frag_rank 1-based in
+   *         (n_matches desc, fragment start asc) order.
+   */
+  def fragments(hits: DataFrame, docs: DataFrame, textCol: String,
+                terms: Seq[String], phrases: Seq[Seq[String]] = Nil,
+                window: Int = 3, maxFragments: Int = 2): DataFrame = {
+    require(window >= 0, s"window must be >= 0, got $window")
+    require(maxFragments >= 1, s"max fragments must be >= 1, got $maxFragments")
+    require(terms.nonEmpty || phrases.nonEmpty, "nothing to highlight")
+    val spark = hits.sparkSession
+    import spark.implicits._
+    val withText = docs.select(col("doc_id"), split(col(textCol), " ").as("toks"))
+      .join(broadcast(hits.select("doc_id")), "doc_id")
+      .withColumn("normed", transform(col("toks"), norm(_)))
+    // 1-based positions of every single-term occurrence
+    val termPos =
+      if (terms.isEmpty) None
+      else Some(withText
+        .select(col("doc_id"), posexplode(col("normed")).as(Seq("p0", "tk")))
+        .join(broadcast(terms.toDF("tk")), "tk")
+        .select(col("doc_id"), (col("p0") + 1).as("pos")))
+    // positions covered by each exact phrase span: start where every
+    // phrase token matches at consecutive offsets, then explode the span
+    val phrasePos = phrases.map { ph =>
+      require(ph.size >= 2, s"a phrase needs >= 2 tokens, got $ph")
+      // `get` is 0-based and null-safe past the array end (ANSI-safe),
+      // so no separate length guard is needed: an out-of-range probe
+      // yields null === t -> filtered
+      val startOk = ph.zipWithIndex.map { case (t, j) =>
+        get(col("normed"), col("p0") + j) === lit(t)
+      }.reduce(_ && _)
+      withText
+        .select(col("doc_id"), col("normed"),
+          explode(sequence(lit(0), greatest(size(col("normed")) - ph.size, lit(0))))
+            .as("p0"))
+        .where(startOk)
+        .select(col("doc_id"),
+          explode(sequence(col("p0") + 1, col("p0") + ph.size)).as("pos"))
+    }
+    val matched = (termPos.toSeq ++ phrasePos).reduce(_ unionByName _)
+      .distinct()
+    // island merge: context windows [pos-w, pos+w] sorted by pos have
+    // monotone ends, so a new fragment starts exactly when the gap to the
+    // previous match exceeds 2w+1
+    val byPos = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val isl = matched
+      .withColumn("_new",
+        when(coalesce(col("pos") - lag("pos", 1).over(byPos),
+          lit(Int.MaxValue)) > 2 * window + 1, 1).otherwise(0))
+      .withColumn("island", sum(col("_new")).over(
+        byPos.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+    val frags = isl.groupBy(col("doc_id"), col("island"))
+      .agg(count(lit(1)).as("n_matches"),
+        min(col("pos")).as("_mn"), max(col("pos")).as("_mx"),
+        sort_array(collect_set(col("pos"))).as("_mpos"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("n_matches").desc, col("_mn").asc)
+    frags
+      .withColumn("frag_rank", row_number().over(byDoc))
+      .where(col("frag_rank") <= maxFragments)
+      .join(withText.select(col("doc_id"), col("toks")), "doc_id")
+      .withColumn("_lo", greatest(col("_mn") - window, lit(1)))
+      .withColumn("_hi", least(col("_mx") + window, size(col("toks"))))
+      .withColumn("snippet",
+        array_join(
+          transform(sequence(col("_lo"), col("_hi")),
+            i => when(array_contains(col("_mpos"), i),
+              concat(lit("<em>"), element_at(col("toks"), i), lit("</em>")))
+              .otherwise(element_at(col("toks"), i))),
+          " "))
+      .select(col("doc_id"), col("frag_rank"), col("n_matches"), col("snippet"))
+  }
 }

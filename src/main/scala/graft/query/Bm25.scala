@@ -262,8 +262,16 @@ object Bm25 {
    *  docFreq upper bound). Same bucket-cogroup kernel and dl/liveness gates
    *  as every scorer here. */
   def synonymTopK(idx: Index, synonyms: Seq[String], k: Int): DataFrame = {
-    require(synonyms.nonEmpty, "synonym set must be non-empty")
     require(k > 0, s"k must be > 0, got $k")
+    synonymScore(idx, synonyms)
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  /** Unbounded SynonymQuery scoring — the clause shape the synonym-graph
+   *  `match` rewrite composes per query position. */
+  def synonymScore(idx: Index, synonyms: Seq[String]): DataFrame = {
+    require(synonyms.nonEmpty, "synonym set must be non-empty")
     val spark = idx.postings.sparkSession
     import spark.implicits._
     val avgdl = idx.stats.avgdl
@@ -310,8 +318,6 @@ object Bm25 {
         }
       }
       .toDF("doc_id", "score")
-      .orderBy(col("score").desc, col("doc_id").asc)
-      .limit(k)
   }
 
   /**

@@ -1,0 +1,227 @@
+package graft.query
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import graft.index.{DocLenBlock, Index, InvertedIndex, PosBlock, Positions, PostingCodec}
+
+/**
+ * The `intervals` query's composable source algebra — Lucene's
+ * IntervalsSource tree (match / all_of / any_of), which the reference
+ * accepts through any core query a hybrid sub-query carries
+ * (query/HybridQueryBuilder.java:368-377). Interval semantics follow
+ * Lucene's MINIMAL-interval algebra:
+ *
+ *  - every source produces only minimal intervals per doc (an interval
+ *    containing another one from the same source is absorbed);
+ *  - `match` produces the minimal windows where the analyzed terms
+ *    co-occur with `(width - k) <= max_gaps`, optionally in order;
+ *  - `any_of` is the union of its sources' intervals (then re-minimized);
+ *  - `all_of` combines one interval per source, pairwise NON-OVERLAPPING
+ *    (the no-overlaps contract; ordered additionally requires each
+ *    interval to start after the previous one ends), with total interior
+ *    gaps `(window width - sum of member widths) <= max_gaps`.
+ *
+ * Execution is the repo's standard positional shape: the leaf terms'
+ * position blocks cogroup with the forward doc-length blocks per 4096-doc
+ * bucket; each candidate doc evaluates the tree over its in-memory
+ * position arrays — per-query shuffle proportional to the leaf terms'
+ * posting volume, never corpus size. Per-doc work is bounded by the DFS
+ * over term frequencies with the width prune, exactly like the span
+ * matchers in [[Phrase]].
+ */
+object Intervals {
+
+  sealed trait Source { def leafTerms: Seq[String] }
+  /** Leaf `match` rule: analyzed terms, `max_gaps` width budget, `ordered`. */
+  case class IMatch(terms: Seq[String], maxGaps: Int = 0,
+                    ordered: Boolean = false) extends Source {
+    require(terms.nonEmpty, "intervals match requires at least one analyzed token")
+    require(maxGaps >= 0, "intervals [max_gaps] must be >= 0 (unlimited is unbounded work)")
+    def leafTerms: Seq[String] = terms
+  }
+  /** `all_of`: every source must match, combined non-overlapping. */
+  case class IAllOf(sources: Seq[Source], maxGaps: Int = 0,
+                    ordered: Boolean = false) extends Source {
+    require(sources.size >= 2, "intervals all_of requires at least 2 sources")
+    require(maxGaps >= 0, "intervals [max_gaps] must be >= 0 (unlimited is unbounded work)")
+    def leafTerms: Seq[String] = sources.flatMap(_.leafTerms)
+  }
+  /** `any_of`: the union of the sources' intervals. */
+  case class IAnyOf(sources: Seq[Source]) extends Source {
+    require(sources.size >= 2, "intervals any_of requires at least 2 sources")
+    def leafTerms: Seq[String] = sources.flatMap(_.leafTerms)
+  }
+
+  /** Docs where the source tree produces at least one interval — the
+   *  filter-context existence the intervals clause scores constant. */
+  def matchDocs(idx: Index, pos: Dataset[PosBlock], source: Source): DataFrame = {
+    val spark = idx.postings.sparkSession
+    import spark.implicits._
+    val uniq = source.leafTerms.distinct
+
+    val matched = pos.filter($"term".isin(uniq: _*))
+    val docLens = idx.docLens
+      .join(matched.select($"bucket").distinct().hint("broadcast"), "bucket")
+      .as[DocLenBlock]
+
+    matched.groupByKey(_.bucket)
+      .cogroup(docLens.groupByKey(_.bucket)) { (bucket, blocksIt, dlIt) =>
+        val byTerm = blocksIt.map(b => b.term -> Positions.decodeEntries(b)).toMap
+        val dlArr = new Array[Int](InvertedIndex.BucketSpan)
+        dlIt.foreach { dlb =>
+          val ids = PostingCodec.decodeDeltas(dlb.ids, dlb.cnt)
+          val dls = PostingCodec.decodeInts(dlb.dls, dlb.cnt)
+          var i = 0
+          while (i < dlb.cnt) { dlArr(ids(i)) = dls(i); i += 1 }
+        }
+        // per-local-doc lookup for each leaf term present in this bucket
+        val lookups: Map[String, java.util.HashMap[Integer, Array[Int]]] =
+          byTerm.map { case (t, entries) =>
+            val m = new java.util.HashMap[Integer, Array[Int]]()
+            entries.foreach { case (d, ps) => m.put(d, ps) }
+            t -> m
+          }
+        // candidate docs: union of the leaf terms' doc sets in this bucket
+        val cands = new java.util.TreeSet[Integer]()
+        byTerm.values.foreach(_.foreach { case (d, _) => cands.add(d) })
+        val base = bucket << InvertedIndex.BucketBits
+        val it = cands.iterator()
+        new Iterator[Long] {
+          private var nextDoc: Long = -1L
+          private def advance(): Unit = {
+            nextDoc = -1L
+            while (nextDoc < 0 && it.hasNext) {
+              val local: Int = it.next()
+              if (dlArr(local) != 0) { // liveDocs gate
+                def posOf(t: String): Array[Int] = {
+                  val m = lookups.get(t).orNull
+                  val a = if (m == null) null else m.get(local)
+                  if (a == null) Array.emptyIntArray else a
+                }
+                if (eval(source, posOf).nonEmpty) nextDoc = base + local
+              }
+            }
+          }
+          advance()
+          def hasNext: Boolean = nextDoc >= 0
+          def next(): Long = { val v = nextDoc; advance(); v }
+        }
+      }
+      .toDF("doc_id")
+  }
+
+  /** Per-doc evaluation: the source's MINIMAL intervals, sorted by
+   *  (start, end). Exposed for the brute-force spec. */
+  private[graft] def eval(src: Source, posOf: String => Array[Int]): Array[(Int, Int)] =
+    src match {
+      case IMatch(terms, maxGaps, ordered) =>
+        if (terms.size == 1) posOf(terms.head).map(p => (p, p))
+        else {
+          val lists = terms.map(posOf).toArray
+          if (lists.exists(_.isEmpty)) Array.empty
+          else minimize(combine(lists.map(_.map(p => (p, p))), maxGaps, ordered))
+        }
+      case IAllOf(sources, maxGaps, ordered) =>
+        val subs = sources.map(s => eval(s, posOf)).toArray
+        if (subs.exists(_.isEmpty)) Array.empty
+        else minimize(combine(subs, maxGaps, ordered))
+      case IAnyOf(sources) =>
+        minimize(sources.toArray.flatMap(s => eval(s, posOf)))
+    }
+
+  /** All valid combinations of one interval per source: pairwise
+   *  non-overlapping, interior gaps within budget, optionally in source
+   *  order. DFS rarest-first with the window prune — the width only grows
+   *  as members are added, so an over-budget partial choice cuts the whole
+   *  subtree (same bounding idea as Phrase.unorderedSpanExists). */
+  private def combine(subs: Array[Array[(Int, Int)]], maxGaps: Int,
+                      ordered: Boolean): Array[(Int, Int)] = {
+    val k = subs.length
+    // DFS in source order when ordered (the order constraint chains
+    // consecutive choices); rarest-first otherwise
+    val order: Array[Int] =
+      if (ordered) Array.range(0, k)
+      else subs.indices.sortBy(subs(_).length).toArray
+    val chosen = new Array[(Int, Int)](k)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    // prune bound: the gap count can shrink by at most the sum of the
+    // remaining sources' widest intervals (a future member reduces gaps
+    // only by the width it places inside the window)
+    val slack = new Array[Int](k + 1)
+    var si = k - 1
+    while (si >= 0) {
+      val arr = subs(order(si))
+      var mw = 0
+      var j = 0
+      while (j < arr.length) {
+        val w = arr(j)._2 - arr(j)._1 + 1
+        if (w > mw) mw = w
+        j += 1
+      }
+      slack(si) = slack(si + 1) + mw
+      si -= 1
+    }
+    // total member width so far; gaps = window - sumWidth at completion
+    def rec(d: Int, mn: Int, mx: Int, sumW: Int): Unit = {
+      if (d == k) {
+        if ((mx - mn + 1) - sumW <= maxGaps) out += ((mn, mx))
+        return
+      }
+      val arr = subs(order(d))
+      var j = 0
+      while (j < arr.length) {
+        val iv = arr(j)
+        var ok = true
+        // non-overlap with every already-chosen interval; ordered chains
+        // strictly after the previous source's interval
+        if (ordered && d > 0) ok = iv._1 > chosen(d - 1)._2
+        var t = 0
+        while (ok && t < d) {
+          val c = chosen(t)
+          if (iv._1 <= c._2 && c._1 <= iv._2) ok = false
+          t += 1
+        }
+        if (ok) {
+          val nmn = if (d == 0) iv._1 else math.min(mn, iv._1)
+          val nmx = if (d == 0) iv._2 else math.max(mx, iv._2)
+          val nw = sumW + (iv._2 - iv._1 + 1)
+          if ((nmx - nmn + 1) - nw - slack(d + 1) <= maxGaps) {
+            chosen(d) = iv
+            rec(d + 1, nmn, nmx, nw)
+          }
+        }
+        j += 1
+      }
+    }
+    rec(0, 0, 0, 0)
+    out.toArray
+  }
+
+  /** Keep only minimal intervals (none containing another), deduped and
+   *  sorted by (start, end) — the invariant every Lucene IntervalsSource
+   *  maintains. */
+  private def minimize(ivs: Array[(Int, Int)]): Array[(Int, Int)] = {
+    if (ivs.length <= 1) return ivs.distinct.sorted
+    val sorted = ivs.distinct.sorted // by (start asc, end asc)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    // scan by start: an interval is minimal iff no other interval is
+    // contained in it; with (start, end) sorted, keep iv unless a later
+    // interval starting >= iv.start ends <= iv.end, or an earlier kept one
+    // contains it. Two passes: drop containers.
+    var i = 0
+    while (i < sorted.length) {
+      val (s, e) = sorted(i)
+      // contained by a SAME-START shorter predecessor (sorted by end asc)?
+      var minimalHere = i == 0 || sorted(i - 1)._1 != s
+      // any later interval strictly inside? candidates have start >= s
+      var j = i + 1
+      while (minimalHere && j < sorted.length && sorted(j)._1 <= e) {
+        if (sorted(j)._2 <= e) minimalHere = false
+        j += 1
+      }
+      if (minimalHere) out += ((s, e))
+      i += 1
+    }
+    out.toArray
+  }
+}

@@ -513,22 +513,53 @@ object QueryDsl {
         body.path("in_order").asBoolean(false), body.path("boost").asDouble(1.0))
     } else if (!q.path("intervals").isMissingNode) {
       // {"intervals": {"text": {"match": {"query": "hash join",
-      //   "ordered": true, "max_gaps": 2}}}} — the modern span form:
-      // analyzed terms must co-occur within max_gaps extra positions,
-      // optionally in order. Same width contract as the span family
-      // (max - min + 1 - k <= max_gaps), so it lowers onto the span
-      // matcher; max_gaps -1 (unlimited) is rejected as unbounded here.
+      //   "ordered": true, "max_gaps": 2}}}} — the modern span form — or a
+      // COMPOSED source tree: {"all_of": {"ordered": true, "max_gaps": 1,
+      // "intervals": [ {"match": ...}, {"any_of": {"intervals": [...]}} ]}}
+      // nesting arbitrarily (Lucene's minimal-interval algebra). A single
+      // top-level match keeps lowering onto the span matcher (identical
+      // width contract: max - min + 1 - k <= max_gaps); compositions lower
+      // onto graft.query.Intervals. max_gaps -1 (unlimited) is rejected as
+      // unbounded work here.
+      import graft.query.Intervals
+      def parseSource(node: com.fasterxml.jackson.databind.JsonNode): Intervals.Source = {
+        if (!node.path("match").isMissingNode) {
+          val m = node.path("match")
+          val text = m.path("query").asText("")
+          require(text.nonEmpty, "intervals match requires a non-empty [query]")
+          val toks = Analyzer.analyze(analyzer)(text).toSeq
+          require(toks.nonEmpty, "intervals match needs at least 1 analyzed token")
+          val mg = m.path("max_gaps").asInt(0)
+          require(mg >= 0, "intervals [max_gaps] must be >= 0 (unlimited is unbounded work)")
+          Intervals.IMatch(toks, mg, m.path("ordered").asBoolean(false))
+        } else if (!node.path("all_of").isMissingNode) {
+          val b = node.path("all_of")
+          val arr = b.path("intervals")
+          require(arr.isArray && arr.size() >= 2,
+            "intervals all_of requires an [intervals] array of at least 2 sources")
+          val mg = b.path("max_gaps").asInt(0)
+          require(mg >= 0, "intervals [max_gaps] must be >= 0 (unlimited is unbounded work)")
+          Intervals.IAllOf((0 until arr.size()).map(i => parseSource(arr.get(i))),
+            mg, b.path("ordered").asBoolean(false))
+        } else if (!node.path("any_of").isMissingNode) {
+          val arr = node.path("any_of").path("intervals")
+          require(arr.isArray && arr.size() >= 2,
+            "intervals any_of requires an [intervals] array of at least 2 sources")
+          Intervals.IAnyOf((0 until arr.size()).map(i => parseSource(arr.get(i))))
+        } else throw new IllegalArgumentException(
+          "intervals rule must be one of [match], [all_of], [any_of]")
+      }
       val (_, body) = firstField(q.path("intervals"))
-      val m = body.path("match")
-      require(!m.isMissingNode, "intervals requires a [match] rule")
-      val text = m.path("query").asText("")
-      require(text.nonEmpty, "intervals match requires a non-empty [query]")
-      val toks = Analyzer.analyze(analyzer)(text).toSeq
-      require(toks.size >= 2, "intervals match needs at least 2 analyzed tokens")
-      val maxGaps = m.path("max_gaps").asInt(0)
-      require(maxGaps >= 0, "intervals [max_gaps] must be >= 0 (unlimited is unbounded work)")
-      graft.hybrid.SpanNearQ(toks, maxGaps, m.path("ordered").asBoolean(false),
-        m.path("boost").asDouble(1.0))
+      if (!body.path("match").isMissingNode) {
+        val m = body.path("match")
+        parseSource(body) match {
+          case Intervals.IMatch(toks, mg, ordered) =>
+            require(toks.size >= 2, "intervals match needs at least 2 analyzed tokens")
+            graft.hybrid.SpanNearQ(toks, mg, ordered, m.path("boost").asDouble(1.0))
+          case other => throw new IllegalStateException(s"unreachable: $other")
+        }
+      } else
+        graft.hybrid.IntervalsQ(parseSource(body), body.path("boost").asDouble(1.0))
     } else if (!q.path("span_first").isMissingNode) {
       // {"span_first": {"match": {"span_term": {"text": "merge"}}, "end": 3}}
       val body = q.path("span_first")

@@ -1,0 +1,99 @@
+package graft
+
+import graft.index.{InvertedIndex, Positions}
+import graft.query.Intervals
+import graft.query.Intervals.{IAllOf, IAnyOf, IMatch, Source}
+
+/** Composed intervals (match / all_of / any_of) vs an independent
+ *  brute-force model of the minimal-interval algebra: exhaustive tuple
+ *  enumeration with no DFS pruning, minimality applied as a literal
+ *  set-filter. Checks both the per-doc interval SETS and the matched-doc
+ *  sets through the positional-block engine path. */
+class IntervalsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // --- independent model ---------------------------------------------
+  private def minimal(s: Set[(Int, Int)]): Set[(Int, Int)] =
+    s.filter(iv => !s.exists(o =>
+      o != iv && o._1 >= iv._1 && o._2 <= iv._2))
+
+  private def tuples[A](lists: Seq[Seq[A]]): Seq[Seq[A]] =
+    lists.foldLeft(Seq(Seq.empty[A]))((acc, l) => acc.flatMap(pre => l.map(pre :+ _)))
+
+  private def bruteEval(src: Source, toks: Seq[String]): Set[(Int, Int)] = src match {
+    case IMatch(terms, mg, ord) =>
+      val posLists = terms.map(t => toks.zipWithIndex.collect { case (`t`, p) => p })
+      if (posLists.exists(_.isEmpty)) Set.empty
+      else minimal(tuples(posLists).filter { tup =>
+        tup.distinct.size == tup.size &&
+          (!ord || tup.sliding(2).forall(s => s.size < 2 || s(0) < s(1))) &&
+          tup.max - tup.min + 1 - tup.size <= mg
+      }.map(tup => (tup.min, tup.max)).toSet)
+    case IAllOf(srcs, mg, ord) =>
+      val subs = srcs.map(s => bruteEval(s, toks).toSeq.sorted)
+      if (subs.exists(_.isEmpty)) Set.empty
+      else minimal(tuples(subs).filter { ivs =>
+        val disjoint = ivs.combinations(2).forall {
+          case Seq(a, b) => a._2 < b._1 || b._2 < a._1
+        }
+        val inOrder = !ord || ivs.sliding(2).forall(s => s.size < 2 || s(1)._1 > s(0)._2)
+        val window = ivs.map(_._2).max - ivs.map(_._1).min + 1
+        val widths = ivs.map(iv => iv._2 - iv._1 + 1).sum
+        disjoint && inOrder && window - widths <= mg
+      }.map(ivs => (ivs.map(_._1).min, ivs.map(_._2).max)).toSet)
+    case IAnyOf(srcs) =>
+      minimal(srcs.flatMap(s => bruteEval(s, toks)).toSet)
+  }
+
+  private val rnd = new scala.util.Random(13)
+  private val vocab = Vector("a", "b", "c", "d", "e")
+  private val docs = (1L to 60L).map(i =>
+    (i, Seq.fill(4 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+  private lazy val df = docs.toDF("doc_id", "text")
+  private lazy val idx = InvertedIndex.build(df, "doc_id", "text")
+  private lazy val pos = Positions.build(df, "doc_id", "text")
+
+  private val trees: Seq[Source] = Seq(
+    IMatch(Seq("a", "b"), maxGaps = 1, ordered = true),
+    IMatch(Seq("a", "b", "c"), maxGaps = 2, ordered = false),
+    IAllOf(Seq(IMatch(Seq("a")), IMatch(Seq("b"))), maxGaps = 1, ordered = true),
+    IAllOf(Seq(IMatch(Seq("a")),
+      IAnyOf(Seq(IMatch(Seq("b")), IMatch(Seq("c"))))), maxGaps = 1, ordered = true),
+    IAllOf(Seq(IMatch(Seq("a", "b"), 1, ordered = true), IMatch(Seq("c"))),
+      maxGaps = 2, ordered = false),
+    IAnyOf(Seq(
+      IAllOf(Seq(IMatch(Seq("a")), IMatch(Seq("b"))), 0, ordered = true),
+      IMatch(Seq("c", "d"), 1, ordered = false))),
+    IAllOf(Seq(
+      IAnyOf(Seq(IMatch(Seq("a")), IMatch(Seq("b")))),
+      IAnyOf(Seq(IMatch(Seq("c")), IMatch(Seq("d"))))), maxGaps = 3, ordered = false))
+
+  test("per-doc interval sets equal the brute-force minimal-interval model") {
+    for (tree <- trees; (id, text) <- docs) {
+      val toks = text.split(" ").toSeq
+      def posOf(t: String): Array[Int] =
+        toks.zipWithIndex.collect { case (`t`, p) => p }.toArray
+      val got = Intervals.eval(tree, posOf).toSet
+      val want = bruteEval(tree, toks)
+      assert(got == want, s"doc $id tree=$tree got=$got want=$want toks=$toks")
+    }
+  }
+
+  test("matchDocs through the positional engine equals the model's doc set") {
+    for (tree <- trees) {
+      val got = Intervals.matchDocs(idx, pos, tree)
+        .collect().map(_.getLong(0)).toSet
+      val want = docs.filter { case (_, text) =>
+        bruteEval(tree, text.split(" ").toSeq).nonEmpty
+      }.map(_._1).toSet
+      assert(got == want, s"tree=$tree")
+    }
+  }
+
+  test("guards: empty sources, bad max_gaps, single-source compositions") {
+    intercept[IllegalArgumentException](IMatch(Nil))
+    intercept[IllegalArgumentException](IMatch(Seq("a"), maxGaps = -1))
+    intercept[IllegalArgumentException](IAllOf(Seq(IMatch(Seq("a"))), 0, ordered = false))
+    intercept[IllegalArgumentException](IAnyOf(Seq(IMatch(Seq("a")))))
+  }
+}

@@ -179,6 +179,45 @@ class OpsSpec extends SparkSpec {
     assert(pairs.forall(p => brute.contains((p._1, p._2))), s"unsound pair in $pairs")
   }
 
+  test("cosinePairs: oversized blocks fail loudly without dim, auto-route via LSH with it") {
+    import graft.ops.Ann
+    // block "a": 4 vectors (all-pairs safe at maxBlock=10); block "b": 30
+    // vectors including an identical pair (must survive LSH routing)
+    val rows = (0 until 4).map(i =>
+        (i.toLong, Array.tabulate(8)(d => math.sin(i * 2.1 + d).toFloat), "a")) ++
+      (10 until 40).map(i =>
+        (i.toLong, Array.tabulate(8)(d =>
+          if (i == 11) math.cos(10 * 0.9 + d * 1.7).toFloat // 11 == 10 exactly
+          else math.cos(i * 0.9 + d * 1.7).toFloat), "b"))
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    // no dim -> the quadratic branch is refused, not silently executed
+    val ex = intercept[IllegalArgumentException](
+      Ann.cosinePairs(emb, "vec_id", "embedding", "label", 0.5, maxBlock = 10))
+    assert(ex.getMessage.contains("maxBlock"), ex.getMessage)
+    // dim -> small block exact, big block LSH-routed (sound + identicals kept)
+    val got = Ann.cosinePairs(emb, "vec_id", "embedding", "label", 0.5,
+        maxBlock = 10, nPlanes = 16, nBands = 4, dim = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Ann.cosinePairs(emb, "vec_id", "embedding", "label", 0.5,
+        maxBlock = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bruteSmall = brute.filter(_._1 < 4)
+    assert(got.filter(_._1 < 4) == bruteSmall, "small blocks stay exact all-pairs")
+    assert(got.subsetOf(brute), s"routed pairs must be sound: ${got.diff(brute)}")
+    assert(got.contains((10L, 11L)), "identical vectors share every band and must pair")
+  }
+
+  test("ngramJaccardPairs caps stop-shingle df by default; uncapped is explicit opt-in") {
+    import graft.ops.Dedup
+    // 70 docs share ONLY the ubiquitous shingle "x y z" (df 70 > default 64)
+    val docs = (0 until 70).map(i => (i.toLong, s"x y z w$i")).toDF("doc_id", "text")
+    val capped = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 3, threshold = 0.2)
+    assert(capped.count() == 0, "default cap drops the stop-shingle before the self-join")
+    val uncapped = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 3,
+      threshold = 0.2, maxShingleDf = Int.MaxValue)
+    assert(uncapped.count() == 70L * 69 / 2, "explicit opt-out keeps the quadratic baseline")
+  }
+
   test("LSH top-k is the exact cosine rank within the candidate set, query first") {
     import graft.ops.Ann
     val emb = (0 until 40).map { i =>
@@ -388,6 +427,41 @@ class OpsSpec extends SparkSpec {
     val r2 = got(1)
     assert(r2.getAs[Long]("pos") == 1L)
     assert(r2.getAs[String]("snippet") == "<em>merge</em> at the")
+  }
+
+  test("fragment highlighting: phrase spans + term occurrences, island merge, density rank") {
+    val docs = Seq(
+      (1L, "a merge sort b c d e f g h window i j k window l"),
+      (2L, "window a b c d e f window window x y z"),
+      (3L, "merge sort merge sort"),
+      (4L, "nothing to see")
+    ).toDF("doc_id", "text")
+    val hits = Seq(1L, 2L, 3L, 4L).map(Tuple1(_)).toDF("doc_id")
+    val got = graft.ops.Highlight.fragments(hits, docs, "text",
+        terms = Seq("window"), phrases = Seq(Seq("merge", "sort")),
+        window = 2, maxFragments = 2)
+      .orderBy($"doc_id", $"frag_rank").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("frag_rank"),
+        r.getAs[Long]("n_matches"), r.getAs[String]("snippet")))
+    // doc 1: phrase at (2,3), terms at 11 and 15 — gap 11-3=8 > 2w+1=5
+    // splits islands; equal density ties break by start
+    assert(got.filter(_._1 == 1L).toSeq == Seq(
+      (1L, 1, 2L, "a <em>merge</em> <em>sort</em> b c"),
+      (1L, 2, 2L, "g h <em>window</em> i j k <em>window</em> l")))
+    // doc 2: the denser island {8,9} outranks the earlier singleton {1}
+    assert(got.filter(_._1 == 2L).toSeq == Seq(
+      (2L, 1, 2L, "e f <em>window</em> <em>window</em> x y"),
+      (2L, 2, 1L, "<em>window</em> a b")))
+    // doc 3: phrase spans cover everything once (positions dedupe), one island
+    assert(got.filter(_._1 == 3L).toSeq == Seq(
+      (3L, 1, 4L, "<em>merge</em> <em>sort</em> <em>merge</em> <em>sort</em>")))
+    assert(!got.exists(_._1 == 4L), "unmatched docs produce no fragments")
+    // maxFragments=1 keeps only the densest fragment per doc
+    val top1 = graft.ops.Highlight.fragments(hits, docs, "text",
+        terms = Seq("window"), phrases = Seq(Seq("merge", "sort")),
+        window = 2, maxFragments = 1)
+      .groupBy($"doc_id").count().collect()
+    assert(top1.forall(_.getAs[Long]("count") == 1L))
   }
 
   test("token-budget packing equals the single-window prefix-sum for every partition count") {
