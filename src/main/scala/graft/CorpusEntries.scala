@@ -104,6 +104,29 @@ object CorpusEntries {
         .select(col("segment_id"), col("stage"), col("rows"))
     }),
 
+    // tiered-merge EXECUTION: run the plan's merge groups through the
+    // bounded block merge into a compacted store (unselected segments copy
+    // verbatim), verify every action against the plan, then prove the
+    // compacted store still answers like a fresh single-shot build by
+    // emitting its merged term stats against the fresh-build oracle
+    "segments_tiered_compact" -> ((s, dir) => {
+      segmented(s, dir) // ensure built
+      val dst = s"target/tiercompact/${dir.replaceAll("[^a-zA-Z0-9.]", "_")}"
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val actions = Segments.tieredCompact(docs, "doc_id", "text",
+        segStore(dir), dst, NSeg)
+      val plan = Segments.tieredMergePlan(
+        Segments.readLineage(s, segStore(dir), NSeg).values.toSeq.sortBy(_.segment_id))
+      plan.foreach { case (id, _, _, g) =>
+        val act = actions.find(a => a.segment_id == id && a.action != "written")
+          .getOrElse(sys.error(s"no compact action for segment $id")).action
+        require(act == (if (g.isDefined) "merged" else "copied"),
+          s"segment $id executed as [$act] but the plan said ${g.fold("copy")(_ => "merge")}")
+      }
+      Segments.mergeAll(s, dst).termStats.toDF()
+        .select(col("term"), col("df"), col("ttf"))
+    }),
+
     // ---- delete / update lifecycle (Lucene liveDocs analogue) ----
     // tombstoned docs vanish from the hits while statistics stay STALE
     // (docCount/avgdl/df still include them) — Lucene's documented
@@ -233,6 +256,13 @@ object CorpusEntries {
          |       'copied' AS first_snapshot, 'skipped' AS second_snapshot,
          |       'restored' AS restore, 'present' AS restore_again
          |FROM segd GROUP BY segment_id""".stripMargin,
+
+    // execution preserves the corpus: merged term stats over the compacted
+    // store must equal a fresh single-shot build's
+    "segments_tiered_compact" ->
+      s"""WITH $tokCte
+         |SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS ttf
+         |FROM tf GROUP BY term""".stripMargin,
 
     "segments_tiered_plan" ->
       s"""WITH $tokCte,

@@ -102,8 +102,15 @@ object HybridEntries {
     HybridSources(idx, semantic = Map(
       "sem_sparse" -> SemanticSource(SemanticSparseKind,
         IndexCache.semanticSparse(s, dir)),
-      "sem_dense" -> SemanticSource(SemanticDenseKind,
-        IndexCache.semanticDense(s, dir), dims = 8)))
+      "sem_dense" -> {
+        // probe-routed access path: the chunk-vector IVF artifact; exact at
+        // ivfProbe = centroid count (same contract as hybrid_ivf_lex), so
+        // the oracle stays the brute best-chunk cosine — only the access
+        // path differs, which SQL can't see
+        val (cents, vecs) = IndexCache.semanticDenseIvf(s, dir)
+        SemanticSource(SemanticDenseKind, IndexCache.semanticDense(s, dir),
+          dims = 8, ivf = Some(IvfSource(cents, vecs)), ivfProbe = 16)
+      }))
 
   /** Build-once dense ANN structure for [[DenseIvf]] clauses: fixed
    *  deterministic centroids (ids < 16, as `ann_ivf_topk` uses) and the

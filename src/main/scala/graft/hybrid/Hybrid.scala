@@ -471,7 +471,14 @@ case object SemanticDenseKind extends SemanticKind
  *  [[graft.ops.Semantic.ingestSparse]]; dense chunks are
  *  (doc_id, chunk_idx, dim, v) from [[graft.ops.Semantic.ingestDense]] with
  *  `dims` the hashing dimensionality (needed to encode the query). */
-case class SemanticSource(kind: SemanticKind, chunks: DataFrame, dims: Int = 8)
+case class SemanticSource(kind: SemanticKind, chunks: DataFrame, dims: Int = 8,
+    /** probe-routed access path for DENSE kinds: the chunk-vector IVF
+     *  artifact from [[graft.ops.Semantic.denseChunkIvf]]. When present the
+     *  routed query scans only its probed `c_id` partitions (exact at
+     *  ivfProbe = centroid count); absent -> exact exploded-chunk scan, the
+     *  fallback a selective filter or an unindexed field takes. */
+    ivf: Option[IvfSource] = None,
+    ivfProbe: Int = Int.MaxValue)
 
 /** Field collapsing config (reference: HybridCollapsingTopDocsCollector —
  *  `docs_per_group_per_subquery` bounds how many docs of one group each
@@ -1266,8 +1273,16 @@ object Hybrid {
             graft.ops.Semantic.sparseBestChunkScore(sem.chunks, "doc_id",
               Sparse.encodeQueryTokens(terms))
           case SemanticDenseKind =>
-            graft.ops.Semantic.denseBestChunkScore(sem.chunks, "doc_id",
-              graft.ops.Semantic.hashQueryVector(terms, sem.dims))
+            val qv = graft.ops.Semantic.hashQueryVector(terms, sem.dims)
+            sem.ivf match {
+              case Some(iv) =>
+                // probe-routed: static c_id IN (...) partition pruning on
+                // the chunk-vector artifact instead of the exact chunk scan
+                graft.ops.Semantic.denseBestChunkScoreIvf(iv.vectors,
+                  iv.centroids, qv, sem.dims, sem.ivfProbe, "doc_id")
+              case None =>
+                graft.ops.Semantic.denseBestChunkScore(sem.chunks, "doc_id", qv)
+            }
         }
       case HasChildQ(rel, terms, mode, minC, maxC, boost) =>
         val (child, textCol) = src.children(rel)

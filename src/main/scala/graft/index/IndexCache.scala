@@ -59,6 +59,25 @@ object IndexCache {
     }
   }
 
+  /** Chunk-vector IVF artifact for the PROBE-ROUTED dense semantic path
+   *  ([[graft.ops.Semantic.denseChunkIvf]]) — built once per (session,
+   *  sfDir) like every index-time structure; queries only read probed
+   *  `c_id` partitions off it. */
+  private val denseIvfCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)]
+
+  def semanticDenseIvf(spark: SparkSession, sfDir: String, tokenLimit: Int = 20,
+                       dims: Int = 8, nCentroids: Int = 16):
+      (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val app = spark.sparkContext.applicationId
+    denseIvfCache.keySet.filter(_._1 != app).foreach(denseIvfCache.remove)
+    denseIvfCache.getOrElseUpdate((app, s"$sfDir#denseivf/$tokenLimit/$dims/$nCentroids"), {
+      val path = s"target/semivf/${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}_$dims"
+      graft.ops.Semantic.denseChunkIvf(
+        semanticDense(spark, sfDir, tokenLimit), "doc_id", dims, nCentroids, path)
+    })
+  }
+
   def semanticSparse(spark: SparkSession, sfDir: String,
                      tokenLimit: Int = 20): org.apache.spark.sql.DataFrame = {
     artifacts.retainKeys(_._1 == spark.sparkContext.applicationId)

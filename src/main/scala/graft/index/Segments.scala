@@ -299,6 +299,105 @@ object Segments {
     }
   }
 
+  /** One original segment's fate in a [[tieredCompact]] round: `copied`
+   *  (not selected — the immutable segment moves verbatim) or
+   *  `merged` into `target` (the fresh segment id its group wrote). A
+   *  `written` row per fresh segment records the group's output. */
+  case class CompactAction(segment_id: Int, tier: Int, action: String, target: Int)
+
+  /**
+   * EXECUTE one [[tieredMergePlan]] selection round — Lucene's
+   * TieredMergePolicy hands its OneMerge groups to the merge scheduler;
+   * this is that scheduler step over the committed store at `srcDir`,
+   * producing a compacted store at `dstDir`:
+   *
+   *  - unselected segments copy verbatim (segments are immutable — same
+   *    driver-side directory copy the snapshot path uses);
+   *  - each selected group runs the bounded (term, bucket) block merge
+   *    ([[mergeIds]] — work per reducer <= group-size blocks of <= 4096
+   *    postings, independent of corpus size) and lands as ONE fresh
+   *    segment with the next free id;
+   *  - the fresh segment's doc_count / sum_dl are RE-DERIVED from its
+   *    merged doc-length blocks and verified against the member lineage
+   *    sums — a dropped or duplicated posting fails loudly here, not at
+   *    query time;
+   *  - sha_min/max/distinct recompute over the members' doc ranges of
+   *    `docs` (distinct-sha does not compose from member summaries), the
+   *    same content pass [[buildSegment]] makes — so the compacted store's
+   *    lineage carries first-class checksums and a later snapshot/restore
+   *    verifies it like any built segment.
+   *
+   * The compacted store merges/queries through the ordinary readers
+   * ([[mergeAll]] tolerates id gaps), so plan → execute → query equals a
+   * fresh single-shot build — the oracle the `segments_tiered_compact`
+   * entry checks. Reference behavior: Lucene TieredMergePolicy +
+   * ConcurrentMergeScheduler (the reference's segment lifecycle,
+   * e.g. sparse/codec/MergeHelper.java:82-179 drives per-field merge when
+   * the scheduler fires).
+   */
+  def tieredCompact(docs: DataFrame, idCol: String, textCol: String,
+                    srcDir: String, dstDir: String, nSegments: Int,
+                    segmentsPerTier: Int = 3, tierFactor: Double = 4.0,
+                    analyzer: String = Analyzer.Simple): Seq[CompactAction] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val lineage = readLineage(spark, srcDir, nSegments)
+    require(lineage.nonEmpty, s"tieredCompact: nothing committed under $srcDir")
+    val linSeq = lineage.values.toSeq.sortBy(_.segment_id)
+    val plan = tieredMergePlan(linSeq, segmentsPerTier, tierFactor)
+    val tierOf = plan.map(p => p._1 -> p._3).toMap
+    val groups = plan.flatMap { case (id, _, _, g) => g.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toSeq.sortBy(_._1)
+
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(dstDir).getFileSystem(conf)
+    fs.delete(new org.apache.hadoop.fs.Path(dstDir), true)
+
+    val selected = groups.flatMap(_._2).toSet
+    val copied = plan.filterNot(p => selected(p._1)).map { case (id, _, t, _) =>
+      org.apache.hadoop.fs.FileUtil.copy(
+        fs, new org.apache.hadoop.fs.Path(segDir(srcDir, id)),
+        fs, new org.apache.hadoop.fs.Path(segDir(dstDir, id)), false, conf)
+      CompactAction(id, t, "copied", id)
+    }
+
+    var nextId = linSeq.map(_.segment_id).max
+    val mergedActions = groups.flatMap { case (tier, ids) =>
+      nextId += 1
+      val members = ids.map(lineage)
+      val idx = mergeIds(spark, srcDir, ids, members, analyzer)
+      val out = segDir(dstDir, nextId)
+      InvertedIndex.write(idx, out)
+
+      // re-verify from what was WRITTEN, not from the inputs: decode the
+      // merged doc-length blocks back off disk and require the re-derived
+      // doc_count / sum_dl to equal the member lineage sums
+      val (gotN, gotDl) = InvertedIndex.docLensFromDir(spark, out)
+        .map(b => (b.cnt.toLong, PostingCodec.decodeInts(b.dls, b.cnt).map(_.toLong).sum))
+        .reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+      val (wantN, wantDl) = (members.map(_.doc_count).sum, members.map(_.sum_dl).sum)
+      require(gotN == wantN && gotDl == wantDl,
+        s"tieredCompact verification failed for merged segment $nextId: " +
+          s"re-derived (docs=$gotN, sum_dl=$gotDl) != member sums (docs=$wantN, sum_dl=$wantDl)")
+
+      val inRange = members.map(l => col(idCol).between(l.row_lo, l.row_hi))
+        .reduce(_ || _)
+      val sha = docs.filter(inRange)
+        .select(sha2(col(textCol), 256).as("sha"))
+        .agg(min($"sha").as("mn"), max($"sha").as("mx"), countDistinct($"sha").as("nd"))
+        .as[(String, String, Long)].head()
+      val lin = SegmentLineage(nextId, members.map(_.row_lo).min,
+        members.map(_.row_hi).max, gotN, gotDl, sha._1, sha._2, sha._3)
+      Seq(lin).toDS().write.mode("overwrite").parquet(s"$out/lineage")
+      Seq(SegmentMetric(nextId, "compact_merge", gotN, 0L))
+        .toDS().write.mode("overwrite").parquet(s"$out/metrics")
+
+      ids.map(i => CompactAction(i, tier, "merged", nextId)) :+
+        CompactAction(nextId, tier, "written", nextId)
+    }
+    (copied ++ mergedActions).sortBy(a => (a.segment_id, a.action))
+  }
+
   /** Merge every committed segment found under `dir` (whatever its id) —
    *  the shape the streaming/incremental path needs, where segment ids are
    *  micro-batch ids with possible gaps. */

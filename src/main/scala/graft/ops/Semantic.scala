@@ -243,6 +243,68 @@ object Semantic {
       .select(col(idCol).as("doc_id"), col("score"))
   }
 
+  /** Assemble each chunk's hashed dense vector from the exploded
+   *  (id, chunk_idx, dim, v) sub-field rows into one dims-length array —
+   *  the stored chunk embedding a kNN structure holds. Absent dims are 0
+   *  (the hashed weights are non-negative, so a chunk's dot with a query is
+   *  > 0 iff they share a dim — the same matched set the exploded join
+   *  produces). */
+  def denseChunkVectors(dense: DataFrame, idCol: String, dims: Int): DataFrame =
+    dense.groupBy(col(idCol), col("chunk_idx"))
+      .agg(map_from_arrays(collect_list(col("dim")), collect_list(col("v"))).as("m"))
+      .select(col(idCol), col("chunk_idx"),
+        transform(sequence(lit(0), lit(dims - 1)),
+          d => coalesce(element_at(col("m"), d), lit(0.0))).as("cvec"))
+
+  /** Build the IVF artifact a PROBE-ROUTED semantic dense query scans: the
+   *  chunk vectors assigned map-side to `nCentroids` deterministic centroids
+   *  (the first centroid-count chunk vectors by (id, chunk_idx) — fixed
+   *  seeds, like `ann_ivf_topk`'s id<16 rule) and written partitioned by
+   *  `c_id`, so a query touches only its probed partitions at the storage
+   *  layer instead of brute-scanning every chunk (the reference's semantic
+   *  query ultimately runs Lucene kNN over the generated embedding
+   *  sub-field — this is that index structure, Spark-first).
+   *  Returns (centroids, vectors-read-back). */
+  def denseChunkIvf(dense: DataFrame, idCol: String, dims: Int,
+                    nCentroids: Int, path: String): (DataFrame, DataFrame) = {
+    val spark = dense.sparkSession
+    val vecs = denseChunkVectors(dense, idCol, dims)
+    // bounded head: nCentroids rows through the driver, same scale as every
+    // probe's centroid collect
+    val cents = vecs.orderBy(col(idCol), col("chunk_idx")).limit(nCentroids)
+      .collect().zipWithIndex
+      .map { case (r, i) => (i.toLong, r.getSeq[Double](2)) }.toSeq
+    import spark.implicits._
+    val centDf = cents.toDF("c_id", "cv")
+    val keyed = vecs.withColumn("_ck", concat_ws("#", col(idCol), col("chunk_idx")))
+    val assigned = Ann.assignTo(keyed, "_ck", "cvec", centDf)
+    keyed.join(assigned, "_ck").drop("_ck")
+      .repartition(col("c_id"))
+      .write.mode("overwrite").partitionBy("c_id").parquet(path)
+    (centDf, spark.read.parquet(path))
+  }
+
+  /** Probe-routed best-chunk scoring against [[denseChunkIvf]]'s artifact:
+   *  the nProbe query-closest centroid ids become a STATIC `c_id IN (...)`
+   *  PartitionFilter on the artifact scan (only those directories are
+   *  read), cosine per surviving chunk, max per doc. Exact when
+   *  nProbe = centroid count — same contract as the `DenseIvf` clause.
+   *  Zero-dot chunks are dropped to keep the exploded path's matched set
+   *  (weights are non-negative: dot > 0 iff a dim is shared). */
+  def denseBestChunkScoreIvf(vectors: DataFrame, centroids: DataFrame,
+                             queryVec: Map[Int, Double], dims: Int,
+                             nProbe: Int, idCol: String): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val qArr = (0 until dims).map(d => queryVec.getOrElse(d, 0.0))
+    val qv = Seq(Tuple1(qArr)).toDF("qv")
+    Ann.ivfProbeScore(vectors.withColumnRenamed(idCol, "_sid"), centroids,
+        qv, "_sid", "cvec", nProbe)
+      .where(col("score") > 0.0)
+      .groupBy(col("doc_id"))
+      .agg(max(col("score")).as("score"))
+  }
+
   /** Query-side analogue of [[ingestDense]]'s feature-hashing projection:
    *  the mock-encoded token weights of the analyzed query text folded into
    *  the same `(len*31 + ascii(first)) % dims` buckets — what "running the

@@ -128,6 +128,38 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PartitionFilters: [c_id"), p.take(3000))
   }
 
+  test("routed semantic dense clause partition-prunes the chunk-vector artifact") {
+    import spark.implicits._
+    val docs = (0L until 120L).map(i =>
+      (i, s"alpha merge window dup scan w${i % 9} v${i % 17}")).toDF("doc_id", "text")
+    val dense = graft.ops.Semantic.ingestDense(docs, "doc_id", "text", tokenLimit = 4)
+    val path = java.nio.file.Files.createTempDirectory("plan-semivf-").toString + "/ivf"
+    val (cents, vecs) = graft.ops.Semantic.denseChunkIvf(dense, "doc_id", 8, 8, path)
+    val src = HybridSources(idx, semantic = Map("sd" -> SemanticSource(
+      SemanticDenseKind, dense, dims = 8, ivf = Some(IvfSource(cents, vecs)),
+      ivfProbe = 3)))
+    val q = HybridQuery(Seq(Lexical(Seq("join")),
+      SemanticText("sd", Seq("merge", "window", "dup"))),
+      MinMaxNormTech(), Combination(graft.functions.Combine.Arithmetic),
+      k = 5, depth = 20)
+    // the probed c_ids must reach the artifact scan as a STATIC
+    // PartitionFilter — only ivfProbe of the 8 c_id= directories are read
+    val p = plan(Hybrid.execute(src, q, None))
+    assert(p.contains("PartitionFilters: [c_id"), p.take(3000))
+
+    // and exact-probe routing (ivfProbe = centroid count) returns the exact
+    // exploded-chunk scores
+    val routed = graft.ops.Semantic.denseBestChunkScoreIvf(vecs, cents,
+      graft.ops.Semantic.hashQueryVector(Seq("merge", "window", "dup"), 8),
+      8, nProbe = 8, "doc_id")
+      .collect().map(r => r.getLong(0) -> math.round(r.getDouble(1) * 1e9)).toMap
+    val exact = graft.ops.Semantic.denseBestChunkScore(dense, "doc_id",
+      graft.ops.Semantic.hashQueryVector(Seq("merge", "window", "dup"), 8))
+      .collect().map(r => r.getLong(0) -> math.round(r.getDouble(1) * 1e9)).toMap
+    assert(routed == exact,
+      s"routed/exact diverge: ${(routed.toSet diff exact.toSet).take(5)}")
+  }
+
   test("hybrid combine stage is a single lineage: normalization stats add no second scan of the scorers") {
     // min_max/l2/z_score per-sub-query stats are window aggregates over the
     // collected rows, not a groupBy + self-join second branch — so a stats-

@@ -147,4 +147,47 @@ class SegmentsSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Segments.tieredMergePlan(Seq(lin(0, 10)), segmentsPerTier = 1))
   }
+
+  test("tieredCompact executes the plan: merged store equals fresh build, " +
+    "actions match the selection, lineage re-verifies") {
+    val store = freshStore(); val dst = freshStore() + "/compacted"
+    Segments.buildResumable(docs, "doc_id", "text", Analyzer.Simple, store, 4)
+    val plan = Segments.tieredMergePlan(
+      Segments.readLineage(spark, store, 4).values.toSeq.sortBy(_.segment_id))
+    assert(plan.count(_._4.isDefined) == 3,
+      "4 near-equal range slices share a tier -> exactly 3 smallest selected")
+
+    val actions = Segments.tieredCompact(docs, "doc_id", "text", store, dst, 4)
+    val byId = actions.filter(_.action != "written").map(a => a.segment_id -> a).toMap
+    plan.foreach { case (id, _, _, g) =>
+      assert(byId(id).action == (if (g.isDefined) "merged" else "copied")) }
+    val written = actions.filter(_.action == "written")
+    assert(written.map(_.segment_id) == Seq(4), "one fresh segment with the next free id")
+    assert(actions.filter(_.action == "merged").forall(_.target == 4))
+
+    // compacted store answers exactly like the single-shot build
+    val compacted = Segments.mergeAll(spark, dst)
+    val full = InvertedIndex.build(docs, "doc_id", "text")
+    assert(compacted.stats == full.stats)
+    assert(decodedPostings(compacted) == decodedPostings(full))
+    val qm = Bm25.topK(compacted, Seq("merge", "sort"), 10).collect().toSeq
+    val qf = Bm25.topK(full, Seq("merge", "sort"), 10).collect().toSeq
+    assert(qm == qf)
+
+    // the fresh segment's lineage carries real content checksums: union of
+    // member doc ranges, re-derived counts, recomputed sha min/max
+    val lin = Segments.readLineage(spark, dst, 8)
+    assert(lin.keySet == Set(3, 4) || lin.keySet.size == 2)
+    val merged = lin(4)
+    val members = Segments.readLineage(spark, store, 4).filter(kv => plan
+      .find(_._1 == kv._1).get._4.isDefined).values.toSeq
+    assert(merged.doc_count == members.map(_.doc_count).sum)
+    assert(merged.sum_dl == members.map(_.sum_dl).sum)
+    assert(merged.sha_min == members.map(_.sha_min).min)
+    assert(merged.sha_max == members.map(_.sha_max).max)
+    // and the compacted store snapshots/restores like any built store
+    val repo = freshStore(); val back = freshStore() + "/restored"
+    assert(Segments.snapshot(spark, dst, repo, "c1", 8).map(_.action).forall(_ == "copied"))
+    assert(Segments.restore(spark, repo, "c1", back).map(_.action).forall(_ == "restored"))
+  }
 }
