@@ -178,11 +178,15 @@ object DataEntries {
     // for IVF probing at nProbe ∈ {1, C/4, C/2, C} and banded LSH at 2/4
     // bands, over the 1-in-50 query panel. nProbe = C must print 1.0 (the
     // exactness claim); the others are the MEASURED floors the 100-TB
-    // configurations rely on, oracle-re-derived end to end
+    // configurations rely on, oracle-re-derived end to end. The lossy-score
+    // compressions join the curve: PQ ADC (m=8 subspaces, 16 codes — the
+    // 32x scan compression) and int8 (the 4x) ranked by their own
+    // approximate scores
     "ann_recall_curve" -> ((s, dir) =>
       Ann.recallCurve(emb(s, dir), "vec_id", "embedding", queryMod = 50,
         k = 10, nCentroids = 16, probes = Seq(1, 4, 8, 16),
-        nPlanes = 32, bandChoices = Seq(2, 4), dim = 64)),
+        nPlanes = 32, bandChoices = Seq(2, 4), dim = 64,
+        pqMs = Seq(8), pqCodes = 16, int8 = true)),
 
     // ---- deterministic sampling (training-mix shaping) ----
     // content-addressed Bernoulli off md5(doc_id): reruns pick the SAME
@@ -789,7 +793,8 @@ object DataEntries {
          |WHERE c >= 0.35""".stripMargin,
     "ann_recall_curve" ->
       recallOracle(queryMod = 50, k = 10, nCents = 16, probes = Seq(1, 4, 8, 16),
-        nPlanes = 32, bandChoices = Seq(2, 4), dim = 64),
+        nPlanes = 32, bandChoices = Seq(2, 4), dim = 64,
+        pqMs = Seq(8), pqCodes = 16, int8 = true),
     "ann_lsh_topk" ->
       s"""WITH ${lshCtes(32, 4, 64)},
          |qb AS (SELECT band, bh FROM bands WHERE vec_id = 9),
@@ -1011,7 +1016,9 @@ object DataEntries {
    *  banding — and the hit-count division, independently of the engine. */
   private def recallOracle(queryMod: Int, k: Int, nCents: Int,
                            probes: Seq[Int], nPlanes: Int,
-                           bandChoices: Seq[Int], dim: Int): String = {
+                           bandChoices: Seq[Int], dim: Int,
+                           pqMs: Seq[Int] = Nil, pqCodes: Int = 16,
+                           int8: Boolean = false): String = {
     val bits = (0 until nPlanes).map { p =>
       val w = graft.ops.Ann.hyperplane(p, dim).map(x => s"$x.0").mkString(", ")
       s"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), [$w]) >= 0 THEN '1' ELSE '0' END)"
@@ -1049,8 +1056,62 @@ object DataEntries {
          |  round(CAST((SELECT count(*) FROM $top t
          |              JOIN brute b ON b.qid = t.qid AND b.vid = t.vid) AS DOUBLE)
          |        / (SELECT CAST(nq * $k AS DOUBLE) FROM nqt), 4) AS recall""".stripMargin
+    // PQ ADC per query-panel member: the ann_pq_topk CTE chain with the
+    // single query generalized to the panel; ranking is the approx dot
+    val pqCtes = pqMs.map { m =>
+      val sub = dim / m
+      s"""js$m AS (SELECT unnest(range($m)) AS j),
+         |cb$m AS (
+         |  SELECT c.vec_id AS c_id, js.j,
+         |         CAST(c.embedding AS DOUBLE[])[CAST(js.j*$sub+1 AS INT):CAST(js.j*$sub+$sub AS INT)] AS cw
+         |  FROM embeddings c CROSS JOIN js$m js WHERE c.vec_id < $pqCodes),
+         |subs$m AS (
+         |  SELECT e.vec_id, js.j,
+         |         CAST(e.embedding AS DOUBLE[])[CAST(js.j*$sub+1 AS INT):CAST(js.j*$sub+$sub AS INT)] AS sv
+         |  FROM embeddings e CROSS JOIN js$m js),
+         |codes$m AS (
+         |  SELECT vec_id, j, c_id AS code FROM (
+         |    SELECT s.vec_id, s.j, cb.c_id,
+         |           row_number() OVER (PARTITION BY s.vec_id, s.j
+         |             ORDER BY list_sum(list_transform(list_zip(s.sv, cb.cw),
+         |               x -> (x[1]-x[2])*(x[1]-x[2]))), cb.c_id) AS rn
+         |    FROM subs$m s JOIN cb$m cb ON cb.j = s.j) WHERE rn = 1),
+         |qsubs$m AS (
+         |  SELECT q.qid, js.j,
+         |         CAST(q.qv AS DOUBLE[])[CAST(js.j*$sub+1 AS INT):CAST(js.j*$sub+$sub AS INT)] AS qs
+         |  FROM queries q CROSS JOIN js$m js),
+         |adc$m AS (SELECT q.qid, cb.j, cb.c_id, list_dot_product(q.qs, cb.cw) AS dot
+         |          FROM cb$m cb JOIN qsubs$m q ON q.j = cb.j),
+         |pqsc$m AS (SELECT a.qid, c.vec_id AS vid,
+         |                  list_sum(list(a.dot ORDER BY a.j)) AS approx
+         |           FROM codes$m c JOIN adc$m a ON a.j = c.j AND a.c_id = c.code
+         |           GROUP BY a.qid, c.vec_id),
+         |pqtop$m AS (
+         |  SELECT qid, vid FROM (
+         |    SELECT qid, vid, row_number() OVER (
+         |      PARTITION BY qid ORDER BY approx DESC, vid) AS rn
+         |    FROM pqsc$m) WHERE rn <= $k)""".stripMargin
+    }.mkString(",\n")
+    // int8: dequantize with the engine's floor(x/scale + 0.5) half-up rule,
+    // rank by dequantized cosine (ann_int8_topk generalized to the panel)
+    val int8Ctes = if (!int8) "" else
+      s"""qn8 AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+         |         list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) / 127.0 AS scale
+         |  FROM embeddings),
+         |dq8 AS (
+         |  SELECT vec_id, list_transform(e, x -> floor(x / scale + 0.5) * scale) AS dv
+         |  FROM qn8 WHERE scale > 0),
+         |i8top AS (
+         |  SELECT qid, vid FROM (
+         |    SELECT q.qid, d.vec_id AS vid, row_number() OVER (
+         |      PARTITION BY q.qid
+         |      ORDER BY ${cosSql("d.dv", "q.qv")} DESC, d.vec_id) AS rn
+         |    FROM dq8 d, queries q) WHERE rn <= $k)""".stripMargin
     val unions = (probes.map(p => recallSel(s"ivftop$p", "ivf", p)) ++
-      bandChoices.map(nb => recallSel(s"lshtop$nb", "lsh", nb)))
+      bandChoices.map(nb => recallSel(s"lshtop$nb", "lsh", nb)) ++
+      pqMs.map(m => recallSel(s"pqtop$m", "pq", m)) ++
+      (if (int8) Seq(recallSel("i8top", "int8", 8)) else Nil))
       .mkString("\nUNION ALL\n")
     s"""WITH queries AS MATERIALIZED (
        |  SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % $queryMod = 0),
@@ -1076,7 +1137,7 @@ object DataEntries {
        |sig AS MATERIALIZED (SELECT vec_id, $bits AS sig FROM embeddings),
        |$bandCtes,
        |$ivfCtes,
-       |$lshCtesSql
+       |$lshCtesSql${if (pqCtes.nonEmpty) ",\n" + pqCtes else ""}${if (int8Ctes.nonEmpty) ",\n" + int8Ctes else ""}
        |$unions""".stripMargin
   }
 

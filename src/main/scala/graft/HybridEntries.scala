@@ -1450,9 +1450,12 @@ object HybridEntries {
     "agg_sampler_diversified" -> ((s, dir) => {
       val idx = IndexCache.documents(s, dir)
       val docs = s.read.parquet(s"$dir/documents.parquet")
+      // materialize the 50-row sample once: both sub-agg branches consume
+      // it, and without this the scorer + fields join would execute twice
       val top = Bm25.scoreTerms(idx, A)
         .orderBy(col("score").desc, col("doc_id").asc).limit(50)
         .join(docs.select("doc_id", "source", "lang"), "doc_id")
+        .localCheckpoint(true)
       val samp = top.groupBy("source").agg(count(lit(1)).as("n_docs"))
         .withColumn("agg", lit("sampler"))
       val div = top.withColumn("rn", row_number().over(

@@ -633,10 +633,18 @@ object Ann {
    * recall = Σ_q |approx_topk(q) ∩ brute_topk(q)| / (nQueries · k).
    * The Q×N scored table is computed ONCE (Q is metadata-sized, one corpus
    * scan) and shared by brute force and every approximate branch.
+   *
+   * Two LOSSY-SCORE regimes join the candidate-set regimes when enabled:
+   * `pq` (param = m subspaces) ranks by the ADC approximate dot — the
+   * compression loss itself, not a candidate-set loss — and `int8`
+   * (param = 8 bits) ranks by the dequantized cosine. Both re-derive in
+   * SQL exactly like their `ann_pq_topk` / `ann_int8_topk` siblings.
    */
   def recallCurve(emb: DataFrame, id: String, vec: String, queryMod: Long,
                   k: Int, nCentroids: Int, probes: Seq[Int],
-                  nPlanes: Int, bandChoices: Seq[Int], dim: Int): DataFrame = {
+                  nPlanes: Int, bandChoices: Seq[Int], dim: Int,
+                  pqMs: Seq[Int] = Nil, pqCodes: Int = 16,
+                  int8: Boolean = false): DataFrame = {
     require(queryMod > 0 && k > 0 && probes.nonEmpty)
     val queries = emb.where(col(id) % queryMod === 0)
       .select(col(id).as("qid"), col(vec).as("qv"))
@@ -681,6 +689,40 @@ object Ann {
         .select(col("qid"), col("id").as("vid")).distinct()
       recallOf(cand, "lsh", nb)
     }
-    (ivf ++ lsh).reduce(_ unionByName _)
+    // lossy-score regimes: the approximate score itself does the ranking
+    // (no candidate set — every vector is scanned in its compressed form)
+    def recallOfScored(appr: DataFrame, method: String, param: Int): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("a").desc, col("vid").asc)
+      appr.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+        .join(brute, Seq("qid", "vid"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(method).as("method"), lit(param).as("param"),
+          round(col("hits").cast("double") / lit((nq * k).toDouble), 4).as("recall"))
+    }
+    val pq = pqMs.map { m =>
+      val cb = pqSeededCodebook(emb, id, vec, m, pqCodes)
+      val sub = cb(0)(0).length
+      val codes = pqEncode(emb, id, vec, cb)
+      // in-plan ADC over the query panel: per subspace j the codeword array
+      // rides as a literal and codes[j] indexes it; approx dot is the sum of
+      // per-subspace (query-slice · codeword) dots, j ascending — the same
+      // left-to-right order the oracle's grouped sum re-derives
+      val approx = (0 until m).map { j =>
+        val cwArr = array(cb(j).map(cw => lit(cw)): _*)
+        dot(slice(col("qv"), j * sub + 1, sub),
+          element_at(cwArr, element_at(col("codes"), j + 1) + 1))
+      }.reduceLeft(_ + _)
+      recallOfScored(codes.crossJoin(broadcast(queries))
+        .select(col("qid"), col(id).as("vid"), approx.as("a")), "pq", m)
+    }
+    val i8 = if (!int8) Nil else {
+      val dv = transform(col("qvec"), q => q.cast("double") * col("scale"))
+      Seq(recallOfScored(quantizeInt8(emb, id, vec).where(col("scale") > 0)
+        .crossJoin(broadcast(queries))
+        .select(col("qid"), col(id).as("vid"), cosine(dv, col("qv")).as("a")),
+        "int8", 8))
+    }
+    (ivf ++ lsh ++ pq ++ i8).reduce(_ unionByName _)
   }
 }

@@ -54,6 +54,59 @@ class SeismicSpec extends SparkSpec {
     }
   }
 
+  test("approximate-regime recall grid: heap_factor prune, query_cut " +
+    "truncation, pruned summaries — exact pins hold, floors are measured") {
+    // The heap skip is ORDER-DEPENDENT (partition-local thetas evolve in
+    // stream order), so unlike the ann_recall_curve oracle entry this
+    // evidence is measured in-engine against brute force: one cell per
+    // regime the reference's SeismicBaseScorer tunes
+    // (sparse/query/SeismicBaseScorer.java:202-220 — heap_factor scales
+    // the skip threshold; query_cut truncates the scored query).
+    val q = Map("join" -> 3.0, "hash" -> 1.5, "scan" -> 0.9,
+      "window" -> 2.0, "sort" -> 1.2, "dup" -> 0.7)
+    val exactIds = exact(q, 10).map(_._1).toSet
+    def recall(cidx: org.apache.spark.sql.Dataset[graft.ops.ClusteredPosting],
+               cut: Int, hf: Double): Int =
+      Seismic.annTopK(cidx, q, 10, queryCut = cut, heapFactor = hf)
+        .collect().map(_.getLong(0)).toSet.intersect(exactIds).size
+    val unpruned = Seismic.buildClusteredIndex(tw,
+      nPostings = Int.MaxValue, summaryPruneRatio = 1.0).cache()
+    val pruned = Seismic.buildClusteredIndex(tw,
+      nPostings = 160, summaryPruneRatio = 0.4).cache()
+
+    // exact pins: dominating bounds + exact threshold (hf = 1) are
+    // rank-identical to brute force; a RELAXED skip (hf > 1 makes the skip
+    // condition strictly weaker) can never lose what hf = 1 keeps
+    assert(recall(unpruned, cut = 10, hf = 1.0) == 10)
+    assert(recall(unpruned, cut = 10, hf = 2.0) == 10)
+
+    // aggressive threshold prune on exact bounds: hf < 1 skips clusters
+    // whose bound is below theta/hf — measured floors on this fixed corpus
+    // + query (values are deterministic: same plan, same stream order)
+    // measured on this corpus: 10/10 at both — the ub-desc stream saturates
+    // theta with the best clusters first, so even a 2x-tightened threshold
+    // only skips clusters that were truly below the final top-10
+    val hf08 = recall(unpruned, cut = 10, hf = 0.8)
+    val hf05 = recall(unpruned, cut = 10, hf = 0.5)
+    assert(hf08 >= 9, s"recall@10 at hf=0.8 was $hf08 (measured 10)")
+    assert(hf05 >= 8, s"recall@10 at hf=0.5 was $hf05 (measured 10)")
+
+    // query_cut truncation: only the top-cut weighted terms score at all —
+    // the one regime that measurably loses (8/10 at cut=4, 6/10 at cut=2)
+    val cut4 = recall(unpruned, cut = 4, hf = 1.0)
+    val cut2 = recall(unpruned, cut = 2, hf = 1.0)
+    assert(cut4 >= 7, s"recall@10 at query_cut=4 was $cut4 (measured 8)")
+    assert(cut2 >= 5, s"recall@10 at query_cut=2 was $cut2 (measured 6)")
+
+    // the reference-default production shape: pruned postings + pruned
+    // summaries + exact threshold (measured 10/10 — pruned summaries still
+    // dominate the kept postings' vectors on this corpus)
+    val prodDefault = recall(pruned, cut = 10, hf = 1.0)
+    assert(prodDefault >= 8, s"recall@10 pruned-summary default was $prodDefault (measured 10)")
+    info(s"measured recall@10 cells: hf08=$hf08 hf05=$hf05 " +
+      s"cut4=$cut4 cut2=$cut2 prunedDefault=$prodDefault")
+  }
+
   test("reference-default approximate mode returns k plausible results") {
     val cidx = Seismic.buildClusteredIndex(tw, nPostings = 160, summaryPruneRatio = 0.4).cache()
     val q = Map("join" -> 3.0, "hash" -> 1.0, "scan" -> 0.5)
