@@ -452,7 +452,8 @@ object Bench {
     // last base round
     case class Round(t2: Double, t8: Double, calibs: Seq[Double],
                      cpu2: Double, cpu8: Double, util2: Double, util8: Double,
-                     frac2: Double, frac8: Double, steal2: Double, steal8: Double)
+                     frac2: Double, frac8: Double, steal2: Double, steal8: Double,
+                     memBr: Double)
     var pairs = Vector.empty[Round]
     var wand2 = 0.0; var plain2 = 0.0; var wand8 = 0.0; var plain8 = 0.0
 
@@ -476,9 +477,22 @@ object Bench {
     //      and >10% steal mechanically inflates a CPU-bound wall time by
     //      >11%). Unlike (a)-(c), this is the hypervisor's own accounting
     //      of withheld cycles, not an inference from task metrics.
+    //  (e) "mem-starved": memory-BANDWIDTH theft, which the register-only
+    //      calibration burn is blind to (round-4 evidence: a window whose
+    //      CPU-burn ceiling held 0.978 while the 256 MB/thread streaming
+    //      probe collapsed to 0.488). Each round is bracketed by one
+    //      fixed-work memory-streaming pair — wall(2 threads)/wall(8
+    //      threads), each thread chasing its own 256 MB array — and a round
+    //      whose bracket scales < 0.80 (quiet hosts measure 0.90+) sits in
+    //      a window where NO software, however parallel, could wall-scale
+    //      at >= 0.8: the probe is the host's own achievable ceiling for
+    //      bandwidth-profile work (hash aggregation + shuffle), so the
+    //      round is unmeasurable for the gate, exactly like a stolen one.
+    //      Absolute threshold, tied to the north rule's own 0.8 criterion.
     // Rounds failing any detector are excluded from the medians; every raw
     // round AND its fired detectors are reported.
     val stealMax = 0.10
+    val memFloor = 0.80
     def detect2x8(p: Round): Seq[String] = {
       val cmin = pairs.flatMap(_.calibs).min
       val d = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -489,6 +503,7 @@ object Bench {
       if (p.frac8 < 0.85 * median(pairs.map(_.frac8))) d += "descheduled@8"
       if (p.steal2 > stealMax) d += "steal@2"
       if (p.steal8 > stealMax) d += "steal@8"
+      if (p.memBr < memFloor) d += "mem-starved"
       d.toSeq
     }
     def validCount: Int = pairs.count(p => detect2x8(p).isEmpty)
@@ -505,6 +520,7 @@ object Bench {
       while (r < baseRounds || (r < baseRounds + maxExtra && validCount < minValid)) {
         r += 1
         val last = r == baseRounds
+        val mbr = math.min(memBurnThreads(2) / memBurnThreads(8), 1.0)
         val c2a = calibrate()
         val p2r = scalePoint(2, nDocs, measureQueries = last)
         val c2b = calibrate()
@@ -512,11 +528,11 @@ object Bench {
         val c8b = calibrate()
         if (last) { wand2 = p2r.wandP50; plain2 = p2r.plainP50; wand8 = p8r.wandP50; plain8 = p8r.plainP50 }
         System.err.println(f"[graft-bench] round $r: tput2=${p2r.tput}%.1f tput8=${p8r.tput}%.1f " +
-          f"eff=${(p8r.tput / p2r.tput) / 4}%.3f calibs=$c2a%.2f/$c2b%.2f/$c8b%.2f " +
+          f"eff=${(p8r.tput / p2r.tput) / 4}%.3f calibs=$c2a%.2f/$c2b%.2f/$c8b%.2f memBr=$mbr%.3f " +
           f"cpu/doc=${p2r.cpuSec * 1e6 / nDocs}%.1f/${p8r.cpuSec * 1e6 / nDocs}%.1fus util=${p2r.utilization}%.2f/${p8r.utilization}%.2f " +
           f"cpufrac=${p2r.cpuFrac}%.2f/${p8r.cpuFrac}%.2f steal=${p2r.stealFrac}%.3f/${p8r.stealFrac}%.3f")
         pairs = pairs :+ Round(p2r.tput, p8r.tput, Seq(c2a, c2b, c8b), p2r.cpuSec, p8r.cpuSec,
-          p2r.utilization, p8r.utilization, p2r.cpuFrac, p8r.cpuFrac, p2r.stealFrac, p8r.stealFrac)
+          p2r.utilization, p8r.utilization, p2r.cpuFrac, p8r.cpuFrac, p2r.stealFrac, p8r.stealFrac, mbr)
       }
       hwCeil = math.max(hwCeil, hwCeiling2to8())
       memCeil = math.max(memCeil, memCeiling2to8())
@@ -562,7 +578,8 @@ object Bench {
     // each build; cpu/doc and cpufrac validity use the 32-level medians;
     // invalid rounds trigger bounded retries.
     case class Round32(t: Double, calibs: Seq[Double], cpu: Double, frac: Double,
-                       util: Double, wand: Double, plain: Double, steal: Double)
+                       util: Double, wand: Double, plain: Double, steal: Double,
+                       memBr: Double)
     var p32 = Vector.empty[Round32]
     def detect32(p: Round32): Seq[String] = {
       val cmin = (pairs.flatMap(_.calibs) ++ p32.flatMap(_.calibs)).min
@@ -571,6 +588,7 @@ object Bench {
       if (p.cpu > 1.4 * median(p32.map(_.cpu))) d += "contention@32"
       if (p.frac < 0.85 * median(p32.map(_.frac))) d += "descheduled@32"
       if (p.steal > stealMax) d += "steal@32"
+      if (p.memBr < memFloor) d += "mem-starved"
       d.toSeq
     }
     def valid32Count: Int = p32.count(p => detect32(p).isEmpty)
@@ -580,13 +598,14 @@ object Bench {
       var r = 0
       while (r < base32 || (r < base32 + maxExtra32 && valid32Count < 2)) {
         r += 1
+        val mbr = math.min(memBurnThreads(2) / memBurnThreads(8), 1.0)
         val cA = calibrate()
         val p = scalePoint(32, nDocs, measureQueries = r == base32)
         val cB = calibrate()
-        System.err.println(f"[graft-bench] round32 $r: tput=${p.tput}%.1f calibs=$cA%.2f/$cB%.2f " +
+        System.err.println(f"[graft-bench] round32 $r: tput=${p.tput}%.1f calibs=$cA%.2f/$cB%.2f memBr=$mbr%.3f " +
           f"cpu/doc=${p.cpuSec * 1e6 / nDocs}%.1fus util=${p.utilization}%.2f cpufrac=${p.cpuFrac}%.2f steal=${p.stealFrac}%.3f")
         p32 = p32 :+ Round32(p.tput, Seq(cA, cB), p.cpuSec, p.cpuFrac, p.utilization,
-          p.wandP50, p.plainP50, p.stealFrac)
+          p.wandP50, p.plainP50, p.stealFrac, mbr)
       }
     }
     val detectors32 = p32.map(detect32)
@@ -614,11 +633,13 @@ object Bench {
       s""""rounds":$rounds,"valid_rounds":$nValid,"tput2_rounds":${arr(tput2s)},"tput8_rounds":${arr(tput8s)},""" +
       s""""eff_rounds":${arr3(effRounds)},"calib_rounds":${pairs.map(p => arr3(p.calibs)).mkString("[", ",", "]")},""" +
       s""""steal_rounds":${pairs.map(p => arr3(Seq(p.steal2, p.steal8))).mkString("[", ",", "]")},""" +
+      s""""mem_bracket_rounds":${arr3(pairs.map(_.memBr))},""" +
       s""""detectors_rounds":${detArr(detectors)},""" +
       f""""cpu_us_per_doc":{"local2":$cpuDoc2%.1f,"local8":$cpuDoc8%.1f,"local32":$cpuDoc32%.1f},"scaling_efficiency_cpu":$effCpu%.3f,""" +
       f""""utilization":{"local2":$util2m%.2f,"local8":$util8m%.2f},""" +
       s""""tput32_rounds":${arr(p32.map(_.t))},"valid_rounds32":${valid32.size},""" +
       s""""steal_rounds32":${arr3(p32.map(_.steal))},""" +
+      s""""mem_bracket_rounds32":${arr3(p32.map(_.memBr))},""" +
       s""""detectors_rounds32":${detArr(detectors32)},""" +
       s""""calib_rounds32":${p32.map(p => arr3(p.calibs)).mkString("[", ",", "]")},""" +
       f""""query_p50_ms":{"wand2":$wand2%.1f,"wand8":$wand8%.1f,"wand32":$wand32%.1f,""" +
@@ -631,11 +652,11 @@ object Bench {
       new java.io.File("BENCH").mkdirs()
       val roundRows = pairs.zipWithIndex.map { case (p, i) =>
         val d = detectors(i)
-        f"| ${i + 1} | ${p.t2}%.1f | ${p.t8}%.1f | ${(p.t8 / p.t2) / 4}%.3f | ${p.calibs.map(c => f"$c%.2f").mkString("/")} | ${p.cpu2 * 1e6 / nDocs}%.0f / ${p.cpu8 * 1e6 / nDocs}%.0f | ${p.frac2}%.2f / ${p.frac8}%.2f | ${p.steal2}%.3f / ${p.steal8}%.3f | ${if (d.isEmpty) "yes" else "NO: " + d.mkString(", ")} |"
+        f"| ${i + 1} | ${p.t2}%.1f | ${p.t8}%.1f | ${(p.t8 / p.t2) / 4}%.3f | ${p.calibs.map(c => f"$c%.2f").mkString("/")} | ${p.memBr}%.3f | ${p.cpu2 * 1e6 / nDocs}%.0f / ${p.cpu8 * 1e6 / nDocs}%.0f | ${p.frac2}%.2f / ${p.frac8}%.2f | ${p.steal2}%.3f / ${p.steal8}%.3f | ${if (d.isEmpty) "yes" else "NO: " + d.mkString(", ")} |"
       }.mkString("\n")
       val round32Rows = p32.zipWithIndex.map { case (p, i) =>
         val d = detectors32(i)
-        f"| ${i + 1} | ${p.t}%.1f | ${p.calibs.map(c => f"$c%.2f").mkString("/")} | ${p.cpu * 1e6 / nDocs}%.0f | ${p.frac}%.2f | ${p.util}%.2f | ${p.steal}%.3f | ${if (d.isEmpty) "yes" else "NO: " + d.mkString(", ")} |"
+        f"| ${i + 1} | ${p.t}%.1f | ${p.calibs.map(c => f"$c%.2f").mkString("/")} | ${p.memBr}%.3f | ${p.cpu * 1e6 / nDocs}%.0f | ${p.frac}%.2f | ${p.util}%.2f | ${p.steal}%.3f | ${if (d.isEmpty) "yes" else "NO: " + d.mkString(", ")} |"
       }.mkString("\n")
       // NOTE: multi-line values (round rows, json) are substituted AFTER
       // stripMargin — interpolating them into the margin-stripped template
@@ -667,6 +688,13 @@ object Bench {
            |timed build > 10%% of wanted CPU (steal/(steal+busy); quiet
            |windows measure 1-7%%, bursts 25-74%% — this is the hypervisor's
            |own accounting of withheld cycles, not an inference).
+           |(e) memory-bandwidth starvation, which the register-only burn is
+           |blind to -> each round opens with a fixed-work memory-STREAMING
+           |pair (wall at 2 vs 8 threads, 256 MB chased per thread); a round
+           |whose bracket scales < 0.80 (quiet hosts 0.90+; one round-4
+           |window collapsed to 0.488 while its CPU burn held 0.978) sits in
+           |a window where the host's own bandwidth ceiling is below the
+           |0.8 gate — unmeasurable for bandwidth-profile work, like steal.
            |Rounds failing any detector are excluded from
            |the medians ($nValid/$rounds valid this run, after bounded
            |auto-retries whenever fewer than $minValid rounds were valid);
@@ -692,12 +720,12 @@ object Bench {
            |gating (median of valid rounds, ${valid32.size}/${p32.size} valid
            |this run). Query p50 = BM25 top-100, 4 query shapes x 3 reps.
            |
-           || round | local[2] docs/s | local[8] docs/s | efficiency (2->8) | calibs (s) | cpu us/doc 2/8 | cpufrac 2/8 | steal 2/8 | valid |
-           ||---|---|---|---|---|---|---|---|---|
+           || round | local[2] docs/s | local[8] docs/s | efficiency (2->8) | calibs (s) | mem bracket | cpu us/doc 2/8 | cpufrac 2/8 | steal 2/8 | valid |
+           ||---|---|---|---|---|---|---|---|---|---|
            |@ROUND_ROWS@
            |
-           || round32 | local[32] docs/s | calibs (s) | cpu us/doc | cpufrac | util | steal | valid |
-           ||---|---|---|---|---|---|---|---|
+           || round32 | local[32] docs/s | calibs (s) | mem bracket | cpu us/doc | cpufrac | util | steal | valid |
+           ||---|---|---|---|---|---|---|---|---|
            |@ROUND32_ROWS@
            |
            || metric | local[2] (N) | local[8] (4N) | local[32] | scaling efficiency (2->8) |
