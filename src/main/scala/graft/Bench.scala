@@ -520,15 +520,25 @@ object Bench {
       while (r < baseRounds || (r < baseRounds + maxExtra && validCount < minValid)) {
         r += 1
         val last = r == baseRounds
-        val mbr = math.min(memBurnThreads(2) / memBurnThreads(8), 1.0)
+        // the memory-streaming bracket is probed around EACH level's build
+        // (open / between levels / close) and the MIN is the round's bracket:
+        // a bandwidth burst arriving mid-round — after an all-clear at round
+        // open — starves whichever build it overlaps, and the earlier
+        // open-only probe was blind to it (observed: open bracket 1.000,
+        // round landed 0.762)
+        def memBr(): Double = math.min(memBurnThreads(2) / memBurnThreads(8), 1.0)
+        val mbrA = memBr()
         val c2a = calibrate()
         val p2r = scalePoint(2, nDocs, measureQueries = last)
+        val mbrB = memBr()
         val c2b = calibrate()
         val p8r = scalePoint(8, nDocs, measureQueries = last)
         val c8b = calibrate()
+        val mbrC = memBr()
+        val mbr = Seq(mbrA, mbrB, mbrC).min
         if (last) { wand2 = p2r.wandP50; plain2 = p2r.plainP50; wand8 = p8r.wandP50; plain8 = p8r.plainP50 }
         System.err.println(f"[graft-bench] round $r: tput2=${p2r.tput}%.1f tput8=${p8r.tput}%.1f " +
-          f"eff=${(p8r.tput / p2r.tput) / 4}%.3f calibs=$c2a%.2f/$c2b%.2f/$c8b%.2f memBr=$mbr%.3f " +
+          f"eff=${(p8r.tput / p2r.tput) / 4}%.3f calibs=$c2a%.2f/$c2b%.2f/$c8b%.2f memBr=$mbrA%.3f/$mbrB%.3f/$mbrC%.3f " +
           f"cpu/doc=${p2r.cpuSec * 1e6 / nDocs}%.1f/${p8r.cpuSec * 1e6 / nDocs}%.1fus util=${p2r.utilization}%.2f/${p8r.utilization}%.2f " +
           f"cpufrac=${p2r.cpuFrac}%.2f/${p8r.cpuFrac}%.2f steal=${p2r.stealFrac}%.3f/${p8r.stealFrac}%.3f")
         pairs = pairs :+ Round(p2r.tput, p8r.tput, Seq(c2a, c2b, c8b), p2r.cpuSec, p8r.cpuSec,
@@ -598,11 +608,13 @@ object Bench {
       var r = 0
       while (r < base32 || (r < base32 + maxExtra32 && valid32Count < 2)) {
         r += 1
-        val mbr = math.min(memBurnThreads(2) / memBurnThreads(8), 1.0)
+        val mbrA = math.min(memBurnThreads(2) / memBurnThreads(8), 1.0)
         val cA = calibrate()
         val p = scalePoint(32, nDocs, measureQueries = r == base32)
         val cB = calibrate()
-        System.err.println(f"[graft-bench] round32 $r: tput=${p.tput}%.1f calibs=$cA%.2f/$cB%.2f memBr=$mbr%.3f " +
+        val mbrB = math.min(memBurnThreads(2) / memBurnThreads(8), 1.0)
+        val mbr = math.min(mbrA, mbrB)
+        System.err.println(f"[graft-bench] round32 $r: tput=${p.tput}%.1f calibs=$cA%.2f/$cB%.2f memBr=$mbrA%.3f/$mbrB%.3f " +
           f"cpu/doc=${p.cpuSec * 1e6 / nDocs}%.1fus util=${p.utilization}%.2f cpufrac=${p.cpuFrac}%.2f steal=${p.stealFrac}%.3f")
         p32 = p32 :+ Round32(p.tput, Seq(cA, cB), p.cpuSec, p.cpuFrac, p.utilization,
           p.wandP50, p.plainP50, p.stealFrac, mbr)

@@ -350,13 +350,25 @@ object InvertedIndex {
     // touches the payload bytes. Rows are pre-sorted (kind, term, bucket)
     // inside each task so the dynamic partitioning needs no extra sort and
     // term row-group stats stay tight for the read-side seek.
+    // Corpus stats ride the SAME job as the block write: an `observe`
+    // (CollectMetrics — Spark's exactly-once job-level aggregate, safe under
+    // task retries where accumulators are not) sums the kind=1 metadata
+    // columns as the rows stream into parquet. That removes one of the two
+    // post-write stats jobs entirely — at bench scale those jobs are
+    // fixed-overhead (~1 s each regardless of core count), i.e. pure serial
+    // tail that erodes N->4N wall scaling; at 10^12 docs it is one fewer
+    // full re-listing of the block store.
+    val obs = new org.apache.spark.sql.Observation("graft-corpus-stats")
     phase("blocks")(mergedBlocksOf(docs, idCol, textCol, analyzer)
+      .observe(obs,
+        sum(when($"kind" === 1, $"cnt").otherwise(0L)).as("n"),
+        sum(when($"kind" === 1, $"sum_tf").otherwise(0L)).as("sd"))
       .sortWithinPartitions("kind", "term", "bucket")
       .write.mode("overwrite").partitionBy("kind").parquet(s"$dir/blocks"))
     val meta = spark.read.parquet(s"$dir/blocks")
       .select($"kind", $"term", $"cnt", $"sum_tf")
-    // the two stats tables are independent metadata-scale jobs: commit them
-    // concurrently so the post-write tail is max(), not sum()
+    // the remaining derived tables are independent metadata-scale jobs:
+    // commit them concurrently so the post-write tail is max(), not sum()
     val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
@@ -366,9 +378,18 @@ object InvertedIndex {
       .as[TermStat]
       .write.mode("overwrite").parquet(s"$dir/termstats")))
     val fStats = Future(phase("stats") {
-      val row = meta.filter($"kind" === 1).agg(sum($"cnt"), sum($"sum_tf"))
-        .as[(Option[Long], Option[Long])].head()
-      val (n, sd) = (row._1.getOrElse(0L), row._2.getOrElse(0L))
+      // the listener bus delivers observed metrics asynchronously after the
+      // write returns: await briefly, then fall back to the metadata scan
+      val observed = try {
+        val row = Await.result(obs.future, scala.concurrent.duration.Duration(2, "s"))
+        if (row.isNullAt(0)) None
+        else Some((row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1)))
+      } catch { case _: java.util.concurrent.TimeoutException => None }
+      val (n, sd) = observed.getOrElse {
+        val row = meta.filter($"kind" === 1).agg(sum($"cnt"), sum($"sum_tf"))
+          .as[(Option[Long], Option[Long])].head()
+        (row._1.getOrElse(0L), row._2.getOrElse(0L))
+      }
       val st = CorpusStats(n, sd, if (n == 0) 0.0 else sd.toDouble / n)
       Seq(st).toDS().write.mode("overwrite").parquet(s"$dir/stats")
       st
