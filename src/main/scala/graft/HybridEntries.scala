@@ -419,6 +419,14 @@ object HybridEntries {
     "term_suggest" -> ((s, dir) =>
       graft.query.Suggest.termSuggest(IndexCache.documents(s, dir),
         "joim hsah merge", maxEdits = 2, size = 3)),
+    // suggest_mode popular + Damerau distance: the in-dictionary token
+    // ("merge") is still corrected but only by strictly-more-frequent
+    // terms (df > input df); transposition counts as ONE edit, so "hsah"
+    // reaches "hash" at maxEdits=1 where classic Levenshtein needs 2
+    "term_suggest_popular" -> ((s, dir) =>
+      graft.query.Suggest.termSuggest(IndexCache.documents(s, dir),
+        "hsah merge", maxEdits = 1, size = 3, mode = "popular",
+        distance = "damerau")),
     // rank_eval: search-quality metrics (precision@k, recall@k, MRR,
     // NDCG@k) per query + the overall mean over 3 BM25 runs, judged by a
     // deterministic grade (distinct query terms contained)
@@ -969,6 +977,27 @@ object HybridEntries {
           |      "query": "join pkg7 en", "fields": ["text", "path^2"],
           |      "type": "best_fields", "tie_breaker": 0.3 } } ],
           |    "must_not": [ { "term": { "text": "dup" } } ] } },
+          |  "size": 10 }""".stripMargin
+      graft.query.QueryDsl.execute(src, json,
+        s.read.parquet(s"$dir/documents.parquet"))
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+    }),
+    // multi_match type=phrase: one match_phrase per field under a dis-max
+    // (MultiMatchQueryBuilder.Type.PHRASE) — "table hash" phrase-matches
+    // the text field; "src pkg7" phrase-matches the path field (the pkg7
+    // docs), each side verified against its OWN positional index and
+    // scored with its OWN BM25 stats, path boosted 2x
+    "dsl_multi_match_phrase" -> ((s, dir) => {
+      val src = srcWithPath(s, dir).copy(
+        positions = Some(IndexCache.positions(s, dir)),
+        fieldPositions = Map("path" -> IndexCache.corpusFieldPositions(s, dir, "path")))
+      val json =
+        """{ "query": { "bool": {
+          |    "should": [
+          |      { "multi_match": { "query": "table hash",
+          |        "fields": ["text", "path^2"], "type": "phrase" } },
+          |      { "multi_match": { "query": "src pkg7",
+          |        "fields": ["text", "path^2"], "type": "phrase", "tie_breaker": 0.3 } } ] } },
           |  "size": 10 }""".stripMargin
       graft.query.QueryDsl.execute(src, json,
         s.read.parquet(s"$dir/documents.parquet"))
@@ -2288,7 +2317,7 @@ object HybridEntries {
          |  $unions),
          |sq$i AS (
          |  SELECT doc_id, $termSum AS s FROM u$i GROUP BY doc_id)""".stripMargin
-    case LexicalMulti(fields, terms, mm) =>
+    case LexicalMulti(fields, terms, mm @ (MostFields | _: BestFields)) =>
       // per-field BM25 over each field's OWN token stream — field "text" is
       // the shared tf/dl/df/stats chain, field "path" re-derives the corpus
       // path expression (corpus_ingest's projection) and tokenizes it with
@@ -2339,6 +2368,76 @@ object HybridEntries {
           val mx = fields.indices.map(j => s"COALESCE(f$j, 0)").mkString("greatest(", ", ", ")")
           if (tb == 0.0) mx else s"$mx + $tb * ($cSum - $mx)"
       }
+      s"""$fieldCtes,
+         |sq$i AS (
+         |  SELECT doc_id, $combine AS s
+         |  FROM (SELECT doc_id,
+         |               $pivots
+         |        FROM ($unions) u${i}
+         |        GROUP BY doc_id) p$i)""".stripMargin
+    case LexicalMulti(fields, terms, PhraseFields(tb, slop)) =>
+      // per-field match_phrase over each field's OWN token-position stream
+      // and BM25 stats, boosts multiplied, dis-max over pivoted columns —
+      // the same per-field chains as the BM25 multi_match case plus the
+      // consecutive-position join of the exact-phrase case
+      require(slop == 0,
+        "the multi_match phrase oracle covers slop = 0 (slop > 0 is spec-covered)")
+      require(filterPred.isEmpty, "multi_match phrase oracle does not take a filter")
+      val fieldCtes = fields.zipWithIndex.map { case ((f, _), j) =>
+        val (tokpT, dlT, dfT, stT, extra) = f match {
+          case "text" =>
+            val p =
+              s"""tokp${i}_$j AS (
+                 |  SELECT doc_id, unnest(l) AS term, unnest(range(len(l))) AS pos
+                 |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+                 |        FROM documents)),
+                 |""".stripMargin
+            (s"tokp${i}_$j", "dl", "df", "stats", p)
+          case "path" =>
+            val p =
+              s"""crp${i}_$j AS (
+                 |  SELECT doc_id,
+                 |         'src/pkg' || (doc_id % 97) || '/File' || doc_id || '.' || lang AS fv
+                 |  FROM documents),
+                 |ptokp${i}_$j AS (
+                 |  SELECT doc_id, unnest(l) AS term, unnest(range(len(l))) AS pos
+                 |  FROM (SELECT doc_id, list_filter(
+                 |    string_split(regexp_replace(lower(fv), '[^a-z0-9]+', ' ', 'g'), ' '),
+                 |    x -> x <> '') AS l FROM crp${i}_$j)),
+                 |pdl${i}_$j AS (SELECT doc_id, count(*) AS dl FROM ptokp${i}_$j GROUP BY doc_id),
+                 |pdf${i}_$j AS (SELECT term, count(DISTINCT doc_id) AS df FROM ptokp${i}_$j GROUP BY term),
+                 |pstats${i}_$j AS (SELECT (SELECT count(*) FROM documents) AS n,
+                 |  (SELECT sum(dl)*1.0/(SELECT count(*) FROM documents) FROM pdl${i}_$j) AS avgdl),
+                 |""".stripMargin
+            (s"ptokp${i}_$j", s"pdl${i}_$j", s"pdf${i}_$j", s"pstats${i}_$j", p)
+          case other => throw new IllegalArgumentException(
+            s"no oracle token chain for multi_match field [$other]")
+        }
+        val joins = terms.zipWithIndex.tail.map { case (t, k) =>
+          s"JOIN $tokpT t$k ON t$k.doc_id = t0.doc_id AND t$k.pos = t0.pos + $k AND t$k.term = '$t'"
+        }.mkString("\n        ")
+        val idfTerms = terms.map(t =>
+          s"(SELECT ln(1 + (stats.n - df.df + 0.5)/(df.df + 0.5)) FROM $dfT df CROSS JOIN $stT stats WHERE df.term = '$t')")
+          .mkString(" + ")
+        s"""${extra}sq${i}_f$j AS (
+           |  SELECT ph.doc_id,
+           |         ($idfTerms)
+           |         * (ph.freq / (ph.freq + 1.2*(1 - 0.75 + 0.75*dl.dl/stats.avgdl))) AS s
+           |  FROM (SELECT t0.doc_id, count(*) AS freq
+           |        FROM $tokpT t0
+           |        $joins
+           |        WHERE t0.term = '${terms.head}'
+           |        GROUP BY t0.doc_id) ph
+           |  JOIN $dlT dl USING (doc_id) CROSS JOIN $stT stats)""".stripMargin
+      }.mkString(",\n")
+      val unions = fields.zipWithIndex.map { case ((_, b), j) =>
+        s"SELECT doc_id, s * $b AS s, $j AS fid FROM sq${i}_f$j"
+      }.mkString("\n        UNION ALL ")
+      val pivots = fields.indices.map(j =>
+        s"max(CASE WHEN fid = $j THEN s END) AS f$j").mkString(",\n               ")
+      val cSum = fields.indices.map(j => s"COALESCE(f$j, 0)").mkString("(", " + ", ")")
+      val mx = fields.indices.map(j => s"COALESCE(f$j, 0)").mkString("greatest(", ", ", ")")
+      val combine = if (tb == 0.0) mx else s"$mx + $tb * ($cSum - $mx)"
       s"""$fieldCtes,
          |sq$i AS (
          |  SELECT doc_id, $combine AS s
@@ -3174,6 +3273,23 @@ object HybridEntries {
            |        PARTITION BY input ORDER BY dist, df DESC, suggestion) AS rn
            |      FROM cand)
            |SELECT input, suggestion, dist, df FROM r WHERE rn <= 3""".stripMargin,
+      "term_suggest_popular" ->
+        s"""WITH $tokCte,
+           |inp AS (SELECT * FROM (VALUES ('hsah'), ('merge')) t(input)),
+           |g AS (SELECT inp.input, coalesce(dfi.df, 0) AS input_df
+           |      FROM inp LEFT JOIN df dfi ON dfi.term = inp.input),
+           |cand AS (
+           |  SELECT g.input, df.term AS suggestion,
+           |         damerau_levenshtein(df.term, g.input) AS dist, df.df
+           |  FROM df, g
+           |  WHERE abs(length(df.term) - length(g.input)) <= 1
+           |    AND df.term <> g.input
+           |    AND damerau_levenshtein(df.term, g.input) <= 1
+           |    AND df.df > g.input_df),
+           |r AS (SELECT *, row_number() OVER (
+           |        PARTITION BY input ORDER BY dist, df DESC, suggestion) AS rn
+           |      FROM cand)
+           |SELECT input, suggestion, dist, df FROM r WHERE rn <= 3""".stripMargin,
       "rank_eval" -> {
         val qs = Seq(1 -> Seq("join", "hash"), 2 -> Seq("merge", "sort"),
           3 -> Seq("scan", "filter"))
@@ -3319,6 +3435,13 @@ object HybridEntries {
         boolOracle(tokCte, must = Seq(LexicalMulti(
           Seq("text" -> 1.0, "path" -> 2.0), MultiTerms, BestFields(0.3))),
           should = Nil, mustNot = Seq(Lexical(Seq("dup"))), msm = 0),
+      "dsl_multi_match_phrase" ->
+        boolOracle(tokCte, must = Nil, should = Seq(
+          LexicalMulti(Seq("text" -> 1.0, "path" -> 2.0),
+            Seq("table", "hash"), PhraseFields()),
+          LexicalMulti(Seq("text" -> 1.0, "path" -> 2.0),
+            Seq("src", "pkg7"), PhraseFields(0.3))),
+          mustNot = Nil, msm = 1),
       "hybrid_multi_lex" ->
         hybridOracle(tokCte, Seq(LexicalMulti(
           Seq("text" -> 1.0, "path" -> 2.0), MultiTerms, BestFields(0.3)),

@@ -180,6 +180,12 @@ case object MostFields extends MultiMatchType
  *  a name split across first_name/last_name fields still scores like one
  *  field would. */
 case object CrossFields extends MultiMatchType
+/** `phrase`: the analyzed text runs as a match_phrase against EACH field
+ *  (its own positional index, its own BM25 stats) and the per-field phrase
+ *  scores combine dis-max like best_fields (MultiMatchQueryBuilder.Type
+ *  .PHRASE builds one PhraseQuery per field under a
+ *  DisjunctionMaxQuery). `slop` applies to every field's matcher. */
+case class PhraseFields(tieBreaker: Double = 0.0, slop: Int = 0) extends MultiMatchType
 
 /** Multi-field lexical clause — the `multi_match` query: the same analyzed
  *  terms scored independently against several indexed fields (each with its
@@ -505,6 +511,9 @@ case class HybridSources(
     /** secondary per-field indexes for [[LexicalMulti]]; the primary `idx`
      *  is always addressable as field "text" */
     fieldIdx: Map[String, Index] = Map.empty,
+    /** secondary per-field positional blocks for [[PhraseFields]]
+     *  multi_match; field "text" resolves to [[positions]] */
+    fieldPositions: Map[String, org.apache.spark.sql.Dataset[graft.index.PosBlock]] = Map.empty,
     /** child relations for [[HasChildQ]]: relation name -> child table with
      *  a `parent_id` column and a text column (the parent-join field) */
     children: Map[String, (DataFrame, String)] = Map.empty,
@@ -643,6 +652,19 @@ object Hybrid {
             require(tb >= 0.0 && tb <= 1.0, s"tie_breaker must be in [0,1], got $tb")
           case MostFields  => ()
           case CrossFields => ()
+          case PhraseFields(tb, slop) =>
+            require(tb >= 0.0 && tb <= 1.0, s"tie_breaker must be in [0,1], got $tb")
+            require(slop >= 0, s"[slop] must be >= 0, got $slop")
+            require(terms.size >= 2, "a phrase needs at least 2 terms")
+            require(slop == 0 || terms.distinct.size == terms.size,
+              "match_phrase with slop > 0 requires distinct analyzed terms")
+            fields.foreach { case (f, _) =>
+              require(if (f == "text") src.positions.nonEmpty
+                      else src.fieldPositions.contains(f),
+                s"multi_match phrase field [$f] has no positional blocks — " +
+                  "register them in HybridSources.fieldPositions " +
+                  "(field \"text\" uses HybridSources.positions)")
+            }
         }
       case LexicalMsm(terms, m, _) =>
         require(terms.nonEmpty, "match requires a non-empty query text")
@@ -1206,6 +1228,32 @@ object Hybrid {
             .map(ti => coalesce(col(s"_t$ti"), lit(0.0))).reduceLeft(_ + _)
           agg.select($"doc_id", score.as("score"))
         }
+      case LexicalMulti(fields, terms, PhraseFields(tb, slop)) =>
+        // per-field match_phrase against each field's OWN positional index
+        // and BM25 stats, field boost as a constant multiplier, dis-max
+        // combine over pivoted columns (the same fixed left-to-right fold
+        // as best_fields — deterministic FP). Each field's positional
+        // verification stays the bucket-local cogroup kernel of a plain
+        // match_phrase; no cross-field shuffle until the final doc_id
+        // aggregation over the (tiny) per-field matched sets.
+        val tagged = fields.zipWithIndex.map { case ((f, b), i2) =>
+          val fi = if (f == "text") src.idx else src.fieldIdx(f)
+          val fp = if (f == "text") src.positions.get else src.fieldPositions(f)
+          val scored =
+            if (slop == 0) graft.query.Phrase.score(fi, fp, terms)
+            else graft.query.Phrase.sloppyScore(fi, fp, terms, slop)
+          scored.select($"doc_id", ($"score" * b).as("score"), lit(i2).as("fid"))
+        }
+        val u = tagged.reduce(_ unionByName _)
+        val pivots = fields.indices.map(i2 =>
+          max(when($"fid" === i2, $"score")).as(s"_f$i2"))
+        val agg = u.groupBy($"doc_id").agg(pivots.head, pivots.tail: _*)
+        val cols = fields.indices.map(i2 => coalesce(col(s"_f$i2"), lit(0.0)))
+        val mx = cols.reduceLeft((a, b) => greatest(a, b))
+        val score =
+          if (tb == 0.0) mx
+          else mx + lit(tb) * (cols.reduceLeft(_ + _) - mx)
+        agg.select($"doc_id", score.as("score"))
       case LexicalMulti(fields, terms, mm) =>
         // per-field BM25 against each field's OWN index (its own postings,
         // lengths, df/avgdl — Lucene scores each field as an independent

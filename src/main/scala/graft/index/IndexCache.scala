@@ -45,6 +45,18 @@ object IndexCache {
     }
   }
 
+  /** Positional blocks over a NON-text corpus column ([[corpusField]]'s
+   *  positional analogue) — multi_match type=phrase verifies per-field
+   *  adjacency against these. */
+  def corpusFieldPositions(spark: SparkSession, sfDir: String, column: String,
+                           analyzer: String = Analyzer.Simple): org.apache.spark.sql.Dataset[PosBlock] = {
+    artifacts.retainKeys(_._1 == spark.sparkContext.applicationId)
+    artifacts.get((spark.sparkContext.applicationId, s"$sfDir#$column#pos", analyzer)) {
+      val corpus = graft.corpus.Corpus.ingest(spark, sfDir)
+      Positions.build(corpus, "doc_id", column, analyzer)
+    }
+  }
+
   /** Session-cached semantic chunk sub-field tables. These are INDEX-time
    *  artifacts — the reference's semantic field mapper generates the chunk
    *  embeddings at ingest and stores them in the index; a query must never

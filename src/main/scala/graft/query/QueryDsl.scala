@@ -862,10 +862,15 @@ object QueryDsl {
           graft.hybrid.MostFields
         case "cross_fields" =>
           require(body.path("tie_breaker").isMissingNode,
-            "[tie_breaker] only applies to type best_fields")
+            "[tie_breaker] only applies to type best_fields and phrase")
           graft.hybrid.CrossFields
+        case "phrase" =>
+          // one PhraseQuery per field under a DisjunctionMaxQuery
+          // (MultiMatchQueryBuilder.Type.PHRASE); slop applies per field
+          graft.hybrid.PhraseFields(
+            body.path("tie_breaker").asDouble(0.0), body.path("slop").asInt(0))
         case other => throw new IllegalArgumentException(
-          s"multi_match type [$other] is not supported (best_fields, most_fields, cross_fields)")
+          s"multi_match type [$other] is not supported (best_fields, most_fields, cross_fields, phrase)")
       }
       val terms = Analyzer.analyze(analyzer)(text).toSeq
       graft.hybrid.LexicalMulti(fields, terms, mm)

@@ -6,39 +6,65 @@ import graft.analysis.Analyzer
 import graft.index.{Index, PosBlock, Positions}
 import graft.ops.TopN
 
-/** The `term` suggester ("did you mean"): per misspelled input token, the
- *  dictionary terms within `maxEdits` Levenshtein, ranked (distance asc,
- *  df desc, term asc), top `size` each — OpenSearch's term suggester under
- *  its default `suggest_mode: missing` (a token already in the dictionary
- *  returns no suggestions) with the deterministic classic-Levenshtein
- *  ranking (the reference's `internal` distance adds transposition-as-one
- *  -edit; same documented divergence as the fuzzy query).
+/** The `term` suggester ("did you mean"): per input token, the dictionary
+ *  terms within `maxEdits` edits, ranked (distance asc, df desc, term asc),
+ *  top `size` each — OpenSearch's term suggester across all three
+ *  `suggest_mode`s (DirectSpellChecker's SuggestMode; reference exercises
+ *  it via the suggest section any search request carries):
+ *   - `missing` (the default): a token already in the dictionary returns
+ *     no suggestions;
+ *   - `popular`: every token is corrected, but a candidate must be MORE
+ *     FREQUENT than the input token (df > input df; an absent input has
+ *     df 0, so popular degrades to always for misspellings);
+ *   - `always`: every token, any candidate df.
+ *  `distance` picks the edit metric: "levenshtein" (classic) or "damerau"
+ *  (unrestricted transposition-as-one-edit, Lucene's internal default —
+ *  the same codegen'd expression the fuzzy query uses).
  *
  *  Execution: ONE broadcast of the (tiny) analyzed token list against the
  *  term dictionary — the per-token work is a shared dictionary scan with a
- *  codegen'd length prefilter + levenshtein, not a scan per token; ranking
- *  is the salted two-level TopN (no per-token hot partition even when one
- *  token matches half the dictionary at maxEdits=2). */
+ *  codegen'd length prefilter + edit distance, not a scan per token; the
+ *  popular-mode input-df lookup is a broadcast left join on the same
+ *  dictionary, never a second scan per token; ranking is the salted
+ *  two-level TopN (no per-token hot partition even when one token matches
+ *  half the dictionary at maxEdits=2). */
 object Suggest {
 
   def termSuggest(idx: Index, text: String, maxEdits: Int = 2, size: Int = 5,
-                  analyzer: String = Analyzer.Simple): DataFrame = {
+                  analyzer: String = Analyzer.Simple, mode: String = "missing",
+                  distance: String = "levenshtein"): DataFrame = {
     require(maxEdits >= 1 && maxEdits <= 2,
       s"max_edits must be in [1, 2] (Lucene's bound), got $maxEdits")
     require(size >= 1, s"size must be >= 1, got $size")
+    require(Set("missing", "popular", "always")(mode),
+      s"suggest_mode must be missing|popular|always, got [$mode]")
+    require(Set("levenshtein", "damerau")(distance),
+      s"string_distance must be levenshtein|damerau, got [$distance]")
     val spark = idx.postings.sparkSession
     import spark.implicits._
+    def dist(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      if (distance == "damerau") graft.functions.StringFunctions.damerauDistance(a, b)
+      else levenshtein(a, b)
     val tokens = Analyzer.analyze(analyzer)(text).distinct.toSeq
     require(tokens.nonEmpty, "term suggester needs at least one analyzed token")
     val inputs = tokens.toDF("input")
     val dict = idx.termStats.select($"term", $"df")
-    // suggest_mode missing: inputs present in the dictionary suggest nothing
-    val missing = inputs.join(dict, $"input" === $"term", "left_anti")
-    val cand = dict.join(broadcast(missing),
+    // per-mode input gate: `missing` drops in-dictionary tokens entirely;
+    // `popular` keeps every token but remembers its df as the candidate
+    // frequency floor; `always` keeps every token with no floor
+    val gated = mode match {
+      case "missing" => inputs.join(dict, $"input" === $"term", "left_anti")
+        .withColumn("input_df", lit(0L))
+      case "popular" => inputs.join(dict, $"input" === $"term", "left")
+        .select($"input", coalesce($"df", lit(0L)).as("input_df"))
+      case "always" => inputs.withColumn("input_df", lit(0L))
+    }
+    val cand = dict.join(broadcast(gated),
         abs(length($"term") - length($"input")) <= maxEdits &&
           $"term" =!= $"input" &&
-          levenshtein($"term", $"input") <= maxEdits)
-      .withColumn("dist", levenshtein($"term", $"input"))
+          dist($"term", $"input") <= maxEdits &&
+          $"df" > $"input_df")
+      .withColumn("dist", dist($"term", $"input"))
     TopN.perGroup(cand, Seq("input"), "term", size,
         Seq(col("dist").asc, col("df").desc, col("term").asc))
       .select($"input", $"term".as("suggestion"), $"dist", $"df")

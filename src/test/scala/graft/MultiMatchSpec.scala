@@ -143,4 +143,63 @@ class MultiMatchSpec extends SparkSpec {
     assert(p.bool.must.head == LexicalMulti(
       Seq("text" -> 1.0, "body" -> 2.0), Seq("a", "b"), CrossFields))
   }
+
+  test("type=phrase: per-field match_phrase under dis-max; slop routes to the sloppy matcher") {
+    import graft.hybrid.PhraseFields
+    import graft.index.Positions
+    // phrase "a b": title matches docs 0,1 (adjacent), NOT 2 (reversed);
+    // body matches docs 0 and 2 (twice in 2)
+    val tDocs = Seq((0L, "a b x"), (1L, "x a b"), (2L, "b a")).toDF("doc_id", "text")
+    val bDocs = Seq((0L, "a b y"), (1L, "y y"), (2L, "a b a b")).toDF("doc_id", "text")
+    val tIdx = InvertedIndex.build(tDocs, "doc_id", "text")
+    val bIdx = InvertedIndex.build(bDocs, "doc_id", "text")
+    val tPos = Positions.build(tDocs, "doc_id", "text")
+    val bPos = Positions.build(bDocs, "doc_id", "text")
+    val s2 = HybridSources(tIdx, positions = Some(tPos),
+      fieldIdx = Map("body" -> bIdx), fieldPositions = Map("body" -> bPos))
+    val terms = Seq("a", "b")
+    def m(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+      df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def at(mp: Map[Long, Double], d: Long) = mp.getOrElse(d, 0.0)
+    val fields = Seq("text" -> 1.0, "body" -> 2.0)
+    def got(tb: Double, slop: Int = 0): Map[Long, Double] =
+      m(BoolQuery.score(s2, BoolSpec(must = Seq(
+        LexicalMulti(fields, terms, PhraseFields(tb, slop))))))
+
+    val t = m(graft.query.Phrase.score(tIdx, tPos, terms))
+    val b = m(graft.query.Phrase.score(bIdx, bPos, terms))
+    assert(t.keySet == Set(0L, 1L) && b.keySet == Set(0L, 2L))
+    val g0 = got(0.0)
+    assert(g0.keySet == Set(0L, 1L, 2L))
+    g0.keySet.foreach { d =>
+      assert(math.abs(g0(d) - math.max(at(t, d), 2.0 * at(b, d))) < 1e-12, s"doc $d")
+    }
+    val g3 = got(0.3)
+    g3.keySet.foreach { d =>
+      val (mx, sm) = (math.max(at(t, d), 2.0 * at(b, d)), at(t, d) + 2.0 * at(b, d))
+      assert(math.abs(g3(d) - (mx + 0.3 * (sm - mx))) < 1e-12, s"doc $d")
+    }
+    // slop>0 routes each field through the SLOPPY matcher — the combined
+    // result must equal per-field Phrase.sloppyScore under the same dis-max
+    // (matcher semantics themselves are PhraseSpec's brute-forced ground)
+    val ts = m(graft.query.Phrase.sloppyScore(tIdx, tPos, terms, 2))
+    val bs = m(graft.query.Phrase.sloppyScore(bIdx, bPos, terms, 2))
+    val gs = got(0.0, slop = 2)
+    assert(gs.keySet == ts.keySet.union(bs.keySet))
+    gs.keySet.foreach { d =>
+      assert(math.abs(gs(d) - math.max(at(ts, d), 2.0 * at(bs, d))) < 1e-12, s"doc $d")
+    }
+    // DSL parse + validation: positional blocks required per field
+    val pp = QueryDsl.parseBool(
+      """{"query":{"bool":{"must":[{"multi_match":
+        |{"query":"a b","fields":["text","body^2"],"type":"phrase",
+        | "tie_breaker":0.3,"slop":1}}]}}}""".stripMargin)
+    assert(pp.bool.must.head == LexicalMulti(
+      Seq("text" -> 1.0, "body" -> 2.0), Seq("a", "b"), PhraseFields(0.3, 1)))
+    intercept[IllegalArgumentException] {
+      BoolQuery.score(HybridSources(tIdx, positions = Some(tPos),
+        fieldIdx = Map("body" -> bIdx)),
+        BoolSpec(must = Seq(LexicalMulti(fields, terms, PhraseFields()))))
+    }
+  }
 }

@@ -627,6 +627,29 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("termSuggest suggest_mode popular/always and damerau distance") {
+    import graft.index.InvertedIndex
+    // dictionary dfs: scan 1 (doc 0 only), hash 2, span 2, scat 1
+    val idx = InvertedIndex.build(Seq(
+      (0L, "scan hash scan"), (1L, "span hash"), (2L, "scat span")
+    ).toDF("doc_id", "text"), "doc_id", "text")
+    def rows(text: String, mode: String, dist: String = "levenshtein") =
+      graft.query.Suggest.termSuggest(idx, text, maxEdits = 1, size = 3,
+        mode = mode, distance = dist)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSeq
+    // "scan" is in the dictionary: missing -> nothing; popular -> only the
+    // strictly-more-frequent span (df 2 > 1); always -> span then scat
+    // (dist ties, df desc)
+    assert(rows("scan", "missing").isEmpty)
+    assert(rows("scan", "popular") == Seq(("scan", "span", 1)))
+    assert(rows("scan", "always") == Seq(("scan", "span", 1), ("scan", "scat", 1)))
+    // transposed misspelling: classic levenshtein needs 2 edits, damerau 1
+    assert(rows("hsah", "missing").isEmpty)
+    assert(rows("hsah", "missing", "damerau") == Seq(("hsah", "hash", 1)))
+    intercept[IllegalArgumentException](rows("scan", "sometimes"))
+    intercept[IllegalArgumentException](rows("scan", "missing", "jaro"))
+  }
+
   test("temperature sampling: apportionment, caps with redistribution, determinism") {
     import graft.ops.Sample
     // strata: a=64 docs, b=16, c=4 -> sqrt weights 8/4/2, target 28 ->
