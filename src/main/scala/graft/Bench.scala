@@ -177,31 +177,52 @@ object Bench {
    *  aggregation and shuffle rather than the register-only xorshift burn
    *  (which measures ~0.96 scaling on this box and so cannot explain a
    *  memory-heavy job's gap). */
-  private def memBurn(): Double = {
-    val n = 32 * 1024 * 1024 // longs, 256 MB
-    val a = new Array[Long](n)
-    var i = 0
-    while (i < n) { a(i) = i.toLong * 0x9E3779B97F4A7C15L; i += 1 }
-    val t0 = System.nanoTime()
+  /** Preallocated per-thread chase arrays. The probe must measure the
+   *  HOST's memory system, not this JVM's allocator: the earlier form
+   *  allocated a fresh 256 MB humongous array per thread per probe, and
+   *  G1's concurrent cycles over that self-inflicted churn made the
+   *  reading bimodal — on an otherwise quiet window ~40% of round-open
+   *  probes collapsed to 0.12–0.43 while the builds they bracketed kept
+   *  flat cpu/doc and 0.80+ wall ratios (scaling3 run). Allocated and
+   *  initialized ONCE; every probe is pure steady-state reads. */
+  private lazy val memChaseArrays: Array[Array[Long]] = {
+    val n = 32 * 1024 * 1024 // longs, 256 MB per thread
+    Array.fill(8) {
+      val a = new Array[Long](n)
+      var i = 0
+      while (i < n) { a(i) = i.toLong * 0x9E3779B97F4A7C15L; i += 1 }
+      a
+    }
+  }
+
+  private def memChase(a: Array[Long]): Long = {
+    val n = a.length
     var s = 0L
     var j = 0
     var idx = 0
-    while (j < n) { s += a(idx); idx = ((idx + 1013904223) & (n - 1)); j += 1 }
-    if (s == 42L) System.err.println("")
-    (System.nanoTime() - t0) / 1e9
+    while (j < n) { s += a(idx); idx = (idx + 1013904223) & (n - 1); j += 1 }
+    s
   }
 
+  /** Wall time for nThreads concurrent 256 MB random-stride read streams,
+   *  all timed sections released together behind one latch (no thread's
+   *  timed reads overlap another's setup). */
   private def memBurnThreads(nThreads: Int): Double = {
-    val t0 = System.nanoTime()
-    val ts = (1 to nThreads).map { _ =>
-      val t = new Thread(() => { memBurn(); () })
+    val arrs = memChaseArrays
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val sink = new java.util.concurrent.atomic.AtomicLong()
+    val ts = (0 until nThreads).map { k =>
+      val t = new Thread(() => { gate.await(); sink.addAndGet(memChase(arrs(k))); () })
       t.start(); t
     }
+    val t0 = System.nanoTime()
+    gate.countDown()
     ts.foreach(_.join())
+    if (sink.get == 42L) System.err.println("")
     (System.nanoTime() - t0) / 1e9
   }
 
-  /** Memory-bandwidth 2->8-thread scaling ceiling (see memBurn). */
+  /** Memory-bandwidth 2->8-thread scaling ceiling (see memBurnThreads). */
   private def memCeiling2to8(): Double = {
     val ratios = (1 to 2).map { _ =>
       val t2 = memBurnThreads(2)
@@ -701,12 +722,15 @@ object Bench {
            |windows measure 1-7%%, bursts 25-74%% — this is the hypervisor's
            |own accounting of withheld cycles, not an inference).
            |(e) memory-bandwidth starvation, which the register-only burn is
-           |blind to -> each round opens with a fixed-work memory-STREAMING
-           |pair (wall at 2 vs 8 threads, 256 MB chased per thread); a round
-           |whose bracket scales < 0.80 (quiet hosts 0.90+; one round-4
-           |window collapsed to 0.488 while its CPU burn held 0.978) sits in
-           |a window where the host's own bandwidth ceiling is below the
-           |0.8 gate — unmeasurable for bandwidth-profile work, like steal.
+           |blind to -> fixed-work memory-STREAMING pairs (wall at 2 vs 8
+           |threads, 256 MB chased per thread over PREALLOCATED arrays,
+           |timed sections latch-released together) probed at round open,
+           |between the levels, and at round close — the MIN is the round's
+           |bracket; a round whose bracket scales < 0.80 (quiet hosts 0.90+;
+           |one round-4 window collapsed to 0.488 while its CPU burn held
+           |0.978) sits in a window where the host's own bandwidth ceiling
+           |is below the 0.8 gate — unmeasurable for bandwidth-profile
+           |work, like steal.
            |Rounds failing any detector are excluded from
            |the medians ($nValid/$rounds valid this run, after bounded
            |auto-retries whenever fewer than $minValid rounds were valid);
