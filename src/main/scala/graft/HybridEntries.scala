@@ -928,6 +928,28 @@ object HybridEntries {
         s.read.parquet(s"$dir/documents.parquet"))
         .select(col("doc_id"), round(col("score"), 4).as("score"))
     }),
+    // intervals with max_gaps -1 = UNLIMITED (the reference's DEFAULT for
+    // every intervals rule — Lucene's own encoding): ordered containment
+    // with no width budget; max_gaps omitted entirely on the all_of to pin
+    // the parsed default
+    "dsl_intervals_unlimited" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      val json =
+        """{ "query": { "bool": {
+          |    "must": [ { "intervals": { "text": { "all_of": {
+          |        "ordered": true,
+          |        "intervals": [
+          |          { "match": { "query": "table" } },
+          |          { "any_of": { "intervals": [
+          |              { "match": { "query": "hash" } },
+          |              { "match": { "query": "scan" } } ] } } ] } } } } ],
+          |    "should": [ { "match": { "text": "merge" } } ] } },
+          |  "size": 10 }""".stripMargin
+      val src = HybridSources(idx, positions = Some(IndexCache.positions(s, dir)))
+      graft.query.QueryDsl.execute(src, json,
+        s.read.parquet(s"$dir/documents.parquet"))
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+    }),
     // index-time synonym graph: the DSL is a PLAIN match — the index's
     // analyzer config (HybridSources.synonyms) rewrites "fast" into the
     // SynonymQuery group {fast, slow} automatically, like Lucene's
@@ -1000,6 +1022,47 @@ object HybridEntries {
           |        "fields": ["text", "path^2"], "type": "phrase", "tie_breaker": 0.3 } } ] } },
           |  "size": 10 }""".stripMargin
       graft.query.QueryDsl.execute(src, json,
+        s.read.parquet(s"$dir/documents.parquet"))
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+    }),
+    // multi_match type=phrase_prefix: one MultiPhrasePrefixQuery per field
+    // under a dis-max — "table ha" completes against the text dictionary
+    // (hash, ...); "src pkg" completes against the PATH dictionary (pkg0,
+    // pkg1, pkg10, ... — term order, first max_expansions), so the same
+    // typed prefix expands differently per field
+    "dsl_multi_match_phrase_prefix" -> ((s, dir) => {
+      val src = srcWithPath(s, dir).copy(
+        positions = Some(IndexCache.positions(s, dir)),
+        fieldPositions = Map("path" -> IndexCache.corpusFieldPositions(s, dir, "path")))
+      val json =
+        """{ "query": { "bool": {
+          |    "should": [
+          |      { "multi_match": { "query": "table ha",
+          |        "fields": ["text", "path^2"], "type": "phrase_prefix",
+          |        "max_expansions": 10 } },
+          |      { "multi_match": { "query": "src pkg",
+          |        "fields": ["text", "path^2"], "type": "phrase_prefix",
+          |        "max_expansions": 5, "tie_breaker": 0.3 } } ] } },
+          |  "size": 10 }""".stripMargin
+      graft.query.QueryDsl.execute(src, json,
+        s.read.parquet(s"$dir/documents.parquet"))
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+    }),
+    // FILTER context inside a nested bool (Occur.FILTER — required,
+    // non-scoring): the inner bool gates on "hash" without scoring it, and
+    // with a filter present Lucene's should default drops to msm 0, so
+    // hash-only docs match at the filter-neutral score
+    "dsl_bool_nested_filter" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      val json =
+        """{ "query": { "bool": {
+          |    "must": [ { "bool": {
+          |        "should": [ { "match": { "text": "join" } },
+          |                    { "match": { "text": "merge" } } ],
+          |        "filter": [ { "term": { "text": "hash" } } ] } } ],
+          |    "must_not": [ { "term": { "text": "dup" } } ] } },
+          |  "size": 10 }""".stripMargin
+      graft.query.QueryDsl.execute(HybridSources(idx), json,
         s.read.parquet(s"$dir/documents.parquet"))
         .select(col("doc_id"), round(col("score"), 4).as("score"))
     }),
@@ -1791,6 +1854,41 @@ object HybridEntries {
   /** score CTE for one sub-query clause: sq$i(doc_id, s). `filterPred` is a
    *  predicate template over the alias's doc-id column. The id is a STRING
    *  so nested bool clauses can prefix their children's CTE names. */
+  /** Per-field token-position / dl / df / stats chain for the positional
+   *  multi_match oracles: field "text" reuses the shared chains from
+   *  TOK_CTE, field "path" re-derives the corpus path projection
+   *  (Corpus.ingest) and tokenizes with the simple-analyzer-equivalent
+   *  regexp split. Returns (tokp, dl, df, stats, prefix-CTEs). */
+  private def posFieldChain(i: String, j: Int, f: String): (String, String, String, String, String) = f match {
+    case "text" =>
+      val p =
+        s"""tokp${i}_$j AS (
+           |  SELECT doc_id, unnest(l) AS term, unnest(range(len(l))) AS pos
+           |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+           |        FROM documents)),
+           |""".stripMargin
+      (s"tokp${i}_$j", "dl", "df", "stats", p)
+    case "path" =>
+      val p =
+        s"""crp${i}_$j AS (
+           |  SELECT doc_id,
+           |         'src/pkg' || (doc_id % 97) || '/File' || doc_id || '.' || lang AS fv
+           |  FROM documents),
+           |ptokp${i}_$j AS (
+           |  SELECT doc_id, unnest(l) AS term, unnest(range(len(l))) AS pos
+           |  FROM (SELECT doc_id, list_filter(
+           |    string_split(regexp_replace(lower(fv), '[^a-z0-9]+', ' ', 'g'), ' '),
+           |    x -> x <> '') AS l FROM crp${i}_$j)),
+           |pdl${i}_$j AS (SELECT doc_id, count(*) AS dl FROM ptokp${i}_$j GROUP BY doc_id),
+           |pdf${i}_$j AS (SELECT term, count(DISTINCT doc_id) AS df FROM ptokp${i}_$j GROUP BY term),
+           |pstats${i}_$j AS (SELECT (SELECT count(*) FROM documents) AS n,
+           |  (SELECT sum(dl)*1.0/(SELECT count(*) FROM documents) FROM pdl${i}_$j) AS avgdl),
+           |""".stripMargin
+      (s"ptokp${i}_$j", s"pdl${i}_$j", s"pdf${i}_$j", s"pstats${i}_$j", p)
+    case other => throw new IllegalArgumentException(
+      s"no oracle token chain for multi_match field [$other]")
+  }
+
   private def scoreCte(i: String, sq: SubQuery, filterPred: Option[String]): String = sq match {
     case LexicalMsm(terms, m, boosts) =>
       // `operator: and` / term-level minimum_should_match: the Lexical BM25
@@ -1941,6 +2039,9 @@ object HybridEntries {
             } =>
           val alts = anys.collect { case Intervals.IMatch(Seq(t), _, _) => t }
           val f = filterPred.map(p => s" AND t0.$p").getOrElse("")
+          // -1 = unlimited gaps: the width budget drops out entirely
+          val gapCond =
+            if (mg < 0) "" else s" AND (t1.pos - t0.pos + 1) - 2 <= $mg"
           s"""tokp$i AS (
              |  SELECT doc_id, unnest(l) AS term, unnest(range(len(l))) AS pos
              |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
@@ -1950,7 +2051,7 @@ object HybridEntries {
              |    SELECT DISTINCT t0.doc_id
              |    FROM tokp$i t0 JOIN tokp$i t1 ON t1.doc_id = t0.doc_id
              |    WHERE t0.term = '$t0' AND t1.term IN (${termList(alts)})$f
-             |      AND t1.pos > t0.pos AND (t1.pos - t0.pos + 1) - 2 <= $mg))""".stripMargin
+             |      AND t1.pos > t0.pos$gapCond))""".stripMargin
         case other => throw new IllegalArgumentException(
           s"intervals oracle supports all_of(ordered)[term, any_of(terms)] only, got $other")
       }
@@ -2384,35 +2485,7 @@ object HybridEntries {
         "the multi_match phrase oracle covers slop = 0 (slop > 0 is spec-covered)")
       require(filterPred.isEmpty, "multi_match phrase oracle does not take a filter")
       val fieldCtes = fields.zipWithIndex.map { case ((f, _), j) =>
-        val (tokpT, dlT, dfT, stT, extra) = f match {
-          case "text" =>
-            val p =
-              s"""tokp${i}_$j AS (
-                 |  SELECT doc_id, unnest(l) AS term, unnest(range(len(l))) AS pos
-                 |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
-                 |        FROM documents)),
-                 |""".stripMargin
-            (s"tokp${i}_$j", "dl", "df", "stats", p)
-          case "path" =>
-            val p =
-              s"""crp${i}_$j AS (
-                 |  SELECT doc_id,
-                 |         'src/pkg' || (doc_id % 97) || '/File' || doc_id || '.' || lang AS fv
-                 |  FROM documents),
-                 |ptokp${i}_$j AS (
-                 |  SELECT doc_id, unnest(l) AS term, unnest(range(len(l))) AS pos
-                 |  FROM (SELECT doc_id, list_filter(
-                 |    string_split(regexp_replace(lower(fv), '[^a-z0-9]+', ' ', 'g'), ' '),
-                 |    x -> x <> '') AS l FROM crp${i}_$j)),
-                 |pdl${i}_$j AS (SELECT doc_id, count(*) AS dl FROM ptokp${i}_$j GROUP BY doc_id),
-                 |pdf${i}_$j AS (SELECT term, count(DISTINCT doc_id) AS df FROM ptokp${i}_$j GROUP BY term),
-                 |pstats${i}_$j AS (SELECT (SELECT count(*) FROM documents) AS n,
-                 |  (SELECT sum(dl)*1.0/(SELECT count(*) FROM documents) FROM pdl${i}_$j) AS avgdl),
-                 |""".stripMargin
-            (s"ptokp${i}_$j", s"pdl${i}_$j", s"pdf${i}_$j", s"pstats${i}_$j", p)
-          case other => throw new IllegalArgumentException(
-            s"no oracle token chain for multi_match field [$other]")
-        }
+        val (tokpT, dlT, dfT, stT, extra) = posFieldChain(i, j, f)
         val joins = terms.zipWithIndex.tail.map { case (t, k) =>
           s"JOIN $tokpT t$k ON t$k.doc_id = t0.doc_id AND t$k.pos = t0.pos + $k AND t$k.term = '$t'"
         }.mkString("\n        ")
@@ -2429,6 +2502,59 @@ object HybridEntries {
            |        WHERE t0.term = '${terms.head}'
            |        GROUP BY t0.doc_id) ph
            |  JOIN $dlT dl USING (doc_id) CROSS JOIN $stT stats)""".stripMargin
+      }.mkString(",\n")
+      val unions = fields.zipWithIndex.map { case ((_, b), j) =>
+        s"SELECT doc_id, s * $b AS s, $j AS fid FROM sq${i}_f$j"
+      }.mkString("\n        UNION ALL ")
+      val pivots = fields.indices.map(j =>
+        s"max(CASE WHEN fid = $j THEN s END) AS f$j").mkString(",\n               ")
+      val cSum = fields.indices.map(j => s"COALESCE(f$j, 0)").mkString("(", " + ", ")")
+      val mx = fields.indices.map(j => s"COALESCE(f$j, 0)").mkString("greatest(", ", ", ")")
+      val combine = if (tb == 0.0) mx else s"$mx + $tb * ($cSum - $mx)"
+      s"""$fieldCtes,
+         |sq$i AS (
+         |  SELECT doc_id, $combine AS s
+         |  FROM (SELECT doc_id,
+         |               $pivots
+         |        FROM ($unions) u${i}
+         |        GROUP BY doc_id) p$i)""".stripMargin
+    case LexicalMulti(fields, terms, PhrasePrefixFields(tb, maxExp)) =>
+      // per-field MultiPhrasePrefixQuery: the prefix expands against EACH
+      // FIELD'S OWN dictionary (term order, first maxExp), weight sums the
+      // fixed slots' idf + every expansion's idf, freq joins the last slot
+      // against the expansion set — all from the field's own chains; boosts
+      // multiply, dis-max over pivoted columns
+      require(filterPred.isEmpty, "multi_match phrase_prefix oracle does not take a filter")
+      val fixed = terms.init
+      val prefix = terms.last
+      val kSlots = fixed.size
+      val fieldCtes = fields.zipWithIndex.map { case ((f, _), j) =>
+        val (tokpT, dlT, dfT, stT, extra) = posFieldChain(i, j, f)
+        val joins = fixed.zipWithIndex.tail.map { case (t, k) =>
+          s"JOIN $tokpT t$k ON t$k.doc_id = t0.doc_id AND t$k.pos = t0.pos + $k AND t$k.term = '$t'"
+        }.mkString("\n        ")
+        val fixedIdf = fixed.map(t =>
+          s"(SELECT ln(1 + (stats.n - df.df + 0.5)/(df.df + 0.5)) FROM $dfT df CROSS JOIN $stT stats WHERE df.term = '$t')")
+          .mkString(" + ")
+        s"""${extra}exp${i}_f$j AS (
+           |  SELECT term, df FROM $dfT WHERE term LIKE '$prefix%'
+           |  ORDER BY term LIMIT $maxExp),
+           |w${i}_f$j AS (
+           |  SELECT ($fixedIdf)
+           |       + COALESCE(sum(ln(1 + (stats.n - exp${i}_f$j.df + 0.5)/(exp${i}_f$j.df + 0.5))), 0) AS w
+           |  FROM exp${i}_f$j CROSS JOIN $stT stats),
+           |ph${i}_f$j AS (
+           |  SELECT t0.doc_id, count(*) AS freq
+           |  FROM $tokpT t0
+           |        $joins
+           |  JOIN $tokpT tp ON tp.doc_id = t0.doc_id AND tp.pos = t0.pos + $kSlots
+           |       AND tp.term IN (SELECT term FROM exp${i}_f$j)
+           |  WHERE t0.term = '${fixed.head}'
+           |  GROUP BY t0.doc_id),
+           |sq${i}_f$j AS (
+           |  SELECT ph.doc_id,
+           |         w${i}_f$j.w * (ph.freq / (ph.freq + 1.2*(1 - 0.75 + 0.75*dl.dl/stats.avgdl))) AS s
+           |  FROM ph${i}_f$j ph JOIN $dlT dl USING (doc_id) CROSS JOIN $stT stats CROSS JOIN w${i}_f$j)""".stripMargin
       }.mkString(",\n")
       val unions = fields.zipWithIndex.map { case ((_, b), j) =>
         s"SELECT doc_id, s * $b AS s, $j AS fid FROM sq${i}_f$j"
@@ -2775,7 +2901,7 @@ object HybridEntries {
    *  score 0.0, like the engine. */
   private def boolClauseCtes(id: String, b: BoolSub,
                              filterPred: Option[String]): String = {
-    if (b.must.isEmpty && b.should.isEmpty) {
+    if (b.must.isEmpty && b.should.isEmpty && b.filter.isEmpty) {
       val nots = b.mustNot.zipWithIndex
         .map { case (t, j) => scoreCte(s"${id}c$j", t, filterPred) }
       val ctesPart = if (nots.isEmpty) "" else nots.mkString(",\n") + ",\n"
@@ -2789,17 +2915,20 @@ object HybridEntries {
          |  SELECT dl.doc_id, 0.0 AS s FROM dl
          |  WHERE TRUE$excl$f)""".stripMargin
     } else {
-      val all = b.must ++ b.should ++ b.mustNot
+      // clause order m, s, f, n — filter (Occur.FILTER) is required to
+      // match but excluded from the scoring sum, mirroring BoolQuery.score
+      val all = b.must ++ b.should ++ b.filter ++ b.mustNot
       val ctes = all.zipWithIndex
         .map { case (t, j) => scoreCte(s"${id}c$j", t, filterPred) }
         .mkString(",\n")
-      val kindOf = b.must.map(_ => "m") ++ b.should.map(_ => "s") ++ b.mustNot.map(_ => "n")
+      val kindOf = b.must.map(_ => "m") ++ b.should.map(_ => "s") ++
+        b.filter.map(_ => "f") ++ b.mustNot.map(_ => "n")
       val unions = all.indices.map(j =>
         s"SELECT doc_id, s, '${kindOf(j)}' AS kind, $j AS cid FROM sq${id}c$j")
         .mkString("\n  UNION ALL ")
       val pivots = all.indices.map(j =>
         s"max(CASE WHEN cid = $j THEN s END) AS s$j").mkString(",\n         ")
-      val scoringIdx = all.indices.filter(j => kindOf(j) != "n")
+      val scoringIdx = all.indices.filter(j => kindOf(j) == "m" || kindOf(j) == "s")
       val total = scoringIdx.map(j => s"COALESCE(s$j, 0)").mkString("(", " + ", ")")
       s"""$ctes,
          |u$id AS (
@@ -2809,12 +2938,14 @@ object HybridEntries {
          |         $pivots,
          |         count(CASE WHEN kind = 'm' THEN 1 END) AS nm,
          |         count(CASE WHEN kind = 's' THEN 1 END) AS ns,
+         |         count(CASE WHEN kind = 'f' THEN 1 END) AS nf,
          |         count(CASE WHEN kind = 'n' THEN 1 END) AS nn
          |  FROM u$id GROUP BY doc_id),
          |sq$id AS (
          |  SELECT doc_id, $total AS s
          |  FROM a$id
-         |  WHERE nm = ${b.must.size} AND ns >= ${b.effectiveMsm} AND nn = 0)""".stripMargin
+         |  WHERE nm = ${b.must.size} AND ns >= ${b.effectiveMsm}
+         |    AND nf = ${b.filter.size} AND nn = 0)""".stripMargin
     }
   }
 
@@ -2824,10 +2955,11 @@ object HybridEntries {
   def boolOracle(tokCte: String, must: Seq[SubQuery], should: Seq[SubQuery],
                  mustNot: Seq[SubQuery], msm: Int, k: Int = 10,
                  filterPred: Option[String] = None,
-                 explain: Boolean = false): String = {
-    val b = BoolSub(must, should, mustNot, Some(msm))
+                 explain: Boolean = false,
+                 filter: Seq[SubQuery] = Nil): String = {
+    val b = BoolSub(must, should, mustNot, Some(msm), filter)
     def allClauses(x: BoolSub): Seq[SubQuery] =
-      (x.must ++ x.should ++ x.mustNot).flatMap {
+      (x.must ++ x.should ++ x.mustNot ++ x.filter).flatMap {
         case nested: BoolSub => allClauses(nested)
         case leaf            => Seq(leaf)
       }
@@ -3106,6 +3238,15 @@ object HybridEntries {
         boolOracle(tokCte,
           must = Seq(LexicalSyn(Seq(Seq("fast", "slow") -> 1.0, Seq("join") -> 1.0))),
           should = Nil, mustNot = Nil, msm = 0),
+      "dsl_intervals_unlimited" ->
+        boolOracle(tokCte,
+          must = Seq(IntervalsQ(graft.query.Intervals.IAllOf(Seq(
+            graft.query.Intervals.IMatch(Seq("table")),
+            graft.query.Intervals.IAnyOf(Seq(
+              graft.query.Intervals.IMatch(Seq("hash")),
+              graft.query.Intervals.IMatch(Seq("scan"))))),
+            maxGaps = -1, ordered = true))),
+          should = Seq(Lexical(Seq("merge"))), mustNot = Nil, msm = 0),
       "dsl_intervals_nested" ->
         boolOracle(tokCte,
           must = Seq(IntervalsQ(graft.query.Intervals.IAllOf(Seq(
@@ -3434,6 +3575,19 @@ object HybridEntries {
       "dsl_multi_match" ->
         boolOracle(tokCte, must = Seq(LexicalMulti(
           Seq("text" -> 1.0, "path" -> 2.0), MultiTerms, BestFields(0.3))),
+          should = Nil, mustNot = Seq(Lexical(Seq("dup"))), msm = 0),
+      "dsl_multi_match_phrase_prefix" ->
+        boolOracle(tokCte, must = Nil, should = Seq(
+          LexicalMulti(Seq("text" -> 1.0, "path" -> 2.0),
+            Seq("table", "ha"), PhrasePrefixFields(0.0, 10)),
+          LexicalMulti(Seq("text" -> 1.0, "path" -> 2.0),
+            Seq("src", "pkg"), PhrasePrefixFields(0.3, 5))),
+          mustNot = Nil, msm = 1),
+      "dsl_bool_nested_filter" ->
+        boolOracle(tokCte,
+          must = Seq(BoolSub(
+            should = Seq(Lexical(Seq("join")), Lexical(Seq("merge"))),
+            filter = Seq(Lexical(Seq("hash"))))),
           should = Nil, mustNot = Seq(Lexical(Seq("dup"))), msm = 0),
       "dsl_multi_match_phrase" ->
         boolOracle(tokCte, must = Nil, should = Seq(

@@ -186,6 +186,12 @@ case object CrossFields extends MultiMatchType
  *  .PHRASE builds one PhraseQuery per field under a
  *  DisjunctionMaxQuery). `slop` applies to every field's matcher. */
 case class PhraseFields(tieBreaker: Double = 0.0, slop: Int = 0) extends MultiMatchType
+/** `phrase_prefix`: one MultiPhrasePrefixQuery per field under a
+ *  DisjunctionMaxQuery — the last analyzed token is a prefix whose
+ *  expansions come from EACH FIELD'S OWN dictionary (first maxExpansions
+ *  in term order), the leading tokens match exactly. */
+case class PhrasePrefixFields(tieBreaker: Double = 0.0,
+                              maxExpansions: Int = 50) extends MultiMatchType
 
 /** Multi-field lexical clause — the `multi_match` query: the same analyzed
  *  terms scored independently against several indexed fields (each with its
@@ -452,12 +458,16 @@ case class BoolSub(
     must: Seq[SubQuery] = Nil,
     should: Seq[SubQuery] = Nil,
     mustNot: Seq[SubQuery] = Nil,
-    minimumShouldMatch: Option[Int] = None
+    minimumShouldMatch: Option[Int] = None,
+    /** FILTER context: clauses a doc must match, contributing NO score
+     *  (Lucene BooleanClause.Occur.FILTER — required, non-scoring). */
+    filter: Seq[SubQuery] = Nil
 ) extends SubQuery {
   /** BooleanQuery's documented default: 1 when there are should clauses and
-   *  no must/filter-ish scoring clauses, else 0. */
+   *  no must/filter clauses, else 0. */
   def effectiveMsm: Int =
-    minimumShouldMatch.getOrElse(if (must.isEmpty && should.nonEmpty) 1 else 0)
+    minimumShouldMatch.getOrElse(
+      if (must.isEmpty && filter.isEmpty && should.nonEmpty) 1 else 0)
 }
 
 object SubQuery {
@@ -665,6 +675,20 @@ object Hybrid {
                   "register them in HybridSources.fieldPositions " +
                   "(field \"text\" uses HybridSources.positions)")
             }
+          case PhrasePrefixFields(tb, maxExp) =>
+            require(tb >= 0.0 && tb <= 1.0, s"tie_breaker must be in [0,1], got $tb")
+            require(maxExp >= 1, s"max_expansions must be >= 1, got $maxExp")
+            require(terms.size >= 2,
+              "multi_match phrase_prefix needs at least one exact leading term")
+            require(terms.last.matches("[a-z0-9]+"),
+              s"prefix must be a non-empty analyzed token, got [${terms.last}]")
+            fields.foreach { case (f, _) =>
+              require(if (f == "text") src.positions.nonEmpty
+                      else src.fieldPositions.contains(f),
+                s"multi_match phrase_prefix field [$f] has no positional blocks — " +
+                  "register them in HybridSources.fieldPositions " +
+                  "(field \"text\" uses HybridSources.positions)")
+            }
         }
       case LexicalMsm(terms, m, _) =>
         require(terms.nonEmpty, "match requires a non-empty query text")
@@ -677,7 +701,7 @@ object Hybrid {
           require(m >= 0 && m <= b.should.size,
             s"minimum_should_match must be in [0, ${b.should.size}]")
         }
-        validateClauseSources(src, b.must ++ b.should ++ b.mustNot)
+        validateClauseSources(src, b.must ++ b.should ++ b.mustNot ++ b.filter)
       case TermPattern(p, boost) =>
         // the alphabet restriction keeps LIKE semantics identical across
         // engines (no escape-char divergence) and matches what the analyzer
@@ -1228,20 +1252,33 @@ object Hybrid {
             .map(ti => coalesce(col(s"_t$ti"), lit(0.0))).reduceLeft(_ + _)
           agg.select($"doc_id", score.as("score"))
         }
-      case LexicalMulti(fields, terms, PhraseFields(tb, slop)) =>
-        // per-field match_phrase against each field's OWN positional index
-        // and BM25 stats, field boost as a constant multiplier, dis-max
-        // combine over pivoted columns (the same fixed left-to-right fold
-        // as best_fields — deterministic FP). Each field's positional
-        // verification stays the bucket-local cogroup kernel of a plain
-        // match_phrase; no cross-field shuffle until the final doc_id
-        // aggregation over the (tiny) per-field matched sets.
+      case LexicalMulti(fields, terms, pmm @ (_: PhraseFields | _: PhrasePrefixFields)) =>
+        // per-field positional query (match_phrase or phrase_prefix)
+        // against each field's OWN positional index and BM25 stats — the
+        // prefix's expansions come from each field's own dictionary —
+        // field boost as a constant multiplier, dis-max combine over
+        // pivoted columns (the same fixed left-to-right fold as
+        // best_fields — deterministic FP). Each field's positional
+        // verification stays the bucket-local cogroup kernel; no
+        // cross-field shuffle until the final doc_id aggregation over the
+        // (tiny) per-field matched sets.
+        val tb = pmm match {
+          case PhraseFields(t, _)       => t
+          case PhrasePrefixFields(t, _) => t
+          case _                        => 0.0
+        }
         val tagged = fields.zipWithIndex.map { case ((f, b), i2) =>
           val fi = if (f == "text") src.idx else src.fieldIdx(f)
           val fp = if (f == "text") src.positions.get else src.fieldPositions(f)
-          val scored =
-            if (slop == 0) graft.query.Phrase.score(fi, fp, terms)
-            else graft.query.Phrase.sloppyScore(fi, fp, terms, slop)
+          val scored = pmm match {
+            case PhraseFields(_, 0) => graft.query.Phrase.score(fi, fp, terms)
+            case PhraseFields(_, slop) =>
+              graft.query.Phrase.sloppyScore(fi, fp, terms, slop)
+            case PhrasePrefixFields(_, maxExp) =>
+              graft.query.Phrase.phrasePrefixScore(fi, fp,
+                terms.init, terms.last, maxExp)
+            case _ => throw new IllegalStateException("unreachable")
+          }
           scored.select($"doc_id", ($"score" * b).as("score"), lit(i2).as("fid"))
         }
         val u = tagged.reduce(_ unionByName _)

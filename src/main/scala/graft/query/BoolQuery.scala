@@ -79,8 +79,8 @@ object BoolQuery {
     val spark = src.idx.postings.sparkSession
     import spark.implicits._
 
-    if (bq.must.isEmpty && bq.should.isEmpty) {
-      // pure filter context: live universe minus must_not, score 0.0
+    if (bq.must.isEmpty && bq.should.isEmpty && bq.filter.isEmpty) {
+      // pure exclusion context: live universe minus must_not, score 0.0
       require(bq.mustNot.nonEmpty || filterDocs.nonEmpty,
         "bool query requires at least one clause")
       Hybrid.validateClauseSources(src, bq.mustNot)
@@ -98,8 +98,12 @@ object BoolQuery {
       return kept.select($"doc_id", lit(0.0).as("score"))
     }
 
+    // kind "f" = FILTER context: required to match, contributes no score
+    // (Occur.FILTER). Placed after should so the explain pivot names
+    // (must<i>/should<i>) keep their positions.
     val all: Seq[(SubQuery, String)] =
-      bq.must.map(_ -> "m") ++ bq.should.map(_ -> "s") ++ bq.mustNot.map(_ -> "n")
+      bq.must.map(_ -> "m") ++ bq.should.map(_ -> "s") ++
+        bq.filter.map(_ -> "f") ++ bq.mustNot.map(_ -> "n")
     Hybrid.validateClauseSources(src, all.map(_._1))
 
     // no per-bucket collection bound: must-intersection / must_not-exclusion
@@ -124,17 +128,19 @@ object BoolQuery {
     val countCols = Seq(
       count(when($"kind" === "m", 1)).as("_nm"),
       count(when($"kind" === "s", 1)).as("_ns"),
+      count(when($"kind" === "f", 1)).as("_nf"),
       count(when($"kind" === "n", 1)).as("_nn"))
     val agg = union.groupBy($"doc_id")
       .agg((scoreCols ++ countCols).head, (scoreCols ++ countCols).tail: _*)
 
-    val scoringIdx = all.zipWithIndex.collect { case ((_, k), i) if k != "n" => i }
+    val scoringIdx = all.zipWithIndex.collect {
+      case ((_, k), i) if k == "m" || k == "s" => i }
     // fixed left-to-right sum over clause order — deterministic FP
     val total = scoringIdx.foldLeft(lit(0.0)) { (acc, i) =>
       acc + coalesce(col(s"_s$i"), lit(0.0))
     }
     val gated = agg.filter($"_nm" === bq.must.size &&
-      $"_ns" >= bq.effectiveMsm && $"_nn" === 0)
+      $"_ns" >= bq.effectiveMsm && $"_nf" === bq.filter.size && $"_nn" === 0)
     if (keepPivots)
       gated.select($"doc_id" +: total.as("score") +:
         scoringIdx.map(i => col(s"_s$i")): _*)

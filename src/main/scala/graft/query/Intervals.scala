@@ -32,18 +32,22 @@ import graft.index.{DocLenBlock, Index, InvertedIndex, PosBlock, Positions, Post
 object Intervals {
 
   sealed trait Source { def leafTerms: Seq[String] }
-  /** Leaf `match` rule: analyzed terms, `max_gaps` width budget, `ordered`. */
-  case class IMatch(terms: Seq[String], maxGaps: Int = 0,
+  /** Leaf `match` rule: analyzed terms, `max_gaps` width budget (-1 =
+   *  unlimited, Lucene's own encoding and the reference's default),
+   *  `ordered`. Unlimited is NOT unbounded work: the budget only filters
+   *  candidate windows — per-doc evaluation stays the same DFS over the
+   *  doc's position lists. */
+  case class IMatch(terms: Seq[String], maxGaps: Int = -1,
                     ordered: Boolean = false) extends Source {
     require(terms.nonEmpty, "intervals match requires at least one analyzed token")
-    require(maxGaps >= 0, "intervals [max_gaps] must be >= 0 (unlimited is unbounded work)")
+    require(maxGaps >= -1, s"intervals [max_gaps] must be >= -1 (-1 = unlimited), got $maxGaps")
     def leafTerms: Seq[String] = terms
   }
   /** `all_of`: every source must match, combined non-overlapping. */
-  case class IAllOf(sources: Seq[Source], maxGaps: Int = 0,
+  case class IAllOf(sources: Seq[Source], maxGaps: Int = -1,
                     ordered: Boolean = false) extends Source {
     require(sources.size >= 2, "intervals all_of requires at least 2 sources")
-    require(maxGaps >= 0, "intervals [max_gaps] must be >= 0 (unlimited is unbounded work)")
+    require(maxGaps >= -1, s"intervals [max_gaps] must be >= -1 (-1 = unlimited), got $maxGaps")
     def leafTerms: Seq[String] = sources.flatMap(_.leafTerms)
   }
   /** `any_of`: the union of the sources' intervals. */
@@ -136,6 +140,9 @@ object Intervals {
    *  subtree (same bounding idea as Phrase.unorderedSpanExists). */
   private def combine(subs: Array[Array[(Int, Int)]], maxGaps: Int,
                       ordered: Boolean): Array[(Int, Int)] = {
+    // -1 = unlimited: positions are bounded by doc length, so a quarter of
+    // Int.MaxValue can never be exceeded and the budget checks pass
+    val budget = if (maxGaps < 0) Int.MaxValue / 4 else maxGaps
     val k = subs.length
     // DFS in source order when ordered (the order constraint chains
     // consecutive choices); rarest-first otherwise
@@ -164,7 +171,7 @@ object Intervals {
     // total member width so far; gaps = window - sumWidth at completion
     def rec(d: Int, mn: Int, mx: Int, sumW: Int): Unit = {
       if (d == k) {
-        if ((mx - mn + 1) - sumW <= maxGaps) out += ((mn, mx))
+        if ((mx - mn + 1) - sumW <= budget) out += ((mn, mx))
         return
       }
       val arr = subs(order(d))
@@ -185,7 +192,7 @@ object Intervals {
           val nmn = if (d == 0) iv._1 else math.min(mn, iv._1)
           val nmx = if (d == 0) iv._2 else math.max(mx, iv._2)
           val nw = sumW + (iv._2 - iv._1 + 1)
-          if ((nmx - nmn + 1) - nw - slack(d + 1) <= maxGaps) {
+          if ((nmx - nmn + 1) - nw - slack(d + 1) <= budget) {
             chosen(d) = iv
             rec(d + 1, nmn, nmx, nw)
           }

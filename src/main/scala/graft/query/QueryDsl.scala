@@ -529,16 +529,19 @@ object QueryDsl {
           require(text.nonEmpty, "intervals match requires a non-empty [query]")
           val toks = Analyzer.analyze(analyzer)(text).toSeq
           require(toks.nonEmpty, "intervals match needs at least 1 analyzed token")
-          val mg = m.path("max_gaps").asInt(0)
-          require(mg >= 0, "intervals [max_gaps] must be >= 0 (unlimited is unbounded work)")
+          // the reference's default is -1 = UNLIMITED gaps (Lucene's own
+          // encoding); the budget only filters candidate windows, so
+          // unlimited costs the same DFS as any bound
+          val mg = m.path("max_gaps").asInt(-1)
+          require(mg >= -1, s"intervals [max_gaps] must be >= -1 (-1 = unlimited), got $mg")
           Intervals.IMatch(toks, mg, m.path("ordered").asBoolean(false))
         } else if (!node.path("all_of").isMissingNode) {
           val b = node.path("all_of")
           val arr = b.path("intervals")
           require(arr.isArray && arr.size() >= 2,
             "intervals all_of requires an [intervals] array of at least 2 sources")
-          val mg = b.path("max_gaps").asInt(0)
-          require(mg >= 0, "intervals [max_gaps] must be >= 0 (unlimited is unbounded work)")
+          val mg = b.path("max_gaps").asInt(-1)
+          require(mg >= -1, s"intervals [max_gaps] must be >= -1 (-1 = unlimited), got $mg")
           Intervals.IAllOf((0 until arr.size()).map(i => parseSource(arr.get(i))),
             mg, b.path("ordered").asBoolean(false))
         } else if (!node.path("any_of").isMissingNode) {
@@ -553,9 +556,14 @@ object QueryDsl {
       if (!body.path("match").isMissingNode) {
         val m = body.path("match")
         parseSource(body) match {
-          case Intervals.IMatch(toks, mg, ordered) =>
+          case Intervals.IMatch(toks, mg, ordered) if mg >= 0 =>
             require(toks.size >= 2, "intervals match needs at least 2 analyzed tokens")
             graft.hybrid.SpanNearQ(toks, mg, ordered, m.path("boost").asDouble(1.0))
+          case im: Intervals.IMatch =>
+            // unlimited gaps cannot lower onto the width-budget span
+            // matcher — evaluate through the interval algebra directly
+            require(im.terms.size >= 2, "intervals match needs at least 2 analyzed tokens")
+            graft.hybrid.IntervalsQ(im, m.path("boost").asDouble(1.0))
           case other => throw new IllegalStateException(s"unreachable: $other")
         }
       } else
@@ -801,13 +809,11 @@ object QueryDsl {
       require(node != null && node.isObject, "wrapper [query] must decode to a JSON object")
       parseSubQuery(node, analyzer, enricher)
     } else if (!q.path("bool").isMissingNode) {
-      // nested bool clause — Lucene BooleanQueries nest arbitrarily. The
-      // nested form carries no filter (filter is the top-level request's
-      // non-scoring gate here; a nested filter would need its own
-      // filter-context plumbing and is rejected explicitly).
+      // nested bool clause — Lucene BooleanQueries nest arbitrarily,
+      // including FILTER context (Occur.FILTER: required, non-scoring):
+      // any sub-query is legal inside [filter] and gates matching without
+      // contributing to the score
       val b = q.path("bool")
-      require(b.path("filter").isMissingNode,
-        "[filter] inside a nested bool is not supported — put the filter on the top-level request")
       def cl(name: String): Seq[SubQuery] = {
         val node = b.path(name)
         if (node.isMissingNode) Nil
@@ -816,7 +822,7 @@ object QueryDsl {
         else Seq(parseSubQuery(node, analyzer, enricher))
       }
       val msm = Option(b.path("minimum_should_match")).filter(_.isNumber).map(_.asInt())
-      graft.hybrid.BoolSub(cl("must"), cl("should"), cl("must_not"), msm)
+      graft.hybrid.BoolSub(cl("must"), cl("should"), cl("must_not"), msm, cl("filter"))
     } else if (!q.path("match_phrase").isMissingNode) {
       // phrase query: slop 0 = consecutive analyzed positions (Lucene
       // ExactPhraseMatcher); slop > 0 = Lucene SloppyPhraseMatcher over the
@@ -869,8 +875,15 @@ object QueryDsl {
           // (MultiMatchQueryBuilder.Type.PHRASE); slop applies per field
           graft.hybrid.PhraseFields(
             body.path("tie_breaker").asDouble(0.0), body.path("slop").asInt(0))
+        case "phrase_prefix" =>
+          // one MultiPhrasePrefixQuery per field, expansions from each
+          // field's own dictionary (Type.PHRASE_PREFIX)
+          graft.hybrid.PhrasePrefixFields(
+            body.path("tie_breaker").asDouble(0.0),
+            body.path("max_expansions").asInt(50))
         case other => throw new IllegalArgumentException(
-          s"multi_match type [$other] is not supported (best_fields, most_fields, cross_fields, phrase)")
+          s"multi_match type [$other] is not supported " +
+            "(best_fields, most_fields, cross_fields, phrase, phrase_prefix)")
       }
       val terms = Analyzer.analyze(analyzer)(text).toSeq
       graft.hybrid.LexicalMulti(fields, terms, mm)

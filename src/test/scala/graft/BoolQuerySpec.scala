@@ -120,6 +120,42 @@ class BoolQuerySpec extends SparkSpec {
     assert(math.abs(got(1L) - (b(1L) + a(1L))) < 1e-12)
   }
 
+  test("filter context: required but non-scoring; should msm defaults to 0 with a filter") {
+    import graft.hybrid.BoolSub
+    def m(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+      df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val a = m(Bm25.scoreTerms(idx, Seq("a"), Map.empty))
+    val b = m(Bm25.scoreTerms(idx, Seq("b"), Map.empty))
+    // must a + filter c: intersection {0,4}, score = a alone (c unscored)
+    val f1 = m(BoolQuery.topK(HybridSources(idx),
+      BoolSpec(must = Seq(Lexical(Seq("a"))), filter = Seq(Lexical(Seq("c")))), 10))
+    assert(f1.keySet == Set(0L, 4L))
+    f1.foreach { case (d, s) => assert(math.abs(s - a(d)) < 1e-12, s"doc $d") }
+    // with a filter present, a bare should drops to msm 0 (Lucene's
+    // documented default): every c-doc matches, b adds score where it hits
+    val f2 = m(BoolQuery.topK(HybridSources(idx),
+      BoolSpec(should = Seq(Lexical(Seq("b"))), filter = Seq(Lexical(Seq("c")))), 10))
+    assert(f2.keySet == Set(0L, 2L, 4L))
+    assert(math.abs(f2(0L) - b(0L)) < 1e-12 && f2(2L) == 0.0 && f2(4L) == 0.0)
+    // explicit msm = 1 restores the should gate
+    val f3 = BoolQuery.topK(HybridSources(idx),
+      BoolSpec(should = Seq(Lexical(Seq("b"))), filter = Seq(Lexical(Seq("c"))),
+        minimumShouldMatch = Some(1)), 10)
+    assert(ids(f3) == Seq(0L))
+    // filter-only bool: the matched set at score 0.0
+    val f4 = BoolQuery.topK(HybridSources(idx),
+      BoolSpec(filter = Seq(Lexical(Seq("c")))), 10).collect()
+    assert(f4.map(_.getLong(0)).toSet == Set(0L, 2L, 4L))
+    assert(f4.forall(_.getDouble(1) == 0.0))
+    // nested bool with filter parses into the FILTER occur
+    val p = QueryDsl.parseBool(
+      """{"query":{"bool":{"must":[{"bool":{
+        |"should":[{"match":{"text":"a"}}],
+        |"filter":[{"term":{"text":"c"}}]}}]}}}""".stripMargin)
+    assert(p.bool.must.head == BoolSub(
+      should = Seq(Lexical(Seq("a"))), filter = Seq(Lexical(Seq("c")))))
+  }
+
   test("match msm gate: operator-and requires every term, msm=m at least m") {
     import graft.hybrid.LexicalMsm
     // and-semantics: a AND c -> {0, 4}; score still the full OR-sum

@@ -27,7 +27,7 @@ class IntervalsSpec extends SparkSpec {
       else minimal(tuples(posLists).filter { tup =>
         tup.distinct.size == tup.size &&
           (!ord || tup.sliding(2).forall(s => s.size < 2 || s(0) < s(1))) &&
-          tup.max - tup.min + 1 - tup.size <= mg
+          (mg < 0 || tup.max - tup.min + 1 - tup.size <= mg) // -1 = unlimited
       }.map(tup => (tup.min, tup.max)).toSet)
     case IAllOf(srcs, mg, ord) =>
       val subs = srcs.map(s => bruteEval(s, toks).toSeq.sorted)
@@ -39,7 +39,7 @@ class IntervalsSpec extends SparkSpec {
         val inOrder = !ord || ivs.sliding(2).forall(s => s.size < 2 || s(1)._1 > s(0)._2)
         val window = ivs.map(_._2).max - ivs.map(_._1).min + 1
         val widths = ivs.map(iv => iv._2 - iv._1 + 1).sum
-        disjoint && inOrder && window - widths <= mg
+        disjoint && inOrder && (mg < 0 || window - widths <= mg)
       }.map(ivs => (ivs.map(_._1).min, ivs.map(_._2).max)).toSet)
     case IAnyOf(srcs) =>
       minimal(srcs.flatMap(s => bruteEval(s, toks)).toSet)
@@ -66,7 +66,12 @@ class IntervalsSpec extends SparkSpec {
       IMatch(Seq("c", "d"), 1, ordered = false))),
     IAllOf(Seq(
       IAnyOf(Seq(IMatch(Seq("a")), IMatch(Seq("b")))),
-      IAnyOf(Seq(IMatch(Seq("c")), IMatch(Seq("d"))))), maxGaps = 3, ordered = false))
+      IAnyOf(Seq(IMatch(Seq("c")), IMatch(Seq("d"))))), maxGaps = 3, ordered = false),
+    // -1 = unlimited gaps (the reference's default)
+    IMatch(Seq("a", "b"), maxGaps = -1, ordered = true),
+    IMatch(Seq("a", "b", "c"), maxGaps = -1, ordered = false),
+    IAllOf(Seq(IMatch(Seq("a")), IMatch(Seq("b", "c"), maxGaps = -1)),
+      maxGaps = -1, ordered = false))
 
   test("per-doc interval sets equal the brute-force minimal-interval model") {
     for (tree <- trees; (id, text) <- docs) {
@@ -92,7 +97,7 @@ class IntervalsSpec extends SparkSpec {
 
   test("guards: empty sources, bad max_gaps, single-source compositions") {
     intercept[IllegalArgumentException](IMatch(Nil))
-    intercept[IllegalArgumentException](IMatch(Seq("a"), maxGaps = -1))
+    intercept[IllegalArgumentException](IMatch(Seq("a"), maxGaps = -2))
     intercept[IllegalArgumentException](IAllOf(Seq(IMatch(Seq("a"))), 0, ordered = false))
     intercept[IllegalArgumentException](IAnyOf(Seq(IMatch(Seq("a")))))
   }

@@ -202,4 +202,47 @@ class MultiMatchSpec extends SparkSpec {
         BoolSpec(must = Seq(LexicalMulti(fields, terms, PhraseFields()))))
     }
   }
+
+  test("type=phrase_prefix: the prefix expands against each field's own dictionary") {
+    import graft.hybrid.PhrasePrefixFields
+    import graft.index.Positions
+    // "a ba…": title expands ba -> {bar, bat}, body expands ba -> {bat}
+    val tDocs = Seq((0L, "a bat"), (1L, "a bar"), (2L, "bat a")).toDF("doc_id", "text")
+    val bDocs = Seq((0L, "a box"), (1L, "a bat"), (2L, "z z")).toDF("doc_id", "text")
+    val tIdx = InvertedIndex.build(tDocs, "doc_id", "text")
+    val bIdx = InvertedIndex.build(bDocs, "doc_id", "text")
+    val tPos = Positions.build(tDocs, "doc_id", "text")
+    val bPos = Positions.build(bDocs, "doc_id", "text")
+    val s2 = HybridSources(tIdx, positions = Some(tPos),
+      fieldIdx = Map("body" -> bIdx), fieldPositions = Map("body" -> bPos))
+    def m(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+      df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def at(mp: Map[Long, Double], d: Long) = mp.getOrElse(d, 0.0)
+    val fields = Seq("text" -> 1.0, "body" -> 2.0)
+    val t = m(graft.query.Phrase.phrasePrefixScore(tIdx, tPos, Seq("a"), "ba", 10))
+    val b = m(graft.query.Phrase.phrasePrefixScore(bIdx, bPos, Seq("a"), "ba", 10))
+    assert(t.keySet == Set(0L, 1L) && b.keySet == Set(1L))
+    val got = m(BoolQuery.score(s2, BoolSpec(must = Seq(
+      LexicalMulti(fields, Seq("a", "ba"), PhrasePrefixFields(0.3, 10))))))
+    assert(got.keySet == Set(0L, 1L))
+    got.keySet.foreach { d =>
+      val (mx, sm) = (math.max(at(t, d), 2.0 * at(b, d)), at(t, d) + 2.0 * at(b, d))
+      assert(math.abs(got(d) - (mx + 0.3 * (sm - mx))) < 1e-12, s"doc $d")
+    }
+    // maxExpansions binds per field: at 1, title's expansion set is {bar}
+    // (term order), so only the a-bar doc matches the title side
+    val t1 = m(graft.query.Phrase.phrasePrefixScore(tIdx, tPos, Seq("a"), "ba", 1))
+    assert(t1.keySet == Set(1L))
+    val got1 = m(BoolQuery.score(s2, BoolSpec(must = Seq(
+      LexicalMulti(fields, Seq("a", "ba"), PhrasePrefixFields(0.0, 1))))))
+    got1.keySet.foreach { d =>
+      assert(math.abs(got1(d) - math.max(at(t1, d), 2.0 * at(b, d))) < 1e-12, s"doc $d")
+    }
+    val pp = QueryDsl.parseBool(
+      """{"query":{"bool":{"must":[{"multi_match":
+        |{"query":"a ba","fields":["text","body^2"],"type":"phrase_prefix",
+        | "max_expansions":7,"tie_breaker":0.2}}]}}}""".stripMargin)
+    assert(pp.bool.must.head == LexicalMulti(
+      Seq("text" -> 1.0, "body" -> 2.0), Seq("a", "ba"), PhrasePrefixFields(0.2, 7)))
+  }
 }

@@ -262,8 +262,14 @@ class QueryDslSpec extends SparkSpec {
     bad("""{"match":{"text":{"query":"a b","operator":"and","minimum_should_match":1}}}""")
     bad("""{"match":{"text":{"query":"a b","minimum_should_match":3}}}""")
     bad("""{"match_all":{"boost":0}}""")
-    // filter inside a nested bool is unsupported
-    bad("""{"bool":{"must":[{"term":{"text":"a"}}],"filter":{"term":{"lang":"en"}}}}""")
+    // filter inside a nested bool parses into the FILTER occur (required,
+    // non-scoring — supported since round 4)
+    val pf = QueryDsl.parseBool(
+      """{"query":{"bool":{"must":[
+        |{"bool":{"must":[{"term":{"text":"a"}}],"filter":{"term":{"text":"b"}}}}]}}}""".stripMargin)
+    assert(pf.bool.must.head == graft.hybrid.BoolSub(
+      must = Seq(graft.hybrid.Lexical(Seq("a"))),
+      filter = Seq(graft.hybrid.Lexical(Seq("b")))))
   }
 
   test("prefix/wildcard/constant_score parse; range filter parses both forms") {
@@ -581,7 +587,19 @@ class QueryDslSpec extends SparkSpec {
       QueryDsl.parseBool(s"""{"query":{"bool":{"must":[$q]}}}""")
     }
     bad("""{"intervals":{"text":{"match":{"query":"solo"}}}}""")
-    bad("""{"intervals":{"text":{"match":{"query":"a b","max_gaps":-1}}}}""")
+    bad("""{"intervals":{"text":{"match":{"query":"a b","max_gaps":-2}}}}""")
+    // -1 = unlimited (and the parsed DEFAULT, matching the reference):
+    // cannot lower onto the width-budget span matcher — routes through the
+    // interval algebra
+    val ivU = QueryDsl.parseBool(
+      """{"query":{"bool":{"must":[{"intervals":{"text":{"match":
+        |{"query":"a b","ordered":true,"max_gaps":-1}}}}]}}}""".stripMargin)
+    assert(ivU.bool.must.head == IntervalsQ(
+      graft.query.Intervals.IMatch(Seq("a", "b"), -1, ordered = true)))
+    val ivD = QueryDsl.parseBool(
+      """{"query":{"bool":{"must":[{"intervals":{"text":{"match":
+        |{"query":"a b","ordered":true}}}}]}}}""".stripMargin)
+    assert(ivD == ivU)
     bad("""{"span_first":{"match":{"span_term":{"text":"a"}},"end":0}}""")
     bad("""{"span_not":{"include":{"span_term":{"text":"a"}},
       |"exclude":{"span_term":{"text":"a"}}}}""".stripMargin)
