@@ -950,6 +950,88 @@ object HybridEntries {
         s.read.parquet(s"$dir/documents.parquet"))
         .select(col("doc_id"), round(col("score"), 4).as("score"))
     }),
+    // intervals PREFIX rule: the multi-term interval source — "s" expands
+    // against the term dictionary (metadata-scale scan, <= 128 terms or
+    // fail loudly) into {scan, slow, small, sort, spark, stream}; any
+    // expansion position can open the ordered window before "join"
+    "dsl_intervals_prefix" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      val json =
+        """{ "query": { "bool": {
+          |    "must": [ { "intervals": { "text": { "all_of": {
+          |        "ordered": true, "max_gaps": 2,
+          |        "intervals": [
+          |          { "prefix": { "prefix": "s" } },
+          |          { "match": { "query": "join" } } ] } } } } ],
+          |    "should": [ { "match": { "text": "merge" } } ] } },
+          |  "size": 10 }""".stripMargin
+      val src = HybridSources(idx, positions = Some(IndexCache.positions(s, dir)))
+      graft.query.QueryDsl.execute(src, json,
+        s.read.parquet(s"$dir/documents.parquet"))
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+    }),
+    // intervals FUZZY + WILDCARD rules composed: "tabel"~1 reaches "table"
+    // through the Damerau transposition (Lucene's default), "s?an" expands
+    // to "scan" — both against the dictionary, never the postings
+    "dsl_intervals_fuzzy_wildcard" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      val json =
+        """{ "query": { "bool": {
+          |    "must": [ { "intervals": { "text": { "all_of": {
+          |        "ordered": true, "max_gaps": 3,
+          |        "intervals": [
+          |          { "fuzzy": { "term": "tabel", "fuzziness": 1 } },
+          |          { "wildcard": { "pattern": "s?an" } } ] } } } } ],
+          |    "should": [ { "match": { "text": "sort" } } ] } },
+          |  "size": 10 }""".stripMargin
+      val src = HybridSources(idx, positions = Some(IndexCache.positions(s, dir)))
+      graft.query.QueryDsl.execute(src, json,
+        s.read.parquet(s"$dir/documents.parquet"))
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+    }),
+    // intervals FILTER rules (Lucene FilteredIntervalsSource over minimal
+    // intervals): hash..join windows (gaps <= 2) keeping only those with NO
+    // "scan" inside (not_containing), beside merge..sort windows that end
+    // before a "dup" occurrence (before)
+    "dsl_intervals_filter" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      val json =
+        """{ "query": { "bool": {
+          |    "must": [ { "intervals": { "text": { "match": {
+          |        "query": "hash join", "ordered": true, "max_gaps": 2,
+          |        "filter": { "not_containing": {
+          |          "match": { "query": "scan" } } } } } } } ],
+          |    "should": [ { "intervals": { "text": { "match": {
+          |        "query": "merge sort", "ordered": true,
+          |        "filter": { "before": {
+          |          "match": { "query": "dup" } } } } } } } ] } },
+          |  "size": 10 }""".stripMargin
+      val src = HybridSources(idx, positions = Some(IndexCache.positions(s, dir)))
+      graft.query.QueryDsl.execute(src, json,
+        s.read.parquet(s"$dir/documents.parquet"))
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+    }),
+    // span_multi (SpanMultiTermQueryWrapper): a wildcard slot inside
+    // span_near — "s?a*" expands to {scan, small, spark} against the
+    // dictionary, any expansion position fills the slot (unordered, slop 2);
+    // plus a standalone span_multi regexp in the should
+    "dsl_span_multi" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      val json =
+        """{ "query": { "bool": {
+          |    "must": [ { "span_near": { "clauses": [
+          |        { "span_multi": { "match": {
+          |            "wildcard": { "text": { "value": "s?a*" } } } } },
+          |        { "span_term": { "text": "join" } } ],
+          |        "slop": 2, "in_order": false } } ],
+          |    "should": [ { "span_multi": { "match": {
+          |        "regexp": { "text": { "value": "so.t|merge" } } } } } ] } },
+          |  "size": 10 }""".stripMargin
+      val src = HybridSources(idx, positions = Some(IndexCache.positions(s, dir)))
+      graft.query.QueryDsl.execute(src, json,
+        s.read.parquet(s"$dir/documents.parquet"))
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+    }),
     // index-time synonym graph: the DSL is a PLAIN match — the index's
     // analyzer config (HybridSources.synonyms) rewrites "fast" into the
     // SynonymQuery group {fast, slow} automatically, like Lucene's
@@ -2024,36 +2106,120 @@ object HybridEntries {
          |    WHERE t0.term = '${ts.head}'$f
          |      AND ($width) <= $slop))""".stripMargin
     case IntervalsQ(isrc, boost) =>
-      // composed-intervals oracle, supported for the all_of(ordered) of
-      // [single-term match, any_of(single-term matches)] shape: width-1
-      // leaves are already minimal intervals, so existence reduces to one
-      // ordered position pair with interior gaps within budget — general
-      // trees are covered by IntervalsSpec's brute-force model
+      // composed-intervals oracle, supported for two SQL-re-derivable
+      // shapes; general trees are covered by IntervalsSpec's brute-force
+      // model.
+      //
+      //  (a) all_of(ordered)[P1, P2] where P1/P2 are POINT sources
+      //      (single-term match, term-set, prefix/wildcard/fuzzy expansion,
+      //      any_of of point sources): width-1 leaves are already minimal
+      //      intervals, so existence reduces to one ordered position pair
+      //      with interior gaps within budget. The pattern leaves'
+      //      dictionary expansion is re-derived by DuckDB as a predicate on
+      //      the token itself (LIKE / damerau_levenshtein) — semantically
+      //      identical to expanding the dictionary then matching members.
+      //
+      //  (b) a FILTERED ordered 2-distinct-term match: the minimal windows
+      //      of (a..b ordered) are exactly the adjacent pairs — pb is the
+      //      FIRST b after pa AND pa is the LAST a before pb (any interior
+      //      a- or b-position would nest a smaller window) — re-derived via
+      //      two grouped aggregations, then the width budget and the point
+      //      filter (containing/overlapping = a filter position inside
+      //      [pa,pb]; before/after = one past the window edge) apply per
+      //      minimal window.
       import graft.query.Intervals
+      def pointPred(s: Intervals.Source, c: String): Option[String] = s match {
+        case Intervals.IMatch(Seq(t), _, _) => Some(s"$c = '$t'")
+        case Intervals.ITermSet(ts) if ts.nonEmpty => Some(s"$c IN (${termList(ts)})")
+        case Intervals.IPrefix(p, _) => Some(s"$c LIKE '$p%'")
+        case Intervals.IWildcard(p, _) =>
+          Some(s"$c LIKE '${p.replace('*', '%').replace('?', '_')}'")
+        case Intervals.IRegexp(p, _) =>
+          Some(s"regexp_full_match($c, '$p')")
+        case Intervals.IFuzzy(t, f, pl, tr, _) =>
+          val fn = if (tr) "damerau_levenshtein" else "levenshtein"
+          val pre = if (pl == 0) "" else s" AND substring($c, 1, $pl) = '${t.take(pl)}'"
+          Some(s"(abs(length($c) - ${t.length}) <= $f AND $fn($c, '$t') <= $f$pre)")
+        case Intervals.IAnyOf(ss) =>
+          val subs = ss.map(pointPred(_, c))
+          if (subs.forall(_.isDefined)) Some(subs.flatten.mkString("(", " OR ", ")"))
+          else None
+        case _ => None
+      }
+      val tokpCte =
+        s"""tokp$i AS (
+           |  SELECT doc_id, unnest(l) AS term, unnest(range(len(l))) AS pos
+           |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+           |        FROM documents))""".stripMargin
       isrc match {
-        case Intervals.IAllOf(
-            Seq(Intervals.IMatch(Seq(t0), _, _), Intervals.IAnyOf(anys)), mg, true)
-            if anys.forall {
-              case Intervals.IMatch(ts, _, _) => ts.size == 1
-              case _ => false
-            } =>
-          val alts = anys.collect { case Intervals.IMatch(Seq(t), _, _) => t }
+        // a bare point source (standalone span_multi / single multi-term
+        // rule): existence of any expansion-term position
+        case p if pointPred(p, "t0.term").isDefined =>
+          val f = filterPred.map(x => s" AND t0.$x").getOrElse("")
+          s"""$tokpCte,
+             |sq$i AS (
+             |  SELECT doc_id, $boost AS s FROM (
+             |    SELECT DISTINCT t0.doc_id FROM tokp$i t0
+             |    WHERE ${pointPred(p, "t0.term").get}$f))""".stripMargin
+        case Intervals.IAllOf(Seq(s1, s2), mg, ordered)
+            if pointPred(s1, "t0.term").isDefined && pointPred(s2, "t1.term").isDefined =>
           val f = filterPred.map(p => s" AND t0.$p").getOrElse("")
+          val posCond =
+            if (ordered) "t1.pos > t0.pos" else "t1.pos <> t0.pos"
+          val widthExpr =
+            if (ordered) "(t1.pos - t0.pos + 1)"
+            else "(greatest(t0.pos, t1.pos) - least(t0.pos, t1.pos) + 1)"
           // -1 = unlimited gaps: the width budget drops out entirely
           val gapCond =
-            if (mg < 0) "" else s" AND (t1.pos - t0.pos + 1) - 2 <= $mg"
-          s"""tokp$i AS (
-             |  SELECT doc_id, unnest(l) AS term, unnest(range(len(l))) AS pos
-             |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
-             |        FROM documents)),
+            if (mg < 0) "" else s" AND $widthExpr - 2 <= $mg"
+          s"""$tokpCte,
              |sq$i AS (
              |  SELECT doc_id, $boost AS s FROM (
              |    SELECT DISTINCT t0.doc_id
              |    FROM tokp$i t0 JOIN tokp$i t1 ON t1.doc_id = t0.doc_id
-             |    WHERE t0.term = '$t0' AND t1.term IN (${termList(alts)})$f
-             |      AND t1.pos > t0.pos$gapCond))""".stripMargin
+             |    WHERE ${pointPred(s1, "t0.term").get} AND ${pointPred(s2, "t1.term").get}$f
+             |      AND $posCond$gapCond))""".stripMargin
+        case Intervals.IFiltered(Intervals.IMatch(Seq(a, b), mg, true), kind, fsrc)
+            if a != b && pointPred(fsrc, "f.term").isDefined =>
+          val fp = pointPred(fsrc, "f.term").get
+          val gapCond =
+            if (mg < 0) "" else s"AND (pb - pa + 1) - 2 <= $mg"
+          val exists =
+            s"""EXISTS (SELECT 1 FROM tokp$i f
+               |        WHERE f.doc_id = w.doc_id AND $fp AND f.pos BETWEEN w.pa AND w.pb)"""
+              .stripMargin
+          val beforeE =
+            s"""EXISTS (SELECT 1 FROM tokp$i f
+               |        WHERE f.doc_id = w.doc_id AND $fp AND f.pos > w.pb)""".stripMargin
+          val afterE =
+            s"""EXISTS (SELECT 1 FROM tokp$i f
+               |        WHERE f.doc_id = w.doc_id AND $fp AND f.pos < w.pa)""".stripMargin
+          val kindPred = kind match {
+            case Intervals.FContaining | Intervals.FOverlapping => exists
+            case Intervals.FNotContaining | Intervals.FNotOverlapping => s"NOT $exists"
+            case Intervals.FBefore => beforeE
+            case Intervals.FAfter => afterE
+            case other => throw new IllegalArgumentException(
+              s"intervals oracle: filter kind [${other.name}] over a 2-term window " +
+                "has no point-filter SQL shape (contained_by against a point is vacuous)")
+          }
+          val f = filterPred.map(p => s" AND w.$p").getOrElse("")
+          s"""$tokpCte,
+             |win$i AS (
+             |  SELECT doc_id, max(pa) AS pa, pb FROM (
+             |    SELECT ta.doc_id, ta.pos AS pa, min(tb.pos) AS pb
+             |    FROM tokp$i ta JOIN tokp$i tb
+             |      ON tb.doc_id = ta.doc_id AND tb.term = '$b' AND tb.pos > ta.pos
+             |    WHERE ta.term = '$a'
+             |    GROUP BY ta.doc_id, ta.pos)
+             |  GROUP BY doc_id, pb),
+             |sq$i AS (
+             |  SELECT doc_id, $boost AS s FROM (
+             |    SELECT DISTINCT w.doc_id FROM win$i w
+             |    WHERE $kindPred $gapCond$f))""".stripMargin
         case other => throw new IllegalArgumentException(
-          s"intervals oracle supports all_of(ordered)[term, any_of(terms)] only, got $other")
+          "intervals oracle supports all_of(ordered)[point, point] and " +
+            s"filtered ordered 2-term match shapes only, got $other")
       }
     case MoreLikeThisQ(likeId, maxQ, mtf, mdf, ratio) =>
       // deterministic term selection (tf x idf desc, term asc, LIMIT) then
@@ -3256,6 +3422,41 @@ object HybridEntries {
               graft.query.Intervals.IMatch(Seq("scan"))))),
             maxGaps = 1, ordered = true))),
           should = Seq(Lexical(Seq("merge"))), mustNot = Nil, msm = 0),
+      "dsl_intervals_prefix" ->
+        boolOracle(tokCte,
+          must = Seq(IntervalsQ(graft.query.Intervals.IAllOf(Seq(
+            graft.query.Intervals.IPrefix("s"),
+            graft.query.Intervals.IMatch(Seq("join"))),
+            maxGaps = 2, ordered = true))),
+          should = Seq(Lexical(Seq("merge"))), mustNot = Nil, msm = 0),
+      "dsl_intervals_fuzzy_wildcard" ->
+        boolOracle(tokCte,
+          must = Seq(IntervalsQ(graft.query.Intervals.IAllOf(Seq(
+            graft.query.Intervals.IFuzzy("tabel", fuzziness = 1),
+            graft.query.Intervals.IWildcard("s?an")),
+            maxGaps = 3, ordered = true))),
+          should = Seq(Lexical(Seq("sort"))), mustNot = Nil, msm = 0),
+      "dsl_span_multi" ->
+        boolOracle(tokCte,
+          must = Seq(IntervalsQ(graft.query.Intervals.IAllOf(Seq(
+            graft.query.Intervals.IWildcard("s?a*"),
+            graft.query.Intervals.IMatch(Seq("join"))),
+            maxGaps = 2, ordered = false))),
+          should = Seq(IntervalsQ(graft.query.Intervals.IRegexp("so.t|merge"))),
+          mustNot = Nil, msm = 0),
+      "dsl_intervals_filter" ->
+        boolOracle(tokCte,
+          must = Seq(IntervalsQ(graft.query.Intervals.IFiltered(
+            graft.query.Intervals.IMatch(Seq("hash", "join"),
+              maxGaps = 2, ordered = true),
+            graft.query.Intervals.FNotContaining,
+            graft.query.Intervals.IMatch(Seq("scan"))))),
+          should = Seq(IntervalsQ(graft.query.Intervals.IFiltered(
+            graft.query.Intervals.IMatch(Seq("merge", "sort"),
+              maxGaps = -1, ordered = true),
+            graft.query.Intervals.FBefore,
+            graft.query.Intervals.IMatch(Seq("dup"))))),
+          mustNot = Nil, msm = 0),
       "dsl_intervals" ->
         boolOracle(tokCte,
           must = Seq(SpanNearQ(Seq("hash", "join"), slop = 3, inOrder = true)),

@@ -56,11 +56,156 @@ object Intervals {
     def leafTerms: Seq[String] = sources.flatMap(_.leafTerms)
   }
 
-  /** Docs where the source tree produces at least one interval — the
-   *  filter-context existence the intervals clause scores constant. */
-  def matchDocs(idx: Index, pos: Dataset[PosBlock], source: Source): DataFrame = {
+  /** Resolved multi-term leaf: the union of the member terms' positions as
+   *  width-1 intervals (points are inherently minimal — no containment is
+   *  possible among equal-width intervals). Produced by [[resolve]] from the
+   *  pattern rules below; `terms` MAY be empty (an expansion that matched
+   *  nothing yields no intervals, exactly Lucene's empty MultiTermIntervals
+   *  source). */
+  case class ITermSet(terms: Seq[String]) extends Source {
+    require(terms.forall(_.matches("[a-z0-9]+")),
+      s"intervals term-set members must be analyzed tokens, got [${terms.mkString(" ")}]")
+    def leafTerms: Seq[String] = terms
+  }
+
+  /** The `prefix` rule (Lucene Intervals.prefix): expands against the term
+   *  dictionary — a metadata-scale DISTINCT-terms scan, never the postings —
+   *  and fails loudly past `maxExpansions` terms, matching the reference's
+   *  128-expansion contract for multi-term interval sources. */
+  case class IPrefix(prefix: String, maxExpansions: Int = DefaultExpansions) extends Source {
+    require(prefix.nonEmpty && prefix.matches("[a-z0-9]+"),
+      s"intervals prefix must be a non-empty analyzed token, got [$prefix]")
+    require(maxExpansions >= 1, s"max_expansions must be >= 1, got $maxExpansions")
+    def leafTerms: Seq[String] = Seq.empty // concrete terms exist only after resolve
+  }
+
+  /** The `wildcard` rule (Lucene Intervals.wildcard): `*` = any run, `?` =
+   *  one character, same 128-expansion fail-loudly contract. */
+  case class IWildcard(pattern: String, maxExpansions: Int = DefaultExpansions) extends Source {
+    require(pattern.nonEmpty && pattern.matches("[a-z0-9*?]+"),
+      s"intervals wildcard must be [a-z0-9] plus * ?, got [$pattern]")
+    require(maxExpansions >= 1, s"max_expansions must be >= 1, got $maxExpansions")
+    def leafTerms: Seq[String] = Seq.empty
+  }
+
+  /** The `fuzzy` rule (Lucene Intervals.fuzzy): dictionary terms within
+   *  `fuzziness` edits of `term` — Damerau (transposition = ONE edit, the
+   *  Lucene default) or classic Levenshtein when `transpositions = false` —
+   *  with the first `prefixLength` characters fixed. */
+  case class IFuzzy(term: String, fuzziness: Int = 2, prefixLength: Int = 0,
+                    transpositions: Boolean = true,
+                    maxExpansions: Int = DefaultExpansions) extends Source {
+    require(term.nonEmpty && term.matches("[a-z0-9]+"),
+      s"intervals fuzzy term must be a non-empty analyzed token, got [$term]")
+    require(fuzziness >= 0 && fuzziness <= 2,
+      s"fuzziness must be in [0, 2] (Lucene's bound), got $fuzziness")
+    require(prefixLength >= 0, s"prefix_length must be >= 0, got $prefixLength")
+    require(maxExpansions >= 1, s"max_expansions must be >= 1, got $maxExpansions")
+    def leafTerms: Seq[String] = Seq.empty
+  }
+
+  /** The `regexp` rule: dictionary terms the whole-term regex accepts.
+   *  Portable-core syntax only (same contract as the regexp query) so the
+   *  engine and the DuckDB oracle compile the same automaton. */
+  case class IRegexp(pattern: String, maxExpansions: Int = DefaultExpansions) extends Source {
+    require(pattern.nonEmpty && pattern.matches("""[a-z0-9\[\]()|*+?.^-]+"""),
+      s"intervals regexp must be non-empty [a-z0-9] plus []()|*+?.^-, got [$pattern]")
+    try java.util.regex.Pattern.compile(pattern)
+    catch { case e: java.util.regex.PatternSyntaxException =>
+      throw new IllegalArgumentException(s"invalid regexp [$pattern]: ${e.getMessage}")
+    }
+    require(maxExpansions >= 1, s"max_expansions must be >= 1, got $maxExpansions")
+    def leafTerms: Seq[String] = Seq.empty
+  }
+
+  /** Lucene's 128-term cap for multi-term interval sources (ES/OpenSearch
+   *  return an error past it rather than silently truncating — so do we). */
+  val DefaultExpansions = 128
+
+  /** Interval filter kinds — the `filter` key any intervals rule accepts.
+   *  Applied to the SOURCE's minimal intervals against the FILTER source's
+   *  minimal intervals (Lucene's FilteredIntervalsSource contract — the
+   *  subtlety that a non-minimal source interval which would satisfy the
+   *  filter is never considered is Lucene's own documented behavior):
+   *   - containing:        keep s where some f fits inside s
+   *   - contained_by:      keep s where s fits inside some f
+   *   - not_containing:    keep s where NO f fits inside s
+   *   - not_contained_by:  keep s where s fits inside NO f
+   *   - overlapping:       keep s sharing at least one position with some f
+   *   - not_overlapping:   keep s sharing no position with any f
+   *   - before:            keep s that end before some f starts
+   *   - after:             keep s that start after some f ends */
+  sealed abstract class FilterKind(val name: String)
+  case object FContaining extends FilterKind("containing")
+  case object FContainedBy extends FilterKind("contained_by")
+  case object FNotContaining extends FilterKind("not_containing")
+  case object FNotContainedBy extends FilterKind("not_contained_by")
+  case object FOverlapping extends FilterKind("overlapping")
+  case object FNotOverlapping extends FilterKind("not_overlapping")
+  case object FBefore extends FilterKind("before")
+  case object FAfter extends FilterKind("after")
+  val FilterKinds: Seq[FilterKind] = Seq(FContaining, FContainedBy,
+    FNotContaining, FNotContainedBy, FOverlapping, FNotOverlapping,
+    FBefore, FAfter)
+
+  /** A source with a `filter` rule attached. Filtering a minimal set keeps
+   *  it minimal (a subset of a pairwise-non-containing set stays pairwise
+   *  non-containing), so no re-minimization is needed. */
+  case class IFiltered(source: Source, kind: FilterKind, filter: Source) extends Source {
+    def leafTerms: Seq[String] = source.leafTerms ++ filter.leafTerms
+  }
+
+  /** Expand every pattern leaf (prefix / wildcard / fuzzy) against the term
+   *  dictionary into a concrete [[ITermSet]]. ONE metadata-scale scan of the
+   *  DISTINCT terms per pattern leaf — the predicate (LIKE / codegen'd edit
+   *  distance) is pushed into the scan, so only survivors reach the driver,
+   *  and the survivor count is hard-capped at the leaf's `maxExpansions`
+   *  (fail loudly, the reference's contract). Expansion order is term-asc
+   *  (dictionary order) for determinism. */
+  def resolve(idx: Index, src: Source): Source = {
     val spark = idx.postings.sparkSession
     import spark.implicits._
+    def expand(pred: org.apache.spark.sql.Column, cap: Int, what: String): ITermSet = {
+      val hits = idx.termStats.filter(pred)
+        .select($"term").orderBy($"term").limit(cap + 1)
+        .as[String].collect()
+      if (hits.length > cap) throw new IllegalArgumentException(
+        s"intervals $what expands to more than $cap terms — narrow the pattern")
+      ITermSet(hits.toSeq)
+    }
+    src match {
+      case IPrefix(p, cap) =>
+        expand($"term".startsWith(p), cap, s"prefix [$p]")
+      case IWildcard(p, cap) =>
+        expand($"term".like(p.replace('*', '%').replace('?', '_')), cap,
+          s"wildcard [$p]")
+      case IRegexp(p, cap) =>
+        // whole-term semantics: anchor for Java's substring-matching rlike
+        expand($"term".rlike(s"^(?:$p)$$"), cap, s"regexp [$p]")
+      case IFuzzy(t, f, pl, tr, cap) =>
+        val dist =
+          if (tr) graft.functions.StringFunctions.damerauDistance($"term", lit(t))
+          else levenshtein($"term", lit(t))
+        val pre =
+          if (pl == 0) lit(true)
+          else substring($"term", 1, pl) === t.take(pl)
+        expand(pre && (abs(length($"term") - t.length) <= f) && dist <= f,
+          cap, s"fuzzy [$t~$f]")
+      case m: IMatch => m
+      case ts: ITermSet => ts
+      case IAllOf(ss, mg, ord) => IAllOf(ss.map(resolve(idx, _)), mg, ord)
+      case IAnyOf(ss) => IAnyOf(ss.map(resolve(idx, _)))
+      case IFiltered(s, k, fs) => IFiltered(resolve(idx, s), k, resolve(idx, fs))
+    }
+  }
+
+  /** Docs where the source tree produces at least one interval — the
+   *  filter-context existence the intervals clause scores constant.
+   *  Pattern leaves are resolved against the term dictionary first. */
+  def matchDocs(idx: Index, pos: Dataset[PosBlock], rawSource: Source): DataFrame = {
+    val spark = idx.postings.sparkSession
+    import spark.implicits._
+    val source = resolve(idx, rawSource)
     val uniq = source.leafTerms.distinct
 
     val matched = pos.filter($"term".isin(uniq: _*))
@@ -131,6 +276,32 @@ object Intervals {
         else minimize(combine(subs, maxGaps, ordered))
       case IAnyOf(sources) =>
         minimize(sources.toArray.flatMap(s => eval(s, posOf)))
+      case ITermSet(terms) =>
+        // width-1 intervals are minimal by construction; distinct + sorted
+        terms.toArray.flatMap(posOf).distinct.sorted.map(p => (p, p))
+      case IFiltered(source, kind, filter) =>
+        val ss = eval(source, posOf)
+        if (ss.isEmpty) ss
+        else {
+          val fs = eval(filter, posOf)
+          def contains(o: (Int, Int), in: (Int, Int)): Boolean =
+            o._1 <= in._1 && in._2 <= o._2
+          def overlaps(a: (Int, Int), b: (Int, Int)): Boolean =
+            a._1 <= b._2 && b._1 <= a._2
+          kind match {
+            case FContaining     => ss.filter(s => fs.exists(contains(s, _)))
+            case FContainedBy    => ss.filter(s => fs.exists(contains(_, s)))
+            case FNotContaining  => ss.filterNot(s => fs.exists(contains(s, _)))
+            case FNotContainedBy => ss.filterNot(s => fs.exists(contains(_, s)))
+            case FOverlapping    => ss.filter(s => fs.exists(overlaps(s, _)))
+            case FNotOverlapping => ss.filterNot(s => fs.exists(overlaps(s, _)))
+            case FBefore         => ss.filter(s => fs.exists(f => s._2 < f._1))
+            case FAfter          => ss.filter(s => fs.exists(f => s._1 > f._2))
+          }
+        }
+      case p @ (_: IPrefix | _: IWildcard | _: IFuzzy | _: IRegexp) =>
+        throw new IllegalStateException(
+          s"unresolved pattern leaf reached eval: $p — call resolve(idx, source) first")
     }
 
   /** All valid combinations of one interval per source: pairwise

@@ -494,23 +494,52 @@ object QueryDsl {
       graft.hybrid.ExistsQ(f, body.path("boost").asDouble(1.0))
     } else if (!q.path("span_near").isMissingNode) {
       // {"span_near": {"clauses": [{"span_term": {"text": "hash"}}, ...],
-      //   "slop": 3, "in_order": true, "boost": 1.0}} — term spans only
-      //   (the span form every proximity filter uses)
+      //   "slop": 3, "in_order": true, "boost": 1.0}} — clauses are
+      //   span_term or span_multi (SpanMultiTermQueryWrapper around
+      //   prefix/wildcard/fuzzy/regexp). All-span_term keeps the dedicated
+      //   span matcher; a span_multi clause lowers the whole query onto the
+      //   interval algebra — IDENTICAL width contract (window - k <= slop),
+      //   the multi-term slot expanded against the dictionary
       val body = q.path("span_near")
       val cs = body.path("clauses")
       require(cs.isArray && cs.size() >= 2,
-        "span_near requires a [clauses] array of at least 2 span_term clauses")
-      val terms = (0 until cs.size()).map { i =>
-        val st = cs.get(i).path("span_term")
-        require(!st.isMissingNode, "span_near clauses must be span_term objects")
-        val (_, b) = firstField(st)
-        val t = if (b.isObject) b.path("value").asText() else b.asText()
-        require(t.nonEmpty, "span_term requires a non-empty value")
-        t
-      }
+        "span_near requires a [clauses] array of at least 2 span clauses")
+      val slots: Seq[Either[String, graft.query.Intervals.Source]] =
+        (0 until cs.size()).map { i =>
+          val st = cs.get(i).path("span_term")
+          if (!st.isMissingNode) {
+            val (_, b) = firstField(st)
+            val t = if (b.isObject) b.path("value").asText() else b.asText()
+            require(t.nonEmpty, "span_term requires a non-empty value")
+            Left(t)
+          } else {
+            val sm = cs.get(i).path("span_multi")
+            require(!sm.isMissingNode,
+              "span_near clauses must be span_term or span_multi objects")
+            Right(parseSpanMulti(sm))
+          }
+        }
       require(!body.path("slop").isMissingNode, "span_near requires [slop]")
-      graft.hybrid.SpanNearQ(terms, body.path("slop").asInt(),
-        body.path("in_order").asBoolean(false), body.path("boost").asDouble(1.0))
+      val slop = body.path("slop").asInt()
+      val inOrder = body.path("in_order").asBoolean(false)
+      val boost = body.path("boost").asDouble(1.0)
+      if (slots.forall(_.isLeft))
+        graft.hybrid.SpanNearQ(slots.map(_.left.get), slop, inOrder, boost)
+      else {
+        import graft.query.Intervals
+        val sources = slots.map {
+          case Left(t)    => Intervals.IMatch(Seq(t))
+          case Right(src) => src
+        }
+        graft.hybrid.IntervalsQ(
+          Intervals.IAllOf(sources, maxGaps = slop, ordered = inOrder), boost)
+      }
+    } else if (!q.path("span_multi").isMissingNode) {
+      // standalone span_multi: existence of any dictionary expansion —
+      // constant-score like the rest of the span family
+      val body = q.path("span_multi")
+      graft.hybrid.IntervalsQ(parseSpanMulti(body),
+        body.path("boost").asDouble(1.0))
     } else if (!q.path("intervals").isMissingNode) {
       // {"intervals": {"text": {"match": {"query": "hash join",
       //   "ordered": true, "max_gaps": 2}}}} — the modern span form — or a
@@ -523,6 +552,25 @@ object QueryDsl {
       // unbounded work here.
       import graft.query.Intervals
       def parseSource(node: com.fasterxml.jackson.databind.JsonNode): Intervals.Source = {
+        // every rule accepts a `filter` key: { "<kind>": { <rule> } } with
+        // kind one of containing / contained_by / not_containing /
+        // not_contained_by / overlapping / not_overlapping / before / after
+        // (Lucene's FilteredIntervalsSource, applied to minimal intervals)
+        def withFilter(ruleBody: com.fasterxml.jackson.databind.JsonNode,
+                       src: Intervals.Source): Intervals.Source = {
+          val fNode = ruleBody.path("filter")
+          if (fNode.isMissingNode) src
+          else {
+            require(fNode.isObject && fNode.size() == 1,
+              "intervals [filter] must carry exactly one filter kind")
+            val kindName = fNode.fieldNames().next()
+            val kind = Intervals.FilterKinds.find(_.name == kindName).getOrElse(
+              throw new IllegalArgumentException(
+                s"unknown intervals filter [$kindName] — one of " +
+                  Intervals.FilterKinds.map(_.name).mkString(", ")))
+            Intervals.IFiltered(src, kind, parseSource(fNode.path(kindName)))
+          }
+        }
         if (!node.path("match").isMissingNode) {
           val m = node.path("match")
           val text = m.path("query").asText("")
@@ -534,7 +582,7 @@ object QueryDsl {
           // unlimited costs the same DFS as any bound
           val mg = m.path("max_gaps").asInt(-1)
           require(mg >= -1, s"intervals [max_gaps] must be >= -1 (-1 = unlimited), got $mg")
-          Intervals.IMatch(toks, mg, m.path("ordered").asBoolean(false))
+          withFilter(m, Intervals.IMatch(toks, mg, m.path("ordered").asBoolean(false)))
         } else if (!node.path("all_of").isMissingNode) {
           val b = node.path("all_of")
           val arr = b.path("intervals")
@@ -542,15 +590,46 @@ object QueryDsl {
             "intervals all_of requires an [intervals] array of at least 2 sources")
           val mg = b.path("max_gaps").asInt(-1)
           require(mg >= -1, s"intervals [max_gaps] must be >= -1 (-1 = unlimited), got $mg")
-          Intervals.IAllOf((0 until arr.size()).map(i => parseSource(arr.get(i))),
-            mg, b.path("ordered").asBoolean(false))
+          withFilter(b,
+            Intervals.IAllOf((0 until arr.size()).map(i => parseSource(arr.get(i))),
+              mg, b.path("ordered").asBoolean(false)))
         } else if (!node.path("any_of").isMissingNode) {
-          val arr = node.path("any_of").path("intervals")
+          val b = node.path("any_of")
+          val arr = b.path("intervals")
           require(arr.isArray && arr.size() >= 2,
             "intervals any_of requires an [intervals] array of at least 2 sources")
-          Intervals.IAnyOf((0 until arr.size()).map(i => parseSource(arr.get(i))))
+          withFilter(b,
+            Intervals.IAnyOf((0 until arr.size()).map(i => parseSource(arr.get(i)))))
+        } else if (!node.path("prefix").isMissingNode) {
+          // {"prefix": {"prefix": "sca"}} — dictionary-expanded multi-term
+          // rule (<= max_expansions terms, fail loudly past the cap)
+          val b = node.path("prefix")
+          withFilter(b, Intervals.IPrefix(b.path("prefix").asText(""),
+            b.path("max_expansions").asInt(Intervals.DefaultExpansions)))
+        } else if (!node.path("wildcard").isMissingNode) {
+          // {"wildcard": {"pattern": "sc*"}} — * = any run, ? = one char
+          val b = node.path("wildcard")
+          withFilter(b, Intervals.IWildcard(b.path("pattern").asText(""),
+            b.path("max_expansions").asInt(Intervals.DefaultExpansions)))
+        } else if (!node.path("fuzzy").isMissingNode) {
+          // {"fuzzy": {"term": "hsah", "fuzziness": 1, "prefix_length": 0,
+          //  "transpositions": true}} — Damerau by default, Lucene's bound
+          val b = node.path("fuzzy")
+          withFilter(b, Intervals.IFuzzy(
+            b.path("term").asText(""),
+            b.path("fuzziness").asInt(2),
+            b.path("prefix_length").asInt(0),
+            if (b.path("transpositions").isMissingNode) true
+            else b.path("transpositions").asBoolean(true),
+            b.path("max_expansions").asInt(Intervals.DefaultExpansions)))
+        } else if (!node.path("regexp").isMissingNode) {
+          // {"regexp": {"pattern": "sc.n|sort"}} — whole-term automaton
+          val b = node.path("regexp")
+          withFilter(b, Intervals.IRegexp(b.path("pattern").asText(""),
+            b.path("max_expansions").asInt(Intervals.DefaultExpansions)))
         } else throw new IllegalArgumentException(
-          "intervals rule must be one of [match], [all_of], [any_of]")
+          "intervals rule must be one of [match], [all_of], [any_of], " +
+            "[prefix], [wildcard], [fuzzy], [regexp]")
       }
       val (_, body) = firstField(q.path("intervals"))
       if (!body.path("match").isMissingNode) {
@@ -564,6 +643,9 @@ object QueryDsl {
             // matcher — evaluate through the interval algebra directly
             require(im.terms.size >= 2, "intervals match needs at least 2 analyzed tokens")
             graft.hybrid.IntervalsQ(im, m.path("boost").asDouble(1.0))
+          case filtered: Intervals.IFiltered =>
+            // a filter rides the match — the interval algebra evaluates it
+            graft.hybrid.IntervalsQ(filtered, m.path("boost").asDouble(1.0))
           case other => throw new IllegalStateException(s"unreachable: $other")
         }
       } else
@@ -1279,5 +1361,40 @@ object QueryDsl {
     require(it.hasNext, s"expected an object with one field, got $n")
     val e = it.next()
     (e.getKey, e.getValue)
+  }
+
+  /** `span_multi` body → a multi-term interval leaf. Lucene's
+   *  SpanMultiTermQueryWrapper accepts prefix / wildcard / fuzzy / regexp
+   *  under `match`; each becomes the corresponding dictionary-expanded
+   *  pattern leaf (<= 128 expansions, fail loudly — the same cap the
+   *  wrapper's rewrite inherits). */
+  private def parseSpanMulti(body: JsonNode): graft.query.Intervals.Source = {
+    import graft.query.Intervals
+    val m = body.path("match")
+    require(!m.isMissingNode && m.isObject && m.size() == 1,
+      "span_multi requires a [match] object carrying exactly one multi-term query")
+    val (kind, fieldObj) = firstField(m)
+    val (_, vNode) = firstField(fieldObj)
+    def strField(n: JsonNode, key: String): String =
+      if (n.isObject) n.path(key).asText("") else n.asText("")
+    kind match {
+      case "prefix" =>
+        Intervals.IPrefix(strField(vNode, "value"))
+      case "wildcard" =>
+        Intervals.IWildcard(strField(vNode, "value"))
+      case "regexp" =>
+        Intervals.IRegexp(strField(vNode, "value"))
+      case "fuzzy" =>
+        require(vNode.isObject, "span_multi fuzzy requires an object with [value]")
+        Intervals.IFuzzy(
+          vNode.path("value").asText(""),
+          vNode.path("fuzziness").asInt(2),
+          vNode.path("prefix_length").asInt(0),
+          if (vNode.path("transpositions").isMissingNode) true
+          else vNode.path("transpositions").asBoolean(true))
+      case other => throw new IllegalArgumentException(
+        s"span_multi match must be one of [prefix], [wildcard], [fuzzy], " +
+          s"[regexp], got [$other]")
+    }
   }
 }

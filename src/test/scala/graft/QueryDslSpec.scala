@@ -605,6 +605,61 @@ class QueryDslSpec extends SparkSpec {
       |"exclude":{"span_term":{"text":"a"}}}}""".stripMargin)
     bad("""{"span_not":{"include":{"span_term":{"text":"a"}},
       |"exclude":{"span_term":{"text":"b"}},"pre":-1}}""".stripMargin)
+    // multi-term rules parse to pattern leaves (resolved at execute time)
+    import graft.query.Intervals
+    val ivP = QueryDsl.parseBool(
+      """{"query":{"bool":{"must":[{"intervals":{"text":{"all_of":{
+        |"ordered":true,"max_gaps":2,"intervals":[
+        |{"prefix":{"prefix":"sc"}},
+        |{"wildcard":{"pattern":"jo*n","max_expansions":16}},
+        |{"fuzzy":{"term":"hsah","fuzziness":1,"prefix_length":1,
+        | "transpositions":false}}]}}}}]}}}""".stripMargin)
+    assert(ivP.bool.must.head == IntervalsQ(Intervals.IAllOf(Seq(
+      Intervals.IPrefix("sc"),
+      Intervals.IWildcard("jo*n", 16),
+      Intervals.IFuzzy("hsah", 1, 1, transpositions = false)),
+      maxGaps = 2, ordered = true)))
+    // a filter key on any rule wraps it in IFiltered; a filtered single
+    // match routes through the interval algebra (not the span matcher)
+    val ivF = QueryDsl.parseBool(
+      """{"query":{"bool":{"must":[{"intervals":{"text":{"match":
+        |{"query":"hash join","ordered":true,"max_gaps":2,
+        | "filter":{"not_containing":{"match":{"query":"scan"}}}}}}}]}}}""".stripMargin)
+    assert(ivF.bool.must.head == IntervalsQ(Intervals.IFiltered(
+      Intervals.IMatch(Seq("hash", "join"), 2, ordered = true),
+      Intervals.FNotContaining, Intervals.IMatch(Seq("scan")))))
+    bad("""{"intervals":{"text":{"prefix":{"prefix":""}}}}""")
+    bad("""{"intervals":{"text":{"wildcard":{"pattern":"A*"}}}}""")
+    bad("""{"intervals":{"text":{"fuzzy":{"term":"ab","fuzziness":3}}}}""")
+    bad("""{"intervals":{"text":{"match":{"query":"a b",
+      |"filter":{"nope":{"match":{"query":"c"}}}}}}}""".stripMargin)
+    bad("""{"intervals":{"text":{"match":{"query":"a b",
+      |"filter":{"before":{"match":{"query":"c"}},
+      |          "after":{"match":{"query":"d"}}}}}}}""".stripMargin)
+    // span_multi inside span_near lowers the whole query onto the interval
+    // algebra (identical width contract); all-span_term keeps SpanNearQ
+    val sm = QueryDsl.parseBool(
+      """{"query":{"bool":{"must":[{"span_near":{"clauses":[
+        |{"span_multi":{"match":{"wildcard":{"text":{"value":"s?a*"}}}}},
+        |{"span_term":{"text":"join"}}],"slop":2,"in_order":true}}]}}}""".stripMargin)
+    assert(sm.bool.must.head == IntervalsQ(Intervals.IAllOf(Seq(
+      Intervals.IWildcard("s?a*"), Intervals.IMatch(Seq("join"))),
+      maxGaps = 2, ordered = true)))
+    // standalone span_multi: each multi-term kind parses to its leaf
+    val smP = QueryDsl.parseBool(
+      """{"query":{"bool":{"must":[{"span_multi":{"match":
+        |{"prefix":{"text":{"value":"sc"}}},"boost":2.0}}]}}}""".stripMargin)
+    assert(smP.bool.must.head == IntervalsQ(Intervals.IPrefix("sc"), 2.0))
+    val smF = QueryDsl.parseBool(
+      """{"query":{"bool":{"must":[{"span_multi":{"match":
+        |{"fuzzy":{"text":{"value":"hasj","fuzziness":1,
+        |"prefix_length":1}}}}}]}}}""".stripMargin)
+    assert(smF.bool.must.head == IntervalsQ(Intervals.IFuzzy("hasj", 1, 1)))
+    bad("""{"span_multi":{"match":{"term":{"text":"a"}}}}""")
+    bad("""{"span_multi":{"match":{"wildcard":{"text":{"value":""}}}}}""")
+    bad("""{"span_near":{"clauses":[{"span_multi":{"match":
+      |{"regexp":{"text":{"value":"[bad"}}}}},
+      |{"span_term":{"text":"a"}}],"slop":1}}""".stripMargin)
   }
 
   test("span_containing/span_within lower onto one matcher; span_or lowers " +
