@@ -184,6 +184,32 @@ object AggEntries {
     // latitudes dropped as the reference does
     "agg_geotile_grid" -> ((s, dir) =>
       Geo.geotileGrid(geoPts(s, dir), "lat", "lon", zoom = 3)),
+    // geo_bounds + geo_centroid metric aggs in ONE pass over a filtered
+    // point set — six map-side-combinable partials, one final row
+    "agg_geo_bounds_centroid" -> ((s, dir) =>
+      Geo.boundsCentroid(
+        geoPts(s, dir).where(col("doc_id") % 3 === 0), "lat", "lon")),
+    // cardinality agg, the APPROXIMATE form the reference actually runs
+    // (HLL++ with precision_threshold): one map-side sketch per partition
+    // merged once — at 100 TB this replaces shuffling every distinct value
+    // with a few KB of sketch per field. The oracled claim: the exact
+    // count (independently re-derived) plus the sketch landing within 3x
+    // the configured rsd of it (0.05 here — well inside HLL++'s bound).
+    "agg_cardinality_approx" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      ev.agg(
+          countDistinct(col("user_id")).as("users_exact"),
+          approx_count_distinct(col("user_id"), 0.05).as("users_approx"),
+          countDistinct(col("event_id")).as("events_exact"),
+          approx_count_distinct(col("event_id"), 0.05).as("events_approx"))
+        .select(
+          col("users_exact"),
+          (abs(col("users_approx") - col("users_exact")) <=
+            col("users_exact") * 0.15).as("users_approx_ok"),
+          col("events_exact"),
+          (abs(col("events_approx") - col("events_exact")) <=
+            col("events_exact") * 0.15).as("events_approx_ok"))
+    }),
     // core search rescore (Lucene QueryRescorer): window_size=20 of the
     // primary BM25 ranking re-scored by a secondary query at
     // rescore_query_weight=2, score_mode=total; unmatched window docs keep
@@ -260,6 +286,22 @@ object AggEntries {
          |FROM pts
          |WHERE lat >= -85.05112878 AND lat <= 85.05112878
          |GROUP BY 1""".stripMargin,
+    "agg_geo_bounds_centroid" ->
+      s"""WITH $GeoCte
+         |SELECT max(lat) AS top, min(lon) AS "left",
+         |       min(lat) AS bottom, max(lon) AS "right",
+         |       round(avg(lat), 6) AS centroid_lat,
+         |       round(avg(lon), 6) AS centroid_lon,
+         |       count(*) AS n_points
+         |FROM pts WHERE doc_id % 3 = 0""".stripMargin,
+    // the exact counts re-derived independently; the sketch-accuracy claims
+    // ride as booleans the engine computed (and the oracle requires true)
+    "agg_cardinality_approx" ->
+      """SELECT count(DISTINCT user_id) AS users_exact,
+        |       true AS users_approx_ok,
+        |       count(DISTINCT event_id) AS events_exact,
+        |       true AS events_approx_ok
+        |FROM events""".stripMargin,
     "search_rescore" ->
       s"""WITH $tokCte,
          |p AS (

@@ -77,6 +77,21 @@ object Geo {
       col(lonCol) >= left && col(lonCol) <= right)
   }
 
+  /** `geo_bounds` + `geo_centroid` metric aggregations in ONE pass: the
+   *  tightest non-wrapping box (top/left/bottom/right = max/min column
+   *  aggregates) and the arithmetic-mean centroid with its point count.
+   *  All six metrics are map-side-combinable partials merged into a single
+   *  final row — the shape that costs one scan at any corpus size. The
+   *  centroid mean is summed in Spark's partial-aggregate order; the
+   *  entry rounds to a tolerance both engines reproduce. */
+  def boundsCentroid(points: DataFrame, latCol: String, lonCol: String): DataFrame =
+    points.agg(
+      max(col(latCol)).as("top"), min(col(lonCol)).as("left"),
+      min(col(latCol)).as("bottom"), max(col(lonCol)).as("right"),
+      round(avg(col(latCol)), 6).as("centroid_lat"),
+      round(avg(col(lonCol)), 6).as("centroid_lon"),
+      count(lit(1)).as("n_points"))
+
   /** Web-Mercator bound: tiles only exist for |lat| <= this. */
   val MercatorMaxLat = 85.05112878
 

@@ -101,4 +101,19 @@ class GeoSpec extends SparkSpec {
     assert(total == inRange.count())
     intercept[IllegalArgumentException](Geo.geotileGrid(pts, "lat", "lon", 30))
   }
+
+  test("geo_bounds + geo_centroid: one-pass hand-math on a known point set") {
+    import spark.implicits._
+    val known = Seq(
+      (1L, 10.0, -20.0), (2L, -30.0, 40.0), (3L, 50.0, 0.0), (4L, 0.0, 60.0)
+    ).toDF("id", "lat", "lon")
+    val r = Geo.boundsCentroid(known, "lat", "lon").collect().head
+    assert(r.getDouble(0) == 50.0)   // top = max lat
+    assert(r.getDouble(1) == -20.0)  // left = min lon
+    assert(r.getDouble(2) == -30.0)  // bottom = min lat
+    assert(r.getDouble(3) == 60.0)   // right = max lon
+    assert(r.getDouble(4) == 7.5)    // centroid lat = (10-30+50+0)/4
+    assert(r.getDouble(5) == 20.0)   // centroid lon = (-20+40+0+60)/4
+    assert(r.getLong(6) == 4L)
+  }
 }
