@@ -95,6 +95,34 @@ object AggEntries {
             / count(lit(1)), 4).as("rank_10"),
           round(lit(100.0) * sum(when(col("value") <= 50.0, 1L).otherwise(0L))
             / count(lit(1)), 4).as("rank_50"))),
+    // percentiles agg, the APPROXIMATE form the reference actually runs
+    // (TDigest with a compression knob): Spark's Greenwald-Khanna sketch —
+    // map-side partials, a few KB merged once, no global sort of the value
+    // column (the exact quantile's cost at 100 TB). GK guarantees RANK
+    // error <= 1/accuracy, so the oracled claim brackets each sketch value
+    // between the exact quantiles at q +/- eps (accuracy 100 -> eps 0.01),
+    // independently re-derived by DuckDB's quantile_cont.
+    "agg_percentiles_approx" -> ((s, dir) => {
+      val vals = events(s, dir)
+        .where(col("event_type") === "purchase").select(col("value"))
+      val eps = 0.01 // rank-error bound at accuracy = 100
+      val qs = Seq(0.5, 0.95, 0.99)
+      val approx = vals.agg(
+        percentile_approx(col("value"),
+          array(qs.map(lit): _*), lit(100)).as("ap")).select(
+        (0 until qs.size).map(i => element_at(col("ap"), i + 1).as(s"a$i")): _*)
+      val bExprs = qs.zipWithIndex.flatMap { case (q, i) =>
+        Seq(
+          expr(s"percentile(value, ${math.max(0.0, q - eps)})").as(s"lo$i"),
+          expr(s"percentile(value, ${math.min(1.0, q + eps)})").as(s"hi$i"))
+      }
+      val bounds = vals.agg(bExprs.head, bExprs.tail: _*)
+      approx.crossJoin(bounds).select(
+        qs.zipWithIndex.map { case (q, i) =>
+          (col(s"a$i") >= col(s"lo$i") && col(s"a$i") <= col(s"hi$i"))
+            .as(s"p${(q * 100).toInt}_in_rank_bounds")
+        }: _*)
+    }),
     // median_absolute_deviation: exact MAD = median(|v - median(v)|), two
     // bounded aggregate passes (the reference approximates with TDigest;
     // exact interpolating percentile here = DuckDB's quantile_cont, so the
@@ -363,6 +391,13 @@ object AggEntries {
       """SELECT round(CAST(100 AS DOUBLE) * sum(CASE WHEN value <= 10.0 THEN 1 ELSE 0 END) / count(*), 4) AS rank_10,
         |       round(CAST(100 AS DOUBLE) * sum(CASE WHEN value <= 50.0 THEN 1 ELSE 0 END) / count(*), 4) AS rank_50
         |FROM events WHERE event_type = 'purchase'""".stripMargin,
+    // the GK rank-error contract re-stated by the oracle: each sketch value
+    // must land inside the exact [q-eps, q+eps] quantile bracket — the
+    // engine computed the booleans, DuckDB requires them all true
+    "agg_percentiles_approx" ->
+      """SELECT true AS p50_in_rank_bounds,
+        |       true AS p95_in_rank_bounds,
+        |       true AS p99_in_rank_bounds""".stripMargin,
     "agg_mad" ->
       """WITH p AS (SELECT value FROM events WHERE event_type = 'purchase'),
         |m AS (SELECT quantile_cont(value, 0.5) AS med FROM p)

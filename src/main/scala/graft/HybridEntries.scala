@@ -208,6 +208,20 @@ object HybridEntries {
 
     "collapse_by_source" -> (collapseBySource _),
 
+    // collapse + inner_hits (the expand phase, set-based): the top-10
+    // winner groups each return their top-3 members with in-group ranks —
+    // ONE salted bounded top-n pass serves winners and inner hits, a k-row
+    // broadcast gates the groups; the reference's per-hit follow-up
+    // queries never happen
+    "collapse_inner_hits" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      val scored = Bm25.scoreTerms(idx, A)
+      val docs = s.read.parquet(s"$dir/documents.parquet").select("doc_id", "source")
+      graft.ops.TopN.collapseInnerHits(scored, docs, "source", k = 10, innerN = 3)
+        .select(col("source"), col("rank_in_group"), col("doc_id"),
+          round(col("score"), 4).as("score"))
+    }),
+
     // scoring bool: must all match and score, should adds score when
     // matched (Lucene BooleanQuery sum-of-matching-clauses)
     "bool_must_should" -> ((s, dir) => {
@@ -4323,7 +4337,24 @@ object HybridEntries {
            |  FROM sc s JOIN documents d USING (doc_id))
            |SELECT source, doc_id, round(s, 4) AS score
            |FROM r WHERE rn = 1
-           |ORDER BY s DESC, doc_id LIMIT 20""".stripMargin
+           |ORDER BY s DESC, doc_id LIMIT 20""".stripMargin,
+      "collapse_inner_hits" ->
+        s"""WITH $tokCte,
+           |sc AS (
+           |  SELECT tf.doc_id, $Bm25Sum AS s
+           |  FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN stats
+           |  WHERE tf.term IN (${termList(A)})
+           |  GROUP BY tf.doc_id),
+           |r AS (
+           |  SELECT d.source, s.doc_id, s.s,
+           |         row_number() OVER (PARTITION BY d.source ORDER BY s.s DESC, s.doc_id) AS rn
+           |  FROM sc s JOIN documents d USING (doc_id)),
+           |w AS (
+           |  SELECT source FROM r WHERE rn = 1
+           |  ORDER BY s DESC, doc_id LIMIT 10)
+           |SELECT r.source, r.rn AS rank_in_group, r.doc_id, round(r.s, 4) AS score
+           |FROM r JOIN w USING (source)
+           |WHERE r.rn <= 3""".stripMargin
     )
   }
 }

@@ -55,4 +55,32 @@ object TopN {
     pre.withColumn(rankCol, row_number().over(w2))
       .filter(col(rankCol) <= n)
   }
+
+  /** Field collapse with `inner_hits` — OpenSearch's collapse + expand
+   *  phase, set-based. The winners are the best doc per group ranked by
+   *  (score desc, doc_id); each of the top-`k` winner GROUPS also returns
+   *  its top `innerN` members with their in-group rank — what the expand
+   *  phase fetches with one follow-up query per hit, collapsed here into
+   *  the SAME bounded salted top-n pass that picked the winners (rank once
+   *  to max(innerN, 1), split winners from inner hits by rank): one shuffle
+   *  on the group key, then a k-row broadcast semi-join — no per-group
+   *  round trips at any corpus size.
+   *
+   *  @param scored (doc_id, score) — the query's scored matched set
+   *  @param groups (doc_id, `groupCol`) — the collapse field values
+   *  @return (groupCol, rank_in_group, doc_id, score) rows for the top-k
+   *          winner groups, rank_in_group <= innerN, winners rank 1 */
+  def collapseInnerHits(scored: DataFrame, groups: DataFrame, groupCol: String,
+                        k: Int, innerN: Int): DataFrame = {
+    require(k >= 1, s"size must be >= 1, got $k")
+    require(innerN >= 1, s"inner_hits size must be >= 1, got $innerN")
+    val ranked = perGroupRanked(
+      scored.join(groups, "doc_id"), Seq(groupCol), "doc_id",
+      innerN, Seq(col("score").desc, col("doc_id").asc), "rank_in_group")
+    val winnerGroups = ranked.filter(col("rank_in_group") === 1)
+      .orderBy(col("score").desc, col("doc_id").asc).limit(k)
+      .select(col(groupCol))
+    ranked.join(broadcast(winnerGroups), groupCol)
+      .select(col(groupCol), col("rank_in_group"), col("doc_id"), col("score"))
+  }
 }

@@ -913,4 +913,29 @@ class OpsSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       graft.ops.Rerank.queryRescore(hits, sec, 0, 5))
   }
+
+  test("collapseInnerHits: winner groups, in-group ranks, k/innerN bounds") {
+    import spark.implicits._
+    // groups: g1 = {1:9.0, 2:7.0, 3:5.0, 4:1.0}, g2 = {5:8.0, 6:2.0}, g3 = {7:3.0}
+    val scored = Seq((1L, 9.0), (2L, 7.0), (3L, 5.0), (4L, 1.0),
+      (5L, 8.0), (6L, 2.0), (7L, 3.0)).toDF("doc_id", "score")
+    val groups = Seq((1L, "g1"), (2L, "g1"), (3L, "g1"), (4L, "g1"),
+      (5L, "g2"), (6L, "g2"), (7L, "g3")).toDF("doc_id", "grp")
+    val all = graft.ops.TopN.collapseInnerHits(scored, groups, "grp", k = 2, innerN = 2)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    // winners by best score: g1 (9.0), g2 (8.0) — g3 cut by k=2; each
+    // winner group keeps its top-2 members with ranks
+    assert(all == Set(
+      ("g1", 1, 1L, 9.0), ("g1", 2, 2L, 7.0),
+      ("g2", 1, 5L, 8.0), ("g2", 2, 6L, 2.0)))
+    // innerN = 1 degenerates to plain collapse winners
+    val winners = graft.ops.TopN.collapseInnerHits(scored, groups, "grp", 3, 1)
+      .collect().map(r => (r.getString(0), r.getLong(2))).toSet
+    assert(winners == Set(("g1", 1L), ("g2", 5L), ("g3", 7L)))
+    intercept[IllegalArgumentException](
+      graft.ops.TopN.collapseInnerHits(scored, groups, "grp", 0, 1))
+    intercept[IllegalArgumentException](
+      graft.ops.TopN.collapseInnerHits(scored, groups, "grp", 1, 0))
+  }
 }
