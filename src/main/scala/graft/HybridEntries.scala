@@ -154,6 +154,13 @@ object HybridEntries {
       run(q(lex(Seq(A, B)), ZScoreNormTech, Combination(Combine.Arithmetic))) _,
     "hybrid_rrf" ->
       run(q(lex(Seq(A, B)), RrfNormTech(60), Combination(Combine.Rrf))) _,
+    // weighted RRF: a weighted SUM of the rank-reciprocal contributions —
+    // NOT re-normalized by the weight total (the reference's
+    // RRFScoreCombinationTechnique.combine sums score*weight and never
+    // divides); pins the sum-vs-mean divergence from arithmetic_mean
+    "hybrid_rrf_weighted" ->
+      run(q(lex(Seq(A, B)), RrfNormTech(60),
+        Combination(Combine.Rrf, Seq(0.7, 0.3)))) _,
     "hybrid_filtered" ->
       run(q(lex(Seq(A, B)), MinMaxNormTech(), Combination(Combine.Arithmetic)),
         langFilter = Some("en")) _,
@@ -3286,6 +3293,9 @@ object HybridEntries {
         hybridOracle(tokCte, lex(Seq(A, B)), ZScoreNormTech, Combination(Combine.Arithmetic)),
       "hybrid_rrf" ->
         hybridOracle(tokCte, lex(Seq(A, B)), RrfNormTech(60), Combination(Combine.Rrf)),
+      "hybrid_rrf_weighted" ->
+        hybridOracle(tokCte, lex(Seq(A, B)), RrfNormTech(60),
+          Combination(Combine.Rrf, Seq(0.7, 0.3))),
       "hybrid_filtered" ->
         hybridOracle(tokCte, lex(Seq(A, B)), MinMaxNormTech(), Combination(Combine.Arithmetic),
           filterPred = langF),

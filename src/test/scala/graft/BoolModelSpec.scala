@@ -86,18 +86,24 @@ class BoolModelSpec extends SparkSpec {
         val mus = b.must.map(eval)
         val shs = b.should.map(eval)
         val nos = b.mustNot.map(eval)
+        val fils = b.filter.map(eval)
         if (b.must.isEmpty && b.should.isEmpty) {
+          // filter-only (or empty) bool: required non-scoring context
           val excluded = nos.flatMap(_.keys).toSet
-          docs.keys.filterNot(excluded).map(_ -> 0.0).toMap
+          val base =
+            if (fils.isEmpty) docs.keys.toSet
+            else fils.map(_.keySet).reduce(_ intersect _)
+          base.filterNot(excluded).map(_ -> 0.0).toMap
         } else {
+          val req = mus ++ fils
           val candidates =
-            if (mus.nonEmpty) mus.map(_.keySet).reduce(_ intersect _)
+            if (req.nonEmpty) req.map(_.keySet).reduce(_ intersect _)
             else shs.map(_.keySet).reduce(_ union _)
           candidates.toSeq.flatMap { id =>
             val shMatched = shs.count(_.contains(id))
             val excluded = nos.exists(_.contains(id))
             if (excluded || shMatched < b.effectiveMsm) None
-            else Some(id ->
+            else Some(id -> // filter clauses contribute NO score
               (mus.flatMap(_.get(id)) ++ shs.flatMap(_.get(id))).sum)
           }.toMap
         }
@@ -125,7 +131,51 @@ class BoolModelSpec extends SparkSpec {
             .exists(tup => lp.exists(p => p >= tup.min && p <= tup.max))
           if (hit) Some(id -> b) else None
         }
+      case IntervalsQ(src, b) =>
+        docs.flatMap { case (id, toks) =>
+          if (ivMinimal(src, toks).nonEmpty) Some(id -> b) else None
+        }
       case other => throw new IllegalArgumentException(s"model can't eval $other")
+    }
+
+    /** exhaustive minimal-interval sets for the interval sources the
+     *  generator emits (match / term-set / any_of / all_of) — literal
+     *  set-filters, no DFS pruning; members minimize per recursion exactly
+     *  as Lucene's algebra requires (a non-minimal member can fake an
+     *  in-budget all_of window a minimal one cannot) */
+    private def ivMinimal(src: graft.query.Intervals.Source,
+                          toks: Seq[String]): Set[(Int, Int)] = {
+      import graft.query.Intervals._
+      def minimalSet(s: Set[(Int, Int)]): Set[(Int, Int)] =
+        s.filter(iv => !s.exists(o => o != iv && o._1 >= iv._1 && o._2 <= iv._2))
+      src match {
+        case IMatch(ts, mg, ord) =>
+          val budget = if (mg < 0) Int.MaxValue / 4 else mg
+          minimalSet(spanTuples(posOf(toks, ts), budget, ord)
+            .map(t => (t.min, t.max)).toSet)
+        case ITermSet(ts) =>
+          ts.flatMap(t => toks.zipWithIndex.collect { case (`t`, p) => (p, p) }).toSet
+        case IAnyOf(ss) => minimalSet(ss.flatMap(s => ivMinimal(s, toks)).toSet)
+        case IAllOf(ss, mg, ord) =>
+          val budget = if (mg < 0) Int.MaxValue / 4 else mg
+          val subs = ss.map(s => ivMinimal(s, toks).toSeq.sorted)
+          if (subs.exists(_.isEmpty)) Set.empty
+          else minimalSet(
+            subs.foldLeft(Seq(Seq.empty[(Int, Int)]))((acc, l) =>
+              acc.flatMap(pre => l.map(pre :+ _)))
+            .filter { ivs =>
+              val disjoint = ivs.combinations(2).forall {
+                case Seq(x, y) => x._2 < y._1 || y._2 < x._1
+              }
+              val chained = !ord ||
+                ivs.sliding(2).forall(s => s.size < 2 || s(1)._1 > s(0)._2)
+              val window = ivs.map(_._2).max - ivs.map(_._1).min + 1
+              val widths = ivs.map(iv => iv._2 - iv._1 + 1).sum
+              disjoint && chained && window - widths <= budget
+            }
+            .map(ivs => (ivs.map(_._1).min, ivs.map(_._2).max)).toSet)
+        case other => throw new IllegalArgumentException(s"model can't eval $other")
+      }
     }
 
     private def posOf(toks: Seq[String], ts: Seq[String]): Seq[Seq[Int]] =
@@ -149,7 +199,7 @@ class BoolModelSpec extends SparkSpec {
 
   private def term(): String = vocab(rnd.nextInt(vocab.size))
 
-  private def leaf(): SubQuery = rnd.nextInt(11) match {
+  private def leaf(): SubQuery = rnd.nextInt(13) match {
     case 0 => Lexical(Seq.fill(1 + rnd.nextInt(3))(term()))
     case 1 =>
       val ts = Seq.fill(2 + rnd.nextInt(2))(term())
@@ -170,6 +220,22 @@ class BoolModelSpec extends SparkSpec {
       0.5 + rnd.nextInt(3) * 0.5)
     case 10 => SpanContainingQ(Seq.fill(2)(term()), rnd.nextInt(4),
       rnd.nextBoolean(), term(), 0.5 + rnd.nextInt(3) * 0.5)
+    case 11 =>
+      // intervals match: 1-3 distinct terms, gaps -1 (unlimited) .. 3
+      import graft.query.Intervals
+      IntervalsQ(Intervals.IMatch(
+        Seq.fill(1 + rnd.nextInt(3))(term()).distinct,
+        rnd.nextInt(5) - 1, rnd.nextBoolean()), 0.5 + rnd.nextInt(3) * 0.5)
+    case 12 =>
+      // composed intervals: all_of / any_of over term-set + match leaves
+      import graft.query.Intervals
+      val l1 = Intervals.ITermSet(Seq.fill(1 + rnd.nextInt(2))(term()).distinct)
+      val l2 = Intervals.IMatch(Seq(term()))
+      val tree =
+        if (rnd.nextBoolean())
+          Intervals.IAllOf(Seq(l1, l2), rnd.nextInt(5) - 1, rnd.nextBoolean())
+        else Intervals.IAnyOf(Seq(l1, l2))
+      IntervalsQ(tree, 0.5 + rnd.nextInt(3) * 0.5)
   }
 
   private def clause(depth: Int): SubQuery =
@@ -185,12 +251,14 @@ class BoolModelSpec extends SparkSpec {
     val nm = rnd.nextInt(3)
     val ns = rnd.nextInt(3)
     val nn = rnd.nextInt(2)
+    val nf = rnd.nextInt(2) // FILTER context: required, non-scoring
     val b = BoolSub(
       must = Seq.fill(nm)(clause(depth)),
       should = Seq.fill(ns)(clause(depth)),
       mustNot = Seq.fill(nn)(clause(depth)),
-      minimumShouldMatch = if (ns > 0 && rnd.nextBoolean()) Some(rnd.nextInt(ns + 1)) else None)
-    if (b.must.isEmpty && b.should.isEmpty && b.mustNot.isEmpty)
+      minimumShouldMatch = if (ns > 0 && rnd.nextBoolean()) Some(rnd.nextInt(ns + 1)) else None,
+      filter = Seq.fill(nf)(clause(depth)))
+    if (b.must.isEmpty && b.should.isEmpty && b.mustNot.isEmpty && b.filter.isEmpty)
       BoolSub(must = Seq(leaf()))
     else b
   }
