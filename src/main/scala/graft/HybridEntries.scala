@@ -1032,6 +1032,23 @@ object HybridEntries {
         s.read.parquet(s"$dir/documents.parquet"))
         .select(col("doc_id"), round(col("score"), 4).as("score"))
     }),
+    // terms_set: the per-doc minimum-match form (CoveringQuery) — each doc
+    // requires `required_matches` (here 1 + doc_id % 3, a stored field) of
+    // {hash, join, scan}; score = BM25 sum over its matching terms
+    "dsl_terms_set" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      val json =
+        """{ "query": { "bool": {
+          |    "must": [ { "terms_set": { "text": {
+          |        "terms": ["hash", "join", "scan"],
+          |        "minimum_should_match_field": "required_matches" } } } ],
+          |    "should": [ { "match": { "text": "merge" } } ] } },
+          |  "size": 10 }""".stripMargin
+      val fields = s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("required_matches", lit(1) + col("doc_id") % 3)
+      graft.query.QueryDsl.execute(HybridSources(idx), json, fields)
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+    }),
     // span_multi (SpanMultiTermQueryWrapper): a wildcard slot inside
     // span_near — "s?a*" expands to {scan, small, spark} against the
     // dictionary, any expansion position fills the slot (unordered, slop 2);
@@ -2068,6 +2085,21 @@ object HybridEntries {
          |  SELECT doc_id, $boost AS s
          |  FROM (SELECT DISTINCT doc_id FROM tf
          |        WHERE term IN (${termList(values)})$f))""".stripMargin
+    case TermsSetFieldQ(ts, msmField, boost) =>
+      // per-doc msm re-derived from the same deterministic field expression
+      // the entry stores (required_matches = 1 + doc_id % 3); BM25 sum +
+      // distinct-matched count in ONE grouped pass, field join after
+      require(msmField == "required_matches",
+        s"oracle supports msm field [required_matches], got [$msmField]")
+      val f = filterPred.map(p => s" AND tf.${p}").getOrElse("")
+      s"""sq$i AS (
+         |  SELECT x.doc_id, x.s * $boost AS s FROM (
+         |    SELECT tf.doc_id, $Bm25Sum AS s, count(DISTINCT tf.term) AS nm
+         |    FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN stats
+         |    WHERE tf.term IN (${termList(ts.distinct)})$f
+         |    GROUP BY tf.doc_id) x
+         |  JOIN documents d ON d.doc_id = x.doc_id
+         |  WHERE x.nm >= greatest(1 + d.doc_id % 3, 1))""".stripMargin
     case TermsLookupQ(id, path, boost) =>
       // the lookup doc's analyzed tokens ARE its tf rows (path = text);
       // from there identical to the inline terms form
@@ -3460,6 +3492,10 @@ object HybridEntries {
             graft.query.Intervals.IWildcard("s?an")),
             maxGaps = 3, ordered = true))),
           should = Seq(Lexical(Seq("sort"))), mustNot = Nil, msm = 0),
+      "dsl_terms_set" ->
+        boolOracle(tokCte,
+          must = Seq(TermsSetFieldQ(Seq("hash", "join", "scan"), "required_matches")),
+          should = Seq(Lexical(Seq("merge"))), mustNot = Nil, msm = 0),
       "dsl_span_multi" ->
         boolOracle(tokCte,
           must = Seq(IntervalsQ(graft.query.Intervals.IAllOf(Seq(

@@ -212,6 +212,17 @@ case class LexicalMulti(fields: Seq[(String, Double)], terms: Seq[String],
 case class LexicalMsm(terms: Seq[String], minTermsMatch: Int,
                       boosts: Map[String, Double] = Map.empty) extends SubQuery
 
+/** `terms_set` query — the msm gate read PER DOC from a stored numeric
+ *  field (`minimum_should_match_field`): a doc qualifies when it matches at
+ *  least `max(field value, 1)` distinct query terms (Lucene CoveringQuery —
+ *  docs only ever enter through a matching term, so a value <= 1 degrades
+ *  to >= 1; a value above the term count can never be met). Score = the
+ *  BM25 sum over the doc's matching terms, like the bool-of-TermQuery the
+ *  reference compiles. Requires `HybridSources.fields` carrying the msm
+ *  column. */
+case class TermsSetFieldQ(terms: Seq[String], msmField: String,
+                          boost: Double = 1.0) extends SubQuery
+
 /** `match_all` — every live document matches with the constant boost score
  *  (Lucene MatchAllDocsQuery). The explicit base clause for purely-negative
  *  or filter-plus-score bools. */
@@ -694,6 +705,14 @@ object Hybrid {
         require(terms.nonEmpty, "match requires a non-empty query text")
         require(m >= 1 && m <= terms.distinct.size,
           s"minimum_should_match must be in [1, ${terms.distinct.size}], got $m")
+      case TermsSetFieldQ(terms, msmField, boost) =>
+        require(terms.nonEmpty, "terms_set requires a non-empty [terms] array")
+        require(terms.forall(_.matches("[a-z0-9]+")),
+          s"terms_set terms must be analyzed tokens, got [${terms.mkString(" ")}]")
+        require(msmField.nonEmpty, "terms_set requires [minimum_should_match_field]")
+        require(src.fields.nonEmpty,
+          "terms_set requires HybridSources.fields with the minimum_should_match_field column")
+        require(boost > 0, s"[boost] must be > 0, got $boost")
       case MatchAll(boost) =>
         require(boost > 0, s"[boost] must be > 0, got $boost")
       case b: BoolSub =>
@@ -1024,6 +1043,12 @@ object Hybrid {
         // top-k trim, so the bound stays a valid upper set for global top-k
         Bm25.scoreTerms(src.idx, terms, boosts, limitPerBucket = boundPerBucket,
           minTermsMatch = m)
+      case TermsSetFieldQ(terms, msmField, boost) =>
+        // per-doc msm from the stored field: the full scored set joins its
+        // distinct-matched-term counts and the field — no per-bucket trim
+        // (the gate depends on the field, so a trim could drop a qualifier)
+        Bm25.termsSetField(src.idx, terms, src.fields.get, msmField)
+          .select($"doc_id", ($"score" * boost).as("score"))
       case MatchAll(boost) =>
         // the live-doc universe, decoded block-locally from the forward
         // table — constant score, no postings touched
@@ -1677,8 +1702,8 @@ object Hybrid {
            _: LexicalMulti | _: LexicalMsm |
            _: MatchAll | _: BoolSub | _: TermPattern | _: ConstantScore |
            _: DisMax | _: Boosting | _: Fuzzy | _: MoreLikeThisQ |
-           _: IdsQ | _: TermsSet | _: RegexPattern | _: ExistsQ |
-           _: SpanNearQ | _: IntervalsQ => ()
+           _: IdsQ | _: TermsSet | _: TermsSetFieldQ | _: RegexPattern |
+           _: ExistsQ | _: SpanNearQ | _: IntervalsQ => ()
       case _: SparseLinear => increment("neural_sparse_query_requests")
       case _: DenseCosine | _: DenseVector | _: DenseIvf | _: DenseRadial =>
         increment("neural_query_requests")

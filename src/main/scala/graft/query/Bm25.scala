@@ -190,6 +190,37 @@ object Bm25 {
   }
 
   /**
+   * `terms_set` scoring: the BM25 sum over a doc's matching query terms,
+   * gated by a PER-DOC minimum-match count read from a stored numeric
+   * field (Lucene CoveringQuery with a LongValuesSource msm). The scored
+   * set comes from the standard fused scorer; the distinct-matched-term
+   * counts come from ONE extra decode of the SAME bucket-pruned blocks
+   * (term-id pairs, map-side-combined count) — per-query work stays
+   * posting-proportional, and the field join is matched-set-sized. A field
+   * value <= 1 degrades to >= 1 (docs only enter through a matching term);
+   * a value above the distinct term count can never be met.
+   */
+  def termsSetField(idx: Index, terms: Seq[String], fields: DataFrame,
+                    msmField: String): DataFrame = {
+    val spark = idx.postings.sparkSession
+    import spark.implicits._
+    val uniq = terms.distinct
+    val scored = scoreTerms(idx, uniq)
+    val matched = idx.postings.filter($"term".isin(uniq: _*))
+    val pairs = matched.flatMap { b =>
+      val base = b.bucket << InvertedIndex.BucketBits
+      val ids = PostingCodec.decodeDeltas(b.docs, b.cnt)
+      (0 until b.cnt).iterator.map(i => (base + ids(i), b.term))
+    }.toDF("doc_id", "term")
+    val nm = pairs.groupBy($"doc_id")
+      .agg(countDistinct($"term").as("_nm"))
+    scored.join(nm, "doc_id")
+      .join(fields.select($"doc_id", col(msmField).cast("long").as("_need")), "doc_id")
+      .where($"_nm" >= greatest($"_need", lit(1L)))
+      .select($"doc_id", $"score")
+  }
+
+  /**
    * Constant-score multi-term match: all live docs containing any indexed
    * term matching the SQL LIKE pattern — Lucene's PrefixQuery / WildcardQuery
    * under the default CONSTANT_SCORE rewrite (MultiTermQuery doesn't rank,

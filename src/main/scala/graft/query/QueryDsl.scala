@@ -978,6 +978,18 @@ object QueryDsl {
         "term requires a non-empty value (object form: {\"value\": ...})")
       require(boost > 0, s"[boost] must be > 0, got $boost")
       Lexical(Seq(v), if (boost == 1.0) Map.empty else Map(v -> boost))
+    } else if (!q.path("terms_set").isMissingNode) {
+      // {"terms_set": {"text": {"terms": [...],
+      //   "minimum_should_match_field": "required_matches"}}} — the per-doc
+      // msm form (Lucene CoveringQuery); the constant-msm form is `match`
+      // with minimum_should_match
+      val (_, body) = firstField(q.path("terms_set"))
+      val arr = body.path("terms")
+      require(arr.isArray && arr.size() > 0,
+        "terms_set requires a non-empty [terms] array")
+      val ts = (0 until arr.size()).map(arr.get(_).asText())
+      val f = body.path("minimum_should_match_field").asText("")
+      graft.hybrid.TermsSetFieldQ(ts, f, body.path("boost").asDouble(1.0))
     } else if (!q.path("neural_sparse").isMissingNode) {
       val (field, body) = firstField(q.path("neural_sparse"))
       val toks = body.path("query_tokens")

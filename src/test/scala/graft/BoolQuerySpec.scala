@@ -1,6 +1,6 @@
 package graft
 
-import graft.hybrid.{Hybrid, HybridQuery, HybridSources, Lexical, SubQuery}
+import graft.hybrid.{Hybrid, HybridQuery, HybridSources, Lexical, SubQuery, TermsSetFieldQ}
 import graft.index.InvertedIndex
 import graft.query.{Bm25, BoolQuery, QueryDsl}
 import graft.query.BoolQuery.BoolSpec
@@ -400,6 +400,42 @@ class BoolQuerySpec extends SparkSpec {
     // a field with no registered index fails fast
     intercept[IllegalArgumentException] {
       BoolQuery.topK(src, BoolSpec(must = Seq(graft.hybrid.ExistsQ("nope"))), 10)
+    }
+  }
+
+  test("terms_set: per-doc msm gate from a field, <=1 degrades, unmatchable need") {
+    // corpus: 0 -> {a,b,c}, 1 -> {a,b}, 2 -> {c,d}, 3 -> {d,e}, 4 -> {e,a,c}
+    // query terms {a, b, c}; matched distinct counts: 0->3, 1->2, 2->1, 4->2
+    def fields(needs: Map[Long, Long]) =
+      needs.toSeq.toDF("doc_id", "required_matches")
+    def run(needs: Map[Long, Long]): Map[Long, Double] =
+      BoolQuery.topK(
+        HybridSources(idx, fields = Some(fields(needs))),
+        BoolSpec(must = Seq(TermsSetFieldQ(Seq("a", "b", "c"), "required_matches"))), 10)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // per-doc needs: doc 0 needs 3 (has 3 ✓), doc 1 needs 3 (has 2 ✗),
+    // doc 2 needs 1 (has 1 ✓), doc 4 needs 2 (has 2 ✓)
+    val got = run(Map(0L -> 3L, 1L -> 3L, 2L -> 1L, 3L -> 1L, 4L -> 2L))
+    assert(got.keySet == Set(0L, 2L, 4L))
+    // the score is the plain BM25 sum over matching terms — identical to
+    // the ungated match for qualifying docs
+    val plain = BoolQuery.topK(HybridSources(idx),
+      BoolSpec(must = Seq(Lexical(Seq("a", "b", "c")))), 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    got.foreach { case (id, s) => assert(math.abs(s - plain(id)) < 1e-12) }
+    // need <= 1 degrades to >= 1 (docs only enter through a matching term)
+    assert(run(Map(0L -> 0L, 1L -> -5L, 2L -> 1L, 3L -> 0L, 4L -> 1L)).keySet
+      == Set(0L, 1L, 2L, 4L))
+    // a need above the distinct term count can never be met
+    assert(run(Map(0L -> 4L, 1L -> 4L, 2L -> 4L, 3L -> 4L, 4L -> 4L)).isEmpty)
+    // validation: fields source required, non-empty analyzed terms
+    intercept[IllegalArgumentException] {
+      BoolQuery.topK(HybridSources(idx),
+        BoolSpec(must = Seq(TermsSetFieldQ(Seq("a"), "required_matches"))), 10)
+    }
+    intercept[IllegalArgumentException] {
+      BoolQuery.topK(HybridSources(idx, fields = Some(fields(Map(0L -> 1L)))),
+        BoolSpec(must = Seq(TermsSetFieldQ(Nil, "required_matches"))), 10)
     }
   }
 
