@@ -734,6 +734,26 @@ object HybridEntries {
         json, docs)
         .select(col("doc_id"), round(col("score"), 4).as("score"))
     }),
+    // nested query: the block-join over sub-documents (chunks as the nested
+    // path) — shares has_child's one-join-one-aggregation shape; score_mode
+    // defaults to avg (nested's default, unlike has_child's none)
+    "dsl_nested" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val children = graft.ops.Chunkers
+        .fixedTokenLength(docs, "doc_id", "text", 12)
+        .withColumnRenamed("doc_id", "parent_id")
+      val json =
+        """{ "query": { "bool": {
+          |    "must": [ { "nested": { "path": "chunks",
+          |        "query": { "match": { "chunk": "hash join" } } } } ],
+          |    "should": [ { "match": { "text": "sort" } } ] } },
+          |  "size": 15 }""".stripMargin
+      graft.query.QueryDsl.execute(
+        HybridSources(idx, children = Map("chunks" -> ((children, "chunk")))),
+        json, docs)
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+    }),
     // script_score: the exact-kNN idiom — the inner query filters, the
     // vector space function REPLACES its score. All three supported
     // painless sources in one bool: cosine+1 (must), 1/(1+l2²) and a
@@ -3531,6 +3551,11 @@ object HybridEntries {
             inOrder = true, "merge")),
           should = Seq(TermsSet(Seq("scan", "sort"))), mustNot = Nil,
           msm = 0, k = 20),
+      "dsl_nested" ->
+        boolOracle(tokCte,
+          must = Seq(HasChildQ("chunks", Seq("hash", "join"), "avg", 1)),
+          should = Seq(Lexical(Seq("sort"))), mustNot = Nil,
+          msm = 0, k = 15),
       "dsl_has_child" ->
         boolOracle(tokCte,
           must = Seq(HasChildQ("chunks", Seq("hash", "join"), "sum", 2)),

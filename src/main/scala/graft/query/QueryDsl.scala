@@ -747,6 +747,26 @@ object QueryDsl {
       graft.hybrid.HasChildQ(rel, toks,
         body.path("score_mode").asText("none"), minC, maxC,
         body.path("boost").asDouble(1.0))
+    } else if (!q.path("nested").isMissingNode) {
+      // {"nested": {"path": "chunks", "query": {"match": {...}},
+      //   "score_mode": "avg"}} — the block-join over sub-documents. The
+      // relational formulation keeps nested docs as a first-class child
+      // table keyed by the parent id, so `nested` and `has_child` share
+      // ONE join + ONE score_mode aggregation; the semantic differences
+      // that survive are the defaults (nested scores avg, has_child none)
+      // and the absence of min/max_children
+      val body = q.path("nested")
+      val rel = body.path("path").asText("")
+      require(rel.nonEmpty, "nested requires [path] (the registered nested relation)")
+      val m = body.path("query").path("match")
+      require(!m.isMissingNode, "nested [query] must be a match clause")
+      val (_, mv) = firstField(m)
+      val text = if (mv.isObject) mv.path("query").asText() else mv.asText()
+      val toks = Analyzer.analyze(analyzer)(text).toSeq
+      require(toks.nonEmpty, "nested match requires non-empty query text")
+      graft.hybrid.HasChildQ(rel, toks,
+        body.path("score_mode").asText("avg"), 1, Int.MaxValue,
+        body.path("boost").asDouble(1.0))
     } else if (!q.path("fuzzy").isMissingNode) {
       // {"fuzzy": {"text": {"value": "joim", "fuzziness": 1, "boost": 2.0,
       // "transpositions": true}}} | {"fuzzy": {"text": "joim"}} (fuzziness

@@ -655,6 +655,15 @@ class QueryDslSpec extends SparkSpec {
         |{"fuzzy":{"text":{"value":"hasj","fuzziness":1,
         |"prefix_length":1}}}}}]}}}""".stripMargin)
     assert(smF.bool.must.head == IntervalsQ(Intervals.IFuzzy("hasj", 1, 1)))
+    // nested lowers onto the has_child machinery with nested's OWN defaults
+    // (score_mode avg, no children bounds)
+    val nq = QueryDsl.parseBool(
+      """{"query":{"bool":{"must":[{"nested":{"path":"chunks",
+        |"query":{"match":{"chunk":"hash join"}}}}]}}}""".stripMargin)
+    assert(nq.bool.must.head ==
+      HasChildQ("chunks", Seq("hash", "join"), "avg", 1, Int.MaxValue))
+    bad("""{"nested":{"query":{"match":{"chunk":"a"}}}}""")
+    bad("""{"nested":{"path":"chunks","query":{"term":{"chunk":"a"}}}}""")
     bad("""{"span_multi":{"match":{"term":{"text":"a"}}}}""")
     bad("""{"span_multi":{"match":{"wildcard":{"text":{"value":""}}}}}""")
     bad("""{"span_near":{"clauses":[{"span_multi":{"match":
