@@ -216,6 +216,38 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(3000))
   }
 
+  test("intervals pattern expansion is dictionary-only; the positional cogroup " +
+    "prunes by the EXPANDED term set") {
+    import graft.query.Intervals
+    // expansion side: the prefix predicate reaches the disk-backed termStats
+    // scan as a pushed StartsWith — the expansion never touches postings
+    val tmp = java.nio.file.Files.createTempDirectory("plan-iv-").toString
+    import spark.implicits._
+    val docs = (0L until 200L).map(i => (i, s"alpha beta w$i")).toDF("doc_id", "text")
+    val disk = InvertedIndex.buildAndWrite(docs, "doc_id", "text", tmp, Analyzer.Simple)
+    val ep = disk.termStats.filter(col("term").startsWith("al"))
+      .queryExecution.executedPlan.toString
+    assert(ep.contains("PushedFilters") &&
+      (ep.contains("StringStartsWith(term") || ep.contains("StartsWith(term")),
+      "expansion predicate must reach the termStats scan: " + ep.take(3000))
+    assert(Intervals.resolve(disk, Intervals.IPrefix("al")) ==
+      Intervals.ITermSet(Seq("alpha")))
+    // match side: after resolve, the positional scan filters by the CONCRETE
+    // expanded terms (bounded isin), evaluated in the same cogroup kernel as
+    // every positional matcher — no Window, no global sort
+    val pos = graft.index.Positions.build(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
+      "doc_id", "text")
+    val p = plan(Intervals.matchDocs(idx, pos, Intervals.IAllOf(Seq(
+      Intervals.IPrefix("ta"), Intervals.IMatch(Seq("join"))),
+      maxGaps = 2, ordered = true)))
+    assert(p.contains("CoGroup"), p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+    assert(!p.contains("rangepartitioning"), p.take(3000))
+    assert(p.contains("table"), // 'ta%' expands to the concrete term
+      "the expanded term must appear as a literal scan filter: " + p.take(3000))
+  }
+
   test("span_near matched set stays a cogroup over pruned positional blocks — no Window, no global sort") {
     val pos = graft.index.Positions.build(
       spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
