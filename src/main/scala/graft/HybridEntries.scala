@@ -1170,6 +1170,23 @@ object HybridEntries {
     // (hash, ...); "src pkg" completes against the PATH dictionary (pkg0,
     // pkg1, pkg10, ... — term order, first max_expansions), so the same
     // typed prefix expands differently per field
+    // multi_match type bool_prefix (Type.BOOL_PREFIX): one match_bool_prefix
+    // per field under a dis-max — "merge" scores as a TermQuery per field,
+    // "fil" is a constant-score prefix over EACH field's own dictionary
+    // ("fil%" hits path's file{N} tokens, not text's), tie_breaker 0.3
+    "dsl_multi_match_bool_prefix" -> ((s, dir) => {
+      val src = srcWithPath(s, dir)
+      val json =
+        """{ "query": { "bool": {
+          |    "must": [ { "multi_match": { "query": "merge fil",
+          |        "fields": ["text", "path^2"], "type": "bool_prefix",
+          |        "tie_breaker": 0.3 } } ],
+          |    "should": [ { "match": { "text": "sort" } } ] } },
+          |  "size": 10 }""".stripMargin
+      graft.query.QueryDsl.execute(src, json,
+        s.read.parquet(s"$dir/documents.parquet"))
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+    }),
     "dsl_multi_match_phrase_prefix" -> ((s, dir) => {
       val src = srcWithPath(s, dir).copy(
         positions = Some(IndexCache.positions(s, dir)),
@@ -2657,6 +2674,69 @@ object HybridEntries {
          |  $unions),
          |sq$i AS (
          |  SELECT doc_id, $termSum AS s FROM u$i GROUP BY doc_id)""".stripMargin
+    case LexicalMulti(fields, terms, BoolPrefixFields(tb)) =>
+      // per field: BM25 sum over the LEADING tokens + a constant 1.0 when
+      // any dictionary term with the last token's prefix occurs in the doc
+      // — the parts sum (bool should), fields dis-max with tie_breaker
+      val lead = terms.init.distinct
+      val fieldCtes = fields.zipWithIndex.map { case ((f, _), j) =>
+        val (tfT, dlT, dfT, stT, extra) = f match {
+          case "text" => ("tf", "dl", "df", "stats", "")
+          case "path" =>
+            val p =
+              s"""crp${i}_$j AS (
+                 |  SELECT doc_id,
+                 |         'src/pkg' || (doc_id % 97) || '/File' || doc_id || '.' || lang AS fv
+                 |  FROM documents),
+                 |ptok${i}_$j AS (
+                 |  SELECT doc_id, unnest(list_filter(
+                 |    string_split(regexp_replace(lower(fv), '[^a-z0-9]+', ' ', 'g'), ' '),
+                 |    x -> x <> '')) AS term FROM crp${i}_$j),
+                 |ptf${i}_$j AS (SELECT doc_id, term, count(*) AS tf FROM ptok${i}_$j GROUP BY doc_id, term),
+                 |pdl${i}_$j AS (SELECT doc_id, count(*) AS dl FROM ptok${i}_$j GROUP BY doc_id),
+                 |pdf${i}_$j AS (SELECT term, count(*) AS df FROM ptf${i}_$j GROUP BY term),
+                 |pstats${i}_$j AS (SELECT (SELECT count(*) FROM documents) AS n,
+                 |  (SELECT sum(dl)*1.0/(SELECT count(*) FROM documents) FROM pdl${i}_$j) AS avgdl),
+                 |""".stripMargin
+            (s"ptf${i}_$j", s"pdl${i}_$j", s"pdf${i}_$j", s"pstats${i}_$j", p)
+          case other => throw new IllegalArgumentException(
+            s"no oracle token chain for multi_match field [$other]")
+        }
+        val flt = filterPred.map(p => s" AND tf.${p}").getOrElse("")
+        val fltP = filterPred.map(p => s" AND ${p}").getOrElse("")
+        val leadSel =
+          if (lead.isEmpty) ""
+          else
+            s"""SELECT tf.doc_id,
+               |           sum( ln(1 + (stats.n - df.df + 0.5)/(df.df + 0.5))
+               |                * (tf.tf / (tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/stats.avgdl))) ) AS s
+               |    FROM $tfT tf JOIN $dlT dl USING (doc_id) JOIN $dfT df USING (term)
+               |         CROSS JOIN $stT stats
+               |    WHERE tf.term IN (${termList(lead)})$flt
+               |    GROUP BY tf.doc_id
+               |    UNION ALL
+               |    """.stripMargin
+        s"""${extra}sq${i}_f$j AS (
+           |  SELECT doc_id, sum(s) AS s FROM (
+           |    ${leadSel}SELECT DISTINCT doc_id, 1.0 AS s FROM $tfT
+           |    WHERE term LIKE '${terms.last}%'$fltP)
+           |  GROUP BY doc_id)""".stripMargin
+      }.mkString(",\n")
+      val unions = fields.zipWithIndex.map { case ((_, b), j) =>
+        s"SELECT doc_id, s * $b AS s, $j AS fid FROM sq${i}_f$j"
+      }.mkString("\n        UNION ALL ")
+      val pivots = fields.indices.map(j =>
+        s"max(CASE WHEN fid = $j THEN s END) AS f$j").mkString(",\n               ")
+      val cSum = fields.indices.map(j => s"COALESCE(f$j, 0)").mkString("(", " + ", ")")
+      val mx = fields.indices.map(j => s"COALESCE(f$j, 0)").mkString("greatest(", ", ", ")")
+      val combine = if (tb == 0.0) mx else s"$mx + $tb * ($cSum - $mx)"
+      s"""$fieldCtes,
+         |sq$i AS (
+         |  SELECT doc_id, $combine AS s
+         |  FROM (SELECT doc_id,
+         |               $pivots
+         |        FROM ($unions) u${i}
+         |        GROUP BY doc_id) p$i)""".stripMargin
     case LexicalMulti(fields, terms, mm @ (MostFields | _: BestFields)) =>
       // per-field BM25 over each field's OWN token stream — field "text" is
       // the shared tf/dl/df/stats chain, field "path" re-derives the corpus
@@ -3869,6 +3949,11 @@ object HybridEntries {
           LexicalMulti(Seq("text" -> 1.0, "path" -> 2.0),
             Seq("src", "pkg"), PhrasePrefixFields(0.3, 5))),
           mustNot = Nil, msm = 1),
+      "dsl_multi_match_bool_prefix" ->
+        boolOracle(tokCte,
+          must = Seq(LexicalMulti(Seq("text" -> 1.0, "path" -> 2.0),
+            Seq("merge", "fil"), BoolPrefixFields(0.3))),
+          should = Seq(Lexical(Seq("sort"))), mustNot = Nil, msm = 0),
       "dsl_bool_nested_filter" ->
         boolOracle(tokCte,
           must = Seq(BoolSub(

@@ -192,6 +192,13 @@ case class PhraseFields(tieBreaker: Double = 0.0, slop: Int = 0) extends MultiMa
  *  in term order), the leading tokens match exactly. */
 case class PhrasePrefixFields(tieBreaker: Double = 0.0,
                               maxExpansions: Int = 50) extends MultiMatchType
+/** `bool_prefix`: a match_bool_prefix per field under a
+ *  DisjunctionMaxQuery (MultiMatchQueryBuilder.Type.BOOL_PREFIX) — every
+ *  analyzed token but the last scores as a TermQuery against the field's
+ *  own stats, the LAST token is a constant-score prefix over that field's
+ *  dictionary (Lucene's PrefixQuery rewrite scores 1), the field's parts
+ *  SUM (bool should, msm 0), fields combine dis-max with tie_breaker. */
+case class BoolPrefixFields(tieBreaker: Double = 0.0) extends MultiMatchType
 
 /** Multi-field lexical clause — the `multi_match` query: the same analyzed
  *  terms scored independently against several indexed fields (each with its
@@ -673,6 +680,10 @@ object Hybrid {
             require(tb >= 0.0 && tb <= 1.0, s"tie_breaker must be in [0,1], got $tb")
           case MostFields  => ()
           case CrossFields => ()
+          case BoolPrefixFields(tb) =>
+            require(tb >= 0.0 && tb <= 1.0, s"tie_breaker must be in [0,1], got $tb")
+            require(terms.last.matches("[a-z0-9]+"),
+              s"bool_prefix's last token must be an analyzed token, got [${terms.last}]")
           case PhraseFields(tb, slop) =>
             require(tb >= 0.0 && tb <= 1.0, s"tie_breaker must be in [0,1], got $tb")
             require(slop >= 0, s"[slop] must be >= 0, got $slop")
@@ -1325,7 +1336,22 @@ object Hybrid {
         // doc that is below any single field's bucket-local top-k.
         val tagged = fields.zipWithIndex.map { case ((f, b), i) =>
           val fi = if (f == "text") src.idx else src.fieldIdx(f)
-          Bm25.scoreTerms(fi, terms, limitPerBucket = 0)
+          val fieldScore = mm match {
+            case BoolPrefixFields(_) =>
+              // bool_prefix: leading tokens as scored TermQueries, the last
+              // as a constant-score prefix over THIS field's dictionary —
+              // the parts sum like the bool should they compile to
+              val parts =
+                (if (terms.size > 1)
+                   Seq(Bm25.scoreTerms(fi, terms.init, limitPerBucket = 0))
+                 else Seq.empty) :+
+                Bm25.matchLike(fi, terms.last + "%")
+                  .select($"doc_id", lit(1.0).as("score"))
+              parts.reduce(_ unionByName _)
+                .groupBy($"doc_id").agg(sum($"score").as("score"))
+            case _ => Bm25.scoreTerms(fi, terms, limitPerBucket = 0)
+          }
+          fieldScore
             .select($"doc_id", ($"score" * b).as("score"), lit(i).as("fid"))
         }
         val u = tagged.reduce(_ unionByName _)
@@ -1335,12 +1361,15 @@ object Hybrid {
           max(when($"fid" === i, $"score")).as(s"_f$i"))
         val agg = u.groupBy($"doc_id").agg(pivots.head, pivots.tail: _*)
         val cols = fields.indices.map(i => coalesce(col(s"_f$i"), lit(0.0)))
-        val sum = cols.reduceLeft(_ + _)
+        val sumCols = cols.reduceLeft(_ + _)
         val score = mm match {
-          case MostFields => sum
+          case MostFields => sumCols
           case BestFields(tb) =>
             val mx = cols.reduceLeft((a, b) => greatest(a, b))
-            if (tb == 0.0) mx else mx + lit(tb) * (sum - mx)
+            if (tb == 0.0) mx else mx + lit(tb) * (sumCols - mx)
+          case BoolPrefixFields(tb) =>
+            val mx = cols.reduceLeft((a, b) => greatest(a, b))
+            if (tb == 0.0) mx else mx + lit(tb) * (sumCols - mx)
         }
         agg.select($"doc_id", score.as("score"))
       case LexicalPhrase(ph, slop) =>

@@ -983,9 +983,15 @@ object QueryDsl {
           graft.hybrid.PhrasePrefixFields(
             body.path("tie_breaker").asDouble(0.0),
             body.path("max_expansions").asInt(50))
+        case "bool_prefix" =>
+          // one match_bool_prefix per field under a dis-max
+          // (Type.BOOL_PREFIX): leading tokens score, the last is a
+          // constant-score prefix on each field's own dictionary
+          graft.hybrid.BoolPrefixFields(body.path("tie_breaker").asDouble(0.0))
         case other => throw new IllegalArgumentException(
           s"multi_match type [$other] is not supported " +
-            "(best_fields, most_fields, cross_fields, phrase, phrase_prefix)")
+            "(best_fields, most_fields, cross_fields, phrase, " +
+            "phrase_prefix, bool_prefix)")
       }
       val terms = Analyzer.analyze(analyzer)(text).toSeq
       graft.hybrid.LexicalMulti(fields, terms, mm)

@@ -245,4 +245,45 @@ class MultiMatchSpec extends SparkSpec {
     assert(pp.bool.must.head == LexicalMulti(
       Seq("text" -> 1.0, "body" -> 2.0), Seq("a", "ba"), PhrasePrefixFields(0.2, 7)))
   }
+
+  test("type=bool_prefix: leading tokens score, last is a constant prefix " +
+    "per field's own dictionary, fields dis-max") {
+    import graft.hybrid.BoolPrefixFields
+    // query "a d" -> lead term "a" (scored), prefix "d%" (constant 1).
+    // title dictionary: {a,b,c} — d% matches nothing;
+    // body dictionary: {a,b,c,d} — d in body docs 0 and 1.
+    val terms = Seq("a", "d")
+    val tLead = fieldScores(titleIdx, Seq("a")) // title: doc 0
+    val bLead = fieldScores(bodyIdx, Seq("a"))  // body: doc 1
+    val bPref = Set(0L, 1L)                     // body docs containing d
+    val boost = 2.0
+    def fieldScore(lead: Map[Long, Double], pref: Set[Long], b: Double): Map[Long, Double] =
+      (lead.keySet ++ pref).map { id =>
+        id -> (lead.getOrElse(id, 0.0) + (if (pref(id)) 1.0 else 0.0)) * b
+      }.toMap
+    val t = fieldScore(tLead, Set.empty, 1.0)
+    val b = fieldScore(bLead, bPref, boost)
+    val tb = 0.3
+    val want = (t.keySet ++ b.keySet).map { id =>
+      val ts = t.getOrElse(id, 0.0); val bs = b.getOrElse(id, 0.0)
+      val mx = math.max(ts, bs)
+      id -> (mx + tb * (ts + bs - mx))
+    }.toMap
+    val got = scoresOf(BoolPrefixFields(tb),
+      Seq("text" -> 1.0, "body" -> boost), terms)
+    assert(got.keySet == want.keySet, s"got $got want $want")
+    got.foreach { case (id, s) =>
+      assert(math.abs(s - want(id)) < 1e-9, s"doc $id: got $s want ${want(id)}")
+    }
+    // single-token query: prefix only — matched set is the prefix set
+    val gotP = scoresOf(BoolPrefixFields(0.0), Seq("body" -> 1.0), Seq("d"))
+    assert(gotP == Map(0L -> 1.0, 1L -> 1.0))
+    // DSL parse
+    val bp = QueryDsl.parseBool(
+      """{"query":{"bool":{"must":[{"multi_match":
+        |{"query":"a d","fields":["text","body^2"],"type":"bool_prefix",
+        | "tie_breaker":0.3}}]}}}""".stripMargin)
+    assert(bp.bool.must.head == LexicalMulti(
+      Seq("text" -> 1.0, "body" -> 2.0), Seq("a", "d"), BoolPrefixFields(0.3)))
+  }
 }
