@@ -650,6 +650,20 @@ object HybridEntries {
         s.read.parquet(s"$dir/documents.parquet"))
         .select(col("doc_id"), round(col("score"), 4).as("score"))
     }),
+    // simple_query_string term-level operators: fil* (prefix), merg~1
+    // (Damerau fuzzy), "hash join"~1 (phrase slop), '|' (explicit OR =
+    // the default), -dup prohibits — the full fail-soft mini-language
+    "dsl_simple_query_string_ops" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      val src = HybridSources(idx, positions = Some(IndexCache.positions(s, dir)))
+      val json =
+        """{ "query": { "simple_query_string": {
+          |    "query": "fil* | merg~1 +\"hash join\"~1 -dup" } },
+          |  "size": 10 }""".stripMargin
+      graft.query.QueryDsl.execute(src, json,
+        s.read.parquet(s"$dir/documents.parquet"))
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+    }),
     // explain: per-clause score breakdown from the same pivot aggregate
     "bool_explain" -> ((s, dir) => {
       val idx = IndexCache.documents(s, dir)
@@ -3533,6 +3547,11 @@ object HybridEntries {
       "dsl_simple_query_string" ->
         boolOracle(tokCte, must = Seq(Lexical(Seq("join"))),
           should = Seq(Lexical(Seq("merge")), LexicalPhrase(Seq("table", "hash"))),
+          mustNot = Seq(Lexical(Seq("dup"))), msm = 0),
+      "dsl_simple_query_string_ops" ->
+        boolOracle(tokCte,
+          must = Seq(LexicalPhrase(Seq("hash", "join"), 1)),
+          should = Seq(TermPattern("fil%"), Fuzzy("merg", 1)),
           mustNot = Seq(Lexical(Seq("dup"))), msm = 0),
       "bool_explain" ->
         boolOracle(tokCte, must = Seq(Lexical(A)),

@@ -782,14 +782,20 @@ object QueryDsl {
       require(v.nonEmpty, "fuzzy requires a non-empty value")
       graft.hybrid.Fuzzy(v, fz, boost, tr)
     } else if (!q.path("simple_query_string").isMissingNode) {
-      // {"simple_query_string": {"query": "merge -dup +join \"table hash\""}}
-      // — the fail-soft mini-language: bare tokens are optional (OR),
-      // '+' requires, '-' prohibits, quotes make a phrase. Parses into the
-      // bool algebra, so it composes like any clause.
+      // {"simple_query_string": {"query":
+      //   "merge -dup +join fil* merg~1 \"table hash\"~1"}} — the
+      // fail-soft mini-language: bare tokens are optional (OR), '+'
+      // requires, '-' prohibits, quotes make a phrase; a trailing '*' is a
+      // PREFIX operator (constant-score dictionary expansion), a trailing
+      // '~N' on a term is FUZZY (Damerau, Lucene's default) and on a
+      // phrase is SLOP. '|' is the explicit OR separator — the default
+      // already, so it parses as whitespace. Parses into the bool algebra,
+      // so it composes like any clause.
       val body = q.path("simple_query_string")
       val text = if (body.isObject) body.path("query").asText("") else body.asText("")
       require(text.nonEmpty, "simple_query_string requires a non-empty [query]")
-      val tok = java.util.regex.Pattern.compile("([+-]?)(\"([^\"]*)\"|\\S+)")
+      val tok = java.util.regex.Pattern.compile(
+        "([+-]?)(\"([^\"]*)\"(~(\\d+))?|\\S+)")
       val m = tok.matcher(text)
       val must = Seq.newBuilder[SubQuery]
       val should = Seq.newBuilder[SubQuery]
@@ -797,16 +803,34 @@ object QueryDsl {
       val analyze: String => Array[String] = Analyzer.analyze(analyzer)(_)
       while (m.find()) {
         val quoted = m.group(3) != null
-        val terms = analyze(if (quoted) m.group(3) else m.group(2)).toSeq
-        if (terms.nonEmpty) {
+        val raw = if (quoted) m.group(3) else m.group(2)
+        // term-level operators, applied BEFORE analysis strips them
+        val (core, suffix: Option[SubQuery]) =
+          if (quoted) (raw, None)
+          else raw match {
+            case s if s == "|" => ("", None) // explicit OR = the default
+            case s if s.endsWith("*") && s.length > 1 &&
+                s.dropRight(1).matches("[a-z0-9]+") =>
+              ("", Some(graft.hybrid.TermPattern(s.dropRight(1) + "%")))
+            case s if s.matches("[a-z0-9]+~[0-2]") =>
+              val Array(t, f) = s.split('~')
+              ("", Some(graft.hybrid.Fuzzy(t, f.toInt)))
+            case s => (s, None)
+          }
+        val terms = if (core.isEmpty) Seq.empty else analyze(core).toSeq
+        val clause: Option[SubQuery] = suffix.orElse {
+          if (terms.isEmpty) None
           // a 1-term "phrase" degrades to a term match, like the reference
-          val clause: SubQuery =
-            if (quoted && terms.size >= 2) graft.hybrid.LexicalPhrase(terms)
-            else Lexical(terms)
+          else if (quoted && terms.size >= 2) {
+            val slop = Option(m.group(5)).map(_.toInt).getOrElse(0)
+            Some(graft.hybrid.LexicalPhrase(terms, slop))
+          } else Some(Lexical(terms))
+        }
+        clause.foreach { c =>
           m.group(1) match {
-            case "+" => must += clause
-            case "-" => mustNot += clause
-            case _   => should += clause
+            case "+" => must += c
+            case "-" => mustNot += c
+            case _   => should += c
           }
         }
       }

@@ -655,6 +655,15 @@ class QueryDslSpec extends SparkSpec {
         |{"fuzzy":{"text":{"value":"hasj","fuzziness":1,
         |"prefix_length":1}}}}}]}}}""".stripMargin)
     assert(smF.bool.must.head == IntervalsQ(Intervals.IFuzzy("hasj", 1, 1)))
+    // simple_query_string term-level operators: prefix (*), fuzzy (~N),
+    // phrase slop ("..."~N), explicit OR (|) parses as the default
+    val sqs = QueryDsl.parseBool(
+      """{"query":{"bool":{"must":[{"simple_query_string":{
+        |"query":"fil* | merg~1 +\"hash join\"~2 -dup plain"}}]}}}""".stripMargin)
+    assert(sqs.bool.must.head == BoolSub(
+      must = Seq(LexicalPhrase(Seq("hash", "join"), 2)),
+      should = Seq(TermPattern("fil%"), Fuzzy("merg", 1), Lexical(Seq("plain"))),
+      mustNot = Seq(Lexical(Seq("dup")))))
     // nested lowers onto the has_child machinery with nested's OWN defaults
     // (score_mode avg, no children bounds)
     val nq = QueryDsl.parseBool(
