@@ -650,6 +650,22 @@ object HybridEntries {
         s.read.parquet(s"$dir/documents.parquet"))
         .select(col("doc_id"), round(col("score"), 4).as("score"))
     }),
+    // range as a SCORING clause + query_string comparison syntax:
+    // n_chars:>=300^2 is a boosted constant-score range beside scored terms
+    // (ConstantScore(PointRangeQuery)); a JSON range leaf sits in the should
+    "dsl_query_string_range" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      val json =
+        """{ "query": { "bool": {
+          |    "must": [ { "query_string": {
+          |        "query": "merge AND n_chars:>=300^2" } } ],
+          |    "should": [ { "range": {
+          |        "n_chars": { "gte": 100, "lt": 220, "boost": 0.5 } } } ] } },
+          |  "size": 10 }""".stripMargin
+      graft.query.QueryDsl.execute(HybridSources(idx), json,
+        s.read.parquet(s"$dir/documents.parquet"))
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+    }),
     // simple_query_string term-level operators: fil* (prefix), merg~1
     // (Damerau fuzzy), "hash join"~1 (phrase slop), '|' (explicit OR =
     // the default), -dup prohibits — the full fail-soft mini-language
@@ -2136,6 +2152,15 @@ object HybridEntries {
          |  SELECT doc_id, $boost AS s
          |  FROM (SELECT DISTINCT doc_id FROM tf
          |        WHERE term IN (${termList(values)})$f))""".stripMargin
+    case RangeQ(f, gte, gt, lte, lt, boost) =>
+      // constant-score stored-field range — re-derived straight off the
+      // documents table
+      val conds = (gte.map(v => s"$f >= $v") ++ gt.map(v => s"$f > $v") ++
+        lte.map(v => s"$f <= $v") ++ lt.map(v => s"$f < $v")).mkString(" AND ")
+      val flt = filterPred.map(p => s" AND ${p}").getOrElse("")
+      s"""sq$i AS (
+         |  SELECT doc_id, $boost AS s FROM documents
+         |  WHERE $conds$flt)""".stripMargin
     case TermsSetFieldQ(ts, msmField, boost) =>
       // per-doc msm re-derived from the same deterministic field expression
       // the entry stores (required_matches = 1 + doc_id % 3); BM25 sum +
@@ -3553,6 +3578,13 @@ object HybridEntries {
           must = Seq(LexicalPhrase(Seq("hash", "join"), 1)),
           should = Seq(TermPattern("fil%"), Fuzzy("merg", 1)),
           mustNot = Seq(Lexical(Seq("dup"))), msm = 0),
+      "dsl_query_string_range" ->
+        boolOracle(tokCte,
+          must = Seq(BoolSub(must = Seq(Lexical(Seq("merge")),
+            RangeQ("n_chars", gte = Some(300), boost = 2.0)))),
+          should = Seq(RangeQ("n_chars", gte = Some(100), lt = Some(220),
+            boost = 0.5)),
+          mustNot = Nil, msm = 0),
       "bool_explain" ->
         boolOracle(tokCte, must = Seq(Lexical(A)),
           should = Seq(Lexical(B), Lexical(Seq("scan"))),

@@ -219,6 +219,22 @@ case class LexicalMulti(fields: Seq[(String, Double)], terms: Seq[String],
 case class LexicalMsm(terms: Seq[String], minTermsMatch: Int,
                       boosts: Map[String, Double] = Map.empty) extends SubQuery
 
+/** `range` as a SCORING-context clause — Lucene's
+ *  ConstantScore(PointRangeQuery): docs whose stored numeric field falls in
+ *  the bounds score the flat boost. The predicate is plain column algebra
+ *  over `HybridSources.fields`, so it reaches the scan pushed down; in
+ *  FILTER context the request-level filter machinery handles ranges — this
+ *  clause is for must/should positions (and query_string's `field:>=n`
+ *  comparison syntax), where the matched set must carry a score. */
+case class RangeQ(field: String, gte: Option[Double] = None,
+                  gt: Option[Double] = None, lte: Option[Double] = None,
+                  lt: Option[Double] = None, boost: Double = 1.0) extends SubQuery {
+  require(Seq(gte, gt, lte, lt).exists(_.nonEmpty),
+    s"range [$field] requires at least one of gte/gt/lte/lt")
+  require(gte.isEmpty || gt.isEmpty, s"range [$field]: gte and gt conflict")
+  require(lte.isEmpty || lt.isEmpty, s"range [$field]: lte and lt conflict")
+}
+
 /** `terms_set` query — the msm gate read PER DOC from a stored numeric
  *  field (`minimum_should_match_field`): a doc qualifies when it matches at
  *  least `max(field value, 1)` distinct query terms (Lucene CoveringQuery —
@@ -716,6 +732,11 @@ object Hybrid {
         require(terms.nonEmpty, "match requires a non-empty query text")
         require(m >= 1 && m <= terms.distinct.size,
           s"minimum_should_match must be in [1, ${terms.distinct.size}], got $m")
+      case r @ RangeQ(f, _, _, _, _, boost) =>
+        require(f.nonEmpty, "range requires a [field]")
+        require(src.fields.nonEmpty,
+          "a scoring range clause requires HybridSources.fields with the range column")
+        require(boost > 0, s"[boost] must be > 0, got $boost")
       case TermsSetFieldQ(terms, msmField, boost) =>
         require(terms.nonEmpty, "terms_set requires a non-empty [terms] array")
         require(terms.forall(_.matches("[a-z0-9]+")),
@@ -1060,6 +1081,13 @@ object Hybrid {
         // (the gate depends on the field, so a trim could drop a qualifier)
         Bm25.termsSetField(src.idx, terms, src.fields.get, msmField)
           .select($"doc_id", ($"score" * boost).as("score"))
+      case RangeQ(f, gte, gt, lte, lt, boost) =>
+        // plain pushed-down column predicate over the stored fields table,
+        // constant score — never touches postings
+        val pred = (gte.map(col(f) >= _) ++ gt.map(col(f) > _) ++
+          lte.map(col(f) <= _) ++ lt.map(col(f) < _)).reduce(_ && _)
+        src.fields.get.where(pred)
+          .select($"doc_id", lit(boost).as("score"))
       case MatchAll(boost) =>
         // the live-doc universe, decoded block-locally from the forward
         // table — constant score, no postings touched
@@ -1731,8 +1759,8 @@ object Hybrid {
            _: LexicalMulti | _: LexicalMsm |
            _: MatchAll | _: BoolSub | _: TermPattern | _: ConstantScore |
            _: DisMax | _: Boosting | _: Fuzzy | _: MoreLikeThisQ |
-           _: IdsQ | _: TermsSet | _: TermsSetFieldQ | _: RegexPattern |
-           _: ExistsQ | _: SpanNearQ | _: IntervalsQ => ()
+           _: IdsQ | _: TermsSet | _: TermsSetFieldQ | _: RangeQ |
+           _: RegexPattern | _: ExistsQ | _: SpanNearQ | _: IntervalsQ => ()
       case _: SparseLinear => increment("neural_sparse_query_requests")
       case _: DenseCosine | _: DenseVector | _: DenseIvf | _: DenseRadial =>
         increment("neural_query_requests")

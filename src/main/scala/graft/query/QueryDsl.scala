@@ -1028,6 +1028,16 @@ object QueryDsl {
         "term requires a non-empty value (object form: {\"value\": ...})")
       require(boost > 0, s"[boost] must be > 0, got $boost")
       Lexical(Seq(v), if (boost == 1.0) Map.empty else Map(v -> boost))
+    } else if (!q.path("range").isMissingNode) {
+      // {"range": {"n_chars": {"gte": 100, "lt": 300, "boost": 2.0}}} as a
+      // SCORING-context clause (must/should): constant-score like Lucene's
+      // ConstantScore(PointRangeQuery). Filter-context ranges keep the
+      // request-level filter machinery (pushed into every sub-query).
+      val (f, body) = firstField(q.path("range"))
+      def num(k: String): Option[Double] =
+        Option(body.path(k)).filter(_.isNumber).map(_.asDouble())
+      graft.hybrid.RangeQ(f, num("gte"), num("gt"), num("lte"), num("lt"),
+        body.path("boost").asDouble(1.0))
     } else if (!q.path("terms_set").isMissingNode) {
       // {"terms_set": {"text": {"terms": [...],
       //   "minimum_should_match_field": "required_matches"}}} — the per-doc
@@ -1347,6 +1357,22 @@ object QueryDsl {
     case object FBare extends Flag
 
     def atomToClause(a: QsAtom): SubQuery = {
+      // fielded comparison syntax: field:>=n field:>n field:<=n field:<n —
+      // Lucene query_string's open-ended range forms, lowered onto the
+      // constant-score RangeQ clause (the bracket form [a TO b] spans
+      // lexer tokens and is not supported — compose two comparisons)
+      val cmp = "(>=|<=|>|<)(-?[0-9.]+)".r
+      (a.field, a.body) match {
+        case (Some(f), cmp(op, n)) if !a.quoted =>
+          val v = n.toDouble
+          return op match {
+            case ">=" => graft.hybrid.RangeQ(f, gte = Some(v), boost = a.boost)
+            case ">"  => graft.hybrid.RangeQ(f, gt = Some(v), boost = a.boost)
+            case "<=" => graft.hybrid.RangeQ(f, lte = Some(v), boost = a.boost)
+            case "<"  => graft.hybrid.RangeQ(f, lt = Some(v), boost = a.boost)
+          }
+        case _ => ()
+      }
       if (a.quoted) {
         val ts = Analyzer.analyze(analyzer)(a.body).toSeq
         require(ts.nonEmpty, s"query_string phrase analyzed to nothing: [${a.body}]")

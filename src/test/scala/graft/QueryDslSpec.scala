@@ -664,6 +664,19 @@ class QueryDslSpec extends SparkSpec {
       must = Seq(LexicalPhrase(Seq("hash", "join"), 2)),
       should = Seq(TermPattern("fil%"), Fuzzy("merg", 1), Lexical(Seq("plain"))),
       mustNot = Seq(Lexical(Seq("dup")))))
+    // range as a scoring clause: JSON leaf + query_string comparison syntax
+    val rq = QueryDsl.parseBool(
+      """{"query":{"bool":{
+        |"must":[{"query_string":{"query":"merge AND n_chars:>=300^2"}}],
+        |"should":[{"range":{"n_chars":{"gte":100,"lt":220,"boost":0.5}}}]}}}"""
+        .stripMargin)
+    assert(rq.bool.must.head == BoolSub(must = Seq(Lexical(Seq("merge")),
+      RangeQ("n_chars", gte = Some(300), boost = 2.0))))
+    assert(rq.bool.should.head ==
+      RangeQ("n_chars", gte = Some(100), lt = Some(220), boost = 0.5))
+    bad("""{"range":{"n_chars":{}}}""")
+    intercept[IllegalArgumentException](
+      RangeQ("n_chars", gte = Some(1.0), gt = Some(2.0)))
     // nested lowers onto the has_child machinery with nested's OWN defaults
     // (score_mode avg, no children bounds)
     val nq = QueryDsl.parseBool(
