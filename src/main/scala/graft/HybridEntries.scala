@@ -94,6 +94,15 @@ object HybridEntries {
     HybridSources(IndexCache.documents(s, dir),
       fieldIdx = Map("path" -> IndexCache.corpusField(s, dir, "path")))
 
+  /** Sources with both secondary field indexes: `path` (disjoint
+   *  vocabulary) and `title` (subset vocabulary — the combined_fields
+   *  tf-merge case). */
+  private def srcWithTitle(s: SparkSession, dir: String): HybridSources =
+    HybridSources(IndexCache.documents(s, dir),
+      fieldIdx = Map(
+        "path"  -> IndexCache.corpusField(s, dir, "path"),
+        "title" -> IndexCache.documentsTitle(s, dir)))
+
   /** Semantic-field registry for the routed-DSL entries: one sparse-model
    *  and one dense-model field over the documents corpus, both chunked at
    *  tokenLimit 20 (the mapper's auto-generated sub-fields). */
@@ -1212,6 +1221,41 @@ object HybridEntries {
           |        "fields": ["text", "path^2"], "type": "bool_prefix",
           |        "tie_breaker": 0.3 } } ],
           |    "should": [ { "match": { "text": "sort" } } ] } },
+          |  "size": 10 }""".stripMargin
+      graft.query.QueryDsl.execute(src, json,
+        s.read.parquet(s"$dir/documents.parquet"))
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+    }),
+    // combined_fields (Lucene CombinedFieldQuery, BM25F-style): text +
+    // title^2 merge into ONE pseudo-field — title is the first 5 text
+    // tokens, so a term occurring there counts (1 + 2·tf_title) into the
+    // MERGED frequency before saturation, and doc length/avgdl/df merge
+    // too; minimum_should_match 2 gates on distinct matched terms
+    "dsl_combined_fields" -> ((s, dir) => {
+      val src = srcWithTitle(s, dir)
+      val json =
+        """{ "query": { "bool": {
+          |    "must": [ { "combined_fields": {
+          |      "query": "join merge hash", "fields": ["text", "title^2"],
+          |      "operator": "or", "minimum_should_match": 2 } } ],
+          |    "should": [ { "match": { "text": "sort" } } ] } },
+          |  "size": 10 }""".stripMargin
+      graft.query.QueryDsl.execute(src, json,
+        s.read.parquet(s"$dir/documents.parquet"))
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+    }),
+    // combined_fields operator=and across DISJOINT vocabularies: "join"
+    // lives only in text, "en" only in path (the lang extension token) —
+    // the pseudo-field makes the AND hold across fields (a doc matches by
+    // covering the terms ANYWHERE among the fields), which per-field
+    // most_fields/best_fields cannot express
+    "dsl_combined_fields_and" -> ((s, dir) => {
+      val src = srcWithTitle(s, dir)
+      val json =
+        """{ "query": { "bool": {
+          |    "must": [ { "combined_fields": {
+          |      "query": "join en", "fields": ["text", "path"],
+          |      "operator": "and" } } ] } },
           |  "size": 10 }""".stripMargin
       graft.query.QueryDsl.execute(src, json,
         s.read.parquet(s"$dir/documents.parquet"))
@@ -2713,6 +2757,95 @@ object HybridEntries {
          |  $unions),
          |sq$i AS (
          |  SELECT doc_id, $termSum AS s FROM u$i GROUP BY doc_id)""".stripMargin
+    case LexicalMulti(fields, terms, CombinedFields(msm)) =>
+      // combined_fields: merged pseudo-field stats — tf' = Σ w_f·tf_f and
+      // dl' = Σ w_f·dl_f merge BEFORE saturation, df' = max over fields,
+      // avgdl' = Σ w_f·sumdl_f / n; per-field and per-term folds mirror the
+      // engine's fixed-order pivots exactly
+      val uniq = terms.distinct
+      val gate = math.max(msm, 1)
+      val chains = fields.zipWithIndex.map { case ((f, _), j) =>
+        f match {
+          case "text" => ("tf", "dl", "df", "")
+          case "path" =>
+            val pre =
+              s"""crp${i}_$j AS (
+                 |  SELECT doc_id,
+                 |         'src/pkg' || (doc_id % 97) || '/File' || doc_id || '.' || lang AS fv
+                 |  FROM documents),
+                 |ptok${i}_$j AS (
+                 |  SELECT doc_id, unnest(list_filter(
+                 |    string_split(regexp_replace(lower(fv), '[^a-z0-9]+', ' ', 'g'), ' '),
+                 |    x -> x <> '')) AS term FROM crp${i}_$j),
+                 |ptf${i}_$j AS (SELECT doc_id, term, count(*) AS tf FROM ptok${i}_$j GROUP BY doc_id, term),
+                 |pdl${i}_$j AS (SELECT doc_id, count(*) AS dl FROM ptok${i}_$j GROUP BY doc_id),
+                 |pdf${i}_$j AS (SELECT term, count(*) AS df FROM ptf${i}_$j GROUP BY term),
+                 |""".stripMargin
+            (s"ptf${i}_$j", s"pdl${i}_$j", s"pdf${i}_$j", pre)
+          case "title" =>
+            // IndexCache.documentsTitle: first 5 whitespace tokens of text
+            val pre =
+              s"""ttok${i}_$j AS (
+                 |  SELECT doc_id, unnest(list_filter(
+                 |    array_slice(string_split(text, ' '), 1, 5), x -> x <> '')) AS term
+                 |  FROM documents),
+                 |ttf${i}_$j AS (SELECT doc_id, term, count(*) AS tf FROM ttok${i}_$j GROUP BY doc_id, term),
+                 |tdl${i}_$j AS (SELECT doc_id, count(*) AS dl FROM ttok${i}_$j GROUP BY doc_id),
+                 |tdf${i}_$j AS (SELECT term, count(*) AS df FROM ttf${i}_$j GROUP BY term),
+                 |""".stripMargin
+            (s"ttf${i}_$j", s"tdl${i}_$j", s"tdf${i}_$j", pre)
+          case other => throw new IllegalArgumentException(
+            s"no oracle token chain for combined_fields field [$other]")
+        }
+      }
+      val termVals = uniq.map(t => s"('$t')").mkString(", ")
+      val cdfJoins = chains.zipWithIndex
+        .map { case ((_, _, dfT, _), j) => s"LEFT JOIN $dfT d$j ON d$j.term = t.term" }
+        .mkString("\n  ")
+      val cdfGreatest = chains.indices.map(j => s"coalesce(d$j.df, 0)").mkString(", ")
+      val cavgSum = fields.zipWithIndex
+        .map { case ((_, w), j) => s"$w * (SELECT sum(dl) FROM ${chains(j)._2})" }
+        .mkString(" + ")
+      val flt = filterPred.map(p => s" AND ${p}").getOrElse("")
+      val wtfUnion = fields.zipWithIndex.map { case ((_, w), j) =>
+        s"""SELECT doc_id, term, $w * tf AS wtf, $j AS fid
+           |    FROM ${chains(j)._1} WHERE term IN (${termList(uniq)})$flt""".stripMargin
+      }.mkString("\n    UNION ALL\n    ")
+      val wdlUnion = fields.zipWithIndex.map { case ((_, w), j) =>
+        s"SELECT doc_id, $w * dl AS wdl, $j AS fid FROM ${chains(j)._2}"
+      }.mkString("\n    UNION ALL\n    ")
+      def fieldFold(v: String) = chains.indices
+        .map(j => s"COALESCE(max(CASE WHEN fid = $j THEN $v END), 0)")
+        .mkString("(", " + ", ")")
+      val termFold = uniq
+        .map(t => s"COALESCE(max(CASE WHEN term = '$t' THEN s END), 0)")
+        .mkString("(", " + ", ")")
+      val termCnt = uniq
+        .map(t => s"CASE WHEN max(CASE WHEN term = '$t' THEN s END) IS NOT NULL THEN 1 ELSE 0 END")
+        .mkString("(", " + ", ")")
+      s"""${chains.map(_._4).mkString("")}cdf$i AS (
+         |  SELECT t.term, greatest($cdfGreatest) AS df
+         |  FROM (VALUES $termVals) t(term)
+         |  $cdfJoins
+         |  WHERE greatest($cdfGreatest) > 0),
+         |cavg$i AS (SELECT ($cavgSum) * 1.0 / (SELECT count(*) FROM documents) AS avgdl),
+         |ctf$i AS (
+         |  SELECT doc_id, term, ${fieldFold("wtf")} AS ctf
+         |  FROM ($wtfUnion) wu$i
+         |  GROUP BY doc_id, term),
+         |cdl$i AS (
+         |  SELECT doc_id, ${fieldFold("wdl")} AS cdl
+         |  FROM ($wdlUnion) wl$i
+         |  GROUP BY doc_id),
+         |cu$i AS (
+         |  SELECT ctf.doc_id, ctf.term,
+         |         ln(1 + ((SELECT count(*) FROM documents) - cdf.df + 0.5)/(cdf.df + 0.5))
+         |           * (ctf.ctf / (ctf.ctf + 1.2*(1 - 0.75 + 0.75*cdl.cdl/cavg.avgdl))) AS s
+         |  FROM ctf$i ctf JOIN cdl$i cdl USING (doc_id) JOIN cdf$i cdf USING (term)
+         |       CROSS JOIN cavg$i cavg),
+         |sq$i AS (
+         |  SELECT doc_id, $termFold AS s FROM cu$i GROUP BY doc_id
+         |  HAVING $termCnt >= $gate)""".stripMargin
     case LexicalMulti(fields, terms, BoolPrefixFields(tb)) =>
       // per field: BM25 sum over the LEADING tokens + a constant 1.0 when
       // any dictionary term with the last token's prefix occurs in the doc
@@ -3993,6 +4126,16 @@ object HybridEntries {
         boolOracle(tokCte, must = Seq(LexicalMulti(
           Seq("text" -> 1.0, "path" -> 2.0), MultiTerms, BestFields(0.3))),
           should = Nil, mustNot = Seq(Lexical(Seq("dup"))), msm = 0),
+      "dsl_combined_fields" ->
+        boolOracle(tokCte, must = Seq(LexicalMulti(
+          Seq("text" -> 1.0, "title" -> 2.0), Seq("join", "merge", "hash"),
+          CombinedFields(2))),
+          should = Seq(Lexical(Seq("sort"))), mustNot = Nil, msm = 0),
+      "dsl_combined_fields_and" ->
+        boolOracle(tokCte, must = Seq(LexicalMulti(
+          Seq("text" -> 1.0, "path" -> 1.0), Seq("join", "en"),
+          CombinedFields(2))),
+          should = Nil, mustNot = Nil, msm = 0),
       "dsl_multi_match_phrase_prefix" ->
         boolOracle(tokCte, must = Nil, should = Seq(
           LexicalMulti(Seq("text" -> 1.0, "path" -> 2.0),

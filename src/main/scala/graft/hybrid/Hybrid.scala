@@ -199,6 +199,28 @@ case class PhrasePrefixFields(tieBreaker: Double = 0.0,
  *  dictionary (Lucene's PrefixQuery rewrite scores 1), the field's parts
  *  SUM (bool should, msm 0), fields combine dis-max with tie_breaker. */
 case class BoolPrefixFields(tieBreaker: Double = 0.0) extends MultiMatchType
+/** The `combined_fields` query — Lucene's CombinedFieldQuery (BM25F without
+ *  per-field b): the queried fields merge into ONE pseudo-field and BM25
+ *  runs once over the merged statistics, instead of combining per-field
+ *  scores. Per term t and doc d:
+ *
+ *    tf'(d,t)  = Σ_f w_f · tf_f(d,t)        (weighted freqs merge)
+ *    dl'(d)    = Σ_f w_f · dl_f(d)          (weighted lengths merge)
+ *    df'(t)    = max_f df_f(t)              (merged TermStatistics)
+ *    avgdl'    = Σ_f w_f · sumdl_f / docCount
+ *    score(d)  = Σ_t idf(df'(t)) · tf'/(tf' + k1·(1−b+b·dl'/avgdl'))
+ *
+ *  exactly Lucene's pseudo-collection merge (docFreq = max over fields,
+ *  sumTotalTermFreq = weighted sum, norms summed per doc via
+ *  MultiNormsLeafSimScorer). Unlike cross_fields — which keeps per-field
+ *  scores and blends only the idf — combined_fields saturates the MERGED
+ *  term frequency, so two half-occurrences in two fields score like one
+ *  whole occurrence in one field. Each analyzed term is one
+ *  CombinedFieldQuery clause in a should-bool, so `operator: and` /
+ *  `minimum_should_match` gate on DISTINCT matched terms
+ *  ([[CombinedFields.minTermsMatch]]), like `match`. Lucene requires every
+ *  field weight >= 1 (scores must stay upper-boundable); validated here. */
+case class CombinedFields(minTermsMatch: Int = 0) extends MultiMatchType
 
 /** Multi-field lexical clause — the `multi_match` query: the same analyzed
  *  terms scored independently against several indexed fields (each with its
@@ -696,6 +718,14 @@ object Hybrid {
             require(tb >= 0.0 && tb <= 1.0, s"tie_breaker must be in [0,1], got $tb")
           case MostFields  => ()
           case CrossFields => ()
+          case CombinedFields(msm) =>
+            require(msm >= 0, s"minimum_should_match must be >= 0, got $msm")
+            // Lucene's CombinedFieldQuery rejects field weights < 1 (the
+            // merged-norm upper bound breaks below 1)
+            fields.foreach { case (f, b) =>
+              require(b >= 1.0,
+                s"combined_fields requires field weights >= 1, got [$f^$b]")
+            }
           case BoolPrefixFields(tb) =>
             require(tb >= 0.0 && tb <= 1.0, s"tie_breaker must be in [0,1], got $tb")
             require(terms.last.matches("[a-z0-9]+"),
@@ -1315,6 +1345,106 @@ object Hybrid {
           val score = uniq.indices
             .map(ti => coalesce(col(s"_t$ti"), lit(0.0))).reduceLeft(_ + _)
           agg.select($"doc_id", score.as("score"))
+        }
+      case LexicalMulti(fields, terms, CombinedFields(msm)) =>
+        // combined_fields: ONE pseudo-field built from merged statistics —
+        // tf' = Σ w_f·tf_f and dl' = Σ w_f·dl_f merge BEFORE saturation
+        // (Lucene CombinedFieldQuery / MultiNormsLeafSimScorer), df' = max
+        // over fields, avgdl' from the weighted sum of field lengths. The
+        // work is bounded by the query terms' postings across the fields:
+        // per field the term-pruned postings decode to (doc, term, w·tf)
+        // rows, doc lengths ship only for buckets any field matched (the
+        // same semi-join contract as the single-field scorer). Per-field
+        // contributions and per-term scores both combine through
+        // fixed-order pivot folds — deterministic FP at any parallelism.
+        val spark = src.idx.postings.sparkSession
+        import spark.implicits.{newProductEncoder, localSeqToDatasetHolder}
+        val idxOf = fields.map { case (f, _) =>
+          f -> (if (f == "text") src.idx else src.fieldIdx(f)) }.toMap
+        val uniq = terms.distinct
+        val dfsOf = fields.map { case (f, _) =>
+          f -> Bm25.termDfs(idxOf(f), uniq) }.toMap
+        // merged TermStatistics: docFreq = max over fields (absent = 0)
+        val mergedDf = uniq.flatMap { t =>
+          val ds = fields.flatMap { case (f, _) => dfsOf(f).get(t) }
+          if (ds.isEmpty) None else Some(t -> ds.max)
+        }.toMap
+        val gate = math.max(msm, 1)
+        if (mergedDf.isEmpty || mergedDf.size < gate)
+          spark.emptyDataset[(Long, Double)].toDF("doc_id", "score")
+        else {
+          val n = src.idx.stats.doc_count
+          // merged collection stats: avgdl' = Σ w_f·sumdl_f / docCount
+          val avgdlC = fields.map { case (f, w) =>
+            w * idxOf(f).stats.sum_dl }.sum / n
+          val termSeq = uniq.filter(mergedDf.contains)
+          val idfOf = mergedDf.map { case (t, d) => t -> Bm25.idf(d, n) }
+          // per-field decode of term-pruned postings -> (doc, term, w·tf)
+          val wtfTagged = fields.zipWithIndex.map { case ((f, w), j) =>
+            idxOf(f).postings.filter(col("term").isin(termSeq: _*))
+              .flatMap { b =>
+                val base = b.bucket << graft.index.InvertedIndex.BucketBits
+                val ids = graft.index.PostingCodec.decodeDeltas(b.docs, b.cnt)
+                val tfs = graft.index.PostingCodec.decodeInts(b.tfs, b.cnt)
+                val t = b.term
+                ids.indices.iterator.map(i2 => (base + ids(i2), t, w * tfs(i2)))
+              }.toDF("doc_id", "term", "wtf").withColumn("fid", lit(j))
+          }
+          // candidate buckets across ALL fields (broadcast-sized: bounded
+          // by the query terms' posting blocks), so every matched doc gets
+          // every field's length contribution
+          val bkts = fields.map { case (f, _) =>
+            idxOf(f).postings.filter(col("term").isin(termSeq: _*))
+              .select(col("bucket")) }
+            .reduce(_ union _).distinct()
+          val wdlTagged = fields.zipWithIndex.map { case ((f, w), j) =>
+            idxOf(f).docLens
+              .join(bkts.hint("broadcast"), "bucket")
+              .as[graft.index.DocLenBlock]
+              .flatMap { b =>
+                val base = b.bucket << graft.index.InvertedIndex.BucketBits
+                val ids = graft.index.PostingCodec.decodeDeltas(b.ids, b.cnt)
+                val dls = graft.index.PostingCodec.decodeInts(b.dls, b.cnt)
+                ids.indices.iterator.map(i2 => (base + ids(i2), w * dls(i2)))
+              }.toDF("doc_id", "wdl").withColumn("fid", lit(j))
+          }
+          // tf' and dl' via per-field pivots (fixed field-order FP folds)
+          val fPivTf = fields.indices.map(j =>
+            max(when(col("fid") === j, col("wtf"))).as(s"_f$j"))
+          val tfC = wtfTagged.reduce(_ unionByName _)
+            .groupBy(col("doc_id"), col("term"))
+            .agg(fPivTf.head, fPivTf.tail: _*)
+            .select(col("doc_id"), col("term"),
+              fields.indices.map(j => coalesce(col(s"_f$j"), lit(0.0)))
+                .reduceLeft(_ + _).as("ctf"))
+          val fPivDl = fields.indices.map(j =>
+            max(when(col("fid") === j, col("wdl"))).as(s"_f$j"))
+          val dlC = wdlTagged.reduce(_ unionByName _)
+            .groupBy(col("doc_id"))
+            .agg(fPivDl.head, fPivDl.tail: _*)
+            .select(col("doc_id"),
+              fields.indices.map(j => coalesce(col(s"_f$j"), lit(0.0)))
+                .reduceLeft(_ + _).as("cdl"))
+          // idf' as a term-keyed literal CASE; the inner join to dl' is the
+          // liveness gate (deleted docs have no forward entry)
+          val idfCol = termSeq.tail.foldLeft(
+            when(col("term") === termSeq.head, lit(idfOf(termSeq.head)))) {
+            (c, t) => c.when(col("term") === t, lit(idfOf(t)))
+          }
+          val perTerm = tfC.join(dlC, "doc_id").where(col("cdl") > 0)
+            .select(col("doc_id"), col("term"),
+              (idfCol * (col("ctf") / (col("ctf") +
+                lit(1.2) * (lit(1 - 0.75) + lit(0.75) * col("cdl") / lit(avgdlC)))))
+                .as("s"))
+          val tPiv = termSeq.zipWithIndex.map { case (t, ti) =>
+            max(when(col("term") === t, col("s"))).as(s"_t$ti") }
+          val agg = perTerm.groupBy(col("doc_id")).agg(tPiv.head, tPiv.tail: _*)
+          val score = termSeq.indices
+            .map(ti => coalesce(col(s"_t$ti"), lit(0.0))).reduceLeft(_ + _)
+          val matchedTerms = termSeq.indices
+            .map(ti => when(col(s"_t$ti").isNotNull, 1).otherwise(0))
+            .reduceLeft(_ + _)
+          agg.where(matchedTerms >= gate).select(col("doc_id"), score.as("score"))
         }
       case LexicalMulti(fields, terms, pmm @ (_: PhraseFields | _: PhrasePrefixFields)) =>
         // per-field positional query (match_phrase or phrase_prefix)

@@ -120,6 +120,31 @@ object IndexCache {
     })
   }
 
+  /** Index over the derived `title` field of the documents corpus — the
+   *  first 5 whitespace tokens of `text`. A short sibling field whose
+   *  vocabulary is a SUBSET of text's, so a combined_fields query over
+   *  (text, title) genuinely merges per-field term frequencies before
+   *  saturation (the property disjoint-vocabulary fields like `path`
+   *  cannot exercise). Built and warmed like any per-field index. */
+  def documentsTitle(spark: SparkSession, sfDir: String): Index = {
+    import org.apache.spark.sql.functions.{col, concat_ws, slice, split}
+    evictOthers(spark.sparkContext.applicationId)
+    cache.getOrElseUpdate(
+      (spark.sparkContext.applicationId, s"$sfDir#title", Analyzer.Simple), {
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id"),
+            concat_ws(" ", slice(split(col("text"), " "), 1, 5)).as("title"))
+        val blocks = InvertedIndex.mergedBlocksOf(docs, "doc_id", "title",
+          Analyzer.Simple).persist()
+        blocks.count()
+        val postings = InvertedIndex.postingsFromBlocks(blocks).persist()
+        val docLens = InvertedIndex.docLensFromBlocks(blocks).persist()
+        val termStats = InvertedIndex.termStatsOf(postings).persist()
+        val stats = InvertedIndex.statsOf(docLens)
+        Index(postings, docLens, termStats, stats, Analyzer.Simple)
+      })
+  }
+
   /** Index over `documents.parquet` in sfDir (doc_id, text). */
   def documents(spark: SparkSession, sfDir: String, analyzer: String = Analyzer.Simple): Index = {
     evictOthers(spark.sparkContext.applicationId)

@@ -1019,6 +1019,42 @@ object QueryDsl {
       }
       val terms = Analyzer.analyze(analyzer)(text).toSeq
       graft.hybrid.LexicalMulti(fields, terms, mm)
+    } else if (!q.path("combined_fields").isMissingNode) {
+      // {"combined_fields": {"query": "...", "fields": ["text", "path^2"],
+      //   "operator": "and"|"or", "minimum_should_match": n}} — Lucene's
+      //   CombinedFieldQuery: the fields merge into one pseudo-field
+      //   (tf/length/collection stats merge BEFORE BM25 saturation), each
+      //   analyzed term is one clause of a should-bool so operator/msm gate
+      //   on distinct matched terms. Field weights must be >= 1 (validated
+      //   downstream, the Lucene contract).
+      val body = q.path("combined_fields")
+      val text = body.path("query").asText("")
+      require(text.nonEmpty, "combined_fields requires a non-empty [query]")
+      val fNode = body.path("fields")
+      require(fNode.isArray && fNode.size() > 0,
+        "combined_fields requires a non-empty [fields] array")
+      val fields = (0 until fNode.size()).map { i =>
+        val spec = fNode.get(i).asText()
+        spec.split('^') match {
+          case Array(f)    => (f, 1.0)
+          case Array(f, b) => (f, b.toDouble)
+          case _ => throw new IllegalArgumentException(
+            s"bad combined_fields field spec [$spec] — use field or field^boost")
+        }
+      }
+      val terms = Analyzer.analyze(analyzer)(text).toSeq
+      val operator = body.path("operator").asText("or")
+      require(operator == "or" || operator == "and",
+        s"combined_fields operator must be and|or, got [$operator]")
+      val msmNode = body.path("minimum_should_match")
+      require(msmNode.isMissingNode || operator == "or",
+        "minimum_should_match only applies with operator or")
+      val msm =
+        if (operator == "and") terms.distinct.size
+        else if (!msmNode.isMissingNode) msmNode.asInt()
+        else 0
+      graft.hybrid.LexicalMulti(fields, terms,
+        graft.hybrid.CombinedFields(msm))
     } else if (!q.path("term").isMissingNode) {
       val (_, body) = firstField(q.path("term"))
       val (v, boost) =

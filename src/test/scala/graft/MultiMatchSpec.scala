@@ -114,6 +114,77 @@ class MultiMatchSpec extends SparkSpec {
     bad("""{"query": "a", "fields": ["text"], "type": "cross_fields", "tie_breaker": 0.3}""")
   }
 
+  test("combined_fields merges tf/dl/df into one pseudo-field before saturation") {
+    import graft.hybrid.CombinedFields
+    val titleDocs = Map(0L -> "a b", 1L -> "b c", 2L -> "c")
+    val bodyDocs  = Map(0L -> "c d", 1L -> "a a d", 2L -> "b")
+    val (wT, wB) = (1.0, 2.0)
+    val terms = Seq("a", "b", "d")
+    val n = 3.0
+    def tf(docs: Map[Long, String], d: Long, t: String) =
+      docs(d).split(' ').count(_ == t).toDouble
+    def dl(docs: Map[Long, String], d: Long) = docs(d).split(' ').length.toDouble
+    def df(docs: Map[Long, String], t: String) =
+      docs.values.count(_.split(' ').contains(t)).toDouble
+    val avgdlC = (titleDocs.keys.toSeq.map(dl(titleDocs, _)).sum * wT +
+      bodyDocs.keys.toSeq.map(dl(bodyDocs, _)).sum * wB) / n
+    def expected(d: Long): Double = terms.map { t =>
+      val ctf = wT * tf(titleDocs, d, t) + wB * tf(bodyDocs, d, t)
+      if (ctf == 0) 0.0
+      else {
+        val cdl = wT * dl(titleDocs, d) + wB * dl(bodyDocs, d)
+        val mdf = math.max(df(titleDocs, t), df(bodyDocs, t))
+        math.log(1 + (n - mdf + 0.5) / (mdf + 0.5)) *
+          (ctf / (ctf + 1.2 * (1 - 0.75 + 0.75 * cdl / avgdlC)))
+      }
+    }.sum
+    val got = scoresOf(CombinedFields(), Seq("text" -> wT, "body" -> wB), terms)
+    // every doc matches at least one of a/b/d somewhere
+    assert(got.keySet == Set(0L, 1L, 2L))
+    got.foreach { case (d, s) => assert(math.abs(s - expected(d)) < 1e-9, s"doc $d") }
+
+    // merged-tf saturation differs from most_fields' per-field saturation:
+    // doc 1 has 'a' twice in body and zero in title — combined saturates
+    // 2·2=4 merged occurrences ONCE, most_fields saturates per field
+    val most = scoresOf(MostFields, Seq("text" -> wT, "body" -> wB), terms)
+    assert(math.abs(got(1L) - most(1L)) > 1e-6)
+
+    // msm gates on DISTINCT matched terms across the pseudo-field:
+    // doc 2 matches only {b, c∉q} -> 1 term -> dropped at msm 2
+    val gated = scoresOf(CombinedFields(2), Seq("text" -> wT, "body" -> wB), terms)
+    assert(gated.keySet == Set(0L, 1L))
+    gated.foreach { case (d, s) => assert(math.abs(s - expected(d)) < 1e-9) }
+  }
+
+  test("combined_fields validation + DSL parse") {
+    import graft.hybrid.CombinedFields
+    // Lucene rejects field weights < 1
+    intercept[IllegalArgumentException] {
+      scoresOf(CombinedFields(), Seq("text" -> 0.5), Seq("a"))
+    }
+    val pb = QueryDsl.parseBool(
+      """{"query":{"bool":{"must":[{"combined_fields":{
+        |  "query": "a b", "fields": ["text", "body^2"],
+        |  "operator": "and"}}]}}}""".stripMargin)
+    assert(pb.bool.must == Seq(LexicalMulti(
+      Seq(("text", 1.0), ("body", 2.0)), Seq("a", "b"), CombinedFields(2))))
+    val msm = QueryDsl.parseBool(
+      """{"query":{"bool":{"must":[{"combined_fields":{
+        |  "query": "a b c", "fields": ["text"],
+        |  "minimum_should_match": 2}}]}}}""".stripMargin)
+    assert(msm.bool.must == Seq(LexicalMulti(
+      Seq(("text", 1.0)), Seq("a", "b", "c"), CombinedFields(2))))
+    def bad(q: String): Unit = intercept[IllegalArgumentException] {
+      QueryDsl.parseBool(s"""{"query":{"bool":{"must":[{"combined_fields":$q}]}}}""")
+    }
+    bad("""{"query": "a", "fields": []}""")
+    bad("""{"query": "", "fields": ["text"]}""")
+    bad("""{"query": "a", "fields": ["text"], "operator": "xor"}""")
+    // msm under operator=and is contradictory — rejected like OpenSearch
+    bad("""{"query": "a b", "fields": ["text"], "operator": "and",
+          |  "minimum_should_match": 1}""".stripMargin)
+  }
+
   test("cross_fields blends df to the max across fields; per-term best field wins") {
     import graft.hybrid.CrossFields
     val got = scoresOf(CrossFields, Seq("text" -> 1.0, "body" -> 2.0), Seq("a", "b"))
