@@ -289,6 +289,116 @@ object AggEntries {
             mustNot = Seq(graft.hybrid.Lexical(Seq("dup")))))
         .agg(count(lit(1)).as("n_matched"))
     }),
+    // boxplot aggregation (the reference's is TDigest-approximate; this is
+    // the exact-interpolation form, same contract): min/q1/q2/q3/max plus
+    // the 1.5·IQR whiskers — whiskers are the extreme OBSERVED values
+    // inside the fences, so they need the quartiles first: pass 1 computes
+    // the 5-number summary (one aggregate, broadcast-sized), pass 2 is one
+    // conditional min/max over the same pruned scan. Two bounded jobs, no
+    // global sort.
+    "agg_boxplot" -> ((s, dir) =>
+      Aggs.boxplot(events(s, dir).where(col("event_type") === "purchase"), "value")
+        .select(Seq("min_v", "q1", "q2", "q3", "max_v",
+          "lower_whisker", "upper_whisker").map(c => round(col(c), 4).as(c)): _*)),
+    // t_test aggregation: Welch's unpaired two-sample t over purchase-vs-
+    // click values — everything derives from RAW POWER SUMS (n, Σx, Σx²)
+    // of each arm, accumulated in ONE conditional-aggregate pass (the
+    // matrix_stats shape that holds at any scale); the t statistic and the
+    // Welch–Satterthwaite df are pure projections over the six sums. The
+    // homoscedastic (pooled-variance) t rides beside it from the same sums.
+    "agg_t_test" -> ((s, dir) =>
+      Aggs.tTest(events(s, dir),
+        col("event_type") === "purchase", col("event_type") === "click", "value")
+        .select(col("n1"), col("n2"),
+          round(col("t_welch"), 4).as("t_welch"),
+          round(col("df_welch"), 2).as("df_welch"),
+          round(col("t_pooled"), 4).as("t_pooled"))),
+    // sibling bucket-metric pipeline aggs (stats_bucket + extended_stats_
+    // bucket): the daily date_histogram's count metric summarized ACROSS
+    // buckets — one tiny aggregate over the bounded bucket table, variance
+    // from power sums (population, the reference's extended_stats default),
+    // ±2σ bounds beside it.
+    "agg_stats_bucket" -> ((s, dir) =>
+      daily(s, dir).agg(
+        count(lit(1)).as("n_buckets"),
+        min(col("n_events")).as("min_n"),
+        max(col("n_events")).as("max_n"),
+        sum(col("n_events")).as("sum_n"),
+        round(avg(col("n_events")), 4).as("avg_n"),
+        round(sum(col("n_events") * col("n_events")) / count(lit(1)) -
+          pow(sum(col("n_events")) / count(lit(1)), 2), 4).as("variance_n"))
+        .withColumn("std_n", round(sqrt(col("variance_n")), 4))
+        .select(col("n_buckets"), col("min_n"), col("max_n"), col("sum_n"),
+          col("avg_n"), col("variance_n"), col("std_n"))),
+    // percentiles_bucket sibling agg: exact interpolated percentiles of the
+    // bucket metric (the reference sorts the bucket values — bucket-table
+    // sized, never row-sized).
+    "agg_percentiles_bucket" -> ((s, dir) =>
+      daily(s, dir).agg(
+        round(expr("percentile(n_events, 0.25)"), 4).as("p25"),
+        round(expr("percentile(n_events, 0.5)"), 4).as("p50"),
+        round(expr("percentile(n_events, 0.99)"), 4).as("p99"))),
+    // moving_percentiles pipeline agg: a sliding exact-median over the
+    // daily bucket metric (window 7, current-inclusive like moving_fn with
+    // shift 1) — the ordered window runs over the BUCKET table; the
+    // reference merges TDigest sketches per window, this is the exact form
+    // of the same contract.
+    "agg_moving_percentiles" -> ((s, dir) => {
+      val w = Window.orderBy(col("day")).rowsBetween(-6, 0)
+      daily(s, dir)
+        .withColumn("p50_7d", round(expr("percentile(n_events, 0.5)").over(w), 4))
+        .select(col("day"), col("n_events"), col("p50_7d"))
+    }),
+    // histogram with offset + min_doc_count 0 + extended_bounds: EMPTY
+    // buckets materialize from a driver-side bounded sequence (the keyspace
+    // is (hi-lo)/interval buckets — bucket-table sized), left-joined against
+    // the one aggregation pass; offset shifts the bucket keys like the
+    // reference's rounding.
+    "agg_histogram_empty" -> ((s, dir) => {
+      val (interval, offset) = (25.0, 5.0)
+      val got = events(s, dir)
+        .where(col("event_type") === "purchase")
+        .groupBy((floor((col("value") - offset) / interval) * interval + offset)
+          .as("bucket"))
+        .agg(count(lit(1)).as("n"))
+      // extended_bounds [-45, 405): every aligned bucket key in the range
+      // exists (purchase values span ~0..371, so the edge buckets -45 and
+      // 380 stay empty and materialize only through the fill)
+      val s2 = s
+      import s2.implicits._
+      val keys = (0 to 17).map(j => -45.0 + j * interval).toDF("bucket")
+      keys.join(got, Seq("bucket"), "left")
+        .select(col("bucket"), coalesce(col("n"), lit(0L)).as("n"))
+    }),
+    // ip_range aggregation: IPv4 dotted-quad strings bucketed by from/to
+    // ranges and a CIDR mask — the string parses to a uint32 with pure
+    // column algebra (split + casts, codegen'd, no UDF), ranges are
+    // half-open [from, to) like the reference, the CIDR bucket is the
+    // masked-prefix equality test. The ip column derives deterministically
+    // from user_id so both engines synthesize identical addresses.
+    "agg_ip_range" -> ((s, dir) => {
+      val ev = events(s, dir).select(
+        concat(lit("10."), (col("user_id") % 200).cast("string"), lit("."),
+          ((col("user_id") * 7) % 250).cast("string"), lit("."),
+          ((col("user_id") * 13) % 256).cast("string")).as("ip"))
+      val oct = split(col("ip"), "\\.")
+      val ipNum = element_at(oct, 1).cast("long") * 16777216L +
+        element_at(oct, 2).cast("long") * 65536L +
+        element_at(oct, 3).cast("long") * 256L +
+        element_at(oct, 4).cast("long")
+      def num(a: Long, b: Long, c: Long, d: Long): Long =
+        a * 16777216L + b * 65536L + c * 256L + d
+      val parsed = ev.select(col("ip"), ipNum.as("ipn"))
+      // buckets: [10.0.0.0, 10.64.0.0), [10.64.0.0, 10.128.0.0), and the
+      // CIDR 10.128.0.0/9 (== [10.128.0.0, 10.256.0.0) under the /9 mask)
+      parsed.agg(
+        sum(when(col("ipn") >= num(10, 0, 0, 0) &&
+          col("ipn") < num(10, 64, 0, 0), 1L).otherwise(0L)).as("r1"),
+        sum(when(col("ipn") >= num(10, 64, 0, 0) &&
+          col("ipn") < num(10, 128, 0, 0), 1L).otherwise(0L)).as("r2"),
+        sum(when((col("ipn").bitwiseAND(lit(0xFF800000L))) ===
+          num(10, 128, 0, 0), 1L).otherwise(0L)).as("cidr_9"))
+    }),
     // parent_id query: the children of ONE named parent — a constant
     // equality predicate the scan pushes down; constant score 1.0.
     "join_parent_id" -> ((s, dir) => {
@@ -302,6 +412,83 @@ object AggEntries {
 
   /** DuckDB re-derivations (same table views the driver registers). */
   def oracles(tokCte: String): Map[String, String] = Map(
+    "agg_boxplot" ->
+      """WITH v AS (SELECT value FROM events WHERE event_type = 'purchase'),
+        |q AS (SELECT min(value) AS mn, max(value) AS mx,
+        |             quantile_cont(value, 0.25) AS q1,
+        |             quantile_cont(value, 0.5)  AS q2,
+        |             quantile_cont(value, 0.75) AS q3 FROM v)
+        |SELECT round(q.mn, 4) AS min_v, round(q.q1, 4) AS q1,
+        |       round(q.q2, 4) AS q2, round(q.q3, 4) AS q3,
+        |       round(q.mx, 4) AS max_v,
+        |       round(min(CASE WHEN v.value >= q.q1 - 1.5*(q.q3 - q.q1) THEN v.value END), 4) AS lower_whisker,
+        |       round(max(CASE WHEN v.value <= q.q3 + 1.5*(q.q3 - q.q1) THEN v.value END), 4) AS upper_whisker
+        |FROM v CROSS JOIN q
+        |GROUP BY q.mn, q.q1, q.q2, q.q3, q.mx""".stripMargin,
+    "agg_t_test" ->
+      """WITH s AS (SELECT
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    sum(CASE WHEN event_type = 'purchase' THEN value END) AS sx1,
+        |    sum(CASE WHEN event_type = 'purchase' THEN value*value END) AS sxx1,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |    sum(CASE WHEN event_type = 'click' THEN value END) AS sx2,
+        |    sum(CASE WHEN event_type = 'click' THEN value*value END) AS sxx2
+        |  FROM events),
+        |d AS (SELECT n1, n2,
+        |    sx1/n1 AS m1, sx2/n2 AS m2,
+        |    ((sxx1 - sx1*sx1/n1)/(n1 - 1))/n1 AS se1,
+        |    ((sxx2 - sx2*sx2/n2)/(n2 - 1))/n2 AS se2,
+        |    ((n1 - 1)*((sxx1 - sx1*sx1/n1)/(n1 - 1)) + (n2 - 1)*((sxx2 - sx2*sx2/n2)/(n2 - 1)))
+        |      / (n1 + n2 - 2) AS sp2
+        |  FROM s)
+        |SELECT n1, n2,
+        |       round((m1 - m2)/sqrt(se1 + se2), 4) AS t_welch,
+        |       round(pow(se1 + se2, 2)/(pow(se1, 2)/(n1 - 1) + pow(se2, 2)/(n2 - 1)), 2) AS df_welch,
+        |       round((m1 - m2)/sqrt(sp2*(1.0/n1 + 1.0/n2)), 4) AS t_pooled
+        |FROM d""".stripMargin,
+    "agg_stats_bucket" ->
+      """WITH h AS (SELECT date_trunc('day', ts) AS day, count(*) AS n
+        |           FROM events GROUP BY 1)
+        |SELECT count(*) AS n_buckets, min(n) AS min_n, max(n) AS max_n,
+        |       CAST(sum(n) AS BIGINT) AS sum_n, round(avg(n), 4) AS avg_n,
+        |       round(sum(n*n)/count(*) - pow(sum(n)/count(*), 2), 4) AS variance_n,
+        |       round(sqrt(round(sum(n*n)/count(*) - pow(sum(n)/count(*), 2), 4)), 4) AS std_n
+        |FROM h""".stripMargin,
+    "agg_percentiles_bucket" ->
+      """WITH h AS (SELECT date_trunc('day', ts) AS day, count(*) AS n
+        |           FROM events GROUP BY 1)
+        |SELECT round(quantile_cont(n, 0.25), 4) AS p25,
+        |       round(quantile_cont(n, 0.5), 4)  AS p50,
+        |       round(quantile_cont(n, 0.99), 4) AS p99
+        |FROM h""".stripMargin,
+    "agg_moving_percentiles" ->
+      """WITH h AS (SELECT date_trunc('day', ts) AS day, count(*) AS n_events
+        |           FROM events GROUP BY 1)
+        |SELECT day, n_events,
+        |       round(quantile_cont(n_events, 0.5) OVER (
+        |         ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS p50_7d
+        |FROM h""".stripMargin,
+    "agg_histogram_empty" ->
+      """WITH keys AS (SELECT -45.0 + 25.0*j AS bucket FROM range(0, 18) t(j)),
+        |got AS (SELECT floor((value - 5.0)/25.0)*25.0 + 5.0 AS bucket, count(*) AS n
+        |        FROM events WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT k.bucket, coalesce(got.n, 0) AS n
+        |FROM keys k LEFT JOIN got ON got.bucket = k.bucket""".stripMargin,
+    "agg_ip_range" ->
+      """WITH ips AS (SELECT
+        |    '10.' || (user_id % 200) || '.' || ((user_id*7) % 250) || '.' || ((user_id*13) % 256) AS ip
+        |  FROM events),
+        |parsed AS (SELECT
+        |    CAST(string_split(ip, '.')[1] AS BIGINT)*16777216
+        |    + CAST(string_split(ip, '.')[2] AS BIGINT)*65536
+        |    + CAST(string_split(ip, '.')[3] AS BIGINT)*256
+        |    + CAST(string_split(ip, '.')[4] AS BIGINT) AS ipn
+        |  FROM ips)
+        |SELECT
+        |  CAST(sum(CASE WHEN ipn >= 167772160 AND ipn < 171966464 THEN 1 ELSE 0 END) AS BIGINT) AS r1,
+        |  CAST(sum(CASE WHEN ipn >= 171966464 AND ipn < 176160768 THEN 1 ELSE 0 END) AS BIGINT) AS r2,
+        |  CAST(sum(CASE WHEN (ipn & 4286578688) = 176160768 THEN 1 ELSE 0 END) AS BIGINT) AS cidr_9
+        |FROM parsed""".stripMargin,
     "geo_bbox" ->
       s"""WITH $GeoCte
          |SELECT doc_id, lat, lon FROM pts

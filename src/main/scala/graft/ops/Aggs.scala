@@ -149,4 +149,61 @@ object Aggs {
       composite(rows, sources, size, metrics).withColumn("page", lit(0)).limit(0)
     else out
   }
+
+  /** `boxplot` aggregation — the exact-interpolation form of the
+   *  reference's TDigest boxplot: the 5-number summary plus the 1.5·IQR
+   *  whiskers. Whiskers are the extreme OBSERVED values inside the fences
+   *  (not the fences themselves), so they need the quartiles first: pass 1
+   *  is one aggregate producing a broadcast-sized scalar row, pass 2 one
+   *  conditional min/max over the same pruned scan — two bounded jobs, no
+   *  global sort of the value column. */
+  def boxplot(values: DataFrame, valueCol: String): DataFrame = {
+    val v = values.select(col(valueCol).as("value"))
+    val q = v.agg(
+      min(col("value")).as("mn"), max(col("value")).as("mx"),
+      expr("percentile(value, 0.25)").as("pq1"),
+      expr("percentile(value, 0.5)").as("pq2"),
+      expr("percentile(value, 0.75)").as("pq3"))
+    val iqr = col("pq3") - col("pq1")
+    v.crossJoin(broadcast(q)).agg(
+      first(col("mn")).as("min_v"),
+      first(col("pq1")).as("q1"),
+      first(col("pq2")).as("q2"),
+      first(col("pq3")).as("q3"),
+      first(col("mx")).as("max_v"),
+      min(when(col("value") >= col("pq1") - lit(1.5) * iqr, col("value")))
+        .as("lower_whisker"),
+      max(when(col("value") <= col("pq3") + lit(1.5) * iqr, col("value")))
+        .as("upper_whisker"))
+  }
+
+  /** `t_test` aggregation — Welch's unpaired two-sample t (the reference's
+   *  heteroscedastic default) plus the homoscedastic pooled-variance t,
+   *  both derived from RAW POWER SUMS (n, Σx, Σx²) of each arm accumulated
+   *  in ONE conditional-aggregate pass — the single-pass shape that holds
+   *  at any scale. Returns (n1, n2, t_welch, df_welch, t_pooled) unrounded;
+   *  df_welch is Welch–Satterthwaite. */
+  def tTest(rows: DataFrame, arm1: Column, arm2: Column,
+            valueCol: String): DataFrame = {
+    val vc = col(valueCol)
+    def arm(p: String, c: Column) = Seq(
+      sum(when(c, 1L).otherwise(0L)).as(s"n$p"),
+      sum(when(c, vc)).as(s"sx$p"),
+      sum(when(c, vc * vc)).as(s"sxx$p"))
+    val aggs = arm("1", arm1) ++ arm("2", arm2)
+    val sums = rows.agg(aggs.head, aggs.tail: _*)
+    def m(p: String) = col(s"sx$p") / col(s"n$p")
+    def v(p: String) =
+      (col(s"sxx$p") - col(s"sx$p") * col(s"sx$p") / col(s"n$p")) / (col(s"n$p") - 1)
+    val (se1, se2) = (v("1") / col("n1"), v("2") / col("n2"))
+    val tW = (m("1") - m("2")) / sqrt(se1 + se2)
+    val dfW = pow(se1 + se2, 2) /
+      (pow(se1, 2) / (col("n1") - 1) + pow(se2, 2) / (col("n2") - 1))
+    val sp2 = ((col("n1") - 1) * v("1") + (col("n2") - 1) * v("2")) /
+      (col("n1") + col("n2") - 2)
+    val tH = (m("1") - m("2")) /
+      sqrt(sp2 * (lit(1.0) / col("n1") + lit(1.0) / col("n2")))
+    sums.select(col("n1"), col("n2"), tW.as("t_welch"), dfW.as("df_welch"),
+      tH.as("t_pooled"))
+  }
 }

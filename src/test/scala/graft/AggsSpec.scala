@@ -39,6 +39,37 @@ class AggsSpec extends SparkSpec {
     assert(page.map(_.toSeq) == full.slice(25, 35).map(_.toSeq))
   }
 
+  test("boxplot: interpolated quartiles, whiskers exclude outliers but snap to observed values") {
+    // sorted [-30,1..9,40]: linear-interpolation quartiles 2.5/5/7.5,
+    // IQR 5 -> fences [-5, 15]: whiskers snap to the extreme OBSERVED
+    // values inside (1 and 9), while min/max keep the true extremes
+    val v = Seq(1, 2, 3, 4, 5, 6, 7, 8, 9, 40, -30).map(_.toDouble).toDF("v")
+    val r = Aggs.boxplot(v, "v").collect().head
+    assert(r.getDouble(r.fieldIndex("min_v")) == -30.0)
+    assert(r.getDouble(r.fieldIndex("q1")) == 2.5)
+    assert(r.getDouble(r.fieldIndex("q2")) == 5.0)
+    assert(r.getDouble(r.fieldIndex("q3")) == 7.5)
+    assert(r.getDouble(r.fieldIndex("max_v")) == 40.0)
+    assert(r.getDouble(r.fieldIndex("lower_whisker")) == 1.0)
+    assert(r.getDouble(r.fieldIndex("upper_whisker")) == 9.0)
+  }
+
+  test("t_test matches the textbook Welch / pooled values") {
+    // arms a = [2.1,3.4,1.9,4.0,2.8,3.3], b = [1.2,2.2,1.8,2.9,1.1]:
+    // Welch t = 2.297841, Welch-Satterthwaite df = 8.873515,
+    // pooled t = 2.278575 (scipy.stats.ttest_ind reference values)
+    val rows =
+      (Seq(2.1, 3.4, 1.9, 4.0, 2.8, 3.3).map(("a", _)) ++
+        Seq(1.2, 2.2, 1.8, 2.9, 1.1).map(("b", _))).toDF("arm", "v")
+    val r = Aggs.tTest(rows, col("arm") === "a", col("arm") === "b", "v")
+      .collect().head
+    assert(r.getLong(r.fieldIndex("n1")) == 6L)
+    assert(r.getLong(r.fieldIndex("n2")) == 5L)
+    assert(math.abs(r.getDouble(r.fieldIndex("t_welch")) - 2.297841) < 1e-6)
+    assert(math.abs(r.getDouble(r.fieldIndex("df_welch")) - 8.873515) < 1e-6)
+    assert(math.abs(r.getDouble(r.fieldIndex("t_pooled")) - 2.278575) < 1e-6)
+  }
+
   test("composite honors per-source desc direction") {
     val s2 = Seq(CompositeSource("src", col("source"), desc = true),
                  CompositeSource("lg", col("lang")))
