@@ -278,6 +278,28 @@ object AggEntries {
       s.read.parquet(s"$dir/documents.parquet")
         .where(col("doc_id").isin(3L, 7L, 11L, 400L))
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))),
+    // _termvectors API: one doc's term vector (term_statistics=true form) —
+    // every analyzed term with positions, in-doc tf, and collection df/ttf;
+    // the positional scan prunes to the doc's bucket, stats come from the
+    // persisted termStats table
+    "termvectors" -> ((s, dir) =>
+      graft.query.Search.termVectors(IndexCache.documents(s, dir),
+        IndexCache.positions(s, dir), 42L)),
+    // _validate/query API: parse/rewrite-check a request DSL without
+    // executing it — a well-formed request reports valid, a malformed one
+    // (empty match text here) reports invalid with no exception escaping
+    "validate_api" -> ((s, dir) => {
+      val s2 = s
+      import s2.implicits._
+      def check(json: String): Boolean =
+        try { graft.query.QueryDsl.parseBool(json); true }
+        catch { case _: IllegalArgumentException => false }
+      Seq(
+        ("good", check("""{"query":{"bool":{"must":[{"match":{"text":"join hash"}}]}}}""")),
+        ("bad_empty_text", check("""{"query":{"bool":{"must":[{"match":{"text":""}}]}}}""")),
+        ("bad_operator", check("""{"query":{"bool":{"must":[{"match":{"text":{"query":"a","operator":"xor"}}}]}}}""")))
+        .toDF("req", "valid")
+    }),
     // _count API: the matched-set cardinality WITHOUT fetch/rank — the
     // plan is the bool matched set straight into one aggregate, no top-k,
     // no payload join
@@ -676,6 +698,19 @@ object AggEntries {
     "mget" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE doc_id IN (3, 7, 11, 400)""".stripMargin,
+    "termvectors" ->
+      s"""WITH $tokCte,
+         |toksq AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+         |          FROM documents WHERE doc_id = 42),
+         |tokp AS (SELECT doc_id, unnest(l) AS term, unnest(range(len(l))) AS pos FROM toksq),
+         |ttf AS (SELECT term, CAST(sum(tf) AS BIGINT) AS ttf FROM tf GROUP BY term),
+         |tfd AS (SELECT term, count(*) AS tf FROM tokp GROUP BY term)
+         |SELECT tokp.term, tokp.pos, tfd.tf, df.df, ttf.ttf
+         |FROM tokp JOIN tfd USING (term) JOIN df USING (term) JOIN ttf USING (term)""".stripMargin,
+    "validate_api" ->
+      """SELECT 'good' AS req, true AS valid
+        |UNION ALL SELECT 'bad_empty_text', false
+        |UNION ALL SELECT 'bad_operator', false""".stripMargin,
     "count_api" ->
       s"""WITH $tokCte,
          |m AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ('join', 'hash')),

@@ -1953,6 +1953,18 @@ object HybridEntries {
       val idx = IndexCache.documents(s, dir)
       graft.query.SignificantTerms(idx, matchedAB(idx), 10)
     }),
+    // significant_text: significant_terms' re-analyzing sibling — the
+    // foreground is a bounded SAMPLE (top-100 BM25 hits, the sampler-agg
+    // idiom OpenSearch documents for it), duplicate text drops first-wins
+    // (filter_duplicate_text), tokens come from re-analyzing the stored
+    // text of those <=100 docs rather than the index, background stats from
+    // the persisted termStats table; JLH-scored like significant_terms
+    "agg_significant_text" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      val matched = Bm25.topK(idx, Seq("join", "hash"), 100).select("doc_id")
+      graft.query.SignificantTerms.text(idx,
+        s.read.parquet(s"$dir/documents.parquet"), "text", matched, 10)
+    }),
     // range bucket aggregation with explicit boundaries over the matched
     // set (OpenSearch range agg semantics: from inclusive, to exclusive,
     // keys in the *-to form)
@@ -4495,6 +4507,27 @@ object HybridEntries {
            |fg AS (
            |  SELECT term, count(*) AS fg_df
            |  FROM (SELECT DISTINCT tf.term, tf.doc_id FROM tf JOIN m USING (doc_id))
+           |  GROUP BY term)
+           |SELECT term, fg_df, df AS bg_df,
+           |       round((fg_df/t - df/n) * ((fg_df/t)/(df/n)), 4) AS score
+           |FROM fg JOIN df USING (term) CROSS JOIN stats CROSS JOIN fgt
+           |WHERE fg_df/t > df/n
+           |ORDER BY (fg_df/t - df/n) * ((fg_df/t)/(df/n)) DESC, term
+           |LIMIT 10""".stripMargin,
+      "agg_significant_text" ->
+        s"""WITH $tokCte,
+           |score AS (
+           |  SELECT tf.doc_id, $Bm25Sum AS s
+           |  FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN stats
+           |  WHERE tf.term IN ('join', 'hash')
+           |  GROUP BY tf.doc_id),
+           |topd AS (SELECT doc_id FROM score ORDER BY s DESC, doc_id LIMIT 100),
+           |fgd AS (SELECT min(d.doc_id) AS doc_id
+           |        FROM documents d JOIN topd USING (doc_id) GROUP BY d.text),
+           |fgt AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM fgd),
+           |fg AS (
+           |  SELECT term, count(*) AS fg_df
+           |  FROM (SELECT DISTINCT tf.term, tf.doc_id FROM tf JOIN fgd USING (doc_id))
            |  GROUP BY term)
            |SELECT term, fg_df, df AS bg_df,
            |       round((fg_df/t - df/n) * ((fg_df/t)/(df/n)), 4) AS score

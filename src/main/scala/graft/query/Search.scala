@@ -25,6 +25,32 @@ object Search {
              payload: Seq[String], filterDocs: Option[DataFrame] = None): DataFrame =
     fetch(Hybrid.execute(idx, q, filterDocs), docs, payload)
 
+  /** `_termvectors` API: one stored document's term vector — every
+   *  analyzed term with its in-doc frequency, occurrence positions, and
+   *  the collection-level statistics (OpenSearch's term_statistics=true
+   *  form: df + total term freq). The positional read prunes to the doc's
+   *  4096-doc bucket AT THE SCAN (`bucket` is a plain column predicate
+   *  Parquet accepts), so the decode touches one bucket's blocks however
+   *  large the index; collection stats join from the persisted termStats
+   *  table against the doc's bounded term set. Returns one row per
+   *  occurrence: (term, pos, tf, df, ttf). */
+  def termVectors(idx: Index, positions: org.apache.spark.sql.Dataset[graft.index.PosBlock],
+                  docId: Long): DataFrame = {
+    val spark = idx.postings.sparkSession
+    import spark.implicits._
+    val bkt = docId >> InvertedIndex.BucketBits
+    val local = (docId - (bkt << InvertedIndex.BucketBits)).toInt
+    val occ = positions.filter(col("bucket") === bkt).flatMap { b =>
+      graft.index.Positions.decodeEntries(b).iterator.collect {
+        case (lid, ps) if lid == local => ps.iterator.map(p => (b.term, p))
+      }.flatten
+    }.toDF("term", "pos")
+    val tf = occ.groupBy(col("term")).agg(count(lit(1)).as("tf"))
+    occ.join(tf, "term")
+      .join(idx.termStats.select(col("term"), col("df"), col("ttf")), "term")
+      .select(col("term"), col("pos"), col("tf"), col("df"), col("ttf"))
+  }
+
   /** `_msearch`: N independent BM25 requests answered in ONE postings pass.
    *  The reference's transport loops the sub-requests through the search
    *  path one by one; on Spark the dominant per-query cost at cluster scale

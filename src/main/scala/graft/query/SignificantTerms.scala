@@ -51,4 +51,45 @@ object SignificantTerms {
       .select(col("term"), col("fg_df"), col("df").as("bg_df"),
         round(col("jlh"), 4).as("score"))
   }
+
+  /** `significant_text` aggregation — significant_terms' sibling for text
+   *  fields: instead of reading the index, it RE-ANALYZES the stored text
+   *  of the (sampled) foreground hits on the fly, and optionally drops
+   *  duplicate text first (`filter_duplicate_text`, first-wins by doc_id)
+   *  so boilerplate repeated across hits cannot dominate the signal.
+   *  OpenSearch documents it for use under a `sampler` agg precisely
+   *  because re-analysis costs per-doc work: here `matched` IS that
+   *  bounded sample (top-k hits), so the re-tokenize + dedupe window run
+   *  over <= sample-size rows — never corpus-shaped. Background stats
+   *  still come from the persisted termStats table; scoring is the same
+   *  JLH heuristic, counting each term once per surviving doc. */
+  def text(idx: Index, docs: DataFrame, textCol: String, matched: DataFrame,
+           k: Int, filterDuplicateText: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fg0 = docs.join(matched.select("doc_id"), "doc_id")
+      .select(col("doc_id"), col(textCol).as("_txt"))
+    val fgDocs =
+      if (!filterDuplicateText) fg0
+      else fg0
+        .withColumn("_rn", row_number().over(
+          Window.partitionBy(md5(col("_txt"))).orderBy(col("doc_id"))))
+        .where(col("_rn") === 1).drop("_rn")
+    val fgTotal = fgDocs.count().toDouble
+    require(fgTotal > 0, "significant_text needs a non-empty foreground")
+    val fgTok = fgDocs
+      .select(col("doc_id"), explode(split(col("_txt"), " ")).as("term"))
+      .where(col("term") =!= "")
+      .distinct()
+    val fg = fgTok.groupBy("term").agg(count(lit(1)).as("fg_df"))
+    val n = idx.stats.doc_count.toDouble
+    val fgPct = col("fg_df") / lit(fgTotal)
+    val bgPct = col("df") / lit(n)
+    fg.join(idx.termStats.select(col("term"), col("df")), "term")
+      .where(fgPct > bgPct)
+      .withColumn("jlh", (fgPct - bgPct) * (fgPct / bgPct))
+      .orderBy(col("jlh").desc, col("term").asc)
+      .limit(k)
+      .select(col("term"), col("fg_df"), col("df").as("bg_df"),
+        round(col("jlh"), 4).as("score"))
+  }
 }

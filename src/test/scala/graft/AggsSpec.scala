@@ -70,6 +70,29 @@ class AggsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(r.fieldIndex("t_pooled")) - 2.278575) < 1e-6)
   }
 
+  test("significant_text: filter_duplicate_text drops repeated text before counting") {
+    import graft.index.InvertedIndex
+    // docs 1 and 2 are IDENTICAL boilerplate containing 'promo'; doc 3 is
+    // unique. With dedupe the boilerplate counts once (fg_df = 1), without
+    // it twice — the background stays the full 6-doc index either way.
+    val docs = Seq(
+      (1L, "promo sale now"), (2L, "promo sale now"), (3L, "alpha promo beta"),
+      (4L, "gamma delta"), (5L, "epsilon zeta"), (6L, "eta theta")
+    ).toDF("doc_id", "text")
+    val idx = InvertedIndex.build(docs, "doc_id", "text")
+    val fg = Seq(1L, 2L, 3L).toDF("doc_id")
+    def fgDfOf(df: org.apache.spark.sql.DataFrame, t: String): Long =
+      df.where(col("term") === t).select("fg_df").collect()
+        .headOption.map(_.getLong(0)).getOrElse(0L)
+    val dd = graft.query.SignificantTerms.text(idx, docs, "text", fg, 20)
+    val raw = graft.query.SignificantTerms.text(idx, docs, "text", fg, 20,
+      filterDuplicateText = false)
+    assert(fgDfOf(dd, "promo") == 2L)  // doc1-or-2 (first wins) + doc3
+    assert(fgDfOf(raw, "promo") == 3L)
+    // JLH positivity filter: background-flat terms never appear
+    assert(!dd.collect().map(_.getString(0)).contains("theta"))
+  }
+
   test("composite honors per-source desc direction") {
     val s2 = Seq(CompositeSource("src", col("source"), desc = true),
                  CompositeSource("lg", col("lang")))
