@@ -1129,6 +1129,30 @@ object HybridEntries {
         s.read.parquet(s"$dir/documents.parquet"))
         .select(col("doc_id"), round(col("score"), 4).as("score"))
     }),
+    // field_masking_span (Lucene FieldMaskingSpanQuery): a span_near whose
+    // second slot draws positions from the PATH field's token stream while
+    // masking as text — "join" (text positions) must fall within an
+    // unordered width-2 window of "en" (path position 3, the extension
+    // token of en-lang docs), the cross-field parallel-stream idiom
+    "dsl_field_masking_span" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      val src = srcWithPath(s, dir).copy(
+        positions = Some(IndexCache.positions(s, dir)),
+        fieldPositions = Map("path" -> IndexCache.corpusFieldPositions(s, dir, "path")))
+      val json =
+        """{ "query": { "bool": {
+          |    "must": [ { "span_near": { "clauses": [
+          |        { "span_term": { "text": "join" } },
+          |        { "field_masking_span": {
+          |            "query": { "span_term": { "path": "en" } },
+          |            "field": "text" } } ],
+          |        "slop": 2, "in_order": false } } ],
+          |    "should": [ { "match": { "text": "merge" } } ] } },
+          |  "size": 10 }""".stripMargin
+      graft.query.QueryDsl.execute(src, json,
+        s.read.parquet(s"$dir/documents.parquet"))
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+    }),
     // index-time synonym graph: the DSL is a PLAIN match — the index's
     // analyzer config (HybridSources.synonyms) rewrites "fast" into the
     // SynonymQuery group {fast, slow} automatically, like Lucene's
@@ -2289,6 +2313,58 @@ object HybridEntries {
          |    FROM tokp$i t0
          |        $joins
          |    WHERE t0.term = '${ts.head}'$f
+         |      AND ($width) <= $slop))""".stripMargin
+    case SpanNearMaskedQ(slots, slop, inOrder, boost) =>
+      // masked span_near: per-slot position stream — text slots read the
+      // zip-unnest token list, masked `path` slots re-derive the corpus
+      // path expression and tokenize it with the simple-analyzer-equivalent
+      // regexp split (positions 0-based over the non-empty tokens, exactly
+      // the engine's positional index); width arithmetic identical to the
+      // unmasked case
+      val f = filterPred.map(p => s" AND t0.$p").getOrElse("")
+      val k = slots.size
+      def streamOf(field: String): String = field match {
+        case "text" => s"tokp$i"
+        case "path" => s"ptokp$i"
+        case other => throw new IllegalArgumentException(
+          s"no oracle position stream for masked field [$other]")
+      }
+      val textCte =
+        if (!slots.exists(_._1 == "text")) ""
+        else
+          s"""tokp$i AS (
+             |  SELECT doc_id, unnest(l) AS term, unnest(range(len(l))) AS pos
+             |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+             |        FROM documents)),
+             |""".stripMargin
+      val pathCte =
+        if (!slots.exists(_._1 == "path")) ""
+        else
+          s"""ptokp$i AS (
+             |  SELECT doc_id, unnest(l) AS term, unnest(range(len(l))) AS pos
+             |  FROM (SELECT doc_id, list_filter(string_split(
+             |          regexp_replace(lower('src/pkg' || (doc_id % 97) || '/File' || doc_id || '.' || lang),
+             |            '[^a-z0-9]+', ' ', 'g'), ' '), x -> x <> '') AS l
+             |        FROM documents)),
+             |""".stripMargin
+      val joins = slots.zipWithIndex.tail.map { case ((fld, t), j) =>
+        val ordPred =
+          if (inOrder) s"t$j.pos > t${j - 1}.pos"
+          else (0 until j).map(m => s"t$j.pos <> t$m.pos").mkString(" AND ")
+        s"JOIN ${streamOf(fld)} t$j ON t$j.doc_id = t0.doc_id AND t$j.term = '$t' AND $ordPred"
+      }.mkString("\n        ")
+      val width =
+        if (inOrder) s"t${k - 1}.pos - t0.pos + 1 - $k"
+        else {
+          val ps = slots.indices.map(j => s"t$j.pos").mkString(", ")
+          s"greatest($ps) - least($ps) + 1 - $k"
+        }
+      s"""$textCte${pathCte}sq$i AS (
+         |  SELECT doc_id, $boost AS s FROM (
+         |    SELECT DISTINCT t0.doc_id
+         |    FROM ${streamOf(slots.head._1)} t0
+         |        $joins
+         |    WHERE t0.term = '${slots.head._2}'$f
          |      AND ($width) <= $slop))""".stripMargin
     case IntervalsQ(isrc, boost) =>
       // composed-intervals oracle, supported for two SQL-re-derivable
@@ -3905,6 +3981,11 @@ object HybridEntries {
         boolOracle(tokCte,
           must = Seq(SpanNearQ(Seq("hash", "join"), slop = 3, inOrder = true)),
           should = Seq(Lexical(Seq("merge", "sort"))), mustNot = Nil, msm = 0),
+      "dsl_field_masking_span" ->
+        boolOracle(tokCte,
+          must = Seq(SpanNearMaskedQ(
+            Seq("text" -> "join", "path" -> "en"), slop = 2, inOrder = false)),
+          should = Seq(Lexical(Seq("merge"))), mustNot = Nil, msm = 0),
       "dsl_phrase_prefix" ->
         boolOracle(tokCte,
           must = Seq(LexicalPhrasePrefix(Seq("hash"), "s", maxExpansions = 3)),

@@ -376,6 +376,19 @@ case class ExistsQ(field: String = "text", boost: Double = 1.0) extends SubQuery
 case class SpanNearQ(terms: Seq[String], slop: Int, inOrder: Boolean,
                      boost: Double = 1.0) extends SubQuery
 
+/** `span_near` whose slots may be `field_masking_span` wrappers (Lucene
+ *  FieldMaskingSpanQuery): each slot is (field, term) — a masked slot
+ *  matches the term in ANOTHER field's position stream while "pretending"
+ *  to be the primary field, so the span-width arithmetic runs over mixed
+ *  streams. Lucene documents exactly this caveat (positions from parallel
+ *  token streams compare only if the fields are analyzed compatibly — the
+ *  user's contract, not the engine's); semantics are otherwise
+ *  [[SpanNearQ]]'s width rule, constant score. Field "text" is the primary
+ *  positional index; any other field needs
+ *  [[HybridSources.fieldPositions]]. */
+case class SpanNearMaskedQ(slots: Seq[(String, String)], slop: Int,
+                           inOrder: Boolean, boost: Double = 1.0) extends SubQuery
+
 /** `span_first` (Lucene SpanFirstQuery): the term span must end within
  *  the first `end` positions — for a term span, position < end. Constant
  *  score, like the rest of the filter-context span family. */
@@ -849,6 +862,21 @@ object Hybrid {
           s"span_near terms must be analyzed single tokens, got [${ts.mkString(" ")}]")
         require(slop >= 0, s"slop must be >= 0, got $slop")
         require(boost > 0, s"[boost] must be > 0, got $boost")
+      case SpanNearMaskedQ(slots, slop, _, boost) =>
+        require(slots.size >= 2, "span_near needs at least 2 span clauses")
+        slots.foreach { case (f, t) =>
+          require(f == "text" || src.fieldPositions.contains(f),
+            s"field_masking_span field [$f] has no positional index — " +
+              "register it in HybridSources.fieldPositions")
+          require(t.matches("[a-z0-9]+"),
+            s"span terms must be analyzed single tokens, got [$t]")
+        }
+        require(slots.exists(_._1 == "text"),
+          "a masked span_near still needs at least one primary-field slot")
+        require(src.positions.nonEmpty,
+          "span_near requires HybridSources.positions (positional blocks)")
+        require(slop >= 0, s"slop must be >= 0, got $slop")
+        require(boost > 0, s"[boost] must be > 0, got $boost")
       case m: MoreLikeThisQ =>
         require(src.fields.nonEmpty,
           "more_like_this requires HybridSources.fields (the stored docs table) " +
@@ -1141,6 +1169,12 @@ object Hybrid {
           .select($"doc_id", lit(boost).as("score"))
       case SpanNearQ(ts, slop, ord, boost) =>
         graft.query.Phrase.spanNearMatch(src.idx, src.positions.get, ts, slop, ord)
+          .select($"doc_id", lit(boost).as("score"))
+      case SpanNearMaskedQ(slots, slop, ord, boost) =>
+        val slotPos = slots.map { case (f, t) =>
+          (if (f == "text") src.positions.get else src.fieldPositions(f), f, t)
+        }
+        graft.query.Phrase.spanNearMaskedMatch(src.idx, slotPos, slop, ord)
           .select($"doc_id", lit(boost).as("score"))
       case IntervalsQ(source, boost) =>
         graft.query.Intervals.matchDocs(src.idx, src.positions.get, source)
@@ -1890,7 +1924,8 @@ object Hybrid {
            _: MatchAll | _: BoolSub | _: TermPattern | _: ConstantScore |
            _: DisMax | _: Boosting | _: Fuzzy | _: MoreLikeThisQ |
            _: IdsQ | _: TermsSet | _: TermsSetFieldQ | _: RangeQ |
-           _: RegexPattern | _: ExistsQ | _: SpanNearQ | _: IntervalsQ => ()
+           _: RegexPattern | _: ExistsQ | _: SpanNearQ | _: SpanNearMaskedQ |
+           _: IntervalsQ => ()
       case _: SparseLinear => increment("neural_sparse_query_requests")
       case _: DenseCosine | _: DenseVector | _: DenseIvf | _: DenseRadial =>
         increment("neural_query_requests")

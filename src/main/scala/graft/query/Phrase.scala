@@ -407,10 +407,45 @@ object Phrase {
     val spark = idx.postings.sparkSession
     import spark.implicits._
     val uniq = terms.distinct
-    val k = terms.size
-    val termsArr = terms.toArray
+    spanNearKernel(idx, pos.filter($"term".isin(uniq: _*)), terms.toArray,
+      slop, inOrder)
+  }
 
-    val matched = pos.filter($"term".isin(uniq: _*))
+  /** `span_near` over MASKED slots (Lucene FieldMaskingSpanQuery): each
+   *  slot is (positions-of-its-field, field, term) — a masked slot draws
+   *  its occurrence positions from another field's positional index while
+   *  participating in the primary field's span-width arithmetic. Each
+   *  distinct (field, term) pair becomes its own cogroup key (tagged, so
+   *  the same term from two fields stays two streams); the kernel,
+   *  bucket-pruned shuffle contract, and liveness gate are exactly
+   *  [[spanNearMatch]]'s. Whether cross-field positions are comparable is
+   *  the caller's analyzer contract — Lucene documents the same caveat. */
+  def spanNearMaskedMatch(idx: Index,
+                          slots: Seq[(Dataset[PosBlock], String, String)],
+                          slop: Int, inOrder: Boolean): DataFrame = {
+    require(slots.size >= 2, "span_near needs at least 2 span clauses")
+    val spark = idx.postings.sparkSession
+    import spark.implicits._
+    val tagged = slots.map { case (_, f, t) => s"$f $t" }.toArray
+    val matched = slots.map { case (ds, f, t) => ((f, t), ds) }
+      .distinctBy(_._1)
+      .map { case ((f, t), ds) =>
+        val key = s"$f $t"
+        ds.filter($"term" === t).map(_.copy(term = key))
+      }
+      .reduce(_ union _)
+    spanNearKernel(idx, matched, tagged, slop, inOrder)
+  }
+
+  private def spanNearKernel(idx: Index, matched0: Dataset[PosBlock],
+                             termsArr: Array[String], slop: Int,
+                             inOrder: Boolean): DataFrame = {
+    val spark = idx.postings.sparkSession
+    import spark.implicits._
+    val uniq = termsArr.distinct.toSeq
+    val k = termsArr.length
+
+    val matched = matched0
     val docLens = idx.docLens
       .join(matched.select($"bucket").distinct().hint("broadcast"), "bucket")
       .as[DocLenBlock]

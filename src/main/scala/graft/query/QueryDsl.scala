@@ -504,30 +504,55 @@ object QueryDsl {
       val cs = body.path("clauses")
       require(cs.isArray && cs.size() >= 2,
         "span_near requires a [clauses] array of at least 2 span clauses")
-      val slots: Seq[Either[String, graft.query.Intervals.Source]] =
+      // slot = (source field, term | multi-term source); a plain span_term
+      // reads the primary field, a field_masking_span wrapper reads its
+      // inner span_term's field while masking as [field] (Lucene
+      // FieldMaskingSpanQuery — the parallel-token-stream idiom)
+      val slots: Seq[(String, Either[String, graft.query.Intervals.Source])] =
         (0 until cs.size()).map { i =>
-          val st = cs.get(i).path("span_term")
-          if (!st.isMissingNode) {
-            val (_, b) = firstField(st)
+          def termOf(st: JsonNode): (String, String) = {
+            val (f, b) = firstField(st)
             val t = if (b.isObject) b.path("value").asText() else b.asText()
             require(t.nonEmpty, "span_term requires a non-empty value")
-            Left(t)
+            (f, t)
+          }
+          val st = cs.get(i).path("span_term")
+          val fm = cs.get(i).path("field_masking_span")
+          if (!st.isMissingNode) {
+            val (f, t) = termOf(st)
+            require(f == "text",
+              s"a bare span_term in span_near must target the primary field, got [$f] — wrap it in field_masking_span")
+            ("text", Left(t))
+          } else if (!fm.isMissingNode) {
+            val inner = fm.path("query").path("span_term")
+            require(!inner.isMissingNode,
+              "field_masking_span requires a [query] holding a span_term")
+            val mask = fm.path("field").asText("")
+            require(mask == "text",
+              s"field_masking_span must mask as the primary field [text], got [$mask]")
+            val (f, t) = termOf(inner)
+            (f, Left(t))
           } else {
             val sm = cs.get(i).path("span_multi")
             require(!sm.isMissingNode,
-              "span_near clauses must be span_term or span_multi objects")
-            Right(parseSpanMulti(sm))
+              "span_near clauses must be span_term, field_masking_span, or span_multi objects")
+            ("text", Right(parseSpanMulti(sm)))
           }
         }
       require(!body.path("slop").isMissingNode, "span_near requires [slop]")
       val slop = body.path("slop").asInt()
       val inOrder = body.path("in_order").asBoolean(false)
       val boost = body.path("boost").asDouble(1.0)
-      if (slots.forall(_.isLeft))
-        graft.hybrid.SpanNearQ(slots.map(_.left.get), slop, inOrder, boost)
+      if (slots.exists(_._1 != "text")) {
+        require(slots.forall(_._2.isLeft),
+          "field_masking_span cannot mix with span_multi clauses")
+        graft.hybrid.SpanNearMaskedQ(
+          slots.map { case (f, e) => (f, e.left.get) }, slop, inOrder, boost)
+      } else if (slots.forall(_._2.isLeft))
+        graft.hybrid.SpanNearQ(slots.map(_._2.left.get), slop, inOrder, boost)
       else {
         import graft.query.Intervals
-        val sources = slots.map {
+        val sources = slots.map(_._2).map {
           case Left(t)    => Intervals.IMatch(Seq(t))
           case Right(src) => src
         }

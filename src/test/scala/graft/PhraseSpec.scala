@@ -136,6 +136,51 @@ class PhraseSpec extends SparkSpec {
     }
   }
 
+  test("spanNearMaskedMatch equals the brute-force mixed-stream model") {
+    // a parallel second field per doc: positions come from ITS token stream
+    val fieldB = Seq(
+      (0L, "p q a"), (1L, "a p"), (2L, "q q p"), (3L, "p a q"), (4100L, "q a"))
+    val posB = Positions.build(fieldB.toDF("doc_id", "text"), "doc_id", "text")
+    val toksA = corpus.toMap.view.mapValues(_.split(" ").toSeq).toMap
+    val toksB = fieldB.toMap.view.mapValues(_.split(" ").toSeq).toMap
+    def brute(id: Long, slots: Seq[(String, String)], slop: Int,
+              inOrder: Boolean): Boolean = {
+      val posLists = slots.map { case (f, t) =>
+        (if (f == "text") toksA(id) else toksB(id))
+          .zipWithIndex.collect { case (`t`, p) => p }
+      }
+      if (posLists.exists(_.isEmpty)) false
+      else {
+        val combos = posLists.foldLeft(Seq(Seq.empty[Int])) { (acc, l) =>
+          for (c <- acc; p <- l) yield c :+ p
+        }
+        combos.exists { c =>
+          c.distinct.size == c.size &&
+            c.max - c.min + 1 - slots.size <= slop &&
+            (!inOrder || c.zip(c.tail).forall { case (x, y) => x < y })
+        }
+      }
+    }
+    // same term name in BOTH streams ("a") must stay two distinct streams
+    for {
+      slots <- Seq(
+        Seq("text" -> "a", "other" -> "p"),
+        Seq("other" -> "p", "text" -> "b"),
+        Seq("text" -> "a", "other" -> "a"),
+        Seq("text" -> "a", "other" -> "q", "text" -> "b"))
+      slop <- Seq(0, 1, 3)
+      inOrder <- Seq(true, false)
+    } {
+      val slotPos = slots.map { case (f, t) =>
+        (if (f == "text") pos else posB, f, t) }
+      val got = Phrase.spanNearMaskedMatch(idx, slotPos, slop, inOrder)
+        .collect().map(_.getLong(0)).toSet
+      val want = corpus.map(_._1)
+        .filter(id => brute(id, slots, slop, inOrder)).toSet
+      assert(got == want, s"slots=$slots slop=$slop inOrder=$inOrder got=$got want=$want")
+    }
+  }
+
   test("span_containing equals brute force (ordered/unordered, k=2/3, " +
     "repeated terms)") {
     import graft.index.{InvertedIndex, Positions}
