@@ -40,6 +40,11 @@ object AggEntries {
       |      + cos(radians(40.0))*cos(radians(lat))*(sin(radians(lon - -75.0)/2)*sin(radians(lon - -75.0)/2)))) AS dist
       |  FROM pts)""".stripMargin
 
+  /** Fixed test polygon, (lat, lon) vertices — shared by the engine's
+   *  ray-cast predicate and the oracle's identical SQL re-derivation. */
+  private val GeoPolygon: Seq[(Double, Double)] =
+    Seq((10.0, -30.0), (50.0, 0.0), (30.0, 60.0), (-20.0, 40.0), (-40.0, -10.0))
+
   private def daily(s: SparkSession, dir: String): DataFrame =
     events(s, dir)
       .groupBy(date_trunc("day", col("ts")).as("day"))
@@ -278,6 +283,32 @@ object AggEntries {
       s.read.parquet(s"$dir/documents.parquet")
         .where(col("doc_id").isin(3L, 7L, 11L, 400L))
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))),
+    // geo_polygon query: point-in-polygon by ray casting — one crossing
+    // test per edge, the whole predicate a single codegen'd boolean
+    // projection over the synthetic coordinates (no UDF, no geo library);
+    // the same closed-form arithmetic re-derives in DuckDB, so both
+    // engines agree bit-for-bit on every crossing
+    "geo_polygon" -> ((s, dir) => {
+      val pts = geoPts(s, dir)
+      val (lat, lon) = (col("lat"), col("lon"))
+      val poly = GeoPolygon
+      val crossings = poly.indices.map { i2 =>
+        val (yi, xi) = poly(i2)
+        val (yj, xj) = poly((i2 + 1) % poly.size)
+        when(((lit(yi) > lat) =!= (lit(yj) > lat)) &&
+          (lon < (lit(xj) - lit(xi)) * (lat - lit(yi)) / (lit(yj) - lit(yi)) + lit(xi)),
+          1).otherwise(0)
+      }.reduceLeft(_ + _)
+      pts.where(crossings % 2 === 1)
+        .select(col("doc_id"), col("lat"), col("lon"))
+    }),
+    // geohash_grid aggregation: the base32 geohash cell at precision 4 —
+    // 20 bits interleaved lon/lat (lon first, MSB first), computed as a
+    // closed-form integer expression (quantize to 2^10, extract bits with
+    // shift+mod, reassemble) then mapped through the base32 alphabet with
+    // substring — pure column algebra both engines evaluate identically
+    "agg_geohash_grid" -> ((s, dir) =>
+      Geo.geohashGrid(geoPts(s, dir), "lat", "lon", 4)),
     // _termvectors API: one doc's term vector (term_statistics=true form) —
     // every analyzed term with positions, in-doc tf, and collection df/ttf;
     // the positional scan prunes to the doc's bucket, stats come from the
@@ -698,6 +729,32 @@ object AggEntries {
     "mget" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE doc_id IN (3, 7, 11, 400)""".stripMargin,
+    "geo_polygon" -> {
+      val crossings = GeoPolygon.indices.map { i =>
+        val (yi, xi) = GeoPolygon(i)
+        val (yj, xj) = GeoPolygon((i + 1) % GeoPolygon.size)
+        s"CASE WHEN (($yi > lat) <> ($yj > lat)) AND (lon < ($xj - $xi)*(lat - $yi)/($yj - $yi) + $xi) THEN 1 ELSE 0 END"
+      }.mkString("(", " + ", ")")
+      s"""WITH $GeoCte
+         |SELECT doc_id, lat, lon FROM pts
+         |WHERE $crossings % 2 = 1""".stripMargin
+    },
+    "agg_geohash_grid" -> {
+      val hash20 = (0 to 9).map { i =>
+        s"((lonq >> ${9 - i}) % 2) * ${1L << (19 - 2 * i)} + ((latq >> ${9 - i}) % 2) * ${1L << (18 - 2 * i)}"
+      }.mkString("(", " + ", ")")
+      val cell = (0 to 3).map { j =>
+        s"substring('0123456789bcdefghjkmnpqrstuvwxyz', CAST((h20 >> ${15 - 5 * j}) % 32 + 1 AS INT), 1)"
+      }.mkString(" || ")
+      s"""WITH $GeoCte,
+         |q AS (SELECT doc_id,
+         |        CAST(floor((lon + 180.0)/360.0*1024.0) AS BIGINT) AS lonq,
+         |        CAST(floor((lat + 90.0)/180.0*1024.0) AS BIGINT) AS latq
+         |      FROM pts),
+         |h AS (SELECT doc_id, $hash20 AS h20 FROM q)
+         |SELECT $cell AS cell, count(*) AS n_points
+         |FROM h GROUP BY 1""".stripMargin
+    },
     "termvectors" ->
       s"""WITH $tokCte,
          |toksq AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l

@@ -115,6 +115,44 @@ object Geo {
       .agg(count(lit(1)).as("n_points"))
   }
 
+  /** The base32 geohash cell of a point — `geohash_grid`'s bucket key.
+   *  Precision p = 5p bits: lon and lat quantize to 2^ceil(5p/2) /
+   *  2^floor(5p/2) steps and their bits interleave MSB-first starting with
+   *  lon (the geohash contract), assembled as ONE closed-form integer
+   *  expression (shift + mod bit extraction, no loops at runtime, no UDF)
+   *  and mapped through the base32 alphabet. Codegen-friendly and
+   *  bit-reproducible on any engine evaluating the same arithmetic. */
+  def geohashCell(lat: Column, lon: Column, precision: Int): Column = {
+    require(precision >= 1 && precision <= 6,
+      s"precision must be in [1, 6] (closed-form long arithmetic), got $precision")
+    val bits = 5 * precision
+    val lonBits = (bits + 1) / 2
+    val latBits = bits / 2
+    val lonQ = floor((lon + 180.0) / 360.0 * (1L << lonBits).toDouble).cast("long")
+    val latQ = floor((lat + 90.0) / 180.0 * (1L << latBits).toDouble).cast("long")
+    def bit(c: Column, k: Int) = shiftright(c, k) % 2
+    // interleave: global bit position g (0 = MSB) takes lon bit when g is
+    // even, lat bit when odd
+    val hash = (0 until bits).map { g =>
+      val src = if (g % 2 == 0) bit(lonQ, lonBits - 1 - g / 2)
+                else bit(latQ, latBits - 1 - g / 2)
+      src * (1L << (bits - 1 - g))
+    }.reduceLeft(_ + _)
+    val alphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+    (0 until precision).map { j =>
+      lit(alphabet).substr(
+        (shiftright(hash, bits - 5 - 5 * j) % 32 + 1).cast("int"), lit(1))
+    }.reduce(concat(_, _))
+  }
+
+  /** `geohash_grid` aggregation: cell -> point count at the given
+   *  precision. Map-side combinable single pass, like [[geotileGrid]]. */
+  def geohashGrid(points: DataFrame, latCol: String, lonCol: String,
+                  precision: Int): DataFrame =
+    points
+      .groupBy(geohashCell(col(latCol), col(lonCol), precision).as("cell"))
+      .agg(count(lit(1)).as("n_points"))
+
   /** `geo_distance` aggregation: distance-ring buckets from the origin with
    *  the reference's half-open [from, to) semantics and *-to keys. Bucket
    *  metrics are count/min/max — order-independent aggregates, so the

@@ -102,6 +102,22 @@ class GeoSpec extends SparkSpec {
     intercept[IllegalArgumentException](Geo.geotileGrid(pts, "lat", "lon", 30))
   }
 
+  test("geohash cell matches the canonical encoding at several precisions") {
+    // the canonical geohash example: 57.64911, 10.40744 -> u4pruydqqvj
+    val p = Seq((57.64911, 10.40744), (38.897, -77.036), (-33.8572, 151.2150))
+      .toDF("lat", "lon")
+    def cells(prec: Int): Seq[String] =
+      p.select(Geo.geohashCell(col("lat"), col("lon"), prec)).collect()
+        .map(_.getString(0)).toSeq
+    assert(cells(4) == Seq("u4pr", "dqcj", "r3gx"))
+    assert(cells(5) == Seq("u4pru", "dqcjr", "r3gx2"))
+    assert(cells(6) == Seq("u4pruy", "dqcjr0", "r3gx2u"))
+    // grid counts partition the input
+    val grid = Geo.geohashGrid(pts, "lat", "lon", 3)
+    assert(grid.agg(sum(col("n_points"))).collect().head.getLong(0) == 400L)
+    intercept[IllegalArgumentException] { Geo.geohashCell(col("lat"), col("lon"), 0) }
+  }
+
   test("geo_bounds + geo_centroid: one-pass hand-math on a known point set") {
     import spark.implicits._
     val known = Seq(
