@@ -105,6 +105,12 @@ object DataEntries {
     "ann_int8_topk" -> ((s, dir) =>
       Ann.int8CosineTopK(Ann.quantizeInt8(emb(s, dir), "vec_id", "embedding"),
         "vec_id", Int8QV, k = 20)),
+    // int8 with quantization RESCORE (the knn oversample contract): lossy
+    // phase collects 3k candidates from the quarter-size artifact, the
+    // full-precision vectors re-score ONLY those via a broadcast semi join
+    "ann_int8_rescore" -> ((s, dir) =>
+      Ann.int8RescoreTopK(Ann.quantizeInt8(emb(s, dir), "vec_id", "embedding"),
+        emb(s, dir), "vec_id", "embedding", Int8QV, k = 20, oversample = 3.0)),
     // product quantization (m=8 subspaces x 16 seeded codewords): codes are
     // 8 small ints per vector (32x compression); query-time ADC scores each
     // vector by 8 table lookups from a driver-computed m x 16 dot table
@@ -214,6 +220,22 @@ object DataEntries {
       graft.index.Reorder.denseIds(docs(s, dir).select("doc_id", "n_chars"),
         Seq(col("n_chars"), col("doc_id")), "new_id")
         .select(col("doc_id"), col("new_id"))),
+
+    // index.sort + early termination: the corpus persisted partitioned by
+    // coarse n_chars range buckets (rows sorted within); a top-25 by the
+    // SAME sort key walks leading buckets only — footer counts pick the
+    // minimal prefix, the _sb predicate prunes at the DIRECTORY level, and
+    // trailing partitions are never scanned (Lucene index.sort +
+    // TopFieldCollector early exit as storage layout)
+    "sorted_index_topk" -> ((s, dir) => {
+      val path = s"target/sortstore/${dir.replace('/', '_')}"
+      if (!new java.io.File(s"$path/_SUCCESS").exists())
+        graft.index.Reorder.sortedWrite(
+          docs(s, dir).select("doc_id", "n_chars"), "n_chars",
+          bucketWidth = 100L, path)
+      graft.index.Reorder.sortedTopK(s, path, "n_chars", "doc_id", 25)
+        .select(col("doc_id"), col("n_chars"))
+    }),
 
     // ---- token-budget shard packing (training-data sequence packing) ----
     "pack_token_budget" -> ((s, dir) =>
@@ -829,6 +851,24 @@ object DataEntries {
          |SELECT vec_id, round(c, 4) AS cos FROM (
          |  SELECT vec_id, ${cosSql("dv", Int8QV.mkString("[", ", ", "]"))} AS c FROM dq)
          |ORDER BY c DESC, vec_id LIMIT 20""".stripMargin,
+    // two-phase re-derivation: lossy candidates (same half-up rule), then
+    // exact cosine over exactly that candidate set
+    "ann_int8_rescore" ->
+      s"""WITH qn AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+         |         list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) / 127.0 AS scale
+         |  FROM embeddings),
+         |dq AS (
+         |  SELECT vec_id, list_transform(e, x -> floor(x / scale + 0.5) * scale) AS dv
+         |  FROM qn WHERE scale > 0),
+         |cand AS (
+         |  SELECT vec_id FROM (
+         |    SELECT vec_id, ${cosSql("dv", Int8QV.mkString("[", ", ", "]"))} AS c FROM dq)
+         |  ORDER BY c DESC, vec_id LIMIT 60)
+         |SELECT vec_id, round(c, 4) AS cos FROM (
+         |  SELECT e.vec_id, ${cosSql("e.embedding", Int8QV.mkString("[", ", ", "]"))} AS c
+         |  FROM embeddings e JOIN cand USING (vec_id))
+         |ORDER BY c DESC, vec_id LIMIT 20""".stripMargin,
     "ann_ivf_topk" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1),
          |cents AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings WHERE vec_id < 16),
@@ -956,6 +996,9 @@ object DataEntries {
     "reorder_by_length" ->
       """SELECT doc_id, CAST(row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS BIGINT) AS new_id
         |FROM documents""".stripMargin,
+    "sorted_index_topk" ->
+      """SELECT doc_id, n_chars FROM documents
+        |ORDER BY n_chars ASC, doc_id ASC LIMIT 25""".stripMargin,
     // ASCII corpus: payload byte i == text char i, so DuckDB samples the
     // same offsets straight off the text column
     "mm_frame_sample" ->

@@ -391,6 +391,23 @@ object HybridEntries {
         .select(col("doc_id"), round(col("score"), 4).as("score"))
     }),
     // numeric range + term equality in one filter, through the hybrid DSL
+    // runtime_mappings: a query-time computed field (len_bucket, derived
+    // from n_chars with the deterministic SQL-expression script dialect)
+    // consumed by a RANGE FILTER exactly like a stored field — never
+    // indexed, fused into the scan as a codegen'd projection
+    "dsl_runtime_field" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      val json =
+        """{ "runtime_mappings": { "len_bucket": { "type": "long",
+          |    "script": "CAST(floor(n_chars / 100) * 100 AS BIGINT)" } },
+          |  "query": { "bool": {
+          |    "must": [ { "match": { "text": "join hash" } } ],
+          |    "filter": { "range": { "len_bucket": { "gte": 200, "lt": 500 } } } } },
+          |  "size": 10 }""".stripMargin
+      graft.query.QueryDsl.execute(HybridSources(idx), json,
+        s.read.parquet(s"$dir/documents.parquet"))
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+    }),
     "dsl_range_filter" -> ((s, dir) => {
       val idx = IndexCache.documents(s, dir)
       val json =
@@ -3981,6 +3998,12 @@ object HybridEntries {
         boolOracle(tokCte,
           must = Seq(SpanNearQ(Seq("hash", "join"), slop = 3, inOrder = true)),
           should = Seq(Lexical(Seq("merge", "sort"))), mustNot = Nil, msm = 0),
+      "dsl_runtime_field" ->
+        boolOracle(tokCte, must = Seq(Lexical(Seq("join", "hash"))),
+          should = Nil, mustNot = Nil, msm = 0,
+          filterPred = Some("doc_id IN (SELECT doc_id FROM documents " +
+            "WHERE CAST(floor(n_chars / 100) * 100 AS BIGINT) >= 200 " +
+            "AND CAST(floor(n_chars / 100) * 100 AS BIGINT) < 500)")),
       "dsl_field_masking_span" ->
         boolOracle(tokCte,
           must = Seq(SpanNearMaskedQ(

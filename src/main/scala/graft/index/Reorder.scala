@@ -44,4 +44,49 @@ object Reorder {
     val rdd = ranged.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
     spark.createDataFrame(rdd, schema)
   }
+
+  /** Index-time sort persisted for query-time EARLY TERMINATION — Lucene's
+   *  `index.sort` contract (IndexWriterConfig.setIndexSort + the
+   *  TopFieldCollector early-exit when the query sort matches the index
+   *  sort), re-expressed as storage layout: the corpus writes PARTITIONED
+   *  by a coarse range bucket of the sort key (`_sb = floor(key/width)`,
+   *  a directory per bucket), rows sorted within. A matching-sort top-k
+   *  then needs only the leading buckets. */
+  def sortedWrite(docs: DataFrame, sortCol: String, bucketWidth: Long,
+                  path: String): Unit = {
+    require(bucketWidth > 0, s"bucketWidth must be > 0, got $bucketWidth")
+    docs.withColumn("_sb", floor(col(sortCol) / bucketWidth).cast("long"))
+      .repartition(col("_sb"))
+      .sortWithinPartitions(col(sortCol))
+      .write.partitionBy("_sb").mode("overwrite").parquet(path)
+  }
+
+  /** Early-terminating top-k over a [[sortedWrite]] layout: walk the range
+   *  buckets in sort order, counting rows (parquet footer metadata — no
+   *  data pages read) until the cumulative count covers k, then run the
+   *  final bounded top-k over ONLY those buckets — the `_sb` predicate is
+   *  a PARTITION filter, so trailing buckets are pruned at the directory
+   *  level and never scanned. The driver loop is bounded by the bucket
+   *  count (coarse, metadata-sized), exactly Lucene's
+   *  early-terminated segment walk. */
+  def sortedTopK(spark: org.apache.spark.sql.SparkSession, path: String,
+                 sortCol: String, idCol: String, k: Int): DataFrame = {
+    val all = spark.read.parquet(path)
+    // partition-column discovery infers `_sb` as int from directory names;
+    // normalize to long
+    val buckets = all.select(col("_sb").cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val chosen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var cum = 0L
+    val it = buckets.iterator
+    while (cum < k && it.hasNext) {
+      val sb = it.next()
+      chosen += sb
+      cum += all.where(col("_sb") === sb).count()
+    }
+    all.where(col("_sb").isin(chosen.toSeq.map(Long.box): _*))
+      .orderBy(col(sortCol).asc, col(idCol).asc)
+      .limit(k)
+      .drop("_sb")
+  }
 }

@@ -65,6 +65,30 @@ object Ann {
       .select(col(id), round(col("_c"), 4).as("cos"))
   }
 
+  /** Quantization RESCORE (the knn `rescore` / oversample contract of the
+   *  reference ecosystem's disk-optimized quantized indexes): phase 1
+   *  collects k·oversample candidates by the LOSSY int8 score — reading a
+   *  quarter of the bytes — phase 2 re-scores ONLY those candidates
+   *  against the full-precision vectors and keeps the exact top-k. The
+   *  full-precision table is touched for k·oversample rows via a
+   *  broadcast-sized semi join, so the expensive reads stay
+   *  candidate-bounded while recall approaches exact as oversample grows.
+   *  Returns the EXACT cosine for the survivors (ordering may differ from
+   *  brute force only by candidates the lossy phase missed). */
+  def int8RescoreTopK(quantized: DataFrame, emb: DataFrame, id: String,
+                      vec: String, queryVec: Seq[Double], k: Int,
+                      oversample: Double): DataFrame = {
+    require(oversample >= 1.0, s"oversample must be >= 1, got $oversample")
+    val cand = int8CosineTopK(quantized, id, queryVec,
+      math.ceil(k * oversample).toInt).select(col(id))
+    val qv = array(queryVec.map(lit): _*)
+    emb.join(broadcast(cand), id)
+      .select(col(id), cosine(col(vec), qv).as("_c"))
+      .orderBy(col("_c").desc, col(id).asc)
+      .limit(k)
+      .select(col(id), round(col("_c"), 4).as("cos"))
+  }
+
   /** Seeded PQ codebook: codeword c of subspace j is the j-th subvector of
    *  the embedding with id c — the same deterministic seeding the fixed-
    *  centroid IVF uses (ids < nCentroids); per-subspace k-means is the

@@ -1295,7 +1295,40 @@ object QueryDsl {
 
   /** Parse + execute against hybrid sources; `docs` supplies filter and
    *  collapse fields. */
-  def execute(src: HybridSources, json: String, docs: => DataFrame): DataFrame = {
+  /** `runtime_mappings`: query-time computed fields over the stored docs
+   *  table (the OpenSearch runtime-field contract — derived at search
+   *  time, never indexed, usable by filters / sort / collapse exactly
+   *  like stored fields). The script dialect here is the deterministic
+   *  Spark SQL expression subset (`floor(n_chars/100)*100` etc.) rather
+   *  than painless — parse failures and stored-field shadowing are
+   *  rejected at request time; the derived column is a codegen'd
+   *  projection fused into the same scan, never a second pass. */
+  private def applyRuntimeMappings(rm: JsonNode, docs: DataFrame): DataFrame =
+    if (rm.isMissingNode || !rm.isObject || rm.size() == 0) docs
+    else {
+      var out = docs
+      rm.fields().forEachRemaining { e =>
+        val name = e.getKey
+        val sNode = e.getValue.path("script")
+        val script =
+          if (sNode.isTextual) sNode.asText() else sNode.path("source").asText("")
+        require(script.nonEmpty, s"runtime field [$name] requires a [script]")
+        require(!out.columns.contains(name),
+          s"runtime field [$name] shadows an existing field")
+        val c =
+          try org.apache.spark.sql.functions.expr(script)
+          catch {
+            case ex: Exception => throw new IllegalArgumentException(
+              s"runtime field [$name] script does not parse: ${ex.getMessage}")
+          }
+        out = out.withColumn(name, c)
+      }
+      out
+    }
+
+  def execute(src: HybridSources, json: String, docs0: => DataFrame): DataFrame = {
+    lazy val docs: DataFrame =
+      applyRuntimeMappings(mapper.readTree(json).path("runtime_mappings"), docs0)
     val rootQ = mapper.readTree(json).path("query")
     if (!rootQ.path("bool").isMissingNode) {
       val pb = parseBool(json, src.idx.analyzer)

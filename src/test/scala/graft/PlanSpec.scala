@@ -108,6 +108,33 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PartitionFilters") && p.contains("c_id"), p.take(3000))
   }
 
+  test("index.sort early termination: minimal bucket prefix, partition-pruned scan") {
+    import spark.implicits._
+    // 300 rows over sort-key buckets 0..2 (100 each at width 100): top-25
+    // fits entirely in bucket 0, so buckets 1-2 must never be scanned
+    val docs = (0L until 300L).map(i => (i, i)).toDF("doc_id", "n_chars")
+    val path = java.nio.file.Files.createTempDirectory("plan-sort-").toString
+    graft.index.Reorder.sortedWrite(docs, "n_chars", 100L, path)
+    val top = graft.index.Reorder.sortedTopK(spark, path, "n_chars", "doc_id", 25)
+    def partFilter(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString.linesIterator
+        .filter(_.contains("PartitionFilters"))
+        .map(l => l.substring(l.indexOf("PartitionFilters")))
+        .map(l => l.take(l.indexOf(']') + 1))
+        .mkString(";")
+    // only bucket 0 survives the partition filter — buckets 1-2 are pruned
+    // at the directory level
+    val pf = partFilter(top)
+    assert("_sb#\\d+ = 0\\)".r.findFirstIn(pf).isDefined && !pf.contains("IN"), pf)
+    // result equals the global sort
+    assert(top.collect().map(_.getLong(0)).toSeq == (0L until 25L))
+    // k spanning buckets: the chosen prefix grows to {0,1}, result exact
+    val top150 = graft.index.Reorder.sortedTopK(spark, path, "n_chars", "doc_id", 150)
+    val pf150 = partFilter(top150)
+    assert(pf150.contains("IN (0,1)") || pf150.contains("IN (0, 1)"), pf150)
+    assert(top150.collect().map(_.getLong(0)).toSeq == (0L until 150L))
+  }
+
   test("hybrid DenseIvf clause's probe partition-prunes the vector artifact") {
     import spark.implicits._
     val emb = (0L until 200L).map(i =>
