@@ -316,6 +316,12 @@ object AggEntries {
     "termvectors" -> ((s, dir) =>
       graft.query.Search.termVectors(IndexCache.documents(s, dir),
         IndexCache.positions(s, dir), 42L)),
+    // _explain API: one document's score decomposition for a match query —
+    // per matched term the tf/dl/df inputs, idf, and BM25 contribution;
+    // every input a bounded point read (query terms x the doc's bucket)
+    "explain_doc" -> ((s, dir) =>
+      graft.query.Search.explainDoc(IndexCache.documents(s, dir),
+        Seq("join", "hash", "merge"), 42L)),
     // _validate/query API: parse/rewrite-check a request DSL without
     // executing it — a well-formed request reports valid, a malformed one
     // (empty match text here) reports invalid with no exception escaping
@@ -764,6 +770,14 @@ object AggEntries {
          |tfd AS (SELECT term, count(*) AS tf FROM tokp GROUP BY term)
          |SELECT tokp.term, tokp.pos, tfd.tf, df.df, ttf.ttf
          |FROM tokp JOIN tfd USING (term) JOIN df USING (term) JOIN ttf USING (term)""".stripMargin,
+    "explain_doc" ->
+      s"""WITH $tokCte
+         |SELECT tf.term, tf.tf, dl.dl, df.df,
+         |       round(ln(1 + (stats.n - df.df + 0.5)/(df.df + 0.5)), 4) AS idf,
+         |       round(ln(1 + (stats.n - df.df + 0.5)/(df.df + 0.5))
+         |             * (tf.tf / (tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/stats.avgdl))), 4) AS contribution
+         |FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN stats
+         |WHERE tf.doc_id = 42 AND tf.term IN ('join', 'hash', 'merge')""".stripMargin,
     "validate_api" ->
       """SELECT 'good' AS req, true AS valid
         |UNION ALL SELECT 'bad_empty_text', false

@@ -139,6 +139,25 @@ object CorpusEntries {
       Bm25.topK(Deletes.withDeletes(idx, dead, "doc_id"), Seq("merge", "group"), 10)
         .select(col("doc_id"), round(col("score"), 4).as("score"))
     }),
+    // point-in-time reader (PIT + search_after's stability contract): a
+    // reader opened BEFORE a delete keeps serving the pre-delete view while
+    // the live index excludes the tombstoned docs — here both views answer
+    // the same query side by side; the snapshot/lineage machinery
+    // (segments_snapshot_restore) is what pins a PIT on disk, and the
+    // immutable block tables make the old reader free to keep
+    "search_pit" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      val dead = s.read.parquet(s"$dir/documents.parquet")
+        .where(col("doc_id") % 7 === 3).select("doc_id")
+      val pit = Bm25.topK(idx, Seq("merge", "group"), 10)
+        .select(lit("pit").as("view"), col("doc_id"),
+          round(col("score"), 4).as("score"))
+      val live = Bm25.topK(Deletes.withDeletes(idx, dead, "doc_id"),
+          Seq("merge", "group"), 10)
+        .select(lit("live").as("view"), col("doc_id"),
+          round(col("score"), 4).as("score"))
+      pit.unionByName(live)
+    }),
     // merge-time purge: blocks rewritten without the tombstoned ids, every
     // statistic recomputed — scores now reflect the post-delete corpus
     "bm25_compacted" -> ((s, dir) => {
@@ -309,6 +328,24 @@ object CorpusEntries {
          |SELECT doc_id, round(s, 4) AS score FROM score
          |WHERE doc_id % 7 <> 3
          |ORDER BY s DESC, doc_id LIMIT 10""".stripMargin,
+
+    "search_pit" ->
+      s"""WITH $tokCte,
+         |score AS (
+         |  SELECT tf.doc_id,
+         |         sum( ln(1 + (stats.n - df.df + 0.5)/(df.df + 0.5))
+         |              * (tf.tf / (tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/stats.avgdl))) ) AS s
+         |  FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN stats
+         |  WHERE tf.term IN ('merge', 'group')
+         |  GROUP BY tf.doc_id)
+         |SELECT * FROM (
+         |  SELECT 'pit' AS view, doc_id, round(s, 4) AS score FROM score
+         |  ORDER BY s DESC, doc_id LIMIT 10)
+         |UNION ALL
+         |SELECT * FROM (
+         |  SELECT 'live' AS view, doc_id, round(s, 4) AS score FROM score
+         |  WHERE doc_id % 7 <> 3
+         |  ORDER BY s DESC, doc_id LIMIT 10)""".stripMargin,
 
     // post-compaction: every stat recomputed over the live corpus — the
     // tok/df/dl/stats CTEs all read the filtered live_docs view

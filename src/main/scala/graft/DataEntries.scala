@@ -105,6 +105,11 @@ object DataEntries {
     "ann_int8_topk" -> ((s, dir) =>
       Ann.int8CosineTopK(Ann.quantizeInt8(emb(s, dir), "vec_id", "embedding"),
         "vec_id", Int8QV, k = 20)),
+    // binary (Hamming) kNN: sign bits packed into ONE long per vector
+    // (64x reduction), distance = popcount(xor) — the binary vector space
+    "ann_hamming_topk" -> ((s, dir) =>
+      Ann.hammingTopK(emb(s, dir), "vec_id", "embedding", dim = 64,
+        queryId = 0L, k = 20)),
     // int8 with quantization RESCORE (the knn oversample contract): lossy
     // phase collects 3k candidates from the quarter-size artifact, the
     // full-precision vectors re-score ONLY those via a broadcast semi join
@@ -851,6 +856,20 @@ object DataEntries {
          |SELECT vec_id, round(c, 4) AS cos FROM (
          |  SELECT vec_id, ${cosSql("dv", Int8QV.mkString("[", ", ", "]"))} AS c FROM dq)
          |ORDER BY c DESC, vec_id LIMIT 20""".stripMargin,
+    "ann_hamming_topk" -> {
+      // bit 63 is BIGINT's sign bit: DuckDB rejects 1 << 63, so the last
+      // term adds Long.MinValue directly (partial sums stay in range
+      // because the fold runs d = 0..63 left-to-right)
+      val pack = (0 until 64).map { d =>
+        val bit = if (d == 63) "(-9223372036854775807 - 1)" else s"(1::BIGINT << $d)"
+        s"CASE WHEN embedding[${d + 1}] > 0 THEN $bit ELSE 0 END"
+      }.mkString("(", " + ", ")")
+      s"""WITH hp AS (SELECT vec_id, $pack AS h FROM embeddings),
+         |q AS (SELECT h AS qh FROM hp WHERE vec_id = 0)
+         |SELECT vec_id, CAST(bit_count(xor(hp.h, q.qh)) AS BIGINT) AS hamming
+         |FROM hp CROSS JOIN q
+         |ORDER BY hamming ASC, vec_id ASC LIMIT 20""".stripMargin
+    },
     // two-phase re-derivation: lossy candidates (same half-up rule), then
     // exact cosine over exactly that candidate set
     "ann_int8_rescore" ->

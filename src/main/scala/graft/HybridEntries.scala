@@ -1471,6 +1471,25 @@ object HybridEntries {
       graft.query.QueryDsl.execute(idx, json, s, s.read.parquet(s"$dir/documents.parquet"))
         .select(col("doc_id"), round(col("score"), 4).as("score"))
     }),
+    // neural_sparse ANALYZER form: model-free query-side tokenization —
+    // the named analyzer's tokens each weigh 1.0 against the stored sparse
+    // vectors (the reference's analyzer alternative to model inference;
+    // mutually exclusive with model_id)
+    "dsl_neural_sparse_analyzer" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      val json =
+        """{ "query": { "hybrid": {
+          |    "queries": [ { "match": { "text": "join hash" } },
+          |                 { "neural_sparse": { "sparse_field": {
+          |                     "query_text": "merge window dup scan merge",
+          |                     "analyzer": "simple" } } } ] } },
+          |  "size": 10,
+          |  "search_pipeline": {
+          |    "normalization": { "technique": "min_max" },
+          |    "combination":   { "technique": "arithmetic_mean" } } }""".stripMargin
+      graft.query.QueryDsl.execute(idx, json, s, s.read.parquet(s"$dir/documents.parquet"))
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+    }),
     // radial kNN through the DSL: the neural clause carries max_distance
     // instead of k — a range query over similarity (reference:
     // NeuralQueryBuilder.java:156-157 radial forms; only one of
@@ -1864,6 +1883,14 @@ object HybridEntries {
       val hits = Bm25.topK(idx, B, 10)
       graft.ops.Highlight.matchedTerms(hits,
         s.read.parquet(s"$dir/documents.parquet"), "text", B, window = 3)
+    }),
+    // number_of_fragments: 0 — the whole-field highlight: the entire text
+    // of each hit returns once with EVERY query-term occurrence em-tagged
+    "search_highlight_whole" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      val hits = Bm25.topK(idx, B, 10)
+      graft.ops.Highlight.wholeField(hits,
+        s.read.parquet(s"$dir/documents.parquet"), "text", B)
     }),
     // multi-fragment, phrase-aware highlighting (unified-highlighter
     // shape): every occurrence of "window" plus every exact "merge sort"
@@ -4313,6 +4340,10 @@ object HybridEntries {
       "dsl_neural_sparse" ->
         hybridOracle(tokCte, Seq(Lexical(A), SparseLinear(SQ.toMap)),
           MinMaxNormTech(), Combination(Combine.Arithmetic), filterPred = langF),
+      "dsl_neural_sparse_analyzer" ->
+        hybridOracle(tokCte, Seq(Lexical(A), SparseLinear(Map(
+          "merge" -> 1.0, "window" -> 1.0, "dup" -> 1.0, "scan" -> 1.0))),
+          MinMaxNormTech(), Combination(Combine.Arithmetic)),
       "dsl_collapse_boost" ->
         hybridOracle(tokCte,
           Seq(Lexical(A, A.map(_ -> 2.0).toMap), Lexical(B)),
@@ -4639,6 +4670,19 @@ object HybridEntries {
            |WHERE fg_df/t > df/n
            |ORDER BY (fg_df/t - df/n) * ((fg_df/t)/(df/n)) DESC, term
            |LIMIT 10""".stripMargin,
+      "search_highlight_whole" ->
+        s"""WITH $tokCte,
+           |score AS (
+           |  SELECT tf.doc_id, $Bm25Sum AS s
+           |  FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN stats
+           |  WHERE tf.term IN (${termList(B)})
+           |  GROUP BY tf.doc_id),
+           |topd AS (SELECT doc_id FROM score ORDER BY s DESC, doc_id LIMIT 10)
+           |SELECT d.doc_id,
+           |       array_to_string(list_transform(string_split(d.text, ' '),
+           |         t -> CASE WHEN t IN (${termList(B)})
+           |                   THEN '<em>' || t || '</em>' ELSE t END), ' ') AS highlighted
+           |FROM documents d JOIN topd USING (doc_id)""".stripMargin,
       "search_highlight" ->
         s"""WITH $tokCte,
            |score AS (

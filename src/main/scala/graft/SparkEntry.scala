@@ -92,6 +92,23 @@ object SparkEntry {
     "q_window"     -> Seq("window"),
     "q_scan_table" -> Seq("scan", "table"))
 
+  /** msearch_template fixtures: (id, mustache template, params) — and the
+   *  analyzed terms each one renders to, for the shared oracle. */
+  private val MsearchTemplates: Seq[(String, String, Map[String, Any])] = Seq(
+    ("t_one_field",
+      """{"query":{"bool":{"must":[{"match":{"text":"{{q}}"}}]}}}""",
+      Map("q" -> "join hash")),
+    ("t_two_params",
+      """{"query":{"bool":{"must":[{"match":{"text":"{{a}} {{b}}"}}]}}}""",
+      Map("a" -> "merge", "b" -> "window")),
+    ("t_single",
+      """{"query":{"bool":{"must":[{"match":{"text":"{{q}}"}}]}}}""",
+      Map("q" -> "scan")))
+  private val MsearchTemplateTerms: Seq[(String, Seq[String])] = Seq(
+    "t_one_field"  -> Seq("join", "hash"),
+    "t_two_params" -> Seq("merge", "window"),
+    "t_single"     -> Seq("scan"))
+
   /** msearch oracle: each request re-derived independently (ranked BM25
    *  top-k), union'd — the per-request independence contract itself. */
   private def msearchOracleSql(requests: Seq[(String, Seq[String])], k: Int): String = {
@@ -206,6 +223,14 @@ object SparkEntry {
       graft.query.Search.msearch(IndexCache.documents(s, dir), MsearchRequests, 10)
         .select(col("query_id"), col("rank"), col("doc_id"),
           round(col("score"), 4).as("score"))),
+    // _msearch_template: the batched search_template — each request
+    // renders through the mustache subset then ALL of them share msearch's
+    // one postings pass
+    "msearch_template" -> ((s, dir) =>
+      graft.query.Search.msearchTemplate(IndexCache.documents(s, dir),
+        MsearchTemplates, 10)
+        .select(col("query_id"), col("rank"), col("doc_id"),
+          round(col("score"), 4).as("score"))),
     // Lucene SynonymQuery: the synonym set scores as ONE pseudo-term —
     // tf summed across members BEFORE saturation, df = max member df
     "bm25_synonym" -> ((s, dir) =>
@@ -278,6 +303,7 @@ object SparkEntry {
     "bm25_wand_top10"   -> bm25OracleSql("'spark', 'stream', 'filter'", 10),
     "bm25_wand_top100"  -> bm25OracleSql("'table', 'scan'", 100),
     "bm25_msearch"      -> msearchOracleSql(MsearchRequests, 10),
+    "msearch_template"  -> msearchOracleSql(MsearchTemplateTerms, 10),
     "bm25_synonym" ->
       s"""WITH $TOK_CTE,
          |syn AS (SELECT doc_id, sum(tf) AS stf FROM tf

@@ -65,6 +65,33 @@ object Ann {
       .select(col(id), round(col("_c"), 4).as("cos"))
   }
 
+  /** Sign-bit binary packing: one BIGINT of per-dimension sign bits (bit d
+   *  set iff v[d] > 0) — the 1-bit-per-dimension binary vector type, a
+   *  64x storage/scan reduction for dim <= 64. Distinct powers of two
+   *  never carry, so the fold is exactly a bitwise OR both engines
+   *  evaluate identically (including the sign bit at d = 63). */
+  def signPack(vec: Column, dim: Int): Column = {
+    require(dim >= 1 && dim <= 64, s"signPack packs into one long, dim <= 64, got $dim")
+    (0 until dim).map { d =>
+      when(element_at(vec, d + 1) > 0, lit(1L << d)).otherwise(0L)
+    }.reduceLeft(_ + _)
+  }
+
+  /** Binary (Hamming) kNN over [[signPack]]ed vectors — the byte/binary
+   *  vector space of the reference ecosystem: distance =
+   *  popcount(h XOR qh), one codegen'd expression per row over the packed
+   *  column, bounded TakeOrdered. The cheapest possible 100 TB scan shape:
+   *  8 bytes per vector, XOR+popcount per candidate. */
+  def hammingTopK(emb: DataFrame, id: String, vec: String, dim: Int,
+                  queryId: Long, k: Int): DataFrame = {
+    val packed = emb.select(col(id), signPack(col(vec), dim).as("h"))
+    val q = packed.where(col(id) === queryId).select(col("h").as("qh"))
+    packed.crossJoin(broadcast(q))
+      .select(col(id), expr("bit_count(h ^ qh)").cast("long").as("hamming"))
+      .orderBy(col("hamming").asc, col(id).asc)
+      .limit(k)
+  }
+
   /** Quantization RESCORE (the knn `rescore` / oversample contract of the
    *  reference ecosystem's disk-optimized quantized indexes): phase 1
    *  collects k·oversample candidates by the LOSSY int8 score — reading a

@@ -59,6 +59,25 @@ object Highlight {
       .select(col("doc_id"), col("term"), col("pos"), col("snippet"))
   }
 
+  /** `number_of_fragments: 0` — the whole-field highlight form: the ENTIRE
+   *  field value returns as one highlighted string with every analyzed
+   *  occurrence of every query term `<em>`-wrapped (no fragmenting, no
+   *  windowing). Same distribution contract as the fragment forms: only
+   *  the <= k hit documents' text is ever touched (broadcast semi join),
+   *  the tagging is one codegen'd array HOF pass. */
+  def wholeField(hits: DataFrame, docs: DataFrame, textCol: String,
+                 terms: Seq[String]): DataFrame = {
+    val withText = docs.select(col("doc_id"), split(col(textCol), " ").as("toks"))
+      .join(broadcast(hits.select("doc_id")), "doc_id")
+    val termArr = array(terms.map(lit): _*)
+    withText.select(col("doc_id"),
+      array_join(
+        transform(col("toks"),
+          t => when(array_contains(termArr, norm(t)),
+            concat(lit("<em>"), t, lit("</em>"))).otherwise(t)),
+        " ").as("highlighted"))
+  }
+
   /**
    * Multi-fragment, phrase-aware highlighting — the unified-highlighter
    * shape (reference surface: the highlight/single package): per hit, EVERY

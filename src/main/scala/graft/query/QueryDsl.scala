@@ -1121,20 +1121,35 @@ object QueryDsl {
         toks.fields().forEachRemaining(e => m += (e.getKey -> e.getValue.asDouble()))
         SparseLinear(m.toMap)
       } else {
-        // query_text form: run the (mock) sparse encoding model over the
-        // analyzed text; the model id must come from the clause or a
-        // neural_query_enricher request-processor default (reference:
-        // NeuralSparseQueryBuilder requires model_id for inference;
-        // NeuralQueryEnricherProcessor fills the default)
         val text = body.path("query_text").asText("")
         require(text.nonEmpty,
           "neural_sparse requires query_tokens or query_text")
-        val modelId = enricher.resolve(field,
-          Option(body.path("model_id")).filterNot(_.isMissingNode).map(_.asText()))
-        require(modelId.nonEmpty,
-          "neural_sparse [query_text] requires a model_id — set it on the clause " +
-            "or configure a neural_query_enricher request processor with default_model_id")
-        SparseLinear(Sparse.encodeQueryTokens(Analyzer.analyze(analyzer)(text).toSeq))
+        val anaNode = body.path("analyzer")
+        val modelNode = Option(body.path("model_id"))
+          .filterNot(_.isMissingNode).map(_.asText())
+        if (!anaNode.isMissingNode) {
+          // analyzer form (model-free query-side tokenization — the
+          // reference's NeuralSparseQueryBuilder accepts `analyzer` as the
+          // mutually-exclusive alternative to model inference: tokens come
+          // from the named analyzer, each weighted 1.0, and the stored
+          // sparse vectors carry all the learned weighting)
+          require(modelNode.isEmpty,
+            "neural_sparse accepts [analyzer] or [model_id], not both")
+          val toks = Analyzer.analyze(anaNode.asText())(text).toSeq
+          require(toks.nonEmpty, "neural_sparse analyzer produced no tokens")
+          SparseLinear(toks.distinct.map(_ -> 1.0).toMap)
+        } else {
+          // query_text form: run the (mock) sparse encoding model over the
+          // analyzed text; the model id must come from the clause or a
+          // neural_query_enricher request-processor default (reference:
+          // NeuralSparseQueryBuilder requires model_id for inference;
+          // NeuralQueryEnricherProcessor fills the default)
+          val modelId = enricher.resolve(field, modelNode)
+          require(modelId.nonEmpty,
+            "neural_sparse [query_text] requires a model_id — set it on the clause " +
+              "or configure a neural_query_enricher request processor with default_model_id")
+          SparseLinear(Sparse.encodeQueryTokens(Analyzer.analyze(analyzer)(text).toSeq))
+        }
       }
     } else if (!q.path("neural").isMissingNode) {
       val (field, body) = firstField(q.path("neural"))

@@ -51,6 +51,71 @@ object Search {
       .select(col("term"), col("pos"), col("tf"), col("df"), col("ttf"))
   }
 
+  /** `_msearch_template`: render each (id, template, params) request with
+   *  the mustache-subset renderer, parse the resulting single-match
+   *  request, and answer ALL of them in [[msearch]]'s ONE postings pass —
+   *  the batched form of `_search_template`. Templates must render to a
+   *  bool with exactly one scoring `match` clause (the msearch contract);
+   *  anything else is rejected at render time. */
+  def msearchTemplate(idx: Index,
+                      requests: Seq[(String, String, Map[String, Any])],
+                      k: Int): DataFrame = {
+    val rendered = requests.map { case (id2, tpl, params) =>
+      val json = graft.query.QueryDsl.renderTemplate(tpl, params)
+      val pb = graft.query.QueryDsl.parseBool(json, idx.analyzer)
+      val terms = pb.bool match {
+        case graft.hybrid.BoolSub(Seq(graft.hybrid.Lexical(ts, b)), Nil, Nil, _, Nil)
+          if b.isEmpty => ts
+        case _ => throw new IllegalArgumentException(
+          s"msearch_template [$id2] must render to a single match clause")
+      }
+      (id2, terms)
+    }
+    msearch(idx, rendered, k)
+  }
+
+  /** `_explain` API: ONE document's score decomposition against a match
+   *  query — per matched term the raw tf/dl/df inputs, the idf, and the
+   *  BM25 contribution (Lucene's Explanation tree flattened relational).
+   *  The postings read prunes to (query terms × the doc's bucket) at the
+   *  scan, doc length decodes from that one bucket's forward blocks, df
+   *  joins from termStats — every input is a bounded point read however
+   *  large the index. Terms absent from the doc emit no row, like the
+   *  reference's non-matching sub-explanations. */
+  def explainDoc(idx: Index, terms: Seq[String], docId: Long): DataFrame = {
+    val spark = idx.postings.sparkSession
+    import spark.implicits._
+    val uniq = terms.distinct
+    val bkt = docId >> InvertedIndex.BucketBits
+    val local = (docId - (bkt << InvertedIndex.BucketBits)).toInt
+    val tfRows = idx.postings
+      .filter(col("term").isin(uniq: _*) && col("bucket") === bkt)
+      .flatMap { b =>
+        val ids = PostingCodec.decodeDeltas(b.docs, b.cnt)
+        val tfs = PostingCodec.decodeInts(b.tfs, b.cnt)
+        val i = java.util.Arrays.binarySearch(ids, local)
+        if (i >= 0) Iterator.single((b.term, tfs(i).toLong)) else Iterator.empty
+      }.toDF("term", "tf")
+    val dlRow = idx.docLens.filter(col("bucket") === bkt)
+      .as[DocLenBlock].flatMap { b =>
+        val ids = PostingCodec.decodeDeltas(b.ids, b.cnt)
+        val dls = PostingCodec.decodeInts(b.dls, b.cnt)
+        val i = java.util.Arrays.binarySearch(ids, local)
+        if (i >= 0) Iterator.single(dls(i).toLong) else Iterator.empty
+      }.toDF("dl")
+    val n = idx.stats.doc_count
+    val avgdl = idx.stats.avgdl
+    val idf = log(lit(1.0) + (lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5))
+    val tfNorm = col("tf") / (col("tf") +
+      lit(1.2) * (lit(1 - 0.75) + lit(0.75) * col("dl") / lit(avgdl)))
+    tfRows
+      .join(idx.termStats.select(col("term"), col("df")), "term")
+      .crossJoin(dlRow)
+      .select(col("term"), col("tf"), col("dl"), col("df"),
+        round(idf, 4).as("idf"),
+        round(idf * tfNorm, 4).as("contribution"))
+  }
+
   /** `_msearch`: N independent BM25 requests answered in ONE postings pass.
    *  The reference's transport loops the sub-requests through the search
    *  path one by one; on Spark the dominant per-query cost at cluster scale
