@@ -24,12 +24,19 @@ class BoolModelSpec extends SparkSpec {
 
   // ---- first-principles model -------------------------------------------
 
-  private class Model(docs: Map[Long, Seq[String]]) {
+  private class Model(docs: Map[Long, Seq[String]],
+                      head: Map[Long, Seq[String]]) {
     val n: Long = docs.size.toLong
     val dl: Map[Long, Int] = docs.map { case (k, v) => k -> v.size }
     val avgdl: Double = dl.values.sum.toDouble / n
     val df: Map[String, Long] = docs.values.toSeq.flatMap(_.distinct)
       .groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    private val dfH: Map[String, Long] = head.values.toSeq.flatMap(_.distinct)
+      .groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    private def toksOf(f: String, id: Long): Seq[String] =
+      if (f == "text") docs(id) else head(id)
+    private def dfOf(f: String): Map[String, Long] =
+      if (f == "text") df else dfH
 
     private def likeMatch(pattern: String, term: String): Boolean = {
       val re = pattern.flatMap {
@@ -50,6 +57,32 @@ class BoolModelSpec extends SparkSpec {
 
     /** matched docs -> score for one clause */
     def eval(sq: SubQuery): Map[Long, Double] = sq match {
+      case LexicalMulti(fields, terms, CombinedFields(msm)) =>
+        // merged pseudo-field: tf' = Σ w_f·tf_f, dl' = Σ w_f·dl_f,
+        // df' = max over fields, avgdl' = Σ w_f·sumdl_f / n; msm gates on
+        // distinct matched terms (the engine's exact formulation)
+        val uniq = terms.distinct
+        val mergedDf = uniq.flatMap { t =>
+          val ds = fields.flatMap { case (f, _) => dfOf(f).get(t) }
+          if (ds.isEmpty) None else Some(t -> ds.max)
+        }.toMap
+        val gate = math.max(msm, 1)
+        if (mergedDf.size < gate) Map.empty
+        else {
+          val avgdlC = fields.map { case (f, w) =>
+            w * docs.keys.toSeq.map(id => toksOf(f, id).size.toLong).sum }.sum / n
+          docs.keys.flatMap { id =>
+            val cdl = fields.map { case (f, w) => w * toksOf(f, id).size }.sum
+            val per = uniq.filter(mergedDf.contains).flatMap { t =>
+              val ctf = fields.map { case (f, w) =>
+                w * toksOf(f, id).count(_ == t) }.sum
+              if (ctf == 0) None
+              else Some(Bm25.idf(mergedDf(t), n) *
+                (ctf / (ctf + 1.2 * (1 - 0.75 + 0.75 * cdl / avgdlC))))
+            }
+            if (per.size >= gate) Some(id -> per.sum) else None
+          }.toMap
+        }
       case Lexical(terms, boosts) =>
         docs.flatMap { case (id, toks) =>
           val tf = toks.groupBy(identity).map { case (t, xs) => t -> xs.size }
@@ -199,7 +232,7 @@ class BoolModelSpec extends SparkSpec {
 
   private def term(): String = vocab(rnd.nextInt(vocab.size))
 
-  private def leaf(): SubQuery = rnd.nextInt(13) match {
+  private def leaf(): SubQuery = rnd.nextInt(14) match {
     case 0 => Lexical(Seq.fill(1 + rnd.nextInt(3))(term()))
     case 1 =>
       val ts = Seq.fill(2 + rnd.nextInt(2))(term())
@@ -236,6 +269,13 @@ class BoolModelSpec extends SparkSpec {
           Intervals.IAllOf(Seq(l1, l2), rnd.nextInt(5) - 1, rnd.nextBoolean())
         else Intervals.IAnyOf(Seq(l1, l2))
       IntervalsQ(tree, 0.5 + rnd.nextInt(3) * 0.5)
+    case 13 =>
+      // combined_fields over (text, head): weights >= 1 (the Lucene
+      // contract), random or/and-style msm over 1-3 analyzed terms
+      val ts = Seq.fill(1 + rnd.nextInt(3))(term())
+      LexicalMulti(
+        Seq("text" -> 1.0, "head" -> (1.0 + rnd.nextInt(2)).toDouble),
+        ts, CombinedFields(rnd.nextInt(ts.distinct.size + 1)))
   }
 
   private def clause(depth: Int): SubQuery =
@@ -263,6 +303,30 @@ class BoolModelSpec extends SparkSpec {
     else b
   }
 
+  test("combined_fields leaf matches the model explicitly (not just via the random stream)") {
+    val corpus = (0L until 30L).map(i => i -> Seq.fill(1 + (i % 7).toInt)(vocab((i % vocab.size).toInt)))
+      .map { case (id, ts) => id -> (ts :+ vocab(((id * 3) % vocab.size).toInt)) }
+    val headCorpus = corpus.map { case (id, toks) => id -> toks.take(2) }
+    val idx = InvertedIndex.build(
+      corpus.map { case (id, toks) => (id, toks.mkString(" ")) }.toDF("doc_id", "text"),
+      "doc_id", "text")
+    val headIdx = InvertedIndex.build(
+      headCorpus.map { case (id, toks) => (id, toks.mkString(" ")) }.toDF("doc_id", "text"),
+      "doc_id", "text")
+    val model = new Model(corpus.toMap, headCorpus.toMap)
+    for (msm <- 0 to 2; w <- Seq(1.0, 2.0)) {
+      val bq = BoolSub(must = Seq(LexicalMulti(
+        Seq("text" -> 1.0, "head" -> w), Seq("a", "ab", "zz"), CombinedFields(msm))))
+      val expected = model.eval(bq)
+      val got = BoolQuery.score(
+        HybridSources(idx, fieldIdx = Map("head" -> headIdx)), bq).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(got.keySet == expected.keySet, s"msm=$msm w=$w")
+      got.foreach { case (id, s) =>
+        assert(math.abs(s - expected(id)) < 1e-9, s"doc $id msm=$msm w=$w") }
+    }
+  }
+
   test("random nested bool trees match the first-principles model (12 corpora)") {
     for (round <- 1 to 12) {
       val nDocs = 20 + rnd.nextInt(20)
@@ -271,13 +335,20 @@ class BoolModelSpec extends SparkSpec {
       val idx = InvertedIndex.build(
         corpus.map { case (id, toks) => (id, toks.mkString(" ")) }.toDF("doc_id", "text"),
         "doc_id", "text")
-      val model = new Model(corpus.toMap)
+      // secondary `head` field (first 2 tokens): the combined_fields leaf's
+      // second per-field index, vocabulary a subset of text's
+      val headCorpus = corpus.map { case (id, toks) => id -> toks.take(2) }
+      val headIdx = InvertedIndex.build(
+        headCorpus.map { case (id, toks) => (id, toks.mkString(" ")) }.toDF("doc_id", "text"),
+        "doc_id", "text")
+      val model = new Model(corpus.toMap, headCorpus.toMap)
       val bq = genBool(depth = 2)
       val expected = model.eval(bq)
       val pos = graft.index.Positions.build(
         corpus.map { case (id, toks) => (id, toks.mkString(" ")) }.toDF("doc_id", "text"),
         "doc_id", "text")
-      val got = BoolQuery.score(HybridSources(idx, positions = Some(pos)), bq).collect()
+      val got = BoolQuery.score(HybridSources(idx, positions = Some(pos),
+          fieldIdx = Map("head" -> headIdx)), bq).collect()
         .map(r => r.getLong(0) -> r.getDouble(1)).toMap
       assert(got.keySet == expected.keySet,
         s"round $round matched-set mismatch for $bq:\n got ${got.keySet.toSeq.sorted}\n exp ${expected.keySet.toSeq.sorted}")
