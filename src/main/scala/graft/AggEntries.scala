@@ -372,6 +372,16 @@ object AggEntries {
           round(col("t_welch"), 4).as("t_welch"),
           round(col("df_welch"), 2).as("df_welch"),
           round(col("t_pooled"), 4).as("t_pooled"))),
+    // date_histogram calendar_interval month with a time_zone offset
+    // (-06:00): bucketing happens in LOCAL time — the first six UTC hours
+    // of the month land in the PREVIOUS local month, exactly the
+    // OpenSearch time_zone contract; a fixed offset keeps both engines'
+    // arithmetic identical (no tz-database dependency)
+    "agg_date_histogram_tz" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(date_trunc("month",
+          col("ts") - expr("INTERVAL 6 HOURS")).as("month_local"))
+        .agg(count(lit(1)).as("n"))),
     // sibling bucket-metric pipeline aggs (stats_bucket + extended_stats_
     // bucket): the daily date_histogram's count metric summarized ACROSS
     // buckets — one tiny aggregate over the bounded bucket table, variance
@@ -505,6 +515,10 @@ object AggEntries {
         |       round(pow(se1 + se2, 2)/(pow(se1, 2)/(n1 - 1) + pow(se2, 2)/(n2 - 1)), 2) AS df_welch,
         |       round((m1 - m2)/sqrt(sp2*(1.0/n1 + 1.0/n2)), 4) AS t_pooled
         |FROM d""".stripMargin,
+    "agg_date_histogram_tz" ->
+      """SELECT date_trunc('month', ts - INTERVAL '6 hours') AS month_local,
+        |       count(*) AS n
+        |FROM events GROUP BY 1""".stripMargin,
     "agg_stats_bucket" ->
       """WITH h AS (SELECT date_trunc('day', ts) AS day, count(*) AS n
         |           FROM events GROUP BY 1)

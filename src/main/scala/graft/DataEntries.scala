@@ -105,6 +105,12 @@ object DataEntries {
     "ann_int8_topk" -> ((s, dir) =>
       Ann.int8CosineTopK(Ann.quantizeInt8(emb(s, dir), "vec_id", "embedding"),
         "vec_id", Int8QV, k = 20)),
+    // the remaining kNN space_types beside cosine: l2 (score 1/(1+l2²),
+    // the bounded form) and innerproduct (raw MIP retrieval)
+    "ann_brute_l2_topk" -> ((s, dir) =>
+      Ann.bruteL2TopK(emb(s, dir), "vec_id", "embedding", queryId = 0L, k = 20)),
+    "ann_brute_ip_topk" -> ((s, dir) =>
+      Ann.bruteIpTopK(emb(s, dir), "vec_id", "embedding", queryId = 0L, k = 20)),
     // binary (Hamming) kNN: sign bits packed into ONE long per vector
     // (64x reduction), distance = popcount(xor) — the binary vector space
     "ann_hamming_topk" -> ((s, dir) =>
@@ -856,6 +862,25 @@ object DataEntries {
          |SELECT vec_id, round(c, 4) AS cos FROM (
          |  SELECT vec_id, ${cosSql("dv", Int8QV.mkString("[", ", ", "]"))} AS c FROM dq)
          |ORDER BY c DESC, vec_id LIMIT 20""".stripMargin,
+    // l2 re-derivation: the 64 squared diffs sum LEFT-TO-RIGHT as one
+    // generated expression — the same fold association the engine's
+    // aggregate() uses, so the doubles agree exactly
+    "ann_brute_l2_topk" -> {
+      val l2 = (1 to 64).map { i =>
+        s"(CAST(e.embedding[$i] AS DOUBLE) - CAST(q.qv[$i] AS DOUBLE)) * (CAST(e.embedding[$i] AS DOUBLE) - CAST(q.qv[$i] AS DOUBLE))"
+      }.mkString("(", " + ", ")")
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+         |SELECT vec_id, round(s, 4) AS score FROM (
+         |  SELECT e.vec_id, 1.0/(1.0 + $l2) AS s FROM embeddings e, q)
+         |ORDER BY s DESC, vec_id LIMIT 20""".stripMargin
+    },
+    "ann_brute_ip_topk" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id, round(s, 4) AS score FROM (
+        |  SELECT e.vec_id,
+        |         list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])) AS s
+        |  FROM embeddings e, q)
+        |ORDER BY s DESC, vec_id LIMIT 20""".stripMargin,
     "ann_hamming_topk" -> {
       // bit 63 is BIGINT's sign bit: DuckDB rejects 1 << 63, so the last
       // term adds Long.MinValue directly (partial sums stay in range

@@ -2021,6 +2021,13 @@ object HybridEntries {
       val idx = IndexCache.documents(s, dir)
       graft.query.SignificantTerms(idx, matchedAB(idx), 10)
     }),
+    // the alternate significance heuristics beside JLH: chi_square and
+    // mutual_information from the SAME one-pass fg/bg counts (the cited
+    // Manning & Schütze formulas, background-is-superset adjusted)
+    "agg_significant_heuristics" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      graft.query.SignificantTerms.heuristics(idx, matchedAB(idx), 10)
+    }),
     // significant_text: significant_terms' re-analyzing sibling — the
     // foreground is a bounded SAMPLE (top-100 BM25 hits, the sampler-agg
     // idiom OpenSearch documents for it), duplicate text drops first-wins
@@ -4648,6 +4655,37 @@ object HybridEntries {
            |FROM fg JOIN df USING (term) CROSS JOIN stats CROSS JOIN fgt
            |WHERE fg_df/t > df/n
            |ORDER BY (fg_df/t - df/n) * ((fg_df/t)/(df/n)) DESC, term
+           |LIMIT 10""".stripMargin,
+      "agg_significant_heuristics" ->
+        s"""WITH $tokCte,
+           |m AS (
+           |  SELECT DISTINCT doc_id FROM tf
+           |  WHERE term IN (${termList(A)}) OR term IN (${termList(B)})),
+           |fgt AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM m),
+           |fg AS (
+           |  SELECT term, count(*) AS fg_df
+           |  FROM (SELECT DISTINCT tf.term, tf.doc_id FROM tf JOIN m USING (doc_id))
+           |  GROUP BY term),
+           |cells AS (
+           |  SELECT term, fg_df, df AS bg_df, t, CAST(n AS DOUBLE) AS nn,
+           |         CAST(fg_df AS DOUBLE) AS o11,
+           |         t - fg_df AS o12,
+           |         CAST(df AS DOUBLE) - fg_df AS o21,
+           |         (n - t) - (CAST(df AS DOUBLE) - fg_df) AS o22,
+           |         (fg_df/t - df/n) * ((fg_df/t)/(df/n)) AS jlh
+           |  FROM fg JOIN df USING (term) CROSS JOIN stats CROSS JOIN fgt
+           |  WHERE fg_df/t > df/n)
+           |SELECT term, fg_df, bg_df, round(jlh, 4) AS jlh,
+           |       round(nn * pow(o11*o22 - o12*o21, 2)
+           |             / ((o11+o12)*(o11+o21)*(o12+o22)*(o21+o22)), 4) AS chi_square,
+           |       round(
+           |         (CASE WHEN o11 > 0 THEN (o11/nn)*log2((o11/nn)/(((o11+o21)/nn)*(t/nn))) ELSE 0 END)
+           |       + (CASE WHEN o12 > 0 THEN (o12/nn)*log2((o12/nn)/(((o12+o22)/nn)*(t/nn))) ELSE 0 END)
+           |       + (CASE WHEN o21 > 0 THEN (o21/nn)*log2((o21/nn)/(((o11+o21)/nn)*(1.0 - t/nn))) ELSE 0 END)
+           |       + (CASE WHEN o22 > 0 THEN (o22/nn)*log2((o22/nn)/(((o12+o22)/nn)*(1.0 - t/nn))) ELSE 0 END),
+           |         6) AS mutual_information
+           |FROM cells
+           |ORDER BY jlh DESC, term
            |LIMIT 10""".stripMargin,
       "agg_significant_text" ->
         s"""WITH $tokCte,

@@ -65,6 +65,35 @@ object Ann {
       .select(col(id), round(col("_c"), 4).as("cos"))
   }
 
+  /** Brute top-k in the `l2` space — the kNN space_type beside cosine:
+   *  score = 1/(1 + l2²), the reference ecosystem's bounded-(0,1] form, so
+   *  higher is better and the TakeOrdered contract matches every other
+   *  scorer. Same scan shape as [[bruteTopK]]. */
+  def bruteL2TopK(emb: DataFrame, id: String, vec: String, queryId: Long,
+                  k: Int): DataFrame = {
+    val q = emb.where(col(id) === queryId).select(col(vec).as("qv"))
+    val diff = zip_with(col(vec), col("qv"),
+      (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double")))
+    val l2sq = aggregate(diff, lit(0.0), (acc, v) => acc + v)
+    emb.crossJoin(broadcast(q))
+      .select(col(id), (lit(1.0) / (lit(1.0) + l2sq)).as("_s"))
+      .orderBy(col("_s").desc, col(id).asc)
+      .limit(k)
+      .select(col(id), round(col("_s"), 4).as("score"))
+  }
+
+  /** Brute top-k in the `innerproduct` space: raw dot product, the
+   *  maximum-inner-product retrieval shape. */
+  def bruteIpTopK(emb: DataFrame, id: String, vec: String, queryId: Long,
+                  k: Int): DataFrame = {
+    val q = emb.where(col(id) === queryId).select(col(vec).as("qv"))
+    emb.crossJoin(broadcast(q))
+      .select(col(id), dot(col(vec), col("qv")).as("_s"))
+      .orderBy(col("_s").desc, col(id).asc)
+      .limit(k)
+      .select(col(id), round(col("_s"), 4).as("score"))
+  }
+
   /** Sign-bit binary packing: one BIGINT of per-dimension sign bits (bit d
    *  set iff v[d] > 0) — the 1-bit-per-dimension binary vector type, a
    *  64x storage/scan reduction for dim <= 64. Distinct powers of two

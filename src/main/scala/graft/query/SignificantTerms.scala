@@ -1,6 +1,6 @@
 package graft.query
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.index.{Index, InvertedIndex, PostingCodec}
 
@@ -50,6 +50,41 @@ object SignificantTerms {
       .limit(k)
       .select(col("term"), col("fg_df"), col("df").as("bg_df"),
         round(col("jlh"), 4).as("score"))
+  }
+
+  /** The alternate significance heuristics beside JLH — `chi_square` and
+   *  `mutual_information`, computed from the SAME one-pass fg/bg counts as
+   *  the Manning & Schütze formulas the reference's heuristics document as
+   *  their basis (χ² 5.3.3 over the 2×2 doc contingency table; MI 13.5.1),
+   *  with the default background-is-superset adjustment (the background
+   *  cell counts exclude the foreground — OpenSearch's
+   *  `background_is_superset: true`). Emitted side by side per term so a
+   *  caller can rank by any of the three; ordering here is JLH
+   *  (score desc, term asc), the reference default. Constant conventions
+   *  (log base 2 for MI, no Yates correction for χ²) follow the cited
+   *  definitions. */
+  def heuristics(idx: Index, matched: DataFrame, k: Int): DataFrame = {
+    val base = apply(idx, matched, k)
+    val fgTotal = matched.count().toDouble
+    val n = idx.stats.doc_count.toDouble
+    // 2x2 contingency over docs, background-as-superset adjusted:
+    //   o11 = fg_df            o12 = fgTotal - fg_df
+    //   o21 = bg_df - fg_df    o22 = (n - fgTotal) - o21
+    val o11 = col("fg_df").cast("double")
+    val o12 = lit(fgTotal) - o11
+    val o21 = col("bg_df").cast("double") - o11
+    val o22 = lit(n - fgTotal) - o21
+    val nn = lit(n)
+    val chi2 = nn * pow(o11 * o22 - o12 * o21, 2) /
+      ((o11 + o12) * (o11 + o21) * (o12 + o22) * (o21 + o22))
+    def miTerm(oxy: Column, px: Column, py: Column) =
+      when(oxy > 0, (oxy / nn) * log2((oxy / nn) / (px * py))).otherwise(0.0)
+    val (pT, pNt) = ((o11 + o21) / nn, (o12 + o22) / nn)
+    val (pFg, pBg) = (lit(fgTotal) / nn, lit(1.0) - lit(fgTotal) / nn)
+    val mi = miTerm(o11, pT, pFg) + miTerm(o12, pNt, pFg) +
+      miTerm(o21, pT, pBg) + miTerm(o22, pNt, pBg)
+    base.select(col("term"), col("fg_df"), col("bg_df"), col("score").as("jlh"),
+      round(chi2, 4).as("chi_square"), round(mi, 6).as("mutual_information"))
   }
 
   /** `significant_text` aggregation — significant_terms' sibling for text
