@@ -348,6 +348,16 @@ object AggEntries {
             mustNot = Seq(graft.hybrid.Lexical(Seq("dup")))))
         .agg(count(lit(1)).as("n_matched"))
     }),
+    // terms with shard_size truncation + doc_count_error_upper_bound: the
+    // distributed accuracy contract — 4 deterministic shards each return
+    // their local top-12 keys, the merged counts carry per-key error
+    // bounds (sum of non-returning shards' smallest returned counts)
+    "agg_terms_sharded" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      Aggs.termsSharded(d,
+        key = concat(col("lang"), lit("_"), (col("doc_id") * col("doc_id")) % 23),
+        shard = col("doc_id") % 4, shardSize = 12, size = 10)
+    }),
     // boxplot aggregation (the reference's is TDigest-approximate; this is
     // the exact-interpolation form, same contract): min/q1/q2/q3/max plus
     // the 1.5·IQR whiskers — whiskers are the extreme OBSERVED values
@@ -481,6 +491,28 @@ object AggEntries {
 
   /** DuckDB re-derivations (same table views the driver registers). */
   def oracles(tokCte: String): Map[String, String] = Map(
+    "agg_terms_sharded" ->
+      """WITH counts AS (
+        |  SELECT doc_id % 4 AS sh, lang || '_' || ((doc_id*doc_id) % 23) AS k,
+        |         count(*) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |kept AS (
+        |  SELECT * FROM (
+        |    SELECT sh, k, c, row_number() OVER (
+        |      PARTITION BY sh ORDER BY c DESC, k ASC) AS rn
+        |    FROM counts) WHERE rn <= 12),
+        |lasts AS (
+        |  SELECT sh, CASE WHEN count(*) = 12 THEN min(c) ELSE 0 END AS lastc
+        |  FROM kept GROUP BY sh),
+        |perkey AS (SELECT k, CAST(sum(c) AS BIGINT) AS doc_count FROM kept GROUP BY k),
+        |covered AS (
+        |  SELECT kept.k, CAST(sum(lasts.lastc) AS BIGINT) AS cov
+        |  FROM kept JOIN lasts USING (sh) GROUP BY kept.k),
+        |tot AS (SELECT CAST(sum(lastc) AS BIGINT) AS t FROM lasts)
+        |SELECT perkey.k AS key, doc_count,
+        |       t - cov AS doc_count_error_upper_bound
+        |FROM perkey JOIN covered ON covered.k = perkey.k CROSS JOIN tot
+        |ORDER BY doc_count DESC, key ASC LIMIT 10""".stripMargin,
     "agg_boxplot" ->
       """WITH v AS (SELECT value FROM events WHERE event_type = 'purchase'),
         |q AS (SELECT min(value) AS mn, max(value) AS mx,

@@ -150,6 +150,43 @@ object Aggs {
     else out
   }
 
+  /** The DISTRIBUTED terms aggregation with its documented accuracy
+   *  contract — `shard_size` truncation + `doc_count_error_upper_bound`:
+   *  each shard contributes only its local top `shardSize` keys (count
+   *  desc, key asc), the coordinator sums what it received, and a key's
+   *  error bound is the sum of the LAST (smallest returned) counts of
+   *  every shard that did NOT return it — the maximum count that shard
+   *  could have hidden. A shard that returned its whole keyspace
+   *  contributes zero error. This is the 100 TB shape of `terms`: the
+   *  per-shard keep bounds what crosses the wire, and the error bound is
+   *  the price, reported per key exactly as the reference reports it.
+   *  All stages are bucket-table-sized (keys × shards), never row-sized. */
+  def termsSharded(rows: DataFrame, key: Column, shard: Column,
+                   shardSize: Int, size: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(shardSize >= size, "shard_size must be >= size")
+    val counts = rows.groupBy(shard.as("_sh"), key.as("_k"))
+      .agg(count(lit(1)).as("_c"))
+    val w = Window.partitionBy(col("_sh")).orderBy(col("_c").desc, col("_k").asc)
+    val kept = counts.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <= shardSize)
+    // a shard's hiding potential: its smallest RETURNED count — unless it
+    // returned everything it had (fewer than shardSize keys), then zero
+    val lasts = kept.groupBy(col("_sh"))
+      .agg(min(col("_c")).as("_mn"), count(lit(1)).as("_n"))
+      .select(col("_sh"),
+        when(col("_n") === shardSize, col("_mn")).otherwise(0L).as("_last"))
+    val perKey = kept.groupBy(col("_k")).agg(sum(col("_c")).as("doc_count"))
+    val covered = kept.join(lasts, "_sh")
+      .groupBy(col("_k")).agg(sum(col("_last")).as("_covered"))
+    val total = lasts.agg(sum(col("_last")).as("_tot"))
+    perKey.join(covered, "_k").crossJoin(broadcast(total))
+      .select(col("_k").as("key"), col("doc_count"),
+        (col("_tot") - col("_covered")).as("doc_count_error_upper_bound"))
+      .orderBy(col("doc_count").desc, col("key").asc)
+      .limit(size)
+  }
+
   /** `boxplot` aggregation — the exact-interpolation form of the
    *  reference's TDigest boxplot: the 5-number summary plus the 1.5·IQR
    *  whiskers. Whiskers are the extreme OBSERVED values inside the fences

@@ -70,6 +70,34 @@ class AggsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(r.fieldIndex("t_pooled")) - 2.278575) < 1e-6)
   }
 
+  test("termsSharded: error bound brackets the true count; exhaustive shards are exact") {
+    // skewed keys over 3 shards: shard = id % 3, key frequency decays
+    val rows = (0L until 300L).map { i =>
+      (i, s"k${(i * i) % 17 % (1 + i % 5)}")
+    }.toDF("id", "key")
+    val truth = rows.groupBy($"key").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = Aggs.termsSharded(rows, $"key", $"id" % 3, shardSize = 3, size = 3)
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (k, dc, err) = (r.getString(0), r.getLong(1), r.getLong(2))
+      // soundness: received <= true <= received + error bound
+      assert(dc <= truth(k), s"$k received $dc > true ${truth(k)}")
+      assert(truth(k) <= dc + err, s"$k true ${truth(k)} > $dc + $err")
+    }
+    // shard_size covering the whole keyspace -> exact counts, zero error
+    val exact = Aggs.termsSharded(rows, $"key", $"id" % 3, shardSize = 50, size = 5)
+      .collect()
+    exact.foreach { r =>
+      assert(r.getLong(1) == truth(r.getString(0)))
+      assert(r.getLong(2) == 0L)
+    }
+    intercept[IllegalArgumentException] {
+      Aggs.termsSharded(rows, $"key", $"id" % 3, shardSize = 2, size = 5)
+    }
+  }
+
   test("significant_text: filter_duplicate_text drops repeated text before counting") {
     import graft.index.InvertedIndex
     // docs 1 and 2 are IDENTICAL boilerplate containing 'promo'; doc 3 is
