@@ -276,18 +276,32 @@ object Dedup {
         sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).head
       (r.getLong(0), if (r.isNullAt(1)) BigDecimal(0) else BigDecimal(r.getDecimal(1)))
     }
-    var edges = pairs
+    // each iteration localCheckpoints (persisted blocks); the SUPERSEDED
+    // generation must be freed or checkpoint blocks accumulate across the
+    // O(log n) rounds — and across repeated calls in one session (the
+    // bench measured rep-over-rep growth before this tracked unpersist)
+    val sc = pairs.sparkSession.sparkContext
+    def checkpointed(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet
+      val out = df.localCheckpoint(true)
+      (out, (sc.getPersistentRDDs.keySet -- before).toSet)
+    }
+    var (edges, liveIds) = checkpointed(pairs
       .select(col(idA).cast("long").as("u"), col(idB).cast("long").as("v"))
       .where(col("u") =!= col("v"))
-      .distinct().localCheckpoint(true)
+      .distinct())
+    def free(ids: Set[Int]): Unit =
+      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
     var curSig = sig(edges)
     var converged = curSig._1 == 0L
     var it = 0
     while (!converged && it < maxIter) {
-      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val (next, nextIds) = checkpointed(smallStar(largeStar(edges)))
       val nextSig = sig(next)
       converged = nextSig == curSig
       curSig = nextSig
+      free(liveIds) // the previous generation is no longer reachable
+      liveIds = nextIds
       edges = next
       it += 1
     }
