@@ -316,6 +316,15 @@ object AggEntries {
     "termvectors" -> ((s, dir) =>
       graft.query.Search.termVectors(IndexCache.documents(s, dir),
         IndexCache.positions(s, dir), 42L)),
+    // profile API: per-stage execution counts of a bool request — scoring
+    // matched set, must_not removals, final matched total, page size
+    "search_profile" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      graft.query.Search.profile(graft.hybrid.HybridSources(idx),
+        graft.hybrid.BoolSub(
+          must = Seq(graft.hybrid.Lexical(Seq("join", "hash"))),
+          mustNot = Seq(graft.hybrid.Lexical(Seq("dup")))), 10)
+    }),
     // _explain API: one document's score decomposition for a match query —
     // per matched term the tf/dl/df inputs, idf, and BM25 contribution;
     // every input a bounded point read (query terms x the doc's bucket)
@@ -816,6 +825,17 @@ object AggEntries {
          |tfd AS (SELECT term, count(*) AS tf FROM tokp GROUP BY term)
          |SELECT tokp.term, tokp.pos, tfd.tf, df.df, ttf.ttf
          |FROM tokp JOIN tfd USING (term) JOIN df USING (term) JOIN ttf USING (term)""".stripMargin,
+    "search_profile" ->
+      s"""WITH $tokCte,
+         |m AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ('join', 'hash')),
+         |x AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'dup'),
+         |surv AS (SELECT count(*) AS c FROM m
+         |         WHERE doc_id NOT IN (SELECT doc_id FROM x)),
+         |mm AS (SELECT count(*) AS c FROM m)
+         |SELECT 'scoring_matched' AS stage, mm.c AS n FROM mm
+         |UNION ALL SELECT 'must_not_removed', mm.c - surv.c FROM mm CROSS JOIN surv
+         |UNION ALL SELECT 'matched_total', surv.c FROM surv
+         |UNION ALL SELECT 'returned', least(10, surv.c) FROM surv""".stripMargin,
     "explain_doc" ->
       s"""WITH $tokCte
          |SELECT tf.term, tf.tf, dl.dl, df.df,

@@ -142,6 +142,23 @@ object PipelineEntries {
     "chunk_fixed_tokens" -> ((s, dir) =>
       Chunkers.fixedTokenLength(docs(s, dir), "doc_id", "text", 20, 0.25)),
 
+    // core ingest-pipeline processor chain (the pipeline surface the
+    // reference's own text_embedding/chunking processors plug into): six
+    // processors compile into ONE codegen'd projection — rename, copy-set,
+    // uppercase, gsub, convert, literal set
+    "ingest_pipeline" -> ((s, dir) => {
+      import graft.ops.Ingest
+      Ingest(docs(s, dir), Seq(
+        Ingest.Rename("source", "origin"),
+        Ingest.SetCopy("lang_tag", "lang"),
+        Ingest.Uppercase("lang_tag"),
+        Ingest.Gsub("origin", "[aeiou]", ""),
+        Ingest.Convert("n_chars", "double"),
+        Ingest.SetLit("pipeline", "v1")))
+        .select(col("doc_id"), col("origin"), col("lang_tag"),
+          col("n_chars"), col("pipeline"))
+    }),
+
     // ---- semantic-field ingest (chunk -> mock sparse encode) ----
     "semantic_ingest" -> ((s, dir) =>
       graft.ops.Semantic.ingestSparse(docs(s, dir), "doc_id", "text", 20)
@@ -243,6 +260,13 @@ object PipelineEntries {
   private val Toks = "list_filter(string_split(text, ' '), x -> x <> '')"
 
   def oracles(tokCte: String): Map[String, String] = Map(
+    "ingest_pipeline" ->
+      """SELECT doc_id,
+        |       regexp_replace(source, '[aeiou]', '', 'g') AS origin,
+        |       upper(lang) AS lang_tag,
+        |       CAST(n_chars AS DOUBLE) AS n_chars,
+        |       'v1' AS pipeline
+        |FROM documents""".stripMargin,
     "join_has_child" ->
       s"""WITH ch AS (
          |  SELECT doc_id AS parent_id,

@@ -51,6 +51,29 @@ object Search {
       .select(col("term"), col("pos"), col("tf"), col("df"), col("ttf"))
   }
 
+  /** `profile: true` — the per-stage execution profile of a bool request,
+   *  flattened relational (the reference's profile tree reports per-query
+   *  node timings and hit counts; deterministic row COUNTS per stage are
+   *  the portable part): how many docs the scoring clauses matched, how
+   *  many the must_not clauses removed, and what the page returned. Each
+   *  stage count is one bounded aggregate over the same pruned scans the
+   *  real query uses. */
+  def profile(src: graft.hybrid.HybridSources,
+              spec: graft.query.BoolQuery.BoolSpec, k: Int): DataFrame = {
+    val spark = src.idx.postings.sparkSession
+    import spark.implicits._
+    val mustOnly = graft.hybrid.BoolSub(must = spec.must, should = spec.should,
+      minimumShouldMatch = spec.minimumShouldMatch, filter = spec.filter)
+    val mustMatched = graft.query.BoolQuery.score(src, mustOnly).count()
+    val matched = graft.query.BoolQuery.score(src, spec).count()
+    Seq(
+      ("scoring_matched", mustMatched),
+      ("must_not_removed", mustMatched - matched),
+      ("matched_total", matched),
+      ("returned", math.min(k.toLong, matched)))
+      .toDF("stage", "n")
+  }
+
   /** `_msearch_template`: render each (id, template, params) request with
    *  the mustache-subset renderer, parse the resulting single-match
    *  request, and answer ALL of them in [[msearch]]'s ONE postings pass —

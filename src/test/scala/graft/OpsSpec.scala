@@ -1,5 +1,35 @@
 package graft
 
+class IngestSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.ops.Ingest
+
+  test("processor chain is one projection; validation fails fast") {
+    val docs = Seq((1L, " Ab ", "x"), (2L, "cD", "y")).toDF("id", "s", "t")
+    val out = Ingest(docs, Seq(
+      Ingest.Trim("s"), Ingest.Lowercase("s"),
+      Ingest.Rename("t", "u"), Ingest.SetCopy("v", "s"),
+      Ingest.Gsub("v", "[b]", "Z"), Ingest.Convert("id", "string"),
+      Ingest.Remove("u"), Ingest.SetLit("tag", 7)))
+    assert(out.columns.toSeq == Seq("id", "s", "v", "tag"))
+    val r = out.orderBy($"id").collect()
+    assert(r.map(_.getString(0)).toSeq == Seq("1", "2"))
+    assert(r.map(_.getString(1)).toSeq == Seq("ab", "cd"))
+    assert(r.map(_.getString(2)).toSeq == Seq("aZ", "cd"))
+    // the whole chain is a single projection over one scan — no shuffle
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
+    intercept[IllegalArgumentException] {
+      Ingest(docs, Seq(Ingest.Lowercase("nope")))
+    }
+    intercept[IllegalArgumentException] {
+      Ingest(docs, Seq(Ingest.Rename("s", "t")))
+    }
+    intercept[IllegalArgumentException] {
+      Ingest(docs, Seq(Ingest.Convert("id", "decimal")))
+    }
+  }
+}
+
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.index.Reorder
