@@ -191,6 +191,45 @@ object CorpusEntries {
     }),
     // _update_by_query: matched docs get the script-analogue text transform,
     // then delete + re-add; the unmatched corpus is never rewritten
+    // _bulk: one ORDERED mixed batch (index / update / delete, including a
+    // doc updated-then-deleted and one deleted-then-reindexed) folded
+    // last-wins per doc id, then the surviving corpus flows through the
+    // standard single-pass build — the bulk-then-refresh lifecycle; checked
+    // via the fresh index's term statistics over batch-marker terms
+    "bulk_apply" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val s2 = s
+      import s2.implicits._
+      val ops = docs.where(col("doc_id") % 13 === 5)
+        .select(col("doc_id"), lit(null).cast("string").as("ntext"),
+          lit("delete").as("op"), lit(1L).as("seq"))
+        .unionByName(docs.where(col("doc_id") % 13 === 6)
+          .select(col("doc_id"), concat(col("text"), lit(" bulkupd")).as("ntext"),
+            lit("index").as("op"), lit(1L).as("seq")))
+        .unionByName(s.range(50).select((col("id") + 100000L).as("doc_id"),
+          concat(lit("fresh bulk row "), col("id")).as("ntext"),
+          lit("index").as("op"), lit(1L).as("seq")))
+        .unionByName(Seq(
+          (7L, "temporary seven", "index", 2L),
+          (7L, null.asInstanceOf[String], "delete", 3L),
+          (8L, null.asInstanceOf[String], "delete", 2L),
+          (8L, "resurrected bulk eight", "index", 3L))
+          .toDF("doc_id", "ntext", "op", "seq"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("seq").desc)
+      val last = ops.withColumn("_rn", row_number().over(w))
+        .where(col("_rn") === 1).select(col("doc_id"), col("ntext"), col("op"))
+      val applied = docs.join(last, Seq("doc_id"), "full_outer")
+        .where(col("op").isNull || col("op") =!= "delete")
+        .select(col("doc_id"),
+          coalesce(col("ntext"), col("text")).as("text"))
+      graft.index.InvertedIndex.build(applied, "doc_id", "text")
+        .termStats
+        .filter(col("term").isin("bulkupd", "fresh", "resurrected",
+          "temporary", "join"))
+        .select(col("term"), col("df"), col("ttf"))
+    }),
     "dsl_update_by_query" -> ((s, dir) => {
       val idx = IndexCache.documents(s, dir)
       val docs = s.read.parquet(s"$dir/documents.parquet")
@@ -329,6 +368,33 @@ object CorpusEntries {
          |WHERE doc_id % 7 <> 3
          |ORDER BY s DESC, doc_id LIMIT 10""".stripMargin,
 
+    "bulk_apply" ->
+      """WITH ops AS (
+        |  SELECT doc_id, NULL AS ntext, 'delete' AS op, 1 AS seq
+        |  FROM documents WHERE doc_id % 13 = 5
+        |  UNION ALL SELECT doc_id, text || ' bulkupd', 'index', 1
+        |  FROM documents WHERE doc_id % 13 = 6
+        |  UNION ALL SELECT 100000 + i, 'fresh bulk row ' || i, 'index', 1
+        |  FROM range(0, 50) t(i)
+        |  UNION ALL SELECT * FROM (VALUES
+        |    (7, 'temporary seven', 'index', 2),
+        |    (7, NULL, 'delete', 3),
+        |    (8, NULL, 'delete', 2),
+        |    (8, 'resurrected bulk eight', 'index', 3)) v(doc_id, ntext, op, seq)),
+        |lastop AS (SELECT doc_id, ntext, op FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) AS rn
+        |  FROM ops) WHERE rn = 1),
+        |applied AS (
+        |  SELECT coalesce(d.doc_id, l.doc_id) AS doc_id,
+        |         coalesce(l.ntext, d.text) AS text
+        |  FROM documents d FULL OUTER JOIN lastop l ON d.doc_id = l.doc_id
+        |  WHERE l.op IS NULL OR l.op <> 'delete'),
+        |btok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM applied),
+        |btok2 AS (SELECT doc_id, term FROM btok WHERE term <> ''),
+        |btf AS (SELECT doc_id, term, count(*) AS tf FROM btok2 GROUP BY 1, 2)
+        |SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS ttf FROM btf
+        |WHERE term IN ('bulkupd', 'fresh', 'resurrected', 'temporary', 'join')
+        |GROUP BY term""".stripMargin,
     "search_pit" ->
       s"""WITH $tokCte,
          |score AS (

@@ -531,6 +531,14 @@ object HybridEntries {
           .completionSuggest(idx, "sm", size = 5, fuzziness = 1)
           .withColumn("kind", lit("fuzzy")))
     }),
+    // completion with CONTEXTS: the dictionary scoped to de-tagged docs —
+    // the same "s" prefix completes from the sub-corpus's own term/df
+    // table, weights = context df (suggestions an en-only corpus would
+    // rank differently)
+    "completion_suggest_context" -> ((s, dir) =>
+      graft.query.Suggest.completionSuggestContext(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        col("lang") === "de", "s", size = 5)),
     // phrase suggester: whole-phrase "did you mean" — per-slot candidate
     // corrections x stupid-backoff bigram LM over the corpus token stream
     "phrase_suggest" -> ((s, dir) =>
@@ -4241,6 +4249,13 @@ object HybridEntries {
            |        AND levenshtein(substr(term, 1, 2), 'sm') <= 1
            |      ORDER BY dist, weight DESC, suggestion LIMIT 5)
            |SELECT * FROM p UNION ALL SELECT * FROM f""".stripMargin,
+      "completion_suggest_context" ->
+        """SELECT term AS suggestion, count(DISTINCT doc_id) AS weight
+          |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+          |      FROM documents WHERE lang = 'de')
+          |WHERE term LIKE 's%' AND term <> ''
+          |GROUP BY term
+          |ORDER BY weight DESC, suggestion LIMIT 5""".stripMargin,
       // the parsed query_string tree, spelled out as the same nested bool
       "dsl_query_string" ->
         boolOracle(tokCte,

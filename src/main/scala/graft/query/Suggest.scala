@@ -1,6 +1,6 @@
 package graft.query
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import graft.analysis.Analyzer
 import graft.index.{Index, PosBlock, Positions}
@@ -103,6 +103,30 @@ object Suggest {
             levenshtein(substring($"term", 1, prefix.length), lit(prefix)))
     matched.orderBy($"dist".asc, $"df".desc, $"term".asc).limit(size)
       .select($"term".as("suggestion"), $"dist", $"df".as("weight"))
+  }
+
+  /** Context-filtered completion — the completion field's `contexts`
+   *  feature: suggestions come only from entries CARRYING the requested
+   *  context, so the same typed prefix completes differently per context.
+   *  The dictionary is the context-tagged sub-corpus's own (term, df)
+   *  table, derived from one filtered scan (the context predicate pushes
+   *  down with the scan like any filter); ranking is weight (context df)
+   *  desc, term asc — one bounded TakeOrdered, postings never touched. */
+  def completionSuggestContext(docs: DataFrame, idCol: String,
+                               textCol: String, context: Column,
+                               prefix: String, size: Int = 5): DataFrame = {
+    require(prefix.nonEmpty && prefix.matches("[a-z0-9]+"),
+      s"completion prefix must be a non-empty analyzed token, got [$prefix]")
+    require(size >= 1, s"size must be >= 1, got $size")
+    docs.where(context)
+      .select(col(idCol).as("_id"),
+        explode(split(col(textCol), " ")).as("term"))
+      .where(col("term") =!= "" && col("term").startsWith(prefix))
+      .groupBy(col("term"))
+      .agg(countDistinct(col("_id")).as("weight"))
+      .orderBy(col("weight").desc, col("term").asc)
+      .limit(size)
+      .select(col("term").as("suggestion"), col("weight"))
   }
 
   /** The `phrase` suggester ("did you mean" over whole phrases): per
