@@ -84,6 +84,11 @@ object HybridEntries {
     )
   }
 
+  /** The corpus `path` column re-derived in SQL (corpus_ingest's
+   *  projection) — ONE definition for every per-field oracle chain. */
+  private val PathFvSql =
+    "'src/pkg' || (doc_id % 97) || '/File' || doc_id || '.' || lang"
+
   /** multi_match query text analyzed: hits the text index ("join") and the
    *  path index ("pkg7" — doc_id % 97 == 7; "en" — the path's lang token). */
   private val MultiTerms = Seq("join", "pkg7", "en")
@@ -1601,6 +1606,24 @@ object HybridEntries {
     // request-level sort through the DSL: per-sub-query TopFieldDocs capped
     // at pagination_depth, merged first-wins, final page by the sort order
     // (reference: ScoreCombiner.java:281-311 TopDocs.merge(sort, ...))
+    // SORT on a runtime field through the overload that pre-registers the
+    // raw fields table — the runtime column must reach sort/collapse, not
+    // just the filter docs (regression gate for the runtime_mappings
+    // fields-propagation fix)
+    "dsl_runtime_field_sort" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      val json =
+        """{ "runtime_mappings": { "len_bucket": { "type": "long",
+          |    "script": "CAST(floor(n_chars / 100) * 100 AS BIGINT)" } },
+          |  "query": { "hybrid": {
+          |    "queries": [ { "match": { "text": "join hash" } },
+          |                 { "match": { "text": "merge sort window" } } ],
+          |    "pagination_depth": 50 } },
+          |  "size": 10,
+          |  "sort": [ { "len_bucket": { "order": "asc" } } ] }""".stripMargin
+      graft.query.QueryDsl.execute(idx, json, s, s.read.parquet(s"$dir/documents.parquet"))
+        .select(col("doc_id"), col("len_bucket"))
+    }),
     "dsl_sorted" -> ((s, dir) => {
       val idx = IndexCache.documents(s, dir)
       val json =
@@ -2198,7 +2221,7 @@ object HybridEntries {
       val p =
         s"""crp${i}_$j AS (
            |  SELECT doc_id,
-           |         'src/pkg' || (doc_id % 97) || '/File' || doc_id || '.' || lang AS fv
+           |         $PathFvSql AS fv
            |  FROM documents),
            |ptokp${i}_$j AS (
            |  SELECT doc_id, unnest(l) AS term, unnest(range(len(l))) AS pos
@@ -2402,7 +2425,7 @@ object HybridEntries {
           s"""ptokp$i AS (
              |  SELECT doc_id, unnest(l) AS term, unnest(range(len(l))) AS pos
              |  FROM (SELECT doc_id, list_filter(string_split(
-             |          regexp_replace(lower('src/pkg' || (doc_id % 97) || '/File' || doc_id || '.' || lang),
+             |          regexp_replace(lower($PathFvSql),
              |            '[^a-z0-9]+', ' ', 'g'), ' '), x -> x <> '') AS l
              |        FROM documents)),
              |""".stripMargin
@@ -2859,7 +2882,7 @@ object HybridEntries {
             val pre =
               s"""crp${i}_$j AS (
                  |  SELECT doc_id,
-                 |         'src/pkg' || (doc_id % 97) || '/File' || doc_id || '.' || lang AS fv
+                 |         $PathFvSql AS fv
                  |  FROM documents),
                  |ptok${i}_$j AS (
                  |  SELECT doc_id, unnest(list_filter(
@@ -2918,7 +2941,7 @@ object HybridEntries {
             val pre =
               s"""crp${i}_$j AS (
                  |  SELECT doc_id,
-                 |         'src/pkg' || (doc_id % 97) || '/File' || doc_id || '.' || lang AS fv
+                 |         $PathFvSql AS fv
                  |  FROM documents),
                  |ptok${i}_$j AS (
                  |  SELECT doc_id, unnest(list_filter(
@@ -3005,7 +3028,7 @@ object HybridEntries {
             val p =
               s"""crp${i}_$j AS (
                  |  SELECT doc_id,
-                 |         'src/pkg' || (doc_id % 97) || '/File' || doc_id || '.' || lang AS fv
+                 |         $PathFvSql AS fv
                  |  FROM documents),
                  |ptok${i}_$j AS (
                  |  SELECT doc_id, unnest(list_filter(
@@ -3069,7 +3092,7 @@ object HybridEntries {
             val p =
               s"""crp${i}_$j AS (
                  |  SELECT doc_id,
-                 |         'src/pkg' || (doc_id % 97) || '/File' || doc_id || '.' || lang AS fv
+                 |         $PathFvSql AS fv
                  |  FROM documents),
                  |ptok${i}_$j AS (
                  |  SELECT doc_id, unnest(list_filter(
@@ -4410,6 +4433,19 @@ object HybridEntries {
            |  FROM u JOIN documents d USING (doc_id))
            |WHERE rn = 1
            |ORDER BY n_chars DESC, doc_id LIMIT 10""".stripMargin,
+      "dsl_runtime_field_sort" ->
+        s"""WITH $tokCte,
+           |m0 AS (SELECT DISTINCT doc_id FROM tf WHERE term IN (${termList(A)})),
+           |t0 AS (SELECT m0.doc_id, CAST(floor(d.n_chars/100)*100 AS BIGINT) AS len_bucket
+           |       FROM m0 JOIN documents d USING (doc_id)
+           |       ORDER BY len_bucket ASC, m0.doc_id LIMIT $Depth),
+           |m1 AS (SELECT DISTINCT doc_id FROM tf WHERE term IN (${termList(B)})),
+           |t1 AS (SELECT m1.doc_id, CAST(floor(d.n_chars/100)*100 AS BIGINT) AS len_bucket
+           |       FROM m1 JOIN documents d USING (doc_id)
+           |       ORDER BY len_bucket ASC, m1.doc_id LIMIT $Depth),
+           |u AS (SELECT * FROM t0 UNION SELECT * FROM t1)
+           |SELECT doc_id, len_bucket FROM u
+           |ORDER BY len_bucket ASC, doc_id LIMIT 10""".stripMargin,
       "dsl_sorted" ->
         s"""WITH $tokCte,
            |m0 AS (SELECT DISTINCT doc_id FROM tf WHERE term IN (${termList(A)})),

@@ -240,7 +240,14 @@ object Aggs {
       (col("n1") + col("n2") - 2)
     val tH = (m("1") - m("2")) /
       sqrt(sp2 * (lit(1.0) / col("n1") + lit(1.0) / col("n2")))
-    sums.select(col("n1"), col("n2"), tW.as("t_welch"), dfW.as("df_welch"),
-      tH.as("t_pooled"))
+    // an arm with < 2 rows has no sample variance: fail loudly (the
+    // reference rejects undersized arms) instead of emitting NaN
+    val guarded = when(col("n1") < 2 || col("n2") < 2,
+      raise_error(concat(lit("t_test requires >= 2 rows per arm, got "),
+        col("n1").cast("string"), lit(" / "), col("n2").cast("string"))))
+    sums.select(col("n1"), col("n2"),
+      coalesce(guarded, tW).as("t_welch"),
+      coalesce(guarded, dfW).as("df_welch"),
+      coalesce(guarded, tH).as("t_pooled"))
   }
 }

@@ -279,29 +279,30 @@ object Dedup {
     // each iteration localCheckpoints (persisted blocks); the SUPERSEDED
     // generation must be freed or checkpoint blocks accumulate across the
     // O(log n) rounds — and across repeated calls in one session (the
-    // bench measured rep-over-rep growth before this tracked unpersist)
-    val sc = pairs.sparkSession.sparkContext
-    def checkpointed(df: DataFrame): (DataFrame, Set[Int]) = {
-      val before = sc.getPersistentRDDs.keySet
+    // bench measured rep-over-rep growth before this tracked unpersist).
+    // The checkpoint RDD handle comes straight off the checkpointed
+    // Dataset's plan (GraftRddBridge) — no getPersistentRDDs diffing, so
+    // concurrent jobs' persisted RDDs can never be freed by this loop.
+    def checkpointed(df: DataFrame): (DataFrame, Option[org.apache.spark.rdd.RDD[_]]) = {
       val out = df.localCheckpoint(true)
-      (out, (sc.getPersistentRDDs.keySet -- before).toSet)
+      (out, org.apache.spark.sql.GraftRddBridge.checkpointRdd(out))
     }
-    var (edges, liveIds) = checkpointed(pairs
+    def free(r: Option[org.apache.spark.rdd.RDD[_]]): Unit =
+      r.foreach(_.unpersist(false))
+    var (edges, liveRdd) = checkpointed(pairs
       .select(col(idA).cast("long").as("u"), col(idB).cast("long").as("v"))
       .where(col("u") =!= col("v"))
       .distinct())
-    def free(ids: Set[Int]): Unit =
-      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
     var curSig = sig(edges)
     var converged = curSig._1 == 0L
     var it = 0
     while (!converged && it < maxIter) {
-      val (next, nextIds) = checkpointed(smallStar(largeStar(edges)))
+      val (next, nextRdd) = checkpointed(smallStar(largeStar(edges)))
       val nextSig = sig(next)
       converged = nextSig == curSig
       curSig = nextSig
-      free(liveIds) // the previous generation is no longer reachable
-      liveIds = nextIds
+      free(liveRdd) // the previous generation is no longer reachable
+      liveRdd = nextRdd
       edges = next
       it += 1
     }

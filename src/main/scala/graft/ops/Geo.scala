@@ -128,8 +128,13 @@ object Geo {
     val bits = 5 * precision
     val lonBits = (bits + 1) / 2
     val latBits = bits / 2
-    val lonQ = floor((lon + 180.0) / 360.0 * (1L << lonBits).toDouble).cast("long")
-    val latQ = floor((lat + 90.0) / 180.0 * (1L << latBits).toDouble).cast("long")
+    // the valid upper boundary (lat 90 / lon 180) quantizes to 2^bits —
+    // clamp to the last cell like canonical encoders, or every extracted
+    // bit reads 0 and the point lands in the FIRST cell
+    val lonQ = least(floor((lon + 180.0) / 360.0 * (1L << lonBits).toDouble),
+      lit((1L << lonBits) - 1.0)).cast("long")
+    val latQ = least(floor((lat + 90.0) / 180.0 * (1L << latBits).toDouble),
+      lit((1L << latBits) - 1.0)).cast("long")
     def bit(c: Column, k: Int) = shiftright(c, k) % 2
     // interleave: global bit position g (0 = MSB) takes lon bit when g is
     // even, lat bit when odd

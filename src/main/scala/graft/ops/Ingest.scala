@@ -59,7 +59,15 @@ object Ingest {
         case Convert(f, t) =>
           require(Seq("integer", "long", "double", "string", "boolean").contains(t),
             s"convert type [$t] not supported")
-          df.withColumn(f, req(f).cast(if (t == "integer") "int" else t))
+          // Spark's cast yields NULL for unparseable values; the reference's
+          // convert processor FAILS the document — raise per-row instead of
+          // letting corruption pass through as nulls (still one projection)
+          val casted = req(f).cast(if (t == "integer") "int" else t)
+          df.withColumn(f,
+            when(req(f).isNotNull && casted.isNull,
+              raise_error(concat(lit(s"ingest convert [$f] to $t failed for value: "),
+                req(f).cast("string"))))
+              .otherwise(casted))
       }
     }
 }

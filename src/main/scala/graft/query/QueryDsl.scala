@@ -210,6 +210,28 @@ object QueryDsl {
     )
   }
 
+  /** Lucene caret field specs (`field` / `field^boost`) shared by
+   *  multi_match and combined_fields. A non-numeric boost, an empty field
+   *  name, or an empty array all fail loudly. */
+  private def parseFieldSpecs(fNode: JsonNode,
+                              what: String): Seq[(String, Double)] = {
+    require(fNode.isArray && fNode.size() > 0,
+      s"$what requires a non-empty [fields] array")
+    (0 until fNode.size()).map { i =>
+      val spec = fNode.get(i).asText()
+      spec.split('^') match {
+        case Array(f) if f.nonEmpty => (f, 1.0)
+        case Array(f, b) if f.nonEmpty =>
+          (f, try b.toDouble catch {
+            case _: NumberFormatException => throw new IllegalArgumentException(
+              s"bad $what field boost [$spec]")
+          })
+        case _ => throw new IllegalArgumentException(
+          s"bad $what field spec [$spec] — use field or field^boost")
+      }
+    }
+  }
+
   private def parseEnricher(node: JsonNode): Enricher =
     if (!node.isArray) Enricher()
     else (0 until node.size()).map(node.get).collectFirst {
@@ -998,18 +1020,7 @@ object QueryDsl {
       val body = q.path("multi_match")
       val text = body.path("query").asText("")
       require(text.nonEmpty, "multi_match requires a non-empty [query]")
-      val fNode = body.path("fields")
-      require(fNode.isArray && fNode.size() > 0,
-        "multi_match requires a non-empty [fields] array")
-      val fields = (0 until fNode.size()).map { i =>
-        val spec = fNode.get(i).asText()
-        spec.split('^') match {
-          case Array(f)    => (f, 1.0)
-          case Array(f, b) => (f, b.toDouble)
-          case _ => throw new IllegalArgumentException(
-            s"bad multi_match field spec [$spec] — use field or field^boost")
-        }
-      }
+      val fields = parseFieldSpecs(body.path("fields"), "multi_match")
       val mm = body.path("type").asText("best_fields") match {
         case "best_fields" =>
           graft.hybrid.BestFields(body.path("tie_breaker").asDouble(0.0))
@@ -1055,18 +1066,7 @@ object QueryDsl {
       val body = q.path("combined_fields")
       val text = body.path("query").asText("")
       require(text.nonEmpty, "combined_fields requires a non-empty [query]")
-      val fNode = body.path("fields")
-      require(fNode.isArray && fNode.size() > 0,
-        "combined_fields requires a non-empty [fields] array")
-      val fields = (0 until fNode.size()).map { i =>
-        val spec = fNode.get(i).asText()
-        spec.split('^') match {
-          case Array(f)    => (f, 1.0)
-          case Array(f, b) => (f, b.toDouble)
-          case _ => throw new IllegalArgumentException(
-            s"bad combined_fields field spec [$spec] — use field or field^boost")
-        }
-      }
+      val fields = parseFieldSpecs(body.path("fields"), "combined_fields")
       val terms = Analyzer.analyze(analyzer)(text).toSeq
       val operator = body.path("operator").asText("or")
       require(operator == "or" || operator == "and",
@@ -1341,9 +1341,13 @@ object QueryDsl {
       out
     }
 
-  def execute(src: HybridSources, json: String, docs0: => DataFrame): DataFrame = {
-    lazy val docs: DataFrame =
-      applyRuntimeMappings(mapper.readTree(json).path("runtime_mappings"), docs0)
+  def execute(src0: HybridSources, json: String, docs0: => DataFrame): DataFrame = {
+    val rmNode = mapper.readTree(json).path("runtime_mappings")
+    lazy val docs: DataFrame = applyRuntimeMappings(rmNode, docs0)
+    // runtime fields must be visible to sort/collapse too: an
+    // already-registered fields table gains the derived columns the same
+    // way the filter docs do
+    val src = src0.copy(fields = src0.fields.map(applyRuntimeMappings(rmNode, _)))
     val rootQ = mapper.readTree(json).path("query")
     if (!rootQ.path("bool").isMissingNode) {
       val pb = parseBool(json, src.idx.analyzer)

@@ -45,8 +45,11 @@ object Search {
         case (lid, ps) if lid == local => ps.iterator.map(p => (b.term, p))
       }.flatten
     }.toDF("term", "pos")
-    val tf = occ.groupBy(col("term")).agg(count(lit(1)).as("tf"))
-    occ.join(tf, "term")
+    // per-term tf via a window over the one-doc occurrence rows (a self
+    // join against an aggregate would decode the bucket blocks twice)
+    val tf = count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("term")))
+    occ.withColumn("tf", tf)
       .join(idx.termStats.select(col("term"), col("df"), col("ttf")), "term")
       .select(col("term"), col("pos"), col("tf"), col("df"), col("ttf"))
   }

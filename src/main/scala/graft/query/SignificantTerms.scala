@@ -23,10 +23,17 @@ object SignificantTerms {
   /** @param matched DataFrame(doc_id) — the foreground (query-matched) docs.
    *  @return (term, fg_df, bg_df, score) — top `k` by JLH score. */
   def apply(idx: Index, matched: DataFrame, k: Int): DataFrame = {
-    val spark = idx.postings.sparkSession
-    import spark.implicits._
     val fgTotal = matched.count().toDouble
     require(fgTotal > 0, "significant_terms needs a non-empty foreground")
+    scored(idx, matched, k, fgTotal)
+  }
+
+  /** The scoring tail with the foreground cardinality precomputed — lets
+   *  [[heuristics]] reuse ONE count of the foreground query. */
+  private def scored(idx: Index, matched: DataFrame, k: Int,
+                     fgTotal: Double): DataFrame = {
+    val spark = idx.postings.sparkSession
+    import spark.implicits._
     val buckets = matched
       .select(shiftright(col("doc_id"), InvertedIndex.BucketBits).as("bucket"))
       .distinct()
@@ -64,8 +71,9 @@ object SignificantTerms {
    *  (log base 2 for MI, no Yates correction for χ²) follow the cited
    *  definitions. */
   def heuristics(idx: Index, matched: DataFrame, k: Int): DataFrame = {
-    val base = apply(idx, matched, k)
     val fgTotal = matched.count().toDouble
+    require(fgTotal > 0, "significant_terms needs a non-empty foreground")
+    val base = scored(idx, matched, k, fgTotal)
     val n = idx.stats.doc_count.toDouble
     // 2x2 contingency over docs, background-as-superset adjusted:
     //   o11 = fg_df            o12 = fgTotal - fg_df

@@ -116,6 +116,11 @@ class GeoSpec extends SparkSpec {
     val grid = Geo.geohashGrid(pts, "lat", "lon", 3)
     assert(grid.agg(sum(col("n_points"))).collect().head.getLong(0) == 400L)
     intercept[IllegalArgumentException] { Geo.geohashCell(col("lat"), col("lon"), 0) }
+    // boundary: lat 90 / lon 180 clamp into the LAST cell (canonical
+    // encoders' behavior) — all-ones bits -> 'zzzz', not the first cell
+    val edge = Seq((90.0, 180.0), (-90.0, -180.0)).toDF("lat", "lon")
+    assert(edge.select(Geo.geohashCell(col("lat"), col("lon"), 4)).collect()
+      .map(_.getString(0)).toSeq == Seq("zzzz", "0000"))
   }
 
   test("geo_bounds + geo_centroid: one-pass hand-math on a known point set") {
