@@ -537,10 +537,10 @@ object AggEntries {
         |GROUP BY q.mn, q.q1, q.q2, q.q3, q.mx""".stripMargin,
     "agg_t_test" ->
       """WITH s AS (SELECT
-        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' AND value IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n1,
         |    sum(CASE WHEN event_type = 'purchase' THEN value END) AS sx1,
         |    sum(CASE WHEN event_type = 'purchase' THEN value*value END) AS sxx1,
-        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |    CAST(sum(CASE WHEN event_type = 'click' AND value IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n2,
         |    sum(CASE WHEN event_type = 'click' THEN value END) AS sx2,
         |    sum(CASE WHEN event_type = 'click' THEN value*value END) AS sxx2
         |  FROM events),
@@ -809,8 +809,8 @@ object AggEntries {
       }.mkString(" || ")
       s"""WITH $GeoCte,
          |q AS (SELECT doc_id,
-         |        CAST(floor((lon + 180.0)/360.0*1024.0) AS BIGINT) AS lonq,
-         |        CAST(floor((lat + 90.0)/180.0*1024.0) AS BIGINT) AS latq
+         |        CAST(least(floor((lon + 180.0)/360.0*1024.0), 1023) AS BIGINT) AS lonq,
+         |        CAST(least(floor((lat + 90.0)/180.0*1024.0), 1023) AS BIGINT) AS latq
          |      FROM pts),
          |h AS (SELECT doc_id, $hash20 AS h20 FROM q)
          |SELECT $cell AS cell, count(*) AS n_points

@@ -240,10 +240,25 @@ object DataEntries {
     // TopFieldCollector early exit as storage layout)
     "sorted_index_topk" -> ((s, dir) => {
       val path = s"target/sortstore/${dir.replace('/', '_')}"
-      if (!new java.io.File(s"$path/_SUCCESS").exists())
+      // the on-disk sorted store is keyed on CORPUS IDENTITY (source file
+      // names + sizes + mtimes), not just _SUCCESS presence — a changed
+      // corpus at the same path invalidates and rewrites instead of
+      // serving stale results
+      val srcDir = new java.io.File(s"$dir/documents.parquet")
+      val ident = Option(srcDir.listFiles()).getOrElse(Array.empty)
+        .map(f => s"${f.getName}|${f.length}|${f.lastModified}")
+        .sorted.mkString("\n")
+      val marker = new java.io.File(s"$path/_corpus_id")
+      val fresh = marker.exists() &&
+        new String(java.nio.file.Files.readAllBytes(marker.toPath),
+          java.nio.charset.StandardCharsets.UTF_8) == ident
+      if (!fresh) {
         graft.index.Reorder.sortedWrite(
           docs(s, dir).select("doc_id", "n_chars"), "n_chars",
           bucketWidth = 100L, path)
+        java.nio.file.Files.write(marker.toPath,
+          ident.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
       graft.index.Reorder.sortedTopK(s, path, "n_chars", "doc_id", 25)
         .select(col("doc_id"), col("n_chars"))
     }),

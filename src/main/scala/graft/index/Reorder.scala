@@ -62,27 +62,41 @@ object Reorder {
   }
 
   /** Early-terminating top-k over a [[sortedWrite]] layout: walk the range
-   *  buckets in sort order, counting rows (parquet footer metadata — no
-   *  data pages read) until the cumulative count covers k, then run the
-   *  final bounded top-k over ONLY those buckets — the `_sb` predicate is
-   *  a PARTITION filter, so trailing buckets are pruned at the directory
-   *  level and never scanned. The driver loop is bounded by the bucket
-   *  count (coarse, metadata-sized), exactly Lucene's
-   *  early-terminated segment walk. */
+   *  buckets in sort order, summing row counts read DIRECTLY from the
+   *  parquet footers of each bucket directory (no Spark job, no data pages
+   *  — `ParquetFileReader.getRecordCount` is row-group metadata) until the
+   *  cumulative count covers k, then run the final bounded top-k over ONLY
+   *  those buckets — the `_sb` predicate is a PARTITION filter, so trailing
+   *  buckets are pruned at the directory level and never scanned. The
+   *  driver loop is bounded by the covering-prefix bucket count (coarse,
+   *  metadata-sized), exactly Lucene's early-terminated segment walk. */
   def sortedTopK(spark: org.apache.spark.sql.SparkSession, path: String,
                  sortCol: String, idCol: String, k: Int): DataFrame = {
     val all = spark.read.parquet(path)
-    // partition-column discovery infers `_sb` as int from directory names;
-    // normalize to long
-    val buckets = all.select(col("_sb").cast("long")).distinct()
-      .collect().map(_.getLong(0)).sorted
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(conf)
+    // bucket directories straight from the filesystem listing (the same
+    // names partition-column discovery infers `_sb` from)
+    val buckets = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("_sb="))
+      .map(st => (st.getPath.getName.stripPrefix("_sb=").toLong, st.getPath))
+      .sortBy(_._1)
+    def footerCount(dir: org.apache.hadoop.fs.Path): Long =
+      fs.listStatus(dir).iterator
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .map { f =>
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf))
+          try r.getRecordCount finally r.close()
+        }.sum
     val chosen = scala.collection.mutable.ArrayBuffer.empty[Long]
     var cum = 0L
     val it = buckets.iterator
     while (cum < k && it.hasNext) {
-      val sb = it.next()
+      val (sb, dir) = it.next()
       chosen += sb
-      cum += all.where(col("_sb") === sb).count()
+      cum += footerCount(dir)
     }
     all.where(col("_sb").isin(chosen.toSeq.map(Long.box): _*))
       .orderBy(col(sortCol).asc, col(idCol).asc)

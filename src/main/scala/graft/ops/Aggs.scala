@@ -223,8 +223,11 @@ object Aggs {
   def tTest(rows: DataFrame, arm1: Column, arm2: Column,
             valueCol: String): DataFrame = {
     val vc = col(valueCol)
+    // n counts only rows whose value is present — a doc missing the field
+    // contributes to neither n nor Σx/Σx² (the reference ignores docs
+    // missing the field; counting them would silently deflate mean/variance)
     def arm(p: String, c: Column) = Seq(
-      sum(when(c, 1L).otherwise(0L)).as(s"n$p"),
+      sum(when(c && vc.isNotNull, 1L).otherwise(0L)).as(s"n$p"),
       sum(when(c, vc)).as(s"sx$p"),
       sum(when(c, vc * vc)).as(s"sxx$p"))
     val aggs = arm("1", arm1) ++ arm("2", arm2)

@@ -219,7 +219,9 @@ object QueryDsl {
       s"$what requires a non-empty [fields] array")
     (0 until fNode.size()).map { i =>
       val spec = fNode.get(i).asText()
-      spec.split('^') match {
+      // limit -1 keeps trailing empty tokens: "text^" must hit the error
+      // branch below, not silently parse as boost 1.0
+      spec.split("\\^", -1) match {
         case Array(f) if f.nonEmpty => (f, 1.0)
         case Array(f, b) if f.nonEmpty =>
           (f, try b.toDouble catch {
@@ -1308,6 +1310,99 @@ object QueryDsl {
     out
   }
 
+  /** The NAMED functions a runtime-field script may call — the sandbox
+   *  analogue of painless's fixed whitelist. Request JSON reaches `expr()`
+   *  here, and an unrestricted parse would admit `java_method()` /
+   *  `reflect()` (arbitrary JVM static-method invocation), registered
+   *  UDFs, and non-deterministic calls (`rand`, `uuid`,
+   *  `monotonically_increasing_id`) — none of which the reference's
+   *  sandboxed runtime fields can express. Operators, literals, casts,
+   *  field references, CASE/WHEN and lambda parameters parse to dedicated
+   *  deterministic expression nodes and are always allowed; every named
+   *  call must be on this list (deterministic scalar built-ins only). */
+  private val RuntimeScriptFunctions: Set[String] = Set(
+    // math
+    "abs", "ceil", "ceiling", "floor", "round", "bround", "sqrt", "cbrt",
+    "exp", "expm1", "ln", "log", "log10", "log2", "log1p", "pow", "power",
+    "mod", "pmod", "sign", "signum", "greatest", "least", "sin", "cos",
+    "tan", "asin", "acos", "atan", "atan2", "sinh", "cosh", "tanh",
+    "degrees", "radians", "pi", "e", "factorial", "rint", "hypot",
+    "positive", "negative", "try_divide", "try_add", "try_subtract",
+    "try_multiply",
+    // string
+    "length", "char_length", "character_length", "lower", "lcase", "upper",
+    "ucase", "substring", "substr", "concat", "concat_ws", "trim", "ltrim",
+    "rtrim", "btrim", "replace", "translate", "split", "split_part",
+    "regexp_extract", "regexp_extract_all", "regexp_replace", "regexp_like",
+    "regexp_count", "regexp_substr", "rlike", "like", "ilike", "instr",
+    "locate", "position", "lpad", "rpad", "repeat", "reverse", "initcap",
+    "left", "right", "startswith", "endswith", "contains",
+    "substring_index", "ascii", "chr", "char", "format_number",
+    "format_string", "printf", "elt", "find_in_set", "levenshtein",
+    "soundex", "overlay",
+    // deterministic hashes / conversions
+    "md5", "sha", "sha1", "sha2", "hash", "xxhash64", "crc32", "conv",
+    "bin", "hex", "unhex", "base64", "unbase64", "encode", "decode",
+    "to_number", "try_to_number",
+    // conditional / null handling
+    "if", "iff", "coalesce", "nullif", "nvl", "nvl2", "ifnull", "isnull",
+    "isnotnull", "nanvl",
+    // date/time on EXPLICIT inputs (current_date/current_timestamp/now are
+    // deliberately absent — a runtime field must be a pure function of the
+    // row)
+    "to_date", "to_timestamp", "try_to_timestamp", "date_add", "dateadd",
+    "date_sub", "datediff", "date_diff", "add_months", "months_between",
+    "year", "quarter", "month", "day", "dayofmonth", "dayofweek",
+    "weekday", "dayofyear", "weekofyear", "hour", "minute", "second",
+    "date_trunc", "trunc", "last_day", "next_day", "from_unixtime",
+    "to_unix_timestamp", "unix_timestamp", "unix_date", "date_format",
+    "make_date", "make_timestamp", "date_part", "datepart", "extract",
+    // arrays / maps / structs (incl. the deterministic lambda HOFs)
+    "size", "cardinality", "array", "array_contains", "array_position",
+    "array_remove", "array_distinct", "array_intersect", "array_union",
+    "array_except", "array_join", "array_min", "array_max", "array_repeat",
+    "array_compact", "array_append", "array_prepend", "array_insert",
+    "array_size", "arrays_zip", "arrays_overlap", "element_at",
+    "try_element_at", "get", "slice", "sort_array", "array_sort",
+    "sequence", "flatten", "transform", "filter", "exists", "forall",
+    "aggregate", "reduce", "zip_with", "map_filter", "map_zip_with",
+    "transform_keys", "transform_values", "map", "map_keys", "map_values",
+    "map_entries", "map_concat", "map_from_entries", "map_from_arrays",
+    "str_to_map", "named_struct", "struct",
+    // json (parse-only, deterministic)
+    "get_json_object", "json_tuple", "from_json", "to_json",
+    "schema_of_json", "parse_url", "url_decode", "url_encode")
+
+  /** Reject any script whose expression tree calls a function outside
+   *  [[RuntimeScriptFunctions]] or embeds a subquery. Walks the PARSED
+   *  (unresolved) tree: every named call is an `UnresolvedFunction` at
+   *  this stage, so the check runs before any resolution could bind a
+   *  dangerous builtin or a session-registered UDF. */
+  private def validateRuntimeScript(name: String,
+      e: org.apache.spark.sql.catalyst.expressions.Expression): Unit =
+    e.foreach {
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction =>
+        val fn = f.nameParts.map(_.toLowerCase(java.util.Locale.ROOT))
+          .mkString(".")
+        require(f.nameParts.size == 1 && RuntimeScriptFunctions.contains(fn),
+          s"runtime field [$name] calls [$fn], which is outside the " +
+            "deterministic scalar-function allowlist for runtime scripts")
+      case _: org.apache.spark.sql.catalyst.expressions.PlanExpression[_] =>
+        throw new IllegalArgumentException(
+          s"runtime field [$name] script may not contain a subquery")
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        // paren-less literal functions (CURRENT_TIMESTAMP etc.) parse as
+        // attributes and only become function calls during analysis —
+        // reject them by name so a runtime field stays a pure row function
+        val an = a.name.toLowerCase(java.util.Locale.ROOT)
+        require(!Set("current_timestamp", "current_date", "current_time",
+          "now", "localtimestamp", "current_user", "user", "session_user",
+          "current_database", "current_schema", "current_catalog")(an),
+          s"runtime field [$name] references [$an], which is outside the " +
+            "deterministic scalar-function allowlist for runtime scripts")
+      case _ => ()
+    }
+
   /** Parse + execute against hybrid sources; `docs` supplies filter and
    *  collapse fields. */
   /** `runtime_mappings`: query-time computed fields over the stored docs
@@ -1315,9 +1410,11 @@ object QueryDsl {
    *  time, never indexed, usable by filters / sort / collapse exactly
    *  like stored fields). The script dialect here is the deterministic
    *  Spark SQL expression subset (`floor(n_chars/100)*100` etc.) rather
-   *  than painless — parse failures and stored-field shadowing are
-   *  rejected at request time; the derived column is a codegen'd
-   *  projection fused into the same scan, never a second pass. */
+   *  than painless, SANDBOXED to the [[RuntimeScriptFunctions]] allowlist
+   *  — parse failures, out-of-allowlist calls, subqueries, and
+   *  stored-field shadowing are all rejected at request time; the derived
+   *  column is a codegen'd projection fused into the same scan, never a
+   *  second pass. */
   private def applyRuntimeMappings(rm: JsonNode, docs: DataFrame): DataFrame =
     if (rm.isMissingNode || !rm.isObject || rm.size() == 0) docs
     else {
@@ -1330,13 +1427,23 @@ object QueryDsl {
         require(script.nonEmpty, s"runtime field [$name] requires a [script]")
         require(!out.columns.contains(name),
           s"runtime field [$name] shadows an existing field")
-        val c =
-          try org.apache.spark.sql.functions.expr(script)
+        val parsed =
+          try docs.sparkSession.sessionState.sqlParser.parseExpression(script)
           catch {
-            case ex: Exception => throw new IllegalArgumentException(
-              s"runtime field [$name] script does not parse: ${ex.getMessage}")
+            case ex: org.apache.spark.sql.catalyst.parser.ParseException =>
+              throw new IllegalArgumentException(
+                s"runtime field [$name] script does not parse: ${ex.getMessage}")
           }
-        out = out.withColumn(name, c)
+        validateRuntimeScript(name, parsed)
+        out = out.withColumn(name, org.apache.spark.sql.functions.expr(script))
+        // belt-and-braces determinism gate over the ANALYZED column: even
+        // an allowlisted spelling that resolved to something
+        // non-deterministic would be rejected here
+        out.queryExecution.analyzed.expressions.foreach(_.foreach { x =>
+          require(x.deterministic,
+            s"runtime field [$name] resolved to a non-deterministic " +
+              s"expression [${x.prettyName}]")
+        })
       }
       out
     }

@@ -70,6 +70,24 @@ class AggsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(r.fieldIndex("t_pooled")) - 2.278575) < 1e-6)
   }
 
+  test("t_test ignores rows whose value is NULL") {
+    // a null-valued row in each arm must contribute to NEITHER n nor the
+    // power sums (the reference ignores docs missing the field) — the
+    // statistics are identical to the textbook fixture above
+    val rows =
+      (Seq(2.1, 3.4, 1.9, 4.0, 2.8, 3.3).map(v => ("a", Option(v))) ++
+        Seq(1.2, 2.2, 1.8, 2.9, 1.1).map(v => ("b", Option(v))) ++
+        Seq(("a", Option.empty[Double]), ("b", Option.empty[Double])))
+        .toDF("arm", "v")
+    val r = Aggs.tTest(rows, col("arm") === "a", col("arm") === "b", "v")
+      .collect().head
+    assert(r.getLong(r.fieldIndex("n1")) == 6L)
+    assert(r.getLong(r.fieldIndex("n2")) == 5L)
+    assert(math.abs(r.getDouble(r.fieldIndex("t_welch")) - 2.297841) < 1e-6)
+    assert(math.abs(r.getDouble(r.fieldIndex("df_welch")) - 8.873515) < 1e-6)
+    assert(math.abs(r.getDouble(r.fieldIndex("t_pooled")) - 2.278575) < 1e-6)
+  }
+
   test("termsSharded: error bound brackets the true count; exhaustive shards are exact") {
     // skewed keys over 3 shards: shard = id % 3, key frequency decays
     val rows = (0L until 300L).map { i =>

@@ -1009,6 +1009,40 @@ class QueryDslSpec extends SparkSpec {
       QueryDsl.renderTemplate(tpl, Map("q" -> "a")))
   }
 
+  test("runtime_mappings scripts are sandboxed to deterministic scalar functions") {
+    import spark.implicits._
+    val docs = (0L until 20L).map(i => (i, "alpha beta", i * 10))
+      .toDF("doc_id", "text", "n_chars")
+    val idx2 = graft.index.InvertedIndex.build(docs, "doc_id", "text")
+    val src = HybridSources(idx2, fields = Some(docs))
+    def run(script: String) = QueryDsl.execute(src,
+      s"""{"runtime_mappings":{"rf":{"type":"long","script":"$script"}},
+         |"query":{"bool":{"must":[{"match":{"text":"alpha"}}],
+         |"filter":{"range":{"rf":{"gte":0}}}}},"size":5}""".stripMargin, docs)
+    // the deterministic expression subset works
+    assert(run("CAST(floor(n_chars / 7) * 7 AS BIGINT)").count() == 5)
+    // reflection / JVM-method invocation, non-determinism, subqueries, and
+    // paren-less literal time functions are all rejected at request time
+    def rejected(script: String): Unit = {
+      val ex = intercept[IllegalArgumentException](run(script))
+      assert(ex.getMessage.contains("allowlist") ||
+        ex.getMessage.contains("subquery"), s"unexpected: ${ex.getMessage}")
+    }
+    rejected("java_method('java.lang.System','getenv')")
+    rejected("reflect('java.lang.UUID','randomUUID')")
+    rejected("rand()")
+    rejected("monotonically_increasing_id()")
+    rejected("n_chars in (select 1)")
+    rejected("current_timestamp")
+  }
+
+  test("trailing-caret field spec fails loudly") {
+    // "text^" must hit the fail-loudly branch, not parse as boost 1.0
+    intercept[IllegalArgumentException](QueryDsl.parse(
+      """{"query":{"hybrid":{"queries":[
+        |  {"multi_match":{"query":"scan","fields":["text^"]}}]}}}""".stripMargin))
+  }
+
   test("malformed requests are rejected") {
     intercept[IllegalArgumentException](QueryDsl.parse("""{"query":{}}"""))
     intercept[IllegalArgumentException](
