@@ -1464,6 +1464,27 @@ object HybridEntries {
       graft.query.QueryDsl.execute(src, json, s.read.parquet(s"$dir/documents.parquet"))
         .select(col("doc_id"), round(col("score"), 4).as("score"))
     }),
+    // DSL match_phrase with slop > 0 AND a REPEATED analyzed term — the
+    // SloppyPhraseMatcher repeat machinery (repeat groups, stagger init,
+    // collide/advance-lesser): "join join"~3 matches docs where two
+    // DISTINCT occurrences of `join` sit within the slop window
+    // (reference: SloppyPhraseMatcher hasRpts path, reachable through any
+    // match_phrase clause, query/HybridQueryBuilder.java:368-377)
+    "dsl_phrase_slop_repeats" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      val json =
+        """{ "query": { "hybrid": {
+          |    "queries": [ { "match": { "text": "join hash" } },
+          |                 { "match_phrase": { "text": { "query": "join join", "slop": 3 } } } ],
+          |    "pagination_depth": 50 } },
+          |  "size": 10,
+          |  "search_pipeline": {
+          |    "normalization": { "technique": "min_max" },
+          |    "combination":   { "technique": "arithmetic_mean" } } }""".stripMargin
+      val src = HybridSources(idx, positions = Some(IndexCache.positions(s, dir)))
+      graft.query.QueryDsl.execute(src, json, s.read.parquet(s"$dir/documents.parquet"))
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+    }),
     // DSL with a neural_sparse clause + bool filter: the heterogeneous parse
     // path (reference: NeuralSparseQueryBuilder.fromXContent query_tokens
     // form + bool filter pushed into every sub-query)
@@ -3232,6 +3253,37 @@ object HybridEntries {
          |               $pivots
          |        FROM ($unions) u${i}
          |        GROUP BY doc_id) p$i)""".stripMargin
+    case LexicalPhrase(ph, slop) if slop > 0 && ph.size == 2 && ph(0) == ph(1) =>
+      // sloppy phrase with a REPEATED term ("x x"): the repeat machinery
+      // (stagger init + collide/advance-lesser) reduces to the
+      // consecutive-pair closed form — each ADJACENT occurrence pair
+      // (p, q) of the term with q-p-1 <= slop contributes 1/(q-p), summed
+      // in position order (PhraseSpec proves the reduction by fuzz against
+      // Phrase.sloppyFreq with repeat groups). idf counts once per SLOT
+      // (PhraseQuery feeds one TermStatistics per slot), hence the 2x.
+      require(filterPred.isEmpty, "sloppy-phrase oracle does not take a filter")
+      val t = ph.head
+      s"""sq$i AS (
+         |  SELECT fr.doc_id,
+         |         (2 * (SELECT ln(1 + (stats.n - df.df + 0.5)/(df.df + 0.5))
+         |               FROM df CROSS JOIN stats WHERE df.term = '$t'))
+         |         * (fr.freq / (fr.freq + 1.2*(1 - 0.75 + 0.75*dl.dl/stats.avgdl))) AS s
+         |  FROM (
+         |    WITH
+         |    tokp AS (
+         |      SELECT doc_id, unnest(l) AS term, unnest(range(len(l))) AS pos
+         |      FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+         |            FROM documents)),
+         |    x AS (SELECT doc_id, pos FROM tokp WHERE term = '$t'),
+         |    pr AS (SELECT doc_id, pos,
+         |                  lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS np
+         |           FROM x)
+         |    SELECT doc_id,
+         |           list_sum(list(CAST(1.0 AS DOUBLE)/(np - pos) ORDER BY pos)) AS freq
+         |    FROM pr WHERE np IS NOT NULL AND np - pos - 1 <= $slop
+         |    GROUP BY doc_id
+         |  ) fr JOIN dl USING (doc_id) CROSS JOIN stats
+         |  WHERE fr.freq > 0)""".stripMargin
     case LexicalPhrase(ph, slop) if slop > 0 =>
       // sloppy phrase BM25, independently re-derived via the 2-term closed
       // form of Lucene's SloppyPhraseMatcher: shift slot 1's positions by
@@ -3804,6 +3856,9 @@ object HybridEntries {
           MinMaxNormTech(), Combination(Combine.Arithmetic)),
       "dsl_phrase_slop" ->
         hybridOracle(tokCte, Seq(Lexical(A), LexicalPhrase(Seq("table", "scan"), slop = 2)),
+          MinMaxNormTech(), Combination(Combine.Arithmetic)),
+      "dsl_phrase_slop_repeats" ->
+        hybridOracle(tokCte, Seq(Lexical(A), LexicalPhrase(Seq("join", "join"), slop = 3)),
           MinMaxNormTech(), Combination(Combine.Arithmetic)),
       "bool_must_should" ->
         boolOracle(tokCte, must = Seq(Lexical(A)), should = Seq(Lexical(B)),

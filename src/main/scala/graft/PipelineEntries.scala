@@ -102,6 +102,57 @@ object PipelineEntries {
         filterDocs = Some(f))
         .select(col("doc_id"), round(col("score"), 4).as("score"))
     }),
+    // neural_sparse + method_parameters through the JSON DSL: the clause
+    // routes to the SEISMIC cluster-skipping scorer with {top_n, k,
+    // heap_factor} (reference: sparse/query/SparseAnnQueryBuilder.java:67-87
+    // parses method_parameters on a neural_sparse query against a SEISMIC
+    // field) — exact mode, so rank-identical to brute-force dot scoring
+    "dsl_neural_sparse_ann" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      val json =
+        """{ "query": { "neural_sparse": { "sparse_field": {
+          |    "query_tokens": { "join": 3.0, "hash": 1.0, "scan": 0.5, "dup": 0.4 },
+          |    "method_parameters": { "top_n": 10, "k": 10, "heap_factor": 1.0 } } } },
+          |  "size": 10 }""".stripMargin
+      val src = graft.hybrid.HybridSources(idx, seismic = Some(seismicExact(s, dir)))
+      graft.query.QueryDsl.execute(src, json, docs(s, dir))
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+    }),
+    // method_parameters.filter: the clause-level NON-SCORING filter
+    // evaluated DURING the ANN search (reference:
+    // OrderedPostingWithClustersScorer.java:46-52) — a term filter over the
+    // stored fields intersects the candidate set before scoring
+    "dsl_neural_sparse_ann_filtered" -> ((s, dir) => {
+      val idx = IndexCache.documents(s, dir)
+      val json =
+        """{ "query": { "neural_sparse": { "sparse_field": {
+          |    "query_tokens": { "join": 3.0, "hash": 1.0, "scan": 0.5, "dup": 0.4 },
+          |    "method_parameters": { "top_n": 10, "k": 10, "heap_factor": 1.0,
+          |      "filter": { "term": { "lang": "en" } } } } } },
+          |  "size": 10 }""".stripMargin
+      val src = graft.hybrid.HybridSources(idx, seismic = Some(seismicExact(s, dir)))
+      graft.query.QueryDsl.execute(src, json, docs(s, dir))
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+    }),
+    // SEISMIC artifact lifecycle on segment merge: two disjoint half-corpus
+    // clustered artifacts merged into one (member-vector recovery ->
+    // re-prune -> RE-CLUSTER per term, the reference's merge shape,
+    // sparse/codec/MergeHelper.java:82-143) — merged-store ANN must be
+    // rank-identical to brute force exactly like the fresh build
+    // (SeismicSpec additionally proves merged == fresh bit-identically)
+    "seismic_merged_ann" -> ((s, dir) => {
+      val t = tw(s, dir)
+      def part(x: DataFrame) = Seismic.buildClusteredIndex(x,
+        nPostings = Int.MaxValue, clusterRatio = 0.02,
+        summaryPruneRatio = 1.0, maxClusters = 32, hashAssign = true)
+      val merged = Seismic.mergeClusteredIndexes(
+        Seq(part(t.where(pmod(col("doc_id"), lit(2)) === 0)),
+          part(t.where(pmod(col("doc_id"), lit(2)) === 1))),
+        nPostings = Int.MaxValue, clusterRatio = 0.02,
+        summaryPruneRatio = 1.0, maxClusters = 32, hashAssign = true)
+      Seismic.annTopK(merged, SparseQuery, 10, heapFactor = 1.0)
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+    }),
     // n_postings prune feeding the clusterer: per-term member count
     "seismic_pruned_df" -> ((s, dir) => {
       val cidx = Seismic.buildClusteredIndex(tw(s, dir), nPostings = 160)
@@ -334,6 +385,23 @@ object PipelineEntries {
          |  SELECT doc_id, sum(w * qw) AS s FROM tw JOIN qv USING (token) GROUP BY doc_id)
          |ORDER BY s DESC, doc_id LIMIT 10""".stripMargin,
     "seismic_ann_filtered" ->
+      s"""WITH $tokCte, $TwCte, $QvCte
+         |SELECT doc_id, round(s, 4) AS score FROM (
+         |  SELECT tw.doc_id, sum(w * qw) AS s FROM tw JOIN qv USING (token)
+         |  WHERE tw.doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')
+         |  GROUP BY tw.doc_id)
+         |ORDER BY s DESC, doc_id LIMIT 10""".stripMargin,
+    "seismic_merged_ann" ->
+      s"""WITH $tokCte, $TwCte, $QvCte
+         |SELECT doc_id, round(s, 4) AS score FROM (
+         |  SELECT doc_id, sum(w * qw) AS s FROM tw JOIN qv USING (token) GROUP BY doc_id)
+         |ORDER BY s DESC, doc_id LIMIT 10""".stripMargin,
+    "dsl_neural_sparse_ann" ->
+      s"""WITH $tokCte, $TwCte, $QvCte
+         |SELECT doc_id, round(s, 4) AS score FROM (
+         |  SELECT doc_id, sum(w * qw) AS s FROM tw JOIN qv USING (token) GROUP BY doc_id)
+         |ORDER BY s DESC, doc_id LIMIT 10""".stripMargin,
+    "dsl_neural_sparse_ann_filtered" ->
       s"""WITH $tokCte, $TwCte, $QvCte
          |SELECT doc_id, round(s, 4) AS score FROM (
          |  SELECT tw.doc_id, sum(w * qw) AS s FROM tw JOIN qv USING (token)

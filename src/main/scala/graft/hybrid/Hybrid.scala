@@ -90,6 +90,24 @@ case class LexicalSyn(groups: Seq[(Seq[String], Double)]) extends SubQuery
  *  (reference: query/NeuralSparseQueryBuilder.java:568-581). */
 case class SparseLinear(query: Map[String, Double]) extends SubQuery
 
+/** Sparse ANN clause — `neural_sparse` with `method_parameters` against a
+ *  SEISMIC field: cluster-skipping top-k over the clustered posting
+ *  artifact instead of the linear scorer (reference:
+ *  sparse/query/SparseAnnQueryBuilder.java:67-87 parses
+ *  {top_n, k, heap_factor, filter}; SeismicBaseScorer executes). `topN`
+ *  keeps the top query tokens by weight (query_cut), `k` is the result
+ *  heap size, `heapFactor` relaxes (>1) or tightens (<1) the skip bound,
+ *  and `filter` is the clause-level NON-SCORING filter applied DURING the
+ *  ANN search (a predicate over the stored-fields table — intersecting
+ *  after a k-bounded search would under-fill the heap, so it must reach
+ *  the scorer, reference: OrderedPostingWithClustersScorer.java:46-52). */
+case class SparseAnn(query: Map[String, Double],
+                     topN: Int = 10,
+                     heapFactor: Double = 1.0,
+                     k: Int = 10,
+                     filter: Option[org.apache.spark.sql.Column] = None)
+    extends SubQuery
+
 /** Dense vector clause — `neural` kNN: cosine similarity against the corpus
  *  embedding column; the query vector is the stored embedding of
  *  `queryId` (deterministic stand-in for ML inference, zero-egress)
@@ -602,7 +620,12 @@ case class HybridSources(
      *  index configuration injects them (Lucene SynonymGraphFilter on the
      *  search_analyzer). Deterministic map; must be driver-small, exactly
      *  like an OpenSearch synonym file. */
-    synonyms: Map[String, Seq[String]] = Map.empty
+    synonyms: Map[String, Seq[String]] = Map.empty,
+    /** SEISMIC clustered sparse artifact for [[SparseAnn]] clauses — the
+     *  per-field clustered posting index a neural_sparse clause with
+     *  `method_parameters` probes (reference: a SEISMIC-enabled
+     *  sparse_tokens field carries its clustered codec artifact). */
+    seismic: Option[org.apache.spark.sql.Dataset[graft.ops.ClusteredPosting]] = None
 )
 
 case class HybridQuery(
@@ -659,8 +682,6 @@ object Hybrid {
           "match_phrase sub-query requires HybridSources.positions (positional blocks)")
         require(ph.size >= 2, "a phrase needs at least 2 terms")
         require(slop >= 0, s"[slop] must be >= 0, got $slop")
-        require(slop == 0 || ph.distinct.size == ph.size,
-          "match_phrase with slop > 0 requires distinct analyzed terms")
       case LexicalPhrasePrefix(fixed, prefix, maxExp) =>
         require(src.positions.nonEmpty,
           "match_phrase_prefix requires HybridSources.positions (positional blocks)")
@@ -677,6 +698,18 @@ object Hybrid {
         }
       case _: SparseLinear => require(src.sparse.nonEmpty,
         "sparse sub-query requires HybridSources.sparse (doc_id, token, w)")
+      case sa: SparseAnn =>
+        require(src.seismic.nonEmpty,
+          "sparse ANN sub-query (method_parameters) requires " +
+            "HybridSources.seismic (clustered posting artifact)")
+        require(sa.query.nonEmpty, "sparse ANN sub-query requires query tokens")
+        require(sa.topN >= 1, s"[top_n] must be >= 1, got ${sa.topN}")
+        require(sa.k >= 1, s"[k] must be >= 1, got ${sa.k}")
+        require(sa.heapFactor > 0,
+          s"[heap_factor] must be > 0, got ${sa.heapFactor}")
+        require(sa.filter.isEmpty || src.fields.nonEmpty,
+          "sparse ANN [filter] requires HybridSources.fields (the filter " +
+            "predicate evaluates over the stored-fields table)")
       case _: DenseCosine => require(src.emb.nonEmpty,
         "dense sub-query requires HybridSources.emb (doc_id, vec)")
       case DenseVector(v, ms, md) =>
@@ -747,8 +780,6 @@ object Hybrid {
             require(tb >= 0.0 && tb <= 1.0, s"tie_breaker must be in [0,1], got $tb")
             require(slop >= 0, s"[slop] must be >= 0, got $slop")
             require(terms.size >= 2, "a phrase needs at least 2 terms")
-            require(slop == 0 || terms.distinct.size == terms.size,
-              "match_phrase with slop > 0 requires distinct analyzed terms")
             fields.foreach { case (f, _) =>
               require(if (f == "text") src.positions.nonEmpty
                       else src.fieldPositions.contains(f),
@@ -1092,6 +1123,22 @@ object Hybrid {
       if (byScore) q.minScore.fold(collapsed)(ms => collapsed.filter(col("score") >= ms))
       else collapsed
     page(msFiltered.orderBy(sortCols: _*), q)
+  }
+
+  /** Score a [[SparseAnn]] clause: the clause-level filter (a predicate
+   *  over the stored-fields table) and the request-level filter both reach
+   *  the cluster-skipping scorer as its candidate intersection — never a
+   *  post-filter over the bounded heap. */
+  private[graft] def scoreSparseAnn(src: HybridSources, sa: SparseAnn,
+                                    requestFilter: Option[DataFrame]): DataFrame = {
+    val clauseF = sa.filter.map(p => src.fields.get.where(p).select("doc_id"))
+    val fd = (requestFilter, clauseF) match {
+      case (Some(a), Some(b)) =>
+        Some(a.select("doc_id").join(b, Seq("doc_id"), "left_semi"))
+      case (a, b) => a.map(_.select("doc_id")).orElse(b)
+    }
+    graft.ops.Seismic.annTopK(src.seismic.get, sa.query, sa.k,
+      queryCut = sa.topN, heapFactor = sa.heapFactor, filterDocs = fd)
   }
 
   /** Score one sub-query clause: DataFrame(doc_id, score), unbounded rows. */
@@ -1574,6 +1621,11 @@ object Hybrid {
           fixed, prefix, maxExp)
       case SparseLinear(qm) =>
         Sparse.linearScore(src.sparse.get, qm)
+      case sa: SparseAnn =>
+        // bool/bare context: only the clause-level filter applies here; the
+        // hybrid collection path threads the request filter through
+        // scoreSparseAnn so it reaches the scorer, never a post-filter
+        scoreSparseAnn(src, sa, None)
       case DenseCosine(qid) =>
         // brute cosine against the whole embedding table; the scan feeds a
         // TakeOrdered top-depth, so no intermediate is larger than the table
@@ -1795,10 +1847,18 @@ object Hybrid {
     val boundPerBucket = if (filterDocs.isEmpty && q.collapse.isEmpty) q.depth else 0
     val order = Seq($"score".desc, $"doc_id".asc)
     val scoredPerSub: Seq[DataFrame] = q.subQueries.zipWithIndex.map { case (sq, i) =>
-      val raw = scoreClause(src, sq, boundPerBucket)
-      val filtered = filterDocs match {
-        case Some(f) => raw.join(f.select("doc_id"), Seq("doc_id"), "left_semi")
-        case None    => raw
+      val filtered = sq match {
+        // a sparse ANN clause is k-BOUNDED inside its scorer, so the
+        // request filter must reach the ANN search (post-filtering a
+        // bounded top-k would under-fill it) — exactly the reference's
+        // filter-during-search contract
+        case sa: SparseAnn => scoreSparseAnn(src, sa, filterDocs)
+        case _ =>
+          val raw = scoreClause(src, sq, boundPerBucket)
+          filterDocs match {
+            case Some(f) => raw.join(f.select("doc_id"), Seq("doc_id"), "left_semi")
+            case None    => raw
+          }
       }
       filtered.withColumn("subq", lit(i))
     }
@@ -1927,6 +1987,9 @@ object Hybrid {
            _: RegexPattern | _: ExistsQ | _: SpanNearQ | _: SpanNearMaskedQ |
            _: IntervalsQ => ()
       case _: SparseLinear => increment("neural_sparse_query_requests")
+      case _: SparseAnn =>
+        increment("neural_sparse_query_requests")
+        increment("sparse_ann_query_requests")
       case _: DenseCosine | _: DenseVector | _: DenseIvf | _: DenseRadial =>
         increment("neural_query_requests")
         increment("neural_query_against_knn_requests")

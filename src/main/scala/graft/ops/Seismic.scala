@@ -210,6 +210,60 @@ object Seismic {
   }
 
   /**
+   * Merge N clustered sparse artifacts into ONE, re-pruning and
+   * RE-CLUSTERING per term over the union — the reference re-clusters
+   * every merged term batch rather than stitching old clusters
+   * (reference: sparse/codec/MergeHelper.java:82-143;
+   * SparsePostingsReader.java:45 batches 50 terms per merge task).
+   *
+   * The result is BIT-IDENTICAL to a fresh [[buildClusteredIndex]] over
+   * the union corpus:
+   *  - member vectors round-trip exactly (clusters carry their members'
+   *    full vectors — DocumentCluster does the same);
+   *  - the per-part n_postings prune is a rank filter whose union
+   *    contains the global top-n (any doc in the global top-n for a term
+   *    ranks top-n within its own part too), so re-ranking the recovered
+   *    rows reproduces the fresh prune — a doc's locally-pruned terms
+   *    reappear in its recovered vector but can never out-rank the true
+   *    winners;
+   *  - the seeded per-term clustering and summary prune are pure
+   *    functions of (term, member set, vectors, seed).
+   *
+   * Scale shape: one dropDuplicates over doc vectors (shuffle bounded by
+   * the distinct-doc count) feeding the same bounded per-term groups as
+   * the build; no driver-side data. SeismicSpec proves merged == fresh on
+   * both production (pruned, random-clustered) and exact parameters. */
+  def mergeClusteredIndexes(
+      parts: Seq[Dataset[ClusteredPosting]],
+      nPostings: Int = 160,
+      clusterRatio: Double = 0.1,
+      summaryPruneRatio: Double = 0.4,
+      seed: Long = 42L,
+      maxClusters: Int = Int.MaxValue,
+      hashAssign: Boolean = false
+  ): Dataset[ClusteredPosting] = {
+    require(parts.nonEmpty, "mergeClusteredIndexes requires at least one part")
+    val spark = parts.head.sparkSession
+    import spark.implicits._
+    val union = parts.reduce(_ unionByName _)
+    // recover each member doc's full sparse vector (every copy of a doc —
+    // across terms, clusters, parts — carries the identical vector, so
+    // dropDuplicates on doc_id is deterministic content-wise)
+    val tw = union.flatMap { cp =>
+      cp.doc_ids.indices.iterator.map { i =>
+        (cp.doc_ids(i), cp.doc_tokens(i).toSeq, cp.doc_ws(i).toSeq)
+      }
+    }.toDF("doc_id", "tokens", "ws")
+      .dropDuplicates("doc_id")
+      .as[(Long, Seq[String], Seq[Double])]
+      .flatMap { case (id, toks, ws) =>
+        toks.indices.iterator.map(i => (id, toks(i), ws(i)))
+      }.toDF("doc_id", "token", "w")
+    buildClusteredIndex(tw, nPostings, clusterRatio, summaryPruneRatio,
+      seed, maxClusters, hashAssign)
+  }
+
+  /**
    * Cluster-skipping ANN top-k, FUSED into one job (the block-max WAND
    * pattern, `Bm25.topKWand`): all of a term's clusters land in one
    * partition, streamed in upper-bound-descending order against a running

@@ -134,8 +134,14 @@ object Phrase {
    *  - tf is that fractional frequency; the BM25 weight is the sum of the
    *    member terms' idfs, exactly as the exact-phrase path.
    *
-   *  Repeated phrase terms (Lucene's `hasRpts` machinery) are rejected —
-   *  every analyzed slot must be a distinct term.
+   *  Repeated phrase terms run Lucene's `hasRpts` machinery
+   *  (SloppyPhraseMatcher repeat groups): slots sharing a term form a
+   *  repeat group whose members must always occupy DISTINCT document
+   *  positions — initialization staggers each group's slots onto
+   *  successive occurrences, and every advance resolves collisions by
+   *  advancing the lesser colliding slot past the collision (exhaustion
+   *  ends matching). A phrase like "a b a" therefore matches exactly when
+   *  two different occurrences of `a` bracket a `b` within slop.
    *
    *  For a 2-term phrase this greedy enumeration reduces to a closed form
    *  the DuckDB oracle re-derives independently: one match per ADJACENT
@@ -147,8 +153,6 @@ object Phrase {
                   slop: Int): DataFrame = {
     require(phrase.size >= 2, "a phrase needs at least 2 terms")
     require(slop >= 1, s"sloppyScore requires slop >= 1, got $slop (use score for slop 0)")
-    require(phrase.distinct.size == phrase.size,
-      "match_phrase with slop > 0 requires distinct analyzed terms (repeats not supported)")
     val spark = idx.postings.sparkSession
     import spark.implicits._
 
@@ -162,6 +166,7 @@ object Phrase {
     val w = phrase.foldLeft(0.0)((acc, t) => acc + Bm25.idf(dfMap(t), n))
     val terms = phrase.toArray
     val slopLocal = slop
+    val (rptGroups, groupOf) = repeatGroups(terms)
 
     val matched = pos.filter($"term".isin(uniq: _*))
     val docLens = idx.docLens
@@ -210,7 +215,7 @@ object Phrase {
                 while (j < src.length) { out(j) = src(j) - i; j += 1 }
                 out
               }
-              val freq = sloppyFreq(shifted, slopLocal)
+              val freq = sloppyFreq(shifted, slopLocal, rptGroups, groupOf)
               if (freq == 0.0) None
               else Some((base + local, w * Bm25.tfNorm(freq, dlArr(local), avgdl)))
             }
@@ -221,23 +226,61 @@ object Phrase {
     scored.toDF("doc_id", "score")
   }
 
-  /** Lucene SloppyPhraseScorer.phraseFreq for distinct phrase terms:
-   *  `shifted(i)` is slot i's ascending (position - i) list; the minimum
-   *  (by shifted position, slot ascending — PhraseQueue's offset
-   *  tie-break) advances one step at a time; crossing the runner-up emits
-   *  the minimal window seen, gated by slop, weighted 1/(1+matchLength);
-   *  exhaustion emits the final window. */
-  private[graft] def sloppyFreq(shifted: Array[Array[Int]], slop: Int): Double = {
+  /** Lucene SloppyPhraseScorer.phraseFreq for distinct phrase terms (the
+   *  no-repeats fast path — see the repeat-group overload below). */
+  private[graft] def sloppyFreq(shifted: Array[Array[Int]], slop: Int): Double =
+    sloppyFreq(shifted, slop, Array.empty, Array.fill(shifted.length)(-1))
+
+  /** Repeat groups of a phrase's slot array: slots sharing a term, in slot
+   *  order, groups ordered by first slot; `groupOf(slot)` = group id or -1. */
+  private[graft] def repeatGroups(terms: Array[String]): (Array[Array[Int]], Array[Int]) = {
+    val groups = terms.zipWithIndex.groupBy(_._1).valuesIterator
+      .filter(_.length > 1).map(_.map(_._2).sorted).toArray.sortBy(_.head)
+    val groupOf = Array.fill(terms.length)(-1)
+    groups.zipWithIndex.foreach { case (rg, gi) => rg.foreach(groupOf(_) = gi) }
+    (groups, groupOf)
+  }
+
+  /** Lucene SloppyPhraseScorer.phraseFreq: `shifted(i)` is slot i's
+   *  ascending (position - i) list; the minimum (by shifted position, slot
+   *  ascending — PhraseQueue's offset tie-break) advances one step at a
+   *  time; crossing the runner-up emits the minimal window seen, gated by
+   *  slop, weighted 1/(1+matchLength); exhaustion emits the final window.
+   *
+   *  Repeated terms (`rptGroups` non-empty) run SloppyPhraseMatcher's
+   *  repeat machinery: slots of one group must occupy DISTINCT document
+   *  positions (tpPos = shifted + slot) — initialization staggers a
+   *  group's slots onto successive occurrences
+   *  (SloppyPhraseMatcher.advanceRepeatGroups' simple branch), and after
+   *  every advance, collisions resolve by advancing the LESSER colliding
+   *  slot (by shifted position, slot tie-break — `lesser`) past the
+   *  collision; exhaustion while resolving ends matching
+   *  (SloppyPhraseMatcher.advanceRpts/collide). */
+  private[graft] def sloppyFreq(shifted: Array[Array[Int]], slop: Int,
+      rptGroups: Array[Array[Int]], groupOf: Array[Int]): Double = {
     val k = shifted.length
     val idx = new Array[Int](k)
     val cur = new Array[Int](k)
-    var end = Int.MinValue
     var i = 0
-    while (i < k) {
-      cur(i) = shifted(i)(0)
-      if (cur(i) > end) end = cur(i)
-      i += 1
+    while (i < k) { cur(i) = shifted(i)(0); i += 1 }
+    // stagger repeat-group slots: member j starts at occurrence j, so
+    // group members hold distinct document positions from the outset
+    var g = 0
+    while (g < rptGroups.length) {
+      val rg = rptGroups(g)
+      var j = 1
+      while (j < rg.length) {
+        val s = rg(j)
+        idx(s) += j
+        if (idx(s) >= shifted(s).length) return 0.0
+        cur(s) = shifted(s)(idx(s))
+        j += 1
+      }
+      g += 1
     }
+    var end = Int.MinValue
+    i = 0
+    while (i < k) { if (cur(i) > end) end = cur(i); i += 1 }
     // argmin by (cur, slot) over all slots except `exclude` (-1 = none)
     def minSlot(exclude: Int): Int = {
       var best = -1
@@ -248,17 +291,51 @@ object Phrase {
       }
       best
     }
+    // document position of slot s; distinct within a repeat group
+    def tpPos(s: Int): Int = cur(s) + s
+    // advance slot s one occurrence; false = exhausted
+    def advance(s: Int): Boolean = {
+      idx(s) += 1
+      if (idx(s) >= shifted(s).length) false
+      else {
+        cur(s) = shifted(s)(idx(s))
+        if (cur(s) > end) end = cur(s)
+        true
+      }
+    }
+    def findCollision(s: Int): Int = {
+      val rg = rptGroups(groupOf(s))
+      var j = 0
+      while (j < rg.length) {
+        if (rg(j) != s && tpPos(rg(j)) == tpPos(s)) return rg(j)
+        j += 1
+      }
+      -1
+    }
+    def advanceRpts(s0: Int): Boolean = {
+      if (groupOf(s0) < 0) return true
+      var s = s0
+      var c = findCollision(s)
+      while (c >= 0) {
+        // advance the lesser of the colliding pair (position, then slot)
+        val adv =
+          if (cur(s) < cur(c) || (cur(s) == cur(c) && s < c)) s else c
+        if (!advance(adv)) return false
+        s = adv
+        c = findCollision(s)
+      }
+      true
+    }
+    val hasRpts = rptGroups.nonEmpty
     var pp = minSlot(-1)
     var matchLength = end - cur(pp)
     var next = cur(minSlot(pp))
     var freq = 0.0
     var advancing = true
     while (advancing) {
-      idx(pp) += 1
-      if (idx(pp) >= shifted(pp).length) advancing = false
+      if (!advance(pp)) advancing = false
+      else if (hasRpts && !advanceRpts(pp)) advancing = false
       else {
-        cur(pp) = shifted(pp)(idx(pp))
-        if (cur(pp) > end) end = cur(pp)
         if (cur(pp) > next) {
           // done minimizing the current match window
           if (matchLength <= slop) freq += 1.0 / (1 + matchLength)

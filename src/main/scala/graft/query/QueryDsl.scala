@@ -1011,8 +1011,6 @@ object QueryDsl {
       require(slop >= 0, s"match_phrase [slop] must be >= 0, got $slop")
       val terms = Analyzer.analyze(analyzer)(text).toSeq
       require(terms.size >= 2, "match_phrase requires at least 2 analyzed terms")
-      require(slop == 0 || terms.distinct.size == terms.size,
-        "match_phrase with slop > 0 requires distinct analyzed terms (repeats not supported)")
       graft.hybrid.LexicalPhrase(terms, slop)
     } else if (!q.path("multi_match").isMissingNode) {
       // {"multi_match": {"query": "...", "fields": ["text", "path^2"],
@@ -1116,42 +1114,71 @@ object QueryDsl {
     } else if (!q.path("neural_sparse").isMissingNode) {
       val (field, body) = firstField(q.path("neural_sparse"))
       val toks = body.path("query_tokens")
-      if (toks.isObject && toks.size() > 0) {
-        // raw-token form: the caller supplies the encoded query directly
-        // (reference: NeuralSparseQueryBuilder.java:307-374 query_tokens)
-        val m = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-        toks.fields().forEachRemaining(e => m += (e.getKey -> e.getValue.asDouble()))
-        SparseLinear(m.toMap)
-      } else {
-        val text = body.path("query_text").asText("")
-        require(text.nonEmpty,
-          "neural_sparse requires query_tokens or query_text")
-        val anaNode = body.path("analyzer")
-        val modelNode = Option(body.path("model_id"))
-          .filterNot(_.isMissingNode).map(_.asText())
-        if (!anaNode.isMissingNode) {
-          // analyzer form (model-free query-side tokenization — the
-          // reference's NeuralSparseQueryBuilder accepts `analyzer` as the
-          // mutually-exclusive alternative to model inference: tokens come
-          // from the named analyzer, each weighted 1.0, and the stored
-          // sparse vectors carry all the learned weighting)
-          require(modelNode.isEmpty,
-            "neural_sparse accepts [analyzer] or [model_id], not both")
-          val toks = Analyzer.analyze(anaNode.asText())(text).toSeq
-          require(toks.nonEmpty, "neural_sparse analyzer produced no tokens")
-          SparseLinear(toks.distinct.map(_ -> 1.0).toMap)
+      val qtokens: Map[String, Double] =
+        if (toks.isObject && toks.size() > 0) {
+          // raw-token form: the caller supplies the encoded query directly
+          // (reference: NeuralSparseQueryBuilder.java:307-374 query_tokens)
+          val m = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+          toks.fields().forEachRemaining(e => m += (e.getKey -> e.getValue.asDouble()))
+          m.toMap
         } else {
-          // query_text form: run the (mock) sparse encoding model over the
-          // analyzed text; the model id must come from the clause or a
-          // neural_query_enricher request-processor default (reference:
-          // NeuralSparseQueryBuilder requires model_id for inference;
-          // NeuralQueryEnricherProcessor fills the default)
-          val modelId = enricher.resolve(field, modelNode)
-          require(modelId.nonEmpty,
-            "neural_sparse [query_text] requires a model_id — set it on the clause " +
-              "or configure a neural_query_enricher request processor with default_model_id")
-          SparseLinear(Sparse.encodeQueryTokens(Analyzer.analyze(analyzer)(text).toSeq))
+          val text = body.path("query_text").asText("")
+          require(text.nonEmpty,
+            "neural_sparse requires query_tokens or query_text")
+          val anaNode = body.path("analyzer")
+          val modelNode = Option(body.path("model_id"))
+            .filterNot(_.isMissingNode).map(_.asText())
+          if (!anaNode.isMissingNode) {
+            // analyzer form (model-free query-side tokenization — the
+            // reference's NeuralSparseQueryBuilder accepts `analyzer` as the
+            // mutually-exclusive alternative to model inference: tokens come
+            // from the named analyzer, each weighted 1.0, and the stored
+            // sparse vectors carry all the learned weighting)
+            require(modelNode.isEmpty,
+              "neural_sparse accepts [analyzer] or [model_id], not both")
+            val ts = Analyzer.analyze(anaNode.asText())(text).toSeq
+            require(ts.nonEmpty, "neural_sparse analyzer produced no tokens")
+            ts.distinct.map(_ -> 1.0).toMap
+          } else {
+            // query_text form: run the (mock) sparse encoding model over the
+            // analyzed text; the model id must come from the clause or a
+            // neural_query_enricher request-processor default (reference:
+            // NeuralSparseQueryBuilder requires model_id for inference;
+            // NeuralQueryEnricherProcessor fills the default)
+            val modelId = enricher.resolve(field, modelNode)
+            require(modelId.nonEmpty,
+              "neural_sparse [query_text] requires a model_id — set it on the clause " +
+                "or configure a neural_query_enricher request processor with default_model_id")
+            Sparse.encodeQueryTokens(Analyzer.analyze(analyzer)(text).toSeq)
+          }
         }
+      val mp = body.path("method_parameters")
+      if (mp.isMissingNode) SparseLinear(qtokens)
+      else {
+        // method_parameters routes the clause to the SEISMIC
+        // cluster-skipping scorer (reference:
+        // sparse/query/SparseAnnQueryBuilder.java:67-87 — {top_n, k,
+        // heap_factor, filter} on a neural_sparse query against a
+        // SEISMIC-enabled field); defaults k=10, top_n=10, heap_factor=1.0
+        // (SparseConstants). Unknown keys fail loudly.
+        require(mp.isObject, "neural_sparse [method_parameters] must be an object")
+        mp.fieldNames().forEachRemaining { k =>
+          require(Set("top_n", "k", "heap_factor", "filter")(k),
+            s"unknown method_parameters key [$k] — supported: top_n, k, heap_factor, filter")
+        }
+        def intP(k: String, d: Int): Int = {
+          val n = mp.path(k)
+          if (n.isMissingNode) d
+          else { require(n.isIntegralNumber, s"[$k] must be an integer"); n.asInt() }
+        }
+        val hfNode = mp.path("heap_factor")
+        val hf =
+          if (hfNode.isMissingNode) 1.0
+          else { require(hfNode.isNumber, "[heap_factor] must be a number"); hfNode.asDouble() }
+        val filt = Option(mp.path("filter")).filterNot(_.isMissingNode)
+          .map(annFilterColumn)
+        SparseAnn(qtokens, topN = intP("top_n", 10), heapFactor = hf,
+          k = intP("k", 10), filter = filt)
       }
     } else if (!q.path("neural").isMissingNode) {
       val (field, body) = firstField(q.path("neural"))
@@ -1274,6 +1301,18 @@ object QueryDsl {
       }
       (parsed.collect { case Left(x) => x }, parsed.collect { case Right(x) => x })
     } else throw new IllegalArgumentException(s"unsupported filter: $node")
+
+  /** A sparse-ANN clause-level filter as ONE Column predicate over the
+   *  stored-fields table — same accepted shapes as the request-level
+   *  filter (term / range / bool.must of them), but evaluated DURING the
+   *  ANN search rather than pushed into every sub-query. */
+  private def annFilterColumn(node: JsonNode): org.apache.spark.sql.Column = {
+    val (eqs, ranges) = parseFilter(node)
+    require(eqs.nonEmpty || ranges.nonEmpty,
+      "sparse ANN [filter] supports term / range / bool.must of them")
+    (eqs.map { case (f, v) => col(f) === v } ++ ranges.map(_.predicate))
+      .reduce(_ && _)
+  }
 
   /** Apply parsed equality + range filters to the docs table -> doc_id set. */
   private def filterDf(docs: => DataFrame, eqs: Seq[(String, String)],

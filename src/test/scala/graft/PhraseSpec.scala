@@ -327,11 +327,92 @@ class PhraseSpec extends SparkSpec {
     val rev2 = Phrase.sloppyScore(idx, pos, Seq("b", "a"), 2)
       .collect().map(_.getLong(0)).toSet
     assert(!rev1.contains(4100L) && rev2.contains(4100L))
-    // guards: slop 0 routes to the exact matcher; repeats are rejected
+    // guard: slop 0 routes to the exact matcher
     intercept[IllegalArgumentException](Phrase.sloppyScore(idx, pos, Seq("a", "b"), 0))
-    intercept[IllegalArgumentException](Phrase.sloppyScore(idx, pos, Seq("a", "a"), 1))
     // unindexed term -> empty
     assert(Phrase.sloppyScore(idx, pos, Seq("a", "nosuchterm"), 2).count() == 0)
+  }
+
+  test("sloppy phrase repeats: hand-traced fixtures + x-x closed form (fuzz)") {
+    // freq through the repeat machinery, straight on position lists
+    def freqOf(tokens: Seq[String], phrase: Seq[String], slop: Int): Double = {
+      val terms = phrase.toArray
+      val (rg, go) = Phrase.repeatGroups(terms)
+      val posLists = terms.zipWithIndex.map { case (t, i) =>
+        tokens.zipWithIndex.collect { case (`t`, p) => p - i }.toArray
+      }
+      if (posLists.exists(_.isEmpty)) 0.0
+      else Phrase.sloppyFreq(posLists, slop, rg, go)
+    }
+    def T(s: String) = s.split(" ").toSeq
+    // hand-traced SloppyPhraseMatcher traces (stagger init + collide/lesser)
+    assert(math.abs(freqOf(T("a b a"), T("a b a"), 2) - 1.0) < 1e-12)
+    assert(math.abs(freqOf(T("a b c a"), T("a b a"), 2) - 0.5) < 1e-12)
+    assert(math.abs(freqOf(T("a a a"), T("a a"), 1) - 2.0) < 1e-12)
+    assert(freqOf(T("a b"), T("a b a"), 2) == 0.0) // too few occurrences
+    // "x x": greedy == consecutive-pair closed form (the DuckDB oracle
+    // shape): each ADJACENT occurrence pair (p, q) with q-p-1 <= slop
+    // contributes 1/(q-p), summed in position order
+    def pairFreq(ps: Array[Int], slop: Int): Double = {
+      var f = 0.0
+      var i = 0
+      while (i + 1 < ps.length) {
+        val gap = ps(i + 1) - ps(i) - 1
+        if (gap <= slop) f += 1.0 / (1 + gap)
+        i += 1
+      }
+      f
+    }
+    val rnd = new scala.util.Random(17)
+    val (rg2, go2) = Phrase.repeatGroups(Array("x", "x"))
+    for (_ <- 1 to 5000) {
+      val ps = rnd.shuffle((0 to 40).toList).take(1 + rnd.nextInt(8)).sorted.toArray
+      val slop = 1 + rnd.nextInt(6)
+      val shifted = Array(ps, ps.map(_ - 1))
+      val got = Phrase.sloppyFreq(shifted, slop, rg2, go2)
+      val want = pairFreq(ps, slop)
+      assert(math.abs(got - want) < 1e-12, s"ps=${ps.toSeq} slop=$slop got=$got want=$want")
+    }
+  }
+
+  test("sloppy phrase repeats: matched set equals exhaustive injective search") {
+    // freq > 0 iff SOME injective choice (distinct doc positions within a
+    // repeat group) has shifted window max-min <= slop
+    val rcorpus = Seq(
+      (1L, "a b a"), (2L, "a b c a"), (3L, "a a"), (4L, "a b"),
+      (5L, "b a b a b"), (6L, "a c b a"), (7L, "a a a b"), (8L, "b b a"),
+      (9L, "a c c a b a"), (10L, "b a a"))
+    val rdf = rcorpus.toDF("doc_id", "text")
+    val ridx = InvertedIndex.build(rdf, "doc_id", "text")
+    val rpos = Positions.build(rdf, "doc_id", "text")
+    val toks = rcorpus.toMap.view.mapValues(_.split(" ").toSeq).toMap
+    def bruteMatches(id: Long, ph: Seq[String], slop: Int): Boolean = {
+      val posLists = ph.zipWithIndex.map { case (t, i) =>
+        toks(id).zipWithIndex.collect { case (`t`, p) => (p - i, p) }
+      }
+      posLists.forall(_.nonEmpty) && {
+        val combos = posLists.foldLeft(Seq(Seq.empty[(Int, Int)])) { (acc, l) =>
+          for (c <- acc; p <- l) yield c :+ p
+        }
+        combos.exists { c =>
+          val injective = ph.zipWithIndex.groupBy(_._1).values.forall { slots =>
+            val chosen = slots.map { case (_, slot) => c(slot)._2 }
+            chosen.distinct.size == chosen.size
+          }
+          injective && c.map(_._1).max - c.map(_._1).min <= slop
+        }
+      }
+    }
+    for {
+      ph <- Seq(Seq("a", "a"), Seq("a", "b", "a"), Seq("a", "a", "b"),
+        Seq("b", "a", "b"), Seq("a", "a", "a"))
+      slop <- Seq(1, 2, 3)
+    } {
+      val got = Phrase.sloppyScore(ridx, rpos, ph, slop)
+        .collect().map(_.getLong(0)).toSet
+      val want = rcorpus.map(_._1).filter(id => bruteMatches(id, ph, slop)).toSet
+      assert(got == want, s"ph=$ph slop=$slop got=$got want=$want")
+    }
   }
 
   test("span_first and span_not matched sets (pre/post exclusion windows)") {

@@ -100,14 +100,16 @@ class QueryDslSpec extends SparkSpec {
         |  {"match_phrase":{"text":{"query":"a b","slop":2}}}]}}}""".stripMargin)
     assert(p3.query.subQueries.head ==
       graft.hybrid.LexicalPhrase(Seq("a", "b"), slop = 2))
-    // negative slop rejected; repeated terms rejected at slop > 0 (the
-    // Lucene hasRpts machinery is out of scope) but fine at slop 0
+    // negative slop rejected; repeated terms at slop > 0 parse into the
+    // sloppy clause (the Lucene hasRpts repeat machinery handles them)
     intercept[IllegalArgumentException](QueryDsl.parse(
       """{"query":{"hybrid":{"queries":[
         |  {"match_phrase":{"text":{"query":"a b","slop":-1}}}]}}}""".stripMargin))
-    intercept[IllegalArgumentException](QueryDsl.parse(
+    val pr = QueryDsl.parse(
       """{"query":{"hybrid":{"queries":[
-        |  {"match_phrase":{"text":{"query":"a b a","slop":1}}}]}}}""".stripMargin))
+        |  {"match_phrase":{"text":{"query":"a b a","slop":1}}}]}}}""".stripMargin)
+    assert(pr.query.subQueries.head ==
+      graft.hybrid.LexicalPhrase(Seq("a", "b", "a"), slop = 1))
     // a single analyzed term is not a phrase
     intercept[IllegalArgumentException](QueryDsl.parse(
       """{"query":{"hybrid":{"queries":[{"match_phrase":{"text":"hash"}}]}}}"""))

@@ -107,6 +107,92 @@ class SeismicSpec extends SparkSpec {
       s"cut4=$cut4 cut2=$cut2 prunedDefault=$prodDefault")
   }
 
+  test("merged clustered artifacts == fresh build, bit-identically (production + exact params)") {
+    // the merge recovers member vectors, re-prunes, and RE-CLUSTERS per
+    // term — a pure function of (term, member set, vectors, seed), so the
+    // merged artifact must equal a fresh build over the union corpus on
+    // BOTH parameter regimes (pruned random-clustered production defaults
+    // and the unpruned exact mode)
+    val even = tw.where(pmod(col("doc_id"), lit(2)) === 0)
+    val odd = tw.where(pmod(col("doc_id"), lit(2)) === 1)
+    def norm(ds: org.apache.spark.sql.Dataset[graft.ops.ClusteredPosting]) =
+      ds.collect().map(cp => (cp.term, cp.cluster_id) ->
+        (cp.doc_ids.toSeq, cp.doc_tokens.map(_.toSeq).toSeq,
+          cp.doc_ws.map(_.toSeq).toSeq, cp.sum_tokens.toSeq, cp.sum_ws.toSeq)).toMap
+    for ((np, cr, spr, ha) <- Seq(
+      (160, 0.1, 0.4, false),
+      (Int.MaxValue, 0.02, 1.0, true))) {
+      def build(x: org.apache.spark.sql.DataFrame) =
+        Seismic.buildClusteredIndex(x, nPostings = np, clusterRatio = cr,
+          summaryPruneRatio = spr, maxClusters = 32, hashAssign = ha)
+      val fresh = norm(build(tw))
+      val merged = norm(Seismic.mergeClusteredIndexes(
+        Seq(build(even), build(odd)), nPostings = np, clusterRatio = cr,
+        summaryPruneRatio = spr, maxClusters = 32, hashAssign = ha))
+      assert(merged.keySet == fresh.keySet, s"np=$np cluster keys differ")
+      fresh.foreach { case (k, v) =>
+        assert(merged(k) == v, s"np=$np cluster $k differs")
+      }
+    }
+  }
+
+  test("SparseAnn: DSL method_parameters route; request + clause filters reach the scorer") {
+    import graft.hybrid._
+    import graft.query.QueryDsl
+    // parse: method_parameters turns the neural_sparse clause into SparseAnn
+    val p = QueryDsl.parse(
+      """{"query":{"hybrid":{"queries":[
+        |  {"neural_sparse":{"sf":{"query_tokens":{"join":3.0,"hash":1.0},
+        |     "method_parameters":{"top_n":5,"k":20,"heap_factor":1.5}}}},
+        |  {"match":{"text":"scan"}}]}}}""".stripMargin)
+    assert(p.query.subQueries(0) ==
+      SparseAnn(Map("join" -> 3.0, "hash" -> 1.0), topN = 5, heapFactor = 1.5, k = 20))
+    // unknown method_parameters keys fail loudly
+    intercept[IllegalArgumentException](QueryDsl.parse(
+      """{"query":{"hybrid":{"queries":[
+        |  {"neural_sparse":{"sf":{"query_tokens":{"a":1.0},
+        |     "method_parameters":{"bogus":1}}}}]}}}""".stripMargin))
+
+    // execution: the NON-SCORING filter must reach the cluster-skipping
+    // scorer (post-filtering a k-bounded heap would under-fill it)
+    val dir = "/root/testdata/sf0.001"
+    val docsDf = spark.read.parquet(s"$dir/documents.parquet")
+    val idx = IndexCache.documents(spark, dir)
+    val cidx = Seismic.buildClusteredIndex(tw, nPostings = Int.MaxValue,
+      summaryPruneRatio = 1.0, clusterRatio = 0.02, maxClusters = 32,
+      hashAssign = true).cache()
+    val q = Map("join" -> 3.0, "hash" -> 1.0)
+    val filtIds = docsDf.where(col("lang") === "en").select("doc_id")
+    val want = Sparse.linearTopK(tw.join(filtIds, Seq("doc_id"), "left_semi"), q, 10)
+      .collect().map(_.getLong(0)).toSeq
+    val src = HybridSources(idx, seismic = Some(cidx), fields = Some(docsDf))
+    // request-level filter, hybrid path
+    val gotReq = Hybrid.execute(src,
+      HybridQuery(Seq(SparseAnn(q, topN = 10, heapFactor = 1.0, k = 10)), k = 10, depth = 10),
+      Some(filtIds)).collect().map(_.getLong(0)).toSeq
+    assert(gotReq == want, s"request filter: $gotReq vs $want")
+    // clause-level filter (method_parameters.filter), no request filter
+    val gotClause = Hybrid.execute(src,
+      HybridQuery(Seq(SparseAnn(q, topN = 10, heapFactor = 1.0, k = 10,
+        filter = Some(col("lang") === "en"))), k = 10, depth = 10),
+      None).collect().map(_.getLong(0)).toSeq
+    assert(gotClause == want, s"clause filter: $gotClause vs $want")
+    // both at once: intersection (en AND doc_id < 300)
+    val filt2 = docsDf.where(col("doc_id") < 300).select("doc_id")
+    val want2 = Sparse.linearTopK(
+      tw.join(filtIds.join(filt2, Seq("doc_id"), "left_semi"), Seq("doc_id"), "left_semi"),
+      q, 10).collect().map(_.getLong(0)).toSeq
+    val gotBoth = Hybrid.execute(src,
+      HybridQuery(Seq(SparseAnn(q, topN = 10, heapFactor = 1.0, k = 10,
+        filter = Some(col("lang") === "en"))), k = 10, depth = 10),
+      Some(filt2)).collect().map(_.getLong(0)).toSeq
+    assert(gotBoth == want2, s"both filters: $gotBoth vs $want2")
+    // missing seismic source fails loudly
+    intercept[IllegalArgumentException](Hybrid.execute(
+      HybridSources(idx, fields = Some(docsDf)),
+      HybridQuery(Seq(SparseAnn(q)), k = 10, depth = 10), None))
+  }
+
   test("reference-default approximate mode returns k plausible results") {
     val cidx = Seismic.buildClusteredIndex(tw, nPostings = 160, summaryPruneRatio = 0.4).cache()
     val q = Map("join" -> 3.0, "hash" -> 1.0, "scan" -> 0.5)
