@@ -175,9 +175,16 @@ object CorpusEntries {
       val updated = s.read.parquet(s"$dir/documents.parquet")
         .where(col("doc_id") % 13 === 5)
         .withColumn("text", concat(col("text"), lit(" rewritten content patch")))
-      Bm25.topK(Deletes.applyUpdate(idx, updated, "doc_id", "text"),
-          Seq("rewritten", "patch", "join"), 10)
+      // top-10 cut at the PUBLISHED 4-decimal score resolution: engine and
+      // oracle agree on scores to 1e-4 (the reference's own test tolerance)
+      // but not on last-ulp doubles, so an unrounded rank cut inside a
+      // near-tie group is a cross-engine coin flip — the sf1 drive's denser
+      // score space hit exactly that. Unbounded scoring -> rounded
+      // TakeOrdered is the same scan + bounded-heap shape as topK.
+      Bm25.scoreTerms(Deletes.applyUpdate(idx, updated, "doc_id", "text"),
+          Seq("rewritten", "patch", "join"))
         .select(col("doc_id"), round(col("score"), 4).as("score"))
+        .orderBy(col("score").desc, col("doc_id").asc).limit(10)
     }),
     // _delete_by_query: the matched set of a DSL bool query becomes the
     // tombstone set — one query execution + the per-bucket mask, no scroll,
@@ -445,7 +452,7 @@ object CorpusEntries {
          |  WHERE tf.term IN ('rewritten', 'patch', 'join')
          |  GROUP BY tf.doc_id)
          |SELECT doc_id, round(s, 4) AS score FROM score
-         |ORDER BY s DESC, doc_id LIMIT 10""".stripMargin,
+         |ORDER BY round(s, 4) DESC, doc_id LIMIT 10""".stripMargin,
 
     // delete_by_query: stale-stats tombstones over the QUERY's matched set
     // (docs containing the analyzed token 'slow')

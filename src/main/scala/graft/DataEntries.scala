@@ -147,11 +147,18 @@ object DataEntries {
     // branch taken is part of the oracled output
     "knn_filtered_fallback" -> ((s, dir) => {
       val e = emb(s, dir)
-      def run(filterMod: Int) = Ann.filteredTopK(e, "vec_id", "embedding",
-        queryId = 1L, nCentroids = 16, nProbe = 4, k = 10,
-        filterIds = e.where(col("vec_id") % filterMod === 0).select("vec_id"),
-        exactThreshold = 50, assigned = Some(ivfAssignment(s, dir)))
-      run(50).unionByName(run(2))
+      def run(filter: org.apache.spark.sql.Column) =
+        Ann.filteredTopK(e, "vec_id", "embedding",
+          queryId = 1L, nCentroids = 16, nProbe = 4, k = 10,
+          filterIds = e.where(filter).select("vec_id"),
+          exactThreshold = 50, assigned = Some(ivfAssignment(s, dir)))
+      // the exact-branch filter is CARDINALITY-INVARIANT across scale
+      // factors (<= 40 ids at any sf), so the engine's selectivity-based
+      // branch choice matches the oracle's hardcoded branch at every sf —
+      // a %-only filter grew past exactThreshold at sf1 and silently
+      // flipped the branch
+      run(col("vec_id") % 50 === 0 && col("vec_id") < 2000)
+        .unionByName(run(col("vec_id") % 2 === 0))
     }),
     // same search against the persisted (partitioned-by-centroid) build
     // artifact: probes prune to nProbe partitions at the storage layer
@@ -1017,7 +1024,7 @@ object DataEntries {
          |sel AS (
          |  SELECT vec_id, round(c, 4) AS cos, 'exact' AS strategy FROM (
          |    SELECT e.vec_id, ${cosSql("e.embedding", "q.qv")} AS c
-         |    FROM embeddings e, q WHERE e.vec_id % 50 = 0)
+         |    FROM embeddings e, q WHERE e.vec_id % 50 = 0 AND e.vec_id < 2000)
          |  ORDER BY c DESC, vec_id LIMIT 10),
          |brd AS (
          |  SELECT vec_id, round(c, 4) AS cos, 'ann' AS strategy FROM (
