@@ -199,14 +199,26 @@ object Bench {
    *  probes collapsed to 0.12–0.43 while the builds they bracketed kept
    *  flat cpu/doc and 0.80+ wall ratios (scaling3 run). Allocated and
    *  initialized ONCE; every probe is pure steady-state reads. */
-  private lazy val memChaseArrays: Array[Array[Long]] = {
-    val n = 32 * 1024 * 1024 // longs, 256 MB per thread
-    Array.fill(8) {
-      val a = new Array[Long](n)
-      var i = 0
-      while (i < n) { a(i) = i.toLong * 0x9E3779B97F4A7C15L; i += 1 }
-      a
+  private var memChaseArraysRef: Array[Array[Long]] = null
+  private def memChaseArrays: Array[Array[Long]] = {
+    if (memChaseArraysRef == null) {
+      val n = 32 * 1024 * 1024 // longs, 256 MB per thread
+      memChaseArraysRef = Array.fill(8) {
+        val a = new Array[Long](n)
+        var i = 0
+        while (i < n) { a(i) = i.toLong * 0x9E3779B97F4A7C15L; i += 1 }
+        a
+      }
     }
+    memChaseArraysRef
+  }
+
+  /** Drop both chase pools (4 GB combined) once the final ceiling probes
+   *  are done — dead-weight live arrays would otherwise inflate the GC
+   *  heap during the measured Spark builds that follow. */
+  private def releaseChaseArrays(): Unit = {
+    memChaseArraysRef = null
+    memChase32ArraysRef = null
   }
 
   private def memChase(a: Array[Long]): Long = {
@@ -221,8 +233,7 @@ object Bench {
   /** Wall time for nThreads concurrent 256 MB random-stride read streams,
    *  all timed sections released together behind one latch (no thread's
    *  timed reads overlap another's setup). */
-  private def memBurnThreads(nThreads: Int): Double = {
-    val arrs = memChaseArrays
+  private def memBurnOver(arrs: Array[Array[Long]], nThreads: Int): Double = {
     val gate = new java.util.concurrent.CountDownLatch(1)
     val sink = new java.util.concurrent.atomic.AtomicLong()
     val ts = (0 until nThreads).map { k =>
@@ -235,6 +246,9 @@ object Bench {
     if (sink.get == 42L) System.err.println("")
     (System.nanoTime() - t0) / 1e9
   }
+
+  private def memBurnThreads(nThreads: Int): Double =
+    memBurnOver(memChaseArrays, nThreads)
 
   /** Memory-bandwidth 2->8-thread scaling ceiling (see memBurnThreads). */
   private def memCeiling2to8(): Double = {
@@ -249,36 +263,25 @@ object Bench {
   /** Preallocated 64 MB-per-thread chase arrays for the 8->32 memory
    *  ceiling (32 x 64 MB = 2 GB; per-thread size is held constant WITHIN
    *  the 8-vs-32 comparison, which is all a ratio needs). */
-  private lazy val memChase32Arrays: Array[Array[Long]] = {
-    val n = 8 * 1024 * 1024 // longs, 64 MB per thread
-    Array.tabulate(32) { k =>
-      val a = new Array[Long](n)
-      var i = 0
-      while (i < n) { a(i) = (i.toLong + k) * 0x9E3779B97F4A7C15L; i += 1 }
-      a
+  private var memChase32ArraysRef: Array[Array[Long]] = null
+  private def memChase32Arrays: Array[Array[Long]] = {
+    if (memChase32ArraysRef == null) {
+      val n = 8 * 1024 * 1024 // longs, 64 MB per thread
+      memChase32ArraysRef = Array.tabulate(32) { k =>
+        val a = new Array[Long](n)
+        var i = 0
+        while (i < n) { a(i) = (i.toLong + k) * 0x9E3779B97F4A7C15L; i += 1 }
+        a
+      }
     }
-  }
-
-  private def memBurn32Threads(nThreads: Int): Double = {
-    val arrs = memChase32Arrays
-    val gate = new java.util.concurrent.CountDownLatch(1)
-    val sink = new java.util.concurrent.atomic.AtomicLong()
-    val ts = (0 until nThreads).map { k =>
-      val t = new Thread(() => { gate.await(); sink.addAndGet(memChase(arrs(k))); () })
-      t.start(); t
-    }
-    val t0 = System.nanoTime()
-    gate.countDown()
-    ts.foreach(_.join())
-    if (sink.get == 42L) System.err.println("")
-    (System.nanoTime() - t0) / 1e9
+    memChase32ArraysRef
   }
 
   /** Memory-bandwidth 8->32-thread scaling ceiling. */
   private def memCeiling8to32(): Double = {
     val ratios = (1 to 2).map { _ =>
-      val t8 = memBurn32Threads(8)
-      val t32 = memBurn32Threads(32)
+      val t8 = memBurnOver(memChase32Arrays, 8)
+      val t32 = memBurnOver(memChase32Arrays, 32)
       t8 / t32
     }
     median(ratios.map(r => math.min(r, 1.0)))
@@ -627,6 +630,9 @@ object Bench {
       memCeil32 = math.max(memCeil32, memCeiling8to32())
       System.err.println(f"[graft-bench] hw ceiling 2->8: cpu-burn $hwCeil%.3f mem-stream $memCeil%.3f; " +
         f"8->32: cpu-burn $hwCeil32%.3f mem-stream $memCeil32%.3f")
+      // drop the 4 GB of chase pools before the 32-thread builds (round32
+      // brackets lazily re-allocate just the 2 GB pool they use)
+      releaseChaseArrays()
     }
     val rounds = pairs.size
     val tput2s = pairs.map(_.t2)
@@ -699,6 +705,7 @@ object Bench {
         p32 = p32 :+ Round32(p.tput, Seq(cA, cB), p.cpuSec, p.cpuFrac, p.utilization,
           p.wandP50, p.plainP50, p.stealFrac, mbr)
       }
+      releaseChaseArrays() // last probe consumer is done
     }
     val detectors32 = p32.map(detect32)
     val valid32 = p32.zip(detectors32).collect { case (p, d) if d.isEmpty => p }

@@ -250,9 +250,14 @@ object DataEntries {
       // the on-disk sorted store is keyed on CORPUS IDENTITY (source file
       // names + sizes + mtimes), not just _SUCCESS presence — a changed
       // corpus at the same path invalidates and rewrites instead of
-      // serving stale results
-      val srcDir = new java.io.File(s"$dir/documents.parquet")
-      val ident = Option(srcDir.listFiles()).getOrElse(Array.empty)
+      // serving stale results. documents.parquet may be a single file
+      // (DuckDB COPY, the testdata dirs) or a Spark-written directory —
+      // identity covers both.
+      val src = new java.io.File(s"$dir/documents.parquet")
+      val files =
+        if (src.isDirectory) Option(src.listFiles()).getOrElse(Array.empty).toSeq
+        else Seq(src)
+      val ident = files
         .map(f => s"${f.getName}|${f.length}|${f.lastModified}")
         .sorted.mkString("\n")
       val marker = new java.io.File(s"$path/_corpus_id")

@@ -109,8 +109,19 @@ object BoolQuery {
     // no per-bucket collection bound: must-intersection / must_not-exclusion
     // can promote docs from below any bucket-local top-k
     val tagged = all.zipWithIndex.map { case ((sq, kind), i) =>
-      Hybrid.scoreClause(src, sq, boundPerBucket = 0)
-        .select($"doc_id", $"score", lit(i).as("cid"), lit(kind).as("kind"))
+      val scored = sq match {
+        // a sparse ANN clause is k-BOUNDED inside its scorer: in scoring
+        // context the request filter must reach the ANN search (the
+        // union-level semi-join below would post-filter the bounded heap
+        // and under-fill it — the same filter-during-search contract the
+        // hybrid collection path honors). Exclusion context (must_not)
+        // keeps the unfiltered top-k: the excluded set is the ANN result
+        // itself, independent of the request filter.
+        case sa: graft.hybrid.SparseAnn if kind != "n" =>
+          Hybrid.scoreSparseAnn(src, sa, filterDocs)
+        case _ => Hybrid.scoreClause(src, sq, boundPerBucket = 0)
+      }
+      scored.select($"doc_id", $"score", lit(i).as("cid"), lit(kind).as("kind"))
     }
     val union0 = tagged.reduce(_ unionByName _)
     // non-scoring filter applied once to the union (left_semi, no broadcast

@@ -1418,7 +1418,8 @@ object QueryDsl {
    *  this stage, so the check runs before any resolution could bind a
    *  dangerous builtin or a session-registered UDF. */
   private def validateRuntimeScript(name: String,
-      e: org.apache.spark.sql.catalyst.expressions.Expression): Unit =
+      e: org.apache.spark.sql.catalyst.expressions.Expression,
+      columns: Set[String]): Unit =
     e.foreach {
       case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction =>
         val fn = f.nameParts.map(_.toLowerCase(java.util.Locale.ROOT))
@@ -1432,11 +1433,15 @@ object QueryDsl {
       case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
         // paren-less literal functions (CURRENT_TIMESTAMP etc.) parse as
         // attributes and only become function calls during analysis —
-        // reject them by name so a runtime field stays a pure row function
+        // reject them by name so a runtime field stays a pure row
+        // function. A STORED COLUMN with such a name shadows the function
+        // during resolution (columns win), so it passes; the analyzed-tree
+        // determinism gate below backstops the resolution either way.
         val an = a.name.toLowerCase(java.util.Locale.ROOT)
-        require(!Set("current_timestamp", "current_date", "current_time",
-          "now", "localtimestamp", "current_user", "user", "session_user",
-          "current_database", "current_schema", "current_catalog")(an),
+        require(columns.contains(a.name) ||
+          !Set("current_timestamp", "current_date", "current_time",
+            "now", "localtimestamp", "current_user", "user", "session_user",
+            "current_database", "current_schema", "current_catalog")(an),
           s"runtime field [$name] references [$an], which is outside the " +
             "deterministic scalar-function allowlist for runtime scripts")
       case _ => ()
@@ -1473,7 +1478,7 @@ object QueryDsl {
               throw new IllegalArgumentException(
                 s"runtime field [$name] script does not parse: ${ex.getMessage}")
           }
-        validateRuntimeScript(name, parsed)
+        validateRuntimeScript(name, parsed, out.columns.toSet)
         out = out.withColumn(name, org.apache.spark.sql.functions.expr(script))
         // belt-and-braces determinism gate over the ANALYZED column: even
         // an allowlisted spelling that resolved to something

@@ -1036,6 +1036,16 @@ class QueryDslSpec extends SparkSpec {
     rejected("monotonically_increasing_id()")
     rejected("n_chars in (select 1)")
     rejected("current_timestamp")
+    // a STORED COLUMN named like a literal function shadows it (columns
+    // win at resolution) — not a sandbox violation
+    val docs2 = (0L until 5L).map(i => (i, "alpha", i))
+      .toDF("doc_id", "text", "user")
+    val idx3 = graft.index.InvertedIndex.build(docs2, "doc_id", "text")
+    val r2 = QueryDsl.execute(HybridSources(idx3, fields = Some(docs2)),
+      """{"runtime_mappings":{"rf":{"type":"long","script":"user * 2"}},
+         |"query":{"bool":{"must":[{"match":{"text":"alpha"}}],
+         |"filter":{"range":{"rf":{"gte":0}}}}},"size":5}""".stripMargin, docs2)
+    assert(r2.count() == 5)
   }
 
   test("trailing-caret field spec fails loudly") {

@@ -187,6 +187,19 @@ class SeismicSpec extends SparkSpec {
         filter = Some(col("lang") === "en"))), k = 10, depth = 10),
       Some(filt2)).collect().map(_.getLong(0)).toSeq
     assert(gotBoth == want2, s"both filters: $gotBoth vs $want2")
+    // bool/bare-leaf DSL path: the request filter reaches the ANN scorer
+    // too (BoolQuery scores SparseAnn through scoreSparseAnn, not a
+    // post-filter over the bounded heap)
+    val gotBool = QueryDsl.execute(
+      HybridSources(idx, seismic = Some(cidx), fields = Some(docsDf)),
+      """{ "query": { "bool": {
+        |    "must": [ { "neural_sparse": { "sf": {
+        |        "query_tokens": { "join": 3.0, "hash": 1.0 },
+        |        "method_parameters": { "top_n": 10, "k": 10, "heap_factor": 1.0 } } } } ],
+        |    "filter": { "term": { "lang": "en" } } } },
+        |  "size": 10 }""".stripMargin, docsDf)
+      .collect().map(_.getLong(0)).toSeq
+    assert(gotBool == want, s"bool filter: $gotBool vs $want")
     // missing seismic source fails loudly
     intercept[IllegalArgumentException](Hybrid.execute(
       HybridSources(idx, fields = Some(docsDf)),

@@ -26,7 +26,7 @@ O = stride("orders", "o_orderkey")
 P = stride("part", "p_partkey")
 S = stride("supplier", "s_suppkey")
 
-def rep(table, shifts, extra=""):
+def rep(table, shifts):
     # preserve the source column ORDER exactly; swap in the shifted
     # expression where the column is a replicated key
     cols = [r[0] for r in con.execute(
@@ -35,7 +35,7 @@ def rep(table, shifts, extra=""):
         f"t.{c} + k.k * {shifts[c]} AS {c}" if c in shifts else f"t.{c}"
         for c in cols)
     q = (f"COPY (SELECT {sel} FROM read_parquet('{SRC}/{table}.parquet') t "
-         f"CROSS JOIN (SELECT unnest(range({K})) AS k) k {extra}) "
+         f"CROSS JOIN (SELECT unnest(range({K})) AS k) k) "
          f"TO '{DST}/{table}.parquet' (FORMAT parquet)")
     con.execute(q)
     n = con.execute(f"SELECT count(*) FROM read_parquet('{DST}/{table}.parquet')").fetchone()[0]
