@@ -1258,6 +1258,27 @@ object HybridEntries {
         s.read.parquet(s"$dir/documents.parquet"))
         .select(col("doc_id"), round(col("score"), 4).as("score"))
     }),
+    // multi_match type=phrase with SLOP: one sloppy PhraseQuery per field
+    // under the dis-max — "table scan"~2 runs the stationary-chain matcher
+    // against the text positions, "pkg7 en"~2 against the PATH field's own
+    // positions (src/pkg7/fileNN.en -> pkg7@1 .. en@3, gap 1), each with
+    // its field's own BM25 stats
+    "dsl_multi_match_phrase_slop" -> ((s, dir) => {
+      val src = srcWithPath(s, dir).copy(
+        positions = Some(IndexCache.positions(s, dir)),
+        fieldPositions = Map("path" -> IndexCache.corpusFieldPositions(s, dir, "path")))
+      val json =
+        """{ "query": { "bool": {
+          |    "should": [
+          |      { "multi_match": { "query": "table scan",
+          |        "fields": ["text", "path^2"], "type": "phrase", "slop": 2 } },
+          |      { "multi_match": { "query": "pkg7 en",
+          |        "fields": ["text", "path^2"], "type": "phrase", "slop": 2, "tie_breaker": 0.3 } } ] } },
+          |  "size": 10 }""".stripMargin
+      graft.query.QueryDsl.execute(src, json,
+        s.read.parquet(s"$dir/documents.parquet"))
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+    }),
     // multi_match type=phrase_prefix: one MultiPhrasePrefixQuery per field
     // under a dis-max — "table ha" completes against the text dictionary
     // (hash, ...); "src pkg" completes against the PATH dictionary (pkg0,
@@ -3158,13 +3179,82 @@ object HybridEntries {
          |               $pivots
          |        FROM ($unions) u${i}
          |        GROUP BY doc_id) p$i)""".stripMargin
+    case LexicalMulti(fields, terms, PhraseFields(tb, slop)) if slop > 0 =>
+      // per-field SLOPPY phrase (Type.PHRASE with slop, one sloppy
+      // PhraseQuery per field under the dis-max): each field's own
+      // token-position stream runs the PROVEN 2-term stationary-chain
+      // closed form of the single-field sloppy oracle, idf summed per
+      // slot from the field's own stats, boosts multiplied, dis-max over
+      // pivoted columns — the chain CTEs nest per field, so the whole
+      // dis-max re-derives independently
+      require(terms.size == 2 && terms.distinct.size == 2,
+        "the multi_match sloppy-phrase oracle covers 2 distinct terms")
+      require(filterPred.isEmpty, "multi_match phrase oracle does not take a filter")
+      val fieldCtes = fields.zipWithIndex.map { case ((f, _), j) =>
+        val (tokpT, dlT, dfT, stT, extra) = posFieldChain(i, j, f)
+        val idfTerms = terms.map(t =>
+          s"(SELECT ln(1 + (stats.n - df.df + 0.5)/(df.df + 0.5)) FROM $dfT df CROSS JOIN $stT stats WHERE df.term = '$t')")
+          .mkString(" + ")
+        s"""${extra}sq${i}_f$j AS (
+           |  SELECT fr.doc_id,
+           |         ($idfTerms)
+           |         * (fr.freq / (fr.freq + 1.2*(1 - 0.75 + 0.75*dl.dl/stats.avgdl))) AS s
+           |  FROM (
+           |    WITH RECURSIVE
+           |    mg AS (
+           |      SELECT doc_id, pos AS p, 0 AS slot FROM $tokpT WHERE term = '${terms(0)}'
+           |      UNION ALL
+           |      SELECT doc_id, pos - 1 AS p, 1 AS slot FROM $tokpT WHERE term = '${terms(1)}'),
+           |    hd AS (
+           |      SELECT doc_id,
+           |             min(CASE WHEN slot = 0 THEN p END) AS h0,
+           |             min(CASE WHEN slot = 1 THEN p END) AS h1
+           |      FROM mg GROUP BY doc_id),
+           |    ch AS (
+           |      SELECT doc_id, 1 AS step,
+           |             CASE WHEN h0 > h1 THEN h0 ELSE h1 END AS v,
+           |             CASE WHEN h0 > h1 THEN 0 ELSE 1 END AS owner
+           |      FROM hd WHERE h0 IS NOT NULL AND h1 IS NOT NULL
+           |      UNION ALL
+           |      SELECT c.doc_id, c.step + 1, x.p, 1 - c.owner
+           |      FROM ch c, LATERAL (
+           |        SELECT m.p FROM mg m
+           |        WHERE m.doc_id = c.doc_id AND m.slot <> c.owner AND m.p > c.v
+           |        ORDER BY m.p LIMIT 1) x),
+           |    em AS (
+           |      SELECT c.doc_id, c.step,
+           |             c.v - (SELECT max(m.p) FROM mg m
+           |                    WHERE m.doc_id = c.doc_id AND m.slot <> c.owner
+           |                      AND m.p <= c.v) AS gap
+           |      FROM ch c)
+           |    SELECT doc_id,
+           |           list_sum(list(CAST(1.0 AS DOUBLE)/(1 + gap) ORDER BY step)) AS freq
+           |    FROM em WHERE gap <= $slop GROUP BY doc_id
+           |  ) fr JOIN $dlT dl USING (doc_id) CROSS JOIN $stT stats
+           |  WHERE fr.freq > 0)""".stripMargin
+      }.mkString(",\n")
+      val unions = fields.zipWithIndex.map { case ((_, b), j) =>
+        s"SELECT doc_id, s * $b AS s, $j AS fid FROM sq${i}_f$j"
+      }.mkString("\n        UNION ALL ")
+      val pivots = fields.indices.map(j =>
+        s"max(CASE WHEN fid = $j THEN s END) AS f$j").mkString(",\n               ")
+      val cSum = fields.indices.map(j => s"COALESCE(f$j, 0)").mkString("(", " + ", ")")
+      val mx = fields.indices.map(j => s"COALESCE(f$j, 0)").mkString("greatest(", ", ", ")")
+      val combine = if (tb == 0.0) mx else s"$mx + $tb * ($cSum - $mx)"
+      s"""$fieldCtes,
+         |sq$i AS (
+         |  SELECT doc_id, $combine AS s
+         |  FROM (SELECT doc_id,
+         |               $pivots
+         |        FROM ($unions) u${i}
+         |        GROUP BY doc_id) p$i)""".stripMargin
     case LexicalMulti(fields, terms, PhraseFields(tb, slop)) =>
       // per-field match_phrase over each field's OWN token-position stream
       // and BM25 stats, boosts multiplied, dis-max over pivoted columns —
       // the same per-field chains as the BM25 multi_match case plus the
       // consecutive-position join of the exact-phrase case
       require(slop == 0,
-        "the multi_match phrase oracle covers slop = 0 (slop > 0 is spec-covered)")
+        "the multi_match phrase oracle covers slop = 0 (two-term slop > 0 has its own branch above)")
       require(filterPred.isEmpty, "multi_match phrase oracle does not take a filter")
       val fieldCtes = fields.zipWithIndex.map { case ((f, _), j) =>
         val (tokpT, dlT, dfT, stT, extra) = posFieldChain(i, j, f)
@@ -4403,6 +4493,13 @@ object HybridEntries {
             Seq("table", "hash"), PhraseFields()),
           LexicalMulti(Seq("text" -> 1.0, "path" -> 2.0),
             Seq("src", "pkg7"), PhraseFields(0.3))),
+          mustNot = Nil, msm = 1),
+      "dsl_multi_match_phrase_slop" ->
+        boolOracle(tokCte, must = Nil, should = Seq(
+          LexicalMulti(Seq("text" -> 1.0, "path" -> 2.0),
+            Seq("table", "scan"), PhraseFields(0.0, 2)),
+          LexicalMulti(Seq("text" -> 1.0, "path" -> 2.0),
+            Seq("pkg7", "en"), PhraseFields(0.3, 2))),
           mustNot = Nil, msm = 1),
       "hybrid_multi_lex" ->
         hybridOracle(tokCte, Seq(LexicalMulti(
