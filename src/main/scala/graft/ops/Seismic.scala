@@ -245,16 +245,24 @@ object Seismic {
     require(parts.nonEmpty, "mergeClusteredIndexes requires at least one part")
     val spark = parts.head.sparkSession
     import spark.implicits._
-    val union = parts.reduce(_ unionByName _)
-    // recover each member doc's full sparse vector (every copy of a doc —
-    // across terms, clusters, parts — carries the identical vector, so
-    // dropDuplicates on doc_id is deterministic content-wise)
-    val tw = union.flatMap { cp =>
-      cp.doc_ids.indices.iterator.map { i =>
-        (cp.doc_ids(i), cp.doc_tokens(i).toSeq, cp.doc_ws(i).toSeq)
-      }
-    }.toDF("doc_id", "tokens", "ws")
-      .dropDuplicates("doc_id")
+    // recover each member doc's full sparse vector. Parts are segments in
+    // commit order: within one part every copy of a doc (across terms and
+    // clusters) carries the identical vector, and a doc present in SEVERAL
+    // parts (updated, then reindexed into a later segment) resolves
+    // LAST-PART-WINS — the same last-wins fold the _bulk/update lifecycle
+    // applies — so the merge equals a fresh build over the last-wins
+    // corpus, deterministically
+    val union = parts.zipWithIndex.map { case (p, pi) =>
+      p.flatMap { cp =>
+        cp.doc_ids.indices.iterator.map { i =>
+          (cp.doc_ids(i), cp.doc_tokens(i).toSeq, cp.doc_ws(i).toSeq, pi)
+        }
+      }.toDF("doc_id", "tokens", "ws", "part")
+    }.reduce(_ unionByName _)
+    val tw = TopN.perGroup(union, Seq("doc_id"), "part", 1,
+        Seq(col("part").desc))
+      .select("doc_id", "tokens", "ws")
+      .dropDuplicates("doc_id") // copies within the winning part are identical
       .as[(Long, Seq[String], Seq[Double])]
       .flatMap { case (id, toks, ws) =>
         toks.indices.iterator.map(i => (id, toks(i), ws(i)))

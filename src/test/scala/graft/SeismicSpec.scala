@@ -136,6 +136,32 @@ class SeismicSpec extends SparkSpec {
     }
   }
 
+  test("merge last-wins: a doc reindexed into a later part overrides its old vector") {
+    // segment model: parts are segments in commit order; an updated doc
+    // appears in an early part with its OLD vector and a later part with
+    // the NEW one — the merge must resolve last-part-wins and equal a
+    // fresh build over the last-wins corpus
+    val target = 7L
+    val updated = tw.where(col("doc_id") === target)
+      .withColumn("w", col("w") * 2.0)
+    val lastWins = tw.where(col("doc_id") =!= target).unionByName(updated)
+    def build(x: org.apache.spark.sql.DataFrame) =
+      Seismic.buildClusteredIndex(x, nPostings = Int.MaxValue,
+        clusterRatio = 0.02, summaryPruneRatio = 1.0, maxClusters = 32,
+        hashAssign = true)
+    def norm(ds: org.apache.spark.sql.Dataset[graft.ops.ClusteredPosting]) =
+      ds.collect().map(cp => (cp.term, cp.cluster_id) ->
+        (cp.doc_ids.toSeq, cp.doc_ws.map(_.toSeq).toSeq,
+          cp.sum_tokens.toSeq, cp.sum_ws.toSeq)).toMap
+    val merged = norm(Seismic.mergeClusteredIndexes(
+      Seq(build(tw), build(updated)), nPostings = Int.MaxValue,
+      clusterRatio = 0.02, summaryPruneRatio = 1.0, maxClusters = 32,
+      hashAssign = true))
+    val fresh = norm(build(lastWins))
+    assert(merged.keySet == fresh.keySet)
+    fresh.foreach { case (k, v) => assert(merged(k) == v, s"cluster $k differs") }
+  }
+
   test("SparseAnn: DSL method_parameters route; request + clause filters reach the scorer") {
     import graft.hybrid._
     import graft.query.QueryDsl
