@@ -153,6 +153,28 @@ object PipelineEntries {
       Seismic.annTopK(merged, SparseQuery, 10, heapFactor = 1.0)
         .select(col("doc_id"), round(col("score"), 4).as("score"))
     }),
+    // incremental SEISMIC: the corpus staged as a DIRECTORY of files (one
+    // micro-batch each), per-batch clustered parts committed by a
+    // Structured Streaming job, merged last-part-wins into the queryable
+    // artifact — the reference's per-segment flush + merge lifecycle
+    // (SparsePostingsConsumer per-segment flush, MergeHelper re-cluster)
+    // driven incrementally; exact mode, so merged-stream ANN must be
+    // rank-identical to brute force
+    "stream_sparse_ann" -> ((s, dir) => {
+      val store = s"target/sparsestream/${dir.replaceAll("[^a-zA-Z0-9.]", "_")}"
+      val corpusDir = s"$store/corpus"
+      if (!new java.io.File(corpusDir).exists()) {
+        s.read.parquet(s"$dir/documents.parquet")
+          .repartitionByRange(3, col("doc_id"))
+          .write.mode("overwrite").parquet(corpusDir)
+      }
+      val merged = graft.streaming.StreamingSparse.buildAvailableNow(
+        s, corpusDir, store, "doc_id", "text",
+        nPostings = Int.MaxValue, clusterRatio = 0.02,
+        summaryPruneRatio = 1.0, maxClusters = 32, hashAssign = true)
+      Seismic.annTopK(merged, SparseQuery, 10, heapFactor = 1.0)
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+    }),
     // n_postings prune feeding the clusterer: per-term member count
     "seismic_pruned_df" -> ((s, dir) => {
       val cidx = Seismic.buildClusteredIndex(tw(s, dir), nPostings = 160)
@@ -390,6 +412,11 @@ object PipelineEntries {
          |  SELECT tw.doc_id, sum(w * qw) AS s FROM tw JOIN qv USING (token)
          |  WHERE tw.doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')
          |  GROUP BY tw.doc_id)
+         |ORDER BY s DESC, doc_id LIMIT 10""".stripMargin,
+    "stream_sparse_ann" ->
+      s"""WITH $tokCte, $TwCte, $QvCte
+         |SELECT doc_id, round(s, 4) AS score FROM (
+         |  SELECT doc_id, sum(w * qw) AS s FROM tw JOIN qv USING (token) GROUP BY doc_id)
          |ORDER BY s DESC, doc_id LIMIT 10""".stripMargin,
     "seismic_merged_ann" ->
       s"""WITH $tokCte, $TwCte, $QvCte
