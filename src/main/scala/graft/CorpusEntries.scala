@@ -15,6 +15,22 @@ import graft.query.Bm25
  */
 object CorpusEntries {
 
+  /** Cheap corpus identity (file names + sizes + mtimes of the documents
+   *  table, hashed) — on-disk streaming stores key their path on it so a
+   *  REGENERATED corpus at the same dir gets a fresh staging + checkpoint
+   *  instead of serving stale state (documents.parquet may be a single
+   *  file or a Spark-written directory). */
+  private[graft] def corpusIdent(dir: String): String = {
+    val src = new java.io.File(s"$dir/documents.parquet")
+    val files =
+      if (src.isDirectory) Option(src.listFiles()).getOrElse(Array.empty).toSeq
+      else Seq(src)
+    val ident = files.map(f => s"${f.getName}|${f.length}|${f.lastModified}")
+      .sorted.mkString("\n")
+    java.lang.Integer.toHexString(ident.hashCode)
+  }
+
+
   private val NSeg = 4
 
   /** Store layout version — bump when the on-disk block schema changes so a
@@ -253,7 +269,7 @@ object CorpusEntries {
     "stream_index_term_stats" -> ((s, dir) => {
       streamCache.keySet.filter(_._1 != s.sparkContext.applicationId).foreach(streamCache.remove)
       val idx = streamCache.getOrElseUpdate((s.sparkContext.applicationId, dir), {
-        val store = s"target/streamstore/v2/${dir.replaceAll("[^a-zA-Z0-9.]", "_")}"
+        val store = s"target/streamstore/v2/${dir.replaceAll("[^a-zA-Z0-9.]", "_")}_${CorpusEntries.corpusIdent(dir)}"
         // stage the corpus as a DIRECTORY of files: each file is one
         // micro-batch (the file-arrival pattern of an incremental ingest)
         val corpusDir = s"$store/corpus"

@@ -161,7 +161,7 @@ object PipelineEntries {
     // driven incrementally; exact mode, so merged-stream ANN must be
     // rank-identical to brute force
     "stream_sparse_ann" -> ((s, dir) => {
-      val store = s"target/sparsestream/${dir.replaceAll("[^a-zA-Z0-9.]", "_")}"
+      val store = s"target/sparsestream/${dir.replaceAll("[^a-zA-Z0-9.]", "_")}_${CorpusEntries.corpusIdent(dir)}"
       val corpusDir = s"$store/corpus"
       if (!new java.io.File(corpusDir).exists()) {
         s.read.parquet(s"$dir/documents.parquet")
