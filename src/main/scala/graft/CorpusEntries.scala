@@ -30,6 +30,31 @@ object CorpusEntries {
     java.lang.Integer.toHexString(ident.hashCode)
   }
 
+  /** Ident-keyed streaming store with the corpus staged as a DIRECTORY of
+   *  range files (one micro-batch each, the file-arrival pattern of an
+   *  incremental ingest). Older-generation sibling stores for the same
+   *  corpus dir are evicted (they would otherwise accumulate one full
+   *  staged corpus copy + checkpoint per regeneration), and a
+   *  half-written staging (no _SUCCESS — e.g. a crash mid-write)
+   *  restages instead of latching a partial corpus forever. Returns the
+   *  store dir; staged files live at `<store>/corpus`. */
+  private[graft] def stagedStreamStore(s: SparkSession, dir: String,
+                                       root: String): String = {
+    val key = dir.replaceAll("[^a-zA-Z0-9.]", "_")
+    val store = s"$root/${key}_${corpusIdent(dir)}"
+    val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+    Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith(key + "_") && f.getName != new java.io.File(store).getName)
+      .foreach(f => fs.delete(new org.apache.hadoop.fs.Path(f.getPath), true))
+    val corpusDir = s"$store/corpus"
+    if (!new java.io.File(s"$corpusDir/_SUCCESS").exists()) {
+      s.read.parquet(s"$dir/documents.parquet")
+        .repartitionByRange(3, col("doc_id"))
+        .write.mode("overwrite").parquet(corpusDir)
+    }
+    store
+  }
+
 
   private val NSeg = 4
 
@@ -268,18 +293,12 @@ object CorpusEntries {
     // merge; stats must equal the batch build's (same oracle as term_stats)
     "stream_index_term_stats" -> ((s, dir) => {
       streamCache.keySet.filter(_._1 != s.sparkContext.applicationId).foreach(streamCache.remove)
-      val idx = streamCache.getOrElseUpdate((s.sparkContext.applicationId, dir), {
-        val store = s"target/streamstore/v2/${dir.replaceAll("[^a-zA-Z0-9.]", "_")}_${CorpusEntries.corpusIdent(dir)}"
-        // stage the corpus as a DIRECTORY of files: each file is one
-        // micro-batch (the file-arrival pattern of an incremental ingest)
-        val corpusDir = s"$store/corpus"
-        if (!new java.io.File(corpusDir).exists()) {
-          s.read.parquet(s"$dir/documents.parquet")
-            .repartitionByRange(3, col("doc_id"))
-            .write.mode("overwrite").parquet(corpusDir)
-        }
+      // cache keyed on the ident-bearing STORE path: a regenerated corpus
+      // at the same dir misses the cache and builds a fresh store
+      val store = stagedStreamStore(s, dir, "target/streamstore/v2")
+      val idx = streamCache.getOrElseUpdate((s.sparkContext.applicationId, store), {
         val i = graft.streaming.StreamingIndex.buildAvailableNow(
-          s, corpusDir, store, "doc_id", "text")
+          s, s"$store/corpus", store, "doc_id", "text")
         Index(i.postings.persist(), i.docLens.persist(), i.termStats.persist(), i.stats, i.analyzer)
       })
       idx.termStats.toDF().select(col("term"), col("df"), col("ttf"))

@@ -161,15 +161,9 @@ object PipelineEntries {
     // driven incrementally; exact mode, so merged-stream ANN must be
     // rank-identical to brute force
     "stream_sparse_ann" -> ((s, dir) => {
-      val store = s"target/sparsestream/${dir.replaceAll("[^a-zA-Z0-9.]", "_")}_${CorpusEntries.corpusIdent(dir)}"
-      val corpusDir = s"$store/corpus"
-      if (!new java.io.File(corpusDir).exists()) {
-        s.read.parquet(s"$dir/documents.parquet")
-          .repartitionByRange(3, col("doc_id"))
-          .write.mode("overwrite").parquet(corpusDir)
-      }
+      val store = CorpusEntries.stagedStreamStore(s, dir, "target/sparsestream")
       val merged = graft.streaming.StreamingSparse.buildAvailableNow(
-        s, corpusDir, store, "doc_id", "text",
+        s, s"$store/corpus", store, "doc_id", "text",
         nPostings = Int.MaxValue, clusterRatio = 0.02,
         summaryPruneRatio = 1.0, maxClusters = 32, hashAssign = true)
       Seismic.annTopK(merged, SparseQuery, 10, heapFactor = 1.0)

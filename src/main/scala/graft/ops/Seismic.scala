@@ -217,7 +217,8 @@ object Seismic {
    * SparsePostingsReader.java:45 batches 50 terms per merge task).
    *
    * The result is BIT-IDENTICAL to a fresh [[buildClusteredIndex]] over
-   * the union corpus:
+   * the union corpus when parts partition the docs (the segment model) —
+   * SeismicSpec proves it on production and exact parameters:
    *  - member vectors round-trip exactly (clusters carry their members'
    *    full vectors — DocumentCluster does the same);
    *  - the per-part n_postings prune is a rank filter whose union
@@ -228,6 +229,19 @@ object Seismic {
    *    winners;
    *  - the seeded per-term clustering and summary prune are pure
    *    functions of (term, member set, vectors, seed).
+   *
+   * OVERLAPPING parts (a doc reindexed into a later part) resolve
+   * LAST-PART-WINS over the parts' RECOVERABLE rows. With UNPRUNED parts
+   * this equals a fresh build over the last-wins corpus (spec-proved);
+   * with per-part pruning it follows the reference's own per-segment
+   * prune semantics (each segment prunes independently and the merge
+   * re-clusters what the segments kept, MergeHelper.java:82-143) — in the
+   * corner where a reindexed doc was pruned out of EVERY term's list in
+   * its newest part, that part carries no row to win with and an older
+   * vector can persist, exactly as a Lucene segment merge without a
+   * tombstone would behave. Callers needing strict update semantics
+   * should delete-then-reindex (tombstoning the doc out of older parts)
+   * or build parts unpruned and let the merge's global re-prune bind.
    *
    * Scale shape: one dropDuplicates over doc vectors (shuffle bounded by
    * the distinct-doc count) feeding the same bounded per-term groups as
@@ -259,10 +273,11 @@ object Seismic {
         }
       }.toDF("doc_id", "tokens", "ws", "part")
     }.reduce(_ unionByName _)
+    // TopN.perGroup is row_number-based: exactly ONE row survives per doc
+    // (ties among a part's identical copies broken arbitrarily — all equal)
     val tw = TopN.perGroup(union, Seq("doc_id"), "part", 1,
         Seq(col("part").desc))
       .select("doc_id", "tokens", "ws")
-      .dropDuplicates("doc_id") // copies within the winning part are identical
       .as[(Long, Seq[String], Seq[Double])]
       .flatMap { case (id, toks, ws) =>
         toks.indices.iterator.map(i => (id, toks(i), ws(i)))

@@ -24,6 +24,35 @@ import graft.index.{Index, InvertedIndex, SegmentLineage, Segments}
  */
 object StreamingIndex {
 
+  /** Shared incremental-drain scaffolding for BOTH streaming builds
+   *  (lexical segments here, clustered sparse parts in
+   *  [[StreamingSparse]]): stream new parquet files from `corpusDir`
+   *  (`maxFilesPerTrigger` files per micro-batch), run `sink` on each
+   *  NON-EMPTY batch, `Trigger.AvailableNow` + a checkpoint under
+   *  `storeDir/<checkpointName>`. Exactly-once is the checkpoint (batch
+   *  replay) plus the sink's idempotent batchId-keyed overwrite writes —
+   *  one recipe, one place to fix it. */
+  private[streaming] def drainEachBatch(
+      spark: SparkSession,
+      corpusDir: String,
+      schema: StructType,
+      storeDir: String,
+      checkpointName: String,
+      maxFilesPerTrigger: Int
+  )(sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(corpusDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$storeDir/$checkpointName")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) sink(batch, batchId)
+      }
+      .start()
+  }
+
   /** Start the incremental build over new parquet files in `corpusDir`.
    *  Segments land in `storeDir/seg<batchId>`. */
   def start(
@@ -35,32 +64,22 @@ object StreamingIndex {
       textCol: String,
       analyzer: String = Analyzer.Simple,
       maxFilesPerTrigger: Int = 1
-  ): StreamingQuery = {
-    spark.readStream
-      .schema(schema)
-      .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .parquet(corpusDir)
-      .writeStream
-      .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", s"$storeDir/_checkpoint")
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
-          val spark2 = batch.sparkSession
-          import spark2.implicits._
-          val id = batchId.toInt
-          val dir = s"$storeDir/seg$id"
-          val bounds = batch.agg(min(col(idCol)), max(col(idCol))).head()
-          val idx = InvertedIndex.buildAndWrite(batch, idCol, textCol, dir, analyzer)
-          val sha = batch.select(sha2(col(textCol), 256).as("sha"))
-            .agg(min($"sha"), max($"sha"), countDistinct($"sha")).head()
-          Seq(SegmentLineage(id, bounds.getLong(0), bounds.getLong(1),
-            idx.stats.doc_count, idx.stats.sum_dl,
-            sha.getString(0), sha.getString(1), sha.getLong(2)))
-            .toDS().write.mode("overwrite").parquet(s"$dir/lineage")
-        }
-      }
-      .start()
-  }
+  ): StreamingQuery =
+    drainEachBatch(spark, corpusDir, schema, storeDir, "_checkpoint",
+      maxFilesPerTrigger) { (batch, batchId) =>
+      val spark2 = batch.sparkSession
+      import spark2.implicits._
+      val id = batchId.toInt
+      val dir = s"$storeDir/seg$id"
+      val bounds = batch.agg(min(col(idCol)), max(col(idCol))).head()
+      val idx = InvertedIndex.buildAndWrite(batch, idCol, textCol, dir, analyzer)
+      val sha = batch.select(sha2(col(textCol), 256).as("sha"))
+        .agg(min($"sha"), max($"sha"), countDistinct($"sha")).head()
+      Seq(SegmentLineage(id, bounds.getLong(0), bounds.getLong(1),
+        idx.stats.doc_count, idx.stats.sum_dl,
+        sha.getString(0), sha.getString(1), sha.getLong(2)))
+        .toDS().write.mode("overwrite").parquet(s"$dir/lineage")
+    }
 
   /** Drain whatever is currently in `corpusDir` into segments and merge to a
    *  queryable Index (the batch-incremental entry point). */

@@ -44,28 +44,18 @@ object StreamingSparse {
       maxClusters: Int = Int.MaxValue,
       hashAssign: Boolean = false,
       maxFilesPerTrigger: Int = 1
-  ): StreamingQuery = {
-    spark.readStream
-      .schema(schema)
-      .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .parquet(corpusDir)
-      .writeStream
-      .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", s"$storeDir/_sparse_checkpoint")
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
-          // per-doc local encoding (tf x token weight — no corpus-level
-          // stats), so per-batch vectors equal what a global build derives
-          val idx = InvertedIndex.build(batch, idCol, textCol, analyzer)
-          val tw = Sparse.encode(idx)
-          Seismic.buildClusteredIndex(tw, nPostings, clusterRatio,
-              summaryPruneRatio, maxClusters = maxClusters,
-              hashAssign = hashAssign)
-            .write.mode("overwrite").parquet(s"$storeDir/sparse$batchId")
-        }
-      }
-      .start()
-  }
+  ): StreamingQuery =
+    StreamingIndex.drainEachBatch(spark, corpusDir, schema, storeDir,
+      "_sparse_checkpoint", maxFilesPerTrigger) { (batch, batchId) =>
+      // per-doc local encoding (tf x token weight — no corpus-level
+      // stats), so per-batch vectors equal what a global build derives
+      val idx = InvertedIndex.build(batch, idCol, textCol, analyzer)
+      val tw = Sparse.encode(idx)
+      Seismic.buildClusteredIndex(tw, nPostings, clusterRatio,
+          summaryPruneRatio, maxClusters = maxClusters,
+          hashAssign = hashAssign)
+        .write.mode("overwrite").parquet(s"$storeDir/sparse$batchId")
+    }
 
   /** Drain whatever is currently in `corpusDir` into clustered parts and
    *  merge them (commit order, last-part-wins) into the queryable
